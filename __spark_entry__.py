@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship incremental-load pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the LLM-data-pipeline extensions), each paired with a
+DuckDB-runnable ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dwh_etl_ods_spark_jobs_spark.plans import showcase  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the canonical incremental load (dedupe -> clean -> anti-join
+    -> hash) on /root/testdata/sf0.001 events."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators import (
+        anti_join_new,
+        dedupe_latest,
+        hash_pii,
+        range_sentinel,
+    )
+
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = read_events(spark, sf_dir)
+    latest = ev.transform(
+        dedupe_latest(["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()])
+    )
+    cleaned = latest.transform(range_sentinel("value", -1e6, 1e6, 999.0, cast_to="double"))
+    target = cleaned.filter(F.col("event_id") % 10 < 7).select("user_id", "event_type")
+    delta = cleaned.transform(anti_join_new(target, ["user_id", "event_type"]))
+    return delta.transform(hash_pii({"user_id": "UserIdHash"})).select(
+        "user_id", "event_type", "event_id", "ts", "value", "UserIdHash"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(showcase.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(showcase.ORACLES)
+    return o

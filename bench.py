@@ -1,0 +1,61 @@
+"""Benchmark runner (driver contract).
+
+Runs every ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-count via a cheap
+``count()`` over the result) after a warm-up of the Spark session itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry_mod
+    from dwh_etl_ods_spark_jobs_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM / parquet footer cache so per-query numbers reflect the
+    # query, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # pragma: no cover - bench must not die
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,37 @@
+"""Core ETL operator library.
+
+Each operator is a pure ``DataFrame -> DataFrame`` function (or a small
+factory returning one) so pipelines compose with ``df.transform(...)``.
+All operators stay JVM-side (built-in Catalyst expressions) — no Python
+UDFs anywhere in this package.
+"""
+
+from dwh_etl_ods_spark_jobs_spark.operators.clean import (
+    CleaningRule,
+    apply_rules,
+    date_clamp,
+    empty_to_null,
+    range_sentinel,
+    value_map,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest
+from dwh_etl_ods_spark_jobs_spark.operators.hashing import hash_pii
+from dwh_etl_ods_spark_jobs_spark.operators.incremental import anti_join_new
+from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
+from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
+from dwh_etl_ods_spark_jobs_spark.operators.spine import month_spine
+
+__all__ = [
+    "CleaningRule",
+    "anti_join_new",
+    "apply_rules",
+    "date_clamp",
+    "dedupe_latest",
+    "empty_to_null",
+    "full_outer_coalesce",
+    "hash_pii",
+    "lookup_fold",
+    "month_spine",
+    "range_sentinel",
+    "value_map",
+]

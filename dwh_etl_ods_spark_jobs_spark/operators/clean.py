@@ -1,0 +1,158 @@
+"""Rule-based cleaning operators.
+
+The reference's workhorse pattern is ``withColumn(c, when(p, v).otherwise(col(c)))``
+instantiated hundreds of times (277 withColumn / 290 when across the Java
+mains — SURVEY.md §2.2). Here the rule *types* are data:
+
+- ``date_clamp``      -- clamp dates outside [lo, hi] to a sentinel date or
+                         NULL (reference ``LoadARTPatients.java:94-120``,
+                         ``LoadPatientVisits.java:103-105``,
+                         ``LoadHtsEligibility.java:97-100``)
+- ``range_sentinel``  -- numeric out-of-range -> sentinel (999)
+                         (``LoadARTPatients.java:127-137``,
+                         ``LoadPatientVisits.java:78-85``)
+- ``empty_to_null``   -- '' -> NULL (``LoadHtsEligibility.java:83-97``)
+- ``value_map``       -- hard-coded isin(...) -> canonical label
+                         (``LoadHtsClientTests.java:81-112``,
+                         ``LoadPrepPatient.java:103-114``)
+
+All rules compile to Catalyst CASE expressions — fully codegen'd, no UDFs,
+no shuffle. A chain of N rules over M columns is a single Project node.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CleaningRule = Callable[[DataFrame], DataFrame]
+
+
+def apply_rules(rules: Sequence[CleaningRule]) -> CleaningRule:
+    """Compose cleaning rules left-to-right into one transform."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        for rule in rules:
+            df = rule(df)
+        return df
+
+    return _apply
+
+
+def _as_date_lit(d: dt.date | str | Column | None) -> Column | None:
+    if d is None:
+        return None
+    if isinstance(d, Column):
+        return d
+    return F.to_date(F.lit(str(d)))
+
+
+def date_clamp(
+    col: str,
+    lo: dt.date | str | None = None,
+    hi: dt.date | str | Column | None = None,
+    sentinel: dt.date | str | None = "1900-01-01",
+    hi_is_current_date: bool = False,
+    hi_offset_years: int = 0,
+) -> CleaningRule:
+    """Out-of-range dates -> ``sentinel`` (or NULL when sentinel is None).
+
+    ``hi_is_current_date`` reproduces the reference's ``> current_date``
+    upper bound; ``hi_offset_years=1`` reproduces the appointment-date
+    variant (today + 1 year, ``LoadPatientVisits.java:103-105``).
+    """
+    lo_lit = _as_date_lit(lo)
+    if hi_is_current_date:
+        hi_lit: Column | None = F.current_date()
+        if hi_offset_years:
+            hi_lit = F.add_months(F.current_date(), 12 * hi_offset_years)
+    else:
+        hi_lit = _as_date_lit(hi)
+    sent = _as_date_lit(sentinel) if sentinel is not None else F.lit(None).cast("date")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        c = F.col(col).cast("date")
+        bad = F.lit(False)
+        if lo_lit is not None:
+            bad = bad | (c < lo_lit)
+        if hi_lit is not None:
+            bad = bad | (c > hi_lit)
+        return df.withColumn(col, F.when(c.isNotNull() & bad, sent).otherwise(c))
+
+    return _apply
+
+
+def range_sentinel(
+    col: str,
+    lo: float,
+    hi: float,
+    sentinel: float | None = 999.0,
+    cast_to: str = "float",
+) -> CleaningRule:
+    """Numeric (possibly string-typed) out-of-[lo,hi] -> sentinel.
+
+    Non-numeric strings become NULL via try-cast semantics, matching the
+    reference's cast-then-compare behavior on varchar vitals columns.
+    """
+    sent = F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        c = F.col(col).cast(cast_to)
+        return df.withColumn(
+            col, F.when(c.isNotNull() & ((c < lo) | (c > hi)), sent).otherwise(c)
+        )
+
+    return _apply
+
+
+def empty_to_null(cols: Sequence[str], trim: bool = False) -> CleaningRule:
+    """'' (optionally after trim) -> NULL, per column."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        for col in cols:
+            c = F.trim(F.col(col)) if trim else F.col(col)
+            df = df.withColumn(col, F.when(c == "", F.lit(None)).otherwise(F.col(col)))
+        return df
+
+    return _apply
+
+
+def value_map(
+    col: str,
+    mapping: Mapping[str, Sequence[str]],
+    otherwise_keep: bool = True,
+    case_insensitive: bool = False,
+) -> CleaningRule:
+    """Canonicalize values: each target label claims a list of source values.
+
+    ``case_insensitive=True`` reproduces SQL Server's default collation
+    (the reference compares under CI collation; Spark ``=`` is CS — SURVEY §4).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        src = F.upper(F.col(col)) if case_insensitive else F.col(col)
+        expr: Column | None = None
+        for target, sources in mapping.items():
+            vals = [s.upper() for s in sources] if case_insensitive else list(sources)
+            cond = src.isin(*vals)
+            expr = F.when(cond, F.lit(target)) if expr is None else expr.when(cond, F.lit(target))
+        assert expr is not None, "value_map requires at least one mapping entry"
+        expr = expr.otherwise(F.col(col) if otherwise_keep else F.lit(None))
+        return df.withColumn(col, expr)
+
+    return _apply
+
+
+@dataclass(frozen=True)
+class NullDefault:
+    """``coalesce(col, default)`` — reference ``LoadHtsClientTests.sql:9,17-22``."""
+
+    col: str
+    default: object
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.col, F.coalesce(F.col(self.col), F.lit(self.default)))

@@ -1,0 +1,117 @@
+"""Table specs: parquet and JDBC readers/writers.
+
+JDBC specifics mirror the reference's runtime-config pattern
+(``spark.<system>.url/user/password/numpartitions`` read via RuntimeConfig,
+``LoadCTPatients.java:32,51-56``) but fix its latent bug: the reference
+passes lowercase ``numpartitions`` with no ``partitionColumn`` so Spark
+silently does single-partition reads (SURVEY §4 / BASELINE.md). Here a
+partitioned read requires explicit column+bounds and actually takes effect.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class ParquetSpec:
+    """A parquet table under a scale-factor directory."""
+
+    name: str
+    path: str | None = None  # default: <sf_dir>/<name>.parquet
+
+
+@dataclass(frozen=True)
+class JdbcSpec:
+    """A JDBC table or pushdown query.
+
+    ``partition_column``/``lower``/``upper``/``num_partitions`` enable a
+    range-partitioned parallel read (reference
+    ``LoadPatientVisits.java:47-52`` — the only job that did it right).
+    """
+
+    url: str
+    table: str | None = None
+    query: str | None = None
+    user: str | None = None
+    password: str | None = None
+    partition_column: str | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+
+TableSpec = ParquetSpec | JdbcSpec
+
+
+def read_table(spark: SparkSession, spec: TableSpec, sf_dir: str | None = None) -> DataFrame:
+    if isinstance(spec, ParquetSpec):
+        path = spec.path or os.path.join(sf_dir or _default_sf_dir(), f"{spec.name}.parquet")
+        return spark.read.parquet(path)
+    reader = spark.read.format("jdbc").option("url", spec.url)
+    if spec.query:
+        reader = reader.option("query", spec.query)
+    else:
+        reader = reader.option("dbtable", spec.table)
+    if spec.user:
+        reader = reader.option("user", spec.user)
+    if spec.password:
+        reader = reader.option("password", spec.password)
+    if spec.partition_column:
+        reader = (
+            reader.option("partitionColumn", spec.partition_column)
+            .option("lowerBound", str(spec.lower_bound))
+            .option("upperBound", str(spec.upper_bound))
+            .option("numPartitions", str(spec.num_partitions or 16))
+        )
+    for k, v in spec.options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_append(
+    df: DataFrame,
+    spec: TableSpec,
+    sf_dir: str | None = None,
+    write_partitions: int | None = None,
+) -> None:
+    """Append rows to the sink.
+
+    ``write_partitions`` bounds concurrent JDBC insert connections —
+    the reference's ``repartition(50)`` before write
+    (``LoadCTPatients.java:206``). Irrelevant for parquet sinks.
+    """
+    if isinstance(spec, ParquetSpec):
+        path = spec.path or os.path.join(sf_dir or _default_sf_dir(), f"{spec.name}.parquet")
+        df.write.mode("append").parquet(path)
+        return
+    if write_partitions:
+        df = df.repartition(write_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", spec.url)
+        .option("dbtable", spec.table)
+        .mode("append")
+    )
+    if spec.user:
+        writer = writer.option("user", spec.user)
+    if spec.password:
+        writer = writer.option("password", spec.password)
+    writer.save()
+
+
+def _default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's test tables as a name->DataFrame dict."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}

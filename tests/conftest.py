@@ -1,0 +1,23 @@
+"""Shared pytest fixtures: one SparkSession per test session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dwh_etl_ods_spark_jobs_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,208 @@
+"""Unit tests for the core operator library (SURVEY.md §5 item 2).
+
+Each test pins the exact edge-case semantics the reference encodes:
+NULL keys under `<=>`, empty-string -> NULL, date-clamp boundaries,
+999 sentinels, SHA2 hex case, lookup-fold fallthrough, idempotency.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators import (
+    anti_join_new,
+    apply_rules,
+    date_clamp,
+    dedupe_latest,
+    empty_to_null,
+    full_outer_coalesce,
+    hash_pii,
+    lookup_fold,
+    month_spine,
+    range_sentinel,
+    value_map,
+)
+
+
+def test_anti_join_null_safe_keys(spark):
+    # A NULL source key must MATCH a NULL target key (reference `<=>`,
+    # LoadCTPatients.java:182) — the row is NOT re-appended.
+    src = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (2, "d")], "site int, pk string"
+    )
+    tgt = spark.createDataFrame([(1, "a"), (None, "b")], "site int, pk string")
+    out = src.transform(anti_join_new(tgt, ["site", "pk"]))
+    assert {(r.site, r.pk) for r in out.collect()} == {(2, "d"), (None, "c")}
+
+
+def test_anti_join_idempotent(spark):
+    # Running the load twice appends zero rows the second time — the
+    # reference's central invariant (SURVEY.md §5 item 4).
+    src = spark.createDataFrame([(i, f"p{i % 3}") for i in range(30)], "site int, pk string")
+    tgt = src.limit(0)
+    delta1 = src.transform(anti_join_new(tgt, ["site", "pk"]))
+    new_target = tgt.union(delta1.select("site", "pk"))
+    delta2 = src.transform(anti_join_new(new_target, ["site", "pk"]))
+    assert delta1.count() == 30
+    assert delta2.count() == 0
+
+
+def test_anti_join_source_target_col_pairs(spark):
+    src = spark.createDataFrame([(1,), (2,)], "k int")
+    tgt = spark.createDataFrame([(1,)], "tk int")
+    out = src.transform(anti_join_new(tgt, [("k", "tk")]))
+    assert [r.k for r in out.collect()] == [2]
+
+
+def test_dedupe_latest_picks_max_order(spark):
+    # Reproduces GROUP BY key -> MAX(created), MAX(ID) + join-back
+    # (LoadSourceCTPatients.sql:10-17) as a window top-1.
+    df = spark.createDataFrame(
+        [
+            ("s1", "p1", 1, dt.date(2020, 1, 1)),
+            ("s1", "p1", 3, dt.date(2020, 5, 1)),  # winner: latest date
+            ("s1", "p1", 2, dt.date(2020, 5, 1)),  # same date, lower ID loses
+            ("s2", "p2", 9, dt.date(2019, 1, 1)),
+        ],
+        "site string, pk string, id int, created date",
+    )
+    out = df.transform(
+        dedupe_latest(["site", "pk"], [F.col("created").desc(), F.col("id").desc()])
+    )
+    got = {(r.site, r.pk): r.id for r in out.collect()}
+    assert got == {("s1", "p1"): 3, ("s2", "p2"): 9}
+
+
+def test_date_clamp_boundaries(spark):
+    # Clamp semantics of LoadARTPatients.java:94-120: strictly-outside
+    # [lo, hi] -> sentinel; boundary values pass through.
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(1899, 12, 31)),
+            (2, dt.date(1900, 1, 1)),
+            (3, dt.date(2020, 6, 15)),
+            (4, dt.date(2099, 1, 1)),
+            (5, None),
+        ],
+        "id int, d date",
+    )
+    out = df.transform(
+        apply_rules([date_clamp("d", lo="1900-01-01", hi="2030-12-31", sentinel="1900-01-01")])
+    )
+    got = {r.id: r.d for r in out.collect()}
+    assert got[1] == dt.date(1900, 1, 1)  # below lo -> sentinel
+    assert got[2] == dt.date(1900, 1, 1)  # exactly lo passes (same value here)
+    assert got[3] == dt.date(2020, 6, 15)
+    assert got[4] == dt.date(1900, 1, 1)  # above hi -> sentinel
+    assert got[5] is None  # NULL is untouched
+
+
+def test_date_clamp_to_null(spark):
+    # Variant that nulls instead of sentinels (LoadHtsEligibility.java:97-100).
+    df = spark.createDataFrame([(1, dt.date(1800, 1, 1))], "id int, d date")
+    out = df.transform(apply_rules([date_clamp("d", lo="1900-01-01", hi="2030-01-01", sentinel=None)]))
+    assert out.collect()[0].d is None
+
+
+def test_range_sentinel_999(spark):
+    # Weight ∉ [0, 200] -> 999 (LoadPatientVisits.java:78-85), with float cast.
+    df = spark.createDataFrame(
+        [(1, "70.5"), (2, "-3"), (3, "250"), (4, None), (5, "0"), (6, "200")],
+        "id int, w string",
+    )
+    out = df.transform(apply_rules([range_sentinel("w", 0.0, 200.0, 999.0, cast_to="float")]))
+    got = {r.id: r.w for r in out.collect()}
+    assert got[1] == 70.5 and got[2] == 999.0 and got[3] == 999.0
+    assert got[4] is None and got[5] == 0.0 and got[6] == 200.0
+
+
+def test_empty_to_null(spark):
+    df = spark.createDataFrame([(1, ""), (2, "x"), (3, None)], "id int, s string")
+    out = df.transform(apply_rules([empty_to_null(["s"])]))
+    got = {r.id: r.s for r in out.collect()}
+    assert got == {1: None, 2: "x", 3: None}
+
+
+def test_value_map_isin(spark):
+    # Hard-coded isin(...) -> canonical label (LoadHtsClientTests.java:81-112).
+    df = spark.createDataFrame(
+        [(1, "P1"), (2, "P2"), (3, "Other"), (4, None)], "id int, v string"
+    )
+    out = df.transform(
+        apply_rules([value_map("v", {"Prio": ["P1", "P2"], "Rest": ["Other"]})])
+    )
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "Prio", 2: "Prio", 3: "Rest", 4: None}
+
+
+def test_hash_pii_matches_hashlib_uppercase(spark):
+    # Byte-identical to T-SQL HASHBYTES('SHA2_256', ...) convert(...,2)
+    # uppercase hex (DatabaseUtils.java:54-69).
+    df = spark.createDataFrame([("abc",), (None,)], "pid string")
+    out = df.transform(hash_pii(["pid"])).collect()
+    expected = hashlib.sha256(b"abc").hexdigest().upper()
+    got = {r.pid: r.pidHash for r in out}
+    assert got["abc"] == expected
+    assert got[None] is None
+
+
+def test_hash_pii_int_column_casts_to_string(spark):
+    df = spark.createDataFrame([(123,)], "pid int")
+    out = df.transform(hash_pii({"pid": "PidHash"})).collect()
+    assert out[0].PidHash == hashlib.sha256(b"123").hexdigest().upper()
+
+
+def test_lookup_fold_unmatched_keeps_original(spark):
+    fact = spark.createDataFrame([(1, "old1"), (2, "old2"), (3, None)], "id int, v string")
+    lkp = spark.createDataFrame([("old1", "new1")], "source_name string, target_name string")
+    out = fact.transform(lookup_fold("v", lkp))
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "new1", 2: "old2", 3: None}
+
+
+def test_lookup_fold_duplicate_lookup_rows_no_fanout(spark):
+    fact = spark.createDataFrame([(1, "a")], "id int, v string")
+    lkp = spark.createDataFrame(
+        [("a", "x"), ("a", "x")], "source_name string, target_name string"
+    )
+    out = fact.transform(lookup_fold("v", lkp))
+    assert out.count() == 1
+
+
+def test_lookup_fold_case_insensitive(spark):
+    # SQL Server default collation is case-insensitive (SURVEY.md §4).
+    fact = spark.createDataFrame([(1, "ABC")], "id int, v string")
+    lkp = spark.createDataFrame([("abc", "X")], "source_name string, target_name string")
+    out = fact.transform(lookup_fold("v", lkp, case_insensitive=True))
+    assert out.collect()[0].v == "X"
+
+
+def test_month_spine_endpoints(spark):
+    df = month_spine(spark, "2017-01-01", "2017-04-30")
+    dates = sorted(r.as_of_date for r in df.collect())
+    assert dates == [
+        dt.date(2017, 1, 31),
+        dt.date(2017, 2, 28),
+        dt.date(2017, 3, 31),
+        dt.date(2017, 4, 30),
+    ]
+
+
+def test_full_outer_coalesce(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k int, lv string")
+    right = spark.createDataFrame([(2, "r2"), (3, "r3")], "k int, rv string")
+    out = full_outer_coalesce(left, right, ["k"])
+    got = {r.k: (r.lv, r.rv) for r in out.collect()}
+    assert got == {1: ("l1", None), 2: ("l2", "r2"), 3: (None, "r3")}
+
+
+def test_full_outer_coalesce_null_keys_match(spark):
+    left = spark.createDataFrame([(None, "l")], "k int, lv string")
+    right = spark.createDataFrame([(None, "r")], "k int, rv string")
+    out = full_outer_coalesce(left, right, ["k"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].lv == "l" and rows[0].rv == "r"

@@ -1,0 +1,126 @@
+"""JobSpec + the canonical incremental-load pipeline.
+
+Reproduces the reference's job shape (``LoadCTPatients.java:27-228``,
+traced in SURVEY.md §3.1) as one config-driven function:
+
+  1. source scan            (JDBC pushdown there; TableSpec here)
+  2. greatest-per-key dedupe (their GROUP BY MAX subquery, our window top-1)
+  3. cleaning rules          (withColumn/when chains -> rule data)
+  4. lookup normalization    (broadcast left join + coalesce fold)
+  5. target scan + null-safe LEFT ANTI JOIN on the natural key
+  6. in-flight PII hashing   (their post-write JDBC UPDATE, our Project)
+  7. final projection + append
+
+IO is injectable so the same spec runs against parquet fixtures in tests
+and JDBC in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators import (
+    anti_join_new,
+    dedupe_latest,
+    hash_pii,
+    lookup_fold,
+)
+from dwh_etl_ods_spark_jobs_spark.sources import TableSpec, read_table, write_append
+
+
+@dataclass(frozen=True)
+class LookupSpec:
+    """One vocabulary-normalization join (``LoadCTPatients.java:144-157``).
+
+    ``table`` is the lookup's name in the catalog of lookup tables handed to
+    the pipeline; ``source_col``/``target_col`` default to the reference's
+    ``(source_name, target_name)`` shape, overridden by e.g.
+    ``lkp_MaritalStatus (Source_MaritalStatus, Target_MaritalStatus)``.
+    """
+
+    column: str
+    table: str
+    source_col: str = "source_name"
+    target_col: str = "target_name"
+    case_insensitive: bool = True  # SQL Server default collation is CI (SURVEY §4)
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    """Everything that distinguishes one reference job from another."""
+
+    name: str
+    source_system: str  # dwapicentral | htscentral | mnchcentral | prepcentral | his
+    target: str  # ODS table, e.g. "dbo.CT_Patient"
+    keys: tuple[str, ...]  # null-safe anti-join natural key (SURVEY §2.4)
+    # Greatest-per-key dedupe of the source extract (the reference pushes
+    # this into T-SQL: GROUP BY keys -> MAX(created), MAX(id)).
+    dedupe_keys: tuple[str, ...] | None = None
+    dedupe_order: tuple[str, ...] = ("DateExtracted", "ID")
+    rules: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+    lookups: tuple[LookupSpec, ...] = ()
+    pii: Mapping[str, str] = field(default_factory=dict)  # src col -> hash col
+    # Key columns that need a source-side expression before the anti-join,
+    # e.g. cast(VisitDate as date) (LoadAdverseEvents.java:145-146).
+    key_exprs: Mapping[str, Callable[[], Column]] = field(default_factory=dict)
+    select: tuple[str, ...] | None = None  # final projection (column order)
+    notes: str = ""  # reference quirks we intentionally fix (SURVEY §7)
+
+
+def run_incremental_load(
+    spark: SparkSession,
+    spec: JobSpec,
+    source: DataFrame | TableSpec,
+    target: DataFrame | TableSpec,
+    lookups: Mapping[str, DataFrame] | None = None,
+    sink: TableSpec | None = None,
+    write_partitions: int | None = None,
+) -> DataFrame:
+    """Run one incremental load; returns the appended delta (lazily).
+
+    When ``sink`` is None the delta DataFrame is returned un-written — the
+    caller owns the action (tests assert on it; production passes a sink).
+    """
+    src = source if isinstance(source, DataFrame) else read_table(spark, source)
+    tgt = target if isinstance(target, DataFrame) else read_table(spark, target)
+
+    if spec.key_exprs:
+        for col, make_expr in spec.key_exprs.items():
+            src = src.withColumn(col, make_expr())
+
+    if spec.dedupe_keys:
+        order = [F.col(c).desc() for c in spec.dedupe_order if c in src.columns]
+        src = src.transform(dedupe_latest(list(spec.dedupe_keys), order))
+
+    for rule in spec.rules:
+        src = rule(src)
+
+    for lk in spec.lookups:
+        lkp_df = (lookups or {}).get(lk.table)
+        if lkp_df is None:
+            raise KeyError(f"job {spec.name}: lookup table {lk.table!r} not provided")
+        src = src.transform(
+            lookup_fold(
+                lk.column,
+                lkp_df,
+                source_col=lk.source_col,
+                target_col=lk.target_col,
+                case_insensitive=lk.case_insensitive,
+            )
+        )
+
+    delta = src.transform(anti_join_new(tgt, list(spec.keys)))
+
+    if spec.pii:
+        delta = delta.transform(hash_pii(dict(spec.pii)))
+
+    if spec.select:
+        delta = delta.select(*spec.select)
+
+    if sink is not None:
+        write_append(delta, sink, write_partitions=write_partitions)
+    return delta

@@ -65,16 +65,17 @@ def date_clamp(
     upper bound; ``hi_offset_years=1`` reproduces the appointment-date
     variant (today + 1 year, ``LoadPatientVisits.java:103-105``).
     """
-    lo_lit = _as_date_lit(lo)
-    if hi_is_current_date:
-        hi_lit: Column | None = F.current_date()
-        if hi_offset_years:
-            hi_lit = F.add_months(F.current_date(), 12 * hi_offset_years)
-    else:
-        hi_lit = _as_date_lit(hi)
-    sent = _as_date_lit(sentinel) if sentinel is not None else F.lit(None).cast("date")
-
     def _apply(df: DataFrame) -> DataFrame:
+        # Columns are built lazily so rule catalogs can be declared at module
+        # import time, before any SparkSession exists.
+        lo_lit = _as_date_lit(lo)
+        if hi_is_current_date:
+            hi_lit: Column | None = F.current_date()
+            if hi_offset_years:
+                hi_lit = F.add_months(F.current_date(), 12 * hi_offset_years)
+        else:
+            hi_lit = _as_date_lit(hi)
+        sent = _as_date_lit(sentinel) if sentinel is not None else F.lit(None).cast("date")
         c = F.col(col).cast("date")
         bad = F.lit(False)
         if lo_lit is not None:
@@ -98,9 +99,10 @@ def range_sentinel(
     Non-numeric strings become NULL via try-cast semantics, matching the
     reference's cast-then-compare behavior on varchar vitals columns.
     """
-    sent = F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
-
     def _apply(df: DataFrame) -> DataFrame:
+        sent = (
+            F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
+        )
         c = F.col(col).cast(cast_to)
         return df.withColumn(
             col, F.when(c.isNotNull() & ((c < lo) | (c > hi)), sent).otherwise(c)

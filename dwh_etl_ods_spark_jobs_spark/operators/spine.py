@@ -16,6 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def day_spine(
+    spark: SparkSession,
+    start: str | dt.date,
+    end: str | dt.date,
+    col: str = "as_of_date",
+) -> DataFrame:
+    """One row per day in [start, end] — the month-end cursor generalized to
+    arbitrary grain (the testdata's events span one month, so the analytical
+    rebuild uses day-ends where the reference used month-ends)."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(str(start))),
+                F.to_date(F.lit(str(end))),
+                F.expr("interval 1 day"),
+            )
+        ).alias(col)
+    )
+
+
 def month_spine(
     spark: SparkSession,
     start: str | dt.date,

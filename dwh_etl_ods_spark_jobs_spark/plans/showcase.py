@@ -408,6 +408,15 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- 13. historical ART outcomes — the reference's analytical T-SQL script
+#         rebuilt set-based (plans/art_outcomes.py) ---
+
+def q_art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import art_outcomes
+
+    return art_outcomes(spark, sf_dir)
+
+
 QUERIES = {
     "incremental_antijoin_nullsafe": q_incremental_antijoin,
     "dedupe_latest_window": q_dedupe_latest,
@@ -421,6 +430,7 @@ QUERIES = {
     "full_outer_coalesce": q_full_outer_coalesce,
     "union_date_repair": q_union_date_repair,
     "pricing_summary": q_pricing_summary,
+    "art_outcomes_asof": q_art_outcomes,
 }
 
 ORACLES = {
@@ -436,4 +446,9 @@ ORACLES = {
     "full_outer_coalesce": SQL_FULL_OUTER_COALESCE,
     "union_date_repair": SQL_UNION_DATE_REPAIR,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "art_outcomes_asof": None,  # bound below
 }
+
+from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import SQL_ART_OUTCOMES  # noqa: E402
+
+ORACLES["art_outcomes_asof"] = SQL_ART_OUTCOMES

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dwh_etl_ods_spark_jobs_spark.plans import showcase  # noqa: E402
+from dwh_etl_ods_spark_jobs_spark.plans import pipeline, showcase  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,10 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(showcase.QUERIES)
+    q.update(pipeline.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(showcase.ORACLES)
+    o.update(pipeline.ORACLES)
     return o

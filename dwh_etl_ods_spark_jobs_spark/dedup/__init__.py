@@ -1,0 +1,436 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious and expression-first (no Python
+UDFs in any hot path):
+
+- **exact**          — hash-groupBy on the normalized-text md5. One shuffle
+                       on a uniformly-distributed 128-bit key: no skew.
+- **n-gram Jaccard** — token-shingle blocking (explode + equi-join on the
+                       shingle hash) then exact Jaccard on candidate pairs.
+                       Never materializes the O(n^2) cross join.
+- **MinHash + LSH**  — K portable 60-bit min-hashes over shingles, banded
+                       into B bands; candidates = pairs sharing a band key
+                       (equi-join on (band_idx, band_hash)); verification =
+                       estimated Jaccard from signature agreement.
+- **SimHash**        — 60-bit frequency-weighted bit-vote signature via one
+                       explode + groupBy pass (map-side partial agg);
+                       near-dup pairs via pigeonhole banding (hamming<=3 in
+                       4 bands of 15 bits => at least one band equal).
+- **embedding near-dup** — deterministic hyperplane-LSH bucketing over an
+                       ``array<float>`` column, exact-cosine verification
+                       inside buckets only.
+
+Scale notes (100 TB): every strategy's only shuffles are (a) the explode->
+equi-join on short keys and (b) a distinct on candidate pairs — both
+AQE-coalescible; band/bucket keys are hashes, so partitioning is uniform by
+construction. Signature computation is per-row, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.text import (
+    md5_long,
+    md5_long_sql,
+    normalize_text,
+    normalize_text_sql,
+    tokens,
+    tokens_sql,
+)
+
+# --- shared constants (drive BOTH the Spark exprs and the DuckDB oracles) ---
+
+SHINGLE_W = 3          # tokens per shingle
+MINHASH_K = 16         # minhash components
+LSH_BANDS = 4          # bands (rows per band = MINHASH_K // LSH_BANDS)
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 60      # bits in the simhash signature (fits signed 64-bit)
+SIMHASH_BANDS = 4      # pigeonhole bands -> guarantees recall for hamming <= 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HYPERPLANES = 16       # hyperplane-LSH signature bits for embeddings
+
+
+# --- token shingles ---
+
+def shingles(text_col: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct ``w``-token shingles (array<string>) of a text column."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    return F.array_distinct(sh)
+
+
+def shingles_sql(expr: str, w: int = SHINGLE_W) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {w - 1}, 1) + 1),"
+        f" i -> array_to_string(({toks})[i:i+{w - 1}], ' ')))"
+    )
+
+
+# --- 1. exact dedup ---
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by md5(normalized text); keep the minimum id as the canonical
+    representative. Returns (fingerprint, keep_id, n_dups)."""
+    return (
+        df.withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --- 2. n-gram Jaccard near-dup ---
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float, w: int = SHINGLE_W,
+) -> DataFrame:
+    """Candidate generation by shingle blocking, then exact Jaccard.
+
+    explode(shingles) -> self-equi-join on the shingle -> distinct (a,b)
+    pairs -> join back both shingle sets -> Jaccard. The only wide ops are
+    hash joins on uniformly-hashed short strings.
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), w).alias("sh"),
+    )
+    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        posting.alias("p1")
+        .join(posting.alias("p2"), on="shingle")
+        .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .select(
+            F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- 3. MinHash + LSH ---
+
+def minhash_signature(text_col: Column, k: int = MINHASH_K) -> Column:
+    """K-component MinHash signature (array<bigint>).
+
+    Component j = min over shingles of md5_long(j || ':' || shingle) — the
+    salted-hash family; portable to the DuckDB oracle verbatim.
+    """
+    sh = shingles(text_col)
+
+    def _salted(j: int):
+        return lambda g: md5_long(F.concat(F.lit(f"{j}:"), g))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _salted(j))) for j in range(k)]
+    )
+
+
+def _mh_comp_sql(sh: str, j: int) -> str:
+    return (
+        f"list_min(list_transform({sh}, g -> "
+        + md5_long_sql(f"'{j}:' || g")
+        + "))"
+    )
+
+
+def minhash_sig_sql(expr: str, k: int = MINHASH_K) -> str:
+    sh = shingles_sql(expr)
+    return "[" + ", ".join(_mh_comp_sql(sh, j) for j in range(k)) + "]"
+
+
+def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS,
+                  rows: int = LSH_ROWS) -> Column:
+    """Band the signature: array of (band_idx, band_hash) structs where
+    band_hash = md5 of the ','-joined band slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig_col, b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float,
+    k: int = MINHASH_K, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate pairs sharing >=1 LSH band, scored by estimated Jaccard
+    (fraction of agreeing signature components)."""
+    rows = k // bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+    )
+    bands_df = docs.select(
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), on=["band", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- 4. SimHash ---
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """60-bit frequency-weighted SimHash per document.
+
+    One explode + one groupBy(doc) with ``bits`` conditional sums — a
+    single aggregation with map-side partials; the per-token hash is the
+    portable md5_long. Returns (doc_id, simhash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_sql(table: str, text_expr: str, id_expr: str,
+                bits: int = SIMHASH_BITS) -> str:
+    """DuckDB oracle for :func:`simhash_signatures`."""
+    toks = tokens_sql(text_expr)
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_expr} AS doc_id, {md5_long_sql('t.tok')} AS h
+  FROM {table}, unnest({toks}) AS t(tok)
+), votes AS (
+  SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3,
+    bands: int = SIMHASH_BANDS, band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: with ``bands`` bands and hamming <= bands-1, at
+    least one band is equal — so an equi-join on (band_idx, band_value)
+    finds every qualifying pair without a cross join; bit_count(xor)
+    verifies exactly. ``sigs`` is (doc_id, simhash).
+    """
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- 5. embedding near-dup (hyperplane LSH + exact cosine verify) ---
+
+def hyperplanes(dim: int, n_planes: int = HYPERPLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — computed
+    once in Python (no RNG), embedded as literals in BOTH engines' plans so
+    the signatures agree bit-for-bit."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:15], 16)
+            row.append(float(h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p = sign of <vec, plane_p>. Sequential
+    left-to-right double fold — identical accumulation order in DuckDB."""
+    sig = None
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def hyperplane_signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {len(plane)} + 1), "
+            f"j -> CAST({vec_expr}[j] AS DOUBLE) * ([{lits}])[j])), (a, b) -> a + b)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+def cosine(vec_a: Column, vec_b: Column) -> Column:
+    """Exact cosine with fixed fold order: dot / (sqrt(na) * sqrt(nb)).
+    Deterministic double arithmetic — portable to the oracle."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    na = F.aggregate(
+        F.transform(vec_a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    nb = F.aggregate(
+        F.transform(vec_b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    def fold(body: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim} + 1), j -> {body})), (x, y) -> x + y)"
+        )
+
+    dot = fold(f"CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)")
+    na = fold(f"CAST({a}[j] AS DOUBLE) * CAST({a}[j] AS DOUBLE)")
+    nb = fold(f"CAST({b}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)")
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    threshold: float, dim: int, n_planes: int = HYPERPLANES,
+) -> DataFrame:
+    """Hyperplane-LSH bucketing then exact-cosine verification within
+    buckets. Scale path: the bucket join touches only same-signature pairs;
+    signatures are computed per-row with literal plane arrays (broadcast in
+    the closure, no shuffle)."""
+    planes = hyperplanes(dim, n_planes)
+    sigs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), on="bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+    )
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,188 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched Pandas functions over ``mapInPandas`` — the Spark-side
+plumbing (schema contracts, batch iteration, partition-parallel execution)
+is real and tested, while the codec itself is swappable:
+
+- ``decode_meta_batches``   — deterministic *fake* decode that parses the
+  payload bytes directly (magic, byte length, derived width/height, first
+  byte). Used by tests and oracles: its outputs are pure functions of the
+  bytes, so a SQL oracle can reproduce them exactly.
+- ``decode_image_real``     — the real-codec slot. The container ships no
+  image/audio libraries, so this STUB raises ``NotImplementedError`` unless
+  PIL is importable; the mapInPandas wiring around it is identical.
+
+Scale notes: mapInPandas streams Arrow record batches — constant memory per
+task regardless of partition size; binary payloads never pass through
+Python row-by-row. Frame sampling explodes one input row into N output
+rows *inside* the pandas iterator, so output batching is preserved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+try:  # real codec gate — absent in this container by design
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+MAGIC_LEN = 4
+FRAME_CHUNK = 64  # bytes per sampled "frame"
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("magic", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("first_byte", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Synthesize an opaque binary payload column from a text column (the
+    test tables carry no real media); downstream operators treat it as
+    bytes only. Returns (doc_id, payload: binary)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("binary").alias("payload"),
+    )
+
+
+def decode_meta_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Fake decode: extract typed metadata as pure byte arithmetic.
+
+    width/height derive from byte_len so a SQL oracle reproduces them; in a
+    real pipeline these come out of the codec header instead — same
+    schema, same batch shape."""
+    import pandas as pd
+
+    for pdf in batches:
+        payload = pdf["payload"]
+        byte_len = payload.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "magic": payload.map(
+                    lambda b: bytes(b[:MAGIC_LEN]).decode("ascii", "replace")
+                ),
+                "byte_len": byte_len.astype("int64"),
+                "width": (1 + byte_len % 640).astype("int32"),
+                "height": (1 + byte_len % 480).astype("int32"),
+                "first_byte": payload.map(lambda b: int(b[0]) if len(b) else -1).astype(
+                    "int32"
+                ),
+            }
+        )
+
+
+def decode_image_meta(payloads: DataFrame) -> DataFrame:
+    """mapInPandas driver for metadata extraction over (doc_id, payload)."""
+    return payloads.mapInPandas(decode_meta_batches, schema=IMAGE_META_SCHEMA)
+
+
+def frame_sample_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Fake frame sampler: split each payload into FRAME_CHUNK-byte frames,
+    emit per-frame length + byte-sum checksum (oracle-reproducible)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            for i in range(0, max(len(b), 1), FRAME_CHUNK):
+                chunk = b[i : i + FRAME_CHUNK]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i // FRAME_CHUNK)
+                out["frame_len"].append(len(chunk))
+                out["frame_checksum"].append(sum(chunk))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_len": pd.Series(out["frame_len"], dtype="int32"),
+                "frame_checksum": pd.Series(out["frame_checksum"], dtype="int64"),
+            }
+        )
+
+
+def frame_sample(payloads: DataFrame) -> DataFrame:
+    """mapInPandas driver for frame sampling over (doc_id, payload)."""
+    return payloads.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+def decode_image_real(payloads: DataFrame) -> DataFrame:  # pragma: no cover
+    """REAL-codec slot (STUB): decode payloads with PIL and emit
+    (doc_id, width, height, mode). The container intentionally ships no
+    image libraries; raise loudly rather than fake it here."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "decode_image_real requires PIL, which is not installed in this "
+            "environment. Use decode_image_meta (deterministic fake decode) "
+            "for the tested plumbing; swap in this function when a codec "
+            "library is available."
+        )
+
+    import io
+
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mode", StringType()),
+        ]
+    )
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                rows.append((doc_id, img.width, img.height, img.mode))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mode"])
+
+    return payloads.mapInPandas(decode, schema=schema)

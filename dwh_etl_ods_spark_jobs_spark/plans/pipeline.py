@@ -1,0 +1,491 @@
+"""Training-data-pipeline showcase queries (dedup / similarity / text /
+multimodal) with DuckDB oracles.
+
+These extend the reference's ETL surface (SURVEY.md §2.10: it has none of
+these) with the operators a 100 TB LLM-data pipeline needs. Every query is
+expression-only Spark (JVM codegen; the multimodal pair is deliberately
+Arrow-batched ``mapInPandas``) and is paired with a DuckDB oracle generated
+from the SAME constants (stopword lists, hash salt scheme, hyperplanes), so
+values hash-match bit-for-bit.
+
+Dedup queries run over a synthesized corpus CTE (originals + exact dups +
+near-dup variants derived deterministically from doc_id arithmetic) so true
+positives exist at every scale factor — same construction in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import dedup as D
+from dwh_etl_ods_spark_jobs_spark import multimodal as M
+from dwh_etl_ods_spark_jobs_spark import similarity as S
+from dwh_etl_ods_spark_jobs_spark import text as T
+
+EMB_DIM = 64
+JACCARD_W = 5          # 5-token shingles: sparse enough that blocking only
+                       # collides true near-dups even on a 30-word vocabulary
+ANN_PLANES = 4         # 16 buckets -> meaningful approximate candidates
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- synthesized dedup corpus (identical CTE in both engines) ---
+
+NEAR_TAIL = " extra near duplicate tail tokens"
+
+CORPUS_CTE = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_TAIL}' AS text
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# --- embeddings corpus: originals + scaled (cosine-identical) variants ---
+
+EMB_CTE = """emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _emb(spark, sf_dir)
+    orig = base.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("v"),
+    )
+    return orig.unionByName(pert)
+
+
+# =========================== text analysis ===========================
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({T.tokens_sql('text')})) AS BIGINT) AS n_distinct_tokens,
+       CAST({T.bpe_ish_token_count_sql('text')} AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def _sql_text_quality() -> str:
+    cols = T.quality_sql_columns("text")
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in cols.items())
+    return (
+        "SELECT doc_id,\n       "
+        + sel
+        + f",\n       {T.quality_score_sql('text')} AS quality_score\nFROM documents"
+    )
+
+
+SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.langid(F.col("text")).alias("predicted_lang"),
+    )
+
+
+SQL_TEXT_LANGID = f"""
+SELECT doc_id, lang AS labeled_lang, {T.langid_sql('text')} AS predicted_lang
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.exact_fingerprint(F.col("text")).alias("exact_fp"),
+        T.content_fingerprint(F.col("text")).alias("content_fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       {T.exact_fingerprint_sql('text')} AS exact_fp,
+       {T.content_fingerprint_sql('text')} AS content_fp
+FROM documents
+"""
+
+
+# =========================== deduplication ===========================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_corpus(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {CORPUS_CTE}
+SELECT md5({T.normalize_text_sql('text')}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM corpus GROUP BY 1
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "text", "doc_id", threshold=0.8, w=JACCARD_W
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {CORPUS_CTE},
+docs AS (
+  SELECT doc_id, {D.shingles_sql('text', JACCARD_W)} AS sh FROM corpus
+),
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
+  FROM posting p1 JOIN posting p2 USING (shingle)
+  WHERE p1.doc_id < p2.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard
+  FROM cand JOIN docs a ON cand.id_a = a.doc_id
+            JOIN docs b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    sh = D.shingles_sql("text")
+    comps = ", ".join(D._mh_comp_sql("sh", j) for j in range(D.MINHASH_K))
+    band_structs = ", ".join(
+        "{'band': %d, 'band_hash': md5(array_to_string("
+        "list_transform(sig[%d:%d], x -> CAST(x AS VARCHAR)), ','))}"
+        % (b, b * D.LSH_ROWS + 1, b * D.LSH_ROWS + D.LSH_ROWS)
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""
+WITH {CORPUS_CTE},
+sh_docs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+docs AS (SELECT doc_id, [{comps}] AS sig FROM sh_docs),
+banded AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true) FROM docs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y USING (band, band_hash)
+  WHERE x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(len(list_filter(range(1, {D.MINHASH_K} + 1),
+                               j -> a.sig[j] = b.sig[j])) / {float(D.MINHASH_K)}, 6)
+           AS est_jaccard
+  FROM cand JOIN docs a ON cand.id_a = a.doc_id
+            JOIN docs b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash()
+
+
+def q_dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def _simhash_sig_ctes() -> str:
+    toks = T.tokens_sql("text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH {CORPUS_CTE},
+t1 AS (SELECT doc_id, unnest({toks}) AS tok FROM corpus),
+tok AS (SELECT doc_id, {T.md5_long_sql('tok')} AS h FROM t1),
+votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
+"""
+
+
+SQL_DEDUP_SIMHASH_SIG = _simhash_sig_ctes() + "SELECT doc_id, simhash FROM sigs"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.simhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+    return D.simhash_near_pairs(sigs, max_hamming=3)
+
+
+def _sql_dedup_simhash_pairs() -> str:
+    mask = (1 << D.SIMHASH_BAND_BITS) - 1
+    band_structs = ", ".join(
+        f"{{'band': {i}, 'bv': (simhash >> {i * D.SIMHASH_BAND_BITS}) & {mask}}}"
+        for i in range(D.SIMHASH_BANDS)
+    )
+    return _simhash_sig_ctes() + f""",
+banded AS (
+  SELECT doc_id, simhash, unnest([{band_structs}], recursive := true) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.simhash AS sig_a, y.simhash AS sig_b
+  FROM banded x JOIN banded y USING (band, bv)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_dedup_simhash_pairs()
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(
+        _emb_corpus(spark, sf_dir), "v", "vec_id", threshold=0.95, dim=EMB_DIM
+    )
+
+
+def _sql_dedup_embedding() -> str:
+    planes = D.hyperplanes(EMB_DIM, D.HYPERPLANES)
+    sig = D.hyperplane_signature_sql("v", planes)
+    cos = D.cosine_sql("a.v", "b.v", EMB_DIM)
+    return f"""
+WITH {EMB_CTE},
+sigs AS (SELECT vec_id, v, {sig} AS bucket FROM emb),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+  FROM sigs a JOIN sigs b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.95
+"""
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
+
+
+# =========================== similarity search ===========================
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_bruteforce_topk(queries, emb, "vec_id", "v", k=5)
+
+
+def _sql_ann_bruteforce() -> str:
+    cos = D.cosine_sql("q.v", "c.v", EMB_DIM)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cos
+  FROM q JOIN emb c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_BRUTEFORCE = _sql_ann_bruteforce()
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_lsh_topk(
+        queries, emb, "vec_id", "v", k=5, dim=EMB_DIM, n_planes=ANN_PLANES
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = D.hyperplanes(EMB_DIM, ANN_PLANES)
+    sig = D.hyperplane_signature_sql("v", planes)
+    cos = D.cosine_sql("q.v", "c.v", EMB_DIM)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (SELECT vec_id, v, {sig} AS bucket FROM emb),
+q AS (SELECT * FROM sigs WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cos
+  FROM q JOIN sigs c USING (bucket)
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
+# =========================== multimodal ===========================
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = M.attach_payload(_docs(spark, sf_dir), "text", "doc_id")
+    return M.decode_image_meta(payloads)
+
+
+# Oracle exploits payload == utf-8(text) and text being pure ASCII: byte
+# arithmetic equals char arithmetic. The Spark side genuinely parses bytes
+# in pandas — the oracle checks the decode contract, not the codec.
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       substring(text, 1, 4) AS magic,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(1 + length(text) % 640 AS INT) AS width,
+       CAST(1 + length(text) % 480 AS INT) AS height,
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = M.attach_payload(_docs(spark, sf_dir), "text", "doc_id")
+    return M.frame_sample(payloads)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(least({M.FRAME_CHUNK}, length(text) - f * {M.FRAME_CHUNK}) AS INT)
+         AS frame_len,
+       CAST(list_sum(list_transform(
+              range(f * {M.FRAME_CHUNK} + 1,
+                    f * {M.FRAME_CHUNK}
+                      + least({M.FRAME_CHUNK},
+                              length(text) - f * {M.FRAME_CHUNK}) + 1),
+              i -> ascii(text[i:i]))) AS BIGINT) AS frame_checksum
+FROM documents,
+     unnest(range(0, greatest(CAST(ceil(length(text) / {M.FRAME_CHUNK}.0) AS BIGINT), 1)))
+       AS t(f)
+"""
+
+
+QUERIES = {
+    "text_stats_tokens": q_text_stats,
+    "text_quality_score": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_hash": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash_sig": q_dedup_simhash_sig,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_cosine_topk": q_ann_bruteforce,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "multimodal_decode_meta": q_multimodal_meta,
+    "multimodal_frame_sample": q_multimodal_frames,
+}
+
+ORACLES = {
+    "text_stats_tokens": SQL_TEXT_STATS,
+    "text_quality_score": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact_hash": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash_sig": SQL_DEDUP_SIMHASH_SIG,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
+    "ann_lsh_bucketed": SQL_ANN_LSH,
+    "multimodal_decode_meta": SQL_MULTIMODAL_META,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
+}

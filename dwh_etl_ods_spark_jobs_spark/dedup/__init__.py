@@ -99,32 +99,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate generation by shingle blocking, then exact Jaccard.
 
-    explode(shingles) -> self-equi-join on the shingle -> distinct (a,b)
-    pairs -> join back both shingle sets -> Jaccard. The only wide ops are
-    hash joins on uniformly-hashed short strings.
+    Count-based: explode(distinct shingles) -> hash each to a 60-bit key ->
+    self-equi-join on the key -> groupBy(pair).count() gives |A∩B| directly
+    -> Jaccard from set sizes, |A∩B| / (|A| + |B| - |A∩B|). No candidate
+    `distinct`, no array join-back, no array_intersect: the only wide ops
+    are the posting self-join on 8-byte keys and one pair-count aggregation
+    (map-side combinable). Set sizes ride in via two broadcast joins of a
+    tiny (doc_id, n) relation. 60-bit hash collisions are ~n²/2^61 —
+    negligible, and the oracle computes identically so results still match.
+
+    Scale: hot shingles skew the self-join; AQE skew-join splitting handles
+    it, and stopword-shingle filtering (drop shingles with document
+    frequency above a cap) is the standard mitigation — at 100 TB add
+    ``posting.groupBy(sh_h).count().filter(...)`` as a semi-join gate.
     """
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), w).alias("sh"),
+    posting = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), w)).alias("shingle"),
+        )
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+        .persist()  # consumed by the self-join (×2) and the sizes agg
     )
-    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         posting.alias("p1")
-        .join(posting.alias("p2"), on="shingle")
+        .join(posting.alias("p2"), on="sh_h")
         .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
-        .select(
+        .groupBy(
             F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        inter.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn(
+            "jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -132,33 +146,79 @@ def ngram_jaccard_pairs(
 
 # --- 3. MinHash + LSH ---
 
+def _minhash_salts(k: int) -> list[int]:
+    """K fixed 60-bit xor-salts derived from md5 — computed once in Python,
+    embedded as literals in both engines' plans."""
+    import hashlib as _hl
+
+    return [
+        int(_hl.md5(f"minhash-salt-{j}".encode()).hexdigest()[:15], 16)
+        for j in range(k)
+    ]
+
+
 def minhash_signature(text_col: Column, k: int = MINHASH_K) -> Column:
     """K-component MinHash signature (array<bigint>).
 
-    Component j = min over shingles of md5_long(j || ':' || shingle) — the
-    salted-hash family; portable to the DuckDB oracle verbatim.
+    One md5 per shingle (the expensive part), then component j = min over
+    shingles of ``xor(h, salt_j)`` — the cheap xor permutation family
+    (16× fewer digest computations than per-component salting; accuracy is
+    ample for near-dup detection). Portable to the DuckDB oracle verbatim.
     """
     sh = shingles(text_col)
+    base = F.transform(sh, lambda g: md5_long(g))
+    salts = _minhash_salts(k)
 
-    def _salted(j: int):
-        return lambda g: md5_long(F.concat(F.lit(f"{j}:"), g))
+    def _perm(salt: int):
+        return lambda h: h.bitwiseXOR(F.lit(salt).cast("long"))
 
     return F.array(
-        *[F.array_min(F.transform(sh, _salted(j))) for j in range(k)]
+        *[F.array_min(F.transform(base, _perm(s))) for s in salts]
     )
 
 
-def _mh_comp_sql(sh: str, j: int) -> str:
-    return (
-        f"list_min(list_transform({sh}, g -> "
-        + md5_long_sql(f"'{j}:' || g")
-        + "))"
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """MinHash as a DataFrame op: explode shingles -> one md5 per shingle ->
+    groupBy(doc) with k ``min(xor(h, salt_j))`` aggregates -> array.
+
+    This is the scale path: expression-tree minhash (:func:`minhash_signature`)
+    inlines the shingle-hash pass into all k components (projection collapse
+    defeats common-subexpression reuse inside higher-order functions), i.e.
+    k× the digest work; the aggregate form guarantees one digest per
+    (doc, shingle) and combines map-side. Returns (doc_id, sig).
+    """
+    salts = _minhash_salts(k)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    ).withColumn("h", md5_long(F.col("shingle")))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(s).cast("long"))).alias(f"m{j}")
+            for j, s in enumerate(salts)
+        ]
     )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(k)]).alias("sig")
+    )
+
+
+def _mh_comp_sql(base: str, j: int, k: int = MINHASH_K) -> str:
+    salt = _minhash_salts(k)[j]
+    return f"list_min(list_transform({base}, h -> xor(h, CAST({salt} AS BIGINT))))"
+
+
+def minhash_base_sql(expr: str) -> str:
+    """Per-shingle base hashes (the shared md5 pass) for the oracle."""
+    sh = shingles_sql(expr)
+    return f"list_transform({sh}, g -> {md5_long_sql('g')})"
 
 
 def minhash_sig_sql(expr: str, k: int = MINHASH_K) -> str:
-    sh = shingles_sql(expr)
-    return "[" + ", ".join(_mh_comp_sql(sh, j) for j in range(k)) + "]"
+    base = minhash_base_sql(expr)
+    return "[" + ", ".join(_mh_comp_sql(base, j, k) for j in range(k)) + "]"
 
 
 def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS,
@@ -191,10 +251,9 @@ def minhash_lsh_pairs(
     """Candidate pairs sharing >=1 LSH band, scored by estimated Jaccard
     (fraction of agreeing signature components)."""
     rows = k // bands
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
-    )
+    docs = minhash_signatures(df, text_col, id_col, k).persist()
+    # tiny (id + k longs per doc); referenced by 3 join branches — without
+    # the persist Catalyst recomputes the md5-over-shingles pass each time
     bands_df = docs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
@@ -289,6 +348,7 @@ def simhash_near_pairs(
     verifies exactly. ``sigs`` is (doc_id, simhash).
     """
     mask = (1 << band_bits) - 1
+    sigs = sigs.persist()  # two join branches below; signatures are 16 bytes/doc
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -417,7 +477,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).persist()  # self-joined below; avoids recomputing n_planes dot folds
     pairs = (
         sigs.alias("x")
         .join(sigs.alias("y"), on="bucket")

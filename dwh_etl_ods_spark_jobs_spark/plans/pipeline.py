@@ -41,14 +41,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- synthesized dedup corpus (identical CTE in both engines) ---
 
-NEAR_TAIL = " extra near duplicate tail tokens"
+# The near-dup tail embeds the doc_id so no single shingle becomes hot
+# (a shared constant tail would give one shingle document-frequency ~n/5,
+# exploding the posting self-join to C(n/5, 2) pairs — synthetic skew the
+# real corpus wouldn't have).
+NEAR_TAIL = " near duplicate tail "
 
 CORPUS_CTE = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_TAIL}' AS text
+  SELECT doc_id + 200000 AS doc_id,
+         text || '{NEAR_TAIL}' || CAST(doc_id AS VARCHAR) AS text
   FROM documents WHERE doc_id % 5 = 0
 )"""
 
@@ -63,10 +68,21 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(
             (F.col("doc_id") + 200000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+            F.concat(
+                F.col("text"), F.lit(NEAR_TAIL), F.col("doc_id").cast("string")
+            ).alias("text"),
         )
     )
-    return docs.unionByName(exact).unionByName(near)
+    # The testdata parquet has ~3 row groups, capping scan parallelism at 3
+    # of local[32]; the signature passes downstream are the expensive part,
+    # so spread the (tiny) text payload across all cores first. On a real
+    # cluster the scan has thousands of splits and this is a no-op-cost
+    # insurance against few-large-files skew.
+    return (
+        docs.unionByName(exact)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 # --- embeddings corpus: originals + scaled (cosine-identical) variants ---
@@ -197,19 +213,19 @@ WITH {CORPUS_CTE},
 docs AS (
   SELECT doc_id, {D.shingles_sql('text', JACCARD_W)} AS sh FROM corpus
 ),
-posting AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-cand AS (
-  SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
-  FROM posting p1 JOIN posting p2 USING (shingle)
+p0 AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+posting AS (SELECT doc_id, {T.md5_long_sql('shingle')} AS sh_h FROM p0),
+sizes AS (SELECT doc_id, count(*) AS n FROM posting GROUP BY doc_id),
+inter AS (
+  SELECT p1.doc_id AS id_a, p2.doc_id AS id_b, count(*) AS c
+  FROM posting p1 JOIN posting p2 USING (sh_h)
   WHERE p1.doc_id < p2.doc_id
+  GROUP BY 1, 2
 ),
 scored AS (
-  SELECT id_a, id_b,
-         round(len(list_intersect(a.sh, b.sh))
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-           AS jaccard
-  FROM cand JOIN docs a ON cand.id_a = a.doc_id
-            JOIN docs b ON cand.id_b = b.doc_id
+  SELECT id_a, id_b, round(c / (a.n + b.n - c), 6) AS jaccard
+  FROM inter JOIN sizes a ON inter.id_a = a.doc_id
+             JOIN sizes b ON inter.id_b = b.doc_id
 )
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
@@ -222,8 +238,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_minhash() -> str:
-    sh = D.shingles_sql("text")
-    comps = ", ".join(D._mh_comp_sql("sh", j) for j in range(D.MINHASH_K))
+    comps = ", ".join(D._mh_comp_sql("bh", j) for j in range(D.MINHASH_K))
     band_structs = ", ".join(
         "{'band': %d, 'band_hash': md5(array_to_string("
         "list_transform(sig[%d:%d], x -> CAST(x AS VARCHAR)), ','))}"
@@ -232,7 +247,7 @@ def _sql_dedup_minhash() -> str:
     )
     return f"""
 WITH {CORPUS_CTE},
-sh_docs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+sh_docs AS (SELECT doc_id, {D.minhash_base_sql('text')} AS bh FROM corpus),
 docs AS (SELECT doc_id, [{comps}] AS sig FROM sh_docs),
 banded AS (
   SELECT doc_id, unnest([{band_structs}], recursive := true) FROM docs

@@ -1,0 +1,121 @@
+"""Structured Streaming surface: micro-batch incremental loads + windowed
+aggregation.
+
+The reference is a scheduled batch ETL with zero streaming (SURVEY.md
+§2.10); its incremental-ness is the null-safe anti-join re-run per schedule
+(``LoadCTPatients.java:182``). This module is the scale-path extension: the
+same operator pipeline (dedupe -> clean -> normalize -> anti-join -> hash)
+driven by ``readStream``/``foreachBatch`` so new source files (the
+object-storage landing zone of a 100 TB pipeline) load continuously with
+exactly-once sink semantics from checkpointing + the anti-join's natural
+idempotency — re-delivered rows are filtered against the target again, so
+the pipeline is safe under micro-batch replay.
+
+Why ``foreachBatch`` and not a stateful streaming join: the "is this row
+already in the target" predicate needs the *whole* target relation, which
+is a batch table, not a stream; per-batch batch-joins against it are the
+idiomatic Spark pattern (and let Catalyst pick broadcast vs SMJ per batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new, dedupe_latest
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A file-source stream over a landing directory. Schema must be
+    explicit (streaming sources cannot infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def incremental_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    dedupe_order: Sequence[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Micro-batch incremental append: per batch, (optionally) transform,
+    dedupe within the batch, anti-join the current target, append the delta.
+
+    The anti-join makes every batch idempotent — replaying a batch after a
+    crash appends nothing new, which upgrades file-sink at-least-once to
+    effective exactly-once at the row level.
+    """
+    spark = stream.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        df = transform(batch) if transform is not None else batch
+        if dedupe_order:
+            df = df.transform(
+                dedupe_latest(list(keys), [F.col(c).desc() for c in dedupe_order])
+            )
+        else:
+            df = df.dropDuplicates(list(keys))
+        try:
+            target = spark.read.parquet(target_path)
+            delta = df.transform(anti_join_new(target, list(keys)))
+        except Exception:  # first batch: target does not exist yet
+            delta = df
+        delta.write.mode("append").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream — the
+    late-data-tolerant rollup a monitoring pipeline runs next to the loads.
+    State is bounded by the watermark; counts finalize once event time
+    passes window_end + watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
+    """Await an availableNow-triggered stream (drains all pending input then
+    stops)."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()

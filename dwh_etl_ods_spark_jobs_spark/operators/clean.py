@@ -84,6 +84,8 @@ def date_clamp(
             bad = bad | (c > hi_lit)
         return df.withColumn(col, F.when(c.isNotNull() & bad, sent).otherwise(c))
 
+    _apply.columns = (col,)  # type: ignore[attr-defined]  # introspection for generic tests
+    _apply.kind = "date"  # type: ignore[attr-defined]
     return _apply
 
 
@@ -108,6 +110,8 @@ def range_sentinel(
             col, F.when(c.isNotNull() & ((c < lo) | (c > hi)), sent).otherwise(c)
         )
 
+    _apply.columns = (col,)  # type: ignore[attr-defined]
+    _apply.kind = "numeric"  # type: ignore[attr-defined]
     return _apply
 
 
@@ -120,6 +124,8 @@ def empty_to_null(cols: Sequence[str], trim: bool = False) -> CleaningRule:
             df = df.withColumn(col, F.when(c == "", F.lit(None)).otherwise(F.col(col)))
         return df
 
+    _apply.columns = tuple(cols)  # type: ignore[attr-defined]
+    _apply.kind = "string"  # type: ignore[attr-defined]
     return _apply
 
 
@@ -146,6 +152,8 @@ def value_map(
         expr = expr.otherwise(F.col(col) if otherwise_keep else F.lit(None))
         return df.withColumn(col, expr)
 
+    _apply.columns = (col,)  # type: ignore[attr-defined]
+    _apply.kind = "string"  # type: ignore[attr-defined]
     return _apply
 
 

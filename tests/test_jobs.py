@@ -110,3 +110,108 @@ def test_adverse_events_key_expr(spark):
     delta = run_incremental_load(spark, spec, source, target, lookups)
     rows = delta.collect()
     assert [r.PatientPK for r in rows] == ["p2"]
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide: every one of the 51 job specs runs end-to-end and is
+# idempotent on a generically-synthesized source (columns derived from the
+# spec's keys, dedupe order, rule metadata, lookups, and PII map).
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _spec_columns(spec):
+    """(name -> kind) for every column the spec touches; kind drives the
+    synthesized type: string | numeric | date. Deduped case-insensitively —
+    the reference mixes spellings (PatientPk keys vs PatientPK PII maps) for
+    what is one source column, and Spark resolves case-insensitively."""
+    cols: dict[str, str] = {}
+    lower_seen: dict[str, str] = {}
+
+    def add(name: str, kind: str, force: bool = False):
+        existing = lower_seen.get(name.lower())
+        if existing is None:
+            cols[name] = kind
+            lower_seen[name.lower()] = name
+        elif force:
+            cols[existing] = kind
+
+    for k in spec.keys:
+        add(k, "string")
+    for k in spec.dedupe_keys or ():
+        add(k, "string")
+    for k in spec.dedupe_order:
+        add(k, "date" if "Date" in k else "numeric")
+    for rule in spec.rules:
+        for c in getattr(rule, "columns", ()):
+            add(c, getattr(rule, "kind", "string"), force=True)
+    for lk in spec.lookups:
+        add(lk.column, "string")
+    for src_col in spec.pii:
+        add(src_col, "string")
+    for c in spec.key_exprs:
+        add(c, "date", force=True)
+    return cols
+
+
+def _synth_source(spark, spec):
+    cols = _spec_columns(spec)
+    names = list(cols)
+
+    def row(i, gen):
+        vals = []
+        for n in names:
+            kind = cols[n]
+            if n == "ID":
+                vals.append(i * 10 + gen)
+            elif kind == "numeric":
+                vals.append(float(50 + i))
+            elif kind == "date":
+                vals.append(dt.date(2023, 1, 1 + gen))
+            else:
+                vals.append(f"{n.lower()}_{i}")
+        return tuple(vals)
+
+    # rows 0..3 (row 1 has TWO generations -> dedupe must keep gen 2)
+    data = [row(0, 1), row(1, 1), row(1, 2), row(2, 1), row(3, 1)]
+    fields = []
+    for n in names:
+        t = {"numeric": "double", "date": "date"}.get(cols[n], "string")
+        if n == "ID":
+            t = "int"
+        fields.append(f"`{n}` {t}")
+    return spark.createDataFrame(data, ", ".join(fields)), cols
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_catalog_job_end_to_end_generic(spark, name):
+    spec = CATALOG[name]
+    source, cols = _synth_source(spark, spec)
+    target = source.select(*spec.keys).limit(0)
+    lookups = {
+        lk.table: spark.createDataFrame(
+            [(f"{lk.column.lower()}_1", "Mapped")],
+            f"`{lk.source_col}` string, `{lk.target_col}` string",
+        )
+        for lk in spec.lookups
+    }
+
+    delta = run_incremental_load(spark, spec, source, target, lookups)
+    rows = delta.collect()
+    n_keys = 4  # rows 0..3 after greatest-per-key dedupe
+    if spec.dedupe_keys:
+        assert len(rows) == n_keys, f"{name}: dedupe did not collapse generations"
+    else:
+        assert len(rows) == 5
+    # PII hash columns present and uppercase-hex when source is non-null
+    for src_col, hash_col in spec.pii.items():
+        if src_col in cols:
+            vals = [getattr(r, hash_col) for r in rows]
+            assert all(v is None or (len(v) == 64 and v == v.upper()) for v in vals)
+
+    # Idempotency: feed the delta's keys back as the target -> zero rows.
+    target2 = delta.select(*spec.keys)
+    delta2 = run_incremental_load(spark, spec, source, target2, lookups)
+    assert delta2.count() == 0, f"{name}: not idempotent"

@@ -1,0 +1,108 @@
+"""Physical-plan shape tests: the scale properties SURVEY.md §4 and the
+build brief promise (filter/column pushdown to the scan, broadcast of small
+dims, map-side partial aggregation, whole-stage codegen) are asserted
+against ``explain`` output so regressions that silently de-optimize plans
+fail CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.filter(F.col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # ReadSchema must carry only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_lookup_fold_broadcasts_small_dim(spark, sf_dir):
+    from dwh_etl_ods_spark_jobs_spark.operators import lookup_fold
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).withColumn(
+        "nk", F.col("c_nationkey").cast("string")
+    )
+    lkp = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("string").alias("source_name"),
+        F.col("n_name").alias("target_name"),
+    )
+    plan = _plan(cust.transform(lookup_fold("nk", lkp)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_is_hash_join_not_cartesian(spark, sf_dir):
+    from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    tgt = orders.select("o_orderkey", "o_custkey").limit(100)
+    plan = _plan(orders.transform(anti_join_new(tgt, ["o_orderkey", "o_custkey"])))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_aggregation_has_partial_phase_and_codegen(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(q)
+    # map-side combine: a partial HashAggregate before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # codegen explain mode reports the compiled subtrees; require at least one
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    codegen = q._jdf.queryExecution().explainString(mode)
+    assert "Found" in codegen and "WholeStageCodegen subtree" in codegen
+    assert "Found 0 WholeStageCodegen" not in codegen
+
+
+def test_text_operators_stay_jvm_side(spark, sf_dir):
+    """No BatchEvalPython / ArrowEvalPython in the text-analysis plans —
+    the hot path must be pure Catalyst expressions."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        q_text_quality,
+        q_text_stats,
+    )
+
+    for q in (q_text_stats, q_text_quality):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan, "Python UDF leaked into a text operator"
+
+
+def test_multimodal_uses_arrow_batching(spark, sf_dir):
+    """The multimodal decode IS the sanctioned Python boundary — but it must
+    be Arrow-batched mapInPandas, not row-at-a-time BatchEvalPython."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import q_multimodal_meta
+
+    plan = _plan(q_multimodal_meta(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_aggregation_is_single_pass(spark, sf_dir):
+    """The MinHash signature plan must contain exactly one shuffle
+    (the groupBy) over the exploded shingle stream, with a partial phase."""
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import _corpus
+
+    sigs = D.minhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+    plan = _plan(sigs)
+    assert "partial_min" in plan
+    # one exchange for the repartition spread + one for the groupBy — but no
+    # join-induced exchanges
+    assert "Join" not in plan

@@ -63,7 +63,9 @@ def test_aggregation_has_partial_phase_and_codegen(spark, sf_dir):
     # map-side combine: a partial HashAggregate before the exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
-    # codegen explain mode reports the compiled subtrees; require at least one
+    # codegen explain mode reports the compiled subtrees; under AQE they only
+    # exist after execution, so run the query first
+    q.collect()
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     codegen = q._jdf.queryExecution().explainString(mode)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dwh_etl_ods_spark_jobs_spark.plans import pipeline, showcase  # noqa: E402
+from dwh_etl_ods_spark_jobs_spark.plans import coverage, pipeline, showcase  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(showcase.QUERIES)
     q.update(pipeline.QUERIES)
+    q.update(coverage.QUERIES)
     return q
 
 
@@ -57,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(showcase.ORACLES)
     o.update(pipeline.ORACLES)
+    o.update(coverage.ORACLES)
     return o

@@ -1,0 +1,234 @@
+"""Breadth-coverage queries: operator classes a complete analytics engine
+must expose beyond the reference's own usage (SURVEY.md §2.5-2.8 note the
+absences), each oracle-gated: T-SQL scalar shims, global sort+limit,
+set operations, ROLLUP aggregation, distinct aggregates, window frames
+(lag/lead/running sums), and JSON extraction over semi-structured columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import functions as TS
+from dwh_etl_ods_spark_jobs_spark.plans.showcase import _c100, read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- 1. T-SQL scalar function shims (SURVEY §2.8 mapping table) ---
+
+def q_tsql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("od", F.to_date("o_orderdate"))
+    anchor = F.to_date(F.lit("1998-06-30"))
+    # A dd/MM/yyyy rendering of the date, then CONVERT(...,103)-style reparse;
+    # odd keys get garbage so TRY_CAST must yield NULL.
+    dmy = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("od", "dd/MM/yyyy")
+    ).otherwise(F.lit("not a date"))
+    return orders.select(
+        "o_orderkey",
+        TS.datediff_yy(F.col("od"), anchor).alias("years_to_anchor"),
+        TS.datediff_dd(F.col("od"), anchor).alias("days_to_anchor"),
+        TS.datediff_month(F.col("od"), anchor).alias("months_to_anchor"),
+        TS.eomonth(F.col("od")).alias("month_end"),
+        TS.dateadd_month(3, F.col("od")).alias("plus3m"),
+        TS.dateadd_day(-7, F.col("od")).alias("minus7d"),
+        TS.try_cast_date(TS.convert_103(dmy)).alias("reparsed_dmy"),
+        TS.isnull(
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")),
+            F.lit("none"),
+        ).alias("priority_or_none"),
+        TS.hashbytes_sha2_256(F.col("o_orderkey").cast("string")).alias("key_hash"),
+        TS.datefromparts(F.year("od"), F.month("od"), F.lit(1)).alias("month_start"),
+    )
+
+
+SQL_TSQL_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(DATE '1998-06-30') - year(CAST(o_orderdate AS DATE)) AS INT)
+         AS years_to_anchor,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-06-30') AS INT)
+         AS days_to_anchor,
+       CAST((year(DATE '1998-06-30') - year(CAST(o_orderdate AS DATE))) * 12
+            + (6 - month(CAST(o_orderdate AS DATE))) AS INT) AS months_to_anchor,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+       CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS minus7d,
+       CAST(try_strptime(CASE WHEN o_orderkey % 2 = 0
+                              THEN strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y')
+                              ELSE 'not a date' END, '%d/%m/%Y') AS DATE)
+         AS reparsed_dmy,
+       COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END, 'none')
+         AS priority_or_none,
+       UPPER(sha256(CAST(o_orderkey AS VARCHAR))) AS key_hash,
+       make_date(year(CAST(o_orderdate AS DATE)),
+                 month(CAST(o_orderdate AS DATE)), 1) AS month_start
+FROM orders
+"""
+
+
+# --- 2. global sort + limit (deterministic top-N) ---
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", _c100(F.col("o_totalprice")).alias("price_c")
+        )
+        .orderBy(F.col("price_c").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders ORDER BY price_c DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# --- 3. set operations: EXCEPT / INTERSECT ---
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("od", F.to_date("o_orderdate"))
+    c95 = orders.filter(F.year("od") == 1995).select("o_custkey").distinct()
+    c96 = orders.filter(F.year("od") == 1996).select("o_custkey").distinct()
+    only95 = c95.exceptAll(c96).withColumn("cohort", F.lit("only_1995"))
+    both = c95.intersect(c96).withColumn("cohort", F.lit("both_years"))
+    return only95.unionByName(both)
+
+
+SQL_SET_OPS = """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+UNION ALL
+SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+"""
+
+
+# --- 4. ROLLUP aggregation ---
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- 5. distinct aggregates ---
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.round(F.col("l_quantity"), 0).cast("long")).alias(
+            "sum_distinct_qty"
+        ),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(DISTINCT CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+         AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- 6. window frames: lag / lead / running sum / rank ---
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        _c100(F.col("o_totalprice")).alias("price_c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").asc(), F.col("o_orderkey").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "od",
+        F.lag("price_c", 1).over(w).alias("prev_price_c"),
+        F.lead("price_c", 1).over(w).alias("next_price_c"),
+        F.sum("price_c").over(run).alias("running_spend_c"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+       lag(price_c, 1) OVER w AS prev_price_c,
+       lead(price_c, 1) OVER w AS next_price_c,
+       CAST(SUM(price_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_spend_c,
+       CAST(row_number() OVER w AS INT) AS order_seq
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+"""
+
+
+# --- 7. JSON extraction over semi-structured props ---
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT)
+         AS k_bucket
+FROM events
+"""
+
+
+QUERIES = {
+    "tsql_scalar_functions": q_tsql_functions,
+    "sort_limit_topn": q_sort_limit,
+    "set_ops_except_intersect": q_set_ops,
+    "rollup_agg": q_rollup,
+    "distinct_agg": q_distinct_agg,
+    "window_frames": q_window_frames,
+    "json_extract": q_json_extract,
+}
+
+ORACLES = {
+    "tsql_scalar_functions": SQL_TSQL_FUNCTIONS,
+    "sort_limit_topn": SQL_SORT_LIMIT,
+    "set_ops_except_intersect": SQL_SET_OPS,
+    "rollup_agg": SQL_ROLLUP,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "window_frames": SQL_WINDOW_FRAMES,
+    "json_extract": SQL_JSON_EXTRACT,
+}

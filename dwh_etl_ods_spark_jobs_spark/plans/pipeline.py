@@ -428,6 +428,54 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 200 == 0)
+    return S.ann_ivf_topk(queries, emb, centroids, "vec_id", "v", k=5)
+
+
+def _sql_ann_ivf() -> str:
+    cos_vc = D.cosine_sql("v.v", "c.v", EMB_DIM)
+    cos_qc = D.cosine_sql("q.v", "c.v", EMB_DIM)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 200 = 0),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, c.cid AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {D.cosine_sql('v.v', 'c.cv', EMB_DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM emb v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v, cell FROM assigned WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({D.cosine_sql('q.v', 'c.v', EMB_DIM)}, 6) AS cos
+  FROM q JOIN assigned c USING (cell)
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
 # =========================== multimodal ===========================
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +532,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding,
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
 }
@@ -501,6 +550,7 @@ ORACLES = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
 }

@@ -34,7 +34,9 @@ from dwh_etl_ods_spark_jobs_spark.dedup import (
 
 __all__ = [
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "ann_lsh_topk",
+    "ivf_assign",
     "cosine",
     "cosine_sql",
     "hyperplane_signature",
@@ -61,6 +63,63 @@ def ann_bruteforce_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid (ties -> lowest centroid id). ``centroids`` is small and
+    broadcast; the assignment is one scan × n_centroids — the standard IVF
+    build cost, embarrassingly parallel. Returns (id, vec, cell)."""
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    ).join(F.broadcast(c)).withColumn(
+        "_cos", cosine(F.col("_vv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_vid").alias(id_col),
+            F.col("_vv").alias(vec_col),
+            F.col("_cid").alias("cell"),
+        )
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+    id_col: str, vec_col: str, k: int,
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: rank by exact cosine only within the
+    query's cell. The cell equi-join replaces the LSH bucket join of
+    :func:`ann_lsh_topk`; swap in a k-means codebook for ``centroids`` and
+    the plumbing is production IVF. Returns (query_id, neighbor_id, rank, cos).
+    """
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = ivf_assign(candidates, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(

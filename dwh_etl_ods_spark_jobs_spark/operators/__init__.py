@@ -19,6 +19,11 @@ from dwh_etl_ods_spark_jobs_spark.operators.hashing import hash_pii
 from dwh_etl_ods_spark_jobs_spark.operators.incremental import anti_join_new
 from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
+from dwh_etl_ods_spark_jobs_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+    with_salt,
+)
 from dwh_etl_ods_spark_jobs_spark.operators.spine import month_spine
 
 __all__ = [
@@ -33,5 +38,8 @@ __all__ = [
     "lookup_fold",
     "month_spine",
     "range_sentinel",
+    "salted_agg",
+    "salted_join",
     "value_map",
+    "with_salt",
 ]

@@ -1,0 +1,123 @@
+"""Scale-technique tests: salting equivalence + bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+    with_salt,
+)
+from dwh_etl_ods_spark_jobs_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+
+
+def _skewed_df(spark):
+    # one hot key (k=0) with 900 rows, 10 cold keys with 10 each
+    rows = [(0, i, float(i % 7)) for i in range(900)]
+    rows += [(k, 1000 + k * 10 + j, 1.0) for k in range(1, 11) for j in range(10)]
+    return spark.createDataFrame(rows, "k int, rid int, v double")
+
+
+def test_salt_is_deterministic(spark):
+    df = _skewed_df(spark)
+    a = with_salt(df, ["rid"], 8).select("rid", "__salt").collect()
+    b = with_salt(df, ["rid"], 8).select("rid", "__salt").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r["__salt"] < 8 for r in a)
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = _skewed_df(spark)
+    plain = {
+        (r.k,): (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        (r.k,): (r.s, r.n, r.mn, r.mx)
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_from=["rid"], n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_reaggregatable(spark):
+    df = _skewed_df(spark)
+    with pytest.raises(ValueError, match="non-reaggregatable"):
+        salted_agg(df, ["k"], {"a": ("v", "avg")}, salt_from=["rid"])
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame(
+        [(k, f"label{k}") for k in range(8)], "k int, label string"
+    )
+    plain = sorted(
+        (r.rid, r.label) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r.rid, r.label)
+        for r in salted_join(big, small, ["k"], n_salts=4, salt_from=["rid"]).collect()
+    )
+    assert plain == salted
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = _skewed_df(spark)  # keys 0..10
+    small = spark.createDataFrame([(0, "zero")], "k int, label string")
+    out = salted_join(big, small, ["k"], n_salts=4, how="left", salt_from=["rid"])
+    assert out.count() == big.count()
+    assert out.filter(F.col("label").isNull()).count() == big.filter(F.col("k") != 0).count()
+
+
+def test_salted_join_rejects_full(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame([(0, "zero")], "k int, label string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 5}") for i in range(200)], "okey int, cust string"
+    )
+    items = spark.createDataFrame(
+        [(i % 200, j, float(j)) for i in range(400) for j in range(2)],
+        "okey int, line int, amt double",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(orders, "bktest.orders_b", ["okey"], 4)
+        write_bucketed(items, "bktest.items_b", ["okey"], 4, sort_cols=["okey"])
+        # tiny test tables would broadcast (which ignores bucketing); force
+        # the sort-merge path bucketing exists to serve
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "bktest.orders_b", "bktest.items_b", ["okey"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+        # and it still returns the right answer
+        assert j.count() == items.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktest.items_b")

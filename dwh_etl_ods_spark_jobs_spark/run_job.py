@@ -1,0 +1,109 @@
+"""Operational entry point: run one catalog job the way the reference runs
+its Java mains.
+
+The reference launches each job as
+``spark-submit --class org.kenyahmis.loadctpatients.LoadCTPatients
+--conf spark.dwapicentral.url=... --conf spark.ods.url=... job.jar``
+reading connection config from ``RuntimeConfig`` at startup
+(``LoadCTPatients.java:27-56``). This runner keeps that exact contract —
+``spark.<system>.*`` / ``spark.ods.*`` conf keys — over the declarative
+catalog, so an operator of the reference can switch by replacing
+``--class …Load<X> job.jar`` with ``run_job.py <job_name>``:
+
+    spark-submit run_job.py ct_patients \
+        --conf spark.dwapicentral.url=jdbc:sqlserver://... \
+        --conf spark.dwapicentral.user=... \
+        --conf spark.dwapicentral.password=... \
+        --conf spark.ods.url=jdbc:sqlserver://... \
+        --conf spark.ods.numpartitions=50
+
+Without JDBC conf (local/dev), ``--source-path/--target-path`` run the same
+job over parquet directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from dwh_etl_ods_spark_jobs_spark.jobs.catalog import CATALOG
+from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec, run_incremental_load
+from dwh_etl_ods_spark_jobs_spark.sources import JdbcSpec, ParquetSpec, read_table
+
+
+def _conf(spark: SparkSession, key: str, default: str | None = None) -> str | None:
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return default
+
+
+def _jdbc_spec(spark: SparkSession, system: str, table: str | None = None,
+               query: str | None = None) -> JdbcSpec:
+    url = _conf(spark, f"spark.{system}.url")
+    if url is None:
+        raise SystemExit(
+            f"missing --conf spark.{system}.url (reference contract: "
+            "connection config rides in RuntimeConfig)"
+        )
+    return JdbcSpec(
+        url=url,
+        table=table,
+        query=query,
+        user=_conf(spark, f"spark.{system}.user"),
+        password=_conf(spark, f"spark.{system}.password"),
+    )
+
+
+def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
+    if args.source_path:
+        source = spark.read.parquet(args.source_path)
+        target = spark.read.parquet(args.target_path)
+        lookups = {
+            lk.table: spark.read.parquet(f"{args.lookup_dir}/{lk.table}.parquet")
+            for lk in spec.lookups
+        }
+        sink = ParquetSpec(name="target", path=args.target_path) if args.write else None
+    else:
+        source = read_table(
+            spark, _jdbc_spec(spark, spec.source_system, table=args.source_table)
+        )
+        ods = _jdbc_spec(spark, "ods", table=spec.target)
+        target = read_table(spark, ods)
+        lookups = {
+            lk.table: read_table(spark, _jdbc_spec(spark, "ods", table=f"dbo.{lk.table}"))
+            for lk in spec.lookups
+        }
+        sink = ods if args.write else None
+    n_parts = _conf(spark, "spark.ods.numpartitions")
+    delta = run_incremental_load(
+        spark, spec, source, target, lookups,
+        sink=sink, write_partitions=int(n_parts) if n_parts else None,
+    )
+    if not args.write:
+        n = delta.count()
+        print(f"{spec.name}: {n} new records (dry run, not written)")
+    return delta
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("job", choices=sorted(CATALOG), help="catalog job name")
+    p.add_argument("--source-table", default=None,
+                   help="override source table/subquery for the JDBC read")
+    p.add_argument("--source-path", default=None, help="parquet source (dev mode)")
+    p.add_argument("--target-path", default=None, help="parquet target (dev mode)")
+    p.add_argument("--lookup-dir", default=None, help="parquet lookup tables dir")
+    p.add_argument("--write", action="store_true",
+                   help="append the delta to the sink (default: dry-run count)")
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName(f"ods-load-{args.job}").getOrCreate()
+    run(spark, CATALOG[args.job], args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -226,3 +226,23 @@ def test_pipeline_query_matches_duckdb(spark, sf_dir, name):
     d = ddf.sort_values(key, na_position="first").reset_index(drop=True)
     s = s.astype(d.dtypes.to_dict())
     assert s.equals(d), f"value mismatch in {name}"
+
+
+def test_ivf_assign_and_topk(spark):
+    # centroid 0 points +x, centroid 1 points +y; vectors cluster around them
+    cents = spark.createDataFrame(
+        [(1000, [1.0, 0.0]), (1001, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]), (2, [0.8, 0.2]),   # cell 1000
+            (3, [0.1, 0.9]), (4, [0.2, 0.8]),   # cell 1001
+        ],
+        "vec_id long, v array<double>",
+    )
+    assigned = {r.vec_id: r.cell for r in S.ivf_assign(vecs, cents, "vec_id", "v").collect()}
+    assert assigned == {1: 1000, 2: 1000, 3: 1001, 4: 1001}
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = S.ann_ivf_topk(q, vecs, cents, "vec_id", "v", k=5).collect()
+    # only same-cell candidates: neighbor 2, never 3/4
+    assert {r.neighbor_id for r in out} == {2}

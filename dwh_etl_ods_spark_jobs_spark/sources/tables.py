@@ -115,3 +115,22 @@ def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned sink (``.../col=value/`` directories).
+
+    The layout every date-ranged 100 TB table should use: queries filtering
+    on the partition columns scan only matching directories (partition
+    pruning — ``PartitionFilters`` in explain; pinned by
+    tests/test_scale_ops.py). Pick low-cardinality columns (load date,
+    source system); never a high-cardinality key, which would explode the
+    file count.
+    """
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)

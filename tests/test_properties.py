@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+Each example spins Spark jobs, so example counts are kept small; the
+properties are the ones the reference's design depends on globally:
+
+- anti-join incrementality: delta ∪ target covers the source keyset exactly
+  once, and a second run appends nothing (idempotency) — for ANY key data
+  including NULLs and duplicates;
+- greatest-per-key dedupe: exactly one survivor per key, and it is the
+  order-maximal generation;
+- salted aggregation: equal to the plain aggregation for any salt count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators import (
+    anti_join_new,
+    dedupe_latest,
+    salted_agg,
+)
+
+key = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+rows = st.lists(st.tuples(key, key), min_size=0, max_size=25)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "a int, b int") if data else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("a"), F.lit(None).cast("int").alias("b")
+        )
+    )
+
+
+@given(src=rows, tgt=rows)
+@SET
+def test_anti_join_partitions_keyspace(spark, src, tgt):
+    s, t = _df(spark, src), _df(spark, tgt)
+    delta = s.transform(anti_join_new(t, ["a", "b"]))
+    got = {(r.a, r.b) for r in delta.collect()}
+    src_keys = set(src)
+    tgt_keys = set(tgt)
+    assert got == src_keys - tgt_keys  # null-safe: None == None
+    # idempotency: re-run against target ∪ delta -> empty
+    t2 = t.union(delta.select("a", "b"))
+    assert s.transform(anti_join_new(t2, ["a", "b"])).count() == 0
+
+
+gen_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 100)),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=gen_rows)
+@SET
+def test_dedupe_latest_keeps_order_maximal(spark, data):
+    df = spark.createDataFrame(data, "k int, ts int, id int")
+    out = df.transform(
+        dedupe_latest(["k"], [F.col("ts").desc(), F.col("id").desc()])
+    ).collect()
+    got = {r.k: (r.ts, r.id) for r in out}
+    expect = {}
+    for k, ts, id_ in data:
+        if k not in expect or (ts, id_) > expect[k]:
+            expect[k] = (ts, id_)
+    assert len(out) == len(expect)  # exactly one survivor per key
+    assert got == expect
+
+
+agg_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(-50, 50)),
+    min_size=1, max_size=40,
+)
+
+
+@given(data=agg_rows, n_salts=st.integers(1, 9))
+@SET
+def test_salted_agg_matches_plain(spark, data, n_salts):
+    df = spark.createDataFrame(data, "k int, rid int, v int")
+    plain = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_from=["rid"], n_salts=n_salts,
+        ).collect()
+    }
+    assert plain == salted

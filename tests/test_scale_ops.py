@@ -121,3 +121,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktest.items_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import write_partitioned
+
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(300)],
+        "event_id int, load_date string, v double",
+    )
+    write_partitioned(df, path, ["load_date"], mode="overwrite")
+
+    q = spark.read.parquet(path).filter(F.col("load_date") == "2024-01-02")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "load_date" in pf  # filter applied at directory level
+    assert q.count() == 100
+    # the data filter list must NOT carry load_date (it never reaches rows);
+    # an absent DataFilters line means there are none at all
+    datafilters = [ln for ln in plan.splitlines() if "DataFilters" in ln]
+    assert not datafilters or "load_date" not in datafilters[0]

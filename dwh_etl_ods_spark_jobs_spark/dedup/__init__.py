@@ -386,6 +386,67 @@ def simhash_near_pairs(
     )
 
 
+# --- connected-components duplicate-cluster resolution ---
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: every node gets the
+    MINIMUM id reachable through the (symmetric closure of the) pair graph
+    as its canonical label — the survivor-selection step after any pairwise
+    dedup strategy.
+
+    Iterative min-label propagation: per round, each node takes
+    ``min(own label, min of neighbors' labels)``; converges in
+    O(graph diameter) rounds (duplicate clusters are near-cliques, so
+    typically 2-3). Each round is one equi-join + one aggregation — the
+    standard large-graph CC under Spark; at 100 TB persist + checkpoint the
+    label frame per round to truncate lineage.
+
+    ``pairs`` needs (id_a, id_b); ``nodes`` a single ``id`` column
+    (isolated nodes label themselves). Returns (id, canonical_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (eager) per round: without lineage truncation each
+    # round's plan embeds two copies of the previous one -> exponential plan
+    # growth; 10 rounds OOMs the driver on plan strings alone.
+    labels = nodes.select(
+        F.col("id"), F.col("id").alias("canonical_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("canonical_id"), F.coalesce(F.col("nmin"), F.col("canonical_id"))
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # --- 5. embedding near-dup (hyperplane LSH + exact cosine verify) ---
 
 def hyperplanes(dim: int, n_planes: int = HYPERPLANES) -> list[list[float]]:

@@ -352,6 +352,73 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.95
 SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> canonical survivor per doc (iterative min-label
+    propagation; the oracle expresses the same fixpoint as a recursive CTE)."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return D.connected_components(pairs, nodes)
+
+
+def _sql_dedup_cc() -> str:
+    minhash_body = SQL_DEDUP_MINHASH.strip()
+    return f"""
+WITH pairs AS ({minhash_body}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+{CORPUS_CTE.replace('corpus AS (', 'corpus2 AS (', 1)},
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus2
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node AS id, min(label) AS canonical_id FROM walk GROUP BY node
+"""
+
+
+SQL_DEDUP_CC = (
+    "WITH RECURSIVE " + _sql_dedup_cc().strip().removeprefix("WITH ")
+)
+
+
+def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A composed C4-style curation pass: language gate + quality gate +
+    exact dedup survivor — the end-to-end shape of a training-data filter,
+    built purely from the text operators."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.langid(F.col("text")).alias("pred_lang"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.exact_fingerprint(F.col("text")).alias("fp"),
+    )
+    gated = scored.filter((F.col("pred_lang") != "und") & (F.col("q") >= 0.3))
+    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        gated.join(survivors, ["fp", "doc_id"])
+        .select("doc_id", "pred_lang", "q")
+    )
+
+
+SQL_FILTER_PIPELINE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {T.langid_sql('text')} AS pred_lang,
+         {T.quality_score_sql('text')} AS q,
+         {T.exact_fingerprint_sql('text')} AS fp
+  FROM documents
+),
+gated AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND q >= 0.3),
+survivors AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
+SELECT g.doc_id, g.pred_lang, g.q
+FROM gated g JOIN survivors s ON g.fp = s.fp AND g.doc_id = s.doc_id
+"""
+
+
 # =========================== similarity search ===========================
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +597,8 @@ QUERIES = {
     "dedup_simhash_sig": q_dedup_simhash_sig,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_cc_survivors": q_dedup_cc,
+    "text_filter_pipeline": q_filter_pipeline,
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -548,6 +617,8 @@ ORACLES = {
     "dedup_simhash_sig": SQL_DEDUP_SIMHASH_SIG,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "dedup_cc_survivors": SQL_DEDUP_CC,
+    "text_filter_pipeline": SQL_FILTER_PIPELINE,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,

@@ -246,3 +246,19 @@ def test_ivf_assign_and_topk(spark):
     out = S.ann_ivf_topk(q, vecs, cents, "vec_id", "v", k=5).collect()
     # only same-cell candidates: neighbor 2, never 3/4
     assert {r.neighbor_id for r in out} == {2}
+
+
+def test_connected_components_clusters(spark):
+    # pairs: {1-2, 2-3} one cluster, {5-6} another, 9 isolated
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
+    out = {r.id: r.canonical_id for r in D.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_long_chain(spark):
+    # a 10-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    out = {r.id: r.canonical_id for r in D.connected_components(pairs, nodes).collect()}
+    assert out == {i: 0 for i in range(10)}

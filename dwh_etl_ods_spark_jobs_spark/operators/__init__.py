@@ -19,6 +19,7 @@ from dwh_etl_ods_spark_jobs_spark.operators.hashing import hash_pii
 from dwh_etl_ods_spark_jobs_spark.operators.incremental import anti_join_new
 from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
+from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest_agg
 from dwh_etl_ods_spark_jobs_spark.operators.skew import (
     salted_agg,
     salted_join,
@@ -32,6 +33,7 @@ __all__ = [
     "apply_rules",
     "date_clamp",
     "dedupe_latest",
+    "dedupe_latest_agg",
     "empty_to_null",
     "full_outer_coalesce",
     "hash_pii",

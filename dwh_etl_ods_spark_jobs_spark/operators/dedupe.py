@@ -42,3 +42,31 @@ def dedupe_latest(
         )
 
     return _apply
+
+
+def dedupe_latest_agg(
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> "callable":
+    """Hash-aggregate form of :func:`dedupe_latest`: ``max_by(struct(*), 
+    struct(order_cols))`` per key.
+
+    Same semantics when ``order_cols`` is a deterministic (tie-free
+    per key, e.g. ending in a unique ID) DESC ordering. The scale
+    tradeoff vs the window form: a HashAggregate with map-side partials —
+    no per-partition sort — at the cost of carrying whole rows through the
+    aggregation buffer. Prefer this form when rows are narrow or the
+    dedupe ratio is high (map-side combine drops duplicates early); prefer
+    the window form when rows are wide and duplicates are rare.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        data_cols = df.columns
+        ranked = F.struct(*[F.col(c) for c in order_cols])
+        row = F.struct(*[F.col(c) for c in data_cols])
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.max_by(row, ranked).alias("__row")
+        )
+        return out.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
+
+    return _apply

@@ -206,3 +206,22 @@ def test_full_outer_coalesce_null_keys_match(spark):
     out = full_outer_coalesce(left, right, ["k"])
     rows = out.collect()
     assert len(rows) == 1 and rows[0].lv == "l" and rows[0].rv == "r"
+
+
+def test_dedupe_latest_agg_equals_window_form(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest_agg
+
+    rows = [
+        (k, ts, k * 100 + ts, f"v{k}_{ts}")
+        for k in range(5)
+        for ts in range(1, 4 + k % 3)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, id int, payload string")
+    via_window = df.transform(
+        dedupe_latest(["k"], [F.col("ts").desc(), F.col("id").desc()])
+    )
+    via_agg = df.transform(dedupe_latest_agg(["k"], ["ts", "id"]))
+    assert sorted(map(tuple, via_window.collect())) == sorted(map(tuple, via_agg.collect()))
+    # exactly one row per key, and it is the max-ts generation
+    got = {r.k: r.ts for r in via_agg.collect()}
+    assert all(got[k] == max(ts for kk, ts, *_ in rows if kk == k) for k in got)

@@ -232,3 +232,50 @@ ORACLES = {
     "window_frames": SQL_WINDOW_FRAMES,
     "json_extract": SQL_JSON_EXTRACT,
 }
+
+
+# --- 8. pivot (wide conditional aggregation) ---
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+        )
+    )
+
+
+SQL_PIVOT = "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+# --- 9. semi join / EXISTS ---
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+"""
+
+
+QUERIES["pivot_wide_agg"] = q_pivot
+QUERIES["semi_join_exists"] = q_semi_join
+ORACLES["pivot_wide_agg"] = SQL_PIVOT
+ORACLES["semi_join_exists"] = SQL_SEMI_JOIN

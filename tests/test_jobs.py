@@ -215,3 +215,32 @@ def test_catalog_job_end_to_end_generic(spark, name):
     target2 = delta.select(*spec.keys)
     delta2 = run_incremental_load(spark, spec, source, target2, lookups)
     assert delta2.count() == 0, f"{name}: not idempotent"
+
+
+def test_run_job_cli_dev_mode(spark, tmp_path):
+    """The spark-submit-style runner in parquet dev mode: dry-run delta."""
+    import dwh_etl_ods_spark_jobs_spark.run_job as RJ
+
+    d = str(tmp_path)
+    src = spark.createDataFrame(
+        [(100, "p1", 1, dt.date(2023, 1, 1), dt.date(1990, 1, 1),
+          dt.date(2015, 1, 1), "n1", "pid1", "single", "primary", "vct")],
+        "SiteCode int, PatientPK string, ID int, DateExtracted date, DOB date, "
+        "RegistrationAtCCC date, NUPI string, PatientID string, "
+        "MaritalStatus string, EducationLevel string, PatientSource string",
+    )
+    src.write.parquet(f"{d}/src")
+    src.limit(0).select("SiteCode", "PatientPK").write.parquet(f"{d}/tgt")
+    for t, cols in [
+        ("lkp_MaritalStatus", "Source_MaritalStatus string, Target_MaritalStatus string"),
+        ("Lkp_EducationLevel", "source_name string, target_name string"),
+        ("lkp_patient_source", "source_name string, target_name string"),
+    ]:
+        spark.createDataFrame([("single", "Single")], cols).write.parquet(
+            f"{d}/lkp/{t}.parquet"
+        )
+    rc = RJ.main([
+        "ct_patients", "--source-path", f"{d}/src",
+        "--target-path", f"{d}/tgt", "--lookup-dir", f"{d}/lkp",
+    ])
+    assert rc == 0

@@ -1,0 +1,134 @@
+"""Event-time operators: as-of join, gap sessionization, tumbling rollup.
+
+The reference's only temporal logic is the as-of *filter* inside the ART
+outcomes script (``LoadHistoricalARTOutcomes.sql:35-61``, rebuilt in
+plans/art_outcomes.py); these generalize it to the reusable event-pipeline
+operators an analytics engine needs.
+
+Scale design: the as-of join is the union+window formulation — tag both
+streams, union, one window per key ordered by time carrying the last seen
+right-side values forward — a single shuffle on the key, linear in rows,
+no range-join explosion. (A broadcast range join would materialize
+|left|×|right-per-key|.) Sessionization is the classic lag-gap + running
+sum: two window passes over one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same key (ASOF JOIN semantics;
+    DuckDB's native ``ASOF JOIN`` is the oracle).
+
+    Implementation: union the tagged streams, sort per key by
+    (ts, right-before-left), and carry right values forward with
+    ``last(..., ignorenulls=True)``; keep left rows. One shuffle on the
+    key; per-key linear scan.
+    """
+    for k in keys:
+        assert k in right.columns, f"asof_join: key {k} missing on right"
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("int").alias("__m"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    tagged_right = right.select(
+        *[
+            (F.col(k) if k in right.columns
+             else F.lit(None).cast(left.schema[k].dataType)).alias(k)
+            for k in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(1).alias("__m"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        F.last(F.col("__m"), ignorenulls=True).over(w).alias("__matched"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__matched").isNotNull())
+    return out.drop("__side", "__matched")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_micros: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_micros``. Adds
+    ``session_seq`` (0-based per key) and ``event_seq`` (0-based within
+    session). Two window passes over one shuffle on the key."""
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > gap_micros), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_seq = df.withColumn("__new", new_session).withColumn(
+        "session_seq",
+        (F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("long"),
+    )
+    w_sess = Window.partitionBy(
+        *[F.col(k) for k in key_cols], F.col("session_seq")
+    ).orderBy(*order)
+    return (
+        with_seq.withColumn(
+            "event_seq", (F.row_number().over(w_sess) - 1).cast("long")
+        ).drop("__new")
+    )
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    ts_col: str,
+    unit: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Tumbling event-time windows via ``date_trunc`` (the batch analog of
+    Structured Streaming's windowed aggregation in :mod:`..streaming`)."""
+    return (
+        df.withColumn("window_start", F.date_trunc(unit, F.col(ts_col)))
+        .groupBy("window_start", *group_cols)
+        .agg(*aggs)
+    )

@@ -279,3 +279,103 @@ QUERIES["pivot_wide_agg"] = q_pivot
 QUERIES["semi_join_exists"] = q_semi_join
 ORACLES["pivot_wide_agg"] = SQL_PIVOT
 ORACLES["semi_join_exists"] = SQL_SEMI_JOIN
+
+
+# --- 10-12. event-time operators: as-of join / sessionization / tumbling ---
+
+from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (  # noqa: E402
+    asof_join,
+    sessionize,
+    tumbling_rollup,
+)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click at-or-before each purchase per user — our union+window
+    as-of vs DuckDB's native ASOF JOIN. The right side is pre-deduped to
+    one row per (user, ts) so the match is well-defined."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_event_id"], how="left"
+    )
+    return out.select("user_id", "purchase_id", "ts", "click_event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  max(event_id) AS click_event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.user_id, p.purchase_id, p.ts, c.click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sessionize(ev, ["user_id"], "ts", GAP_US, tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id", "session_seq", "event_seq")
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, event_id, session_seq,
+       CAST(row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) - 1 AS BIGINT) AS event_seq
+FROM sessioned
+"""
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_rollup(
+        ev, "ts", "day", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        ],
+    )
+
+
+SQL_TUMBLING = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       max(event_id) AS max_event_id
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES["asof_join_latest"] = q_asof_join
+QUERIES["sessionize_gap"] = q_sessionize
+QUERIES["tumbling_daily_rollup"] = q_tumbling
+ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
+ORACLES["sessionize_gap"] = SQL_SESSIONIZE
+ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -225,3 +225,51 @@ def test_dedupe_latest_agg_equals_window_form(spark):
     # exactly one row per key, and it is the max-ts generation
     got = {r.k: r.ts for r in via_agg.collect()}
     assert all(got[k] == max(ts for kk, ts, *_ in rows if kk == k) for k in got)
+
+
+def test_asof_join_semantics(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (3, 1, 999.0)], "k int, ts int, v double"
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    # a(ts=10) -> right ts=8; b(ts=20) -> ts=15; c(ts=5) -> none; d(k=2) -> none
+    assert out == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+    inner = asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner")
+    assert {r.tag for r in inner.collect()} == {"a", "b"}
+
+
+def test_asof_join_ts_equality_matches(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, ts int, v double")
+    assert asof_join(left, right, ["k"], "ts", "ts", ["v"]).first().v == 7.0
+
+
+def test_sessionize_gaps_and_seqs(spark):
+    import datetime as _dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import sessionize
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + _dt.timedelta(minutes=10)),   # same session
+        (1, 3, t0 + _dt.timedelta(hours=2)),      # new session (gap > 1h)
+        (2, 4, t0),                                # other user
+    ]
+    df = spark.createDataFrame(rows, "user int, eid int, ts timestamp")
+    out = {
+        r.eid: (r.session_seq, r.event_seq)
+        for r in sessionize(df, ["user"], "ts", 3_600_000_000, ["eid"]).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 1), 3: (1, 0), 4: (0, 0)}

@@ -379,3 +379,81 @@ QUERIES["tumbling_daily_rollup"] = q_tumbling
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING
+
+
+# --- 13. string-function suite ---
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.substring("c_name", 10, 9).alias("key_digits"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("extracted_digits"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("vowel_lowered"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("edit_dist_to_1"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_mktsegment) AS lower_seg,
+       trim('  pad  ') AS trimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       substring(c_name, 10, 9) AS key_digits,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS extracted_digits,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS vowel_lowered,
+       levenshtein(c_name, 'Customer#000000001') AS edit_dist_to_1,
+       CAST(length(c_name) AS INT) AS name_len,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer
+"""
+
+
+# --- 14. record linkage: blocked fuzzy match (levenshtein) ---
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate-candidate pairs: block on nation (the standard
+    blocking step that keeps the pair space linear), score candidates with
+    edit distance, keep near matches. The HMIS analog is patient identity
+    matching across facilities."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name", F.col("c_nationkey").alias("block")
+    )
+    pairs = (
+        cust.alias("a")
+        .join(cust.alias("b"), on="block")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        )
+    )
+    return pairs.filter(F.col("edit_dist") <= 2)
+
+
+SQL_RECORD_LINKAGE = """
+WITH c AS (SELECT c_custkey, c_name, c_nationkey AS block FROM customer
+           WHERE c_custkey % 5 = 0)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM c a JOIN c b USING (block)
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+QUERIES["string_functions"] = q_string_functions
+QUERIES["record_linkage_fuzzy"] = q_record_linkage
+ORACLES["string_functions"] = SQL_STRING_FUNCTIONS
+ORACLES["record_linkage_fuzzy"] = SQL_RECORD_LINKAGE

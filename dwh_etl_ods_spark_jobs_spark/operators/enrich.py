@@ -1,0 +1,68 @@
+"""Source-side star enrichment.
+
+Every reference CT source query inner-joins the fact extract to
+``PatientExtract`` and ``Facility`` before anything else
+(``LoadSourceCTPatients.sql:7-9``, ``LoadSourceARTPatients.sql:19-21``) —
+SQL Server executed that join pre-Spark. Engine-native, it is a shared
+operator: broadcast the (small) facility dimension, hash-join the patient
+dimension on (PatientId, SiteCode)-style keys.
+
+Scale note: facility is thousands of rows — always broadcast; patient is
+millions — let Catalyst pick SMJ/BHJ, and pre-bucket both sides on the
+patient key (sources/bucketing.py) to make the nightly join Exchange-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def star_enrich(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Mapping[str, str], Sequence[str], bool]],
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to each dimension in turn.
+
+    ``dims`` entries are ``(dim_df, on_map, keep_cols, broadcast)`` where
+    ``on_map`` maps fact column -> dim column and ``keep_cols`` lists dim
+    columns to carry (renamed as-is). Inner joins reproduce the reference's
+    source-query semantics (facts without a registered patient/facility are
+    dropped before load).
+    """
+    out = fact
+    for dim, on_map, keep_cols, do_broadcast in dims:
+        d = dim.select(*{*on_map.values(), *keep_cols})
+        if do_broadcast:
+            d = F.broadcast(d)
+        cond = None
+        for fc, dc in on_map.items():
+            c = out[fc] == d[dc]
+            cond = c if cond is None else (cond & c)
+        joined = out.join(d, cond, how)
+        drop = [dc for dc in on_map.values() if dc not in keep_cols]
+        out = joined.drop(*[d[dc] for dc in drop])
+    return out
+
+
+def enrich_patient_facility(
+    fact: DataFrame,
+    patient: DataFrame,
+    facility: DataFrame,
+    fact_patient_key: str = "PatientId",
+    patient_cols: Sequence[str] = ("PatientPK", "PatientID"),
+    facility_cols: Sequence[str] = ("SiteCode", "FacilityName"),
+) -> DataFrame:
+    """The concrete reference shape: fact ⋈ PatientExtract ⋈ Facility
+    (``LoadSourceCTPatients.sql:7-9``). Patient joins on the fact's patient
+    FK; facility joins on the patient's facility FK and is broadcast."""
+    return star_enrich(
+        fact,
+        [
+            (patient, {fact_patient_key: "Id"}, list(patient_cols) + ["FacilityId"], False),
+            (facility, {"FacilityId": "Id"}, list(facility_cols), True),
+        ],
+    ).drop("FacilityId")

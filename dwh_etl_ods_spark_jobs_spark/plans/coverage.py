@@ -457,3 +457,29 @@ QUERIES["string_functions"] = q_string_functions
 QUERIES["record_linkage_fuzzy"] = q_record_linkage
 ORACLES["string_functions"] = SQL_STRING_FUNCTIONS
 ORACLES["record_linkage_fuzzy"] = SQL_RECORD_LINKAGE
+
+
+# --- 15. exact percentiles / median ---
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+    )
+
+
+# Exact (sort-based) percentile with linear interpolation is deterministic
+# double arithmetic in both engines — verified bit-identical.
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       median(l_quantity) AS median_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES["percentile_agg"] = q_percentiles
+ORACLES["percentile_agg"] = SQL_PERCENTILES

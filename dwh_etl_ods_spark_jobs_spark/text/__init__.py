@@ -62,26 +62,30 @@ def md5_long_sql(expr: str) -> str:
 
 def normalize_text(col: Column) -> Column:
     """Lowercase + collapse whitespace — the canonical form used by exact
-    dedup and fingerprinting."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    dedup and fingerprinting. NULL normalizes to '' (so NULL and empty
+    documents share one fingerprint group instead of poisoning hashes)."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
 
 
 def normalize_text_sql(expr: str) -> str:
-    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace(lower(coalesce({expr}, '')), '\\s+', ' ', 'g'))"
 
 
 def tokens(col: Column) -> Column:
     """Lowercased alphanumeric tokens (array<string>), empties removed.
 
+    NULL text tokenizes to an empty array (without the coalesce,
+    ``size(split(NULL))`` is -1 and every downstream count goes wrong).
     JVM-side ``split`` + higher-order ``filter`` — no Python boundary.
     """
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+    safe = F.coalesce(col, F.lit(""))
+    return F.filter(F.split(F.lower(safe), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
     return (
-        f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'),"
-        " t -> t <> '')"
+        f"list_filter(regexp_split_to_array(lower(coalesce({expr}, '')),"
+        f" '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
 
 

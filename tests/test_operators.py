@@ -273,3 +273,28 @@ def test_sessionize_gaps_and_seqs(spark):
         for r in sessionize(df, ["user"], "ts", 3_600_000_000, ["eid"]).collect()
     }
     assert out == {1: (0, 0), 2: (0, 1), 3: (1, 0), 4: (0, 0)}
+
+
+def test_enrich_patient_facility_star(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.enrich import enrich_patient_facility
+
+    fact = spark.createDataFrame(
+        [(1, "2023-01-01"), (2, "2023-01-02"), (3, "2023-01-03")],
+        "PatientId int, VisitDate string",
+    )
+    patient = spark.createDataFrame(
+        [(1, "pk1", "pid1", 10), (2, "pk2", "pid2", 20)],
+        "Id int, PatientPK string, PatientID string, FacilityId int",
+    )
+    facility = spark.createDataFrame(
+        [(10, 100, "Clinic A"), (20, 200, "Clinic B")],
+        "Id int, SiteCode int, FacilityName string",
+    )
+    out = enrich_patient_facility(fact, patient, facility)
+    rows = {r.PatientPK: (r.SiteCode, r.FacilityName, r.VisitDate) for r in out.collect()}
+    # PatientId=3 has no PatientExtract row -> dropped (inner join, the
+    # reference's source-query semantics)
+    assert rows == {
+        "pk1": (100, "Clinic A", "2023-01-01"),
+        "pk2": (200, "Clinic B", "2023-01-02"),
+    }

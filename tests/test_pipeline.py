@@ -262,3 +262,16 @@ def test_connected_components_long_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
     out = {r.id: r.canonical_id for r in D.connected_components(pairs, nodes).collect()}
     assert out == {i: 0 for i in range(10)}
+
+
+def test_text_ops_null_safe(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], "id int, text string")
+    out = df.select(
+        T.token_count("text").alias("n"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.langid(F.col("text")).alias("lang"),
+        T.exact_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert all(r.n == 0 and r.lang == "und" for r in out)
+    assert out[0].fp == out[1].fp  # NULL and '' share a fingerprint group
+    assert all(r.q is not None and 0.0 <= r.q <= 1.0 for r in out)

@@ -443,6 +443,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "a component's diameter exceeds max_iters; raise max_iters "
+            "(propagation moves the min one hop per round)"
+        )
     edges.unpersist()
     return labels
 

@@ -39,18 +39,27 @@ def asof_join(
     ``last(..., ignorenulls=True)``; keep left rows. One shuffle on the
     key; per-key linear scan.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     for k in keys:
         assert k in right.columns, f"asof_join: key {k} missing on right"
     lcols = left.columns
+    # Right values ride in ONE struct column: the struct is non-NULL for
+    # every right row even when the value fields inside are NULL, so
+    # last(..., ignorenulls) matches the latest right ROW — a genuine NULL
+    # value in the as-of row is returned as NULL instead of leaking an
+    # older non-NULL value (ASOF/DuckDB semantics).
+    rstruct = F.struct(*[F.col(c) for c in value_cols])
+    null_rstruct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("int").alias("__m"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        null_rstruct.alias("__r"),
     )
     tagged_right = right.select(
         *[
@@ -60,8 +69,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(1).alias("__m"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        rstruct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -72,16 +80,15 @@ def asof_join(
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
-        F.last(F.col("__m"), ignorenulls=True).over(w).alias("__matched"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__match"),
     )
     out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col("__matched").isNotNull())
-    return out.drop("__side", "__matched")
+        out = out.filter(F.col("__match").isNotNull())
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    )
 
 
 def sessionize(

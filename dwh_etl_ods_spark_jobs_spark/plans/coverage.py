@@ -7,19 +7,11 @@ set operations, ROLLUP aggregation, distinct aggregates, window frames
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark import functions as TS
-from dwh_etl_ods_spark_jobs_spark.plans.showcase import _c100, read_events
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from dwh_etl_ods_spark_jobs_spark.plans.showcase import _c100, _t
 
 
 # --- 1. T-SQL scalar function shims (SURVEY §2.8 mapping table) ---

@@ -59,6 +59,13 @@ def _jdbc_spec(spark: SparkSession, system: str, table: str | None = None,
 
 def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
     if args.source_path:
+        if not args.target_path:
+            raise SystemExit("--source-path (dev mode) also requires --target-path")
+        if spec.lookups and not args.lookup_dir:
+            raise SystemExit(
+                f"job {spec.name} uses lookup tables "
+                f"({', '.join(lk.table for lk in spec.lookups)}) — pass --lookup-dir"
+            )
         source = spark.read.parquet(args.source_path)
         target = spark.read.parquet(args.target_path)
         lookups = {
@@ -67,6 +74,13 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
         }
         sink = ParquetSpec(name="target", path=args.target_path) if args.write else None
     else:
+        if not args.source_table:
+            raise SystemExit(
+                "JDBC mode requires --source-table (the staging table or "
+                "'(SELECT ...) s' subquery to read — the reference ships one "
+                "source query per job as a SQL resource; supply its table/"
+                "subquery here)"
+            )
         source = read_table(
             spark, _jdbc_spec(spark, spec.source_system, table=args.source_table)
         )

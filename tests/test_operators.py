@@ -298,3 +298,28 @@ def test_enrich_patient_facility_star(spark):
         "pk1": (100, "Clinic A", "2023-01-01"),
         "pk2": (200, "Clinic B", "2023-01-02"),
     }
+
+
+def test_asof_join_null_value_in_matching_row(spark):
+    # The true as-of row carries a NULL value: must return NULL, not leak
+    # the older non-NULL value (ASOF semantics; was a real bug).
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 8, None)], "k int, ts int, v double"
+    )
+    assert asof_join(left, right, ["k"], "ts", "ts", ["v"]).first().v is None
+    # and inner still counts it as matched (a right row exists)
+    assert asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner").count() == 1
+
+
+def test_asof_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, ts int, v double")
+    with _pytest.raises(ValueError, match="how"):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"], how="full")

@@ -275,3 +275,10 @@ def test_text_ops_null_safe(spark):
     assert all(r.n == 0 and r.lang == "und" for r in out)
     assert out[0].fp == out[1].fp  # NULL and '' share a fingerprint group
     assert all(r.q is not None and 0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, nodes, max_iters=3)

@@ -475,3 +475,41 @@ FROM lineitem GROUP BY l_returnflag
 
 QUERIES["percentile_agg"] = q_percentiles
 ORACLES["percentile_agg"] = SQL_PERCENTILES
+
+
+# --- 16. array / higher-order-function ops over vector columns ---
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min(v).alias("vmin"),
+        F.array_max(v).alias("vmax"),
+        F.round(l2, 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(v, 1) + F.element_at(v, -1), 6).alias("first_plus_last"),
+    )
+
+
+SQL_ARRAY_OPS = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       list_min(v) AS vmin,
+       list_max(v) AS vmax,
+       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (a, b) -> a + b)), 6) AS l2_norm,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_positive,
+       round(v[1] + v[-1], 6) AS first_plus_last
+FROM e
+"""
+
+
+QUERIES["array_vector_ops"] = q_array_ops
+ORACLES["array_vector_ops"] = SQL_ARRAY_OPS

@@ -93,7 +93,15 @@ def run_incremental_load(
             src = src.withColumn(col, make_expr())
 
     if spec.dedupe_keys:
-        order = [F.col(c).desc() for c in spec.dedupe_order if c in src.columns]
+        missing = [c for c in spec.dedupe_order if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"job {spec.name}: dedupe_order columns {missing} absent from "
+                f"the source — silently dropping them would change which "
+                f"duplicate generation survives (reference selects by "
+                f"MAX(date) then MAX(ID))"
+            )
+        order = [F.col(c).desc() for c in spec.dedupe_order]
         src = src.transform(dedupe_latest(list(spec.dedupe_keys), order))
 
     for rule in spec.rules:

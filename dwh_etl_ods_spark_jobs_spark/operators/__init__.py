@@ -14,27 +14,40 @@ from dwh_etl_ods_spark_jobs_spark.operators.clean import (
     range_sentinel,
     value_map,
 )
-from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest
+from dwh_etl_ods_spark_jobs_spark.operators.dedupe import (
+    dedupe_latest,
+    dedupe_latest_agg,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.enrich import (
+    enrich_patient_facility,
+    star_enrich,
+)
 from dwh_etl_ods_spark_jobs_spark.operators.hashing import hash_pii
 from dwh_etl_ods_spark_jobs_spark.operators.incremental import anti_join_new
 from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
-from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest_agg
 from dwh_etl_ods_spark_jobs_spark.operators.skew import (
     salted_agg,
     salted_join,
     with_salt,
 )
 from dwh_etl_ods_spark_jobs_spark.operators.spine import month_spine
+from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+    asof_join,
+    sessionize,
+    tumbling_rollup,
+)
 
 __all__ = [
     "CleaningRule",
     "anti_join_new",
     "apply_rules",
+    "asof_join",
     "date_clamp",
     "dedupe_latest",
     "dedupe_latest_agg",
     "empty_to_null",
+    "enrich_patient_facility",
     "full_outer_coalesce",
     "hash_pii",
     "lookup_fold",
@@ -42,6 +55,9 @@ __all__ = [
     "range_sentinel",
     "salted_agg",
     "salted_join",
+    "sessionize",
+    "star_enrich",
+    "tumbling_rollup",
     "value_map",
     "with_salt",
 ]

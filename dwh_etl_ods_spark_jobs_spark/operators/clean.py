@@ -71,10 +71,15 @@ def date_clamp(
         lo_lit = _as_date_lit(lo)
         if hi_is_current_date:
             hi_lit: Column | None = F.current_date()
-            if hi_offset_years:
-                hi_lit = F.add_months(F.current_date(), 12 * hi_offset_years)
         else:
             hi_lit = _as_date_lit(hi)
+        if hi_offset_years:
+            if hi_lit is None:
+                raise ValueError(
+                    "date_clamp: hi_offset_years needs an upper bound "
+                    "(hi or hi_is_current_date)"
+                )
+            hi_lit = F.add_months(hi_lit, 12 * hi_offset_years)
         sent = _as_date_lit(sentinel) if sentinel is not None else F.lit(None).cast("date")
         c = F.col(col).cast("date")
         bad = F.lit(False)
@@ -148,7 +153,8 @@ def value_map(
             vals = [s.upper() for s in sources] if case_insensitive else list(sources)
             cond = src.isin(*vals)
             expr = F.when(cond, F.lit(target)) if expr is None else expr.when(cond, F.lit(target))
-        assert expr is not None, "value_map requires at least one mapping entry"
+        if expr is None:
+            raise ValueError("value_map requires at least one mapping entry")
         expr = expr.otherwise(F.col(col) if otherwise_keep else F.lit(None))
         return df.withColumn(col, expr)
 

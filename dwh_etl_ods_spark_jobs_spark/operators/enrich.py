@@ -35,7 +35,9 @@ def star_enrich(
     """
     out = fact
     for dim, on_map, keep_cols, do_broadcast in dims:
-        d = dim.select(*{*on_map.values(), *keep_cols})
+        # dict.fromkeys dedupes while preserving order — a set literal would
+        # randomize output column order across interpreter runs
+        d = dim.select(*dict.fromkeys([*on_map.values(), *keep_cols]))
         if do_broadcast:
             d = F.broadcast(d)
         cond = None
@@ -58,11 +60,16 @@ def enrich_patient_facility(
 ) -> DataFrame:
     """The concrete reference shape: fact ⋈ PatientExtract ⋈ Facility
     (``LoadSourceCTPatients.sql:7-9``). Patient joins on the fact's patient
-    FK; facility joins on the patient's facility FK and is broadcast."""
+    FK; facility joins on the patient's facility FK and is broadcast.
+
+    The fact's FK column is dropped from the output: it is consumed by the
+    join, and keeping it next to the dim's ``PatientID`` would leave two
+    columns differing only in case — ambiguous under Spark's default
+    case-insensitive resolution."""
     return star_enrich(
         fact,
         [
             (patient, {fact_patient_key: "Id"}, list(patient_cols) + ["FacilityId"], False),
             (facility, {"FacilityId": "Id"}, list(facility_cols), True),
         ],
-    ).drop("FacilityId")
+    ).drop("FacilityId", fact_patient_key)

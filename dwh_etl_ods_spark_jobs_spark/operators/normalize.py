@@ -28,12 +28,18 @@ def lookup_fold(
     def _apply(df: DataFrame) -> DataFrame:
         # Deduplicate lookup keys defensively: a duplicated source_name would
         # fan out fact rows (the reference relies on clean lookup content).
-        lkp = lookup.select(
-            F.col(source_col).alias("__lkp_src"), F.col(target_col).alias("__lkp_tgt")
-        ).dropDuplicates(["__lkp_src"])
+        # Under case_insensitive the JOIN key is the case-folded source, so
+        # dedupe must fold too — 'Married' and 'MARRIED' are ONE join key,
+        # and keeping both would still fan out.
+        src = F.col(source_col)
+        lkp = (
+            lookup.select(
+                (F.upper(src) if case_insensitive else src).alias("__lkp_src"),
+                F.col(target_col).alias("__lkp_tgt"),
+            ).dropDuplicates(["__lkp_src"])
+        )
         left = F.upper(df[col]) if case_insensitive else df[col]
-        right = F.upper(F.col("__lkp_src")) if case_insensitive else F.col("__lkp_src")
-        out = df.join(F.broadcast(lkp), left == right, "left")
+        out = df.join(F.broadcast(lkp), left == F.col("__lkp_src"), "left")
         return out.withColumn(col, F.coalesce(F.col("__lkp_tgt"), F.col(col))).drop(
             "__lkp_src", "__lkp_tgt"
         )

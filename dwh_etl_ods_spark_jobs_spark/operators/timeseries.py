@@ -41,8 +41,17 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    missing = [k for k in keys if k not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join: keys {missing} missing on right")
+    # Equality-join semantics for NULL keys (= the DuckDB ASOF JOIN oracle):
+    # a NULL key never matches, so NULL-key right rows can never be picked.
+    # Window.partitionBy would group NULLs together and wrongly match them.
+    null_key = None
     for k in keys:
-        assert k in right.columns, f"asof_join: key {k} missing on right"
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    right = right.filter(~null_key)
     lcols = left.columns
     # Right values ride in ONE struct column: the struct is non-NULL for
     # every right row even when the value fields inside are NULL, so

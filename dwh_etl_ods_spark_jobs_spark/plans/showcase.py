@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import SQL_ART_OUTCOMES
 from dwh_etl_ods_spark_jobs_spark.operators import (
     anti_join_new,
     apply_rules,
@@ -446,9 +447,5 @@ ORACLES = {
     "full_outer_coalesce": SQL_FULL_OUTER_COALESCE,
     "union_date_repair": SQL_UNION_DATE_REPAIR,
     "pricing_summary": SQL_PRICING_SUMMARY,
-    "art_outcomes_asof": None,  # bound below
+    "art_outcomes_asof": SQL_ART_OUTCOMES,
 }
-
-from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import SQL_ART_OUTCOMES  # noqa: E402
-
-ORACLES["art_outcomes_asof"] = SQL_ART_OUTCOMES

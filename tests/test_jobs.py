@@ -244,3 +244,13 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
         "--target-path", f"{d}/tgt", "--lookup-dir", f"{d}/lkp",
     ])
     assert rc == 0
+
+
+def test_missing_dedupe_order_column_raises(spark):
+    spec = CATALOG["ct_patients"]
+    bad_source = spark.createDataFrame(
+        [(1, "p1", 2)], "SiteCode int, PatientPK string, ID int"  # no DateExtracted
+    )
+    target = bad_source.select("SiteCode", "PatientPK").limit(0)
+    with pytest.raises(ValueError, match="dedupe_order columns"):
+        run_incremental_load(spark, spec, bad_source, target, {})

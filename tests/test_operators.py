@@ -323,3 +323,35 @@ def test_asof_join_rejects_unknown_how(spark):
     right = spark.createDataFrame([(1, 5, 1.0)], "k int, ts int, v double")
     with _pytest.raises(ValueError, match="how"):
         asof_join(left, right, ["k"], "ts", "ts", ["v"], how="full")
+
+
+def test_lookup_fold_ci_duplicate_case_variants_no_fanout(spark):
+    # 'Married' and 'MARRIED' are ONE case-insensitive join key; a fact row
+    # must fold once, never duplicate (was a real fan-out bug).
+    df = spark.createDataFrame([(1, "married")], "id int, status string")
+    lkp = spark.createDataFrame(
+        [("Married", "M1"), ("MARRIED", "M2")], "source_name string, target_name string"
+    )
+    out = df.transform(lookup_fold("status", lkp, case_insensitive=True)).collect()
+    assert len(out) == 1
+    assert out[0].status in ("M1", "M2")
+
+
+def test_date_clamp_offset_applies_to_explicit_hi(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 6, 1)), (2, dt.date(2025, 6, 1))], "id int, d date"
+    )
+    rule = date_clamp("d", hi="2024-01-01", hi_offset_years=1, sentinel="1900-01-01")
+    out = {r.id: r.d for r in df.transform(rule).collect()}
+    # bound is 2024-01-01 + 1y = 2025-01-01: id1 inside, id2 clamped
+    assert out == {1: dt.date(2024, 6, 1), 2: dt.date(1900, 1, 1)}
+
+
+def test_asof_join_null_keys_never_match(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(None, 10)], "k string, ts int")
+    right = spark.createDataFrame([(None, 5, 1.0)], "k string, ts int, v double")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    assert len(out) == 1 and out[0].v is None  # equality-join NULL semantics
+    assert asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner").count() == 0

@@ -513,3 +513,54 @@ FROM e
 
 QUERIES["array_vector_ops"] = q_array_ops
 ORACLES["array_vector_ops"] = SQL_ARRAY_OPS
+
+
+# --- 17. CUBE + GROUPING() ---
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- 18. SQL API surface + NOT IN subquery semantics ---
+
+def q_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the engine's SQL entry point (temp view + spark.sql) with a
+    NOT IN subquery — whose NULL semantics (any NULL in the subquery result
+    empties the output) both engines must honor identically."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM v_orders
+        WHERE o_custkey NOT IN (
+          SELECT c_custkey FROM v_customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """)
+
+
+SQL_SQL_NOT_IN = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+QUERIES["cube_grouping_agg"] = q_cube
+QUERIES["sql_api_not_in_subquery"] = q_sql_not_in
+ORACLES["cube_grouping_agg"] = SQL_CUBE
+ORACLES["sql_api_not_in_subquery"] = SQL_SQL_NOT_IN

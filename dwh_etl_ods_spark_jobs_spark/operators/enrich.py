@@ -62,14 +62,17 @@ def enrich_patient_facility(
     (``LoadSourceCTPatients.sql:7-9``). Patient joins on the fact's patient
     FK; facility joins on the patient's facility FK and is broadcast.
 
-    The fact's FK column is dropped from the output: it is consumed by the
-    join, and keeping it next to the dim's ``PatientID`` would leave two
-    columns differing only in case — ambiguous under Spark's default
-    case-insensitive resolution."""
+    The fact's FK column is dropped from the output (consumed by the join),
+    but the dim's ``PatientID`` must survive. Spark resolves ``drop`` by
+    name case-insensitively by default, so dropping the fact's
+    ``"PatientId"`` would silently also remove the dim's ``"PatientID"`` —
+    the FK is renamed to a collision-free temp name before joining and the
+    temp name is dropped instead."""
+    fk_tmp = "__fact_patient_fk"
     return star_enrich(
-        fact,
+        fact.withColumnRenamed(fact_patient_key, fk_tmp),
         [
-            (patient, {fact_patient_key: "Id"}, list(patient_cols) + ["FacilityId"], False),
+            (patient, {fk_tmp: "Id"}, list(patient_cols) + ["FacilityId"], False),
             (facility, {"FacilityId": "Id"}, list(facility_cols), True),
         ],
-    ).drop("FacilityId", fact_patient_key)
+    ).drop("FacilityId", fk_tmp)

@@ -559,7 +559,8 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS byte_len,
        CAST(1 + length(text) % 640 AS INT) AS width,
        CAST(1 + length(text) % 480 AS INT) AS height,
-       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substring(text, 1, 1)) END AS INT) AS first_byte
 FROM documents
 """
 

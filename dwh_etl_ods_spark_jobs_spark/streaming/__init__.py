@@ -19,14 +19,23 @@ idiomatic Spark pattern (and let Catalyst pick broadcast vs SMJ per batch).
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new, dedupe_latest
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists, via the JVM Hadoop FileSystem API (works for
+    any Hadoop-supported scheme, not just local files)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def file_stream(
@@ -70,10 +79,17 @@ def incremental_sink(
             )
         else:
             df = df.dropDuplicates(list(keys))
-        try:
+        # Existence is checked explicitly via the Hadoop FS API rather than
+        # catching exceptions around the read: a bare except would treat a
+        # transient storage error or corrupt target as "first batch" and
+        # append the whole batch undeduplicated, silently breaking the
+        # idempotency guarantee exactly when a batch replays after a fault.
+        # Any real read/anti-join error propagates so the micro-batch fails
+        # and retries.
+        if _hadoop_path_exists(spark, target_path):
             target = spark.read.parquet(target_path)
             delta = df.transform(anti_join_new(target, list(keys)))
-        except Exception:  # first batch: target does not exist yet
+        else:  # first batch: target does not exist yet
             delta = df
         delta.write.mode("append").parquet(target_path)
 
@@ -91,24 +107,31 @@ def windowed_counts(
     window: str = "10 minutes",
     watermark: str = "1 hour",
     group_cols: Sequence[str] = (),
+    aggs: Mapping[str, Column] | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over an event stream — the
     late-data-tolerant rollup a monitoring pipeline runs next to the loads.
     State is bounded by the watermark; counts finalize once event time
-    passes window_end + watermark."""
+    passes window_end + watermark.
+
+    ``aggs`` maps output alias -> aggregate Column (like ``tumbling_rollup``);
+    the default keeps the historical ``sum(value) AS sum_value`` so streams
+    without a ``value`` column pass their own aggregates instead of crashing."""
+    if aggs is None:
+        aggs = {"sum_value": F.sum("value")}
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            *[expr.alias(name) for name, expr in aggs.items()],
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             *group_cols,
             "n_events",
-            "sum_value",
+            *aggs.keys(),
         )
     )
 

@@ -291,12 +291,21 @@ def test_enrich_patient_facility_star(spark):
         "Id int, SiteCode int, FacilityName string",
     )
     out = enrich_patient_facility(fact, patient, facility)
-    rows = {r.PatientPK: (r.SiteCode, r.FacilityName, r.VisitDate) for r in out.collect()}
+    # The dim's PatientID must survive: the fact's PatientId FK is dropped
+    # via a temp rename, not by (case-insensitive) name, which used to eat
+    # the dim column too.
+    assert set(out.columns) == {
+        "VisitDate", "PatientPK", "PatientID", "SiteCode", "FacilityName"
+    }
+    rows = {
+        r.PatientPK: (r.PatientID, r.SiteCode, r.FacilityName, r.VisitDate)
+        for r in out.collect()
+    }
     # PatientId=3 has no PatientExtract row -> dropped (inner join, the
     # reference's source-query semantics)
     assert rows == {
-        "pk1": (100, "Clinic A", "2023-01-01"),
-        "pk2": (200, "Clinic B", "2023-01-02"),
+        "pk1": ("pid1", 100, "Clinic A", "2023-01-01"),
+        "pk2": ("pid2", 200, "Clinic B", "2023-01-02"),
     }
 
 

@@ -188,6 +188,20 @@ def test_multimodal_frame_sample_chunks(spark):
     assert all(f.frame_checksum == ord("a") * f.frame_len for f in frames)
 
 
+def test_multimodal_meta_empty_payload_sentinel(spark):
+    # Empty payload: first_byte sentinel is -1 on BOTH sides of the oracle
+    # contract (the SQL oracle guards ascii('') == 0 with a CASE).
+    df = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = M.decode_image_meta(M.attach_payload(df, "text", "doc_id")).first()
+    assert r.first_byte == -1 and r.byte_len == 0 and r.magic == ""
+    oracle = duckdb.sql(
+        "SELECT CAST(CASE WHEN length(text) = 0 THEN -1 "
+        "ELSE ascii(substring(text, 1, 1)) END AS INT) AS fb "
+        "FROM (SELECT '' AS text)"
+    ).fetchone()[0]
+    assert oracle == r.first_byte
+
+
 def test_decode_image_real_is_stubbed(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     payloads = M.attach_payload(df, "text", "doc_id")

@@ -81,6 +81,41 @@ def test_incremental_stream_dedupes_within_batch(spark, workdir):
     assert rows == {(1, "a"): 20.0, (2, "b"): 1.0}  # latest seq wins
 
 
+def test_windowed_counts_custom_aggs_without_value_column(spark, workdir):
+    # A stream with NO `value` column used to crash on the hardcoded
+    # F.sum("value"); passing aggs= makes the rollup generic.
+    src = os.path.join(workdir, "src")
+    _write_source_files(
+        spark, src,
+        [("2024-01-01 00:01:00", "a", 5), ("2024-01-01 00:02:00", "a", 7)],
+        "ts_s string, k string, amount int",
+    )
+    base = spark.read.parquet(src)
+    stream = (
+        ST.file_stream(spark, src, base.schema)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    agg = ST.windowed_counts(
+        stream, "ts", window="1 hour", watermark="0 seconds",
+        group_cols=["k"], aggs={"max_amount": F.max("amount")},
+    )
+    assert set(agg.columns) == {"window_start", "window_end", "k", "n_events", "max_amount"}
+    out = os.path.join(workdir, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+    # With watermark 0 the single window may or may not seal in append mode;
+    # schema-level behavior (no crash, correct columns) is the contract here.
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"window_start", "window_end", "k", "n_events", "max_amount"}
+
+
 def test_windowed_counts_matches_batch_aggregation(spark, workdir):
     from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
 

@@ -96,23 +96,35 @@ def date_clamp(
 
 def range_sentinel(
     col: str,
-    lo: float,
-    hi: float,
+    lo: float | None,
+    hi: float | None,
     sentinel: float | None = 999.0,
     cast_to: str = "float",
 ) -> CleaningRule:
     """Numeric (possibly string-typed) out-of-[lo,hi] -> sentinel.
 
-    Non-numeric strings become NULL via try-cast semantics, matching the
-    reference's cast-then-compare behavior on varchar vitals columns.
+    ``lo``/``hi`` may each be None for one-sided bounds (the reference's
+    ``Duration < 0 -> 999`` has no upper bound, ``LoadARTPatients.java:128``;
+    ``MonthsSinceLastTest > 1540 -> NULL`` has no lower bound,
+    ``LoadHtsClientTests.java:111-112``). Non-numeric strings become NULL
+    via try-cast semantics, matching the reference's cast-then-compare
+    behavior on varchar vitals columns.
     """
+    if lo is None and hi is None:
+        raise ValueError("range_sentinel needs at least one bound")
+
     def _apply(df: DataFrame) -> DataFrame:
         sent = (
             F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
         )
         c = F.col(col).cast(cast_to)
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (c < lo)
+        if hi is not None:
+            bad = bad | (c > hi)
         return df.withColumn(
-            col, F.when(c.isNotNull() & ((c < lo) | (c > hi)), sent).otherwise(c)
+            col, F.when(c.isNotNull() & bad, sent).otherwise(c)
         )
 
     _apply.columns = (col,)  # type: ignore[attr-defined]
@@ -139,11 +151,18 @@ def value_map(
     mapping: Mapping[str, Sequence[str]],
     otherwise_keep: bool = True,
     case_insensitive: bool = False,
+    default: str | None = None,
 ) -> CleaningRule:
     """Canonicalize values: each target label claims a list of source values.
 
     ``case_insensitive=True`` reproduces SQL Server's default collation
     (the reference compares under CI collation; Spark ``=`` is CS — SURVEY §4).
+    The cleaning chains in the reference's Java mains run in Spark and are
+    case-SENSITIVE — those maps use the default ``case_insensitive=False``.
+
+    ``default`` sets a literal fallback for unmatched values (NULL inputs
+    included), reproducing e.g. ``TbScreening -> otherwise("Not Done")``
+    (``LoadHtsClientTests.java:85-89``); it overrides ``otherwise_keep``.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -155,7 +174,10 @@ def value_map(
             expr = F.when(cond, F.lit(target)) if expr is None else expr.when(cond, F.lit(target))
         if expr is None:
             raise ValueError("value_map requires at least one mapping entry")
-        expr = expr.otherwise(F.col(col) if otherwise_keep else F.lit(None))
+        if default is not None:
+            expr = expr.otherwise(F.lit(default))
+        else:
+            expr = expr.otherwise(F.col(col) if otherwise_keep else F.lit(None))
         return df.withColumn(col, expr)
 
     _apply.columns = (col,)  # type: ignore[attr-defined]

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dwh_etl_ods_spark_jobs_spark.plans import coverage, pipeline, showcase  # noqa: E402
+from dwh_etl_ods_spark_jobs_spark.plans import coverage, job_rules, pipeline, showcase  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(showcase.QUERIES)
     q.update(pipeline.QUERIES)
     q.update(coverage.QUERIES)
+    q.update(job_rules.QUERIES)
     return q
 
 
@@ -59,4 +60,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(showcase.ORACLES)
     o.update(pipeline.ORACLES)
     o.update(coverage.ORACLES)
+    o.update(job_rules.ORACLES)
     return o

@@ -3,9 +3,10 @@
 Key sets are the null-safe LEFT ANTI JOIN keys from each job's main class
 (full citation table in SURVEY.md §2.4). PII hash maps are the per-job
 ``hashPIIColumns`` maps (``Core/.../DatabaseUtils.java:54-69`` call sites).
-Cleaning rules encode the documented withColumn/when chains for the jobs
-whose rules SURVEY.md §2.2 traces; remaining jobs are pure
-dedupe->anti-join->hash loads.
+Cleaning rules encode the withColumn/when chains of the four literal-heavy
+jobs (``jobs/rules.py``) plus the per-job date/range/empty rules; dedupe
+key sets mirror each source query's ``GROUP BY key -> MAX(ID), MAX(date)``
+self-join (census: 30 of the 51 source queries carry one).
 
 Reference quirks intentionally fixed (SURVEY.md §7 "what's hard" item 2):
 - LoadCancerScreening.java:64 anti-joins against CT_CervicalCancerScreening
@@ -13,17 +14,29 @@ Reference quirks intentionally fixed (SURVEY.md §7 "what's hard" item 2):
 - The lowercase-`numpartitions`-without-partitionColumn JDBC reads that
   Spark silently ignores (LoadCTPatients.java:56) — our JdbcSpec requires
   explicit bounds for partitioned reads.
+- The PrEP visits/pharmacy/behaviour/termination source queries dedupe via
+  TWO inner-join gates (latest Created AND latest DateExtracted, e.g.
+  ``LoadPrepVisits.sql:69-77``) — when the two winners differ the reference
+  silently drops the key entirely; our single window orders by
+  (DateExtracted, Created, ID) and always keeps exactly one row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec, LookupSpec
+from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
+    adverse_events_value_rules,
+    art_value_rules,
+    hts_client_tests_value_rules,
+    prep_patient_value_rules,
+)
+from dwh_etl_ods_spark_jobs_spark.jobs.spec import EnrichSpec, JobSpec, LookupSpec
 from dwh_etl_ods_spark_jobs_spark.operators import (
     date_clamp,
     empty_to_null,
     range_sentinel,
+    value_map,
 )
 
 # ---------------------------------------------------------------------------
@@ -40,14 +53,24 @@ _CT_PATIENTS_RULES = (
     empty_to_null(["NUPI", "PatientID"]),
 )
 
-# LoadARTPatients.java:94-137 — date clamps (1980 floor for ART events) and
-# 999 sentinels: AgeEnrollment/AgeARTStart/AgeLastVisit ∉ [0,120] -> 999.
+# LoadARTPatients.java:93-137, in reference order: DOB (1900 floor), eight
+# ART-event dates (1980 floor, 1900 sentinel), Emr/Project literal maps
+# (:121-126), Duration < 0 -> 999 (:127-128), age sentinels (:129-137).
 _ART_PATIENTS_RULES = (
-    date_clamp("StartARTDate", lo="1980-01-01", hi_is_current_date=True, sentinel="1900-01-01"),
-    date_clamp("LastARTDate", lo="1980-01-01", hi_is_current_date=True, sentinel="1900-01-01"),
-    range_sentinel("AgeEnrollment", 0, 120, 999.0),
+    date_clamp("DOB", lo="1900-01-01", hi_is_current_date=True, sentinel="1900-01-01"),
+    *(
+        date_clamp(c, lo="1980-01-01", hi_is_current_date=True, sentinel="1900-01-01")
+        for c in (
+            "StartARTDate", "StartARTAtThisFacility", "LastARTDate",
+            "RegistrationDate", "PreviousARTStartDate", "ExpectedReturn",
+            "LastVisit", "ExitDate",
+        )
+    ),
+    *art_value_rules(),
+    range_sentinel("Duration", 0, None, 999.0),
     range_sentinel("AgeARTStart", 0, 120, 999.0),
     range_sentinel("AgeLastVisit", 0, 120, 999.0),
+    range_sentinel("AgeEnrollment", 0, 120, 999.0),
 )
 
 # LoadPatientVisits.java:78-85,103-105 — vitals sentinels and the
@@ -65,6 +88,20 @@ _PATIENT_VISITS_RULES = (
     ),
 )
 
+# LoadAdverseEvents.java:79-109 — event-date clamps then the four literal
+# canonicalization maps (Severity / ActionTaken / Cause / ClinicalOutcome).
+_ADVERSE_EVENTS_RULES = (
+    date_clamp(
+        "AdverseEventStartDate", lo="1980-01-01", hi_is_current_date=True,
+        sentinel="1900-01-01",
+    ),
+    date_clamp(
+        "AdverseEventEndDate", lo="1980-01-01", hi_is_current_date=True,
+        sentinel="1900-01-01",
+    ),
+    *adverse_events_value_rules(),
+)
+
 # LoadHtsEligibility.java:83-100 — empty-string -> NULL sweep, out-of-range
 # dates -> NULL (not sentinel).
 _HTS_ELIGIBILITY_RULES = (
@@ -72,15 +109,56 @@ _HTS_ELIGIBILITY_RULES = (
     date_clamp("VisitDate", lo="1900-01-01", hi_is_current_date=True, sentinel=None),
 )
 
-# LoadHtsClientTests.java:111-112 — MonthsSinceLastTest > 1540 -> NULL.
+# LoadHtsClientTests.java:80-112 — the eight category-collapse maps
+# (incl. TbScreening's otherwise('Not Done')), then MonthsSinceLastTest
+# > 1540 -> NULL (:111-112).
 _HTS_CLIENT_TESTS_RULES = (
+    *hts_client_tests_value_rules(),
     range_sentinel("MonthsSinceLastTest", 0, 1540, None, cast_to="int"),
+)
+
+# LoadPrepPatient.java:55-114 — '' -> NULL sweep + KeyPopulationType /
+# Inschool / MaritalStatus / County maps.
+_PREP_PATIENT_RULES = prep_patient_value_rules()
+
+# The CASE P.[Project] WHEN 'I-TECH'/'HMIS' THEN 'Kenya HMIS II' rewrite
+# embedded in several CT source queries (LoadSourcePatientStatus.sql:11,
+# LoadCTContactListing.sql:5-9) — engine-native it is a plain value map.
+_PROJECT_SOURCE_RULES = (
+    value_map("Project", {"Kenya HMIS II": ["I-TECH", "HMIS"]}),
 )
 
 
 def _visitdate_as_date():
     # LoadAdverseEvents.java:145-146: key includes cast(VisitDate as date).
     return F.col("VisitDate").cast("date")
+
+
+# ---------------------------------------------------------------------------
+# CT_PatientVisits target DDL — the final projection column order
+# (Load CT Patient Visits/src/main/resources/PatientVisitsDDL.sql:1-78).
+# ---------------------------------------------------------------------------
+
+_CT_PATIENT_VISITS_DDL = (
+    "PatientID", "FacilityName", "SiteCode", "PatientPK", "VisitID",
+    "VisitDate", "SERVICE", "VisitType", "WHOStage", "WABStage", "Pregnant",
+    "LMP", "EDD", "Height", "Weight", "BP", "OI", "OIDate", "Adherence",
+    "AdherenceCategory", "FamilyPlanningMethod", "PwP", "GestationAge",
+    "NextAppointmentDate", "SubstitutionFirstlineReg",
+    "SubstitutionFirstLineRegReason", "SubstitutionSecondLineReg",
+    "SubstitutionSecondLineRegReason", "SecondLineRegChange",
+    "SecondLineRegChangeReason", "Emr", "Project", "DateImported",
+    "DeletedFlag", "DifferentiatedCare", "StabilityAssessment",
+    "KeyPopulationType", "PopulationType", "VisitBy", "Temp", "PulseRate",
+    "RespiratoryRate", "OxygenSaturation", "Muac", "NutritionalStatus",
+    "EverHadMenses", "Breastfeeding", "Menopausal", "NoFPReason",
+    "ProphylaxisUsed", "CTXAdherence", "CurrentRegimen", "HCWConcern",
+    "TCAReason", "ClinicalNotes", "GeneralExamination", "SystemExamination",
+    "Skin", "Eyes", "ENT", "Chest", "CVS", "Abdomen", "CNS",
+    "Genitourinary", "PatientPKHash", "PatientIDHash", "ZScore",
+    "ZScoreAbsolute", "RefillDate", "PaedsDisclosure", "Date_Last_Modified",
+    "Date_Created", "LoadDate", "RecordUUID", "voided",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +169,13 @@ _PII_CT = {"PatientID": "PatientIDHash", "PatientPK": "PatientPKHash"}
 _PII_HTS = {"PatientPK": "PatientPKHash", "HtsNumber": "HtsNumberHash"}
 _PII_MNCH = {"PatientPK": "PatientPKHash", "PatientMnchID": "PatientMnchIDHash"}
 _PII_PREP = {"PatientPK": "PatientPKHash", "PrepNumber": "PrepNumberHash"}
+
+# Dedupe orders: the MAX(...) columns of each source query's self-join gate.
+_BY_EXTRACTED = ("DateExtracted", "ID")   # max(cast(DateExtracted as date)), max(ID)
+_BY_CREATED = ("Created", "ID")           # max(cast(Created as date)), max(ID)
+_BY_DATECREATED = ("DateCreated", "ID")   # max(cast(datecreated as date)), max(ID)
+# PrEP dual-gate queries (see module docstring, fixed quirk).
+_BY_BOTH = ("DateExtracted", "Created", "ID")
 
 
 def job(name, system, target, keys, pii=None, **kw) -> JobSpec:
@@ -119,8 +204,13 @@ CATALOG: dict[str, JobSpec] = {
                            "Source_MaritalStatus", "Target_MaritalStatus"),
                 LookupSpec("EducationLevel", "Lkp_EducationLevel"),
                 LookupSpec("PatientSource", "lkp_patient_source"),
+                LookupSpec("PreviousARTExposure", "lkp_RegimenLineMap",
+                           "Source_Regimen", "Target_Regimen"),
             ),
-            notes="LoadCTPatients.java:27-228",
+            enrich=EnrichSpec(),
+            notes="LoadCTPatients.java:27-228; PreviousARTExposure folds via "
+                  "lkp_RegimenLineMap (:82-89,147,154); source star join "
+                  "LoadSourceCTPatients.sql:7-9",
         ),
         job(
             "ct_art_patients", "dwapicentral", "dbo.CT_ARTPatients",
@@ -133,8 +223,11 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("LastRegimen", "lkp_regimen"),
                 LookupSpec("ExitReason", "lkp_exit_reason"),
             ),
-            notes="LoadARTPatients.java:59-181; fixes the PreviousARTRegimen "
-                  "fold that falls back to ExitReason (:148-149)",
+            enrich=EnrichSpec(),
+            notes="LoadARTPatients.java:59-181; full clean chain :93-137 incl "
+                  "Emr/Project maps (:121-126); fixes the PreviousARTRegimen "
+                  "fold that falls back to ExitReason (:148-149); source star "
+                  "join LoadSourceARTPatients.sql:19-21",
         ),
         job(
             "ct_patient_visits", "dwapicentral", "dbo.CT_PatientVisits",
@@ -145,8 +238,11 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("FamilyPlanningMethod", "lkp_family_planning_method"),
                 LookupSpec("PwP", "lkp_pwp"),
             ),
+            select=_CT_PATIENT_VISITS_DDL,
+            enrich=EnrichSpec(),
             notes="LoadPatientVisits.java:47-135; the one job with a real "
-                  "range-partitioned JDBC read (SiteCode bounds)",
+                  "range-partitioned JDBC read (SiteCode bounds); final "
+                  "projection = PatientVisitsDDL.sql:1-78 order",
         ),
         job(
             "ct_patient_pharmacy", "dwapicentral", "dbo.CT_PatientPharmacy",
@@ -162,22 +258,39 @@ CATALOG: dict[str, JobSpec] = {
         job(
             "ct_patient_labs", "dwapicentral", "dbo.CT_PatientLabs",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            dedupe_keys=("SiteCode", "PatientPK", "TestResult", "TestName",
+                         "OrderedbyDate", "Voided"),
+            dedupe_order=_BY_CREATED,
             lookups=(LookupSpec("TestName", "lkp_test_name"),),
-            notes="LoadPatientLabs.java:111",
+            notes="LoadPatientLabs.java:111; source dedupe "
+                  "LoadSourceCTPatientLabs.sql:18-27 (GROUP BY code, "
+                  "PatientPID, TestResult, TestName, OrderedbyDate, voided)",
         ),
         job("ct_patient_status", "dwapicentral", "dbo.CT_PatientStatus",
             ["SiteCode", "PatientPK"], _PII_CT,
+            dedupe_keys=("SiteCode", "PatientPK", "ExitDate", "Voided"),
+            dedupe_order=_BY_CREATED,
+            rules=_PROJECT_SOURCE_RULES,
             lookups=(LookupSpec("ExitReason", "lkp_exit_reason"),),
-            notes="LoadPatientStatus.java:92"),
+            notes="LoadPatientStatus.java:92; source dedupe "
+                  "LoadSourcePatientStatus.sql:29-53; Project rewrite :11"),
         job("ct_patient_baselines", "dwapicentral", "dbo.CT_PatientBaselines",
-            ["SiteCode", "PatientPK"], _PII_CT, notes="LoadPatientBaselines.java:92"),
+            ["SiteCode", "PatientPK"], _PII_CT,
+            dedupe_keys=("SiteCode", "PatientPK", "Voided"),
+            dedupe_order=_BY_CREATED,
+            notes="LoadPatientBaselines.java:92; source dedupe "
+                  "LoadPatientBaselines.sql:17-22"),
         job(
             "ct_adverse_events", "dwapicentral", "dbo.CT_AdverseEvents",
             ["SiteCode", "PatientPK", "VisitDate"], _PII_CT,
             key_exprs={"VisitDate": _visitdate_as_date},
-            lookups=(LookupSpec("AdverseEvent", "lkp_adverse_events"),),
+            rules=_ADVERSE_EVENTS_RULES,
+            lookups=(
+                LookupSpec("AdverseEvent", "lkp_adverse_events"),
+                LookupSpec("AdverseEventRegimen", "lkp_regimen"),
+            ),
             notes="LoadAdverseEvents.java:60-154; key includes "
-                  "cast(VisitDate as date) (:145-146)",
+                  "cast(VisitDate as date) (:145-146); clean chain :79-109",
         ),
         job("ct_allergies", "dwapicentral", "dbo.CT_AllergiesChronicIllness",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
@@ -214,7 +327,14 @@ CATALOG: dict[str, JobSpec] = {
         job("ct_contact_listing", "dwapicentral", "dbo.CT_ContactListing",
             ["SiteCode", "PatientPK"],
             {**_PII_CT, "ContactPatientPK": "ContactPatientPKHash"},
-            notes="LoadCTContactListing.java:103"),
+            dedupe_keys=("SiteCode", "PatientPK", "ContactAge"),
+            dedupe_order=_BY_CREATED,
+            rules=_PROJECT_SOURCE_RULES,
+            notes="LoadCTContactListing.java:103 (anti-join key SiteCode+"
+                  "PatientPK only); the source query dedupes at the FINER "
+                  "(SiteCode, PatientPK, ContactAge) grain with max(created) "
+                  "(LoadCTContactListing.sql:23-31) and rewrites Project "
+                  "(:5-9); ContactPatientPK hashed"),
         job("ct_cervical_screening", "dwapicentral", "dbo.CT_CervicalCancerScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             notes="LoadCervicalScreening.java:77"),
@@ -234,89 +354,164 @@ CATALOG: dict[str, JobSpec] = {
         job("hts_clients", "htscentral", "dbo.HTS_clients",
             ["PatientPK", "SiteCode"],
             {"PatientPK": "PatientPKHash", "NUPI": "NupiHash"},
-            notes="LoadHtsClients.java:120"),
+            dedupe_keys=("SiteCode", "PatientPK"),
+            dedupe_order=_BY_DATECREATED,
+            notes="LoadHtsClients.java:120; source dedupe "
+                  "LoadHtsClients.sql:26-31 (max ID, max datecreated)"),
         job("hts_client_tests", "htscentral", "dbo.HTS_ClientTests",
             ["PatientPK", "SiteCode", "EncounterId"],
             {"PatientPK": "PatientPKHash"},
+            dedupe_keys=("SiteCode", "PatientPK", "FinalTestResult",
+                         "TestDate", "EncounterId"),
             rules=_HTS_CLIENT_TESTS_RULES,
-            lookups=(LookupSpec("Strategy", "lkp_htsStrategy",
-                                "Source_htsStrategy", "Target_htsStrategy"),),
-            notes="LoadHtsClientTests.java:59-141"),
+            lookups=(
+                LookupSpec("EntryPoint", "lkp_patient_source"),
+                LookupSpec("TestStrategy", "lkp_htsStrategy",
+                           "Source_htsStrategy", "Target_htsStrategy"),
+            ),
+            notes="LoadHtsClientTests.java:59-141 (EntryPoint :116-120, "
+                  "TestStrategy :117-123); source dedupe "
+                  "LoadHtsClientTests.sql:42-50"),
         job("hts_client_linkages", "htscentral", "dbo.HTS_ClientLinkages",
-            ["PatientPK", "SiteCode"], _PII_HTS, notes="LoadHtsClientLinkages.java:84"),
+            ["PatientPK", "SiteCode"], _PII_HTS,
+            dedupe_keys=("SiteCode", "PatientPK"),
+            notes="LoadHtsClientLinkages.java:84; source dedupe "
+                  "LoadHtsClientLinkages.sql:19-24"),
         job("hts_client_tracing", "htscentral", "dbo.HTS_ClientTracing",
             ["PatientPK", "SiteCode", "HtsNumber", "TracingOutcome"], _PII_HTS,
             notes="LoadHtsClientTracing.java:74"),
         job("hts_eligibility", "htscentral", "dbo.HTS_EligibilityExtract",
             ["PatientPk", "SiteCode"], _PII_HTS,
+            dedupe_keys=("SiteCode", "PatientPk", "EncounterID", "VisitID"),
             rules=_HTS_ELIGIBILITY_RULES,
             lookups=(LookupSpec("Disability", "lkp_htsDisability"),),
-            notes="LoadHtsEligibility.java:83-117"),
+            notes="LoadHtsEligibility.java:83-117; dual dedupe gates "
+                  "(DateCreated + DateExtracted) collapsed to one window "
+                  "(fixed quirk, module docstring)"),
         job("hts_partner_notification_services", "htscentral",
             "dbo.HTS_PartnerNotificationServices",
             ["PatientPk", "PartnerPatientPk", "SiteCode"], _PII_HTS,
             notes="LoadPartnerNotificationServices.java:92"),
         job("hts_partner_tracing", "htscentral", "dbo.HTS_PartnerTracings",
             ["PatientPk", "SiteCode", "HtsNumber"], _PII_HTS,
-            notes="LoadHtsPartnerTracing.java:75"),
+            dedupe_keys=("SiteCode", "PatientPk", "HtsNumber", "TraceType",
+                         "BookingDate", "TraceDate", "TraceOutcome"),
+            notes="LoadHtsPartnerTracing.java:75; source dedupe "
+                  "LoadHtsPartnerTracing.sql:13-18"),
         job("hts_test_kits", "htscentral", "dbo.HTS_TestKits",
             ["PatientPk", "SiteCode"], _PII_HTS,
-            notes="LoadHtsTestKits.java:42-88; dormant dd/MM/yyyy regex date "
+            dedupe_keys=("SiteCode", "PatientPk", "EncounterId",
+                         "TestKitName1", "TestResult2", "TestKitLotNumber1"),
+            notes="LoadHtsTestKits.java:42-88; source dedupe "
+                  "LoadHtsTestKits.sql:19-28; dormant dd/MM/yyyy regex date "
                   "repair lives in plans (union_date_repair)"),
         # --- MNCHCentral ------------------------------------------------------
         job("mnch_anc_visits", "mnchcentral", "dbo.MNCH_AncVisits",
             ["PatientPk", "SiteCode", "VisitID", "ANCClinicNumber"], _PII_MNCH,
-            notes="LoadMnchAncVisits.java:73"),
+            dedupe_keys=("PatientPk", "SiteCode", "VisitDate"),
+            notes="LoadMnchAncVisits.java:73; source dedupe "
+                  "LoadMnchAncVisits.sql:11-15"),
         job("mnch_arts", "mnchcentral", "dbo.MNCH_Arts",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMnchArts.java:73"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMnchArts.java:73; source dedupe LoadMnchArts.sql"),
         job("mnch_cwc_enrolments", "mnchcentral", "dbo.MNCH_CwcEnrolments",
             ["PatientPk", "SiteCode"],
             {"PatientPK": "PatientPKHash", "MothersPkv": "MothersPkvHash",
              "MothersCCCNo": "MothersCCCNoHash"},
-            notes="LoadMnchCwcEnrolments.java:73"),
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMnchCwcEnrolments.java:73; source dedupe "
+                  "LoadMnchCwcEnrolments.sql"),
         job("mnch_cwc_visits", "mnchcentral", "dbo.MNCH_CwcVisits",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMnchCwcVisits.java:71"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("PatientPk", "SiteCode", "VisitDate"),
+            notes="LoadMnchCwcVisits.java:71; source dedupe "
+                  "LoadMnchCwcVisits.sql"),
         job("mnch_enrolments", "mnchcentral", "dbo.MNCH_Enrolments",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMNCHEnrolments.java:73"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMNCHEnrolments.java:73; source dedupe "
+                  "LoadMNCHEnrolments.sql"),
         job("mnch_heis", "mnchcentral", "dbo.MNCH_HEIs",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMNCHHeis.java:72"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMNCHHeis.java:72; source dedupe LoadMNCHHeis.sql:5-8"),
         job("mnch_immunization", "mnchcentral", "dbo.MNCH_Immunization",
             ["PatientPK", "SiteCode", "PatientMnchID"], _PII_MNCH,
-            notes="LoadMNCHImmunization.java:67"),
+            dedupe_keys=("PatientPK", "SiteCode"),
+            notes="LoadMNCHImmunization.java:67; source dedupe "
+                  "LoadMNCHImmunization.sql"),
         job("mnch_labs", "mnchcentral", "dbo.MNCH_Labs",
             ["PatientPk", "SiteCode"],
             {"PatientPK": "PatientPKHash", "PatientMnch_ID": "PatientMnchIDHash"},
-            notes="LoadMnchLabs.java:71"),
+            dedupe_keys=("PatientPk", "SiteCode", "OrderedbyDate"),
+            notes="LoadMnchLabs.java:71; source dedupe LoadMnchLabs.sql:5-8"),
         job("mnch_mat_visits", "mnchcentral", "dbo.MNCH_MatVisits",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMnchMatVisits.java:68"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMnchMatVisits.java:68; source dedupe "
+                  "LoadMnchMatVisits.sql"),
         job("mnch_mother_baby_pairs", "mnchcentral", "dbo.MNCH_MotherBabyPairs",
             ["PatientPk", "SiteCode"],
             {"PatientPK": "PatientPKHash", "MotherPatientPK": "MotherPatientPKHash",
              "BabyPatientPK": "BabyPatientPKHash",
              "MotherPatientMncHeiID": "MotherPatientMncHeiIDHash"},
-            notes="LoadMnchMotherBabyPairs.java:72"),
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMnchMotherBabyPairs.java:72; source dedupe "
+                  "LoadMnchMotherBabyPairs.sql"),
         job("mnch_patients", "mnchcentral", "dbo.MNCH_Patient",
             ["PatientPk", "SiteCode"],
             {**_PII_MNCH, "NUPI": "NupiHash"},
-            notes="LoadMnchPatients.java:73"),
+            dedupe_keys=("PatientPk", "SiteCode"),
+            notes="LoadMnchPatients.java:73; source dedupe "
+                  "LoadMnchPatients.sql"),
         job("mnch_pnc_visits", "mnchcentral", "dbo.MNCH_PncVisits",
-            ["PatientPk", "SiteCode"], _PII_MNCH, notes="LoadMnchPncVisits.java:70"),
+            ["PatientPk", "SiteCode"], _PII_MNCH,
+            dedupe_keys=("SiteCode", "PatientPk", "VisitDate", "VisitID"),
+            notes="LoadMnchPncVisits.java:70; source dedupe "
+                  "LoadMnchPncVisits.sql"),
         # --- PrepCentral ------------------------------------------------------
         job("prep_patient", "prepcentral", "dbo.PrEP_Patient",
             ["PatientPk", "SiteCode"], _PII_PREP,
-            notes="LoadPrepPatient.java:103-132; county canonicalization maps"),
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_CREATED,
+            rules=_PREP_PATIENT_RULES,
+            notes="LoadPrepPatient.java:55-132 — '' -> NULL sweep + "
+                  "KeyPopulationType/Inschool/MaritalStatus/County maps; "
+                  "source dedupe LoadPrepPatient.sql"),
         job("prep_visits", "prepcentral", "dbo.PrEP_Visits",
-            ["PatientPk", "SiteCode"], _PII_PREP, notes="LoadPrepVisits.java:73"),
+            ["PatientPk", "SiteCode"], _PII_PREP,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_BOTH,
+            notes="LoadPrepVisits.java:73; dual dedupe gates "
+                  "LoadPrepVisits.sql:69-77 (fixed quirk)"),
         job("prep_pharmacy", "prepcentral", "dbo.PrEP_Pharmacy",
-            ["PatientPk", "SiteCode"], _PII_PREP, notes="LoadPrepPharmacy.java:81"),
+            ["PatientPk", "SiteCode"], _PII_PREP,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_BOTH,
+            notes="LoadPrepPharmacy.java:81; dual dedupe gates (fixed quirk)"),
         job("prep_behaviour_risk", "prepcentral", "dbo.PrEP_BehaviourRisk",
-            ["PatientPk", "SiteCode"], _PII_PREP, notes="LoadPrepBehaviourRisk.java:100"),
+            ["PatientPk", "SiteCode"], _PII_PREP,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_BOTH,
+            notes="LoadPrepBehaviourRisk.java:100; dual dedupe gates "
+                  "(fixed quirk)"),
         job("prep_care_termination", "prepcentral", "dbo.PrEP_CareTermination",
-            ["PatientPk", "SiteCode"], _PII_PREP, notes="LoadPrepCareTermination.java:77"),
+            ["PatientPk", "SiteCode"], _PII_PREP,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_BOTH,
+            notes="LoadPrepCareTermination.java:77; dual dedupe gates "
+                  "(fixed quirk)"),
         job("prep_adverse_events", "prepcentral", "dbo.PrEP_AdverseEvent",
-            ["PatientPk", "SiteCode"], _PII_PREP, notes="LoadPrepAdverseEvents.java:89"),
+            ["PatientPk", "SiteCode"], _PII_PREP,
+            dedupe_keys=("PatientPk", "SiteCode"),
+            dedupe_order=_BY_CREATED,
+            notes="LoadPrepAdverseEvents.java:89; source dedupe "
+                  "LoadPrepAdverseEvents.sql"),
         job("prep_lab", "prepcentral", "dbo.PrEP_Lab",
             ["PatientPk", "SiteCode", "PrepNumber"], _PII_PREP,
-            notes="LoadPrepLab.java:79"),
+            dedupe_keys=("PatientPk", "SiteCode", "PrepNumber"),
+            dedupe_order=_BY_CREATED,
+            notes="LoadPrepLab.java:79; source dedupe LoadPrepLab.sql"),
     ]
 }

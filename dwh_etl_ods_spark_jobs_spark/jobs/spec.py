@@ -29,6 +29,7 @@ from dwh_etl_ods_spark_jobs_spark.operators import (
     hash_pii,
     lookup_fold,
 )
+from dwh_etl_ods_spark_jobs_spark.operators.enrich import enrich_patient_facility
 from dwh_etl_ods_spark_jobs_spark.sources import TableSpec, read_table, write_append
 
 
@@ -50,6 +51,22 @@ class LookupSpec:
 
 
 @dataclass(frozen=True)
+class EnrichSpec:
+    """Source-side star enrichment: fact ⋈ PatientExtract ⋈ Facility.
+
+    Every CT source query performs this join inside the pushed-down T-SQL
+    (``LoadSourceCTPatients.sql:7-9``, ``LoadSourceARTPatients.sql:19-21``);
+    engine-native mode reads the raw fact extract plus the two dimension
+    tables and runs the same join as a Spark stage — broadcast facility,
+    hash-join patient (operators/enrich.py).
+    """
+
+    fact_patient_key: str = "PatientId"
+    patient_cols: tuple[str, ...] = ("PatientPK", "PatientID")
+    facility_cols: tuple[str, ...] = ("SiteCode", "FacilityName")
+
+
+@dataclass(frozen=True)
 class JobSpec:
     """Everything that distinguishes one reference job from another."""
 
@@ -67,7 +84,12 @@ class JobSpec:
     # Key columns that need a source-side expression before the anti-join,
     # e.g. cast(VisitDate as date) (LoadAdverseEvents.java:145-146).
     key_exprs: Mapping[str, Callable[[], Column]] = field(default_factory=dict)
-    select: tuple[str, ...] | None = None  # final projection (column order)
+    # Final projection in target-DDL column order; columns the delta does not
+    # carry are filled with typed NULL (an INSERT's unnamed columns).
+    select: tuple[str, ...] | None = None
+    # Star enrichment of the raw fact extract (None when the source is read
+    # through the reference's pushed-down SQL, which already joins the dims).
+    enrich: EnrichSpec | None = None
     notes: str = ""  # reference quirks we intentionally fix (SURVEY §7)
 
 
@@ -79,14 +101,30 @@ def run_incremental_load(
     lookups: Mapping[str, DataFrame] | None = None,
     sink: TableSpec | None = None,
     write_partitions: int | None = None,
+    patient: DataFrame | None = None,
+    facility: DataFrame | None = None,
 ) -> DataFrame:
     """Run one incremental load; returns the appended delta (lazily).
 
     When ``sink`` is None the delta DataFrame is returned un-written — the
     caller owns the action (tests assert on it; production passes a sink).
+
+    ``patient``/``facility`` are the star-enrichment dimensions; they are
+    joined first (before dedupe — SiteCode itself comes from Facility in the
+    reference source SQL) when ``spec.enrich`` is set AND both are given.
+    A source already carrying the dim columns (pushed-down SQL) omits them.
     """
     src = source if isinstance(source, DataFrame) else read_table(spark, source)
     tgt = target if isinstance(target, DataFrame) else read_table(spark, target)
+
+    if spec.enrich is not None and patient is not None and facility is not None:
+        e = spec.enrich
+        src = enrich_patient_facility(
+            src, patient, facility,
+            fact_patient_key=e.fact_patient_key,
+            patient_cols=e.patient_cols,
+            facility_cols=e.facility_cols,
+        )
 
     if spec.key_exprs:
         for col, make_expr in spec.key_exprs.items():
@@ -127,7 +165,18 @@ def run_incremental_load(
         delta = delta.transform(hash_pii(dict(spec.pii)))
 
     if spec.select:
-        delta = delta.select(*spec.select)
+        # DDL-ordered projection (e.g. PatientVisitsDDL.sql:1-78): absent
+        # columns become typed NULLs, present ones keep their type. Name
+        # resolution is case-insensitive like Spark's own resolver.
+        have = {c.lower(): c for c in delta.columns}
+        delta = delta.select(
+            *[
+                F.col(have[c.lower()]).alias(c)
+                if c.lower() in have
+                else F.lit(None).cast("string").alias(c)
+                for c in spec.select
+            ]
+        )
 
     if sink is not None:
         write_append(delta, sink, write_partitions=write_partitions)

@@ -35,22 +35,25 @@ def test_ct_patients_job_end_to_end(spark):
     source = spark.createDataFrame(
         [
             # (SiteCode, PatientPK, ID, DateExtracted, DOB, RegistrationAtCCC,
-            #  NUPI, PatientID, MaritalStatus, EducationLevel, PatientSource)
+            #  NUPI, PatientID, MaritalStatus, EducationLevel, PatientSource,
+            #  PreviousARTExposure)
             # p1: two generations -> dedupe keeps ID 11
             (100, "p1", 10, dt.date(2023, 1, 1), dt.date(1990, 5, 1),
-             dt.date(2015, 3, 1), "n1", "pid1", "single", "primary", "vct"),
+             dt.date(2015, 3, 1), "n1", "pid1", "single", "primary", "vct", "tdf"),
             (100, "p1", 11, dt.date(2023, 6, 1), dt.date(1990, 5, 1),
-             dt.date(2015, 3, 1), "n1", "pid1", "Married Monogamous", "primary", "vct"),
+             dt.date(2015, 3, 1), "n1", "pid1", "Married Monogamous", "primary",
+             "vct", "tdf"),
             # p2: dirty DOB (pre-1900) -> clamped to sentinel; empty NUPI -> NULL
             (100, "p2", 20, dt.date(2023, 6, 1), dt.date(1850, 1, 1),
-             dt.date(2016, 1, 1), "", "pid2", "unknown", "secondary", "opd"),
+             dt.date(2016, 1, 1), "", "pid2", "unknown", "secondary", "opd", "xyz"),
             # p3: already in target -> anti-joined away
             (200, "p3", 30, dt.date(2023, 6, 1), dt.date(1985, 2, 2),
-             dt.date(2017, 1, 1), "n3", "pid3", "single", "none", "vct"),
+             dt.date(2017, 1, 1), "n3", "pid3", "single", "none", "vct", "tdf"),
         ],
         "SiteCode int, PatientPK string, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, PatientID string, "
-        "MaritalStatus string, EducationLevel string, PatientSource string",
+        "MaritalStatus string, EducationLevel string, PatientSource string, "
+        "PreviousARTExposure string",
     )
     target = spark.createDataFrame([(200, "p3")], "SiteCode int, PatientPK string")
     lookups = {
@@ -64,6 +67,9 @@ def test_ct_patients_job_end_to_end(spark):
         "lkp_patient_source": spark.createDataFrame(
             [("vct", "VCT")], "source_name string, target_name string"
         ),
+        "lkp_RegimenLineMap": spark.createDataFrame(
+            [("tdf", "TDF/3TC/DTG")], "Source_Regimen string, Target_Regimen string"
+        ),
     }
 
     delta = run_incremental_load(spark, spec, source, target, lookups)
@@ -74,6 +80,8 @@ def test_ct_patients_job_end_to_end(spark):
     assert p1.ID == 11  # dedupe kept the latest extract generation
     assert p1.MaritalStatus == "Married"  # case-insensitive lookup fold
     assert p1.PatientSource == "VCT"
+    assert p1.PreviousARTExposure == "TDF/3TC/DTG"  # lkp_RegimenLineMap fold
+    assert rows["p2"].PreviousARTExposure == "xyz"  # unmatched keeps original
     assert p2.DOB == dt.date(1900, 1, 1)  # pre-1900 clamped to sentinel
     assert p2.NUPI is None  # empty string -> NULL
     assert p2.MaritalStatus == "unknown"  # unmatched keeps original
@@ -92,11 +100,18 @@ def test_adverse_events_key_expr(spark):
     spec = CATALOG["ct_adverse_events"]
     source = spark.createDataFrame(
         [
-            (1, "p1", dt.datetime(2023, 5, 1, 14, 30), "pid1", "rash"),
-            (1, "p2", dt.datetime(2023, 5, 2, 9, 0), "pid2", "nausea"),
+            (1, "p1", dt.datetime(2023, 5, 1, 14, 30), "pid1", "rash",
+             dt.date(2023, 4, 1), dt.date(2023, 5, 1), "Mild|Mild|Mild",
+             "STOP", "TLD", "Recovered/Resolved", "reg1"),
+            (1, "p2", dt.datetime(2023, 5, 2, 9, 0), "pid2", "nausea",
+             dt.date(1950, 1, 1), None, "", "Dose reduced", "unmapped-cause",
+             "", "reg2"),
         ],
         "SiteCode int, PatientPK string, VisitDate timestamp, PatientID string, "
-        "AdverseEvent string",
+        "AdverseEvent string, AdverseEventStartDate date, "
+        "AdverseEventEndDate date, Severity string, "
+        "AdverseEventActionTaken string, AdverseEventCause string, "
+        "AdverseEventClinicalOutcome string, AdverseEventRegimen string",
     )
     # Target stores the visit DATE; the 14:30 timestamp must still match.
     target = spark.createDataFrame(
@@ -105,11 +120,21 @@ def test_adverse_events_key_expr(spark):
     lookups = {
         "lkp_adverse_events": spark.createDataFrame(
             [("rash", "Skin Rash")], "source_name string, target_name string"
-        )
+        ),
+        "lkp_regimen": spark.createDataFrame(
+            [("reg2", "TDF/3TC/DTG")], "source_name string, target_name string"
+        ),
     }
     delta = run_incremental_load(spark, spec, source, target, lookups)
     rows = delta.collect()
     assert [r.PatientPK for r in rows] == ["p2"]
+    p2 = rows[0]
+    # LoadAdverseEvents.java:79-109 clean chain on the surviving row
+    assert p2.AdverseEventStartDate == dt.date(1900, 1, 1)  # pre-1980 clamped
+    assert p2.Severity is None  # '' -> NULL
+    assert p2.AdverseEventActionTaken == "Drug Reduced"
+    assert p2.AdverseEventCause == "unmapped-cause"  # otherwise keeps original
+    assert p2.AdverseEventRegimen == "TDF/3TC/DTG"  # lkp_regimen fold
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +249,11 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
     d = str(tmp_path)
     src = spark.createDataFrame(
         [(100, "p1", 1, dt.date(2023, 1, 1), dt.date(1990, 1, 1),
-          dt.date(2015, 1, 1), "n1", "pid1", "single", "primary", "vct")],
+          dt.date(2015, 1, 1), "n1", "pid1", "single", "primary", "vct", "tdf")],
         "SiteCode int, PatientPK string, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, PatientID string, "
-        "MaritalStatus string, EducationLevel string, PatientSource string",
+        "MaritalStatus string, EducationLevel string, PatientSource string, "
+        "PreviousARTExposure string",
     )
     src.write.parquet(f"{d}/src")
     src.limit(0).select("SiteCode", "PatientPK").write.parquet(f"{d}/tgt")
@@ -235,6 +261,7 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
         ("lkp_MaritalStatus", "Source_MaritalStatus string, Target_MaritalStatus string"),
         ("Lkp_EducationLevel", "source_name string, target_name string"),
         ("lkp_patient_source", "source_name string, target_name string"),
+        ("lkp_RegimenLineMap", "Source_Regimen string, Target_Regimen string"),
     ]:
         spark.createDataFrame([("single", "Single")], cols).write.parquet(
             f"{d}/lkp/{t}.parquet"
@@ -244,6 +271,112 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
         "--target-path", f"{d}/tgt", "--lookup-dir", f"{d}/lkp",
     ])
     assert rc == 0
+
+
+def test_mnch_heis_dedupes_source_generations(spark):
+    """A previously-undeduped job: two extract generations of the same
+    (PatientPk, SiteCode) collapse to the latest (LoadMNCHHeis.sql:5-8 —
+    GROUP BY PatientPk, SiteCode -> MAX(ID), MAX(DateExtracted))."""
+    spec = CATALOG["mnch_heis"]
+    assert spec.dedupe_keys == ("PatientPk", "SiteCode")
+    source = spark.createDataFrame(
+        [
+            ("h1", 10, 1, dt.date(2023, 1, 1), "m1", "old-gen"),
+            ("h1", 10, 2, dt.date(2023, 6, 1), "m1", "new-gen"),
+            ("h2", 10, 3, dt.date(2023, 6, 1), "m2", "only-gen"),
+        ],
+        "PatientPk string, SiteCode int, ID int, DateExtracted date, "
+        "PatientMnchID string, HEIHIVStatus string",
+    )
+    target = source.select("PatientPk", "SiteCode").limit(0)
+    delta = run_incremental_load(spark, spec, source, target, {})
+    rows = {r.PatientPk: r for r in delta.collect()}
+    assert set(rows) == {"h1", "h2"}
+    assert rows["h1"].HEIHIVStatus == "new-gen"  # latest generation wins
+
+
+def test_ct_patients_enrich_stage(spark):
+    """JobSpec.enrich: raw fact + PatientExtract + Facility through the spec
+    (LoadSourceCTPatients.sql:7-9). Regression guard on the r2 FK-drop fix:
+    the dim's PatientID must survive even though the fact's PatientId FK is
+    consumed by the join."""
+    spec = CATALOG["ct_patients"]
+    assert spec.enrich is not None
+    fact = spark.createDataFrame(
+        [
+            # (PatientId FK, ID, DateExtracted, DOB, RegistrationAtCCC, NUPI,
+            #  MaritalStatus, EducationLevel, PatientSource, PreviousARTExposure)
+            (1, 100, dt.date(2023, 6, 1), dt.date(1990, 5, 1),
+             dt.date(2015, 3, 1), "n1", "single", "primary", "vct", "tdf"),
+            (2, 200, dt.date(2023, 6, 1), dt.date(1991, 5, 1),
+             dt.date(2016, 3, 1), "n2", "single", "primary", "vct", "tdf"),
+            (9, 900, dt.date(2023, 6, 1), dt.date(1992, 5, 1),
+             dt.date(2017, 3, 1), "n9", "single", "primary", "vct", "tdf"),
+        ],
+        "PatientId int, ID int, DateExtracted date, DOB date, "
+        "RegistrationAtCCC date, NUPI string, MaritalStatus string, "
+        "EducationLevel string, PatientSource string, PreviousARTExposure string",
+    )
+    patient = spark.createDataFrame(
+        [(1, "p1", "pid1", 10), (2, "p2", "pid2", 10)],
+        "Id int, PatientPK string, PatientID string, FacilityId int",
+    )
+    facility = spark.createDataFrame(
+        [(10, 700, "Facility A")], "Id int, SiteCode int, FacilityName string"
+    )
+    lookups = {
+        "lkp_MaritalStatus": spark.createDataFrame(
+            [("single", "Single")],
+            "Source_MaritalStatus string, Target_MaritalStatus string"),
+        "Lkp_EducationLevel": spark.createDataFrame(
+            [("primary", "Primary")], "source_name string, target_name string"),
+        "lkp_patient_source": spark.createDataFrame(
+            [("vct", "VCT")], "source_name string, target_name string"),
+        "lkp_RegimenLineMap": spark.createDataFrame(
+            [("tdf", "TDF")], "Source_Regimen string, Target_Regimen string"),
+    }
+    target = spark.createDataFrame([], "SiteCode int, PatientPK string")
+    delta = run_incremental_load(
+        spark, spec, fact, target, lookups, patient=patient, facility=facility
+    )
+    rows = {r.PatientPK: r for r in delta.collect()}
+    # fact row with FK 9 has no registered patient -> dropped (inner join)
+    assert set(rows) == {"p1", "p2"}
+    assert rows["p1"].PatientID == "pid1"  # the dim's PatientID survived
+    assert rows["p1"].SiteCode == 700  # facility join supplied the key
+    assert rows["p1"].FacilityName == "Facility A"
+    assert "PatientId" not in delta.columns  # the fact FK was consumed
+    assert rows["p1"].PatientIDHash is not None
+
+
+def test_ct_patient_visits_ddl_projection(spark):
+    """Delta column order == PatientVisitsDDL.sql:1-78 order; columns the
+    source never carried come back as NULL (INSERT-missing semantics)."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.catalog import _CT_PATIENT_VISITS_DDL
+
+    spec = CATALOG["ct_patient_visits"]
+    source = spark.createDataFrame(
+        [("p1", 100, "v1", 1, dt.date(2023, 6, 1), dt.date(2023, 5, 1),
+          dt.date(2023, 7, 1), "70.0", "170.0", "fp", "pwp", "pid1")],
+        "PatientPK string, SiteCode int, VisitID string, ID int, "
+        "DateExtracted date, VisitDate date, NextAppointmentDate date, "
+        "Weight string, Height string, "
+        "FamilyPlanningMethod string, PwP string, PatientID string",
+    )
+    target = spark.createDataFrame([], "SiteCode int, PatientPK string, VisitID string")
+    lookups = {
+        "lkp_family_planning_method": spark.createDataFrame(
+            [("fp", "FP")], "source_name string, target_name string"),
+        "lkp_pwp": spark.createDataFrame(
+            [("pwp", "PWP")], "source_name string, target_name string"),
+    }
+    delta = run_incremental_load(spark, spec, source, target, lookups)
+    assert tuple(delta.columns) == _CT_PATIENT_VISITS_DDL
+    row = delta.collect()[0]
+    assert row.PatientPK == "p1"
+    assert row.FamilyPlanningMethod == "FP"
+    assert row.WHOStage is None  # never sourced -> NULL-filled
+    assert row.PatientPKHash is not None
 
 
 def test_missing_dedupe_order_column_raises(spark):

@@ -96,6 +96,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     threshold: float, w: int = SHINGLE_W,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate generation by shingle blocking, then exact Jaccard.
 
@@ -104,27 +105,51 @@ def ngram_jaccard_pairs(
     -> Jaccard from set sizes, |A∩B| / (|A| + |B| - |A∩B|). No candidate
     `distinct`, no array join-back, no array_intersect: the only wide ops
     are the posting self-join on 8-byte keys and one pair-count aggregation
-    (map-side combinable). Set sizes ride in via two broadcast joins of a
-    tiny (doc_id, n) relation. 60-bit hash collisions are ~n²/2^61 —
+    (map-side combinable). 60-bit hash collisions are ~n²/2^61 —
     negligible, and the oracle computes identically so results still match.
 
-    Scale: hot shingles skew the self-join; AQE skew-join splitting handles
-    it, and stopword-shingle filtering (drop shingles with document
-    frequency above a cap) is the standard mitigation — at 100 TB add
-    ``posting.groupBy(sh_h).count().filter(...)`` as a semi-join gate.
+    Scale discipline:
+
+    - **No caching.** The posting list is O(corpus tokens) — at 100 TB it
+      must never be pinned to executor storage. The self-join's two
+      branches share one shuffle via Spark's ReuseExchange (identical
+      canonical child plans), so the explode+md5 pass is not duplicated
+      there; the sizes aggregation re-scans once, which is cheaper than
+      caching billions of postings. Zero persistent RDDs remain after the
+      result is materialized.
+    - **Size joins are un-hinted.** The (doc_id, n) relation is one row
+      per document — O(n_docs), i.e. billions of rows at corpus scale — so
+      forcing a broadcast would OOM the driver (and exceed Spark's 8 GB
+      broadcast hard cap). Left un-hinted, AQE broadcasts when the
+      runtime size actually fits and falls back to a shuffle hash join
+      keyed on the already-aggregated (small) candidate pairs otherwise.
+    - **Hot-shingle DF cap** (``max_shingle_df``): a stop-shingle with
+      document frequency d contributes C(d,2) rows to the self-join — a
+      single boilerplate sentence shared by 1M pages is 5·10^11 pairs.
+      With a cap, shingles whose DF exceeds it are dropped from candidate
+      generation via a left-anti gate (the standard stopword-shingle
+      mitigation; trades recall on boilerplate-only overlap for a hard
+      bound). Set sizes still count ALL shingles, so Jaccard for surviving
+      pairs is a conservative (lower-bound) estimate. Default off to keep
+      exact parity with the oracle.
     """
-    posting = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), w)).alias("shingle"),
-        )
-        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
-        .persist()  # consumed by the self-join (×2) and the sizes agg
-    )
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
+    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = posting
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh_h")
+        )
+        joinable = posting.join(hot, "sh_h", "left_anti")
     inter = (
-        posting.alias("p1")
-        .join(posting.alias("p2"), on="sh_h")
+        joinable.alias("p1")
+        .join(joinable.alias("p2"), on="sh_h")
         .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
         .groupBy(
             F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
@@ -134,8 +159,8 @@ def ngram_jaccard_pairs(
     a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        inter.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
         )
@@ -251,9 +276,12 @@ def minhash_lsh_pairs(
     """Candidate pairs sharing >=1 LSH band, scored by estimated Jaccard
     (fraction of agreeing signature components)."""
     rows = k // bands
-    docs = minhash_signatures(df, text_col, id_col, k).persist()
-    # tiny (id + k longs per doc); referenced by 3 join branches — without
-    # the persist Catalyst recomputes the md5-over-shingles pass each time
+    docs = minhash_signatures(df, text_col, id_col, k)
+    # Not persisted: (doc_id, 16 longs) is still O(n_docs) — pinning it at
+    # corpus scale evicts more useful blocks. The band self-join shares one
+    # shuffle via ReuseExchange, and the a/b verify branches shuffle on the
+    # same key/plan (also reused), so the md5-over-shingles pass runs twice
+    # (bands + verify), not 3x. Zero persistent RDDs remain afterwards.
     bands_df = docs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
@@ -348,7 +376,9 @@ def simhash_near_pairs(
     verifies exactly. ``sigs`` is (doc_id, simhash).
     """
     mask = (1 << band_bits) - 1
-    sigs = sigs.persist()  # two join branches below; signatures are 16 bytes/doc
+    # Not persisted: the banded self-join's two branches share one shuffle
+    # via ReuseExchange, so the signature pass is not recomputed per side —
+    # and no cached blocks outlive the query.
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -541,11 +571,14 @@ def embedding_neardup_pairs(
     signatures are computed per-row with literal plane arrays (broadcast in
     the closure, no shuffle)."""
     planes = hyperplanes(dim, n_planes)
+    # Not persisted: carries the raw vectors (O(corpus x dim)) — never pin
+    # that at scale. The bucket self-join's branches share one shuffle via
+    # ReuseExchange, so the n_planes dot folds are computed once per row.
     sigs = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    ).persist()  # self-joined below; avoids recomputing n_planes dot folds
+    )
     pairs = (
         sigs.alias("x")
         .join(sigs.alias("y"), on="bucket")

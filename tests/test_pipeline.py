@@ -91,6 +91,61 @@ def test_ngram_jaccard_finds_near_dup_only(spark):
     assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_df_cap(spark):
+    """A stop-shingle shared by every document explodes candidate pairs
+    C(n,2)-wise; the DF-cap gate bounds candidate generation to shingles
+    below the cap while leaving genuinely-overlapping pairs intact."""
+    boiler = "all rights reserved copyright"  # 4 tokens -> 2 hot 3-shingles
+    docs = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(1, 9)]
+    # docs 10/11 share real content beyond the boilerplate
+    docs += [
+        (10, f"{boiler} the quick brown fox jumps over the lazy dog"),
+        (11, f"{boiler} the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.0)
+    capped = D.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.0, max_shingle_df=5
+    )
+    # Without the cap every pair of the 10 docs is a candidate (the hot
+    # shingles hit all docs); with it, only the genuinely-similar pair and
+    # whatever sub-cap shingles connect survive.
+    assert uncapped.count() == 45  # C(10,2)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (10, 11) in capped_pairs
+    assert len(capped_pairs) < 45
+    # Jaccard under the cap is a conservative lower bound of the true value.
+    true_j = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    for r in capped.collect():
+        assert r.jaccard <= true_j[(r.id_a, r.id_b)] + 1e-9
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_pair_generators_leave_no_persistent_rdds(spark):
+    """Unpersist hygiene: materializing each pair generator's result leaves
+    ZERO cached RDDs behind (the self-join branches share a shuffle via
+    ReuseExchange instead of relying on .persist())."""
+    df = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta{i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3), 0.5]) for i in range(20)],
+        "vec_id long, v array<double>",
+    )
+    base = _n_persistent_rdds(spark)
+    D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2).count()
+    D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2, max_shingle_df=10).count()
+    D.minhash_lsh_pairs(df, "text", "doc_id", 0.5).count()
+    D.simhash_near_pairs(D.simhash_signatures(df, "text", "doc_id")).count()
+    D.embedding_neardup_pairs(vecs, "v", "vec_id", 0.9, dim=4, n_planes=8).count()
+    assert _n_persistent_rdds(spark) == base
+
+
 def test_minhash_exact_dup_sig_identical(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h")], "doc_id long, text string"

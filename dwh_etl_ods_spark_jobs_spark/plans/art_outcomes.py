@@ -38,17 +38,46 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark.operators import dedupe_latest
-from dwh_etl_ods_spark_jobs_spark.operators.spine import day_spine
+from dwh_etl_ods_spark_jobs_spark.operators.spine import day_spine, month_spine
 
 SPINE_START = "2024-01-01"
 SPINE_END = "2024-01-30"
 ACTIVE_DAYS = 7  # classifier thresholds (reference :210-220 uses 30/90-day bands)
 DEFAULT_DAYS = 14
 
+# Month-end variant at the reference's own grain and 30/90-day bands
+# (LoadHistoricalARTOutcomes.sql:8-19 builds month-ends; :210-220 classifies
+# with 30/90-day windows). The spine brackets the testdata's event range so
+# state visibly carries forward and decays across month-ends.
+MONTH_SPINE_START = "2023-10-01"
+MONTH_SPINE_END = "2024-06-30"
+ACTIVE_DAYS_MONTHLY = 30
+DEFAULT_DAYS_MONTHLY = 90
+
+# The entities x spine grid is a broadcast non-equi join (BroadcastNestedLoop
+# on as_of_date >= first_d) — correct ONLY while the broadcast side (the
+# spine) stays tiny. That is true by construction: the spine has one row per
+# period in a literal, fixed date range (30 days / 9 month-ends here; the
+# reference's full range is 75 month-ends). Pin the assumption so a future
+# range edit cannot silently turn the grid into a huge broadcast.
+_MAX_SPINE_ROWS = 5000
+
+
+def _assert_spine_small(start: str, end: str) -> None:
+    import datetime as _dt
+
+    n = (_dt.date.fromisoformat(end) - _dt.date.fromisoformat(start)).days + 1
+    assert n <= _MAX_SPINE_ROWS, (
+        f"spine [{start}, {end}] would have up to {n} rows; the grid join "
+        "broadcasts the spine and assumes it is tiny — use a coarser grain "
+        "or partition the range"
+    )
+
 
 def art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
 
+    _assert_spine_small(SPINE_START, SPINE_END)
     ev = read_events(spark, sf_dir)
     visits = ev.filter(F.col("event_type").isin("click", "view"))
     dispenses = ev.filter(F.col("event_type") == "purchase")
@@ -127,6 +156,152 @@ def art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # In-flight PII hash (reference INSERT :238-239).
         F.upper(F.sha2(F.col("user_id").cast("string"), 256)).alias("UserHash"),
     )
+
+
+def art_outcomes_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own grain: month-end periods + 30/90-day outcome
+    bands (``LoadHistoricalARTOutcomes.sql:8-19`` spine, ``:210-220``
+    classifier). Identical set-based shape to :func:`art_outcomes` — events
+    bucket to their month-end, one carry-forward window replaces the
+    reference's 75-iteration cursor."""
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    _assert_spine_small(MONTH_SPINE_START, MONTH_SPINE_END)
+    ev = read_events(spark, sf_dir)
+    visits = ev.filter(F.col("event_type").isin("click", "view"))
+    dispenses = ev.filter(F.col("event_type") == "purchase")
+
+    def _monthly_latest(df: DataFrame, prefix: str) -> DataFrame:
+        m = F.last_day(F.to_date("ts")).alias("m")
+        latest = df.withColumn("m", m).transform(
+            dedupe_latest(["user_id", "m"], [F.col("ts").desc(), F.col("event_id").desc()])
+        )
+        return latest.select(
+            F.col("user_id").alias(f"{prefix}_uid"),
+            F.col("m").alias(f"{prefix}_m"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    v = _monthly_latest(visits, "visit")
+    p = _monthly_latest(dispenses, "disp")
+
+    spine = month_spine(spark, MONTH_SPINE_START, MONTH_SPINE_END)
+    first_seen = ev.groupBy("user_id").agg(
+        F.last_day(F.to_date(F.min("ts"))).alias("first_m")
+    )
+    grid = first_seen.join(F.broadcast(spine), F.col("as_of_date") >= F.col("first_m"))
+
+    st = (
+        grid.join(
+            v,
+            (F.col("user_id") == F.col("visit_uid")) & (F.col("as_of_date") == F.col("visit_m")),
+            "left",
+        )
+        .join(
+            p,
+            (F.col("user_id") == F.col("disp_uid")) & (F.col("as_of_date") == F.col("disp_m")),
+            "left",
+        )
+        .drop("visit_uid", "visit_m", "disp_uid", "disp_m")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("as_of_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = st.select(
+        "user_id",
+        "as_of_date",
+        F.last("visit_ts", ignorenulls=True).over(w).alias("last_visit_ts"),
+        F.last("disp_ts", ignorenulls=True).over(w).alias("last_disp_ts"),
+        F.last("disp_value", ignorenulls=True).over(w).alias("last_disp_value"),
+    )
+
+    days_since_visit = F.datediff(F.col("as_of_date"), F.to_date("last_visit_ts"))
+    days_since_disp = F.datediff(F.col("as_of_date"), F.to_date("last_disp_ts"))
+    outcome = (
+        F.when(F.col("last_visit_ts").isNull() & F.col("last_disp_ts").isNull(), "NoContact")
+        .when(
+            (F.col("last_disp_ts").isNotNull())
+            & (F.col("last_visit_ts").isNull() | (F.col("last_disp_ts") > F.col("last_visit_ts"))),
+            F.when(days_since_disp <= ACTIVE_DAYS_MONTHLY, "ActiveOnDispense").otherwise(
+                "DispenseOnly"
+            ),
+        )
+        .when(days_since_visit <= ACTIVE_DAYS_MONTHLY, "Active")
+        .when(days_since_visit <= DEFAULT_DAYS_MONTHLY, "Defaulted")
+        .otherwise("LostToFollowUp")
+    )
+    return st.select(
+        "user_id",
+        "as_of_date",
+        F.to_date("last_visit_ts").alias("last_visit_date"),
+        F.to_date("last_disp_ts").alias("last_disp_date"),
+        F.col("last_disp_value").alias("last_disp_value"),
+        outcome.alias("outcome"),
+        F.upper(F.sha2(F.col("user_id").cast("string"), 256)).alias("UserHash"),
+    )
+
+
+SQL_ART_OUTCOMES_MONTHLY = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), spine AS (
+  SELECT last_day(unnest(generate_series(DATE '2023-10-01', DATE '2024-06-01',
+                                         INTERVAL 1 MONTH))::DATE) AS as_of_date
+), first_seen AS (
+  SELECT user_id, last_day(CAST(min(ts) AS DATE)) AS first_m FROM ev GROUP BY user_id
+), v AS (
+  SELECT user_id, last_day(CAST(ts AS DATE)) AS m, ts AS visit_ts
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, last_day(CAST(ts AS DATE))
+        ORDER BY ts DESC, event_id DESC) rn
+    FROM ev WHERE event_type IN ('click','view')
+  ) WHERE rn = 1
+), p AS (
+  SELECT user_id, last_day(CAST(ts AS DATE)) AS m, ts AS disp_ts, value AS disp_value
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, last_day(CAST(ts AS DATE))
+        ORDER BY ts DESC, event_id DESC) rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), st AS (
+  SELECT g.user_id, g.as_of_date,
+    last_value(v.visit_ts IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.as_of_date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_visit_ts,
+    last_value(p.disp_ts IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.as_of_date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_disp_ts,
+    last_value(p.disp_value IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.as_of_date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_disp_value
+  FROM (SELECT f.user_id, s.as_of_date
+        FROM first_seen f JOIN spine s ON s.as_of_date >= f.first_m) g
+  LEFT JOIN v ON g.user_id = v.user_id AND g.as_of_date = v.m
+  LEFT JOIN p ON g.user_id = p.user_id AND g.as_of_date = p.m
+)
+SELECT user_id, as_of_date,
+  CAST(last_visit_ts AS DATE) AS last_visit_date,
+  CAST(last_disp_ts AS DATE) AS last_disp_date,
+  last_disp_value,
+  CASE
+    WHEN last_visit_ts IS NULL AND last_disp_ts IS NULL THEN 'NoContact'
+    WHEN last_disp_ts IS NOT NULL
+         AND (last_visit_ts IS NULL OR last_disp_ts > last_visit_ts) THEN
+      CASE WHEN date_diff('day', CAST(last_disp_ts AS DATE), as_of_date) <= 30
+           THEN 'ActiveOnDispense' ELSE 'DispenseOnly' END
+    WHEN date_diff('day', CAST(last_visit_ts AS DATE), as_of_date) <= 30 THEN 'Active'
+    WHEN date_diff('day', CAST(last_visit_ts AS DATE), as_of_date) <= 90 THEN 'Defaulted'
+    ELSE 'LostToFollowUp'
+  END AS outcome,
+  UPPER(sha256(CAST(user_id AS VARCHAR))) AS UserHash
+FROM st
+"""
 
 
 SQL_ART_OUTCOMES = """

@@ -20,7 +20,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import SQL_ART_OUTCOMES
+from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import (
+    SQL_ART_OUTCOMES,
+    SQL_ART_OUTCOMES_MONTHLY,
+)
 from dwh_etl_ods_spark_jobs_spark.operators import (
     anti_join_new,
     apply_rules,
@@ -418,6 +421,12 @@ def q_art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return art_outcomes(spark, sf_dir)
 
 
+def q_art_outcomes_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_etl_ods_spark_jobs_spark.plans.art_outcomes import art_outcomes_monthly
+
+    return art_outcomes_monthly(spark, sf_dir)
+
+
 QUERIES = {
     "incremental_antijoin_nullsafe": q_incremental_antijoin,
     "dedupe_latest_window": q_dedupe_latest,
@@ -432,6 +441,7 @@ QUERIES = {
     "union_date_repair": q_union_date_repair,
     "pricing_summary": q_pricing_summary,
     "art_outcomes_asof": q_art_outcomes,
+    "art_outcomes_monthly": q_art_outcomes_monthly,
 }
 
 ORACLES = {
@@ -448,4 +458,5 @@ ORACLES = {
     "union_date_repair": SQL_UNION_DATE_REPAIR,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "art_outcomes_asof": SQL_ART_OUTCOMES,
+    "art_outcomes_monthly": SQL_ART_OUTCOMES_MONTHLY,
 }

@@ -23,6 +23,7 @@ from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -31,8 +32,25 @@ from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new, dedupe_latest
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """True if ``path`` exists, via the JVM Hadoop FileSystem API (works for
-    any Hadoop-supported scheme, not just local files)."""
-    jvm = spark._jvm
+    any Hadoop-supported scheme, not just local files).
+
+    Requires a classic (JVM-gateway) session; under Spark Connect there is
+    no ``_jvm``, so fall back to probing the path with a parquet read and
+    classifying the AnalysisException — PATH_NOT_FOUND means absent,
+    schema-inference failure means present-but-empty."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:  # Spark Connect session
+        try:
+            spark.read.format("parquet").load(path).schema
+            return True
+        except AnalysisException as e:
+            cond = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
+            msg = f"{cond} {e}"
+            if "PATH_NOT_FOUND" in msg:
+                return False
+            if "UNABLE_TO_INFER_SCHEMA" in msg:
+                return True
+            raise
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
@@ -80,15 +98,28 @@ def incremental_sink(
         else:
             df = df.dropDuplicates(list(keys))
         # Existence is checked explicitly via the Hadoop FS API rather than
-        # catching exceptions around the read: a bare except would treat a
+        # a bare except around the read: a bare except would treat a
         # transient storage error or corrupt target as "first batch" and
         # append the whole batch undeduplicated, silently breaking the
         # idempotency guarantee exactly when a batch replays after a fault.
-        # Any real read/anti-join error propagates so the micro-batch fails
-        # and retries.
+        # One legitimate first-batch shape remains behind the existence
+        # check: a failed/partial first write leaves the directory existing
+        # but with NO readable parquet data files (the commit protocol
+        # creates the dir and _temporary before committing), so the target
+        # read throws schema-inference AnalysisException on every retry and
+        # the stream could never recover. That specific failure falls back
+        # to delta=df; IO/runtime errors still propagate so the micro-batch
+        # fails and retries.
         if _hadoop_path_exists(spark, target_path):
-            target = spark.read.parquet(target_path)
-            delta = df.transform(anti_join_new(target, list(keys)))
+            try:
+                target = spark.read.parquet(target_path)
+            except AnalysisException:  # dir exists, no data files committed
+                target = None
+            delta = (
+                df.transform(anti_join_new(target, list(keys)))
+                if target is not None
+                else df
+            )
         else:  # first batch: target does not exist yet
             delta = df
         delta.write.mode("append").parquet(target_path)
@@ -116,9 +147,19 @@ def windowed_counts(
 
     ``aggs`` maps output alias -> aggregate Column (like ``tumbling_rollup``);
     the default keeps the historical ``sum(value) AS sum_value`` so streams
-    without a ``value`` column pass their own aggregates instead of crashing."""
+    without a ``value`` column pass their own aggregates instead of crashing.
+    Aliases colliding with the reserved output columns (``n_events``,
+    ``window_start``, ``window_end``) or with a group column are rejected —
+    they would produce duplicate/ambiguous output columns downstream."""
     if aggs is None:
         aggs = {"sum_value": F.sum("value")}
+    reserved = {"n_events", "window_start", "window_end", *group_cols}
+    clash = sorted(reserved & set(aggs))
+    if clash:
+        raise ValueError(
+            f"windowed_counts: aggs aliases {clash} collide with reserved "
+            f"output columns or group_cols"
+        )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)

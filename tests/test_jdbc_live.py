@@ -1,0 +1,85 @@
+"""Live JDBC disposition: read/write against embedded Derby.
+
+The reference runs every job over SQL Server JDBC; the sandbox has no
+RDBMS server, but Spark ships embedded Apache Derby (its Hive-metastore
+backend), which exercises the real JDBC code paths in
+``sources/tables.py`` — DriverManager handshake, dialect-mediated DDL on
+first append, ``write_partitions`` connection fan-out, full-table scans
+and range-partitioned parallel reads (``JDBCRelation`` stride planning).
+
+Two pushdown shapes stay Derby-untestable and are covered by pytest-level
+option assertions instead: Spark wraps ``query``/``dbtable``-subselect
+reads as ``(...) SPARK_GEN_SUBQ_n`` — an AS-less derived-table alias that
+Derby's parser rejects but SQL Server (the reference's dialect,
+``LoadHtsClientTests.java:66,76``) accepts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark.sources import JdbcSpec, read_table, write_append
+
+URL = "jdbc:derby:memory:ods_live_test;create=true"
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    df = spark.createDataFrame(
+        [(i, f"p{i}", float(i)) for i in range(100)], "id int, name string, v double"
+    )
+    write_append(df, JdbcSpec(url=URL, table="APP.SMOKE"), write_partitions=2)
+    return df
+
+
+def test_jdbc_write_then_full_read(spark, seeded):
+    back = read_table(spark, JdbcSpec(url=URL, table="APP.SMOKE"))
+    assert back.count() == 100
+    assert {c.upper() for c in back.columns} == {"ID", "NAME", "V"}
+
+
+def test_jdbc_append_is_append(spark, seeded):
+    spec = JdbcSpec(url=URL, table="APP.SMOKE2")
+    one = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
+    write_append(one, spec)
+    write_append(
+        spark.createDataFrame([(2, "b", 2.0)], "id int, name string, v double"), spec
+    )
+    assert read_table(spark, spec).count() == 2
+
+
+def test_jdbc_range_partitioned_read(spark, seeded):
+    spec = JdbcSpec(
+        url=URL, table="APP.SMOKE",
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    df = read_table(spark, spec)
+    assert df.count() == 100  # stride planning loses no rows at the bounds
+    assert df.rdd.getNumPartitions() == 4  # the read is actually parallel
+
+
+def test_jdbc_query_options_reach_the_reader(spark):
+    """The query / subselect pushdown forms: Derby's parser rejects Spark's
+    AS-less generated alias, so assert the option plumbing instead — the
+    reader must carry the exact pushdown text for dialects that accept it
+    (SQL Server does; this is the reference's own read shape)."""
+    q = "select id, name from APP.SMOKE where id < 10"
+    with pytest.raises(Exception) as ei:
+        read_table(spark, JdbcSpec(url=URL, query=q)).count()
+    # Failure must come from Derby's SQL parser receiving our query text,
+    # not from option routing (which would raise a Python/analysis error
+    # before ever reaching the database).
+    assert "SPARK_GEN_SUBQ" in str(ei.value) or "42X01" in str(ei.value)
+
+
+def test_jdbc_spec_rejects_partitioning_without_bounds():
+    """The reference passes lowercase `numpartitions` with no
+    partitionColumn and Spark silently single-threads the read
+    (LoadCTPatients.java:56, fixed quirk): our spec requires the full
+    partition contract instead."""
+    spec = JdbcSpec(url=URL, table="APP.SMOKE", partition_column="id")
+    # bounds missing -> reader raises at load time rather than degrading
+    with pytest.raises(Exception):
+        from dwh_etl_ods_spark_jobs_spark.session import get_spark
+
+        read_table(get_spark("jdbc-neg"), spec).count()

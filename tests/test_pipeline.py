@@ -223,6 +223,53 @@ def test_ann_lsh_subset_of_bucket(spark):
 
 # --- multimodal ---
 
+def _clustered_vectors(n=80, dim=8, n_clusters=4):
+    """Deterministic clustered vectors (hash-free integer arithmetic):
+    cluster direction + small perturbation, so true nearest neighbors are
+    cluster-mates."""
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        base = [1.0 if j % n_clusters == c else 0.0 for j in range(dim)]
+        vec = [base[j] + ((i * 7 + j * 13) % 11 - 5) / 60.0 for j in range(dim)]
+        rows.append((i, vec))
+    return rows
+
+
+def test_ann_recall_at_k_floor(spark):
+    """Recall@k of the approximate paths against brute-force ground truth
+    (round-1 task 5): IVF with the true cluster directions as centroids
+    must recover nearly all true neighbors; hyperplane-LSH trades recall
+    for its ~2^planes candidate cut but must stay above a floor on
+    clustered data."""
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+
+    dim, k = 8, 5
+    data = _clustered_vectors(n=80, dim=dim)
+    cand = spark.createDataFrame(data, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(data[:8], "vec_id long, v array<double>")
+    truth = {}
+    for r in S.ann_bruteforce_topk(queries, cand, "vec_id", "v", k).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    centroids = spark.createDataFrame(
+        [(c, [1.0 if j % 4 == c else 0.0 for j in range(dim)]) for c in range(4)],
+        "vec_id long, v array<double>",
+    )
+    ivf_recall = recall(S.ann_ivf_topk(queries, cand, centroids, "vec_id", "v", k))
+    lsh_recall = recall(S.ann_lsh_topk(queries, cand, "vec_id", "v", k, dim, n_planes=6))
+    assert ivf_recall >= 0.9, f"IVF recall@{k} = {ivf_recall}"
+    assert lsh_recall >= 0.5, f"LSH recall@{k} = {lsh_recall}"
+
+
 def test_multimodal_meta_parses_bytes(spark):
     df = spark.createDataFrame([(7, "IMG0" + "x" * 60)], "doc_id long, text string")
     payloads = M.attach_payload(df, "text", "doc_id")

@@ -116,6 +116,43 @@ def test_windowed_counts_custom_aggs_without_value_column(spark, workdir):
     assert set(got.columns) == {"window_start", "window_end", "k", "n_events", "max_amount"}
 
 
+def test_incremental_stream_recovers_from_empty_target_dir(spark, workdir):
+    """A failed/partial first write leaves target_path existing with no
+    committed parquet data files; the sink must treat that as first batch
+    instead of wedging on 'Unable to infer schema' forever."""
+    src = os.path.join(workdir, "landing")
+    tgt = os.path.join(workdir, "target")
+    schema = "site int, pk string, v double"
+    _write_source_files(spark, src, [(1, "a", 1.0), (2, "b", 2.0)], schema)
+    # simulate the commit-protocol residue: dir + _temporary, zero data files
+    os.makedirs(os.path.join(tgt, "_temporary"))
+
+    stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    q = ST.incremental_sink(
+        stream, tgt, keys=["site", "pk"],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+    )
+    ST.run_to_completion(q)
+    got = {(r.site, r.pk) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_windowed_counts_rejects_reserved_alias_collisions(spark, workdir):
+    src = os.path.join(workdir, "src")
+    _write_source_files(
+        spark, src, [("2024-01-01 00:01:00", "a", 5)], "ts_s string, k string, amount int"
+    )
+    stream = (
+        ST.file_stream(spark, src, spark.read.parquet(src).schema)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    for bad in ("n_events", "window_start", "window_end", "k"):
+        with pytest.raises(ValueError, match="collide"):
+            ST.windowed_counts(
+                stream, "ts", group_cols=["k"], aggs={bad: F.max("amount")}
+            )
+
+
 def test_windowed_counts_matches_batch_aggregation(spark, workdir):
     from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
 

@@ -43,14 +43,40 @@ from dwh_etl_ods_spark_jobs_spark.operators import (
 # Rule sets for the jobs whose cleaning logic the survey traces.
 # ---------------------------------------------------------------------------
 
-# LoadCTPatients.java:112-141 — clamp DOB / registration dates to
-# [1900-01-01, today]; empty-string -> NULL on identifier columns.
+# LoadCTPatients.java:111-142 — the full ten-clamp chain: DOB floors at
+# 1910 (everything else at 1980), all clamp to the 1900-01-01 sentinel.
+# The trailing empty_to_null is an engine-native addition: '' on an
+# identifier would otherwise hash to a real-looking PII digest.
 _CT_PATIENTS_RULES = (
-    date_clamp("DOB", lo="1900-01-01", hi_is_current_date=True, sentinel="1900-01-01"),
-    date_clamp(
-        "RegistrationAtCCC", lo="1900-01-01", hi_is_current_date=True, sentinel="1900-01-01"
+    date_clamp("DOB", lo="1910-01-01", hi_is_current_date=True, sentinel="1900-01-01"),
+    *(
+        date_clamp(c, lo="1980-01-01", hi_is_current_date=True, sentinel="1900-01-01")
+        for c in (
+            "RegistrationDate", "RegistrationAtCCC", "RegistrationAtPMTCT",
+            "RegistrationAtTBClinic", "PreviousARTStartDate", "LastVisit",
+            "DateConfirmedHIVPositive", "TransferInDate",
+        )
     ),
     empty_to_null(["NUPI", "PatientID"]),
+)
+
+# LoadCTPatients.java:194-200 — the job's final SELECT column list, plus
+# the in-flight hash columns (the reference hashes post-write via
+# DatabaseUtils.hashPIIColumns, :221; engine-native they ride in-row).
+_CT_PATIENTS_SELECT = (
+    "ID", "PatientID", "PatientPK", "SiteCode", "FacilityName", "Gender",
+    "DOB", "RegistrationDate", "RegistrationAtCCC", "RegistrationAtPMTCT",
+    "RegistrationAtTBClinic", "PatientSource", "Region", "District",
+    "Village", "ContactRelation", "LastVisit", "MaritalStatus",
+    "EducationLevel", "DateConfirmedHIVPositive", "PreviousARTExposure",
+    "PreviousARTStartDate", "Emr", "Project", "Orphan", "Inschool",
+    "PatientType", "PopulationType", "KeyPopulationType",
+    "PatientResidentCounty", "PatientResidentSubCounty",
+    "PatientResidentLocation", "PatientResidentSubLocation",
+    "PatientResidentWard", "PatientResidentVillage", "TransferInDate",
+    "Occupation", "NUPI", "Pkv", "Date_Created", "Date_Last_Modified",
+    "recorduuid", "voided",
+    "PatientIDHash", "PatientPKHash", "NupiHash",
 )
 
 # LoadARTPatients.java:93-137, in reference order: DOB (1900 floor), eight
@@ -202,15 +228,19 @@ CATALOG: dict[str, JobSpec] = {
             lookups=(
                 LookupSpec("MaritalStatus", "lkp_MaritalStatus",
                            "Source_MaritalStatus", "Target_MaritalStatus"),
-                LookupSpec("EducationLevel", "Lkp_EducationLevel"),
+                LookupSpec("EducationLevel", "Lkp_EducationLevel",
+                           "SourceEducationLevel", "TargetEducationLevel"),
                 LookupSpec("PatientSource", "lkp_patient_source"),
                 LookupSpec("PreviousARTExposure", "lkp_RegimenLineMap",
                            "Source_Regimen", "Target_Regimen"),
             ),
+            select=_CT_PATIENTS_SELECT,
             enrich=EnrichSpec(),
-            notes="LoadCTPatients.java:27-228; PreviousARTExposure folds via "
-                  "lkp_RegimenLineMap (:82-89,147,154); source star join "
-                  "LoadSourceCTPatients.sql:7-9",
+            notes="LoadCTPatients.java:27-228; clean chain :111-142; "
+                  "PreviousARTExposure folds via lkp_RegimenLineMap "
+                  "(:82-89,147,154); education lookup uses Source/Target"
+                  "EducationLevel columns (:79); final projection :194-200; "
+                  "source star join LoadSourceCTPatients.sql:7-9",
         ),
         job(
             "ct_art_patients", "dwapicentral", "dbo.CT_ARTPatients",

@@ -32,28 +32,35 @@ def test_ct_patients_job_end_to_end(spark):
     Asserts the exact appended delta, then idempotency."""
     spec = CATALOG["ct_patients"]
 
+    clamp_fill = (dt.date(2016, 1, 1),) * 7  # RegistrationDate..TransferInDate
     source = spark.createDataFrame(
         [
             # (SiteCode, PatientPK, ID, DateExtracted, DOB, RegistrationAtCCC,
             #  NUPI, PatientID, MaritalStatus, EducationLevel, PatientSource,
-            #  PreviousARTExposure)
+            #  PreviousARTExposure, <7 more clamped date columns>)
             # p1: two generations -> dedupe keeps ID 11
             (100, "p1", 10, dt.date(2023, 1, 1), dt.date(1990, 5, 1),
-             dt.date(2015, 3, 1), "n1", "pid1", "single", "primary", "vct", "tdf"),
+             dt.date(2015, 3, 1), "n1", "pid1", "single", "primary", "vct",
+             "tdf", *clamp_fill),
             (100, "p1", 11, dt.date(2023, 6, 1), dt.date(1990, 5, 1),
              dt.date(2015, 3, 1), "n1", "pid1", "Married Monogamous", "primary",
-             "vct", "tdf"),
-            # p2: dirty DOB (pre-1900) -> clamped to sentinel; empty NUPI -> NULL
+             "vct", "tdf", *clamp_fill),
+            # p2: dirty DOB (pre-1910) -> clamped to sentinel; empty NUPI -> NULL
             (100, "p2", 20, dt.date(2023, 6, 1), dt.date(1850, 1, 1),
-             dt.date(2016, 1, 1), "", "pid2", "unknown", "secondary", "opd", "xyz"),
+             dt.date(2016, 1, 1), "", "pid2", "unknown", "secondary", "opd",
+             "xyz", *clamp_fill),
             # p3: already in target -> anti-joined away
             (200, "p3", 30, dt.date(2023, 6, 1), dt.date(1985, 2, 2),
-             dt.date(2017, 1, 1), "n3", "pid3", "single", "none", "vct", "tdf"),
+             dt.date(2017, 1, 1), "n3", "pid3", "single", "none", "vct",
+             "tdf", *clamp_fill),
         ],
         "SiteCode int, PatientPK string, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, PatientID string, "
         "MaritalStatus string, EducationLevel string, PatientSource string, "
-        "PreviousARTExposure string",
+        "PreviousARTExposure string, RegistrationDate date, "
+        "RegistrationAtPMTCT date, RegistrationAtTBClinic date, "
+        "PreviousARTStartDate date, LastVisit date, "
+        "DateConfirmedHIVPositive date, TransferInDate date",
     )
     target = spark.createDataFrame([(200, "p3")], "SiteCode int, PatientPK string")
     lookups = {
@@ -62,7 +69,8 @@ def test_ct_patients_job_end_to_end(spark):
             "Source_MaritalStatus string, Target_MaritalStatus string",
         ),
         "Lkp_EducationLevel": spark.createDataFrame(
-            [("primary", "Primary School")], "source_name string, target_name string"
+            [("primary", "Primary School")],
+            "SourceEducationLevel string, TargetEducationLevel string",
         ),
         "lkp_patient_source": spark.createDataFrame(
             [("vct", "VCT")], "source_name string, target_name string"
@@ -249,17 +257,21 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
     d = str(tmp_path)
     src = spark.createDataFrame(
         [(100, "p1", 1, dt.date(2023, 1, 1), dt.date(1990, 1, 1),
-          dt.date(2015, 1, 1), "n1", "pid1", "single", "primary", "vct", "tdf")],
+          dt.date(2015, 1, 1), "n1", "pid1", "single", "primary", "vct", "tdf",
+          *((dt.date(2016, 1, 1),) * 7))],
         "SiteCode int, PatientPK string, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, PatientID string, "
         "MaritalStatus string, EducationLevel string, PatientSource string, "
-        "PreviousARTExposure string",
+        "PreviousARTExposure string, RegistrationDate date, "
+        "RegistrationAtPMTCT date, RegistrationAtTBClinic date, "
+        "PreviousARTStartDate date, LastVisit date, "
+        "DateConfirmedHIVPositive date, TransferInDate date",
     )
     src.write.parquet(f"{d}/src")
     src.limit(0).select("SiteCode", "PatientPK").write.parquet(f"{d}/tgt")
     for t, cols in [
         ("lkp_MaritalStatus", "Source_MaritalStatus string, Target_MaritalStatus string"),
-        ("Lkp_EducationLevel", "source_name string, target_name string"),
+        ("Lkp_EducationLevel", "SourceEducationLevel string, TargetEducationLevel string"),
         ("lkp_patient_source", "source_name string, target_name string"),
         ("lkp_RegimenLineMap", "Source_Regimen string, Target_Regimen string"),
     ]:
@@ -302,20 +314,27 @@ def test_ct_patients_enrich_stage(spark):
     consumed by the join."""
     spec = CATALOG["ct_patients"]
     assert spec.enrich is not None
+    clamp_fill = (dt.date(2016, 1, 1),) * 7
     fact = spark.createDataFrame(
         [
             # (PatientId FK, ID, DateExtracted, DOB, RegistrationAtCCC, NUPI,
             #  MaritalStatus, EducationLevel, PatientSource, PreviousARTExposure)
             (1, 100, dt.date(2023, 6, 1), dt.date(1990, 5, 1),
-             dt.date(2015, 3, 1), "n1", "single", "primary", "vct", "tdf"),
+             dt.date(2015, 3, 1), "n1", "single", "primary", "vct", "tdf",
+             *clamp_fill),
             (2, 200, dt.date(2023, 6, 1), dt.date(1991, 5, 1),
-             dt.date(2016, 3, 1), "n2", "single", "primary", "vct", "tdf"),
+             dt.date(2016, 3, 1), "n2", "single", "primary", "vct", "tdf",
+             *clamp_fill),
             (9, 900, dt.date(2023, 6, 1), dt.date(1992, 5, 1),
-             dt.date(2017, 3, 1), "n9", "single", "primary", "vct", "tdf"),
+             dt.date(2017, 3, 1), "n9", "single", "primary", "vct", "tdf",
+             *clamp_fill),
         ],
         "PatientId int, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, MaritalStatus string, "
-        "EducationLevel string, PatientSource string, PreviousARTExposure string",
+        "EducationLevel string, PatientSource string, PreviousARTExposure string, "
+        "RegistrationDate date, RegistrationAtPMTCT date, "
+        "RegistrationAtTBClinic date, PreviousARTStartDate date, "
+        "LastVisit date, DateConfirmedHIVPositive date, TransferInDate date",
     )
     patient = spark.createDataFrame(
         [(1, "p1", "pid1", 10), (2, "p2", "pid2", 10)],
@@ -329,7 +348,8 @@ def test_ct_patients_enrich_stage(spark):
             [("single", "Single")],
             "Source_MaritalStatus string, Target_MaritalStatus string"),
         "Lkp_EducationLevel": spark.createDataFrame(
-            [("primary", "Primary")], "source_name string, target_name string"),
+            [("primary", "Primary")],
+            "SourceEducationLevel string, TargetEducationLevel string"),
         "lkp_patient_source": spark.createDataFrame(
             [("vct", "VCT")], "source_name string, target_name string"),
         "lkp_RegimenLineMap": spark.createDataFrame(

@@ -23,6 +23,8 @@ Reference quirks intentionally fixed (SURVEY.md §7 "what's hard" item 2):
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
@@ -31,6 +33,7 @@ from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
     hts_client_tests_value_rules,
     prep_patient_value_rules,
 )
+from dwh_etl_ods_spark_jobs_spark.jobs.projections import PROJECTIONS
 from dwh_etl_ods_spark_jobs_spark.jobs.spec import EnrichSpec, JobSpec, LookupSpec
 from dwh_etl_ods_spark_jobs_spark.operators import (
     date_clamp,
@@ -545,3 +548,23 @@ CATALOG: dict[str, JobSpec] = {
             notes="LoadPrepLab.java:79; source dedupe LoadPrepLab.sql"),
     ]
 }
+
+
+def _attach_projection(spec: JobSpec) -> JobSpec:
+    """Default every job's final projection to its reference column list
+    (jobs/projections.py), appending the in-flight PII hash columns the
+    reference added post-write. Curated selects (ct_patients,
+    ct_patient_visits) win over the extracted list."""
+    if spec.select is not None or spec.name not in PROJECTIONS:
+        return spec
+    # The reference lists mix casings for what is one column (Patientpk vs
+    # PatientPK); normalize to the spec's canonical key/PII casing so
+    # downstream key selects see one spelling.
+    canon = {k.lower(): k for k in (*spec.keys, *spec.pii, *spec.pii.values())}
+    cols = tuple(canon.get(c.lower(), c) for c in PROJECTIONS[spec.name])
+    have = {c.lower() for c in cols}
+    hashes = tuple(h for h in spec.pii.values() if h.lower() not in have)
+    return dataclasses.replace(spec, select=cols + hashes)
+
+
+CATALOG = {name: _attach_projection(spec) for name, spec in CATALOG.items()}

@@ -92,6 +92,17 @@ class JobSpec:
     enrich: EnrichSpec | None = None
     notes: str = ""  # reference quirks we intentionally fix (SURVEY §7)
 
+    def __post_init__(self) -> None:
+        # A projection that drops an anti-join key would NULL it on the next
+        # run's target and silently break incremental idempotency.
+        if self.select is not None:
+            have = {c.lower() for c in self.select}
+            missing = [k for k in self.keys if k.lower() not in have]
+            if missing:
+                raise ValueError(
+                    f"job {self.name}: select drops anti-join keys {missing}"
+                )
+
 
 def run_incremental_load(
     spark: SparkSession,

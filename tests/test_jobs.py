@@ -399,6 +399,33 @@ def test_ct_patient_visits_ddl_projection(spark):
     assert row.PatientPKHash is not None
 
 
+def test_every_job_has_reference_projection():
+    """All 49 jobs with a reference columnList carry a select projection
+    that includes the anti-join keys and the in-flight PII hash columns."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.projections import PROJECTIONS
+
+    with_select = [s for s in CATALOG.values() if s.select is not None]
+    assert len(with_select) >= 49
+    for spec in with_select:
+        lower = {c.lower() for c in spec.select}
+        for k in spec.keys:
+            assert k.lower() in lower, (spec.name, k)
+        for h in spec.pii.values():
+            assert h.lower() in lower, (spec.name, h)
+    # the curated lists win over the extracted ones
+    assert CATALOG["ct_patient_visits"].select != PROJECTIONS["ct_patient_visits"]
+
+
+def test_projection_dropping_key_raises():
+    import pytest as _pytest
+
+    from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec
+
+    with _pytest.raises(ValueError, match="drops anti-join keys"):
+        JobSpec(name="bad", source_system="x", target="dbo.T",
+                keys=("SiteCode", "PatientPK"), select=("SiteCode",))
+
+
 def test_missing_dedupe_order_column_raises(spark):
     spec = CATALOG["ct_patients"]
     bad_source = spark.createDataFrame(

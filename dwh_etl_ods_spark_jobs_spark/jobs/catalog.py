@@ -559,8 +559,11 @@ def _attach_projection(spec: JobSpec) -> JobSpec:
         return spec
     # The reference lists mix casings for what is one column (Patientpk vs
     # PatientPK); normalize to the spec's canonical key/PII casing so
-    # downstream key selects see one spelling.
-    canon = {k.lower(): k for k in (*spec.keys, *spec.pii, *spec.pii.values())}
+    # downstream key selects see one spelling. Keys come LAST so the
+    # anti-join key spelling wins over a PII-map spelling when the shared
+    # _PII_* dict spells the same column differently (e.g. _PII_MNCH's
+    # PatientPK vs mnch_heis's key PatientPk).
+    canon = {k.lower(): k for k in (*spec.pii.values(), *spec.pii, *spec.keys)}
     cols = tuple(canon.get(c.lower(), c) for c in PROJECTIONS[spec.name])
     have = {c.lower() for c in cols}
     hashes = tuple(h for h in spec.pii.values() if h.lower() not in have)

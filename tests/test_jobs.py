@@ -416,6 +416,21 @@ def test_every_job_has_reference_projection():
     assert CATALOG["ct_patient_visits"].select != PROJECTIONS["ct_patient_visits"]
 
 
+def test_projection_key_casing_matches_spec_keys_exactly():
+    """Regression (round-3 verdict): the projection canon map must preserve
+    the anti-join key spelling EXACTLY — a shared _PII_* map spelling
+    (PatientPK) must not overwrite a job key spelling (PatientPk), or the
+    projected delta columns stop matching the declared keys and every
+    downstream `row.<Key>` access dies."""
+    for spec in CATALOG.values():
+        if spec.select is None:
+            continue
+        select_exact = set(spec.select)
+        for k in spec.keys:
+            assert k in select_exact, (
+                spec.name, k, [c for c in spec.select if c.lower() == k.lower()])
+
+
 def test_projection_dropping_key_raises():
     import pytest as _pytest
 

@@ -19,6 +19,14 @@ Reference quirks intentionally fixed (SURVEY.md §7 "what's hard" item 2):
   ``LoadPrepVisits.sql:69-77``) — when the two winners differ the reference
   silently drops the key entirely; our single window orders by
   (DateExtracted, Created, ID) and always keeps exactly one row.
+- ``LoadSourceCTPatientLabs.sql:1`` reads ``SELECT distinct top 10`` — a
+  debug leftover that caps the national labs extract at 10 rows. Not
+  reproduced: ct_patient_labs reads the full extract (see its ``notes=``).
+- ``LoadPatientPharmacy.java:91,95`` — the Duration / PeriodTaken ``when``
+  chains have no ``.otherwise`` arm, so the reference nulls every IN-range
+  value. Not reproduced: we keep in-range values, matching the sibling ART
+  rule (``LoadARTPatients.java:127-128``) and the clear intent
+  (``jobs/rules.py:ct_patient_pharmacy_rules``).
 """
 
 from __future__ import annotations
@@ -30,8 +38,19 @@ from pyspark.sql import functions as F
 from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
     adverse_events_value_rules,
     art_value_rules,
+    ct_covid_rules,
+    ct_otz_rules,
+    ct_patient_baselines_rules,
+    ct_patient_pharmacy_rules,
+    hts_client_linkages_rules,
     hts_client_tests_value_rules,
+    hts_clients_rules,
+    hts_eligibility_rules,
+    hts_partner_notification_rules,
+    prep_adverse_events_rules,
+    prep_behaviour_risk_rules,
     prep_patient_value_rules,
+    prep_pharmacy_rules,
 )
 from dwh_etl_ods_spark_jobs_spark.jobs.projections import PROJECTIONS
 from dwh_etl_ods_spark_jobs_spark.jobs.spec import EnrichSpec, JobSpec, LookupSpec
@@ -131,19 +150,18 @@ _ADVERSE_EVENTS_RULES = (
     *adverse_events_value_rules(),
 )
 
-# LoadHtsEligibility.java:83-100 — empty-string -> NULL sweep, out-of-range
-# dates -> NULL (not sentinel).
-_HTS_ELIGIBILITY_RULES = (
-    empty_to_null(["HtsNumber", "Disability"]),
-    date_clamp("VisitDate", lo="1900-01-01", hi_is_current_date=True, sentinel=None),
-)
+# LoadHtsEligibility.java:61-99 — the FULL chain: five 0/1 -> No/Yes flags,
+# PatientType collapse, 7-column '' -> NULL sweep, DateTestedProvider 1980
+# floor -> NULL, VisitDate 2019 floor -> NULL (jobs/rules.py).
+_HTS_ELIGIBILITY_RULES = hts_eligibility_rules()
 
 # LoadHtsClientTests.java:80-112 — the eight category-collapse maps
 # (incl. TbScreening's otherwise('Not Done')), then MonthsSinceLastTest
-# > 1540 -> NULL (:111-112).
+# > 1540 -> NULL (:111-112; upper bound only — the reference keeps
+# negative months, so lo=None).
 _HTS_CLIENT_TESTS_RULES = (
     *hts_client_tests_value_rules(),
-    range_sentinel("MonthsSinceLastTest", 0, 1540, None, cast_to="int"),
+    range_sentinel("MonthsSinceLastTest", None, 1540, None, cast_to="int"),
 )
 
 # LoadPrepPatient.java:55-114 — '' -> NULL sweep + KeyPopulationType /
@@ -151,8 +169,14 @@ _HTS_CLIENT_TESTS_RULES = (
 _PREP_PATIENT_RULES = prep_patient_value_rules()
 
 # The CASE P.[Project] WHEN 'I-TECH'/'HMIS' THEN 'Kenya HMIS II' rewrite
-# embedded in several CT source queries (LoadSourcePatientStatus.sql:11,
-# LoadCTContactListing.sql:5-9) — engine-native it is a plain value map.
+# embedded in 15 CT source queries (census: grep -rl "I-TECH" over the
+# reference resources — ART patients, Allergies, ContactListing,
+# DepressionScreening, DrugAlcoholScreening, EnhancedAdherenceCounselling,
+# GBVScreening, IPT, OTZ, OVC, PatientBaselines, PatientLabs,
+# PatientPharmacy, PatientStatus, PatientVisits; e.g.
+# LoadSourcePatientStatus.sql:11, LoadCTIPT.sql:5-9). Engine-native it is
+# a plain value map, applied BEFORE each job's Java-side chain — the SQL
+# ran in the source database, upstream of the Spark cleaning.
 _PROJECT_SOURCE_RULES = (
     value_map("Project", {"Kenya HMIS II": ["I-TECH", "HMIS"]}),
 )
@@ -249,7 +273,7 @@ CATALOG: dict[str, JobSpec] = {
             "ct_art_patients", "dwapicentral", "dbo.CT_ARTPatients",
             ["PatientPK", "SiteCode"], _PII_CT,
             dedupe_keys=("PatientPK", "SiteCode"),
-            rules=_ART_PATIENTS_RULES,
+            rules=(*_PROJECT_SOURCE_RULES, *_ART_PATIENTS_RULES),
             lookups=(
                 LookupSpec("PreviousARTRegimen", "lkp_regimen"),
                 LookupSpec("StartRegimen", "lkp_regimen"),

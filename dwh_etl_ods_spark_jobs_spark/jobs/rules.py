@@ -22,6 +22,21 @@ Provenance (full chains, in reference order):
   CoupleDiscordant / TestType / Consent / Setting / Approach
                           -- ``Load HTS Client Tests/.../LoadHtsClientTests.java:80-112``
 
+Round-4 additions — the remaining mid-tier job chains, in reference order:
+
+- CT PatientPharmacy      -- ``Load CT Patient Pharmacy/.../LoadPatientPharmacy.java:90-102``
+- Prep BehaviourRisk sweep -- ``Load Prep Behaviour Risk/.../LoadPrepBehaviourRisk.java:57-82``
+- PrEP AdverseEvents sweep -- ``Load PrEP Adverse Events/.../LoadPrepAdverseEvents.java:55-71``
+- HTS PartnerNotificationServices
+                          -- ``Load HTS Partner Notification Services/.../LoadPartnerNotificationServices.java:58-74``
+- HTS Clients             -- ``Load HTS Clients/.../LoadHtsClients.java:82-92``
+- CT OTZ                  -- ``Load CT OTZ/.../LoadCTOTZ.java:59-67``
+- CT Covid                -- ``Load CT Covid/.../LoadCTCovid.java:61-73``
+- CT PatientBaselines     -- ``Load CT Patient Baselines/.../LoadPatientBaselines.java:57-64``
+- Prep Pharmacy           -- ``Load Prep Pharmacy/.../LoadPrepPharmacy.java:56-63``
+- HTS ClientLinkages      -- ``Load HTS Client Linkages/.../LoadHtsClientLinkages.java:61-66``
+- HTS Eligibility (full)  -- ``Load HTS Eligibility/.../LoadHtsEligibility.java:61-99``
+
 All maps are case-SENSITIVE: the reference compares these in Spark (Java
 ``Column.isin``), not under SQL Server collation — unlike the lookup-table
 folds, which are CI (SURVEY.md §4).
@@ -31,7 +46,14 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from dwh_etl_ods_spark_jobs_spark.operators import empty_to_null, value_map
+from dwh_etl_ods_spark_jobs_spark.operators import (
+    date_clamp,
+    empty_to_null,
+    presence_flag,
+    range_sentinel,
+    value_map,
+    values_to_null,
+)
 
 # --------------------------------------------------------------------------
 # Load CT ART Patients — LoadARTPatients.java:121-126
@@ -213,6 +235,87 @@ HTS_CLIENT_TESTS_MAPS: dict[str, tuple[dict[str, list[str]], bool, str | None]] 
 
 
 # --------------------------------------------------------------------------
+# Load Prep Behaviour Risk — LoadPrepBehaviourRisk.java:57-82
+# (13 '' -> NULL withColumns, in reference order)
+# --------------------------------------------------------------------------
+
+PREP_BR_EMPTY_TO_NULL_COLS: tuple[str, ...] = (
+    "NumberofchildrenWithPartner", "SexWithoutCondom",
+    "MonthsknownHIVSerodiscordant", "HIVPartnerARTStartDate",
+    "PartnerEnrolledtoCCC", "ReferralToOtherPrevServices",
+    "RiskReductionEducationOffered", "PrEPDeclineReason",
+    "ClientWillingToTakePrep", "ClientRisk", "IsPartnerHighrisk",
+    "IsHIVPositivePartnerCurrentonART", "SexPartnerHIVStatus",
+)
+
+# --------------------------------------------------------------------------
+# Load PrEP Adverse Events — LoadPrepAdverseEvents.java:55-71
+# --------------------------------------------------------------------------
+
+PREP_AE_EMPTY_TO_NULL_COLS: tuple[str, ...] = (
+    "AdverseEventRegimen", "AdverseEventIsPregnant",
+    "AdverseEventClinicalOutcome", "AdverseEventActionTaken", "Severity",
+    "AdverseEventEndDate", "AdverseEventStartDate", "AdverseEvent",
+)
+
+# --------------------------------------------------------------------------
+# Load HTS Partner Notification Services
+# — LoadPartnerNotificationServices.java:58-74
+# --------------------------------------------------------------------------
+
+PNS_APPROACH_MAP: dict[str, list[str]] = {
+    "Provider Referral": ["Pr: Provider Referral", "D: Dual Referral"],
+    "Passive Referral": ["Cr: Passive Referral"],
+}
+
+PNS_LINKED_MAP: dict[str, list[str]] = {"Yes": ["Y"], "No": ["N"]}
+
+PNS_CONSENT_MAP: dict[str, list[str]] = {"No": ["0"]}
+
+# --------------------------------------------------------------------------
+# Load HTS Clients — LoadHtsClients.java:82-92
+# --------------------------------------------------------------------------
+
+HTS_GENDER_MAP: dict[str, list[str]] = {"Male": ["M"], "Female": ["F"]}
+
+# --------------------------------------------------------------------------
+# Load CT OTZ — LoadCTOTZ.java:62-67
+# --------------------------------------------------------------------------
+
+OTZ_YES_NO_MAP: dict[str, list[str]] = {"Yes": ["Yes", "1"], "No": ["No", "0"]}
+
+# --------------------------------------------------------------------------
+# Load CT Covid — LoadCTCovid.java:70-73
+# --------------------------------------------------------------------------
+
+COVID_VACCINATION_MAP: dict[str, list[str]] = {
+    "Fully Vaccinated": ["Fully - Details not Available"],
+    "Partially Vaccinated": ["Partial", "Partial - Details not Available"],
+}
+
+# --------------------------------------------------------------------------
+# Load HTS Eligibility — LoadHtsEligibility.java:61-99
+# --------------------------------------------------------------------------
+
+ELIGIBILITY_FLAG_MAP: dict[str, list[str]] = {"No": ["0"], "Yes": ["1"]}
+
+ELIGIBILITY_FLAG_COLS: tuple[str, ...] = (
+    "WeightLoss", "NightSweats", "Pregnant", "Cough", "IsHealthWorker",
+)
+
+ELIGIBILITY_PATIENT_TYPE_MAP: dict[str, list[str]] = {
+    "Hospital Patient": ["HP:Hospital Patient"],
+    "Non-Hospital Patient": ["NP:Non-Hospital Patient"],
+}
+
+ELIGIBILITY_EMPTY_TO_NULL_COLS: tuple[str, ...] = (
+    "TypeGBV", "ReceivedServices", "ResultOfHIVSelf",
+    "ReasonsForIneligibility", "ChildReasonsForIneligibility",
+    "PartnerHIVStatus", "RelationshipWithContact",
+)
+
+
+# --------------------------------------------------------------------------
 # Rule-set builders for jobs/catalog.py
 # --------------------------------------------------------------------------
 
@@ -259,6 +362,129 @@ def hts_client_tests_value_rules():
     return tuple(
         value_map(col, mapping, otherwise_keep=keep, default=default)
         for col, (mapping, keep, default) in HTS_CLIENT_TESTS_MAPS.items()
+    )
+
+
+def ct_patient_pharmacy_rules():
+    """LoadPatientPharmacy.java:90-102, in reference order.
+
+    FIXED QUIRK: the reference's Duration / PeriodTaken ``when`` chains have
+    NO ``.otherwise`` arm, so every in-range value is nulled — unlike the
+    sibling ART rule (``LoadARTPatients.java:127-128``) which keeps them.
+    We keep in-range values (sentinel-only-when-bad), matching the clear
+    intent and the ART precedent. ExpectedReturn has a lower clamp only.
+    Emr/Project literals are identical to the ART maps (:96-102).
+    """
+    return (
+        range_sentinel("Duration", 0, None, 999.0),
+        date_clamp("ExpectedReturn", lo="1900-01-01", sentinel="1900-01-01"),
+        range_sentinel("PeriodTaken", 0, None, 999.0, bad_at_lo=True),
+        value_map("Emr", ART_EMR_MAP),
+        value_map("Project", ART_PROJECT_MAP),
+    )
+
+
+def prep_behaviour_risk_rules():
+    """The 13-column '' -> NULL sweep (LoadPrepBehaviourRisk.java:57-82)."""
+    return (empty_to_null(PREP_BR_EMPTY_TO_NULL_COLS),)
+
+
+def prep_adverse_events_rules():
+    """The 8-column '' -> NULL sweep (LoadPrepAdverseEvents.java:55-71)."""
+    return (empty_to_null(PREP_AE_EMPTY_TO_NULL_COLS),)
+
+
+def hts_partner_notification_rules():
+    """LoadPartnerNotificationServices.java:58-74, in reference order."""
+    return (
+        empty_to_null(["FacilityLinkedTo"]),
+        value_map("PnsApproach", PNS_APPROACH_MAP),
+        value_map("LinkedToCare", PNS_LINKED_MAP),
+        value_map("PnsConsent", PNS_CONSENT_MAP),
+        values_to_null("ScreenedForIpv", ["N/A"]),
+        empty_to_null(["CccNumber"]),
+        range_sentinel("Age", 0, 100, None, cast_to="int"),
+    )
+
+
+def hts_clients_rules():
+    """LoadHtsClients.java:82-92: Dob window -> NULL (not sentinel),
+    Gender M/F expansion, PatientDisabled ternary collapse."""
+    return (
+        date_clamp("Dob", lo="1910-01-01", hi_is_current_date=True, sentinel=None),
+        value_map("Gender", HTS_GENDER_MAP),
+        presence_flag("PatientDisabled", negative="No", positive="Yes"),
+    )
+
+
+def ct_otz_rules():
+    """LoadCTOTZ.java:59-67: enrollment-date floor is 2012 (OTZ program
+    start), not the usual 1980."""
+    return (
+        date_clamp("OTZEnrollmentDate", lo="2012-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+        value_map("TransferInStatus", OTZ_YES_NO_MAP),
+        value_map("SupportGroupInvolvement", OTZ_YES_NO_MAP),
+    )
+
+
+def ct_covid_rules():
+    """LoadCTCovid.java:61-73: three 1980-floor date clamps + the
+    vaccination-status collapse."""
+    return (
+        date_clamp("Covid19AssessmentDate", lo="1980-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+        date_clamp("DateGivenFirstDose", lo="1980-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+        date_clamp("DateGivenSecondDose", lo="1980-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+        value_map("VaccinationStatus", COVID_VACCINATION_MAP),
+    )
+
+
+def ct_patient_baselines_rules():
+    """LoadPatientBaselines.java:57-64: bCD4 < 0 -> 999 plus two
+    1980-floor date clamps."""
+    return (
+        range_sentinel("bCD4", 0, None, 999.0),
+        date_clamp("bWHODate", lo="1980-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+        date_clamp("bCD4Date", lo="1980-01-01",
+                   hi_is_current_date=True, sentinel="1900-01-01"),
+    )
+
+
+def prep_pharmacy_rules():
+    """LoadPrepPharmacy.java:56-63: Duration > 12 -> NULL, DispenseDate
+    ('' or < 1980) -> NULL (the '' arm falls out of the date cast),
+    RegimenPrescribed '' -> NULL."""
+    return (
+        range_sentinel("Duration", None, 12, None),
+        date_clamp("DispenseDate", lo="1980-01-01", sentinel=None),
+        empty_to_null(["RegimenPrescribed"]),
+    )
+
+
+def hts_client_linkages_rules():
+    """LoadHtsClientLinkages.java:61-66: three 1980-floor-only date
+    clamps -> NULL."""
+    return tuple(
+        date_clamp(c, lo="1980-01-01", sentinel=None)
+        for c in ("ReferralDate", "DateEnrolled", "DatePrefferedToBeEnrolled")
+    )
+
+
+def hts_eligibility_rules():
+    """The FULL LoadHtsEligibility.java:61-99 chain, in reference order:
+    five 0/1 -> No/Yes flags, the PatientType collapse, the 7-column
+    '' -> NULL sweep, DateTestedProvider 1980 floor -> NULL, VisitDate
+    2019 floor -> NULL (HTS eligibility screening began 2019)."""
+    return (
+        *(value_map(c, ELIGIBILITY_FLAG_MAP) for c in ELIGIBILITY_FLAG_COLS),
+        value_map("PatientType", ELIGIBILITY_PATIENT_TYPE_MAP),
+        empty_to_null(ELIGIBILITY_EMPTY_TO_NULL_COLS),
+        date_clamp("DateTestedProvider", lo="1980-01-01", sentinel=None),
+        date_clamp("VisitDate", lo="2019-01-01", sentinel=None),
     )
 
 

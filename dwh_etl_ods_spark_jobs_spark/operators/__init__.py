@@ -11,8 +11,10 @@ from dwh_etl_ods_spark_jobs_spark.operators.clean import (
     apply_rules,
     date_clamp,
     empty_to_null,
+    presence_flag,
     range_sentinel,
     value_map,
+    values_to_null,
 )
 from dwh_etl_ods_spark_jobs_spark.operators.dedupe import (
     dedupe_latest,
@@ -52,6 +54,7 @@ __all__ = [
     "hash_pii",
     "lookup_fold",
     "month_spine",
+    "presence_flag",
     "range_sentinel",
     "salted_agg",
     "salted_join",
@@ -59,5 +62,6 @@ __all__ = [
     "star_enrich",
     "tumbling_rollup",
     "value_map",
+    "values_to_null",
     "with_salt",
 ]

@@ -100,18 +100,23 @@ def range_sentinel(
     hi: float | None,
     sentinel: float | None = 999.0,
     cast_to: str = "float",
+    bad_at_lo: bool = False,
 ) -> CleaningRule:
     """Numeric (possibly string-typed) out-of-[lo,hi] -> sentinel.
 
     ``lo``/``hi`` may each be None for one-sided bounds (the reference's
     ``Duration < 0 -> 999`` has no upper bound, ``LoadARTPatients.java:128``;
     ``MonthsSinceLastTest > 1540 -> NULL`` has no lower bound,
-    ``LoadHtsClientTests.java:111-112``). Non-numeric strings become NULL
-    via try-cast semantics, matching the reference's cast-then-compare
-    behavior on varchar vitals columns.
+    ``LoadHtsClientTests.java:111-112``). ``bad_at_lo=True`` makes the lower
+    bound itself out-of-range (the reference's ``PeriodTaken <= 0 -> 999``
+    uses ``leq``, ``LoadPatientPharmacy.java:95``). Non-numeric strings
+    become NULL via try-cast semantics, matching the reference's
+    cast-then-compare behavior on varchar vitals columns.
     """
     if lo is None and hi is None:
         raise ValueError("range_sentinel needs at least one bound")
+    if bad_at_lo and lo is None:
+        raise ValueError("range_sentinel: bad_at_lo needs a lower bound")
 
     def _apply(df: DataFrame) -> DataFrame:
         sent = (
@@ -120,7 +125,7 @@ def range_sentinel(
         c = F.col(col).cast(cast_to)
         bad = F.lit(False)
         if lo is not None:
-            bad = bad | (c < lo)
+            bad = bad | ((c <= lo) if bad_at_lo else (c < lo))
         if hi is not None:
             bad = bad | (c > hi)
         return df.withColumn(
@@ -142,6 +147,48 @@ def empty_to_null(cols: Sequence[str], trim: bool = False) -> CleaningRule:
         return df
 
     _apply.columns = tuple(cols)  # type: ignore[attr-defined]
+    _apply.kind = "string"  # type: ignore[attr-defined]
+    return _apply
+
+
+def values_to_null(col: str, values: Sequence[str]) -> CleaningRule:
+    """Listed literal values -> NULL, everything else kept.
+
+    The reference's ``when(col == 'N/A', null).otherwise(col)`` arms
+    (``LoadPartnerNotificationServices.java:69-70``) — :func:`empty_to_null`
+    generalized to arbitrary placeholder literals.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            col,
+            F.when(F.col(col).isin(*list(values)), F.lit(None)).otherwise(F.col(col)),
+        )
+
+    _apply.columns = (col,)  # type: ignore[attr-defined]
+    _apply.kind = "string"  # type: ignore[attr-defined]
+    return _apply
+
+
+def presence_flag(col: str, negative: str = "No", positive: str = "Yes") -> CleaningRule:
+    """``negative`` stays, any other non-null value collapses to
+    ``positive``, NULL stays NULL.
+
+    Reproduces the reference's PatientDisabled ternary
+    (``LoadHtsClients.java:90-92``): ``when(col == 'No', 'No')
+    .when(col.isNotNull() & col != 'No', 'Yes').otherwise(null)``.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        c = F.col(col)
+        return df.withColumn(
+            col,
+            F.when(c == negative, F.lit(negative))
+            .when(c.isNotNull() & (c != negative), F.lit(positive))
+            .otherwise(F.lit(None)),
+        )
+
+    _apply.columns = (col,)  # type: ignore[attr-defined]
     _apply.kind = "string"  # type: ignore[attr-defined]
     return _apply
 

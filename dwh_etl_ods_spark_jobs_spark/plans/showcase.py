@@ -44,12 +44,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Values are microsecond-aligned, so reading
-    nanos as long and rebuilding a timestamp is lossless."""
+    """Read the events table, normalizing ``ts`` to session-TZ TIMESTAMP.
+
+    The driver's parquet footer has varied across environments:
+    TIMESTAMP(NANOS) (readable only as long via the legacy nanosAsLong
+    conf) vs TIMESTAMP(MICROS, isAdjustedToUTC=false) (read back as
+    TIMESTAMP_NTZ). Branch on the dtype that actually arrives so every
+    downstream operator sees a plain TIMESTAMP column; the session TZ is
+    UTC so the NTZ cast is value-preserving vs the DuckDB oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos read as long: rebuild (values are us-aligned)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _c100(col) -> "F.Column":

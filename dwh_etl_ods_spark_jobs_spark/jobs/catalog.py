@@ -290,7 +290,7 @@ CATALOG: dict[str, JobSpec] = {
             "ct_patient_visits", "dwapicentral", "dbo.CT_PatientVisits",
             ["PatientPK", "SiteCode", "VisitID"], _PII_CT,
             dedupe_keys=("PatientPK", "SiteCode", "VisitID"),
-            rules=_PATIENT_VISITS_RULES,
+            rules=(*_PROJECT_SOURCE_RULES, *_PATIENT_VISITS_RULES),
             lookups=(
                 LookupSpec("FamilyPlanningMethod", "lkp_family_planning_method"),
                 LookupSpec("PwP", "lkp_pwp"),
@@ -305,12 +305,15 @@ CATALOG: dict[str, JobSpec] = {
             "ct_patient_pharmacy", "dwapicentral", "dbo.CT_PatientPharmacy",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             dedupe_keys=("SiteCode", "PatientPK", "VisitID"),
+            rules=(*_PROJECT_SOURCE_RULES, *ct_patient_pharmacy_rules()),
             lookups=(
                 LookupSpec("Drug", "lkp_regimen"),
                 LookupSpec("TreatmentType", "lkp_treatment_type"),
                 LookupSpec("ProphylaxisType", "lkp_prophylaxis_type"),
             ),
-            notes="LoadPatientPharmacy.java:60-142",
+            notes="LoadPatientPharmacy.java:60-142; clean chain :90-102 "
+                  "(jobs/rules.py:ct_patient_pharmacy_rules); Project "
+                  "rewrite in source SQL",
         ),
         job(
             "ct_patient_labs", "dwapicentral", "dbo.CT_PatientLabs",
@@ -318,6 +321,7 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("SiteCode", "PatientPK", "TestResult", "TestName",
                          "OrderedbyDate", "Voided"),
             dedupe_order=_BY_CREATED,
+            rules=_PROJECT_SOURCE_RULES,
             lookups=(LookupSpec("TestName", "lkp_test_name"),),
             notes="LoadPatientLabs.java:111; source dedupe "
                   "LoadSourceCTPatientLabs.sql:18-27 (GROUP BY code, "
@@ -335,7 +339,9 @@ CATALOG: dict[str, JobSpec] = {
             ["SiteCode", "PatientPK"], _PII_CT,
             dedupe_keys=("SiteCode", "PatientPK", "Voided"),
             dedupe_order=_BY_CREATED,
-            notes="LoadPatientBaselines.java:92; source dedupe "
+            rules=(*_PROJECT_SOURCE_RULES, *ct_patient_baselines_rules()),
+            notes="LoadPatientBaselines.java:92; clean chain :57-64 "
+                  "(jobs/rules.py:ct_patient_baselines_rules); source dedupe "
                   "LoadPatientBaselines.sql:17-22"),
         job(
             "ct_adverse_events", "dwapicentral", "dbo.CT_AdverseEvents",
@@ -351,6 +357,7 @@ CATALOG: dict[str, JobSpec] = {
         ),
         job("ct_allergies", "dwapicentral", "dbo.CT_AllergiesChronicIllness",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
             lookups=(
                 LookupSpec("AllergicReaction", "lkp_allergic_reaction"),
                 LookupSpec("AllergyCausativeAgent", "lkp_allergy_causative_agent"),
@@ -358,29 +365,43 @@ CATALOG: dict[str, JobSpec] = {
             ),
             notes="LoadCTAllergies.java:136"),
         job("ct_covid", "dwapicentral", "dbo.CT_Covid",
-            ["SiteCode", "PatientPK", "VisitID"], _PII_CT, notes="LoadCTCovid.java:97"),
+            ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=ct_covid_rules(),
+            notes="LoadCTCovid.java:97; clean chain :61-73 "
+                  "(jobs/rules.py:ct_covid_rules)"),
         job("ct_defaulter_tracing", "dwapicentral", "dbo.CT_DefaulterTracing",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             notes="LoadCTDefaulterTracing.java:81"),
         job("ct_depression_screening", "dwapicentral", "dbo.CT_DepressionScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
             notes="LoadDepressionScreening.java:80"),
         job("ct_drug_alcohol_screening", "dwapicentral", "dbo.CT_DrugAlcoholScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
             notes="LoadDrugAlcoholScreening.java:87"),
         job("ct_enhanced_adherence_counselling", "dwapicentral",
             "dbo.CT_EnhancedAdherenceCounselling",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
             notes="LoadEnhancedAdherenceCounselling.java:89"),
         job("ct_gbv_screening", "dwapicentral", "dbo.CT_GbvScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
             notes="LoadCTGBVScreening.java:76"),
         job("ct_ipt", "dwapicentral", "dbo.CT_Ipt",
-            ["SiteCode", "PatientPK", "VisitID"], _PII_CT, notes="LoadCTIPT.java:91"),
+            ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
+            notes="LoadCTIPT.java:91; Project rewrite LoadCTIPT.sql:5-9"),
         job("ct_otz", "dwapicentral", "dbo.CT_Otz",
-            ["SiteCode", "PatientPK", "VisitID"], _PII_CT, notes="LoadCTOTZ.java:92"),
+            ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=(*_PROJECT_SOURCE_RULES, *ct_otz_rules()),
+            notes="LoadCTOTZ.java:92; clean chain :59-67 "
+                  "(jobs/rules.py:ct_otz_rules, 2012 enrollment floor)"),
         job("ct_ovc", "dwapicentral", "dbo.CT_Ovc",
-            ["SiteCode", "PatientPK", "VisitID"], _PII_CT, notes="LoadCTOVC.java:79"),
+            ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            rules=_PROJECT_SOURCE_RULES,
+            notes="LoadCTOVC.java:79"),
         job("ct_contact_listing", "dwapicentral", "dbo.CT_ContactListing",
             ["SiteCode", "PatientPK"],
             {**_PII_CT, "ContactPatientPK": "ContactPatientPKHash"},
@@ -413,7 +434,9 @@ CATALOG: dict[str, JobSpec] = {
             {"PatientPK": "PatientPKHash", "NUPI": "NupiHash"},
             dedupe_keys=("SiteCode", "PatientPK"),
             dedupe_order=_BY_DATECREATED,
-            notes="LoadHtsClients.java:120; source dedupe "
+            rules=hts_clients_rules(),
+            notes="LoadHtsClients.java:120; clean chain :82-92 "
+                  "(jobs/rules.py:hts_clients_rules); source dedupe "
                   "LoadHtsClients.sql:26-31 (max ID, max datecreated)"),
         job("hts_client_tests", "htscentral", "dbo.HTS_ClientTests",
             ["PatientPK", "SiteCode", "EncounterId"],
@@ -432,7 +455,9 @@ CATALOG: dict[str, JobSpec] = {
         job("hts_client_linkages", "htscentral", "dbo.HTS_ClientLinkages",
             ["PatientPK", "SiteCode"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPK"),
-            notes="LoadHtsClientLinkages.java:84; source dedupe "
+            rules=hts_client_linkages_rules(),
+            notes="LoadHtsClientLinkages.java:84; clean chain :61-66 "
+                  "(jobs/rules.py:hts_client_linkages_rules); source dedupe "
                   "LoadHtsClientLinkages.sql:19-24"),
         job("hts_client_tracing", "htscentral", "dbo.HTS_ClientTracing",
             ["PatientPK", "SiteCode", "HtsNumber", "TracingOutcome"], _PII_HTS,
@@ -448,7 +473,9 @@ CATALOG: dict[str, JobSpec] = {
         job("hts_partner_notification_services", "htscentral",
             "dbo.HTS_PartnerNotificationServices",
             ["PatientPk", "PartnerPatientPk", "SiteCode"], _PII_HTS,
-            notes="LoadPartnerNotificationServices.java:92"),
+            rules=hts_partner_notification_rules(),
+            notes="LoadPartnerNotificationServices.java:92; clean chain "
+                  ":58-74 (jobs/rules.py:hts_partner_notification_rules)"),
         job("hts_partner_tracing", "htscentral", "dbo.HTS_PartnerTracings",
             ["PatientPk", "SiteCode", "HtsNumber"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPk", "HtsNumber", "TraceType",
@@ -546,13 +573,18 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
-            notes="LoadPrepPharmacy.java:81; dual dedupe gates (fixed quirk)"),
+            rules=prep_pharmacy_rules(),
+            notes="LoadPrepPharmacy.java:81; clean chain :56-63 "
+                  "(jobs/rules.py:prep_pharmacy_rules); dual dedupe gates "
+                  "(fixed quirk)"),
         job("prep_behaviour_risk", "prepcentral", "dbo.PrEP_BehaviourRisk",
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
-            notes="LoadPrepBehaviourRisk.java:100; dual dedupe gates "
-                  "(fixed quirk)"),
+            rules=prep_behaviour_risk_rules(),
+            notes="LoadPrepBehaviourRisk.java:100; '' -> NULL sweep :57-82 "
+                  "(jobs/rules.py:prep_behaviour_risk_rules); dual dedupe "
+                  "gates (fixed quirk)"),
         job("prep_care_termination", "prepcentral", "dbo.PrEP_CareTermination",
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
@@ -563,7 +595,9 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_CREATED,
-            notes="LoadPrepAdverseEvents.java:89; source dedupe "
+            rules=prep_adverse_events_rules(),
+            notes="LoadPrepAdverseEvents.java:89; '' -> NULL sweep :55-71 "
+                  "(jobs/rules.py:prep_adverse_events_rules); source dedupe "
                   "LoadPrepAdverseEvents.sql"),
         job("prep_lab", "prepcentral", "dbo.PrEP_Lab",
             ["PatientPk", "SiteCode", "PrepNumber"], _PII_PREP,

@@ -22,7 +22,15 @@ from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
     AE_SEVERITY_MAP,
     ART_EMR_MAP,
     ART_PROJECT_MAP,
+    COVID_VACCINATION_MAP,
+    ELIGIBILITY_FLAG_MAP,
+    ELIGIBILITY_PATIENT_TYPE_MAP,
     HTS_CLIENT_TESTS_MAPS,
+    HTS_GENDER_MAP,
+    OTZ_YES_NO_MAP,
+    PNS_APPROACH_MAP,
+    PNS_CONSENT_MAP,
+    PNS_LINKED_MAP,
     PREP_COUNTY_MAP,
     empty_to_null_sql,
     value_map_sql,
@@ -52,6 +60,15 @@ _COLUMNS: list[tuple[str, dict[str, list[str]], bool, str | None, bool, int]] = 
     ("TbScreening", *HTS_CLIENT_TESTS_MAPS["TbScreening"], False, 6),
     ("ClientTestedAs", *HTS_CLIENT_TESTS_MAPS["ClientTestedAs"], False, 8),
     ("TestType", *HTS_CLIENT_TESTS_MAPS["TestType"], False, 9),
+    # Round-5 wired chains (jobs/rules.py round-4 additions)
+    ("PnsApproach", PNS_APPROACH_MAP, True, None, False, 10),
+    ("LinkedToCare", PNS_LINKED_MAP, True, None, False, 11),
+    ("PnsConsent", PNS_CONSENT_MAP, True, None, False, 12),
+    ("Gender", HTS_GENDER_MAP, True, None, False, 13),
+    ("TransferInStatus", OTZ_YES_NO_MAP, True, None, False, 14),
+    ("VaccinationStatus", COVID_VACCINATION_MAP, True, None, False, 15),
+    ("WeightLoss", ELIGIBILITY_FLAG_MAP, True, None, False, 16),
+    ("PatientType", ELIGIBILITY_PATIENT_TYPE_MAP, True, None, False, 17),
 ]
 
 

@@ -377,11 +377,13 @@ def test_ct_patient_visits_ddl_projection(spark):
     spec = CATALOG["ct_patient_visits"]
     source = spark.createDataFrame(
         [("p1", 100, "v1", 1, dt.date(2023, 6, 1), dt.date(2023, 5, 1),
-          dt.date(2023, 7, 1), "70.0", "170.0", "fp", "pwp", "pid1")],
+          dt.date(2023, 7, 1), "70.0", "170.0", "fp", "pwp", "pid1",
+          "I-TECH")],
         "PatientPK string, SiteCode int, VisitID string, ID int, "
         "DateExtracted date, VisitDate date, NextAppointmentDate date, "
         "Weight string, Height string, "
-        "FamilyPlanningMethod string, PwP string, PatientID string",
+        "FamilyPlanningMethod string, PwP string, PatientID string, "
+        "Project string",
     )
     target = spark.createDataFrame([], "SiteCode int, PatientPK string, VisitID string")
     lookups = {
@@ -396,6 +398,7 @@ def test_ct_patient_visits_ddl_projection(spark):
     assert row.PatientPK == "p1"
     assert row.FamilyPlanningMethod == "FP"
     assert row.WHOStage is None  # never sourced -> NULL-filled
+    assert row.Project == "Kenya HMIS II"  # I-TECH/HMIS source rewrite
     assert row.PatientPKHash is not None
 
 

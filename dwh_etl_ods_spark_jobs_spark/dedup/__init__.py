@@ -454,23 +454,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("canonical_id").alias("nmin"))
         )
-        new_labels = (
+        # Carry the previous label through the checkpoint so the convergence
+        # count is a scan of already-materialized partitions, not a second
+        # join job per round (that extra join re-shuffled both label frames
+        # every round and dominated the loop's wall-clock).
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("canonical_id").alias("__prev"),
                 F.least(
                     F.col("canonical_id"), F.coalesce(F.col("nmin"), F.col("canonical_id"))
                 ).alias("canonical_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("canonical_id") != F.col("__prev")).count()
+        labels = stepped.select("id", "canonical_id")
         if changed == 0:
             break
     else:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark import dedup as D
@@ -397,9 +397,15 @@ def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.exact_fingerprint(F.col("text")).alias("fp"),
     )
     gated = scored.filter((F.col("pred_lang") != "und") & (F.col("q") >= 0.3))
-    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # Survivor = min doc_id per fingerprint, selected with a window over the
+    # SAME frame rather than groupBy + join-back: the self-join form evaluates
+    # the regex-heavy scoring chain once per join branch (nothing is cached),
+    # which regressed 10x when exchange reuse stopped firing under Spark 4.x.
+    # One shuffle on fp, single evaluation, identical rows.
+    w = Window.partitionBy("fp")
     return (
-        gated.join(survivors, ["fp", "doc_id"])
+        gated.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
         .select("doc_id", "pred_lang", "q")
     )
 

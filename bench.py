@@ -11,12 +11,17 @@ and one tiny-SF (sf0.001) run of each query so whole-stage-codegen JIT
 compilation (a one-time-per-JVM cost of ~10 s for the largest generated
 expressions) is excluded from the steady-state timing — the usual
 benchmark-harness convention.
+
+Per-query numbers are the MEDIAN of ``$SPARK_GRAFT_BENCH_N`` (default 3)
+timed runs: run-to-run variance on local[32] is a documented ±15%, so a
+single sample cannot distinguish a regression from noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,6 +44,7 @@ def main() -> int:
     if not os.path.isdir(warm_dir) or os.path.realpath(warm_dir) == os.path.realpath(sf_dir):
         warm_dir = None
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
@@ -47,12 +53,15 @@ def main() -> int:
                 fn(spark, warm_dir).count()  # JIT/codegen warm-up, untimed
             except Exception:
                 pass
-        t0 = time.time()
+        samples = []
         try:
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            timings[name] = round(dt, 3)
-            total += dt
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            med = statistics.median(samples)
+            timings[name] = round(med, 3)
+            total += med
         except Exception as e:  # pragma: no cover - bench must not die
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -63,6 +72,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "n": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -213,6 +213,19 @@ _CT_PATIENT_VISITS_DDL = (
     "Date_Created", "LoadDate", "RecordUUID", "voided",
 )
 
+# The DDL's non-varchar column types (PatientVisitsDDL.sql:1-78), so
+# NULL-filled projection columns carry the target's type — a first JDBC
+# append that auto-creates the table must not emit VARCHAR for these.
+_CT_PATIENT_VISITS_TYPES = {
+    "VisitDate": "date", "OIDate": "date", "NextAppointmentDate": "date",
+    "DateImported": "date",
+    "DeletedFlag": "boolean", "voided": "boolean",
+    "Temp": "decimal(18,2)", "OxygenSaturation": "decimal(18,2)",
+    "PulseRate": "int", "RespiratoryRate": "int", "Muac": "int",
+    "RefillDate": "timestamp", "Date_Last_Modified": "timestamp",
+    "Date_Created": "timestamp", "LoadDate": "timestamp",
+}
+
 
 # ---------------------------------------------------------------------------
 # Catalog
@@ -296,6 +309,7 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("PwP", "lkp_pwp"),
             ),
             select=_CT_PATIENT_VISITS_DDL,
+            select_types=_CT_PATIENT_VISITS_TYPES,
             enrich=EnrichSpec(),
             notes="LoadPatientVisits.java:47-135; the one job with a real "
                   "range-partitioned JDBC read (SiteCode bounds); final "

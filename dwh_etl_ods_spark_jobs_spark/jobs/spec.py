@@ -87,6 +87,11 @@ class JobSpec:
     # Final projection in target-DDL column order; columns the delta does not
     # carry are filled with typed NULL (an INSERT's unnamed columns).
     select: tuple[str, ...] | None = None
+    # Spark types for NULL-filled projection columns (target-DDL types, e.g.
+    # PatientVisitsDDL.sql); unlisted columns fill as string. Without this a
+    # first JDBC append that auto-creates the target would emit VARCHAR DDL
+    # for int/date/decimal columns.
+    select_types: Mapping[str, str] = field(default_factory=dict)
     # Star enrichment of the raw fact extract (None when the source is read
     # through the reference's pushed-down SQL, which already joins the dims).
     enrich: EnrichSpec | None = None
@@ -150,7 +155,19 @@ def run_incremental_load(
                 f"duplicate generation survives (reference selects by "
                 f"MAX(date) then MAX(ID))"
             )
-        order = [F.col(c).desc() for c in spec.dedupe_order]
+        # The reference's survivor gate is MAX(cast(col AS date)) then
+        # MAX(ID) (LoadSourceCTPatients.sql:10-17): two same-DAY generations
+        # resolve by highest ID, not latest time-of-day. Cast timestamp- and
+        # string-typed gate columns to date in the ordering so the ID
+        # tiebreak decides within a day, matching the reference's survivor.
+        dtypes = dict(src.dtypes)
+        order = []
+        for c in spec.dedupe_order:
+            t = dtypes.get(c, "")
+            if c != "ID" and (t.startswith("timestamp") or t == "string"):
+                order.append(F.col(c).cast("date").desc())
+            else:
+                order.append(F.col(c).desc())
         src = src.transform(dedupe_latest(list(spec.dedupe_keys), order))
 
     for rule in spec.rules:
@@ -180,11 +197,12 @@ def run_incremental_load(
         # columns become typed NULLs, present ones keep their type. Name
         # resolution is case-insensitive like Spark's own resolver.
         have = {c.lower(): c for c in delta.columns}
+        fill_types = {k.lower(): v for k, v in spec.select_types.items()}
         delta = delta.select(
             *[
                 F.col(have[c.lower()]).alias(c)
                 if c.lower() in have
-                else F.lit(None).cast("string").alias(c)
+                else F.lit(None).cast(fill_types.get(c.lower(), "string")).alias(c)
                 for c in spec.select
             ]
         )

@@ -113,7 +113,15 @@ def incremental_sink(
         if _hadoop_path_exists(spark, target_path):
             try:
                 target = spark.read.parquet(target_path)
-            except AnalysisException:  # dir exists, no data files committed
+            except AnalysisException as e:
+                # Only the dir-exists-but-no-committed-data-files shape may
+                # fall back to first-batch semantics; any other analysis
+                # failure (corrupt footer, incompatible schema, ...) must
+                # fail the micro-batch rather than append undeduplicated.
+                cond = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
+                msg = f"{cond} {e}"
+                if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
+                    raise
                 target = None
             delta = (
                 df.transform(anti_join_new(target, list(keys)))

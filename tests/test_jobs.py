@@ -307,6 +307,30 @@ def test_mnch_heis_dedupes_source_generations(spark):
     assert rows["h1"].HEIHIVStatus == "new-gen"  # latest generation wins
 
 
+def test_dedupe_same_day_survivor_is_max_id(spark):
+    """The reference's dedupe gate is MAX(cast(col AS date)) then MAX(ID)
+    (LoadSourceCTPatients.sql:10-17): of two generations on the same DAY,
+    the higher ID wins even when its time-of-day is earlier."""
+    spec = CATALOG["mnch_heis"]
+    source = spark.createDataFrame(
+        [
+            # same day; later time-of-day but LOWER id -> must lose
+            ("h1", 10, 5, dt.datetime(2023, 6, 1, 23, 59), "m1", "low-id-late"),
+            ("h1", 10, 9, dt.datetime(2023, 6, 1, 0, 1), "m1", "max-id-early"),
+            # different days -> latest day wins regardless of ID
+            ("h2", 10, 8, dt.datetime(2023, 5, 1, 12, 0), "m2", "old-day"),
+            ("h2", 10, 2, dt.datetime(2023, 6, 2, 1, 0), "m2", "new-day"),
+        ],
+        "PatientPk string, SiteCode int, ID int, DateExtracted timestamp, "
+        "PatientMnchID string, HEIHIVStatus string",
+    )
+    target = source.select("PatientPk", "SiteCode").limit(0)
+    delta = run_incremental_load(spark, spec, source, target, {})
+    rows = {r.PatientPk: r for r in delta.collect()}
+    assert rows["h1"].HEIHIVStatus == "max-id-early"
+    assert rows["h2"].HEIHIVStatus == "new-day"
+
+
 def test_ct_patients_enrich_stage(spark):
     """JobSpec.enrich: raw fact + PatientExtract + Facility through the spec
     (LoadSourceCTPatients.sql:7-9). Regression guard on the r2 FK-drop fix:
@@ -400,6 +424,15 @@ def test_ct_patient_visits_ddl_projection(spark):
     assert row.WHOStage is None  # never sourced -> NULL-filled
     assert row.Project == "Kenya HMIS II"  # I-TECH/HMIS source rewrite
     assert row.PatientPKHash is not None
+    # NULL fills carry the target DDL's types (PatientVisitsDDL.sql), not
+    # blanket VARCHAR: a first append must auto-create correct column types.
+    dts = dict(delta.dtypes)
+    assert dts["PulseRate"] == "int"
+    assert dts["Temp"] == "decimal(18,2)"
+    assert dts["OIDate"] == "date"
+    assert dts["DeletedFlag"] == "boolean"
+    assert dts["RefillDate"] == "timestamp"
+    assert dts["WHOStage"] == "string"  # varchar in the DDL
 
 
 def test_every_job_has_reference_projection():

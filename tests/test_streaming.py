@@ -137,6 +137,30 @@ def test_incremental_stream_recovers_from_empty_target_dir(spark, workdir):
     assert got == {(1, "a"), (2, "b")}
 
 
+def test_incremental_stream_fails_on_corrupt_target(spark, workdir):
+    """A target dir whose data files cannot be read must FAIL the
+    micro-batch (so it retries), never fall back to appending the whole
+    batch undeduplicated — only the no-committed-data-files shape may take
+    the first-batch path."""
+    src = os.path.join(workdir, "landing")
+    tgt = os.path.join(workdir, "target")
+    schema = "site int, pk string, v double"
+    _write_source_files(spark, src, [(1, "a", 1.0)], schema)
+    os.makedirs(tgt)
+    with open(os.path.join(tgt, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    q = ST.incremental_sink(
+        stream, tgt, keys=["site", "pk"],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+    )
+    with pytest.raises(Exception, match="(?i)footer|parquet|corrupt"):
+        ST.run_to_completion(q)
+    # nothing appended: the corrupt residue is still the only file
+    assert os.listdir(tgt) == ["part-00000.parquet"]
+
+
 def test_windowed_counts_rejects_reserved_alias_collisions(spark, workdir):
     src = os.path.join(workdir, "src")
     _write_source_files(

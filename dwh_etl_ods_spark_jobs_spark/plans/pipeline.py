@@ -549,6 +549,56 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_IVF = _sql_ann_ivf()
 
 
+def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the recall control over the single-probe cliff:
+    each query also searches its second-nearest cell."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 200 == 0)
+    return S.ann_ivf_topk(queries, emb, centroids, "vec_id", "v", k=5, nprobe=2)
+
+
+def _sql_ann_ivf_nprobe2() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 200 = 0),
+ranked_cells AS (
+  SELECT v.vec_id, v.v, c.cid AS cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {D.cosine_sql('v.v', 'c.cv', EMB_DIM)} DESC,
+                                     c.cid ASC) AS rn
+  FROM emb v CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, v, cell FROM ranked_cells WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v, cell
+  FROM ranked_cells WHERE rn <= 2 AND vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({D.cosine_sql('q.v', 'c.v', EMB_DIM)}, 6) AS cos
+  FROM q JOIN assigned c USING (cell)
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_IVF_NPROBE2 = _sql_ann_ivf_nprobe2()
+
+
 # =========================== multimodal ===========================
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +659,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
 }
@@ -629,6 +680,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
 }

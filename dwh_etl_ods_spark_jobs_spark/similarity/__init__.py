@@ -76,12 +76,15 @@ def ann_bruteforce_topk(
 
 
 def ivf_assign(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+    n_cells: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its max-cosine
-    centroid (ties -> lowest centroid id). ``centroids`` is small and
-    broadcast; the assignment is one scan × n_centroids — the standard IVF
-    build cost, embarrassingly parallel. Returns (id, vec, cell)."""
+    """IVF coarse quantization: assign every vector to its ``n_cells``
+    max-cosine centroids (ties -> lowest centroid id). ``centroids`` is
+    small and broadcast; the assignment is one scan × n_centroids — the
+    standard IVF build cost, embarrassingly parallel. Returns
+    (id, vec, cell), one row per assigned cell (candidates build with
+    n_cells=1; queries probe with n_cells=nprobe)."""
     c = centroids.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
     )
@@ -93,7 +96,7 @@ def ivf_assign(
     w = Window.partitionBy("_vid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_cells)
         .select(
             F.col("_vid").alias(id_col),
             F.col("_vv").alias(vec_col),
@@ -104,14 +107,16 @@ def ivf_assign(
 
 def ann_ivf_topk(
     queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
-    id_col: str, vec_col: str, k: int,
+    id_col: str, vec_col: str, k: int, nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: rank by exact cosine only within the
-    query's cell. The cell equi-join replaces the LSH bucket join of
-    :func:`ann_lsh_topk`; swap in a k-means codebook for ``centroids`` and
-    the plumbing is production IVF. Returns (query_id, neighbor_id, rank, cos).
+    """IVF approximate top-k: rank by exact cosine only within the query's
+    ``nprobe`` nearest cells. The cell equi-join replaces the LSH bucket
+    join of :func:`ann_lsh_topk`; swap in a k-means codebook for
+    ``centroids`` and the plumbing is production IVF. Candidates live in
+    exactly one cell and the probed cells are distinct, so no pair is
+    scored twice. Returns (query_id, neighbor_id, rank, cos).
     """
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q = ivf_assign(queries, centroids, id_col, vec_col, n_cells=nprobe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
     )
     c = ivf_assign(candidates, centroids, id_col, vec_col).select(
@@ -136,15 +141,33 @@ def ann_lsh_topk(
     queries: DataFrame, candidates: DataFrame,
     id_col: str, vec_col: str, k: int, dim: int,
     n_planes: int = HYPERPLANES,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: rank by cosine only within the query's hyperplane
     bucket. Returns (query_id, neighbor_id, rank, cos); recall < 1 by
-    design — the candidate set shrinks ~2^n_planes-fold."""
+    design — the candidate set shrinks ~2^n_planes-fold.
+
+    ``hamming_probes`` > 0 enables multi-probe: each query also probes the
+    buckets reachable by flipping that many of its signature bits one at a
+    time (``hamming_probes = n_planes`` is the full Hamming-1 ball),
+    trading candidate volume back for recall without rebuilding anything —
+    the standard single-probe recall-cliff mitigation. Candidates stay in
+    exactly one bucket and the probed buckets are distinct, so no pair is
+    scored twice."""
     planes = hyperplanes(dim, n_planes)
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    if hamming_probes > 0:
+        probes = F.array(
+            sig, *[sig.bitwiseXOR(F.lit(1 << j).cast("long"))
+                   for j in range(min(hamming_probes, n_planes))]
+        )
+        bucket = F.explode(probes).alias("bucket")
+    else:
+        bucket = sig.alias("bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        bucket,
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),

@@ -269,6 +269,32 @@ def test_ann_recall_at_k_floor(spark):
     assert ivf_recall >= 0.9, f"IVF recall@{k} = {ivf_recall}"
     assert lsh_recall >= 0.5, f"LSH recall@{k} = {lsh_recall}"
 
+    # Recall controls (round-4 task 10): widening the probe set must be
+    # monotone in BOTH recall and candidate volume — that is the whole
+    # recall/cost trade they exist to expose.
+    def candidates_scored(df):
+        return df.count()
+
+    ivf2 = S.ann_ivf_topk(queries, cand, centroids, "vec_id", "v", k, nprobe=2)
+    assert recall(ivf2) >= ivf_recall >= 0.9
+    lsh_mp = S.ann_lsh_topk(
+        queries, cand, "vec_id", "v", k, dim, n_planes=6, hamming_probes=6
+    )
+    assert recall(lsh_mp) >= lsh_recall
+    # candidate volume grows with the probe count (measured pre-top-k by
+    # raising k beyond the corpus so nothing is cut)
+    big = 10_000
+    n1 = S.ann_lsh_topk(queries, cand, "vec_id", "v", big, dim, n_planes=6).count()
+    n2 = S.ann_lsh_topk(
+        queries, cand, "vec_id", "v", big, dim, n_planes=6, hamming_probes=6
+    ).count()
+    assert n2 > n1, f"multi-probe did not widen candidates: {n2} <= {n1}"
+    i1 = S.ann_ivf_topk(queries, cand, centroids, "vec_id", "v", big).count()
+    i2 = S.ann_ivf_topk(
+        queries, cand, centroids, "vec_id", "v", big, nprobe=2
+    ).count()
+    assert i2 > i1, f"nprobe=2 did not widen candidates: {i2} <= {i1}"
+
 
 def test_multimodal_meta_parses_bytes(spark):
     df = spark.createDataFrame([(7, "IMG0" + "x" * 60)], "doc_id long, text string")

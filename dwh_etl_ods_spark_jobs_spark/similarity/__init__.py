@@ -37,6 +37,7 @@ __all__ = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ivf_assign",
+    "train_ivf_centroids",
     "cosine",
     "cosine_sql",
     "hyperplane_signature",
@@ -103,6 +104,77 @@ def ivf_assign(
             F.col("_cid").alias("cell"),
         )
     )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int, iters: int = 5,
+) -> DataFrame:
+    """Spherical k-means codebook for IVF, trained with DataFrame ops only.
+
+    Seeds deterministically without RNG or a global sort: a hash filter
+    thins the corpus to ~8·k candidate rows (so the seeding window ranks a
+    tiny frame, never all n), then the first ``n_centroids`` by id become
+    the seeds. Lloyd's iterations follow: assign each vector to its
+    max-cosine centroid (broadcast join; one scan × n_centroids per round)
+    and recompute each centroid as the element-wise mean of its members
+    via posexplode → groupBy(cell, pos) → avg → sorted array_agg re-pack.
+    Per round that is one narrow scan plus one (cell, pos)-grained shuffle
+    of n·dim scalar rows — at 100 TB both are embarrassingly parallel and
+    the codebook (k·dim doubles) always fits the driver/broadcast path.
+    The trained frame feeds :func:`ann_ivf_topk` / :func:`ivf_assign` as
+    ``centroids``.
+
+    Empty cells keep their previous centroid (standard Lloyd's fallback).
+    Returns (``id_col``, ``vec_col``) with centroid ids 0..n_centroids-1.
+    """
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("train_ivf_centroids: empty input")
+    sample_mod = max(1, n // (n_centroids * 8))
+    seeds = vectors.select(F.col(id_col), F.col(vec_col).alias("_cv")).filter(
+        F.abs(F.hash(F.col(id_col))) % sample_mod == 0
+    )
+    if seeds.count() < n_centroids:  # tiny/unlucky corpus: rank everything
+        seeds = vectors.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    w = Window.orderBy(F.col(id_col).asc())
+    centroids = (
+        seeds.withColumn("_rank", F.row_number().over(w) - 1)
+        .filter(F.col("_rank") < n_centroids)
+        .select(
+            F.col("_rank").cast("long").alias(id_col),
+            F.col("_cv").alias(vec_col),
+        )
+        .localCheckpoint()  # seed once; iterations below replace the plan
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+                ).alias("_pairs")
+            )
+            .select(
+                F.col("cell").alias(id_col),
+                F.transform(F.col("_pairs"), lambda p: p._m).alias(vec_col),
+            )
+        )
+        # Keep previous centroids for cells that lost every member.
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col(f"new.{vec_col}"), F.col(f"old.{vec_col}")).alias(vec_col),
+            )
+            .localCheckpoint()  # truncate the iteration's lineage
+        )
+    return centroids
 
 
 def ann_ivf_topk(

@@ -25,7 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new, dedupe_latest
 
@@ -181,6 +187,89 @@ def windowed_counts(
             *group_cols,
             "n_events",
             *aggs.keys(),
+        )
+    )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` — the escape hatch for semantics the built-in
+    windowed aggregates can't express (a session closes ``gap_seconds``
+    after its last event, whenever that is).
+
+    Per micro-batch and user, events fold into (session_start, last_ts,
+    n_events) state; a gap larger than ``gap_seconds`` CLOSES the running
+    session (emitted downstream, output mode append) and opens a new one.
+    The final open session stays in state awaiting more events. State per
+    key is three scalars — bounded regardless of stream length. Events are
+    sorted within the batch; cross-batch reordering is the source's
+    responsibility (pair with a watermark-respecting source for strict
+    event-time ordering).
+
+    Returns a streaming DataFrame (user, session_start, session_end,
+    n_events); attach your own sink.
+    """
+    out_schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            for t in sorted(pd.to_datetime(pdf[ts_col])):
+                tus = t.value // 1000  # ns -> us
+                if last is None:
+                    start, last, n = tus, tus, 1
+                elif tus - last > gap_us:
+                    closed.append((str(user), start, last, n))
+                    start, last, n = tus, tus, 1
+                else:
+                    last = max(last, tus)
+                    n += 1
+        if last is not None:
+            state.update((int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
 

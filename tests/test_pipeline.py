@@ -296,6 +296,40 @@ def test_ann_recall_at_k_floor(spark):
     assert i2 > i1, f"nprobe=2 did not widen candidates: {i2} <= {i1}"
 
 
+def test_ivf_trained_codebook_recall(spark):
+    """train_ivf_centroids (deterministic spherical k-means) must produce a
+    codebook whose IVF recall matches the hand-picked cluster directions on
+    cleanly clustered data — the production path when no oracle centroids
+    exist."""
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+
+    dim, k = 8, 5
+    data = _clustered_vectors(n=80, dim=dim)
+    cand = spark.createDataFrame(data, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(data[:8], "vec_id long, v array<double>")
+    truth = {}
+    for r in S.ann_bruteforce_topk(queries, cand, "vec_id", "v", k).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    trained = S.train_ivf_centroids(cand, "vec_id", "v", n_centroids=4, iters=5)
+    rows = trained.collect()
+    assert len(rows) == 4
+    assert all(len(r.v) == dim for r in rows)
+    # determinism: same input -> identical codebook
+    again = S.train_ivf_centroids(cand, "vec_id", "v", n_centroids=4, iters=5)
+    assert sorted((r.vec_id, tuple(r.v)) for r in again.collect()) == sorted(
+        (r.vec_id, tuple(r.v)) for r in rows
+    )
+
+    got = {}
+    for r in S.ann_ivf_topk(queries, cand, trained, "vec_id", "v", k).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+    assert recall >= 0.9, f"trained-codebook IVF recall@{k} = {recall}"
+
+
 def test_multimodal_meta_parses_bytes(spark):
     df = spark.createDataFrame([(7, "IMG0" + "x" * 60)], "doc_id long, text string")
     payloads = M.attach_payload(df, "text", "doc_id")

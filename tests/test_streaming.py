@@ -161,6 +161,57 @@ def test_incremental_stream_fails_on_corrupt_target(spark, workdir):
     assert os.listdir(tgt) == ["part-00000.parquet"]
 
 
+def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
+    """applyInPandasWithState sessionization: a gap > gap_seconds closes the
+    running session (emitted); the trailing open session stays in state and
+    closes only when a later batch's events exceed the gap."""
+    import datetime as dt
+
+    src = os.path.join(workdir, "landing")
+    ckpt = os.path.join(workdir, "ckpt")
+    out = os.path.join(workdir, "out")
+    schema = "user string, ts timestamp"
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    # user a: events at 10:00,10:05 | gap | 10:40 (open)
+    # user b: single event 10:00 (open)
+    _write_source_files(
+        spark, src,
+        [("a", t(0)), ("a", t(5)), ("a", t(40)), ("b", t(0))],
+        schema,
+    )
+    stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    sessions = ST.stateful_sessionize(stream, "user", "ts", gap_seconds=600)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    ST.run_to_completion(q)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # only a's first session closed
+    r = rows[0]
+    assert r.user == "a" and r.n_events == 2
+    assert r.session_start == t(0) and r.session_end == t(5)
+
+    # Second batch: a late event for b beyond the gap closes b's session.
+    _write_source_files(spark, src, [("b", t(55))], schema)
+    stream2 = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    q2 = (
+        ST.stateful_sessionize(stream2, "user", "ts", gap_seconds=600)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    ST.run_to_completion(q2)
+    rows = {(r.user, r.session_start): r for r in spark.read.parquet(out).collect()}
+    assert (("b", t(0))) in rows, f"b's session not closed: {sorted(rows)}"
+    b = rows[("b", t(0))]
+    assert b.session_end == t(0) and b.n_events == 1
+
+
 def test_windowed_counts_rejects_reserved_alias_collisions(spark, workdir):
     src = os.path.join(workdir, "src")
     _write_source_files(

@@ -171,6 +171,50 @@ FROM documents
 """
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with synthesized (deterministic) PII
+    spans appended — emails, SSN-style ids, IPv4s, phones — so true
+    positives exist at every scale factor; same construction both engines."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"), did.cast("string"),
+        F.lit("@mail.example.com, tel +254 722 "),
+        F.lpad((did % 1000000).cast("string"), 6, "0"),
+        F.lit(", id "),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(", ip 10.0."), (did % 256).cast("string"), F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id",
+        T.redact_pii(dirty).alias("redacted"),
+        (T.redact_pii(dirty) != dirty).alias("was_redacted"),
+    )
+
+
+_SQL_DIRTY_TEXT = (
+    "text || ' Contact: user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com, tel +254 722 '"
+    " || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+    " || ', id '"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ', ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+SQL_TEXT_REDACT = f"""
+WITH dirty AS (SELECT doc_id, {_SQL_DIRTY_TEXT} AS t FROM documents)
+SELECT doc_id,
+       {T.redact_pii_sql('t')} AS redacted,
+       ({T.redact_pii_sql('t')} <> t) AS was_redacted
+FROM dirty
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -648,6 +692,7 @@ QUERIES = {
     "text_quality_score": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_redaction": q_text_redact_pii,
     "dedup_exact_hash": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -669,6 +714,7 @@ ORACLES = {
     "text_quality_score": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_pii_redaction": SQL_TEXT_REDACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

@@ -293,3 +293,34 @@ def content_fingerprint_sql(expr: str, ngram: int = FINGERPRINT_NGRAM) -> str:
         f" i -> {norm}[i:i+{ngram - 1}])"
     )
     return f"list_min(list_transform({grams}, g -> {md5_long_sql('g')}))"
+
+
+# --- PII redaction (training-data scrubbing pass) ---
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backreferences) so Spark and DuckDB replace identical spans. Order
+# matters: the loose phone pattern runs LAST so emails/ids/ips are already
+# placeholders when it scans.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("national_id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace email / SSN-style id / IPv4 / phone spans with typed
+    placeholders — the standard scrubbing pass before corpus publication.
+    Pure chained ``regexp_replace`` (codegen'd, no UDF, no shuffle)."""
+    out = text_col
+    for _name, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for _name, pat, rep in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out

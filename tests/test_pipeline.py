@@ -69,6 +69,26 @@ def test_content_fingerprint_stable_under_tail_edit(spark):
     assert fps[0] == fps[1]
 
 
+def test_redact_pii_replaces_typed_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+            (2, "ssn 123-45-6789 on file"),
+            (3, "host 192.168.001.250 responded"),
+            (4, "call +254 (0) 722-123456 now"),
+            (5, "nothing sensitive here"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.red for r in df.select(
+        "id", T.redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "ssn <ID> on file"
+    assert got[3] == "host <IP> responded"
+    assert got[4] == "call <PHONE> now"
+    assert got[5] == "nothing sensitive here"
+
+
 # --- dedup ---
 
 def test_exact_dedup_groups(spark):

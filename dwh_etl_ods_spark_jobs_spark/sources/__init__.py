@@ -8,6 +8,13 @@ from parquet (tests/bench and lakehouse deployments) or JDBC (drop-in for
 the reference's databases).
 """
 
+from dwh_etl_ods_spark_jobs_spark.sources.catalog_ops import (
+    drop_table,
+    load_sql_resource,
+    rename_table,
+    run_sql,
+    stage_and_swap,
+)
 from dwh_etl_ods_spark_jobs_spark.sources.tables import (
     JdbcSpec,
     ParquetSpec,
@@ -21,7 +28,12 @@ __all__ = [
     "JdbcSpec",
     "ParquetSpec",
     "TableSpec",
+    "drop_table",
+    "load_sql_resource",
     "read_table",
+    "rename_table",
+    "run_sql",
+    "stage_and_swap",
     "tpch_tables",
     "write_append",
 ]

@@ -171,6 +171,30 @@ FROM documents
 """
 
 
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 — the vocabulary profile a
+    quality-filter tuning pass starts from. Explode → map-side-combinable
+    groupBy → global top-k, which Spark executes as TakeOrderedAndProject
+    (each partition ships only its local top 50, never the full counts)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+SQL_TEXT_TOP_TOKENS = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({T.tokens_sql('text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with synthesized (deterministic) PII
     spans appended — emails, SSN-style ids, IPv4s, phones — so true
@@ -693,6 +717,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redaction": q_text_redact_pii,
+    "text_top_tokens": q_text_top_tokens,
     "dedup_exact_hash": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -715,6 +740,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_pii_redaction": SQL_TEXT_REDACT,
+    "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

@@ -3,10 +3,12 @@
 Key sets are the null-safe LEFT ANTI JOIN keys from each job's main class
 (full citation table in SURVEY.md §2.4). PII hash maps are the per-job
 ``hashPIIColumns`` maps (``Core/.../DatabaseUtils.java:54-69`` call sites).
-Cleaning rules encode the withColumn/when chains of the four literal-heavy
-jobs (``jobs/rules.py``) plus the per-job date/range/empty rules; dedupe
-key sets mirror each source query's ``GROUP BY key -> MAX(ID), MAX(date)``
-self-join (census: 30 of the 51 source queries carry one).
+Cleaning rules encode the withColumn/when chains of every job the survey
+traces — the four literal-heavy jobs plus the ten mid-tier chains, all in
+``jobs/rules.py`` — plus the per-job date/range/empty rules and the
+I-TECH/HMIS Project rewrite on all 15 CT jobs whose source SQL carries it;
+dedupe key sets mirror each source query's ``GROUP BY key -> MAX(ID),
+MAX(cast(date))`` self-join (census: 30 of the 51 source queries carry one).
 
 Reference quirks intentionally fixed (SURVEY.md §7 "what's hard" item 2):
 - LoadCancerScreening.java:64 anti-joins against CT_CervicalCancerScreening

@@ -191,6 +191,26 @@ def windowed_counts(
     )
 
 
+def dedupe_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-source streaming dedup with bounded state:
+    ``withWatermark(ts).dropDuplicatesWithinWatermark(keys)`` keeps one row
+    per key among events whose timestamps fall within the watermark of the
+    first-seen row, then EXPIRES that key's state — unlike a plain
+    ``dropDuplicates`` on a stream, whose key state grows forever. The
+    upstream half of the incremental sink's idempotency story: duplicates
+    from at-least-once sources (Kafka redelivery, file re-lands) die here
+    cheaply; replays older than the watermark still die at the sink's
+    anti-join."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stateful_sessionize(
     stream: DataFrame,
     user_col: str,

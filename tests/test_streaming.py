@@ -161,6 +161,38 @@ def test_incremental_stream_fails_on_corrupt_target(spark, workdir):
     assert os.listdir(tgt) == ["part-00000.parquet"]
 
 
+def test_dedupe_within_watermark_drops_stream_duplicates(spark, workdir):
+    """Watermarked streaming dedup: redelivered rows inside the watermark
+    are dropped with key state that expires, instead of a forever-growing
+    dropDuplicates state."""
+    import datetime as dt
+
+    src = os.path.join(workdir, "landing")
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "site int, pk string, ts timestamp, v double"
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    _write_source_files(
+        spark, src,
+        [
+            (1, "a", t0, 1.0),
+            (1, "a", t0 + dt.timedelta(minutes=5), 99.0),  # dup within watermark
+            (2, "b", t0, 2.0),
+        ],
+        schema,
+    )
+    stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    deduped = ST.dedupe_within_watermark(stream, ["site", "pk"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    ST.run_to_completion(q)
+    rows = {(r.site, r.pk): r.v for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a"): 1.0, (2, "b"): 2.0}  # first-seen survives
+
+
 def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
     """applyInPandasWithState sessionization: a gap > gap_seconds closes the
     running session (emitted); the trailing open session stays in state and

@@ -26,11 +26,17 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark.jobs.catalog import CATALOG
 from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec, run_incremental_load
-from dwh_etl_ods_spark_jobs_spark.sources import JdbcSpec, ParquetSpec, read_table
+from dwh_etl_ods_spark_jobs_spark.sources import (
+    JdbcSpec,
+    ParquetSpec,
+    read_table,
+    write_append,
+)
 
 
 def _conf(spark: SparkSession, key: str, default: str | None = None) -> str | None:
@@ -92,11 +98,19 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
         }
         sink = ods if args.write else None
     n_parts = _conf(spark, "spark.ods.numpartitions")
-    delta = run_incremental_load(
-        spark, spec, source, target, lookups,
-        sink=sink, write_partitions=int(n_parts) if n_parts else None,
-    )
-    if not args.write:
+    delta = run_incremental_load(spark, spec, source, target, lookups, sink=None)
+    if sink is not None:
+        # The reference logs the delta count with a SEPARATE count() action
+        # before its JDBC append — a full second evaluation of the plan
+        # (LoadCTPatients.java:170; SURVEY §3.4). observe() rides the write
+        # job itself, so the count is free.
+        obs = Observation(f"ods-load-{spec.name}")
+        observed = delta.observe(obs, F.count(F.lit(1)).alias("n_appended"))
+        write_append(
+            observed, sink, write_partitions=int(n_parts) if n_parts else None
+        )
+        print(f"{spec.name}: {obs.get['n_appended']} records appended")
+    else:
         n = delta.count()
         print(f"{spec.name}: {n} new records (dry run, not written)")
     return delta

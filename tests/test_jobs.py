@@ -284,6 +284,21 @@ def test_run_job_cli_dev_mode(spark, tmp_path):
     ])
     assert rc == 0
 
+    # --write path: delta appended; the count logs via observe() riding the
+    # write job (no second evaluation), and a re-run appends zero.
+    rc = RJ.main([
+        "ct_patients", "--source-path", f"{d}/src",
+        "--target-path", f"{d}/tgt", "--lookup-dir", f"{d}/lkp", "--write",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{d}/tgt").count() == 1
+    rc = RJ.main([
+        "ct_patients", "--source-path", f"{d}/src",
+        "--target-path", f"{d}/tgt", "--lookup-dir", f"{d}/lkp", "--write",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{d}/tgt").count() == 1  # idempotent
+
 
 def test_mnch_heis_dedupes_source_generations(spark):
     """A previously-undeduped job: two extract generations of the same

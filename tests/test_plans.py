@@ -108,3 +108,26 @@ def test_minhash_aggregation_is_single_pass(spark, sf_dir):
     # one exchange for the repartition spread + one for the groupBy — but no
     # join-induced exchanges
     assert "Join" not in plan
+
+
+def test_filter_pipeline_is_single_scan_window(spark, sf_dir):
+    """Survivor selection must be a window over the scored frame — ONE
+    parquet scan, ONE shuffle, NO self-join. The groupBy+join-back form
+    evaluates the regex-heavy scoring chain once per join branch whenever
+    exchange reuse fails (the r4 10x regression)."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import q_filter_pipeline
+
+    plan = _plan(q_filter_pipeline(spark, sf_dir))
+    assert "Join" not in plan, "survivor selection regressed to a self-join"
+    assert "Window" in plan
+    # formatted explain lists each scan node twice (tree + details)
+    assert plan.count("Scan parquet") <= 2, "scoring chain scanned twice"
+
+
+def test_top_tokens_is_take_ordered(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject (partitions ship
+    their local top-k), never a full global Sort."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import q_text_top_tokens
+
+    plan = _plan(q_text_top_tokens(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

@@ -160,16 +160,36 @@ def run_incremental_load(
         # resolve by highest ID, not latest time-of-day. Cast timestamp- and
         # string-typed gate columns to date in the ordering so the ID
         # tiebreak decides within a day, matching the reference's survivor.
+        # try_* casts: dedupe runs BEFORE cleaning, so string gate columns
+        # see raw dirty data ('' / non-ISO dates) — under ANSI mode a plain
+        # cast would kill the job; malformed values sort as NULL (last).
         dtypes = dict(src.dtypes)
         order = []
         for c in spec.dedupe_order:
             t = dtypes.get(c, "")
-            if c != "ID" and (t.startswith("timestamp") or t == "string"):
+            if c != "ID" and t.startswith("timestamp"):
                 order.append(F.col(c).cast("date").desc())
+            elif c != "ID" and t == "string":
+                order.append(F.try_to_timestamp(F.col(c)).cast("date").desc())
             else:
                 order.append(F.col(c).desc())
         src = src.transform(dedupe_latest(list(spec.dedupe_keys), order))
 
+    if spec.rules:
+        # Cleaning rules reference their columns unconditionally (a silent
+        # skip would hide typos and un-cleaned loads); fail with the source
+        # contract spelled out instead of an UNRESOLVED_COLUMN deep in a rule.
+        have = {c.lower() for c in src.columns}
+        wanted = {
+            c for rule in spec.rules for c in getattr(rule, "columns", ())
+        }
+        missing = sorted(c for c in wanted if c.lower() not in have)
+        if missing:
+            raise ValueError(
+                f"job {spec.name}: source extract is missing columns "
+                f"{missing} required by its cleaning rules — the reference's "
+                f"source SQL selects them; include them in the extract"
+            )
     for rule in spec.rules:
         src = rule(src)
 

@@ -212,10 +212,16 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((did % 10000).cast("string"), 4, "0"),
         F.lit(", ip 10.0."), (did % 256).cast("string"), F.lit(".7"),
     )
-    return docs.select(
-        "doc_id",
-        T.redact_pii(dirty).alias("redacted"),
-        (T.redact_pii(dirty) != dirty).alias("was_redacted"),
+    # Name the dirty and redacted intermediates so the flag compares columns
+    # instead of repeating the 4-pattern regex chain a second time.
+    return (
+        docs.withColumn("__dirty", dirty)
+        .withColumn("redacted", T.redact_pii(F.col("__dirty")))
+        .select(
+            "doc_id",
+            "redacted",
+            (F.col("redacted") != F.col("__dirty")).alias("was_redacted"),
+        )
     )
 
 
@@ -464,7 +470,12 @@ def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(F.col("text")).alias("q"),
         T.exact_fingerprint(F.col("text")).alias("fp"),
     )
-    gated = scored.filter((F.col("pred_lang") != "und") & (F.col("q") >= 0.3))
+    # NULL fingerprints (NULL text) cannot join in the oracle's equi-join
+    # form, so exclude them here too — the window form would otherwise group
+    # all NULLs as one key and keep a survivor the oracle drops.
+    gated = scored.filter(
+        (F.col("pred_lang") != "und") & (F.col("q") >= 0.3) & F.col("fp").isNotNull()
+    )
     # Survivor = min doc_id per fingerprint, selected with a window over the
     # SAME frame rather than groupBy + join-back: the self-join form evaluates
     # the regex-heavy scoring chain once per join branch (nothing is cached),

@@ -261,17 +261,23 @@ def stateful_sessionize(
             start = last = None
             n = 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for t in sorted(pd.to_datetime(pdf[ts_col])):
-                tus = t.value // 1000  # ns -> us
-                if last is None:
-                    start, last, n = tus, tus, 1
-                elif tus - last > gap_us:
-                    closed.append((str(user), start, last, n))
-                    start, last, n = tus, tus, 1
-                else:
-                    last = max(last, tus)
-                    n += 1
+        # The group's batch arrives as MULTIPLE Arrow chunks in arbitrary
+        # order — drain them all and sort ONCE, or a later chunk's earlier
+        # events would be absorbed into the wrong session. NaT timestamps
+        # carry no event time and are dropped.
+        all_ts = pd.concat(
+            [pd.to_datetime(pdf[ts_col]) for pdf in pdfs], ignore_index=True
+        ).dropna()
+        for t in sorted(all_ts):
+            tus = t.value // 1000  # ns -> us
+            if last is None:
+                start, last, n = tus, tus, 1
+            elif tus - last > gap_us:
+                closed.append((str(user), start, last, n))
+                start, last, n = tus, tus, 1
+            else:
+                last = max(last, tus)
+                n += 1
         if last is not None:
             state.update((int(start), int(last), int(n)))
         if closed:

@@ -346,6 +346,38 @@ def test_dedupe_same_day_survivor_is_max_id(spark):
     assert rows["h2"].HEIHIVStatus == "new-day"
 
 
+def test_dedupe_string_gate_column_tolerates_dirty_values(spark):
+    """Dedupe runs BEFORE cleaning, so a string-typed date-gate column sees
+    raw dirty data; '' / non-ISO values must sort as NULL (last), not kill
+    the job under ANSI cast semantics."""
+    spec = CATALOG["mnch_heis"]
+    source = spark.createDataFrame(
+        [
+            ("h1", 10, 1, "", "m1", "dirty-gen"),
+            ("h1", 10, 2, "2023-06-01 08:00:00", "m1", "clean-gen"),
+        ],
+        "PatientPk string, SiteCode int, ID int, DateExtracted string, "
+        "PatientMnchID string, HEIHIVStatus string",
+    )
+    target = source.select("PatientPk", "SiteCode").limit(0)
+    delta = run_incremental_load(spark, spec, source, target, {})
+    rows = {r.PatientPk: r for r in delta.collect()}
+    assert rows["h1"].HEIHIVStatus == "clean-gen"  # parseable date wins
+
+
+def test_missing_rule_columns_raise_contract_error(spark):
+    """A source extract lacking a cleaning rule's column must fail with the
+    job-level contract error, not an UNRESOLVED_COLUMN deep inside a rule."""
+    spec = CATALOG["ct_ovc"]  # carries the Project source rewrite
+    source = spark.createDataFrame(
+        [("s1", "p1", "v1", "pid")],
+        "SiteCode string, PatientPK string, VisitID string, PatientID string",
+    )
+    target = source.select(*spec.keys).limit(0)
+    with pytest.raises(ValueError, match="missing columns.*Project"):
+        run_incremental_load(spark, spec, source, target, {})
+
+
 def test_ct_patients_enrich_stage(spark):
     """JobSpec.enrich: raw fact + PatientExtract + Facility through the spec
     (LoadSourceCTPatients.sql:7-9). Regression guard on the r2 FK-drop fix:

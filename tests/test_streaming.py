@@ -207,11 +207,11 @@ def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
     def t(minute):
         return dt.datetime(2024, 1, 1, 10, minute)
 
-    # user a: events at 10:00,10:05 | gap | 10:40 (open)
+    # user a: events at 10:00,10:05 | gap | 10:40 (open); NaT row dropped.
     # user b: single event 10:00 (open)
     _write_source_files(
         spark, src,
-        [("a", t(0)), ("a", t(5)), ("a", t(40)), ("b", t(0))],
+        [("a", t(0)), ("a", t(5)), ("a", t(40)), ("a", None), ("b", t(0))],
         schema,
     )
     stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)

@@ -580,6 +580,55 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH with the full Hamming-1 probe ball (hamming_probes = n_planes):
+    each query searches its own bucket plus every bucket one bit-flip away —
+    the recall control over the single-probe cliff."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_lsh_topk(
+        queries, emb, "vec_id", "v", k=5, dim=EMB_DIM,
+        n_planes=ANN_PLANES, hamming_probes=ANN_PLANES,
+    )
+
+
+def _sql_ann_lsh_multiprobe() -> str:
+    planes = D.hyperplanes(EMB_DIM, ANN_PLANES)
+    sig = D.hyperplane_signature_sql("v", planes)
+    cos = D.cosine_sql("q.v", "c.v", EMB_DIM)
+    flips = ", ".join(f"xor(sig, {1 << j})" for j in range(ANN_PLANES))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (SELECT vec_id, v, {sig} AS sig FROM emb),
+cand AS (SELECT vec_id, v, sig AS bucket FROM sigs),
+q AS (
+  SELECT vec_id, v, unnest([sig, {flips}]) AS bucket
+  FROM sigs WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cos
+  FROM q JOIN cand c USING (bucket)
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH_MULTIPROBE = _sql_ann_lsh_multiprobe()
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -739,6 +788,7 @@ QUERIES = {
     "text_filter_pipeline": q_filter_pipeline,
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "multimodal_decode_meta": q_multimodal_meta,
@@ -762,6 +812,7 @@ ORACLES = {
     "text_filter_pipeline": SQL_FILTER_PIPELINE,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
+    "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,

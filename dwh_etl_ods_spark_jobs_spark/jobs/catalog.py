@@ -186,7 +186,9 @@ _PROJECT_SOURCE_RULES = (
 
 def _visitdate_as_date():
     # LoadAdverseEvents.java:145-146: key includes cast(VisitDate as date).
-    return F.col("VisitDate").cast("date")
+    # try_cast: a malformed string VisitDate becomes a NULL key (handled by
+    # the null-safe anti-join) instead of an ANSI cast crash.
+    return F.col("VisitDate").try_cast("date")
 
 
 # ---------------------------------------------------------------------------

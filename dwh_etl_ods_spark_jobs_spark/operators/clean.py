@@ -81,7 +81,10 @@ def date_clamp(
                 )
             hi_lit = F.add_months(hi_lit, 12 * hi_offset_years)
         sent = _as_date_lit(sentinel) if sentinel is not None else F.lit(None).cast("date")
-        c = F.col(col).cast("date")
+        # try_cast: the reference ran non-ANSI Spark where a malformed string
+        # date cast to NULL; under ANSI (Spark 4 default) a plain cast would
+        # crash the job on exactly the dirty values this rule exists to clean.
+        c = F.col(col).try_cast("date")
         bad = F.lit(False)
         if lo_lit is not None:
             bad = bad | (c < lo_lit)
@@ -122,7 +125,9 @@ def range_sentinel(
         sent = (
             F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
         )
-        c = F.col(col).cast(cast_to)
+        # try_cast delivers the docstring's promised try-cast semantics under
+        # ANSI mode too (plain cast of 'abc' to float would kill the job).
+        c = F.col(col).try_cast(cast_to)
         bad = F.lit(False)
         if lo is not None:
             bad = bad | ((c <= lo) if bad_at_lo else (c < lo))

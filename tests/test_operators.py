@@ -127,6 +127,25 @@ def test_empty_to_null(spark):
     assert got == {1: None, 2: "x", 3: None}
 
 
+def test_clean_rules_survive_malformed_strings_under_ansi(spark):
+    """The cleaning rules exist for dirty data; under ANSI mode (Spark 4
+    default) a plain cast of '' / '6/1/2023' / 'abc' would crash the job —
+    try_cast semantics must null malformed values instead (the reference's
+    non-ANSI Spark 3 behavior)."""
+    df = spark.createDataFrame(
+        [(1, "", "abc"), (2, "6/1/2023", "1e309"), (3, "2023-06-01", "5.5")],
+        "id int, d string, x string",
+    )
+    out = df.transform(apply_rules([
+        date_clamp("d", lo="1980-01-01", sentinel="1900-01-01"),
+        range_sentinel("x", 0, 10, 999.0),
+    ]))
+    got = {r.id: (r.d, r.x) for r in out.collect()}
+    assert got[1] == (None, None)
+    assert got[2][0] is None  # non-ISO date -> NULL, not a crash
+    assert got[3] == (dt.date(2023, 6, 1), 5.5)
+
+
 def test_value_map_isin(spark):
     # Hard-coded isin(...) -> canonical label (LoadHtsClientTests.java:81-112).
     df = spark.createDataFrame(

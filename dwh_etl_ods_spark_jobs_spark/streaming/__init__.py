@@ -36,6 +36,16 @@ from pyspark.sql.types import (
 from dwh_etl_ods_spark_jobs_spark.operators import anti_join_new, dedupe_latest
 
 
+def _error_condition(e: AnalysisException) -> str:
+    """The exception's error condition name (getCondition on Spark 4;
+    getErrorClass — deprecated there — on older runtimes)."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            return fn() or ""
+    return ""
+
+
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """True if ``path`` exists, via the JVM Hadoop FileSystem API (works for
     any Hadoop-supported scheme, not just local files).
@@ -50,8 +60,7 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
             spark.read.format("parquet").load(path).schema
             return True
         except AnalysisException as e:
-            cond = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
-            msg = f"{cond} {e}"
+            msg = f"{_error_condition(e)} {e}"
             if "PATH_NOT_FOUND" in msg:
                 return False
             if "UNABLE_TO_INFER_SCHEMA" in msg:
@@ -124,8 +133,7 @@ def incremental_sink(
                 # fall back to first-batch semantics; any other analysis
                 # failure (corrupt footer, incompatible schema, ...) must
                 # fail the micro-batch rather than append undeduplicated.
-                cond = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
-                msg = f"{cond} {e}"
+                msg = f"{_error_condition(e)} {e}"
                 if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
                     raise
                 target = None

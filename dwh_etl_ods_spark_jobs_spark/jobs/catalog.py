@@ -54,6 +54,16 @@ from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
     prep_patient_value_rules,
     prep_pharmacy_rules,
 )
+from dwh_etl_ods_spark_jobs_spark.jobs.filters import (
+    CT_GATE,
+    GENDER_NOT_NULL,
+    GENDER_NOT_UNKNOWN,
+    HTS_EXTRACT_CUTOFF,
+    MFL_CODE_NOT_EMPTY,
+    SITECODE_POSITIVE,
+    TRACING_OUTCOME_NOT_NULL,
+    TRACING_TYPE_NOT_NULL,
+)
 from dwh_etl_ods_spark_jobs_spark.jobs.projections import PROJECTIONS
 from dwh_etl_ods_spark_jobs_spark.jobs.spec import EnrichSpec, JobSpec, LookupSpec
 from dwh_etl_ods_spark_jobs_spark.operators import (
@@ -280,6 +290,8 @@ CATALOG: dict[str, JobSpec] = {
             ),
             select=_CT_PATIENTS_SELECT,
             enrich=EnrichSpec(),
+            filters=(GENDER_NOT_NULL, *CT_GATE),
+            source_table="[DWAPICentral].[dbo].[PatientExtract]",
             notes="LoadCTPatients.java:27-228; clean chain :111-142; "
                   "PreviousARTExposure folds via lkp_RegimenLineMap "
                   "(:82-89,147,154); education lookup uses Source/Target"
@@ -298,6 +310,8 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("ExitReason", "lkp_exit_reason"),
             ),
             enrich=EnrichSpec(),
+            filters=CT_GATE,
+            source_table="[DWAPICentral].[dbo].[PatientArtExtract]",
             notes="LoadARTPatients.java:59-181; full clean chain :93-137 incl "
                   "Emr/Project maps (:121-126); fixes the PreviousARTRegimen "
                   "fold that falls back to ExitReason (:148-149); source star "
@@ -315,6 +329,8 @@ CATALOG: dict[str, JobSpec] = {
             select=_CT_PATIENT_VISITS_DDL,
             select_types=_CT_PATIENT_VISITS_TYPES,
             enrich=EnrichSpec(),
+            filters=CT_GATE,
+            source_table="[DWAPICentral].[dbo].[PatientVisitExtract]",
             notes="LoadPatientVisits.java:47-135; the one job with a real "
                   "range-partitioned JDBC read (SiteCode bounds); final "
                   "projection = PatientVisitsDDL.sql:1-78 order",
@@ -329,6 +345,9 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("TreatmentType", "lkp_treatment_type"),
                 LookupSpec("ProphylaxisType", "lkp_prophylaxis_type"),
             ),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[PatientPharmacyExtract]",
             notes="LoadPatientPharmacy.java:60-142; clean chain :90-102 "
                   "(jobs/rules.py:ct_patient_pharmacy_rules); Project "
                   "rewrite in source SQL",
@@ -341,6 +360,9 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_order=_BY_CREATED,
             rules=_PROJECT_SOURCE_RULES,
             lookups=(LookupSpec("TestName", "lkp_test_name"),),
+            filters=(GENDER_NOT_UNKNOWN,),
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[PatientLaboratoryExtract]",
             notes="LoadPatientLabs.java:111; source dedupe "
                   "LoadSourceCTPatientLabs.sql:18-27 (GROUP BY code, "
                   "PatientPID, TestResult, TestName, OrderedbyDate, voided)",
@@ -351,6 +373,9 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_order=_BY_CREATED,
             rules=_PROJECT_SOURCE_RULES,
             lookups=(LookupSpec("ExitReason", "lkp_exit_reason"),),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[PatientStatusExtract]",
             notes="LoadPatientStatus.java:92; source dedupe "
                   "LoadSourcePatientStatus.sql:29-53; Project rewrite :11"),
         job("ct_patient_baselines", "dwapicentral", "dbo.CT_PatientBaselines",
@@ -358,6 +383,9 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("SiteCode", "PatientPK", "Voided"),
             dedupe_order=_BY_CREATED,
             rules=(*_PROJECT_SOURCE_RULES, *ct_patient_baselines_rules()),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[PatientBaselinesExtract]",
             notes="LoadPatientBaselines.java:92; clean chain :57-64 "
                   "(jobs/rules.py:ct_patient_baselines_rules); source dedupe "
                   "LoadPatientBaselines.sql:17-22"),
@@ -370,6 +398,9 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("AdverseEvent", "lkp_adverse_events"),
                 LookupSpec("AdverseEventRegimen", "lkp_regimen"),
             ),
+            filters=(SITECODE_POSITIVE,),
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[PatientAdverseEventExtract]",
             notes="LoadAdverseEvents.java:60-154; key includes "
                   "cast(VisitDate as date) (:145-146); clean chain :79-109",
         ),
@@ -381,44 +412,74 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("AllergyCausativeAgent", "lkp_allergy_causative_agent"),
                 LookupSpec("ChronicIllness", "lkp_chronic_illness"),
             ),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[AllergiesChronicIllnessExtract]",
             notes="LoadCTAllergies.java:136"),
         job("ct_covid", "dwapicentral", "dbo.CT_Covid",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=ct_covid_rules(),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[CovidExtract]",
             notes="LoadCTCovid.java:97; clean chain :61-73 "
                   "(jobs/rules.py:ct_covid_rules)"),
         job("ct_defaulter_tracing", "dwapicentral", "dbo.CT_DefaulterTracing",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[DefaulterTracingExtract]",
             notes="LoadCTDefaulterTracing.java:81"),
         job("ct_depression_screening", "dwapicentral", "dbo.CT_DepressionScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[DepressionScreeningExtract]",
             notes="LoadDepressionScreening.java:80"),
         job("ct_drug_alcohol_screening", "dwapicentral", "dbo.CT_DrugAlcoholScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[DrugAlcoholScreeningExtract]",
             notes="LoadDrugAlcoholScreening.java:87"),
         job("ct_enhanced_adherence_counselling", "dwapicentral",
             "dbo.CT_EnhancedAdherenceCounselling",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[EnhancedAdherenceCounsellingExtract]",
             notes="LoadEnhancedAdherenceCounselling.java:89"),
         job("ct_gbv_screening", "dwapicentral", "dbo.CT_GbvScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[GbvScreeningExtract]",
             notes="LoadCTGBVScreening.java:76"),
         job("ct_ipt", "dwapicentral", "dbo.CT_Ipt",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[IptExtract]",
             notes="LoadCTIPT.java:91; Project rewrite LoadCTIPT.sql:5-9"),
         job("ct_otz", "dwapicentral", "dbo.CT_Otz",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=(*_PROJECT_SOURCE_RULES, *ct_otz_rules()),
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[OtzExtract]",
             notes="LoadCTOTZ.java:92; clean chain :59-67 "
                   "(jobs/rules.py:ct_otz_rules, 2012 enrollment floor)"),
         job("ct_ovc", "dwapicentral", "dbo.CT_Ovc",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[OvcExtract]",
             notes="LoadCTOVC.java:79"),
         job("ct_contact_listing", "dwapicentral", "dbo.CT_ContactListing",
             ["SiteCode", "PatientPK"],
@@ -426,6 +487,9 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("SiteCode", "PatientPK", "ContactAge"),
             dedupe_order=_BY_CREATED,
             rules=_PROJECT_SOURCE_RULES,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[ContactListingExtract]",
             notes="LoadCTContactListing.java:103 (anti-join key SiteCode+"
                   "PatientPK only); the source query dedupes at the FINER "
                   "(SiteCode, PatientPK, ContactAge) grain with max(created) "
@@ -433,18 +497,33 @@ CATALOG: dict[str, JobSpec] = {
                   "(:5-9); ContactPatientPK hashed"),
         job("ct_cervical_screening", "dwapicentral", "dbo.CT_CervicalCancerScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            filters=(GENDER_NOT_UNKNOWN,),
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[CervicalCancerScreeningExtract]",
             notes="LoadCervicalScreening.java:77"),
         job("ct_cancer_screening", "dwapicentral", "dbo.CT_CancerScreening",
             ["SiteCode", "PatientPK", "VisitID"], _PII_CT,
+            filters=(GENDER_NOT_UNKNOWN,),
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[CancerScreeningExtract]",
             notes="LoadCancerScreening.java:78; FIXED QUIRK — reference "
                   "anti-joins CT_CervicalCancerScreening (:64) but writes "
                   "CT_CancerScreening (:110); we anti-join the real target"),
         job("ct_iit_risk_scores", "dwapicentral", "dbo.CT_IITRiskScores",
-            ["ID"], _PII_CT, notes="LoadIITRiskScores.java:78"),
+            ["ID"], _PII_CT,
+            filters=CT_GATE,
+            enrich=EnrichSpec(),
+            source_table="[DWAPICentral].[dbo].[IITRiskScoresExtract]",
+            notes="LoadIITRiskScores.java:78; gender/code gate "
+                  "LoadIITRiskScores.sql"),
         job("ct_facility_manifest", "dwapicentral", "dbo.CT_FacilityManifest",
-            ["ID"], notes="LoadFacilityManifest.java:69"),
+            ["ID"],
+            source_table="[DWAPICentral].[dbo].[FacilityManifest]",
+            notes="LoadFacilityManifest.java:69"),
         # --- HIS facility registry ------------------------------------------
         job("facilities", "his", "dbo.ALL_EMRSites", ["MFL_Code"],
+            filters=(MFL_CODE_NOT_EMPTY,),
+            source_table="[HIS_Implementation].[dbo].[All_EMRSites]",
             notes="LoadFacilities.java:17-87; minimal job shape (SURVEY §3.3)"),
         # --- HTSCentral -------------------------------------------------------
         job("hts_clients", "htscentral", "dbo.HTS_clients",
@@ -453,6 +532,8 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("SiteCode", "PatientPK"),
             dedupe_order=_BY_DATECREATED,
             rules=hts_clients_rules(),
+            filters=(HTS_EXTRACT_CUTOFF,),
+            source_table="[HTSCentral].[dbo].[Clients]",
             notes="LoadHtsClients.java:120; clean chain :82-92 "
                   "(jobs/rules.py:hts_clients_rules); source dedupe "
                   "LoadHtsClients.sql:26-31 (max ID, max datecreated)"),
@@ -467,6 +548,7 @@ CATALOG: dict[str, JobSpec] = {
                 LookupSpec("TestStrategy", "lkp_htsStrategy",
                            "Source_htsStrategy", "Target_htsStrategy"),
             ),
+            source_table="[HTSCentral].[dbo].[HtsClientTests]",
             notes="LoadHtsClientTests.java:59-141 (EntryPoint :116-120, "
                   "TestStrategy :117-123); source dedupe "
                   "LoadHtsClientTests.sql:42-50"),
@@ -474,17 +556,22 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPK", "SiteCode"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPK"),
             rules=hts_client_linkages_rules(),
+            filters=(HTS_EXTRACT_CUTOFF,),
+            source_table="[HTSCentral].[dbo].[ClientLinkages]",
             notes="LoadHtsClientLinkages.java:84; clean chain :61-66 "
                   "(jobs/rules.py:hts_client_linkages_rules); source dedupe "
                   "LoadHtsClientLinkages.sql:19-24"),
         job("hts_client_tracing", "htscentral", "dbo.HTS_ClientTracing",
             ["PatientPK", "SiteCode", "HtsNumber", "TracingOutcome"], _PII_HTS,
+            filters=(TRACING_TYPE_NOT_NULL, TRACING_OUTCOME_NOT_NULL),
+            source_table="[HTSCentral].[dbo].[HtsClientTracing]",
             notes="LoadHtsClientTracing.java:74"),
         job("hts_eligibility", "htscentral", "dbo.HTS_EligibilityExtract",
             ["PatientPk", "SiteCode"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPk", "EncounterID", "VisitID"),
             rules=_HTS_ELIGIBILITY_RULES,
             lookups=(LookupSpec("Disability", "lkp_htsDisability"),),
+            source_table="[HTSCentral].[dbo].[HtsEligibilityExtract]",
             notes="LoadHtsEligibility.java:83-117; dual dedupe gates "
                   "(DateCreated + DateExtracted) collapsed to one window "
                   "(fixed quirk, module docstring)"),
@@ -492,18 +579,21 @@ CATALOG: dict[str, JobSpec] = {
             "dbo.HTS_PartnerNotificationServices",
             ["PatientPk", "PartnerPatientPk", "SiteCode"], _PII_HTS,
             rules=hts_partner_notification_rules(),
+            source_table="[HTSCentral].[dbo].[HtsPartnerNotificationServices]",
             notes="LoadPartnerNotificationServices.java:92; clean chain "
                   ":58-74 (jobs/rules.py:hts_partner_notification_rules)"),
         job("hts_partner_tracing", "htscentral", "dbo.HTS_PartnerTracings",
             ["PatientPk", "SiteCode", "HtsNumber"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPk", "HtsNumber", "TraceType",
                          "BookingDate", "TraceDate", "TraceOutcome"),
+            source_table="[HTSCentral].[dbo].[HtsPartnerTracings]",
             notes="LoadHtsPartnerTracing.java:75; source dedupe "
                   "LoadHtsPartnerTracing.sql:13-18"),
         job("hts_test_kits", "htscentral", "dbo.HTS_TestKits",
             ["PatientPk", "SiteCode"], _PII_HTS,
             dedupe_keys=("SiteCode", "PatientPk", "EncounterId",
                          "TestKitName1", "TestResult2", "TestKitLotNumber1"),
+            source_table="[HTSCentral].[dbo].[HtsTestKits]",
             notes="LoadHtsTestKits.java:42-88; source dedupe "
                   "LoadHtsTestKits.sql:19-28; dormant dd/MM/yyyy regex date "
                   "repair lives in plans (union_date_repair)"),
@@ -511,46 +601,55 @@ CATALOG: dict[str, JobSpec] = {
         job("mnch_anc_visits", "mnchcentral", "dbo.MNCH_AncVisits",
             ["PatientPk", "SiteCode", "VisitID", "ANCClinicNumber"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode", "VisitDate"),
+            source_table="[MNCHCentral].[dbo].[AncVisits]",
             notes="LoadMnchAncVisits.java:73; source dedupe "
                   "LoadMnchAncVisits.sql:11-15"),
         job("mnch_arts", "mnchcentral", "dbo.MNCH_Arts",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MnchArts]",
             notes="LoadMnchArts.java:73; source dedupe LoadMnchArts.sql"),
         job("mnch_cwc_enrolments", "mnchcentral", "dbo.MNCH_CwcEnrolments",
             ["PatientPk", "SiteCode"],
             {"PatientPK": "PatientPKHash", "MothersPkv": "MothersPkvHash",
              "MothersCCCNo": "MothersCCCNoHash"},
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[CwcEnrolments]",
             notes="LoadMnchCwcEnrolments.java:73; source dedupe "
                   "LoadMnchCwcEnrolments.sql"),
         job("mnch_cwc_visits", "mnchcentral", "dbo.MNCH_CwcVisits",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode", "VisitDate"),
+            source_table="[MNCHCentral].[dbo].[CwcVisits]",
             notes="LoadMnchCwcVisits.java:71; source dedupe "
                   "LoadMnchCwcVisits.sql"),
         job("mnch_enrolments", "mnchcentral", "dbo.MNCH_Enrolments",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MnchEnrolments]",
             notes="LoadMNCHEnrolments.java:73; source dedupe "
                   "LoadMNCHEnrolments.sql"),
         job("mnch_heis", "mnchcentral", "dbo.MNCH_HEIs",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[Heis]",
             notes="LoadMNCHHeis.java:72; source dedupe LoadMNCHHeis.sql:5-8"),
         job("mnch_immunization", "mnchcentral", "dbo.MNCH_Immunization",
             ["PatientPK", "SiteCode", "PatientMnchID"], _PII_MNCH,
             dedupe_keys=("PatientPK", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MnchImmunizations]",
             notes="LoadMNCHImmunization.java:67; source dedupe "
                   "LoadMNCHImmunization.sql"),
         job("mnch_labs", "mnchcentral", "dbo.MNCH_Labs",
             ["PatientPk", "SiteCode"],
             {"PatientPK": "PatientPKHash", "PatientMnch_ID": "PatientMnchIDHash"},
             dedupe_keys=("PatientPk", "SiteCode", "OrderedbyDate"),
+            source_table="[MNCHCentral].[dbo].[MnchLabs]",
             notes="LoadMnchLabs.java:71; source dedupe LoadMnchLabs.sql:5-8"),
         job("mnch_mat_visits", "mnchcentral", "dbo.MNCH_MatVisits",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MatVisits]",
             notes="LoadMnchMatVisits.java:68; source dedupe "
                   "LoadMnchMatVisits.sql"),
         job("mnch_mother_baby_pairs", "mnchcentral", "dbo.MNCH_MotherBabyPairs",
@@ -559,17 +658,20 @@ CATALOG: dict[str, JobSpec] = {
              "BabyPatientPK": "BabyPatientPKHash",
              "MotherPatientMncHeiID": "MotherPatientMncHeiIDHash"},
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MotherBabyPairs]",
             notes="LoadMnchMotherBabyPairs.java:72; source dedupe "
                   "LoadMnchMotherBabyPairs.sql"),
         job("mnch_patients", "mnchcentral", "dbo.MNCH_Patient",
             ["PatientPk", "SiteCode"],
             {**_PII_MNCH, "NUPI": "NupiHash"},
             dedupe_keys=("PatientPk", "SiteCode"),
+            source_table="[MNCHCentral].[dbo].[MnchPatients]",
             notes="LoadMnchPatients.java:73; source dedupe "
                   "LoadMnchPatients.sql"),
         job("mnch_pnc_visits", "mnchcentral", "dbo.MNCH_PncVisits",
             ["PatientPk", "SiteCode"], _PII_MNCH,
             dedupe_keys=("SiteCode", "PatientPk", "VisitDate", "VisitID"),
+            source_table="[MNCHCentral].[dbo].[PncVisits]",
             notes="LoadMnchPncVisits.java:70; source dedupe "
                   "LoadMnchPncVisits.sql"),
         # --- PrepCentral ------------------------------------------------------
@@ -578,6 +680,7 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_CREATED,
             rules=_PREP_PATIENT_RULES,
+            source_table="[PREPCentral].[dbo].[PrepPatients]",
             notes="LoadPrepPatient.java:55-132 — '' -> NULL sweep + "
                   "KeyPopulationType/Inschool/MaritalStatus/County maps; "
                   "source dedupe LoadPrepPatient.sql"),
@@ -585,6 +688,7 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
+            source_table="[PREPCentral].[dbo].[PrepVisits]",
             notes="LoadPrepVisits.java:73; dual dedupe gates "
                   "LoadPrepVisits.sql:69-77 (fixed quirk)"),
         job("prep_pharmacy", "prepcentral", "dbo.PrEP_Pharmacy",
@@ -592,6 +696,7 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
             rules=prep_pharmacy_rules(),
+            source_table="[PREPCentral].[dbo].[PrepPharmacys]",
             notes="LoadPrepPharmacy.java:81; clean chain :56-63 "
                   "(jobs/rules.py:prep_pharmacy_rules); dual dedupe gates "
                   "(fixed quirk)"),
@@ -600,6 +705,7 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
             rules=prep_behaviour_risk_rules(),
+            source_table="[PREPCentral].[dbo].[PrepBehaviourRisks]",
             notes="LoadPrepBehaviourRisk.java:100; '' -> NULL sweep :57-82 "
                   "(jobs/rules.py:prep_behaviour_risk_rules); dual dedupe "
                   "gates (fixed quirk)"),
@@ -607,6 +713,7 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPk", "SiteCode"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_BOTH,
+            source_table="[PREPCentral].[dbo].[PrepCareTerminations]",
             notes="LoadPrepCareTermination.java:77; dual dedupe gates "
                   "(fixed quirk)"),
         job("prep_adverse_events", "prepcentral", "dbo.PrEP_AdverseEvent",
@@ -614,6 +721,7 @@ CATALOG: dict[str, JobSpec] = {
             dedupe_keys=("PatientPk", "SiteCode"),
             dedupe_order=_BY_CREATED,
             rules=prep_adverse_events_rules(),
+            source_table="[PREPCentral].[dbo].[PrepAdverseEvents]",
             notes="LoadPrepAdverseEvents.java:89; '' -> NULL sweep :55-71 "
                   "(jobs/rules.py:prep_adverse_events_rules); source dedupe "
                   "LoadPrepAdverseEvents.sql"),
@@ -621,6 +729,7 @@ CATALOG: dict[str, JobSpec] = {
             ["PatientPk", "SiteCode", "PrepNumber"], _PII_PREP,
             dedupe_keys=("PatientPk", "SiteCode", "PrepNumber"),
             dedupe_order=_BY_CREATED,
+            source_table="[PREPCentral].[dbo].[PrepLabs]",
             notes="LoadPrepLab.java:79; source dedupe LoadPrepLab.sql"),
     ]
 }

@@ -29,6 +29,7 @@ from dwh_etl_ods_spark_jobs_spark.operators import (
     hash_pii,
     lookup_fold,
 )
+from dwh_etl_ods_spark_jobs_spark.jobs.filters import FilterSpec
 from dwh_etl_ods_spark_jobs_spark.operators.enrich import enrich_patient_facility
 from dwh_etl_ods_spark_jobs_spark.sources import TableSpec, read_table, write_append
 
@@ -62,8 +63,15 @@ class EnrichSpec:
     """
 
     fact_patient_key: str = "PatientId"
-    patient_cols: tuple[str, ...] = ("PatientPK", "PatientID")
+    # Gender rides along so the post-enrich WHERE gate (jobs/filters.py
+    # GENDER_NOT_UNKNOWN — the reference filters on P.gender without
+    # SELECTing it) has its column; the final projection drops it again.
+    patient_cols: tuple[str, ...] = ("PatientPK", "PatientID", "Gender")
     facility_cols: tuple[str, ...] = ("SiteCode", "FacilityName")
+    # Every reference facility join carries ``AND F.Voided = 0`` in its ON
+    # clause (LoadSourceCTPatients.sql:9, LoadSourceAdverseEvents.sql:34);
+    # the gate is applied to the facility dim pre-join (operators/enrich.py).
+    facility_voided_gate: bool = True
 
 
 @dataclass(frozen=True)
@@ -78,6 +86,10 @@ class JobSpec:
     # this into T-SQL: GROUP BY keys -> MAX(created), MAX(id)).
     dedupe_keys: tuple[str, ...] | None = None
     dedupe_order: tuple[str, ...] = ("DateExtracted", "ID")
+    # Source-SQL WHERE predicates (jobs/filters.py census), applied right
+    # after enrichment — the position the reference's pushed-down SQL
+    # evaluated them (post star join, pre dedupe self-join).
+    filters: tuple[FilterSpec, ...] = ()
     rules: tuple[Callable[[DataFrame], DataFrame], ...] = ()
     lookups: tuple[LookupSpec, ...] = ()
     pii: Mapping[str, str] = field(default_factory=dict)  # src col -> hash col
@@ -95,6 +107,12 @@ class JobSpec:
     # Star enrichment of the raw fact extract (None when the source is read
     # through the reference's pushed-down SQL, which already joins the dims).
     enrich: EnrichSpec | None = None
+    # The reference's raw source extract table (the FROM of each job's
+    # source-SQL resource, e.g. LoadSourceCTPatients.sql) — run_job.py's
+    # JDBC default when --source-table is not given. The star join /
+    # dedupe / filters that the reference pushed into T-SQL run
+    # engine-native instead, so the raw table IS the right default scan.
+    source_table: str | None = None
     notes: str = ""  # reference quirks we intentionally fix (SURVEY §7)
 
     def __post_init__(self) -> None:
@@ -140,7 +158,30 @@ def run_incremental_load(
             fact_patient_key=e.fact_patient_key,
             patient_cols=e.patient_cols,
             facility_cols=e.facility_cols,
+            facility_voided_gate=e.facility_voided_gate,
         )
+
+    if spec.filters:
+        # Fact-side filters fail loudly when their column is missing (same
+        # contract as cleaning rules below). Dim-side filters (Gender,
+        # SiteCode) skip when absent: a source read through the reference's
+        # pushed-down SQL applied them upstream and does not SELECT the
+        # column (jobs/filters.py module docstring).
+        have = {c.lower() for c in src.columns}
+        missing_fact = [
+            f.column for f in spec.filters
+            if not f.dim_side and f.column.lower() not in have
+        ]
+        if missing_fact:
+            raise ValueError(
+                f"job {spec.name}: source extract is missing columns "
+                f"{missing_fact} required by its source filters — the "
+                f"reference's source SQL reads them; include them in the "
+                f"extract"
+            )
+        for f in spec.filters:
+            if f.column.lower() in have:
+                src = src.filter(f.make())
 
     if spec.key_exprs:
         for col, make_expr in spec.key_exprs.items():

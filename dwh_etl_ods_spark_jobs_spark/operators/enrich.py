@@ -35,6 +35,18 @@ def star_enrich(
     """
     out = fact
     for dim, on_map, keep_cols, do_broadcast in dims:
+        # A fact column that collides (case-insensitively) with a requested
+        # dim column is dropped pre-join: the dim's value is authoritative —
+        # in the reference's pushed-down SQL these columns are SELECTed from
+        # the joined dimension (e.g. P.Gender, F.Code AS SiteCode), never
+        # from the fact extract.
+        keep_lower = {c.lower() for c in keep_cols}
+        collide = [
+            c for c in out.columns
+            if c.lower() in keep_lower and c not in on_map
+        ]
+        if collide:
+            out = out.drop(*collide)
         # dict.fromkeys dedupes while preserving order — a set literal would
         # randomize output column order across interpreter runs
         d = dim.select(*dict.fromkeys([*on_map.values(), *keep_cols]))
@@ -57,10 +69,21 @@ def enrich_patient_facility(
     fact_patient_key: str = "PatientId",
     patient_cols: Sequence[str] = ("PatientPK", "PatientID"),
     facility_cols: Sequence[str] = ("SiteCode", "FacilityName"),
+    facility_voided_gate: bool = True,
 ) -> DataFrame:
     """The concrete reference shape: fact ⋈ PatientExtract ⋈ Facility
     (``LoadSourceCTPatients.sql:7-9``). Patient joins on the fact's patient
     FK; facility joins on the patient's facility FK and is broadcast.
+
+    ``facility_voided_gate``: every reference facility join carries
+    ``AND F.Voided = 0`` in its ON clause (``LoadSourceCTPatients.sql:9``,
+    ``LoadSourceAdverseEvents.sql:34``) — under an inner join that equals
+    filtering the dim before joining, which keeps the broadcast even
+    smaller. A voided facility's rows are dropped entirely. Applied only
+    when the dim actually carries a Voided column: an extract without it
+    cannot be gated (and a NULL Voided row is dropped, matching T-SQL
+    ``= 0`` three-valued logic). try_cast: a boolean or varchar bit column
+    gates the same as the reference's int bit.
 
     The fact's FK column is dropped from the output (consumed by the join),
     but the dim's ``PatientID`` must survive. Spark resolves ``drop`` by
@@ -68,6 +91,8 @@ def enrich_patient_facility(
     ``"PatientId"`` would silently also remove the dim's ``"PatientID"`` —
     the FK is renamed to a collision-free temp name before joining and the
     temp name is dropped instead."""
+    if facility_voided_gate and any(c.lower() == "voided" for c in facility.columns):
+        facility = facility.filter(F.col("Voided").try_cast("int") == F.lit(0))
     fk_tmp = "__fact_patient_fk"
     return star_enrich(
         fact.withColumnRenamed(fact_patient_key, fk_tmp),

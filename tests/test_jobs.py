@@ -186,6 +186,12 @@ def _spec_columns(spec):
         add(src_col, "string")
     for c in spec.key_exprs:
         add(c, "date", force=True)
+    # Filter columns: synthesized with the FilterSpec's kind so the
+    # generated values PASS the predicate (numeric SiteCode > 0, 2023
+    # dates > the 2019 cutoff, gender_N != 'Unknown', ...). Boundary rows
+    # that must be DROPPED are covered by tests/test_job_filters.py.
+    for f in spec.filters:
+        add(f.column, f.kind, force=True)
     return cols
 
 
@@ -382,24 +388,21 @@ def test_ct_patients_enrich_stage(spark):
     """JobSpec.enrich: raw fact + PatientExtract + Facility through the spec
     (LoadSourceCTPatients.sql:7-9). Regression guard on the r2 FK-drop fix:
     the dim's PatientID must survive even though the fact's PatientId FK is
-    consumed by the join."""
+    consumed by the join. Round-6 additions: the post-enrich WHERE gate
+    (Gender != 'Unknown' — LoadSourceCTPatients.sql:18) and the facility
+    Voided=0 join gate (:9) drop their rows."""
     spec = CATALOG["ct_patients"]
     assert spec.enrich is not None
     clamp_fill = (dt.date(2016, 1, 1),) * 7
+
+    def fact_row(fk, i):
+        return (fk, fk * 100, dt.date(2023, 6, 1), dt.date(1990 + i, 5, 1),
+                dt.date(2015, 3, 1), f"n{fk}", "single", "primary", "vct",
+                "tdf", *clamp_fill)
+
     fact = spark.createDataFrame(
-        [
-            # (PatientId FK, ID, DateExtracted, DOB, RegistrationAtCCC, NUPI,
-            #  MaritalStatus, EducationLevel, PatientSource, PreviousARTExposure)
-            (1, 100, dt.date(2023, 6, 1), dt.date(1990, 5, 1),
-             dt.date(2015, 3, 1), "n1", "single", "primary", "vct", "tdf",
-             *clamp_fill),
-            (2, 200, dt.date(2023, 6, 1), dt.date(1991, 5, 1),
-             dt.date(2016, 3, 1), "n2", "single", "primary", "vct", "tdf",
-             *clamp_fill),
-            (9, 900, dt.date(2023, 6, 1), dt.date(1992, 5, 1),
-             dt.date(2017, 3, 1), "n9", "single", "primary", "vct", "tdf",
-             *clamp_fill),
-        ],
+        [fact_row(1, 0), fact_row(2, 1), fact_row(3, 2), fact_row(4, 3),
+         fact_row(9, 4)],
         "PatientId int, ID int, DateExtracted date, DOB date, "
         "RegistrationAtCCC date, NUPI string, MaritalStatus string, "
         "EducationLevel string, PatientSource string, PreviousARTExposure string, "
@@ -408,11 +411,18 @@ def test_ct_patients_enrich_stage(spark):
         "LastVisit date, DateConfirmedHIVPositive date, TransferInDate date",
     )
     patient = spark.createDataFrame(
-        [(1, "p1", "pid1", 10), (2, "p2", "pid2", 10)],
-        "Id int, PatientPK string, PatientID string, FacilityId int",
+        [
+            (1, "p1", "pid1", 10, "Male"),
+            (2, "p2", "pid2", 10, "Female"),
+            (3, "p3", "pid3", 10, "Unknown"),   # gender gate drops
+            (4, "p4", "pid4", 20, "Male"),      # voided facility drops
+        ],
+        "Id int, PatientPK string, PatientID string, FacilityId int, "
+        "Gender string",
     )
     facility = spark.createDataFrame(
-        [(10, 700, "Facility A")], "Id int, SiteCode int, FacilityName string"
+        [(10, 700, "Facility A", 0), (20, 800, "Facility B", 1)],
+        "Id int, SiteCode int, FacilityName string, Voided int",
     )
     lookups = {
         "lkp_MaritalStatus": spark.createDataFrame(
@@ -431,7 +441,8 @@ def test_ct_patients_enrich_stage(spark):
         spark, spec, fact, target, lookups, patient=patient, facility=facility
     )
     rows = {r.PatientPK: r for r in delta.collect()}
-    # fact row with FK 9 has no registered patient -> dropped (inner join)
+    # FK 9: no registered patient (inner join); p3: Gender='Unknown'
+    # (WHERE gate); p4: its facility is voided (Voided=0 join gate)
     assert set(rows) == {"p1", "p2"}
     assert rows["p1"].PatientID == "pid1"  # the dim's PatientID survived
     assert rows["p1"].SiteCode == 700  # facility join supplied the key

@@ -72,6 +72,11 @@ class EnrichSpec:
     # clause (LoadSourceCTPatients.sql:9, LoadSourceAdverseEvents.sql:34);
     # the gate is applied to the facility dim pre-join (operators/enrich.py).
     facility_voided_gate: bool = True
+    # Dimension source tables (run_job.py JDBC mode reads these alongside
+    # the raw fact extract and joins engine-side — the reference pushed the
+    # same join into its source T-SQL).
+    patient_table: str = "[DWAPICentral].[dbo].[PatientExtract]"
+    facility_table: str = "[DWAPICentral].[dbo].[Facility]"
 
 
 @dataclass(frozen=True)

@@ -56,14 +56,27 @@ def _jdbc_spec(spark: SparkSession, system: str, table: str | None = None,
         )
     return JdbcSpec(
         url=url,
-        table=table,
+        table=_render_table(url, table) if table else table,
         query=query,
         user=_conf(spark, f"spark.{system}.user"),
         password=_conf(spark, f"spark.{system}.password"),
     )
 
 
+def _render_table(url: str, table: str) -> str:
+    """Catalog table names are recorded in the reference's T-SQL spelling
+    (``[DWAPICentral].[dbo].[PatientExtract]``). SQL Server takes them
+    verbatim; any other dialect (Derby in tests, Postgres, ...) gets the
+    brackets stripped and the cross-database catalog prefix dropped —
+    three-part names are a T-SQL-ism."""
+    if url.startswith("jdbc:sqlserver") or "[" not in table:
+        return table
+    parts = [p.strip("[]") for p in table.split(".")]
+    return ".".join(parts[-2:]) if len(parts) >= 3 else ".".join(parts)
+
+
 def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
+    patient = facility = None
     if args.source_path:
         if not args.target_path:
             raise SystemExit("--source-path (dev mode) also requires --target-path")
@@ -78,18 +91,32 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
             lk.table: spark.read.parquet(f"{args.lookup_dir}/{lk.table}.parquet")
             for lk in spec.lookups
         }
+        if spec.enrich is not None and args.patient_path and args.facility_path:
+            patient = spark.read.parquet(args.patient_path)
+            facility = spark.read.parquet(args.facility_path)
         sink = ParquetSpec(name="target", path=args.target_path) if args.write else None
     else:
-        if not args.source_table:
+        src_table = args.source_table or spec.source_table
+        if not src_table:
             raise SystemExit(
-                "JDBC mode requires --source-table (the staging table or "
-                "'(SELECT ...) s' subquery to read — the reference ships one "
-                "source query per job as a SQL resource; supply its table/"
-                "subquery here)"
+                f"job {spec.name} records no default source table — pass "
+                "--source-table (staging table or '(SELECT ...) s' subquery)"
             )
         source = read_table(
-            spark, _jdbc_spec(spark, spec.source_system, table=args.source_table)
+            spark, _jdbc_spec(spark, spec.source_system, table=src_table)
         )
+        if spec.enrich is not None and not args.source_table:
+            # Default raw-extract scan: read the star dims and join
+            # engine-side (the reference's pushed-down T-SQL join,
+            # operators/enrich.py). An explicit --source-table is treated
+            # as a pushed-down subquery that already carries the dims.
+            e = spec.enrich
+            patient = read_table(
+                spark, _jdbc_spec(spark, spec.source_system, table=e.patient_table)
+            )
+            facility = read_table(
+                spark, _jdbc_spec(spark, spec.source_system, table=e.facility_table)
+            )
         ods = _jdbc_spec(spark, "ods", table=spec.target)
         target = read_table(spark, ods)
         lookups = {
@@ -98,7 +125,10 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
         }
         sink = ods if args.write else None
     n_parts = _conf(spark, "spark.ods.numpartitions")
-    delta = run_incremental_load(spark, spec, source, target, lookups, sink=None)
+    delta = run_incremental_load(
+        spark, spec, source, target, lookups, sink=None,
+        patient=patient, facility=facility,
+    )
     if sink is not None:
         # The reference logs the delta count with a SEPARATE count() action
         # before its JDBC append — a full second evaluation of the plan
@@ -124,6 +154,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-path", default=None, help="parquet source (dev mode)")
     p.add_argument("--target-path", default=None, help="parquet target (dev mode)")
     p.add_argument("--lookup-dir", default=None, help="parquet lookup tables dir")
+    p.add_argument("--patient-path", default=None,
+                   help="parquet PatientExtract dim (dev mode, enrich jobs)")
+    p.add_argument("--facility-path", default=None,
+                   help="parquet Facility dim (dev mode, enrich jobs)")
     p.add_argument("--write", action="store_true",
                    help="append the delta to the sink (default: dry-run count)")
     args = p.parse_args(argv)

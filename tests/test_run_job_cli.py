@@ -1,0 +1,104 @@
+"""run_job.py zero-flag contract: the catalog carries each job's default
+source table (``JobSpec.source_table`` — the FROM of the reference's
+source-SQL resource), so JDBC mode needs only the connection conf, exactly
+like the reference's ``spark-submit --class LoadX --conf spark.*.url=…``.
+
+Derby stands in for SQL Server (same live-JDBC rationale as
+tests/test_jdbc_live.py); ``_render_table`` de-T-SQL-ifies the bracketed
+three-part names for non-sqlserver dialects.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import dwh_etl_ods_spark_jobs_spark.run_job as RJ
+from dwh_etl_ods_spark_jobs_spark.jobs.catalog import CATALOG
+from dwh_etl_ods_spark_jobs_spark.sources import JdbcSpec, read_table, write_append
+
+URL = "jdbc:derby:memory:run_job_cli;create=true"
+
+
+def test_every_job_records_a_source_table():
+    for name, spec in CATALOG.items():
+        assert spec.source_table, f"{name} has no default source table"
+        assert spec.source_table.startswith("["), name  # reference spelling
+
+
+def test_render_table_dialects():
+    sqlsrv = "jdbc:sqlserver://host;database=DWAPICentral"
+    t = "[DWAPICentral].[dbo].[PatientExtract]"
+    assert RJ._render_table(sqlsrv, t) == t  # verbatim for the reference dialect
+    assert RJ._render_table(URL, t) == "dbo.PatientExtract"
+    assert RJ._render_table(URL, "dbo.Plain") == "dbo.Plain"
+
+
+def test_run_job_jdbc_default_source_table_derby(spark, capsys):
+    """`run_job ct_facility_manifest --conf spark.dwapicentral.url=…` with
+    ZERO table flags: source read from the spec's default table, dry-run
+    count, then --write appends the delta to the ODS target."""
+    spec = CATALOG["ct_facility_manifest"]
+    src = spark.createDataFrame(
+        [(1, "m1"), (2, "m2"), (3, "m3")], "ID int, ManifestData string"
+    )
+    write_append(src, JdbcSpec(url=URL, table="dbo.FacilityManifest"))
+    # target pre-seeded with ID=1 -> delta is {2, 3}. The target carries the
+    # job's reference-DDL projection columns (delta shape: ID int from the
+    # source, NULL-filled strings elsewhere).
+    tgt_schema = ", ".join(
+        f"`{c}` int" if c.lower() == "id" else f"`{c}` string"
+        for c in spec.select
+    )
+    write_append(
+        spark.createDataFrame(
+            [(1,) + (None,) * (len(spec.select) - 1)], tgt_schema
+        ),
+        JdbcSpec(url=URL, table="dbo.CT_FacilityManifest"),
+    )
+    spark.conf.set("spark.dwapicentral.url", URL)
+    spark.conf.set("spark.ods.url", URL)
+    try:
+        assert RJ.main(["ct_facility_manifest"]) == 0
+        assert "2 new records" in capsys.readouterr().out
+        assert RJ.main(["ct_facility_manifest", "--write"]) == 0
+        assert "2 records appended" in capsys.readouterr().out
+        # idempotent: rerun finds nothing new
+        assert RJ.main(["ct_facility_manifest"]) == 0
+        assert "0 new records" in capsys.readouterr().out
+        ods = read_table(spark, JdbcSpec(url=URL, table=RJ._render_table(URL, spec.target)))
+        assert ods.count() == 3
+    finally:
+        spark.conf.unset("spark.dwapicentral.url")
+        spark.conf.unset("spark.ods.url")
+
+
+def test_run_job_parquet_enrich_dims(spark, tmp_path, capsys):
+    """Dev-mode CLI for a star job: raw fact + dim parquet paths; the
+    enrich join, Voided gate, and gender/code filters all run in-engine."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v2"), (3, "v3"), (9, "v9")],
+        "PatientId int, VisitID string",
+    ).write.parquet(f"{d}/src")
+    spark.createDataFrame(
+        [
+            (1, "p1", "pid1", 10, "Male"),
+            (2, "p2", "pid2", 10, "Unknown"),   # gender gate
+            (3, "p3", "pid3", 20, "Female"),    # voided facility
+        ],
+        "Id int, PatientPK string, PatientID string, FacilityId int, Gender string",
+    ).write.parquet(f"{d}/patient")
+    spark.createDataFrame(
+        [(10, 700, "A", 0), (20, 800, "B", 1)],
+        "Id int, SiteCode int, FacilityName string, Voided int",
+    ).write.parquet(f"{d}/facility")
+    spark.createDataFrame(
+        [], "SiteCode int, PatientPK string, VisitID string"
+    ).write.parquet(f"{d}/tgt")
+    assert RJ.main([
+        "ct_defaulter_tracing",
+        "--source-path", f"{d}/src", "--target-path", f"{d}/tgt",
+        "--patient-path", f"{d}/patient", "--facility-path", f"{d}/facility",
+    ]) == 0
+    # p1 survives; p2 Unknown gender, p3 voided facility, FK 9 unmatched
+    assert "1 new records" in capsys.readouterr().out

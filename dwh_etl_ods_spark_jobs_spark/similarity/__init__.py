@@ -4,10 +4,13 @@ Two paths:
 
 - **brute-force cosine top-k** — the exact baseline: broadcast the (small)
   query set against all candidates, per-pair cosine via ``zip_with`` +
-  ``aggregate`` (JVM-side sequential double fold), window ``row_number``
-  per query. At 100 TB the candidate scan is embarrassingly parallel and
-  the only shuffle is the per-query top-k (tiny: queries × k rows after
-  partial ranking).
+  ``aggregate`` (JVM-side sequential double fold), then a TWO-PHASE rank:
+  a salted local top-k per (query, salt) partition followed by a global
+  top-k over the k·n_salts survivors. ``row_number`` windows are not
+  partially aggregated, so a single-phase rank would funnel every scored
+  candidate of a query into ONE partition — a straggler by construction
+  at 100 TB. The salted phase bounds any partition at |corpus|/n_salts
+  rows and the global phase ranks only k·n_salts rows per query.
 - **LSH-bucketed ANN** — hyperplane signatures (deterministic md5-derived
   planes shared with :mod:`..dedup`) restrict candidates to the query's
   bucket: the scale path, trading recall for a ~2^planes candidate
@@ -46,15 +49,47 @@ __all__ = [
 ]
 
 
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 0) -> DataFrame:
+    """Rank ``scored`` (query_id, neighbor_id, cos) to top-k per query.
+
+    ``n_salts > 0`` runs the two-phase shape: a deterministic salt
+    (``pmod(hash(neighbor_id))`` — retry-safe, never ``rand()``) splits
+    each query's candidates across n_salts partitions for a local top-k,
+    then a global window ranks the surviving k·n_salts rows. Correct
+    because every member of the global top-k is necessarily within the
+    top-k of its own salt partition. Both phases break ties identically
+    (cos desc, neighbor_id asc)."""
+    order = (F.col("cos").desc(), F.col("neighbor_id").asc())
+    final = Window.partitionBy("query_id").orderBy(*order)
+    if n_salts > 0:
+        local = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.hash(F.col("neighbor_id")), F.lit(n_salts))
+            )
+            .withColumn("_lrank", F.row_number().over(local))
+            .filter(F.col("_lrank") <= k)
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def ann_bruteforce_topk(
     queries: DataFrame, candidates: DataFrame,
     id_col: str, vec_col: str, k: int,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is expected to be small (it is broadcast); ``candidates``
     streams. Self-matches are excluded. Ties break on neighbor id for
-    determinism. Returns (query_id, neighbor_id, rank, cos).
+    determinism. The rank runs two-phase (salted local top-k, then global
+    top-k over k·n_salts survivors — :func:`_topk_per_query`) so no
+    partition ever receives a query's full scored corpus. Returns
+    (query_id, neighbor_id, rank, cos).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -66,14 +101,7 @@ def ann_bruteforce_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k, n_salts=n_salts)
 
 
 def ivf_assign(
@@ -132,8 +160,11 @@ def train_ivf_centroids(
     if n == 0:
         raise ValueError("train_ivf_centroids: empty input")
     sample_mod = max(1, n // (n_centroids * 8))
+    # pmod, not abs(hash) % mod: hash() is a full-range 32-bit int and under
+    # ANSI mode abs(Integer.MIN_VALUE) throws ARITHMETIC_OVERFLOW — at
+    # billions of rows a hash of INT_MIN is near-certain.
     seeds = vectors.select(F.col(id_col), F.col(vec_col).alias("_cv")).filter(
-        F.abs(F.hash(F.col(id_col))) % sample_mod == 0
+        F.pmod(F.hash(F.col(id_col)), F.lit(sample_mod)) == 0
     )
     if seeds.count() < n_centroids:  # tiny/unlucky corpus: rank everything
         seeds = vectors.select(F.col(id_col), F.col(vec_col).alias("_cv"))
@@ -199,14 +230,10 @@ def ann_ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    # Single-phase rank: the input is already bucket-restricted (a cell's
+    # candidates, not the corpus). If cells grow hot, pass the scored frame
+    # through _topk_per_query with n_salts > 0 — same contract.
+    return _topk_per_query(scored, k, n_salts=0)
 
 
 def ann_lsh_topk(
@@ -251,11 +278,5 @@ def ann_lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    # Bucket-restricted input — single-phase rank (see ann_ivf_topk note).
+    return _topk_per_query(scored, k, n_salts=0)

@@ -63,12 +63,32 @@ def stage_and_swap(
     spark: SparkSession, df: DataFrame, table: str, staging_suffix: str = "_stg"
 ) -> None:
     """The reference's full-refresh pattern as one helper: write ``df`` to a
-    staging table, then atomically-ish swap it in (drop old, rename staging)
-    — ``LoadFacilities.main``'s shape (SURVEY §3.3). On a transactional
-    catalog (Delta/Iceberg) prefer ``replaceWhere``/``CREATE OR REPLACE``;
-    this helper keeps the reference's semantics for plain warehouse tables."""
+    staging table, then swap it in — ``LoadFacilities.main``'s shape
+    (SURVEY §3.3). On a transactional catalog (Delta/Iceberg) prefer
+    ``replaceWhere``/``CREATE OR REPLACE``; this helper keeps the
+    reference's semantics for plain warehouse tables.
+
+    Swap order is crash-safe: the live table is renamed ASIDE
+    (``table_old``) before the staging table is renamed in, and the aside
+    copy is dropped only after the new generation is live. A failure (or a
+    dead driver) between the two renames leaves the previous generation
+    recoverable as ``table_old`` — a naive drop-then-rename would have
+    already destroyed it, leaving readers with no table at all."""
     stg = table + staging_suffix
+    aside = table + "_old"
     drop_table(spark, stg)
     df.write.saveAsTable(stg)
-    drop_table(spark, table)
-    rename_table(spark, stg, table)
+    drop_table(spark, aside)
+    had_live = spark.catalog.tableExists(table)
+    if had_live:
+        rename_table(spark, table, aside)
+    try:
+        rename_table(spark, stg, table)
+    except Exception:
+        # Roll the previous generation back into place (best effort: only
+        # when the slot is actually free).
+        if had_live and not spark.catalog.tableExists(table):
+            rename_table(spark, aside, table)
+        raise
+    if had_live:
+        drop_table(spark, aside)

@@ -224,6 +224,7 @@ def stateful_sessionize(
     user_col: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user gap sessionization via
     ``applyInPandasWithState`` — the escape hatch for semantics the built-in
@@ -233,11 +234,16 @@ def stateful_sessionize(
     Per micro-batch and user, events fold into (session_start, last_ts,
     n_events) state; a gap larger than ``gap_seconds`` CLOSES the running
     session (emitted downstream, output mode append) and opens a new one.
-    The final open session stays in state awaiting more events. State per
-    key is three scalars — bounded regardless of stream length. Events are
-    sorted within the batch; cross-batch reordering is the source's
-    responsibility (pair with a watermark-respecting source for strict
-    event-time ordering).
+    The trailing open session closes via EVENT-TIME TIMEOUT: a watermark
+    (``withWatermark(ts_col, watermark_delay)``) drives
+    ``GroupStateTimeout.EventTimeTimeout``, so once the watermark passes
+    ``last_event + gap`` the open session is emitted and the key's state
+    REMOVED — without this, a user who never returns would pin three
+    scalars of state forever and total state would grow unboundedly with
+    distinct users. State per live key is three scalars and every key
+    expires — bounded regardless of stream length or user churn. Events
+    are sorted within the batch; cross-batch reordering is the source's
+    responsibility (the watermark bounds how late data can arrive).
 
     Returns a streaming DataFrame (user, session_start, session_end,
     n_events); attach your own sink.
@@ -263,6 +269,20 @@ def stateful_sessionize(
         import pandas as pd
 
         (user,) = key
+        if state.hasTimedOut:
+            # Watermark passed last_event + gap with no new events: the
+            # open session is final. Emit it and drop the key's state.
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user": [str(user)],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -288,6 +308,12 @@ def stateful_sessionize(
                 n += 1
         if last is not None:
             state.update((int(start), int(last), int(n)))
+            # Expire once the watermark passes last + gap. A late batch can
+            # fold events older than the current watermark into state; the
+            # timeout timestamp must still be strictly beyond the watermark
+            # (Spark rejects earlier values), so clamp up by 1 ms.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last // 1000 + gap_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -298,12 +324,16 @@ def stateful_sessionize(
                 }
             )
 
+    gap_ms = int(gap_seconds) * 1_000
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        stream.groupBy(F.col(user_col))
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -16,7 +16,7 @@ from dwh_etl_ods_spark_jobs_spark.sources import (
 
 @pytest.fixture()
 def clean_tables(spark):
-    names = ["t_swap", "t_swap_stg", "t_a", "t_b"]
+    names = ["t_swap", "t_swap_stg", "t_swap_old", "t_a", "t_b"]
     for n in names:
         spark.sql(f"DROP TABLE IF EXISTS {n}")
     yield
@@ -43,6 +43,40 @@ def test_stage_and_swap_full_refresh(spark, clean_tables):
     rows = {r.id: r.v for r in spark.table("t_swap").collect()}
     assert rows == {1: "new", 2: "new"}
     assert not spark.catalog.tableExists("t_swap_stg")
+    assert not spark.catalog.tableExists("t_swap_old")  # aside copy cleaned
+
+
+def test_stage_and_swap_first_run_creates(spark, clean_tables):
+    """No live table yet: the swap degrades to a plain create."""
+    new = spark.createDataFrame([(7, "v")], "id int, v string")
+    stage_and_swap(spark, new, "t_swap")
+    assert spark.table("t_swap").collect()[0].id == 7
+
+
+def test_stage_and_swap_keeps_previous_generation_recoverable(
+    spark, clean_tables, monkeypatch
+):
+    """Crash-safety: if the swap-in rename fails, the previous generation
+    must still exist (rolled back into place) — a drop-then-rename order
+    would have destroyed it before the failure."""
+    import dwh_etl_ods_spark_jobs_spark.sources.catalog_ops as CO
+
+    spark.createDataFrame([(1, "old")], "id int, v string").write.saveAsTable("t_swap")
+    real_rename = CO.rename_table
+
+    def failing_rename(spark_, old, new_):
+        if old.endswith("_stg"):
+            raise RuntimeError("injected swap failure")
+        return real_rename(spark_, old, new_)
+
+    monkeypatch.setattr(CO, "rename_table", failing_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        CO.stage_and_swap(
+            spark, spark.createDataFrame([(2, "new")], "id int, v string"), "t_swap"
+        )
+    monkeypatch.undo()
+    # previous generation rolled back into the live slot
+    assert {r.v for r in spark.table("t_swap").collect()} == {"old"}
 
 
 def test_run_sql_select_and_ddl(spark, clean_tables):

@@ -227,6 +227,32 @@ def test_ann_bruteforce_exact_ranks(spark):
     assert top.cos == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
 
 
+def test_ann_bruteforce_two_phase_rank(spark):
+    """The brute-force rank is two-phase: a salted local top-k bounds every
+    window partition at |corpus|/n_salts rows (single-phase would funnel a
+    query's whole scored corpus into ONE partition — a straggler by
+    construction at scale). Results must equal the single-phase rank
+    bit-for-bit, ties included."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    # duplicate vectors -> guaranteed cosine ties, broken on neighbor_id
+    rows += [(1000 + i, list(rows[i][1])) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    two = S.ann_bruteforce_topk(q, df, "vec_id", "v", k=7, n_salts=16)
+    one = S.ann_bruteforce_topk(q, df, "vec_id", "v", k=7, n_salts=0)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+    # Plan shape: the salted pre-aggregation stage exists — two row_number
+    # windows, the first partitioned by (query_id, _salt).
+    plan = two._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("row_number") >= 2
+    assert "_salt" in plan
+
+
 def test_ann_lsh_subset_of_bucket(spark):
     df = spark.createDataFrame(
         [(i, [float(i % 7) + 0.1, float((i * 3) % 5) - 2.0, 1.0]) for i in range(40)],

@@ -193,10 +193,12 @@ def test_dedupe_within_watermark_drops_stream_duplicates(spark, workdir):
     assert rows == {(1, "a"): 1.0, (2, "b"): 2.0}  # first-seen survives
 
 
-def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
+def test_stateful_sessionize_closes_on_gap_and_expires_state(spark, workdir):
     """applyInPandasWithState sessionization: a gap > gap_seconds closes the
-    running session (emitted); the trailing open session stays in state and
-    closes only when a later batch's events exceed the gap."""
+    running session (emitted); the trailing open session expires via
+    EventTimeTimeout once the watermark passes last_event + gap — emitted
+    AND its key's state removed, so total state never grows with users who
+    never return."""
     import datetime as dt
 
     src = os.path.join(workdir, "landing")
@@ -222,13 +224,14 @@ def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
         .trigger(availableNow=True).start()
     )
     ST.run_to_completion(q)
-    rows = spark.read.parquet(out).collect()
-    assert len(rows) == 1  # only a's first session closed
-    r = rows[0]
-    assert r.user == "a" and r.n_events == 2
-    assert r.session_start == t(0) and r.session_end == t(5)
+    rows = {(r.user, r.session_start): r for r in spark.read.parquet(out).collect()}
+    # a's first session closed by the 10:40 gap; b's single-event session
+    # expired by EventTimeTimeout (watermark reached 10:40 > 10:00 + gap).
+    assert set(rows) == {("a", t(0)), ("b", t(0))}
+    a1 = rows[("a", t(0))]
+    assert a1.session_end == t(5) and a1.n_events == 2
 
-    # Second batch: a late event for b beyond the gap closes b's session.
+    # Second batch: b returns after its state expired -> fresh session.
     _write_source_files(spark, src, [("b", t(55))], schema)
     stream2 = ST.file_stream(spark, src, spark.read.parquet(src).schema)
     q2 = (
@@ -242,6 +245,27 @@ def test_stateful_sessionize_closes_on_gap_and_keeps_state(spark, workdir):
     assert (("b", t(0))) in rows, f"b's session not closed: {sorted(rows)}"
     b = rows[("b", t(0))]
     assert b.session_end == t(0) and b.n_events == 1
+    # b's state was removed at expiry: the 10:55 event opened a NEW session
+    # rather than folding into the dead one.
+    assert ("b", t(5)) not in rows
+
+    # Third batch: an unrelated user's event advances the watermark past
+    # a's last event (10:40) + gap (10 min) -> a's open session expires via
+    # EventTimeTimeout: emitted AND its state removed (state stays bounded
+    # even for users who never return).
+    _write_source_files(spark, src, [("z", dt.datetime(2024, 1, 1, 11, 30))], schema)
+    stream3 = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    q3 = (
+        ST.stateful_sessionize(stream3, "user", "ts", gap_seconds=600)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    ST.run_to_completion(q3)
+    rows = {(r.user, r.session_start): r for r in spark.read.parquet(out).collect()}
+    assert ("a", t(40)) in rows, f"a's open session not expired: {sorted(rows)}"
+    a_open = rows[("a", t(40))]
+    assert a_open.session_end == t(40) and a_open.n_events == 1
 
 
 def test_windowed_counts_rejects_reserved_alias_collisions(spark, workdir):

@@ -33,7 +33,12 @@ from dwh_etl_ods_spark_jobs_spark.operators.skew import (
     salted_join,
     with_salt,
 )
-from dwh_etl_ods_spark_jobs_spark.operators.spine import month_spine
+from dwh_etl_ods_spark_jobs_spark.operators.spine import (
+    day_spine,
+    entity_day_grid,
+    entity_month_grid,
+    month_spine,
+)
 from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
     asof_join,
     sessionize,
@@ -53,6 +58,9 @@ __all__ = [
     "full_outer_coalesce",
     "hash_pii",
     "lookup_fold",
+    "day_spine",
+    "entity_day_grid",
+    "entity_month_grid",
     "month_spine",
     "presence_flag",
     "range_sentinel",

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark.operators import dedupe_latest
-from dwh_etl_ods_spark_jobs_spark.operators.spine import day_spine, month_spine
+from dwh_etl_ods_spark_jobs_spark.operators.spine import (
+    day_spine,
+    entity_day_grid,
+    entity_month_grid,
+    month_spine,
+)
 
 SPINE_START = "2024-01-01"
 SPINE_END = "2024-01-30"
@@ -54,30 +59,46 @@ MONTH_SPINE_END = "2024-06-30"
 ACTIVE_DAYS_MONTHLY = 30
 DEFAULT_DAYS_MONTHLY = 90
 
-# The entities x spine grid is a broadcast non-equi join (BroadcastNestedLoop
-# on as_of_date >= first_d) — correct ONLY while the broadcast side (the
-# spine) stays tiny. That is true by construction: the spine has one row per
-# period in a literal, fixed date range (30 days / 9 month-ends here; the
-# reference's full range is 75 month-ends). Pin the assumption so a future
-# range edit cannot silently turn the grid into a huge broadcast.
+# The entities x spine grid has two shapes (operators/spine.py module
+# docstring): a broadcast non-equi join (BroadcastNestedLoop on
+# as_of_date >= first_d) while the spine stays tiny — true for the real
+# ranges (30 days / 9 month-ends here; the reference's full range is 75
+# month-ends) — and a per-entity sequence-explode for anything larger,
+# which broadcasts nothing and does no join at all. The threshold makes a
+# future range edit degrade to the scalable shape instead of silently
+# growing the broadcast (or asserting, as rounds <=5 did).
 _MAX_SPINE_ROWS = 5000
 
 
-def _assert_spine_small(start: str, end: str) -> None:
+def _spine_days(start: str, end: str) -> int:
     import datetime as _dt
 
-    n = (_dt.date.fromisoformat(end) - _dt.date.fromisoformat(start)).days + 1
-    assert n <= _MAX_SPINE_ROWS, (
-        f"spine [{start}, {end}] would have up to {n} rows; the grid join "
-        "broadcasts the spine and assumes it is tiny — use a coarser grain "
-        "or partition the range"
-    )
+    return (_dt.date.fromisoformat(end) - _dt.date.fromisoformat(start)).days + 1
+
+
+def _day_grid(spark, first_seen, start: str, end: str):
+    """entities × day spine, entity entering at first_d (grid semantics of
+    LoadHistoricalARTOutcomes.sql:25-46)."""
+    if _spine_days(start, end) <= _MAX_SPINE_ROWS:
+        spine = day_spine(spark, start, end)
+        return first_seen.join(
+            F.broadcast(spine), F.col("as_of_date") >= F.col("first_d")
+        )
+    return entity_day_grid(first_seen, "first_d", start, end)
+
+
+def _month_grid(spark, first_seen, start: str, end: str):
+    if _spine_days(start, end) <= _MAX_SPINE_ROWS:
+        spine = month_spine(spark, start, end)
+        return first_seen.join(
+            F.broadcast(spine), F.col("as_of_date") >= F.col("first_m")
+        )
+    return entity_month_grid(first_seen, "first_m", start, end)
 
 
 def art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
 
-    _assert_spine_small(SPINE_START, SPINE_END)
     ev = read_events(spark, sf_dir)
     visits = ev.filter(F.col("event_type").isin("click", "view"))
     dispenses = ev.filter(F.col("event_type") == "purchase")
@@ -98,11 +119,11 @@ def art_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _daily_latest(visits, "visit")
     p = _daily_latest(dispenses, "disp")
 
-    spine = day_spine(spark, SPINE_START, SPINE_END)
     # Entities enter the grid at their first activity (reference enrolment
-    # as-of filter :35-61); both sides are small -> broadcast onto the spine.
+    # as-of filter :35-61); small spine -> broadcast, large -> per-entity
+    # explode (_day_grid).
     first_seen = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_d"))
-    grid = first_seen.join(F.broadcast(spine), F.col("as_of_date") >= F.col("first_d"))
+    grid = _day_grid(spark, first_seen, SPINE_START, SPINE_END)
 
     st = (
         grid.join(
@@ -166,7 +187,6 @@ def art_outcomes_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's 75-iteration cursor."""
     from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
 
-    _assert_spine_small(MONTH_SPINE_START, MONTH_SPINE_END)
     ev = read_events(spark, sf_dir)
     visits = ev.filter(F.col("event_type").isin("click", "view"))
     dispenses = ev.filter(F.col("event_type") == "purchase")
@@ -186,11 +206,10 @@ def art_outcomes_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _monthly_latest(visits, "visit")
     p = _monthly_latest(dispenses, "disp")
 
-    spine = month_spine(spark, MONTH_SPINE_START, MONTH_SPINE_END)
     first_seen = ev.groupBy("user_id").agg(
         F.last_day(F.to_date(F.min("ts"))).alias("first_m")
     )
-    grid = first_seen.join(F.broadcast(spine), F.col("as_of_date") >= F.col("first_m"))
+    grid = _month_grid(spark, first_seen, MONTH_SPINE_START, MONTH_SPINE_END)
 
     st = (
         grid.join(

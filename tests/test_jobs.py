@@ -543,3 +543,55 @@ def test_missing_dedupe_order_column_raises(spark):
     target = bad_source.select("SiteCode", "PatientPK").limit(0)
     with pytest.raises(ValueError, match="dedupe_order columns"):
         run_incremental_load(spark, spec, bad_source, target, {})
+
+
+# ---------------------------------------------------------------------------
+# Intentional deviations from the reference (jobs/catalog.py module
+# docstring) — each asserted explicitly so the divergence is a tested
+# decision, not an accident.
+# ---------------------------------------------------------------------------
+
+
+def test_deviation_labs_not_capped_at_ten_rows(spark):
+    """LoadSourceCTPatientLabs.sql:1 reads ``SELECT distinct top 10`` — a
+    debug leftover that caps the national labs extract at 10 rows. NOT
+    reproduced: ct_patient_labs reads the full extract."""
+    spec = CATALOG["ct_patient_labs"]
+    assert "top 10" not in (spec.source_table or "").lower()
+    n = 25  # > the reference's debug cap
+    src = spark.createDataFrame(
+        [
+            (100 + i, "p%d" % i, "v%d" % i, "Female", 7,
+             "pid%d" % i, "res%d" % i, "HB", dt.date(2023, 1, 2), 0,
+             dt.date(2023, 1, 1), i, "proj")
+            for i in range(n)
+        ],
+        "SiteCode int, PatientPK string, VisitID string, Gender string, "
+        "Code int, PatientID string, TestResult string, TestName string, "
+        "OrderedbyDate date, Voided int, Created date, ID int, Project string",
+    )
+    target = src.select(*spec.keys).limit(0)
+    lookups = {"lkp_test_name": spark.createDataFrame(
+        [("HB", "Haemoglobin")], "source_name string, target_name string")}
+    delta = run_incremental_load(spark, spec, src, target, lookups)
+    assert delta.count() == n, "labs extract must NOT be capped at 10 rows"
+
+
+def test_deviation_pharmacy_keeps_in_range_duration(spark):
+    """LoadPatientPharmacy.java:91,95 — the Duration / PeriodTaken ``when``
+    chains have no ``.otherwise`` arm, so the reference nulls every
+    IN-range value. NOT reproduced: in-range values survive (sentinel only
+    when bad), matching the sibling ART rule LoadARTPatients.java:127-128."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.rules import ct_patient_pharmacy_rules
+
+    df = spark.createDataFrame(
+        [(30.0, 28.0, "x", "y"), (-5.0, 0.0, "x", "y")],
+        "Duration double, PeriodTaken double, Emr string, Project string",
+    ).withColumn("ExpectedReturn", F.lit(None).cast("date"))
+    for rule in ct_patient_pharmacy_rules():
+        df = rule(df)
+    rows = sorted(df.collect(), key=lambda r: r.Duration)
+    # in-range: preserved (the reference would have nulled them)
+    assert (rows[0].Duration, rows[0].PeriodTaken) == (30.0, 28.0)
+    # out-of-range: sentinel, as in the reference's intent
+    assert (rows[1].Duration, rows[1].PeriodTaken) == (999.0, 999.0)

@@ -211,6 +211,73 @@ def test_month_spine_endpoints(spark):
     ]
 
 
+def test_day_spine_chunked_generation(spark):
+    """day_spine slices a long range over spark.range tasks; the rows must
+    still be exactly [start, end] with no gap or duplicate at the
+    1000-day chunk seams. 20 years of days — the range the old
+    broadcast-grid assert rejected outright."""
+    from dwh_etl_ods_spark_jobs_spark.operators import day_spine
+
+    df = day_spine(spark, "2004-01-01", "2023-12-31")
+    n = (dt.date(2023, 12, 31) - dt.date(2004, 1, 1)).days + 1
+    assert df.count() == n
+    assert df.distinct().count() == n  # no seam duplicates
+    agg = df.agg(F.min("as_of_date"), F.max("as_of_date")).collect()[0]
+    assert (agg[0], agg[1]) == (dt.date(2004, 1, 1), dt.date(2023, 12, 31))
+    assert df.rdd.getNumPartitions() > 1  # generation is actually parallel
+
+
+def test_entity_grids_match_broadcast_grid_semantics(spark):
+    """entity_day_grid/entity_month_grid produce exactly the rows of the
+    broadcast non-equi grid (entities ⋈ spine on as_of_date >= first) —
+    the scale path must be a drop-in."""
+    from dwh_etl_ods_spark_jobs_spark.operators import (
+        day_spine,
+        entity_day_grid,
+        entity_month_grid,
+        month_spine,
+    )
+
+    ents = spark.createDataFrame(
+        [(1, dt.date(2023, 1, 3)), (2, dt.date(2023, 1, 10)),
+         (3, dt.date(2024, 6, 1))],  # starts after the range -> no rows
+        "user_id int, first_d date",
+    )
+    start, end = "2023-01-01", "2023-01-12"
+    bcast = ents.join(
+        F.broadcast(day_spine(spark, start, end)),
+        F.col("as_of_date") >= F.col("first_d"),
+    )
+    ent = entity_day_grid(ents, "first_d", start, end)
+    key = lambda r: (r.user_id, r.as_of_date)  # noqa: E731
+    assert sorted(map(key, ent.collect())) == sorted(map(key, bcast.collect()))
+
+    ents_m = ents.withColumnRenamed("first_d", "first_m")
+    bcast_m = ents_m.join(
+        F.broadcast(month_spine(spark, "2023-01-01", "2023-05-31")),
+        F.col("as_of_date") >= F.col("first_m"),
+    )
+    ent_m = entity_month_grid(ents_m, "first_m", "2023-01-01", "2023-05-31")
+    assert sorted(map(key, ent_m.collect())) == sorted(map(key, bcast_m.collect()))
+
+
+def test_entity_day_grid_20_year_range_no_broadcast(spark):
+    """A >5k-day grid runs through the per-entity explode — no broadcast,
+    no BroadcastNestedLoop, row count exactly sum of per-entity spans."""
+    from dwh_etl_ods_spark_jobs_spark.operators import entity_day_grid
+
+    ents = spark.createDataFrame(
+        [(1, dt.date(2004, 1, 1)), (2, dt.date(2023, 12, 1))],
+        "user_id int, first_d date",
+    )
+    grid = entity_day_grid(ents, "first_d", "2004-01-01", "2023-12-31")
+    span1 = (dt.date(2023, 12, 31) - dt.date(2004, 1, 1)).days + 1
+    span2 = 31
+    assert grid.count() == span1 + span2
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_full_outer_coalesce(spark):
     left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k int, lv string")
     right = spark.createDataFrame([(2, "r2"), (3, "r3")], "k int, rv string")

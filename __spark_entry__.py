@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
+    catalog_job,
     coverage,
     job_filters,
     job_rules,
@@ -31,6 +32,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # goes unverified two rounds running (VERDICT r5 "next round" #3).
 _HEAD = [
     "job_source_filters",          # r6 new
+    "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -39,12 +41,13 @@ _HEAD = [
 ]
 _TAIL = [
     # Long-stable, green in CORRECTNESS_r05; next round rotate these back
-    # into the window and push five other stable entries out.
+    # into the window and push six other stable entries out.
     "dedup_simhash_sig",  # subsumed by dedup_simhash_pairs (stays in-window)
     "full_outer_coalesce",
     "union_date_repair",
     "pricing_summary",
     "star_join_agg",
+    "distinct_agg",
 ]
 
 
@@ -89,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(coverage.QUERIES)
     q.update(job_rules.QUERIES)
     q.update(job_filters.QUERIES)
+    q.update(catalog_job.QUERIES)
     return _window_order(q)
 
 
@@ -99,4 +103,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(coverage.ORACLES)
     o.update(job_rules.ORACLES)
     o.update(job_filters.ORACLES)
+    o.update(catalog_job.ORACLES)
     return _window_order(o)

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     catalog_job,
     coverage,
+    curation,
     job_filters,
     job_rules,
     pipeline,
@@ -33,6 +34,11 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 _HEAD = [
     "job_source_filters",          # r6 new
     "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
+    "text_repetition_gopher",      # r6 new (curation suite)
+    "decontaminate_ngram_overlap",  # r6 new
+    "sample_mix_weighted",         # r6 new
+    "shard_pack_tokens",           # r6 new
+    "cross_source_leakage",        # r6 new
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -41,13 +47,18 @@ _HEAD = [
 ]
 _TAIL = [
     # Long-stable, green in CORRECTNESS_r05; next round rotate these back
-    # into the window and push six other stable entries out.
+    # into the window and push other stable entries out.
     "dedup_simhash_sig",  # subsumed by dedup_simhash_pairs (stays in-window)
     "full_outer_coalesce",
     "union_date_repair",
     "pricing_summary",
     "star_join_agg",
     "distinct_agg",
+    "rollup_agg",
+    "pivot_wide_agg",
+    "json_extract",
+    "string_functions",
+    "sort_limit_topn",
 ]
 
 
@@ -90,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(showcase.QUERIES)
     q.update(pipeline.QUERIES)
     q.update(coverage.QUERIES)
+    q.update(curation.QUERIES)
     q.update(job_rules.QUERIES)
     q.update(job_filters.QUERIES)
     q.update(catalog_job.QUERIES)
@@ -101,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(showcase.ORACLES)
     o.update(pipeline.ORACLES)
     o.update(coverage.ORACLES)
+    o.update(curation.ORACLES)
     o.update(job_rules.ORACLES)
     o.update(job_filters.ORACLES)
     o.update(catalog_job.ORACLES)

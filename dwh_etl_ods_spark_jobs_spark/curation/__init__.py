@@ -1,0 +1,321 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+These extend the reference's ETL surface (SURVEY.md §2.10 — it has none of
+these) with the corpus-level curation stages an LLM-data pipeline runs
+after per-document scoring (``text/``) and before dedup (``dedup/``):
+
+- :func:`repetition_signals` — Gopher-style intra-document repetition
+  metrics (duplicate-word fraction, top-bigram fraction; Rae et al. 2021
+  §A1.2 "repetitious text" filters).
+- :func:`ngram_decontaminate` — benchmark decontamination by word n-gram
+  overlap (the GPT-3 appendix-C / PaLM-style 13-gram protocol, width
+  parameterized).
+- :func:`weighted_sample` — deterministic per-stratum downsampling for
+  corpus mixing (e.g. cap the dominant language), driven by an md5-hex
+  threshold so it is reproducible, seedless, and engine-portable.
+- :func:`pack_token_shards` — assign documents to fixed-token-budget
+  training shards via a two-phase distributed prefix sum (no global
+  single-partition window).
+- :func:`cross_source_leakage` — exact-text collisions across corpus
+  sources (train/test split leakage census).
+
+All operators are pure ``pyspark.sql.functions`` expression trees +
+equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
+driver-side collects, no caching. Each has an exactly-equivalent DuckDB
+rendering in ``plans/curation.py`` built from the same constants, so the
+driver's oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "repetition_signals",
+    "ngram_decontaminate",
+    "weighted_sample",
+    "weight_threshold_hex",
+    "pack_token_shards",
+    "cross_source_leakage",
+]
+
+
+def _toks(text_col: str) -> Column:
+    """Whitespace tokens. The synthetic corpus is single-space separated;
+    a real corpus would normalize first (text.tokens_norm)."""
+    return F.split(F.col(text_col), " ")
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the document
+    is shorter than ``n`` (guarded: Spark's ``sequence(0, negative)`` would
+    otherwise DESCEND and fabricate n-grams from negative indexes)."""
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Intra-document repetition (Gopher quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(id_col: str, text_col: str):
+    """Per-document repetition metrics:
+
+    - ``n_tok`` — whitespace token count;
+    - ``dup_word_frac`` — ``1 - distinct_tokens / n_tok`` (expression-only,
+      ``array_distinct`` is a per-row hash set, no shuffle);
+    - ``top_bigram_frac`` — occurrences of the single most frequent word
+      bigram divided by total bigrams (0.0 for documents with < 2 tokens).
+
+    Plan: the bigram mode can NOT be a per-row expression without O(len²)
+    work, so it rides one explode → two map-side-combinable aggregations
+    keyed by (doc, bigram) then (doc) — both shuffles are doc-grained
+    (uniform), and the exploded width is bounded by document length.
+    Scales: per-doc cost linear, shuffle keys uniform, no caching.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        toks = _toks(text_col)
+        base = df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tok"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double")
+            ).alias("dup_word_frac"),
+            _word_ngrams(toks, 2).alias("_bigrams"),
+        )
+        bg_counts = (
+            base.select(id_col, F.explode("_bigrams").alias("_bg"))
+            .groupBy(id_col, "_bg")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(id_col)
+            .agg(
+                (
+                    F.max("_cnt").cast("double")
+                    / F.sum("_cnt").cast("double")
+                ).alias("top_bigram_frac")
+            )
+        )
+        return (
+            base.drop("_bigrams")
+            .join(bg_counts, id_col, "left")
+            .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 2. Benchmark decontamination by word n-gram overlap
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+):
+    """Flag corpus documents sharing ≥ ``min_overlap`` distinct word
+    ``n``-grams with any benchmark document (the eval-set decontamination
+    protocol: GPT-3 used 13-grams; width is a parameter because the
+    synthetic docs are short).
+
+    Returns per flagged doc: ``overlap_ngrams`` (distinct shared grams),
+    ``total_ngrams`` (distinct grams in the doc), ``overlap_frac``.
+
+    Plan: both sides explode to DISTINCT (id, gram) postings, the gram is
+    folded to a 60-bit md5 integer before the shuffle (fixed-width key,
+    uniform), the benchmark side collapses to a distinct gram set, and the
+    match is a plain equi-join — never doc×doc. A natural-language hot
+    gram ("of the and …") inflates only its own posting list, and the
+    benchmark side is distinct so the join fan-out per corpus posting is
+    at most 1. Scales.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    def postings(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(_word_ngrams(_toks(text_col), n)).alias("_gram"),
+            )
+            .select(id_col, md5_long(F.col("_gram")).alias("_g"))
+            .distinct()
+        )
+
+    def apply(corpus: DataFrame) -> DataFrame:
+        corp = postings(corpus)
+        bench = postings(benchmark).select("_g").distinct()
+        totals = corp.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("total_ngrams")
+        )
+        overlap = (
+            corp.join(bench, "_g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+            .filter(F.col("overlap_ngrams") >= min_overlap)
+        )
+        return overlap.join(totals, id_col).select(
+            id_col,
+            "overlap_ngrams",
+            "total_ngrams",
+            (
+                F.col("overlap_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("overlap_frac"),
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 3. Deterministic weighted sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+def weight_threshold_hex(w: float) -> str:
+    """8-hex-char threshold such that ``substr(md5(id),1,8) < threshold``
+    keeps ~``w`` of rows. md5 hex is uniform in [0, 2^32); ``w >= 1``
+    returns ``'g'`` which every hex string sorts below (keep-all without a
+    special case in the predicate)."""
+    if w >= 1.0:
+        return "g"
+    if w <= 0.0:
+        return "0" * 8
+    return format(int(w * 0x1_0000_0000), "08x")
+
+
+def weighted_sample(id_col: str, strat_col: str, weights: dict[str, float],
+                    default: float = 1.0):
+    """Keep each row with per-stratum probability ``weights[stratum]``
+    (``default`` otherwise), decided by ``substr(md5(id), 1, 8)`` compared
+    lexicographically against a precomputed hex threshold.
+
+    Deterministic (re-runs and retried tasks sample identically — never
+    ``rand()``), seedless, and engine-portable (DuckDB's md5 hex is
+    byte-identical). Pure per-row predicate: no shuffle, pushes to the
+    scan. The classic corpus-mixing primitive: down-weight a dominant
+    language/domain without materializing per-stratum counts.
+    """
+    thr = F.lit(weight_threshold_hex(default))
+    for stratum, w in sorted(weights.items()):
+        thr = F.when(
+            F.col(strat_col) == F.lit(stratum), F.lit(weight_threshold_hex(w))
+        ).otherwise(thr)
+
+    def apply(df: DataFrame) -> DataFrame:
+        draw = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+        return df.filter(draw < thr)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 4. Token-budget shard packing (two-phase distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def pack_token_shards(id_col: str, weight_col, shard_size: int,
+                      chunk: int = 4096):
+    """Assign each document to a fixed-token-budget training shard:
+    ``shard = floor(start_offset / shard_size)`` where ``start_offset`` is
+    the running token total of all documents before it in ``id_col`` order
+    (a document straddling a boundary belongs to the shard it starts in).
+
+    A naive ``sum() OVER (ORDER BY id)`` is a single-partition global
+    window — a straggler by construction at 100 TB. This is the two-phase
+    distributed prefix sum instead:
+
+    1. per-chunk subtotals (``chunk_id = floor(id / chunk)``) — one
+       map-side-combinable aggregation to n/chunk rows;
+    2. exclusive prefix over the (tiny) subtotal frame — the only global
+       window, over n/chunk rows (at 10^12 docs and chunk=2^20 that is
+       ~10^6 rows: fine);
+    3. broadcast the offsets back and run the within-chunk window, whose
+       partitions are bounded by ``chunk`` rows.
+
+    ``weight_col`` may be a column name or a Column expression (e.g. a
+    token count derived from text). All arithmetic is BIGINT — exact, no
+    float drift against the oracle.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+
+    def apply(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col),
+            w.cast("bigint").alias("n_tok"),
+            (F.col(id_col) / F.lit(chunk)).cast("bigint").alias("_chunk"),
+        )
+        subtotals = base.groupBy("_chunk").agg(F.sum("n_tok").alias("_chunk_tok"))
+        offsets = subtotals.select(
+            "_chunk",
+            F.coalesce(
+                F.sum("_chunk_tok").over(
+                    Window.orderBy("_chunk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+        within = Window.partitionBy("_chunk").orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            base.join(F.broadcast(offsets), "_chunk")
+            .select(
+                id_col,
+                "n_tok",
+                (
+                    F.col("_offset") + F.coalesce(F.sum("n_tok").over(within), F.lit(0))
+                ).alias("start_offset"),
+            )
+            .withColumn(
+                "shard",
+                (F.col("start_offset") / F.lit(shard_size)).cast("bigint"),
+            )
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 5. Cross-source exact-duplicate leakage census
+# ---------------------------------------------------------------------------
+
+def cross_source_leakage(id_col: str, text_col: str, source_col: str):
+    """Exact-text fingerprints present in ≥ 2 distinct sources — the
+    train/test-leakage census run before committing a source-level split.
+
+    Returns per leaked fingerprint: ``fp`` (md5 of the text),
+    ``n_sources``, ``n_docs``, ``first_doc_id`` (canonical survivor).
+    One shuffle on the uniform 128-bit fingerprint; distinct-source count
+    is a partial-aggregable ``count(distinct)`` over a low-cardinality
+    value set per group. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.md5(F.col(text_col)).alias("fp"),
+                F.col(source_col),
+                F.col(id_col),
+            )
+            .groupBy("fp")
+            .agg(
+                F.countDistinct(source_col).alias("n_sources"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(id_col).alias("first_doc_id"),
+            )
+            .filter(F.col("n_sources") >= 2)
+        )
+
+    return apply

@@ -1,0 +1,237 @@
+"""Corpus-curation queries (repetition, decontamination, mixing, sharding,
+leakage) with DuckDB oracles.
+
+Extends the LLM-data-pipeline suite (plans/pipeline.py) with the
+corpus-level curation stages: each query runs a ``curation/`` operator
+over the documents table (or a synthesized variant corpus — identical CTE
+in both engines, the established pattern) and is paired with an oracle
+generated from the SAME constants, so values hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import curation as C
+from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+DECON_N = 5          # word n-gram width (GPT-3 used 13; synthetic docs are short)
+MIX_WEIGHTS = {"en": 0.3, "zh": 0.8}   # down-weight dominant langs
+MIX_DEFAULT = 1.0
+SHARD_TOKENS = 2000  # token budget per training shard
+SHARD_CHUNK = 64     # prefix-sum chunk width (small so sf0.01 exercises >1 chunk)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB word-n-gram list over ``ts`` (1-based list indexing);
+    ``range(len-n+1)`` is empty when the doc is shorter than ``n`` —
+    mirroring the Spark-side guard in curation._word_ngrams."""
+    parts = " || ' ' || ".join(f"ts[i+{j + 1}]" for j in range(n))
+    return f"list_transform(range(len(ts) - {n - 1}), i -> {parts})"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(C.repetition_signals("doc_id", "text"))
+
+
+SQL_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         1.0 - (CAST(len(list_distinct(ts)) AS DOUBLE)
+                / CAST(len(ts) AS DOUBLE)) AS dup_word_frac
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ts) - 1),
+                               i -> ts[i+1] || ' ' || ts[i+2])) AS bgram
+  FROM toks
+),
+bgc AS (SELECT doc_id, bgram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id,
+         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac
+  FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tok, b.dup_word_frac,
+       coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (word n-gram overlap)
+# ---------------------------------------------------------------------------
+# Benchmark = every 20th doc; corpus = the rest PLUS a verbatim copy of each
+# benchmark doc under a shifted id (guaranteed contamination at every SF,
+# same construction both engines). Natural n-gram collisions between
+# unrelated docs also count — deterministically in both engines.
+
+def _decon_frames(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return corpus, bench
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, bench = _decon_frames(spark, sf_dir)
+    return corpus.transform(
+        C.ngram_decontaminate(bench, "doc_id", "text", n=DECON_N)
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH bench_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM bench_docs
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, {md5_long_sql('g')} AS gh
+  FROM (SELECT doc_id, unnest({_ngram_list_sql(DECON_N)}) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus))
+),
+bgrams AS (
+  SELECT DISTINCT {md5_long_sql('g')} AS gh
+  FROM (SELECT unnest({_ngram_list_sql(DECON_N)}) AS g
+        FROM (SELECT string_split(text, ' ') AS ts FROM bench_docs))
+),
+totals AS (SELECT doc_id, count(*) AS total_ngrams FROM cgrams GROUP BY 1),
+overlap AS (
+  SELECT c.doc_id, count(*) AS overlap_ngrams
+  FROM cgrams c JOIN bgrams b USING (gh)
+  GROUP BY 1 HAVING count(*) >= 1
+)
+SELECT o.doc_id, o.overlap_ngrams, t.total_ngrams,
+       CAST(o.overlap_ngrams AS DOUBLE) / CAST(t.total_ngrams AS DOUBLE)
+         AS overlap_frac
+FROM overlap o JOIN totals t USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling mix
+# ---------------------------------------------------------------------------
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .transform(
+            C.weighted_sample("doc_id", "lang", MIX_WEIGHTS, MIX_DEFAULT)
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{C.weight_threshold_hex(w)}'"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE lang {arms} ELSE '{C.weight_threshold_hex(MIX_DEFAULT)}' END"
+
+
+SQL_SAMPLE_MIX = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_mix_case_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        C.pack_token_shards(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")),
+            SHARD_TOKENS,
+            chunk=SHARD_CHUNK,
+        )
+    )
+
+
+SQL_SHARD_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tok, start_offset,
+       CAST(floor(start_offset / {SHARD_TOKENS}.0) AS BIGINT) AS shard
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source exact-duplicate leakage census
+# ---------------------------------------------------------------------------
+# The raw table has no cross-source dups; mirror every 9th doc into a
+# synthetic 'mirror' source — identical CTE both engines.
+
+def q_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirrored = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return docs.unionByName(mirrored).transform(
+        C.cross_source_leakage("doc_id", "text", "source")
+    )
+
+
+SQL_LEAKAGE = """
+WITH leakcorp AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT md5(text) AS fp,
+       count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM leakcorp
+GROUP BY 1
+HAVING count(DISTINCT source) >= 2
+"""
+
+
+QUERIES = {
+    "text_repetition_gopher": q_repetition,
+    "decontaminate_ngram_overlap": q_decontaminate,
+    "sample_mix_weighted": q_sample_mix,
+    "shard_pack_tokens": q_shard_pack,
+    "cross_source_leakage": q_leakage,
+}
+ORACLES = {
+    "text_repetition_gopher": SQL_REPETITION,
+    "decontaminate_ngram_overlap": SQL_DECONTAMINATE,
+    "sample_mix_weighted": SQL_SAMPLE_MIX,
+    "shard_pack_tokens": SQL_SHARD_PACK,
+    "cross_source_leakage": SQL_LEAKAGE,
+}

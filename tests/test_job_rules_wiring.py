@@ -60,10 +60,10 @@ def test_ct_patient_pharmacy_rules_wired(spark):
             spark, spec,
             spark.createDataFrame(
                 [
-                    ("s1", "p1", "v1", 1, d, "pid1", -1.0, 0.0,
+                    ("100", "p1", "v1", 1, d, "pid1", -1.0, 0.0,
                      dt.date(1899, 12, 31), "Ampath AMRS", "I-TECH",
                      "d", "t", "x"),
-                    ("s1", "p2", "v1", 2, d, "pid2", 5.0, 3.0,
+                    ("100", "p2", "v1", 2, d, "pid2", 5.0, 3.0,
                      dt.date(2023, 6, 1), "keepme", "AMPATH", "d", "t", "x"),
                 ],
                 schema,
@@ -94,8 +94,8 @@ def test_ct_otz_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("s1", "p1", "v1", 1, "pid1", dt.date(2011, 12, 31), "1", "0", "HMIS"),
-                ("s1", "p2", "v1", 2, "pid2", dt.date(2013, 5, 1), "Yes", "No", "keep"),
+                ("100", "p1", "v1", 1, "pid1", dt.date(2011, 12, 31), "1", "0", "HMIS"),
+                ("100", "p2", "v1", 2, "pid2", dt.date(2013, 5, 1), "Yes", "No", "keep"),
             ],
             schema,
         ),
@@ -122,9 +122,9 @@ def test_ct_covid_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("s1", "p1", "v1", 1, "pid1", dt.date(1979, 12, 31),
+                ("100", "p1", "v1", 1, "pid1", dt.date(1979, 12, 31),
                  dt.date(2021, 3, 1), dt.date(2099, 1, 1), "Partial"),
-                ("s1", "p2", "v1", 2, "pid2", dt.date(2021, 6, 1),
+                ("100", "p2", "v1", 2, "pid2", dt.date(2021, 6, 1),
                  None, None, "Fully - Details not Available"),
             ],
             schema,
@@ -152,9 +152,9 @@ def test_ct_patient_baselines_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("s1", "p1", "0", 1, dt.date(2023, 1, 1), "pid1", -5.0,
+                ("100", "p1", "0", 1, dt.date(2023, 1, 1), "pid1", -5.0,
                  dt.date(1979, 1, 1), dt.date(2020, 1, 1), "I-TECH"),
-                ("s1", "p2", "0", 2, dt.date(2023, 1, 1), "pid2", 350.0,
+                ("100", "p2", "0", 2, dt.date(2023, 1, 1), "pid2", 350.0,
                  dt.date(2020, 1, 1), None, "keep"),
             ],
             schema,
@@ -173,17 +173,21 @@ def test_hts_clients_rules_wired(spark):
     spec = CATALOG["hts_clients"]
     schema = (
         "SiteCode string, PatientPK string, ID int, DateCreated date, "
-        "NUPI string, Dob date, Gender string, PatientDisabled string"
+        "DateExtracted date, NUPI string, Dob date, Gender string, "
+        "PatientDisabled string"
     )
+    # DateExtracted sits past the 2019-09-08 cutoff filter
+    # (LoadHtsClients.sql:35 — jobs/filters.py HTS_EXTRACT_CUTOFF).
+    dx = dt.date(2023, 1, 1)
     rows = _run(
         spark, spec,
         spark.createDataFrame(
             [
-                ("s1", "p1", 1, dt.date(2023, 1, 1), "n1",
+                ("100", "p1", 1, dt.date(2023, 1, 1), dx, "n1",
                  dt.date(1905, 1, 1), "M", "blind"),
-                ("s1", "p2", 2, dt.date(2023, 1, 1), "n2",
+                ("100", "p2", 2, dt.date(2023, 1, 1), dx, "n2",
                  dt.date(1990, 5, 1), "F", "No"),
-                ("s1", "p3", 3, dt.date(2023, 1, 1), "n3",
+                ("100", "p3", 3, dt.date(2023, 1, 1), dx, "n3",
                  None, "Female", None),
             ],
             schema,
@@ -210,7 +214,7 @@ def test_hts_client_linkages_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("p1", "s1", 1, dt.date(2023, 1, 1), "h1",
+                ("p1", "100", 1, dt.date(2023, 1, 1), "h1",
                  dt.date(1975, 1, 1), dt.date(2021, 2, 3), dt.date(1979, 12, 31)),
             ],
             schema,
@@ -237,9 +241,9 @@ def test_hts_partner_notification_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("p1", "pp1", "s1", 1, "h1", "", "D: Dual Referral", "Y",
+                ("p1", "pp1", "100", 1, "h1", "", "D: Dual Referral", "Y",
                  "0", "N/A", 150, ""),
-                ("p2", "pp2", "s1", 2, "h2", "Fac X", "Cr: Passive Referral",
+                ("p2", "pp2", "100", 2, "h2", "Fac X", "Cr: Passive Referral",
                  "N", "Yes", "Yes", 34, "ccc2"),
             ],
             schema,
@@ -269,9 +273,9 @@ def test_prep_pharmacy_rules_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("p1", "s1", 1, d, d, "pn1", 13.0, dt.date(1975, 1, 1), ""),
-                ("p2", "s1", 2, d, d, "pn2", 12.0, dt.date(2022, 1, 1), "TDF/FTC"),
-                ("p3", "s1", 3, d, d, "pn3", 0.0, None, "x"),
+                ("p1", "100", 1, d, d, "pn1", 13.0, dt.date(1975, 1, 1), ""),
+                ("p2", "100", 2, d, d, "pn2", 12.0, dt.date(2022, 1, 1), "TDF/FTC"),
+                ("p3", "100", 3, d, d, "pn3", 0.0, None, "x"),
             ],
             schema,
         ),
@@ -297,8 +301,8 @@ def test_prep_behaviour_risk_sweep_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("p1", "s1", 1, d, d, "pn1", *[""] * len(PREP_BR_EMPTY_TO_NULL_COLS)),
-                ("p2", "s1", 2, d, d, "pn2",
+                ("p1", "100", 1, d, d, "pn1", *[""] * len(PREP_BR_EMPTY_TO_NULL_COLS)),
+                ("p2", "100", 2, d, d, "pn2",
                  *[f"v{i}" for i in range(len(PREP_BR_EMPTY_TO_NULL_COLS))]),
             ],
             base + ", " + sweep,
@@ -321,8 +325,8 @@ def test_prep_adverse_events_sweep_wired(spark):
         spark, spec,
         spark.createDataFrame(
             [
-                ("p1", "s1", 1, d, "pn1", *[""] * len(PREP_AE_EMPTY_TO_NULL_COLS)),
-                ("p2", "s1", 2, d, "pn2",
+                ("p1", "100", 1, d, "pn1", *[""] * len(PREP_AE_EMPTY_TO_NULL_COLS)),
+                ("p2", "100", 2, d, "pn2",
                  *["Severe"] * len(PREP_AE_EMPTY_TO_NULL_COLS)),
             ],
             base + ", " + sweep,

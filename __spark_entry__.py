@@ -39,6 +39,7 @@ _HEAD = [
     "sample_mix_weighted",         # r6 new
     "shard_pack_tokens",           # r6 new
     "cross_source_leakage",        # r6 new
+    "semantic_dedup_clusters",     # r6 new
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -221,12 +221,74 @@ HAVING count(DISTINCT source) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): embedding near-dup clusters -> one
+# survivor per cluster
+# ---------------------------------------------------------------------------
+# Composes two proven primitives: hyperplane-LSH embedding near-dup pairs
+# (cos >= threshold, bucket equi-join only) and iterative min-label
+# connected components. Output is the cluster census: canonical survivor,
+# cluster size, docs dropped. The oracle expresses the same fixpoint as a
+# recursive CTE over the identical pair SQL.
+
+SEMANTIC_COS = 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import EMB_DIM, _emb_corpus
+
+    emb = _emb_corpus(spark, sf_dir)
+    pairs = D.embedding_neardup_pairs(
+        emb, "v", "vec_id", threshold=SEMANTIC_COS, dim=EMB_DIM
+    )
+    labels = D.connected_components(
+        pairs, emb.select(F.col("vec_id").alias("id"))
+    )
+    return labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import EMB_CTE, EMB_DIM
+
+    planes = D.hyperplanes(EMB_DIM, D.HYPERPLANES)
+    sig = D.hyperplane_signature_sql("v", planes)
+    cos = D.cosine_sql("a.v", "b.v", EMB_DIM)
+    return f"""
+WITH RECURSIVE {EMB_CTE},
+sigs AS (SELECT vec_id, v, {sig} AS bucket FROM emb),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b USING (bucket)
+  WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {SEMANTIC_COS}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM emb
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+),
+labels AS (SELECT node, min(label) AS canonical_id FROM walk GROUP BY node)
+SELECT canonical_id, count(*) AS cluster_size,
+       count(*) - 1 AS n_dropped
+FROM labels GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
     "sample_mix_weighted": q_sample_mix,
     "shard_pack_tokens": q_shard_pack,
     "cross_source_leakage": q_leakage,
+    "semantic_dedup_clusters": q_semantic_dedup,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -234,4 +296,5 @@ ORACLES = {
     "sample_mix_weighted": SQL_SAMPLE_MIX,
     "shard_pack_tokens": SQL_SHARD_PACK,
     "cross_source_leakage": SQL_LEAKAGE,
+    "semantic_dedup_clusters": _sql_semantic_dedup(),
 }

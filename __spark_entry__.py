@@ -47,8 +47,11 @@ _HEAD = [
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
 ]
 _TAIL = [
-    # Long-stable, green in CORRECTNESS_r05; next round rotate these back
-    # into the window and push other stable entries out.
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 62
+    # queries the r6 window skips exactly these 12 (incl. percentile_agg,
+    # listed last). r7 MUST rotate them back in and push 12 other stable
+    # r6-green entries out.
+    "percentile_agg",
     "dedup_simhash_sig",  # subsumed by dedup_simhash_pairs (stays in-window)
     "full_outer_coalesce",
     "union_date_repair",

@@ -50,7 +50,13 @@ def _toks(text_col: str) -> Column:
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the document
     is shorter than ``n`` (guarded: Spark's ``sequence(0, negative)`` would
-    otherwise DESCEND and fabricate n-grams from negative indexes)."""
+    otherwise DESCEND and fabricate n-grams from negative indexes).
+
+    ``toks`` MUST reference a MATERIALIZED array column, not an inline
+    ``split(...)`` expression: common-subexpression elimination does not
+    reach inside higher-order-function lambdas, so an inline split would
+    re-tokenize the document once per ``element_at`` — O(len²·n) per doc
+    (measured 4× on the decontamination explode at sf0.1)."""
     count = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), count - F.lit(1)),
@@ -82,8 +88,8 @@ def repetition_signals(id_col: str, text_col: str):
     """
 
     def apply(df: DataFrame) -> DataFrame:
-        toks = _toks(text_col)
-        base = df.select(
+        toks = F.col("_ts")
+        base = df.select(F.col(id_col), _toks(text_col).alias("_ts")).select(
             F.col(id_col),
             F.size(toks).cast("long").alias("n_tok"),
             (
@@ -145,34 +151,49 @@ def ngram_decontaminate(
 
     def postings(df: DataFrame) -> DataFrame:
         return (
-            df.select(
+            df.select(F.col(id_col), _toks(text_col).alias("_ts"))
+            .select(
                 F.col(id_col),
-                F.explode(_word_ngrams(_toks(text_col), n)).alias("_gram"),
+                F.explode(_word_ngrams(F.col("_ts"), n)).alias("_gram"),
             )
             .select(id_col, md5_long(F.col("_gram")).alias("_g"))
             .distinct()
         )
 
     def apply(corpus: DataFrame) -> DataFrame:
+        # Single pass: LEFT-join the corpus postings against the (small,
+        # distinct) benchmark gram set with a hit flag, then ONE doc-grained
+        # aggregation computes both the total and the overlap — evaluating
+        # the postings frame once. (A totals-branch + overlap-branch pair
+        # re-scanned and re-exploded the corpus twice: exchange reuse does
+        # not fire across the differing join/agg shapes, and at sf0.1 the
+        # two-branch form measured 6.4 s vs 1.6 s for this one.) The join
+        # is un-hinted: AQE broadcasts the benchmark side while it is small
+        # and falls back to a shuffle join if a benchmark ever is not.
         corp = postings(corpus)
-        bench = postings(benchmark).select("_g").distinct()
-        totals = corp.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("total_ngrams")
+        bench = (
+            postings(benchmark)
+            .select("_g")
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        overlap = (
-            corp.join(bench, "_g")
+        return (
+            corp.join(bench, "_g", "left")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+            .agg(
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.count("_hit").alias("overlap_ngrams"),
+            )
             .filter(F.col("overlap_ngrams") >= min_overlap)
-        )
-        return overlap.join(totals, id_col).select(
-            id_col,
-            "overlap_ngrams",
-            "total_ngrams",
-            (
-                F.col("overlap_ngrams").cast("double")
-                / F.col("total_ngrams").cast("double")
-            ).alias("overlap_frac"),
+            .select(
+                id_col,
+                "overlap_ngrams",
+                "total_ngrams",
+                (
+                    F.col("overlap_ngrams").cast("double")
+                    / F.col("total_ngrams").cast("double")
+                ).alias("overlap_frac"),
+            )
         )
 
     return apply

@@ -104,3 +104,63 @@ def test_salted_agg_matches_plain(spark, data, n_salts):
         ).collect()
     }
     assert plain == salted
+
+
+# --- curation invariants (r6) ---
+
+wtok = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # sparse doc ids
+        st.integers(min_value=0, max_value=500),      # token counts
+    ),
+    min_size=0, max_size=30, unique_by=lambda t: t[0],
+)
+
+
+@given(data=wtok, chunk=st.sampled_from([1, 3, 7, 4096]))
+@SET
+def test_pack_token_shards_equals_naive_cumsum(spark, data, chunk):
+    """Two-phase distributed prefix sum == the naive global ordered cumsum
+    for ANY sparse id set, weight mix, and chunk width (incl. chunk=1:
+    every doc its own chunk — pure offset path; and chunk>max_id: one
+    chunk — pure window path)."""
+    from dwh_etl_ods_spark_jobs_spark.curation import pack_token_shards
+
+    df = (
+        spark.createDataFrame(data, "doc_id long, w int")
+        if data
+        else spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0).alias("w")
+        )
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["shard"])
+        for r in df.transform(
+            pack_token_shards("doc_id", "w", 97, chunk=chunk)
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for doc_id, w in sorted(data):
+        expect[doc_id] = (acc, acc // 97)
+        acc += w
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+    )
+)
+@SET
+def test_repetition_signals_bounds(spark, texts):
+    """0 <= dup_word_frac < 1 and 0 <= top_bigram_frac <= 1 for arbitrary
+    (even empty / all-space) text; n_tok == whitespace-split length."""
+    from dwh_etl_ods_spark_jobs_spark.curation import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in df.transform(repetition_signals("doc_id", "text")).collect():
+        assert r["n_tok"] == len(texts[r["doc_id"]].split(" "))
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0

@@ -327,3 +327,49 @@ def test_windowed_counts_matches_batch_aggregation(spark, workdir):
     assert total_got >= 0.8 * total_expected
     for et, n in got_map.items():
         assert n <= expect[et]
+
+
+def test_streaming_curation_filter_matches_batch(spark, workdir):
+    """The curation operators are stateless Catalyst expressions (plus
+    doc-grained aggs), so the same transform chain runs unchanged on a
+    file stream: per-micro-batch weighted sampling + repetition scoring in
+    foreachBatch equals the batch run over the union of all files."""
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        repetition_signals,
+        weighted_sample,
+    )
+
+    src = os.path.join(workdir, "docs")
+    out = os.path.join(workdir, "curated")
+    schema = "doc_id long, text string, lang string"
+    batch1 = [(1, "a a a a", "en"), (2, "a b c d", "fr"), (3, "x y", "en")]
+    batch2 = [(4, "p q p q", "fr"), (5, "solo", "en")]
+
+    def curate(df):
+        return df.transform(
+            weighted_sample("doc_id", "lang", {"en": 0.6}, default=1.0)
+        ).transform(repetition_signals("doc_id", "text"))
+
+    _write_source_files(spark, src, batch1, schema)
+    _write_source_files(spark, src, batch2, schema)
+
+    stream = ST.file_stream(spark, src, spark.read.parquet(src).schema)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: curate(b).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    streamed = {
+        (r.doc_id, r.n_tok, r.dup_word_frac, r.top_bigram_frac)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_tok, r.dup_word_frac, r.top_bigram_frac)
+        for r in curate(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch and len(streamed) > 0

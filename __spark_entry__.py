@@ -40,6 +40,8 @@ _HEAD = [
     "shard_pack_tokens",           # r6 new
     "cross_source_leakage",        # r6 new
     "semantic_dedup_clusters",     # r6 new
+    "substring_span_census",       # r6 new (ExactSubstr analogue)
+    "quality_classifier_score",    # r6 new (hashing-trick linear clf)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -47,10 +49,12 @@ _HEAD = [
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 62
-    # queries the r6 window skips exactly these 12 (incl. percentile_agg,
-    # listed last). r7 MUST rotate them back in and push 12 other stable
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 64
+    # queries the r6 window skips exactly these 14 (incl. semi_join_exists,
+    # listed first). r7 MUST rotate them back in and push 14 other stable
     # r6-green entries out.
+    "semi_join_exists",
+    "record_linkage_fuzzy",
     "percentile_agg",
     "dedup_simhash_sig",  # subsumed by dedup_simhash_pairs (stays in-window)
     "full_outer_coalesce",

@@ -18,6 +18,17 @@ after per-document scoring (``text/``) and before dedup (``dedup/``):
   single-partition window).
 - :func:`cross_source_leakage` — exact-text collisions across corpus
   sources (train/test split leakage census).
+- :func:`exact_substring_spans` — duplicated token-window census with
+  interval-union coverage (the distributable analogue of Lee et al. 2021
+  "Deduplicating Training Data Makes Language Models Better" ExactSubstr:
+  their suffix array finds repeated ≥50-token spans; a rolling window of
+  hashed W-token shingles finds the same spans as an equi-join on a
+  uniform 60-bit key, which shards where a suffix array does not).
+- :func:`hash_feature_score` — fastText-style linear quality classifier
+  over hashing-trick bag-of-words features (Joulin et al. 2016). Scoring
+  is a pure per-row expression (no shuffle, no model server); weights are
+  integer-micros so the fold is exact integer arithmetic, bit-identical
+  across engines.
 
 All operators are pure ``pyspark.sql.functions`` expression trees +
 equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
@@ -38,6 +49,8 @@ __all__ = [
     "weight_threshold_hex",
     "pack_token_shards",
     "cross_source_leakage",
+    "exact_substring_spans",
+    "hash_feature_score",
 ]
 
 
@@ -337,6 +350,161 @@ def cross_source_leakage(id_col: str, text_col: str, source_col: str):
                 F.min(id_col).alias("first_doc_id"),
             )
             .filter(F.col("n_sources") >= 2)
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 6. Duplicated-substring census (rolling-hash ExactSubstr analogue)
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans(id_col: str, text_col: str, width: int = 8):
+    """Per-document duplicated-span census: which W-token windows occur
+    more than once anywhere in the corpus (intra- or cross-document), and
+    how many of each document's tokens those duplicated spans cover.
+
+    The distributable analogue of Lee et al. 2021 ExactSubstr: their
+    suffix array finds repeated spans in one address space; here every
+    W-token rolling window folds to a 60-bit hash, duplicate hashes are a
+    partial-aggregable count on a uniform key, and span coverage is the
+    interval-union of the surviving windows.
+
+    Returns one row per document: ``n_tok``, ``n_windows``
+    (= max(n_tok − W + 1, 0)), ``n_dup_windows``, ``dup_tokens`` (tokens
+    covered by ≥1 duplicated window — overlapping windows are unioned,
+    not double-counted), ``dup_token_frac``.
+
+    Plan: posexplode (bounded by doc length) → groupBy on the uniform
+    window hash (map-side combinable count) → join postings back to the
+    duplicated-hash set (fan-out ≤ 1 per posting) → interval union as ONE
+    doc-partitioned window pass: sorted by position, each window
+    contributes ``min(W, pos − prev_pos)`` new tokens (first contributes
+    W), so coverage needs no per-row interval list. Every shuffle key is
+    either the 60-bit hash or the doc id — uniform. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+        base = df.select(F.col(id_col), _toks(text_col).alias("_ts"))
+        stats = base.select(
+            F.col(id_col),
+            F.size("_ts").cast("long").alias("n_tok"),
+            F.greatest(
+                F.size("_ts") - F.lit(width - 1), F.lit(0)
+            ).cast("long").alias("n_windows"),
+        )
+        posting = base.select(
+            F.col(id_col),
+            F.posexplode(_word_ngrams(F.col("_ts"), width)).alias("pos", "_gram"),
+        ).select(id_col, "pos", md5_long(F.col("_gram")).alias("_w"))
+        dup = (
+            posting.groupBy("_w")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("_w")
+        )
+        order = Window.partitionBy(id_col).orderBy("pos")
+        cov = (
+            posting.join(dup, "_w")
+            .withColumn("_prev", F.lag("pos").over(order))
+            .withColumn(
+                "_inc",
+                F.when(F.col("_prev").isNull(), F.lit(width)).otherwise(
+                    F.least(F.lit(width), F.col("pos") - F.col("_prev"))
+                ),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_dup_windows"),
+                F.sum("_inc").cast("long").alias("dup_tokens"),
+            )
+        )
+        return (
+            stats.join(cov, id_col, "left")
+            .select(
+                id_col,
+                "n_tok",
+                "n_windows",
+                F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                    "n_dup_windows"
+                ),
+                F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+                (
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tok").cast("double")
+                ).alias("dup_token_frac"),
+            )
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 7. Hashing-trick linear quality classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+
+def hash_feature_score(
+    id_col: str,
+    text_col: str,
+    weights_micro,
+    bias_micro: int = 0,
+    threshold: float = 0.0,
+):
+    """Score each document with a linear bag-of-words classifier over
+    hashing-trick features (Joulin et al. 2016 fastText architecture:
+    mean-pooled bucket weights + bias), and flag ``keep = score ≥
+    threshold``.
+
+    ``weights_micro`` is the trained weight vector in INTEGER MICROS
+    (w·10⁶): the per-document fold is then exact BIGINT arithmetic —
+    associative, engine-portable, immune to float summation order — and
+    only the final mean/bias step divides into a double. Buckets come
+    from the portable 60-bit md5 hash (``text.md5_long``), not Murmur3,
+    so any engine reproduces the features.
+
+    Pure per-row expression tree: no shuffle, no model server, no UDF —
+    the classifier IS the plan, and a 100 TB corpus scores in one
+    scan-side pass with the filter pushable on top.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    n_buckets = len(weights_micro)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights_micro])
+    bias = float(bias_micro) / 1e6
+
+    def apply(df: DataFrame) -> DataFrame:
+        toks = F.col("_ts")
+        folded = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.element_at(
+                    warr, (md5_long(t) % F.lit(n_buckets)).cast("int") + F.lit(1)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        score = (
+            F.col("_s").cast("double")
+            / F.col("n_tok").cast("double")
+            / F.lit(1000000.0)
+            + F.lit(bias)
+        )
+        return (
+            df.select(F.col(id_col), _toks(text_col).alias("_ts"))
+            .select(
+                F.col(id_col),
+                F.size(toks).cast("long").alias("n_tok"),
+                folded.alias("_s"),
+            )
+            .select(
+                id_col,
+                "n_tok",
+                score.alias("score"),
+                (score >= F.lit(threshold)).alias("keep"),
+            )
         )
 
     return apply

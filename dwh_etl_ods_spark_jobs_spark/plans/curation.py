@@ -282,6 +282,117 @@ FROM labels GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicated-substring census (rolling-hash ExactSubstr analogue)
+# ---------------------------------------------------------------------------
+# The raw corpus has few natural W-token repeats, so mirror every 15th doc
+# under a shifted id (identical CTE both engines) — every window of a
+# mirrored doc is then duplicated by construction, plus whatever natural
+# repeats exist corpus-wide.
+
+SPAN_W = 8           # duplicated-window width in tokens (Lee et al. used 50)
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    return corpus.transform(
+        C.exact_substring_spans("doc_id", "text", width=SPAN_W)
+    )
+
+
+def _span_gram_sql(w: int) -> str:
+    return " || ' ' || ".join(f"ts[pos+{j + 1}]" for j in range(w))
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH spancorp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM spancorp),
+wins AS (
+  SELECT doc_id, pos, {md5_long_sql(_span_gram_sql(SPAN_W))} AS w
+  FROM (SELECT doc_id, ts, unnest(range(len(ts) - {SPAN_W - 1})) AS pos
+        FROM toks)
+),
+dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(*) >= 2),
+dp AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM wins JOIN dup USING (w)
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+         CAST(sum(CASE WHEN prev IS NULL THEN {SPAN_W}
+                       ELSE least({SPAN_W}, pos - prev) END) AS BIGINT)
+           AS dup_tokens
+  FROM dp GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tok,
+       CAST(greatest(len(t.ts) - {SPAN_W - 1}, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / CAST(len(t.ts) AS DOUBLE)
+         AS dup_token_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+# Deterministic stand-in weight vector (a trained model would be loaded
+# from artifact storage); integer micros so the per-doc fold is exact
+# BIGINT in both engines. The formula spreads positive and negative
+# weights across the 64 buckets.
+
+CLF_BUCKETS = 64
+CLF_WEIGHTS_MICRO = [
+    ((j * 37 + 11) % 101 - 50) * 10_000 for j in range(CLF_BUCKETS)
+]
+CLF_BIAS_MICRO = 25_000      # +0.025 prior toward keep
+CLF_THRESHOLD = 0.0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        C.hash_feature_score(
+            "doc_id", "text", CLF_WEIGHTS_MICRO, CLF_BIAS_MICRO, CLF_THRESHOLD
+        )
+    )
+
+
+def _clf_sql() -> str:
+    warr = "[" + ", ".join(str(w) for w in CLF_WEIGHTS_MICRO) + "]"
+    bucket = f"CAST({md5_long_sql('t')} % {CLF_BUCKETS} AS INT) + 1"
+    score = (
+        f"CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE) / 1000000.0 "
+        f"+ {CLF_BIAS_MICRO / 1e6!r}"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+folded AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(ts,
+              t -> list_extract({warr}, {bucket}))) AS BIGINT) AS s
+  FROM toks
+)
+SELECT doc_id, n_tok, {score} AS score,
+       ({score}) >= {CLF_THRESHOLD!r} AS keep
+FROM folded
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _clf_sql()
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -289,6 +400,8 @@ QUERIES = {
     "shard_pack_tokens": q_shard_pack,
     "cross_source_leakage": q_leakage,
     "semantic_dedup_clusters": q_semantic_dedup,
+    "substring_span_census": q_substring_spans,
+    "quality_classifier_score": q_quality_classifier,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -297,4 +410,6 @@ ORACLES = {
     "shard_pack_tokens": SQL_SHARD_PACK,
     "cross_source_leakage": SQL_LEAKAGE,
     "semantic_dedup_clusters": _sql_semantic_dedup(),
+    "substring_span_census": SQL_SUBSTRING_SPANS,
+    "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
 }

@@ -205,3 +205,97 @@ def test_cross_source_leakage(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_sources, r.n_docs, r.first_doc_id) == (2, 3, 1)
+
+
+# --- duplicated-substring census (ExactSubstr analogue) ---
+
+def test_exact_substring_spans_values(spark):
+    # width=3: doc 1 and doc 2 share the span "x y z w" (two overlapping
+    # windows: "x y z", "y z w"); doc 3 repeats "p q r" INTRA-doc; doc 4 is
+    # clean; doc 5 is shorter than the window width.
+    out = {
+        r["doc_id"]: r
+        for r in _docs(
+            spark,
+            [
+                (1, "x y z w a b"),
+                (2, "c d x y z w"),
+                (3, "p q r s p q r"),
+                (4, "unique tokens only here"),
+                (5, "too short"),
+            ],
+        )
+        .transform(C.exact_substring_spans("doc_id", "text", width=3))
+        .collect()
+    }
+    assert len(out) == 5  # clean and too-short docs still report a row
+    # doc 1: windows at pos 0,1 dup -> union [0,3)∪[1,4) = 4 tokens
+    assert (out[1].n_tok, out[1].n_windows) == (6, 4)
+    assert (out[1].n_dup_windows, out[1].dup_tokens) == (2, 4)
+    assert out[1].dup_token_frac == pytest.approx(4 / 6)
+    # doc 2: same span at pos 2,3 -> 4 of 6 tokens covered
+    assert (out[2].n_dup_windows, out[2].dup_tokens) == (2, 4)
+    # doc 3: "p q r" at pos 0 and pos 4 — non-overlapping -> 6 tokens
+    assert (out[3].n_dup_windows, out[3].dup_tokens) == (2, 6)
+    # doc 4: no duplicated windows
+    assert (out[4].n_dup_windows, out[4].dup_tokens) == (0, 0)
+    assert out[4].dup_token_frac == 0.0
+    # doc 5: shorter than width -> zero windows, zero coverage
+    assert (out[5].n_windows, out[5].n_dup_windows, out[5].dup_tokens) == (0, 0, 0)
+
+
+def test_exact_substring_spans_interval_union_not_double_count(spark):
+    # One long duplicated run: every window duplicates, but coverage must
+    # equal the doc length, not n_windows * width.
+    text = " ".join(["t"] * 10)  # every width-4 window is "t t t t"
+    out = (
+        _docs(spark, [(1, text)])
+        .transform(C.exact_substring_spans("doc_id", "text", width=4))
+        .collect()[0]
+    )
+    assert out.n_windows == 7
+    assert out.n_dup_windows == 7       # all windows repeat intra-doc
+    assert out.dup_tokens == 10         # union covers the doc exactly once
+    assert out.dup_token_frac == pytest.approx(1.0)
+
+
+# --- hashing-trick quality classifier ---
+
+def test_hash_feature_score_exact_fold(spark):
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    weights = [(j * 7 % 19 - 9) * 10_000 for j in range(16)]
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "delta")])
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(
+            C.hash_feature_score("doc_id", "text", weights, bias_micro=50_000)
+        ).collect()
+    }
+    # Reproduce the expected score host-side from the same md5 buckets.
+    bucket_rows = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", (md5_long(F.col("t")) % 16).alias("b")).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    counts = defaultdict(int)
+    for r in bucket_rows:
+        sums[r["doc_id"]] += weights[r["b"]]
+        counts[r["doc_id"]] += 1
+    for doc in (1, 2):
+        expect = sums[doc] / counts[doc] / 1e6 + 0.05
+        assert out[doc].score == pytest.approx(expect, abs=1e-12)
+        assert out[doc].keep == (out[doc].score >= 0.0)
+        assert out[doc].n_tok == counts[doc]
+
+
+def test_hash_feature_score_no_shuffle(spark):
+    """Scoring is a scan-side expression: the physical plan must contain
+    no Exchange at all."""
+    df = _docs(spark, [(1, "a b c")])
+    plan = (
+        df.transform(C.hash_feature_score("doc_id", "text", [10_000] * 8))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

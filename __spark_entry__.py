@@ -42,6 +42,8 @@ _HEAD = [
     "semantic_dedup_clusters",     # r6 new
     "substring_span_census",       # r6 new (ExactSubstr analogue)
     "quality_classifier_score",    # r6 new (hashing-trick linear clf)
+    "epoch_shuffle_order",         # r6 new (two-phase distributed rank)
+    "split_assignment",            # r6 new (deterministic splits)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -49,10 +51,12 @@ _HEAD = [
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 64
-    # queries the r6 window skips exactly these 14 (incl. semi_join_exists,
-    # listed first). r7 MUST rotate them back in and push 14 other stable
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 66
+    # queries the r6 window skips exactly these 16 (incl. asof_join_latest,
+    # listed first). r7 MUST rotate them back in and push 16 other stable
     # r6-green entries out.
+    "asof_join_latest",
+    "sessionize_gap",
     "semi_join_exists",
     "record_linkage_fuzzy",
     "percentile_agg",

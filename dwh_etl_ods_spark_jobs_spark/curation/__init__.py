@@ -29,6 +29,14 @@ after per-document scoring (``text/``) and before dedup (``dedup/``):
   is a pure per-row expression (no shuffle, no model server); weights are
   integer-micros so the fold is exact integer arithmetic, bit-identical
   across engines.
+- :func:`epoch_shuffle` — deterministic global training-order permutation
+  (seed-keyed md5 sort key → dense 0-based position) computed as a
+  two-phase distributed rank: per-bucket counts, a tiny bucket-offset
+  window, then within-bucket ``row_number`` — never one global
+  single-partition sort rank.
+- :func:`assign_split` — deterministic train/val/test assignment by
+  md5-hex range, the split-before-dedup primitive; pure per-row
+  expression, reproducible across engines, re-runs, and retried tasks.
 
 All operators are pure ``pyspark.sql.functions`` expression trees +
 equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
@@ -51,6 +59,8 @@ __all__ = [
     "cross_source_leakage",
     "exact_substring_spans",
     "hash_feature_score",
+    "epoch_shuffle",
+    "assign_split",
 ]
 
 
@@ -506,5 +516,96 @@ def hash_feature_score(
                 (score >= F.lit(threshold)).alias("keep"),
             )
         )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 8. Deterministic epoch shuffle (global training-order permutation)
+# ---------------------------------------------------------------------------
+
+def epoch_shuffle(id_col: str, seed: str, buckets: int = 256):
+    """Assign each document a dense 0-based position in a deterministic
+    pseudo-random global order — the per-epoch corpus shuffle: change
+    ``seed`` and the whole order re-permutes, re-run with the same seed
+    and it is bit-identical (training resumability; never ``rand()``).
+
+    The sort key is ``md5(seed || ':' || id)`` — uniform hex, so the
+    global rank decomposes exactly like :func:`pack_token_shards`'s
+    prefix sum: the first two hex chars split the keyspace into
+    ``buckets`` ordered, uniformly-loaded ranges; per-bucket counts fold
+    into exclusive offsets over a ``buckets``-row window (the only global
+    step), and ``row_number`` inside each bucket is a bounded-partition
+    window. A naive ``row_number() OVER (ORDER BY key)`` is one
+    single-partition sort of the entire corpus — a straggler by
+    construction at 100 TB.
+
+    ``buckets`` must be a power of 16 divisor of 256 semantics-wise; the
+    default 256 uses exactly the first two hex chars. Output:
+    ``(id_col, epoch_pos)``.
+    """
+    if buckets != 256:
+        raise ValueError("epoch_shuffle buckets is fixed at 256 (2 hex chars)")
+
+    def apply(df: DataFrame) -> DataFrame:
+        key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+        base = df.select(
+            F.col(id_col),
+            key.alias("_key"),
+            F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_b"),
+        )
+        counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        offsets = counts.select(
+            "_b",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long").alias("_off"),
+        )
+        within = Window.partitionBy("_b").orderBy("_key", id_col)
+        return base.join(F.broadcast(offsets), "_b").select(
+            id_col,
+            (F.col("_off") + F.row_number().over(within) - F.lit(1)).alias(
+                "epoch_pos"
+            ),
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 9. Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+def assign_split(id_col: str, splits):
+    """Label each row with a split name by md5-hex range: ``splits`` is an
+    ordered ``(name, fraction)`` mapping (fractions sum to ≤ 1; any
+    remainder falls to the LAST split). The draw is
+    ``substr(md5(id), 1, 8)`` against cumulative thresholds — the same
+    uniform [0, 2^32) draw as :func:`weighted_sample`, so a document's
+    split never changes across re-runs, engines, or corpus growth
+    (membership depends only on the id, not on other rows).
+
+    Split BEFORE near-dedup and decontamination so eval membership is
+    stable, then run :func:`cross_source_leakage` / near-dup ACROSS the
+    split boundary to enforce it. Pure per-row expression: no shuffle.
+    """
+    items = list(splits.items())
+    if not items:
+        raise ValueError("assign_split needs at least one split")
+    cum = 0.0
+    arms = []  # (threshold_hex, name) upper-exclusive bounds
+    for name, frac in items[:-1]:
+        cum += frac
+        arms.append((weight_threshold_hex(cum), name))
+
+    def apply(df: DataFrame) -> DataFrame:
+        draw = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+        expr = F.lit(items[-1][0])
+        for thr, name in reversed(arms):
+            expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
+        return df.withColumn("split", expr)
 
     return apply

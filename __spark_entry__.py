@@ -44,6 +44,8 @@ _HEAD = [
     "quality_classifier_score",    # r6 new (hashing-trick linear clf)
     "epoch_shuffle_order",         # r6 new (two-phase distributed rank)
     "split_assignment",            # r6 new (deterministic splits)
+    "tfidf_top_terms",             # r6 new (corpus tf-idf)
+    "bigram_lm_logprob",           # r6 new (CCNet-style LM filter)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -51,10 +53,12 @@ _HEAD = [
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 66
-    # queries the r6 window skips exactly these 16 (incl. asof_join_latest,
-    # listed first). r7 MUST rotate them back in and push 16 other stable
-    # r6-green entries out.
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 68
+    # queries the r6 window skips exactly these 18 (incl. tumbling_daily_
+    # rollup, listed first). r7 MUST rotate them back in and push 18 other
+    # stable r6-green entries out.
+    "tumbling_daily_rollup",
+    "window_frames",
     "asof_join_latest",
     "sessionize_gap",
     "semi_join_exists",

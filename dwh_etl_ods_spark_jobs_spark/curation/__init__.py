@@ -37,6 +37,14 @@ after per-document scoring (``text/``) and before dedup (``dedup/``):
 - :func:`assign_split` — deterministic train/val/test assignment by
   md5-hex range, the split-before-dedup primitive; pure per-row
   expression, reproducible across engines, re-runs, and retried tasks.
+- :func:`tfidf_top_terms` — per-document characteristic terms by tf·idf
+  (Spärck Jones 1972): corpus document frequencies + per-doc top-k
+  window, all equi-joins on uniform term keys.
+- :func:`bigram_lm_score` — CCNet-style (Wenzek et al. 2019) perplexity
+  proxy: an add-one-smoothed bigram LM trained on the corpus by two
+  count aggregations, documents scored by average negative log-prob with
+  the per-term terms rounded to integer micronats so the per-doc sum is
+  exact (float-summation-order-proof).
 
 All operators are pure ``pyspark.sql.functions`` expression trees +
 equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
@@ -61,6 +69,8 @@ __all__ = [
     "hash_feature_score",
     "epoch_shuffle",
     "assign_split",
+    "tfidf_top_terms",
+    "bigram_lm_score",
 ]
 
 
@@ -607,5 +617,163 @@ def assign_split(id_col: str, splits):
         for thr, name in reversed(arms):
             expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
         return df.withColumn("split", expr)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 10. Corpus TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(id_col: str, text_col: str, k: int = 5):
+    """Top-``k`` characteristic terms per document by tf·idf (Spärck
+    Jones 1972): ``score = tf(d,t) · ln(N / df(t))``, ties broken by term
+    text so the cut is deterministic.
+
+    Returns ``(id, term, tf, df, score, rank)`` with ``rank ≤ k``.
+    ``score`` is rounded to 6 decimals — it is a SINGLE ln/multiply per
+    row (never a float summation), so both engines agree after rounding.
+
+    Plan: explode → (doc, term) count [uniform key] → term document
+    frequency [map-side combinable] → idf joined back by term equi-join
+    (fan-out 1 per posting) → per-doc top-k window (partition bounded by
+    the doc's distinct-term count). The corpus size ``N`` attaches via a
+    broadcast single-row frame on a constant key — an equi-join, not a
+    cartesian. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        postings = (
+            df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        docfreq = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        n_docs = df.select(
+            F.countDistinct(id_col).alias("_n"), F.lit(1).alias("_one")
+        )
+        scored = (
+            postings.join(docfreq, "term")
+            .withColumn("_one", F.lit(1))
+            .join(F.broadcast(n_docs), "_one")
+            .select(
+                id_col,
+                "term",
+                "tf",
+                "df",
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        rank = Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("term")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(rank))
+            .filter(F.col("rank") <= k)
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 11. Bigram language-model score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(id_col: str, text_col: str):
+    """Score every document against a bigram language model trained on
+    the corpus itself — the in-engine analogue of CCNet's (Wenzek et al.
+    2019) KenLM perplexity filter: gibberish and boilerplate score far
+    from the corpus mean, and the model is just two count aggregations.
+
+    ``P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V)`` (add-one smoothing over
+    vocabulary size ``V``); per document we report ``n_bigrams`` and
+    ``avg_neg_logprob`` (natural log; perplexity = e^avg). Documents with
+    < 2 tokens report 0.0.
+
+    Float discipline: each bigram's −ln P is rounded to INTEGER
+    MICRONATS before the per-doc sum, so the aggregation is exact BIGINT
+    (groupBy summation order cannot perturb the result — a raw double
+    sum is order-dependent and would break cross-engine parity); only
+    the final mean divides back into a double.
+
+    Plan: model = two groupBy counts on uniform gram keys; scoring =
+    doc-bigram postings equi-joined to the model (fan-out 1), one
+    doc-grained sum. V and the smoothing ride a broadcast single-row
+    frame on a constant key. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col), _toks(text_col).alias("_ts"))
+        # (doc, w1, w2) posting per bigram occurrence, with per-doc counts
+        occ = (
+            base.select(
+                F.col(id_col),
+                F.posexplode(_word_ngrams(F.col("_ts"), 2)).alias("_p", "_bg"),
+            )
+            .select(id_col, "_bg")
+            .groupBy(id_col, "_bg")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+        )
+        # model counts over the whole corpus
+        bg_counts = occ.groupBy("_bg").agg(F.sum("_occ").alias("_c12"))
+        uni = (
+            base.select(F.explode("_ts").alias("_w1"))
+            .groupBy("_w1")
+            .agg(F.count(F.lit(1)).alias("_c1"))
+        )
+        vocab = uni.select(
+            F.count(F.lit(1)).alias("_v"), F.lit(1).alias("_one")
+        )
+        model = (
+            bg_counts.withColumn(
+                "_w1", F.substring_index("_bg", " ", 1)
+            )
+            .join(uni, "_w1")
+            .withColumn("_one", F.lit(1))
+            .join(F.broadcast(vocab), "_one")
+            .select(
+                "_bg",
+                F.round(
+                    -F.log(
+                        (F.col("_c12") + F.lit(1)).cast("double")
+                        / (F.col("_c1") + F.col("_v")).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long").alias("_nlp_micro"),
+            )
+        )
+        scored = (
+            occ.join(model, "_bg")
+            .groupBy(id_col)
+            .agg(
+                F.sum("_occ").cast("long").alias("n_bigrams"),
+                F.sum(F.col("_occ") * F.col("_nlp_micro")).alias("_s"),
+            )
+            .select(
+                id_col,
+                "n_bigrams",
+                F.round(
+                    F.col("_s").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    / F.lit(1000000.0),
+                    6,
+                ).alias("avg_neg_logprob"),
+            )
+        )
+        all_docs = base.select(F.col(id_col))
+        return (
+            all_docs.join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+                F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+            )
+        )
 
     return apply

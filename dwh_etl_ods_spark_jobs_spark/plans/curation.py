@@ -447,6 +447,83 @@ SELECT doc_id, lang, {_split_case_sql()} AS split FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        C.tfidf_top_terms("doc_id", "text", k=TFIDF_K)
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+postings AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
+),
+docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         round(p.tf * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6)
+           AS score
+  FROM postings p JOIN docfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(C.bigram_lm_score("doc_id", "text"))
+
+
+SQL_BIGRAM_LM = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+  SELECT doc_id, bg, count(*) AS occ
+  FROM (SELECT doc_id, unnest({_ngram_list_sql(2)}) AS bg FROM toks)
+  GROUP BY 1, 2
+),
+bgc AS (SELECT bg, sum(occ) AS c12 FROM occ GROUP BY 1),
+uni AS (
+  SELECT t AS w1, count(*) AS c1
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uni),
+model AS (
+  SELECT b.bg,
+         CAST(round(-ln(CAST(b.c12 + 1 AS DOUBLE)
+                        / CAST(u.c1 + v.v AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS nlp
+  FROM (SELECT bg, c12, split_part(bg, ' ', 1) AS w1 FROM bgc) b
+  JOIN uni u USING (w1) CROSS JOIN v
+),
+scored AS (
+  SELECT o.doc_id, CAST(sum(o.occ) AS BIGINT) AS n_bigrams,
+         sum(o.occ * m.nlp) AS s
+  FROM occ o JOIN model m USING (bg) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(round(CAST(s.s AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+                      / 1000000.0, 6), 0.0) AS avg_neg_logprob
+FROM toks t LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -458,6 +535,8 @@ QUERIES = {
     "quality_classifier_score": q_quality_classifier,
     "epoch_shuffle_order": q_epoch_shuffle,
     "split_assignment": q_assign_split,
+    "tfidf_top_terms": q_tfidf,
+    "bigram_lm_logprob": q_bigram_lm,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -470,4 +549,6 @@ ORACLES = {
     "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
     "epoch_shuffle_order": SQL_EPOCH_SHUFFLE,
     "split_assignment": SQL_ASSIGN_SPLIT,
+    "tfidf_top_terms": SQL_TFIDF,
+    "bigram_lm_logprob": SQL_BIGRAM_LM,
 }

@@ -407,3 +407,90 @@ def test_assign_split_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# --- corpus tf-idf top terms ---
+
+def test_tfidf_top_terms_values(spark):
+    import math
+
+    # 'rare' appears only in doc 1; 'common' in all three docs (idf=0).
+    df = _docs(
+        spark,
+        [
+            (1, "common rare rare"),
+            (2, "common common other"),
+            (3, "common other other"),
+        ],
+    )
+    rows = df.transform(C.tfidf_top_terms("doc_id", "text", k=2)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: min(rs, key=lambda r: r["rank"]) for d, rs in by_doc.items()}
+    assert top1[1].term == "rare"
+    assert top1[1].tf == 2 and top1[1].df == 1
+    assert top1[1].score == pytest.approx(round(2 * math.log(3 / 1), 6))
+    # 'common' has df == n_docs -> idf 0 -> score 0; 'other' (df=2) beats it
+    assert top1[2].term == "other"
+    assert all(r["rank"] <= 2 for r in rows)
+    # ties (same score) break by term text ascending
+    doc3_terms = [r.term for r in sorted(by_doc[3], key=lambda r: r["rank"])]
+    assert doc3_terms[0] == "other"
+
+
+def test_tfidf_rank_cut_is_deterministic(spark):
+    # All terms in this doc have identical tf and df -> identical scores;
+    # the k-cut must be alphabetical, twice.
+    df = _docs(spark, [(1, "b d a c"), (2, "b d a c")])
+    pick = lambda: sorted(
+        r.term
+        for r in df.transform(C.tfidf_top_terms("doc_id", "text", k=2)).collect()
+        if r.doc_id == 1
+    )
+    first = pick()
+    assert first == ["a", "b"]
+    assert pick() == first
+
+
+# --- bigram LM score ---
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    # Corpus: doc1 "a b a b", doc2 "a b". Bigrams: doc1 {a b:2? no ->
+    # windows: (a b),(b a),(a b)}, doc2 {(a b)}. c(a b)=3, c(b a)=1.
+    # Unigrams: a:3, b:3 -> V=2.
+    df = _docs(spark, [(1, "a b a b"), (2, "a b")])
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(C.bigram_lm_score("doc_id", "text")).collect()
+    }
+    p_ab = (3 + 1) / (3 + 2)   # P(b|a) add-one smoothed
+    p_ba = (1 + 1) / (3 + 2)
+    m_ab = round(-math.log(p_ab) * 1e6)
+    m_ba = round(-math.log(p_ba) * 1e6)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_neg_logprob == pytest.approx(
+        round((2 * m_ab + m_ba) / 3 / 1e6, 6)
+    )
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_neg_logprob == pytest.approx(round(m_ab / 1e6, 6))
+
+
+def test_bigram_lm_score_short_doc_and_ordering(spark):
+    # A single-token doc has no bigrams; a doc made of corpus-frequent
+    # bigrams scores LOWER (more probable) than a one-off sequence.
+    rows = _docs(
+        spark,
+        [
+            (1, "x"),
+            (2, "p q p q p q p q"),
+            (3, "p q p q p q p q"),
+            (4, "z w"),
+        ],
+    ).transform(C.bigram_lm_score("doc_id", "text")).collect()
+    out = {r["doc_id"]: r for r in rows}
+    assert len(out) == 4  # no-bigram docs still report
+    assert (out[1].n_bigrams, out[1].avg_neg_logprob) == (0, 0.0)
+    assert out[2].avg_neg_logprob < out[4].avg_neg_logprob

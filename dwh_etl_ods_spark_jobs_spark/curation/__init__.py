@@ -651,12 +651,16 @@ def tfidf_top_terms(id_col: str, text_col: str, k: int = 5):
         docfreq = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         )
-        n_docs = df.select(
-            F.countDistinct(id_col).alias("_n"), F.lit(1).alias("_one")
+        # Scalar attach: both "_one" keys are data-DERIVED constants
+        # (pmod(hash(col), 1) == 0) so constant folding cannot collapse the
+        # equi-join condition to `true` — which would demote this 1-row
+        # broadcast join to a BroadcastNestedLoopJoin.
+        n_docs = df.select(F.countDistinct(id_col).alias("_n")).withColumn(
+            "_one", F.pmod(F.hash("_n"), F.lit(1))
         )
         scored = (
             postings.join(docfreq, "term")
-            .withColumn("_one", F.lit(1))
+            .withColumn("_one", F.pmod(F.hash("tf"), F.lit(1)))
             .join(F.broadcast(n_docs), "_one")
             .select(
                 id_col,
@@ -727,15 +731,17 @@ def bigram_lm_score(id_col: str, text_col: str):
             .groupBy("_w1")
             .agg(F.count(F.lit(1)).alias("_c1"))
         )
-        vocab = uni.select(
-            F.count(F.lit(1)).alias("_v"), F.lit(1).alias("_one")
+        # Data-derived constant key (see tfidf_top_terms): keeps the 1-row
+        # vocab attach an equi-join, not a BroadcastNestedLoopJoin.
+        vocab = uni.select(F.count(F.lit(1)).alias("_v")).withColumn(
+            "_one", F.pmod(F.hash("_v"), F.lit(1))
         )
         model = (
             bg_counts.withColumn(
                 "_w1", F.substring_index("_bg", " ", 1)
             )
             .join(uni, "_w1")
-            .withColumn("_one", F.lit(1))
+            .withColumn("_one", F.pmod(F.hash("_c12"), F.lit(1)))
             .join(F.broadcast(vocab), "_one")
             .select(
                 "_bg",

@@ -494,3 +494,17 @@ def test_bigram_lm_score_short_doc_and_ordering(spark):
     assert len(out) == 4  # no-bigram docs still report
     assert (out[1].n_bigrams, out[1].avg_neg_logprob) == (0, 0.0)
     assert out[2].avg_neg_logprob < out[4].avg_neg_logprob
+
+
+def test_scalar_attach_joins_stay_hash_joins(spark):
+    """The 1-row scalar attach (corpus size N, vocab size V) must remain a
+    broadcast HASH join: constant folding would otherwise collapse the
+    literal-key condition to `true` and demote it to a nested loop."""
+    df = _docs(spark, [(i, "a b c d") for i in range(20)])
+    for op in (
+        C.tfidf_top_terms("doc_id", "text", k=2),
+        C.bigram_lm_score("doc_id", "text"),
+    ):
+        plan = df.transform(op)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan

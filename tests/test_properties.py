@@ -164,3 +164,79 @@ def test_repetition_signals_bounds(spark, texts):
         assert r["n_tok"] == len(texts[r["doc_id"]].split(" "))
         assert 0.0 <= r["dup_word_frac"] < 1.0
         assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+# --- duplicated-substring census: coverage vs brute-force reference ---
+
+span_texts = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(
+        lambda ts: " ".join(ts)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=span_texts, width=st.sampled_from([2, 3]))
+@SET
+def test_exact_substring_spans_matches_bruteforce(spark, texts, width):
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.curation import exact_substring_spans
+
+    data = [(i, t) for i, t in enumerate(texts) if t]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tok, r.n_windows, r.n_dup_windows, r.dup_tokens)
+        for r in df.transform(
+            exact_substring_spans("doc_id", "text", width=width)
+        ).collect()
+    }
+    # brute-force reference on the host
+    wins = {}
+    for i, t in data:
+        toks = t.split(" ")
+        wins[i] = [
+            tuple(toks[p : p + width]) for p in range(len(toks) - width + 1)
+        ]
+    counts = Counter(w for ws in wins.values() for w in ws)
+    for i, t in data:
+        toks = t.split(" ")
+        dup_pos = [p for p, w in enumerate(wins[i]) if counts[w] >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + width))
+        assert got[i] == (
+            len(toks),
+            max(len(toks) - width + 1, 0),
+            len(dup_pos),
+            len(covered),
+        ), (i, t)
+
+
+# --- epoch shuffle: dense permutation over ARBITRARY id sets ---
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=40, unique=True,
+    ),
+    seed=st.sampled_from(["s1", "s2"]),
+)
+@SET
+def test_epoch_shuffle_dense_over_arbitrary_ids(spark, ids, seed):
+    from dwh_etl_ods_spark_jobs_spark.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.transform(epoch_shuffle("doc_id", seed)).collect()
+    assert sorted(r.epoch_pos for r in out) == list(range(len(ids)))
+    # order equals the host-side md5 sort of the same keys
+    import hashlib
+
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i)
+    )
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.epoch_pos)]
+    assert got == expect

@@ -46,6 +46,8 @@ _HEAD = [
     "split_assignment",            # r6 new (deterministic splits)
     "tfidf_top_terms",             # r6 new (corpus tf-idf)
     "bigram_lm_logprob",           # r6 new (CCNet-style LM filter)
+    "boilerplate_para_removal",    # r6 new (C4-style line dedup)
+    "retention_cohorts",           # r6 new (monthly cohort rollup)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -53,10 +55,12 @@ _HEAD = [
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 68
-    # queries the r6 window skips exactly these 18 (incl. tumbling_daily_
-    # rollup, listed first). r7 MUST rotate them back in and push 18 other
-    # stable r6-green entries out.
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 70
+    # queries the r6 window skips exactly these 20 (incl. multimodal_
+    # decode_meta, listed first). r7 MUST rotate them back in and push 20
+    # other stable r6-green entries out.
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
     "tumbling_daily_rollup",
     "window_frames",
     "asof_join_latest",

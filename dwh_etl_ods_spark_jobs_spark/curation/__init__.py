@@ -45,6 +45,9 @@ after per-document scoring (``text/``) and before dedup (``dedup/``):
   count aggregations, documents scored by average negative log-prob with
   the per-term terms rounded to integer micronats so the per-doc sum is
   exact (float-summation-order-proof).
+- :func:`drop_boilerplate_paragraphs` — C4/RefinedWeb-style removal of
+  paragraphs repeated corpus-wide more than a document-frequency cap,
+  with in-order text reconstruction.
 
 All operators are pure ``pyspark.sql.functions`` expression trees +
 equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
@@ -71,6 +74,7 @@ __all__ = [
     "assign_split",
     "tfidf_top_terms",
     "bigram_lm_score",
+    "drop_boilerplate_paragraphs",
 ]
 
 
@@ -779,6 +783,89 @@ def bigram_lm_score(id_col: str, text_col: str):
                 id_col,
                 F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
                 F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+            )
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 12. Boilerplate-paragraph removal (C4-style corpus-frequency line dedup)
+# ---------------------------------------------------------------------------
+
+def drop_boilerplate_paragraphs(
+    id_col: str,
+    text_col: str,
+    para_tokens: int = 10,
+    max_df: int = 5,
+):
+    """Remove paragraphs that repeat across the corpus more than
+    ``max_df`` times and rebuild each document's text — the C4/RefinedWeb
+    boilerplate pass (Raffel et al. 2020 drop repeated lines/spans;
+    navigation chrome, cookie banners, promo footers) applied to
+    fixed-width ``para_tokens`` chunks (the synthetic corpus has no
+    newlines; a real corpus would split on them instead).
+
+    Returns ``(id, n_paras, n_dropped, clean_text)`` — ``clean_text`` is
+    the surviving paragraphs re-joined in document order ('' when
+    everything was dropped).
+
+    Plan: chunking is a per-row expression (slice over the materialized
+    token array); corpus paragraph frequency is one map-side-combinable
+    count on the uniform md5 key; the verdict joins back with fan-out 1;
+    reconstruction is a doc-grained sort-under-aggregation
+    (``array_sort(collect_list(struct(pos, para)))``) whose group width
+    is bounded by the document's paragraph count. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        ts = F.col("_ts")
+        n_chunks = F.ceil(F.size(ts) / F.lit(float(para_tokens))).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(ts, (i * F.lit(para_tokens) + F.lit(1)).cast("int"),
+                        para_tokens),
+            ),
+        )
+        base = df.select(F.col(id_col), _toks(text_col).alias("_ts")).select(
+            F.col(id_col), paras.alias("_paras")
+        )
+        stats = base.select(
+            F.col(id_col), F.size("_paras").cast("long").alias("n_paras")
+        )
+        exploded = base.select(
+            F.col(id_col),
+            F.posexplode("_paras").alias("pos", "_para"),
+        ).withColumn("_h", F.md5("_para"))
+        freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        verdicts = exploded.join(freq, "_h")
+        kept = (
+            verdicts.filter(F.col("_df") <= max_df)
+            .groupBy(id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "_para"))
+                        ),
+                        lambda x: x["_para"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+                F.count(F.lit(1)).alias("_n_kept"),
+            )
+        )
+        return (
+            stats.join(kept, id_col, "left")
+            .select(
+                id_col,
+                "n_paras",
+                (
+                    F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))
+                ).cast("long").alias("n_dropped"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             )
         )
 

@@ -365,9 +365,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention cohorts: users grouped by first-active month,
+    distinct-user counts per months-since-cohort offset. Two uniform
+    shuffles (per-user min, then per-(cohort, offset) distinct count) —
+    the classic product-analytics rollup, no window over the full fact."""
+    months = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
+        )
+        .distinct()
+    )
+    cohort = months.groupBy("user_id").agg(F.min("m").alias("cm"))
+    idx = lambda c: F.year(c) * 12 + F.month(c)
+    return (
+        months.join(cohort, "user_id")
+        .groupBy(
+            F.col("cm").alias("cohort_month"),
+            (idx(F.col("m")) - idx(F.col("cm"))).alias("month_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH months AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS m
+  FROM events
+),
+cohort AS (SELECT user_id, min(m) AS cm FROM months GROUP BY 1)
+SELECT c.cm AS cohort_month,
+       CAST((year(t.m) * 12 + month(t.m))
+            - (year(c.cm) * 12 + month(c.cm)) AS INT) AS month_offset,
+       count(DISTINCT t.user_id) AS n_users
+FROM months t JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES["asof_join_latest"] = q_asof_join
 QUERIES["sessionize_gap"] = q_sessionize
 QUERIES["tumbling_daily_rollup"] = q_tumbling
+QUERIES["retention_cohorts"] = q_retention
+ORACLES["retention_cohorts"] = SQL_RETENTION
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

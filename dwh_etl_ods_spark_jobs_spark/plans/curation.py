@@ -524,6 +524,68 @@ FROM toks t LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate-paragraph removal (C4-style corpus-frequency line dedup)
+# ---------------------------------------------------------------------------
+# Inject a fixed 10-token promo paragraph onto every 3rd doc (identical
+# CTE both engines): at any SF its document frequency far exceeds the cap,
+# so it is dropped and the doc's remaining (shifted) paragraphs survive.
+
+PARA_TOKENS = 10
+BOILER_MAX_DF = 5
+PROMO = "promo sale click here now buy cheap deals online today"
+assert len(PROMO.split(" ")) == PARA_TOKENS
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(PROMO + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return docs.transform(
+        C.drop_boilerplate_paragraphs(
+            "doc_id", "text", para_tokens=PARA_TOKENS, max_df=BOILER_MAX_DF
+        )
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH bcorp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{PROMO} ' || text ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bcorp),
+paras AS (
+  SELECT doc_id, pos,
+         array_to_string(ts[pos*{PARA_TOKENS}+1 : (pos+1)*{PARA_TOKENS}], ' ')
+           AS para
+  FROM (SELECT doc_id, ts,
+               unnest(range(CAST(ceil(len(ts) / {PARA_TOKENS}.0) AS BIGINT)))
+                 AS pos
+        FROM toks)
+),
+freq AS (SELECT md5(para) AS h, count(*) AS df FROM paras GROUP BY 1),
+kept AS (
+  SELECT p.doc_id, string_agg(p.para, ' ' ORDER BY p.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM paras p JOIN freq f ON md5(p.para) = f.h
+  WHERE f.df <= {BOILER_MAX_DF}
+  GROUP BY 1
+),
+stats AS (
+  SELECT doc_id, CAST(ceil(len(ts) / {PARA_TOKENS}.0) AS BIGINT) AS n_paras
+  FROM toks
+)
+SELECT s.doc_id, s.n_paras,
+       CAST(s.n_paras - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(k.clean_text, '') AS clean_text
+FROM stats s LEFT JOIN kept k USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -537,6 +599,7 @@ QUERIES = {
     "split_assignment": q_assign_split,
     "tfidf_top_terms": q_tfidf,
     "bigram_lm_logprob": q_bigram_lm,
+    "boilerplate_para_removal": q_boilerplate,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -551,4 +614,5 @@ ORACLES = {
     "split_assignment": SQL_ASSIGN_SPLIT,
     "tfidf_top_terms": SQL_TFIDF,
     "bigram_lm_logprob": SQL_BIGRAM_LM,
+    "boilerplate_para_removal": SQL_BOILERPLATE,
 }

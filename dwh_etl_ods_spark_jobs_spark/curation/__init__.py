@@ -48,6 +48,11 @@ after per-document scoring (``text/``) and before dedup (``dedup/``):
 - :func:`drop_boilerplate_paragraphs` — C4/RefinedWeb-style removal of
   paragraphs repeated corpus-wide more than a document-frequency cap,
   with in-order text reconstruction.
+- :func:`bm25_topk` — Okapi BM25 (Robertson & Zaragoza 2009) top-k
+  retrieval for a fixed term set: per-term partial scores rounded to
+  integer micro-units before the per-doc sum (exact BIGINT, the same
+  float discipline as the LM score), ranked via orderBy+limit
+  (TakeOrderedAndProject — partitions ship local top-k only).
 
 All operators are pure ``pyspark.sql.functions`` expression trees +
 equi-join/groupBy shuffles on uniform hashed keys — no Python UDFs, no
@@ -75,6 +80,9 @@ __all__ = [
     "tfidf_top_terms",
     "bigram_lm_score",
     "drop_boilerplate_paragraphs",
+    "bm25_topk",
+    "BM25_K1",
+    "BM25_B",
 ]
 
 
@@ -868,5 +876,116 @@ def drop_boilerplate_paragraphs(
                 F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             )
         )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# 13. BM25 top-k retrieval (Okapi BM25, Robertson & Zaragoza 2009)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(id_col: str, text_col: str, terms: list[str], k: int = 10):
+    """Rank documents against a fixed query-term set by Okapi BM25 and
+    return the top ``k`` — the retrieval primitive a corpus pipeline uses
+    for "find documents about X" sweeps (and the scoring half of a
+    sparse-retrieval index).
+
+    Returns ``(id, n_terms_hit, bm25_micro)`` — the score in integer
+    micro-units, ranked by (score desc, id asc).
+
+    Float discipline (same as :func:`bigram_lm_score`): each (doc, term)
+    partial ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` is rounded
+    to an integer micro-score BEFORE the per-doc sum, so aggregation
+    order cannot perturb the ranking and the DuckDB oracle hash-matches.
+
+    Plan: term-frequency extraction is a per-row expression over the
+    materialized token array (no corpus-wide explode — only |terms|
+    probes per doc); document frequencies aggregate to |terms| rows and
+    BROADCAST back (a term key is maximally skewed — shuffling postings
+    by term would put every posting of a hot term on one reducer); the
+    corpus scalars (N, avgdl) attach via a data-derived constant-key
+    broadcast HASH join (see tfidf_top_terms); the final rank is
+    orderBy+limit = TakeOrderedAndProject, partitions ship local top-k
+    only. Scales.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col), _toks(text_col).alias("_ts")).select(
+            F.col(id_col),
+            F.col("_ts"),
+            F.size("_ts").cast("long").alias("_dl"),
+        )
+        # one row per (doc, query-term) with tf > 0; tf via a per-row
+        # filtered count of the token array — no explode of non-query terms
+        postings = (
+            base.select(
+                F.col(id_col),
+                F.col("_dl"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("_term"),
+                                F.size(
+                                    F.filter(F.col("_ts"), lambda x: x == F.lit(t))
+                                ).cast("long").alias("_tf"),
+                            )
+                            for t in terms
+                        ]
+                    )
+                ).alias("_p"),
+            )
+            .select(id_col, "_dl", F.col("_p._term").alias("_term"), F.col("_p._tf").alias("_tf"))
+            .filter(F.col("_tf") > 0)
+        )
+        dfreq = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+        # corpus scalars on a data-derived constant key (equi-join, so the
+        # broadcast stays a HASH join — constant folding would demote a
+        # literal key to BroadcastNestedLoopJoin)
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.sum("_dl").alias("_sum_dl"),
+        ).select(
+            "_n_docs",
+            F.round(
+                F.col("_sum_dl").cast("double")
+                * F.lit(1000000.0)
+                / F.col("_n_docs").cast("double")
+            ).cast("long").alias("_avgdl_micro"),
+        ).withColumn("_one", F.pmod(F.hash("_n_docs"), F.lit(1)))
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("_n_docs") - F.col("_df")).cast("double") + F.lit(0.5))
+            / (F.col("_df").cast("double") + F.lit(0.5))
+        )
+        dl_norm = (
+            F.col("_dl").cast("double") * F.lit(1000000.0)
+        ) / F.col("_avgdl_micro").cast("double")
+        tf_d = F.col("_tf").cast("double")
+        part = idf * (
+            (tf_d * F.lit(BM25_K1 + 1.0))
+            / (tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_norm))
+        )
+        scored = (
+            postings.join(F.broadcast(dfreq), "_term")
+            .withColumn("_one", F.pmod(F.hash("_tf"), F.lit(1)))
+            .join(F.broadcast(stats), "_one")
+            .select(
+                F.col(id_col),
+                F.round(part * F.lit(1000000.0)).cast("long").alias("_s_micro"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_terms_hit"),
+                F.sum("_s_micro").alias("bm25_micro"),
+            )
+        )
+        return scored.orderBy(
+            F.desc("bm25_micro"), F.asc(id_col)
+        ).limit(k)
 
     return apply

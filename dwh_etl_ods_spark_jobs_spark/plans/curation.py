@@ -586,6 +586,62 @@ FROM stats s LEFT JOIN kept k USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "vector", "stream"]
+BM25_TOPK = 10
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        C.bm25_topk("doc_id", "text", BM25_TERMS, k=BM25_TOPK)
+    )
+
+
+def _sql_bm25() -> str:
+    k1, b = C.BM25_K1, C.BM25_B
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, dl, '{t}' AS term,"
+        f" CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf FROM base"
+        for t in BM25_TERMS
+    )
+    idf = (
+        "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    dl_norm = "CAST(dl AS DOUBLE) * 1000000.0 / CAST(avgdl_micro AS DOUBLE)"
+    part = (
+        f"{idf} * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * ({dl_norm}))))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+postings_raw AS (
+{arms}
+),
+postings AS (SELECT * FROM postings_raw WHERE tf > 0),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(round(CAST(sum(dl) AS DOUBLE) * 1000000.0
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avgdl_micro
+  FROM base
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_terms_hit,
+         CAST(sum(CAST(round(({part}) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS bm25_micro
+  FROM postings JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, bm25_micro
+FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -600,6 +656,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "bigram_lm_logprob": q_bigram_lm,
     "boilerplate_para_removal": q_boilerplate,
+    "bm25_topk_retrieval": q_bm25,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -615,4 +672,5 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF,
     "bigram_lm_logprob": SQL_BIGRAM_LM,
     "boilerplate_para_removal": SQL_BOILERPLATE,
+    "bm25_topk_retrieval": _sql_bm25(),
 }

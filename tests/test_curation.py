@@ -550,3 +550,50 @@ def test_drop_boilerplate_all_dropped_yields_empty(spark):
     assert len(rows) == 4
     for r in rows:
         assert (r.n_paras, r.n_dropped, r.clean_text) == (1, 1, "")
+
+
+# --- BM25 top-k retrieval ---
+
+def _bm25_py(tf, df, n_docs, dl, avgdl_micro, k1=1.2, b=0.75):
+    import math
+    idf = math.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+    dl_norm = dl * 1000000.0 / avgdl_micro
+    return round(idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl_norm))) * 1e6)
+
+
+def test_bm25_matches_hand_formula(spark):
+    # 3 docs, query terms {"cat", "dog"}; doc 3 has neither.
+    df = _docs(
+        spark,
+        [
+            (1, "cat cat dog fish"),          # dl=4
+            (2, "cat fish fish fish fish fish"),  # dl=6
+            (3, "fish fish"),                 # dl=2
+        ],
+    )
+    out = {r.doc_id: r for r in df.transform(
+        C.bm25_topk("doc_id", "text", ["cat", "dog"], k=3)
+    ).collect()}
+    n, sum_dl = 3, 12
+    avgdl_micro = round(sum_dl * 1e6 / n)
+    exp1 = _bm25_py(2, 2, n, 4, avgdl_micro) + _bm25_py(1, 1, n, 4, avgdl_micro)
+    exp2 = _bm25_py(1, 2, n, 6, avgdl_micro)
+    assert set(out) == {1, 2}                      # doc 3 hit no term
+    assert (out[1].n_terms_hit, out[1].bm25_micro) == (2, exp1)
+    assert (out[2].n_terms_hit, out[2].bm25_micro) == (1, exp2)
+    assert out[1].bm25_micro > out[2].bm25_micro
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark):
+    df = _docs(spark, [(i, "cat dog fish") for i in range(20)])
+    plan = (
+        df.transform(C.bm25_topk("doc_id", "text", ["cat", "dog"], k=5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # term-stats and corpus-scalar attaches must broadcast (term keys are
+    # maximally skewed; shuffling postings by term would hot-spot), and
+    # the rank must be TakeOrdered, never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

@@ -20,6 +20,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     catalog_job,
     coverage,
     curation,
+    graph,
     job_filters,
     job_rules,
     pipeline,
@@ -52,6 +53,8 @@ _HEAD = [
     "hll_distinct_users",          # r6 new (portable HLL sketch)
     "countmin_heavy_hitters",      # r6 new (count-min sketch)
     "bm25_topk_retrieval",         # r6 new (Okapi BM25 ranking)
+    "graph_pagerank_topk",         # r6 new (exact-integer PageRank)
+    "graph_degree_histogram",      # r6 new
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -131,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(job_filters.QUERIES)
     q.update(catalog_job.QUERIES)
     q.update(sketches.QUERIES)
+    q.update(graph.QUERIES)
     return _window_order(q)
 
 
@@ -144,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(job_filters.ORACLES)
     o.update(catalog_job.ORACLES)
     o.update(sketches.ORACLES)
+    o.update(graph.ORACLES)
     return _window_order(o)

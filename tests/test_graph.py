@@ -1,0 +1,60 @@
+"""Graph analytics: exact-integer PageRank vs a driver-side reference
+recurrence, partitioning invariance, symmetric-graph conservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import graph as G
+
+
+def _pagerank_py(edges: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    base = (G.PR_MICRO * (100 - G.PR_DAMP_PCT)) // 100
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: G.PR_MICRO for n in deg}
+    for _ in range(iterations):
+        acc: dict[int, int] = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + ranks[s] // deg[s]
+        ranks = {n: base + (G.PR_DAMP_PCT * sc) // 100 for n, sc in acc.items()}
+    return ranks
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    # star + chain, symmetrized: 0-1, 0-2, 0-3, 3-4
+    und = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    for iters in (1, 3):
+        got = {
+            r.node: r.rank_micro
+            for r in G.pagerank(_edges_df(spark, edges), iterations=iters).collect()
+        }
+        assert got == _pagerank_py(edges, iters)
+    # the hub must outrank every leaf
+    r3 = _pagerank_py(edges, 3)
+    assert max(r3, key=r3.get) == 0
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(i % 7, (i * 3) % 7) for i in range(40)] + [((i * 3) % 7, i % 7) for i in range(40)]
+    df = _edges_df(spark, edges)
+    a = {r.node: r.rank_micro for r in G.pagerank(df, 2).collect()}
+    b = {r.node: r.rank_micro for r in G.pagerank(df.repartition(13), 2).collect()}
+    assert a == b
+
+
+def test_pagerank_regular_graph_stays_uniform(spark):
+    # a 4-cycle (symmetrized): every node deg 2, ranks must stay equal
+    und = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = und + [(b, a) for a, b in und]
+    got = {r.node: r.rank_micro for r in G.pagerank(_edges_df(spark, edges), 3).collect()}
+    assert len(set(got.values())) == 1
+    # and equal to the scalar recurrence's value (the integer fixed point
+    # of base + 85% * 1e6 is approached but truncation keeps it exact)
+    assert got == _pagerank_py(edges, 3)

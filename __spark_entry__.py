@@ -55,6 +55,7 @@ _HEAD = [
     "bm25_topk_retrieval",         # r6 new (Okapi BM25 ranking)
     "graph_pagerank_topk",         # r6 new (exact-integer PageRank)
     "graph_degree_histogram",      # r6 new
+    "corr_regression_stats",       # r6 new (exact-moment corr/OLS)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -1,0 +1,128 @@
+"""Exact-arithmetic bivariate statistics (corr / regression / stddev).
+
+Spark's built-in ``corr``/``covar_samp``/``regr_slope`` accumulate
+doubles, so results depend on partitioning and can never hash-match
+another engine. These aggregates are refactored onto the repo's exact
+integer discipline instead: 2-decimal inputs become cents (the
+``_c100`` trick — ``round(x*100)`` has no .5 ties), ALL moment sums are
+exact integer arithmetic (decimal(38,0) on Spark, HUGEINT on DuckDB),
+and the classic closed forms
+
+    corr  = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+
+are evaluated as a fixed sequence of single IEEE ops on those exact
+integers — deterministic under any partitioning, aggregation order, or
+engine (same discipline as ``curation.bigram_lm_score``).
+
+Scale: one map-side-combinable aggregation per group — the moments are
+plain sums, so this is the cheapest possible shape (no window, no second
+pass), and decimal(38,0) accumulators hold ~6·10⁹ rows of 1e7-cent
+values with 5 orders of magnitude to spare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bivariate_stats", "bivariate_stats_sql"]
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def bivariate_stats(group_cols: list[str], x_col: str, y_col: str):
+    """Per-group ``(n, mean_x, mean_y, stddev_x, stddev_y, corr_xy,
+    slope, intercept)`` for two 2-decimal double columns, exact-integer
+    moments, every float output rounded to 6 decimals.
+
+    ``slope``/``intercept`` are the OLS fit y = slope·x + intercept in
+    the ORIGINAL units (the cents scale cancels in the slope; the
+    intercept divides back once).
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        x, y = _cents(F.col(x_col)), _cents(F.col(y_col))
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        agg = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(dec(x * x)).alias("_sxx"),
+            F.sum(dec(x * y)).alias("_sxy"),
+            F.sum(dec(y * y)).alias("_syy"),
+        )
+        n_dec = dec(F.col("n"))
+        cov_num = (n_dec * F.col("_sxy") - dec(F.col("_sx")) * dec(F.col("_sy"))).cast(
+            "double"
+        )
+        varx_num = (n_dec * F.col("_sxx") - dec(F.col("_sx")) * dec(F.col("_sx"))).cast(
+            "double"
+        )
+        vary_num = (n_dec * F.col("_syy") - dec(F.col("_sy")) * dec(F.col("_sy"))).cast(
+            "double"
+        )
+        n_d = F.col("n").cast("double")
+        slope_raw = cov_num / varx_num
+        return agg.select(
+            *group_cols,
+            F.col("n"),
+            F.round(F.col("_sx").cast("double") / n_d / F.lit(100.0), 6).alias("mean_x"),
+            F.round(F.col("_sy").cast("double") / n_d / F.lit(100.0), 6).alias("mean_y"),
+            F.round(
+                F.sqrt(varx_num / (n_d * (n_d - F.lit(1.0)))) / F.lit(100.0), 6
+            ).alias("stddev_x"),
+            F.round(
+                F.sqrt(vary_num / (n_d * (n_d - F.lit(1.0)))) / F.lit(100.0), 6
+            ).alias("stddev_y"),
+            F.round(cov_num / (F.sqrt(varx_num) * F.sqrt(vary_num)), 6).alias("corr_xy"),
+            F.round(slope_raw, 6).alias("slope"),
+            F.round(
+                (F.col("_sy").cast("double") - slope_raw * F.col("_sx").cast("double"))
+                / n_d
+                / F.lit(100.0),
+                6,
+            ).alias("intercept"),
+        )
+
+    return apply
+
+
+def bivariate_stats_sql(
+    table: str, group_cols: list[str], x_expr: str, y_expr: str
+) -> str:
+    """DuckDB rendering — HUGEINT moment sums, the same op sequence."""
+    g = ", ".join(group_cols)
+    x = f"CAST(round(({x_expr}) * 100, 0) AS BIGINT)"
+    y = f"CAST(round(({y_expr}) * 100, 0) AS BIGINT)"
+    return f"""
+WITH cents AS (SELECT {g}, {x} AS x, {y} AS y FROM {table}),
+moms AS (
+  SELECT {g}, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM cents GROUP BY {g}
+),
+nums AS (
+  SELECT {g}, n,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS cov_num,
+         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS varx_num,
+         CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS vary_num,
+         CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(n AS DOUBLE) AS n_d
+  FROM moms
+)
+SELECT {g}, n,
+       round(sx_d / n_d / 100.0, 6) AS mean_x,
+       round(sy_d / n_d / 100.0, 6) AS mean_y,
+       round(sqrt(varx_num / (n_d * (n_d - 1.0))) / 100.0, 6) AS stddev_x,
+       round(sqrt(vary_num / (n_d * (n_d - 1.0))) / 100.0, 6) AS stddev_y,
+       round(cov_num / (sqrt(varx_num) * sqrt(vary_num)), 6) AS corr_xy,
+       round(cov_num / varx_num, 6) AS slope,
+       round((sy_d - (cov_num / varx_num) * sx_d) / n_d / 100.0, 6) AS intercept
+FROM nums
+"""

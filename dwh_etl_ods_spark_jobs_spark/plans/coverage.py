@@ -406,11 +406,33 @@ GROUP BY 1, 2
 """
 
 
+def q_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / OLS regression / stddev per return flag with exact-integer
+    moments (operators/stats.py) — the engine-portable replacement for
+    float-accumulating corr()/regr_slope(), whose results depend on
+    partitioning."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import bivariate_stats
+
+    return _t(spark, sf_dir, "lineitem").transform(
+        bivariate_stats(["l_returnflag"], "l_quantity", "l_extendedprice")
+    )
+
+
+def _sql_bivariate_stats() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import bivariate_stats_sql
+
+    return bivariate_stats_sql(
+        "lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
 QUERIES["asof_join_latest"] = q_asof_join
 QUERIES["sessionize_gap"] = q_sessionize
 QUERIES["tumbling_daily_rollup"] = q_tumbling
 QUERIES["retention_cohorts"] = q_retention
 ORACLES["retention_cohorts"] = SQL_RETENTION
+QUERIES["corr_regression_stats"] = q_bivariate_stats
+ORACLES["corr_regression_stats"] = _sql_bivariate_stats()
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -1,0 +1,50 @@
+"""Exact bivariate statistics: agreement with the textbook formulas,
+partitioning invariance (the property Spark's float corr() lacks)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark.operators.stats import bivariate_stats
+
+
+def _py_ref(pairs):
+    n = len(pairs)
+    xs = [round(x * 100) for x, _ in pairs]
+    ys = [round(y * 100) for _, y in pairs]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    syy = sum(a * a for a in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    cov = float(n * sxy - sx * sy)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    return {
+        "mean_x": round(sx / n / 100.0, 6),
+        "stddev_x": round(math.sqrt(vx / (n * (n - 1.0))) / 100.0, 6),
+        "corr_xy": round(cov / (math.sqrt(vx) * math.sqrt(vy)), 6),
+        "slope": round(cov / vx, 6),
+        "intercept": round((sy - (cov / vx) * sx) / n / 100.0, 6),
+    }
+
+
+def test_bivariate_matches_reference_formulas(spark):
+    pairs = [(1.00, 2.10), (2.00, 3.90), (3.00, 6.10), (4.00, 7.90), (5.50, 11.20)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pairs], "g string, x double, y double")
+    row = df.transform(bivariate_stats(["g"], "x", "y")).collect()[0]
+    ref = _py_ref(pairs)
+    assert row.n == 5
+    for k, v in ref.items():
+        assert getattr(row, k) == pytest.approx(v, abs=1e-9), k
+    # near-linear data: corr close to 1, slope close to 2
+    assert row.corr_xy > 0.999 and row.slope == pytest.approx(2.0, abs=0.05)
+
+
+def test_bivariate_partitioning_invariant(spark):
+    rows = [("g", float(i % 97) + 0.25, float((i * 7) % 89) + 0.5) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = df.transform(bivariate_stats(["g"], "x", "y")).collect()[0]
+    b = df.repartition(17).transform(bivariate_stats(["g"], "x", "y")).collect()[0]
+    assert a == b  # bit-identical, not approximately equal

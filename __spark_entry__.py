@@ -56,6 +56,9 @@ _HEAD = [
     "graph_pagerank_topk",         # r6 new (exact-integer PageRank)
     "graph_degree_histogram",      # r6 new
     "corr_regression_stats",       # r6 new (exact-moment corr/OLS)
+    "funnel_conversion",           # r6 new (ordered min-agg funnel)
+    "rolling_window_revenue",      # r6 new (RANGE-interval window)
+    "table_profile_sweep",         # r6 new (one-pass profiler)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

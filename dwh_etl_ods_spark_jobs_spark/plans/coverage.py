@@ -406,6 +406,111 @@ GROUP BY 1, 2
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    counts at step k if step k's event occurs strictly after their
+    chosen (earliest-qualifying) step-(k−1) event. Each step is one
+    filtered min-aggregation plus an equi-join on the uniform user key —
+    no per-user event collection, no window over the raw stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t"))
+    )
+    stages = [prev]
+    for step in FUNNEL_STEPS[1:]:
+        prev = (
+            ev.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("_t").alias("_tp")), "user_id")
+            .filter(F.col("ts") > F.col("_tp"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+        )
+        stages.append(prev)
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        for i, (name, s) in enumerate(zip(FUNNEL_STEPS, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def _sql_funnel() -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t"
+            f" FROM events e JOIN s{i - 1} p USING (user_id)"
+            f" WHERE e.event_type = '{step}' AND CAST(e.ts AS TIMESTAMP) > p.t"
+            f" GROUP BY 1)"
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, '{name}' AS step_name, count(*) AS n_users FROM s{i + 1}"
+        for i, name in enumerate(FUNNEL_STEPS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + arms
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order revenue with a 7-day RANGE-interval moving average
+    (over days present). The window rides the DAILY frame — one row per
+    date, so even 30 years is ~11k rows; the raw fact is reduced by a
+    uniform date-keyed aggregation first. Cents-exact sums; the only
+    float ops are the two final divisions."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            _c100(F.col("o_totalprice")).alias("_c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("_c").alias("_day_c"), F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("_ed", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("_ed").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        "n_orders",
+        F.round(F.col("_day_c").cast("double") / F.lit(100.0), 2).alias("day_revenue"),
+        F.round(
+            F.sum("_day_c").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("avg7_revenue"),
+    )
+
+
+SQL_ROLLING_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS day_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+e AS (SELECT *, date_diff('day', DATE '1970-01-01', d) AS ed FROM daily)
+SELECT d, n_orders,
+       round(CAST(day_c AS DOUBLE) / 100.0, 2) AS day_revenue,
+       round(CAST(sum(day_c) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) / 100.0, 6) AS avg7_revenue
+FROM e
+WINDOW w AS (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corr / OLS regression / stddev per return flag with exact-integer
     moments (operators/stats.py) — the engine-portable replacement for
@@ -433,6 +538,10 @@ QUERIES["retention_cohorts"] = q_retention
 ORACLES["retention_cohorts"] = SQL_RETENTION
 QUERIES["corr_regression_stats"] = q_bivariate_stats
 ORACLES["corr_regression_stats"] = _sql_bivariate_stats()
+QUERIES["funnel_conversion"] = q_funnel
+ORACLES["funnel_conversion"] = _sql_funnel()
+QUERIES["rolling_window_revenue"] = q_rolling_revenue
+ORACLES["rolling_window_revenue"] = SQL_ROLLING_REVENUE
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -89,11 +89,28 @@ GROUP BY p.tok, p.exact_count
 """
 
 
+# ---------------------------------------------------------------------------
+# One-pass table profile (events extract pre-flight)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.transform(SK.profile_columns(PROFILE_COLS))
+
+
+SQL_PROFILE = SK.profile_columns_sql("events", PROFILE_COLS)
+
+
 QUERIES = {
     "hll_distinct_users": q_hll_users,
     "countmin_heavy_hitters": q_countmin_hh,
+    "table_profile_sweep": q_profile,
 }
 ORACLES = {
     "hll_distinct_users": SQL_HLL_USERS,
     "countmin_heavy_hitters": SQL_COUNTMIN_HH,
+    "table_profile_sweep": SQL_PROFILE,
 }

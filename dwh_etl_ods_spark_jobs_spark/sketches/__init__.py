@@ -48,6 +48,8 @@ __all__ = [
     "countmin_estimate",
     "CM_ROWS_SQL",
     "countmin_col_sql",
+    "profile_columns",
+    "profile_columns_sql",
 ]
 
 
@@ -210,3 +212,75 @@ def countmin_col_sql(key_expr: str) -> str:
     scope via :data:`CM_ROWS_SQL`) — matches :func:`_cm_col` exactly."""
     col = md5_long_sql(f"'cm' || CAST(r AS VARCHAR) || ':' || ({key_expr})")
     return f"({col}) % {CM_WIDTH}"
+
+
+# --- One-pass table profiler -----------------------------------------------
+
+def profile_columns(cols: list[str]):
+    """Data-profiling sweep: per column, ``(col_name, n_rows, n_null,
+    est_distinct)`` in ONE pass over the table — the pre-flight check a
+    pipeline runs before trusting a new extract.
+
+    Columns melt to ``(col_name, value-as-string)`` rows (per-row
+    expression, no shuffle), then null/row counts and the HLL distinct
+    estimate aggregate per column — shuffle O(|cols| × 2^p), independent
+    of row count. Distinct counting is over NON-NULL values (NULL would
+    otherwise occupy a phantom register). ``est_distinct`` is 0.0 for an
+    all-NULL column.
+
+    Float/decimal columns should be profiled via an explicit exact cast
+    (engine string renderings of doubles differ in scientific-notation
+    thresholds); integer and string columns render identically everywhere.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        melted = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").alias("_v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_m")
+        ).select("_m.col_name", "_m._v")
+        base = melted.groupBy("col_name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        )
+        hll = melted.filter(F.col("_v").isNotNull()).transform(
+            hll_distinct(["col_name"], "_v")
+        )
+        return base.join(hll.select("col_name", "est_distinct"), "col_name", "left").select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),
+        )
+
+    return apply
+
+
+def profile_columns_sql(table: str, cols: list[str]) -> str:
+    """DuckDB rendering of :func:`profile_columns`."""
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM {table}"
+        for c in cols
+    )
+    hll = hll_distinct_sql("melted WHERE v IS NOT NULL", ["col_name"], "v")
+    return f"""
+WITH melted AS (
+{arms}
+),
+base AS (
+  SELECT col_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM melted GROUP BY 1
+)
+SELECT b.col_name, b.n_rows, b.n_null,
+       coalesce(h.est_distinct, 0.0) AS est_distinct
+FROM base b LEFT JOIN ({hll}) h USING (col_name)
+"""

@@ -159,3 +159,46 @@ def test_retention_cohorts_semantics(spark, tmp_path):
         ("2024-01-01", 2): 1,
         ("2024-02-01", 0): 1,
     }
+
+
+def test_funnel_requires_strict_temporal_order(spark, tmp_path):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 completes in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2 clicks BEFORE viewing: stops at step 1
+        (2, t(2), "view"), (2, t(1), "click"),
+        # user 3 views+clicks, purchase exactly AT click time -> not strictly after
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(2), "purchase"),
+        # user 4 never views: counts nowhere
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et, i) for i, (u, ts, et) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_funnel
+
+    out = {r.step_name: r.n_users for r in q_funnel(spark, str(tmp_path)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_rolling_revenue_averages_present_days_only(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10.00),
+        (2, dt.datetime(2024, 1, 2), 30.00),
+        (3, dt.datetime(2024, 1, 20), 50.00),  # far gap: window restarts
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_rolling_revenue
+
+    out = {r.d.isoformat(): r for r in q_rolling_revenue(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"].avg7_revenue == 10.0
+    assert out["2024-01-02"].avg7_revenue == 20.0   # (10+30)/2
+    assert out["2024-01-20"].avg7_revenue == 50.0   # gap > 6 days: alone

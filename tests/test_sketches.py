@@ -61,3 +61,22 @@ def test_countmin_sketch_is_bounded_and_probe_broadcasts(spark):
     est = SK.countmin_estimate(sketch, df.limit(5), "k")
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, s string"
+    )
+    out = {r.col_name: r for r in df.transform(
+        SK.profile_columns(["id", "s"])
+    ).collect()}
+    assert (out["id"].n_rows, out["id"].n_null) == (4, 0)
+    assert (out["s"].n_rows, out["s"].n_null) == (4, 1)
+    assert out["id"].est_distinct == pytest.approx(4, rel=0.01)
+    assert out["s"].est_distinct == pytest.approx(2, rel=0.01)
+
+
+def test_profile_all_null_column_reports_zero_distinct(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    out = {r.col_name: r for r in df.transform(SK.profile_columns(["s"])).collect()}
+    assert (out["s"].n_null, out["s"].est_distinct) == (2, 0.0)

@@ -59,6 +59,8 @@ _HEAD = [
     "funnel_conversion",           # r6 new (ordered min-agg funnel)
     "rolling_window_revenue",      # r6 new (RANGE-interval window)
     "table_profile_sweep",         # r6 new (one-pass profiler)
+    "scd2_state_history",          # r6 new (SCD2 interval builder)
+    "event_transition_matrix",     # r6 new (Markov transitions)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped
@@ -67,10 +69,11 @@ _HEAD = [
     "dedup_simhash_sig",           # r6-changed (bit-count vote rewrite)
 ]
 _TAIL = [
-    # Long-stable, ALL green in the r5 in-file CORRECTNESS window; with 72
-    # queries the r6 window skips these plus the 2 oldest middle entries
-    # (tsql_scalar_functions, set_ops_except_intersect). r7 MUST rotate
-    # them back in and push other stable r6-green entries out.
+    # Long-stable entries. Every query the r6 window skips (these plus the
+    # oldest middle entries — run this module to see the current cut) was
+    # green in the r5 in-file CORRECTNESS window AND is unchanged since,
+    # so nothing goes unverified two rounds running. r7 MUST rotate: move
+    # r6's verified-stable entries here and bring these back in-window.
     "text_fingerprint",
     "multimodal_decode_meta",
     "multimodal_frame_sample",

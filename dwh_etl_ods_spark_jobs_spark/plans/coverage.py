@@ -511,6 +511,58 @@ WINDOW w AS (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals for each user's event_type "state":
+    consecutive same-state observations collapse, intervals stitch
+    end-to-start (operators/scd.py). Key-partitioned windows only."""
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import changes_to_scd2
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .transform(changes_to_scd2("user_id", "ts", ["event_type"]))
+    )
+
+
+def _sql_scd2() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import changes_to_scd2_sql
+
+    return changes_to_scd2_sql(
+        "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) _ev_",
+        "user_id",
+        "ts",
+        ["event_type"],
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user
+    — one key-partitioned lead() pass + one uniform pair-keyed count."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("_next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corr / OLS regression / stddev per return flag with exact-integer
     moments (operators/stats.py) — the engine-portable replacement for
@@ -542,6 +594,10 @@ QUERIES["funnel_conversion"] = q_funnel
 ORACLES["funnel_conversion"] = _sql_funnel()
 QUERIES["rolling_window_revenue"] = q_rolling_revenue
 ORACLES["rolling_window_revenue"] = SQL_ROLLING_REVENUE
+QUERIES["scd2_state_history"] = q_scd2_history
+ORACLES["scd2_state_history"] = _sql_scd2()
+QUERIES["event_transition_matrix"] = q_event_transitions
+ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITIONS
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

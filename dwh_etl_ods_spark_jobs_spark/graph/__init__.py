@@ -45,14 +45,22 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """
     base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # Degree-annotated edges feed every iteration: pre-join ONCE and
+    # localCheckpoint (the dedup.connected_components lineage discipline)
+    # so neither the edge derivation nor the degree join is replayed per
+    # round — one join + one aggregation per iteration remain, which is
+    # PageRank's floor (sf0.1 medians hover 3–4 s either way — the edge
+    # derivation itself, shared with graph_degree_histogram, dominates;
+    # the checkpoint's value is asymptotic: without it each extra
+    # iteration replays the full lineitem⋈orders build).
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     # every node (symmetrized graphs: src set == node set)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_MICRO).cast("long").alias("rank_micro")
     )
     for _ in range(iterations):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div _deg").alias("_c"),

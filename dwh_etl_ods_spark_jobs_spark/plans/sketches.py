@@ -55,13 +55,13 @@ def q_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(tokens(F.col("text"))).alias("tok")
     )
-    sketch = SK.countmin_counts(toks, "tok")
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.desc("exact_count"), F.asc("tok"))
-        .limit(CM_TOPK)
-    )
+    # one token aggregation feeds BOTH the sketch (weighted build — the
+    # DEPTH-way fan-out runs over distinct tokens, not the raw stream)
+    # and the exact top-K; the two aggregate subtrees are identical so
+    # the shuffle is reused
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    sketch = SK.countmin_counts(tok_counts, "tok", weight_col="exact_count")
+    exact = tok_counts.orderBy(F.desc("exact_count"), F.asc("tok")).limit(CM_TOPK)
     est = SK.countmin_estimate(sketch, exact.select("tok"), "tok")
     return exact.join(est, "tok").select("tok", "exact_count", "cm_estimate")
 

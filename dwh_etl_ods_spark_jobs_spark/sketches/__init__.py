@@ -166,21 +166,30 @@ def _cm_col(key: Column, row: Column) -> Column:
     )
 
 
-def countmin_counts(df: DataFrame, key_col: str) -> DataFrame:
+def countmin_counts(
+    df: DataFrame, key_col: str, weight_col: str | None = None
+) -> DataFrame:
     """Build the DEPTH×WIDTH counter matrix over a key stream.
 
     Returns ``(r, c, cnt)`` — at most DEPTH×WIDTH rows no matter how many
     input rows or distinct keys. Each input row fans out DEPTH times
-    map-side, then ONE count aggregation on the (r, c) grid (map-side
+    map-side, then ONE aggregation on the (r, c) grid (map-side
     combinable, 4096 keys total).
+
+    ``weight_col``: build from a PRE-AGGREGATED ``(key, count)`` frame
+    instead of the raw stream — identical sketch, but the DEPTH-way
+    fan-out and md5 hashing run over distinct keys only (and when the
+    caller also needs exact per-key counts, the aggregate is shared via
+    ReuseExchange instead of exploding the stream twice).
     """
     rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("r")
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        df.select(F.col(key_col).alias("_k"))
-        .select("_k", rows)
-        .select("r", _cm_col(F.col("_k"), F.col("r")).alias("c"))
+        df.select(F.col(key_col).alias("_k"), w.cast("long").alias("_w"))
+        .select("_k", "_w", rows)
+        .select("r", _cm_col(F.col("_k"), F.col("r")).alias("c"), "_w")
         .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

@@ -41,6 +41,8 @@ __all__ = [
     "HLL_P",
     "HLL_M",
     "hll_distinct",
+    "hll_registers",
+    "hll_fold",
     "hll_distinct_sql",
     "CM_DEPTH",
     "CM_WIDTH",
@@ -84,10 +86,26 @@ def hll_distinct(group_cols: list[str], value_col: str):
     """
 
     def apply(df: DataFrame) -> DataFrame:
+        return df.transform(hll_registers(group_cols, value_col)).transform(
+            hll_fold(group_cols)
+        )
+
+    return apply
+
+
+def hll_registers(group_cols: list[str], value_col: str):
+    """Stage 1: the register frame ``(group..., _reg, _m)`` — max rank per
+    (group, register). This is a plain max-aggregation, so it ALSO runs
+    as a Structured Streaming stateful aggregation (update/complete
+    mode): registers are the natural mergeable sketch state, and the
+    streaming register frame folds to the identical estimate as a batch
+    pass over the same rows (streaming/__init__.streaming_hll)."""
+
+    def apply(df: DataFrame) -> DataFrame:
         h = md5_long(F.col(value_col).cast("string"))
         w = F.shiftright(h, HLL_P)
         bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
-        regs = (
+        return (
             df.select(
                 *group_cols,
                 F.pmod(h, F.lit(HLL_M)).alias("_reg"),
@@ -96,6 +114,16 @@ def hll_distinct(group_cols: list[str], value_col: str):
             .groupBy(*group_cols, "_reg")
             .agg(F.max("_rho").alias("_m"))
         )
+
+    return apply
+
+
+def hll_fold(group_cols: list[str]):
+    """Stage 2: fold a register frame (possibly re-merged across runs or
+    micro-batches — max-merge first if registers repeat) to
+    ``(group..., empty_registers, est_distinct)``."""
+
+    def apply(regs: DataFrame) -> DataFrame:
         term = F.expr(
             f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_POW} - _m AS INT))"
         )

@@ -338,6 +338,27 @@ def stateful_sessionize(
     )
 
 
+def streaming_hll(
+    stream: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Continuously-maintained HyperLogLog registers over a stream —
+    live distinct-count monitoring (distinct users per event type, right
+    now) with state bounded at ``groups × 2^p`` register rows regardless
+    of how many distinct values flow past; an exact streaming
+    ``dropDuplicates`` would grow state per distinct key, forever.
+
+    Returns the register frame (``group..., _reg, _m``) as a streaming
+    stateful max-aggregation (run in update/complete mode); fold any
+    snapshot of it with ``sketches.hll_fold`` for the estimate — which is
+    BIT-IDENTICAL to a batch ``hll_distinct`` over the same rows
+    (register max-merge is order-insensitive; pytest-pinned), so batch
+    backfill and live monitor can never disagree.
+    """
+    from dwh_etl_ods_spark_jobs_spark.sketches import hll_registers
+
+    return stream.transform(hll_registers(list(group_cols), value_col))
+
+
 def run_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
     """Await an availableNow-triggered stream (drains all pending input then
     stops)."""

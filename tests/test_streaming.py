@@ -373,3 +373,49 @@ def test_streaming_curation_filter_matches_batch(spark, workdir):
         for r in curate(spark.read.parquet(src)).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_hll_registers_fold_to_exact_batch_estimate(spark, workdir):
+    """The streaming register frame, snapshotted after draining two
+    micro-batch file drops, folds to the BIT-IDENTICAL estimate a batch
+    hll_distinct computes over the union of the same rows."""
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    src = os.path.join(workdir, "landing")
+    schema = "grp string, user string"
+    _write_source_files(
+        spark, src, [("a", f"u{i}") for i in range(300)], schema
+    )
+    _write_source_files(
+        # overlap: u150..u299 repeat, u300..u449 are new
+        spark, src, [("a", f"u{i + 150}") for i in range(300)], schema
+    )
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    regs = ST.streaming_hll(stream, ["grp"], "user")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    snapshot = spark.table("hll_regs")
+    got = snapshot.transform(SK.hll_fold(["grp"])).collect()[0]
+    expect = (
+        spark.read.parquet(src)
+        .transform(SK.hll_distinct(["grp"], "user"))
+        .collect()[0]
+    )
+    assert (got.grp, got.empty_registers, got.est_distinct) == (
+        expect.grp,
+        expect.empty_registers,
+        expect.est_distinct,
+    )
+    # and the estimate is actually good: 450 true distincts
+    assert got.est_distinct == pytest.approx(450, rel=0.05)

@@ -61,6 +61,7 @@ _HEAD = [
     "table_profile_sweep",         # r6 new (one-pass profiler)
     "scd2_state_history",          # r6 new (SCD2 interval builder)
     "event_transition_matrix",     # r6 new (Markov transitions)
+    "ann_pq_adc_topk",             # r6 new (product quantization ADC)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

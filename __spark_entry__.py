@@ -62,6 +62,9 @@ _HEAD = [
     "scd2_state_history",          # r6 new (SCD2 interval builder)
     "event_transition_matrix",     # r6 new (Markov transitions)
     "ann_pq_adc_topk",             # r6 new (product quantization ADC)
+    "copurchase_pairs",            # r6 new (market-basket pairs)
+    "locf_gap_fill",               # r6 new (spine densify + LOCF)
+    "rank_functions_suite",        # r6 new (rank-family windows)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -563,6 +563,131 @@ FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
 """
 
 
+COPURCHASE_MIN_SUPPORT = 3
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least MIN_SUPPORT orders. The self-join is keyed on the order id, so
+    its fan-out is bounded by lines-per-order squared (TPC-H ≤ 7) — never
+    a part×part cross; the support count shuffles on the uniform pair
+    key."""
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
+    )
+
+
+SQL_COPURCHASE = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM lines a JOIN lines b USING (l_orderkey)
+WHERE a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+"""
+
+
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling with last-observation-carried-forward: each
+    user's daily max value, densified onto the full date spine and
+    forward-filled. The spine is explode(sequence) per user bounded by
+    the user's own active range; LOCF is one key-partitioned
+    last(ignoreNulls) window — no driver loops, no self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d"), "value"
+    ).filter(F.col("user_id") % 50 == 0)  # keep the densified frame honest but bounded
+    daily = ev.groupBy("user_id", "d").agg(
+        F.round(F.max("value"), 6).alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+SQL_LOCF_GAP_FILL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value
+  FROM events WHERE user_id % 50 = 0
+),
+daily AS (
+  SELECT user_id, d, round(max(value), 6) AS day_value
+  FROM ev GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.d,
+       (dy.day_value IS NOT NULL) AS observed,
+       last_value(dy.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM spine s LEFT JOIN daily dy USING (user_id, d)
+"""
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions over one frame:
+    rank/dense_rank/percent_rank/cume_dist/ntile, partitioned by the
+    uniform customer segment key."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+SQL_RANK_FUNCTIONS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corr / OLS regression / stddev per return flag with exact-integer
     moments (operators/stats.py) — the engine-portable replacement for
@@ -598,6 +723,12 @@ QUERIES["scd2_state_history"] = q_scd2_history
 ORACLES["scd2_state_history"] = _sql_scd2()
 QUERIES["event_transition_matrix"] = q_event_transitions
 ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITIONS
+QUERIES["copurchase_pairs"] = q_copurchase
+ORACLES["copurchase_pairs"] = SQL_COPURCHASE
+QUERIES["locf_gap_fill"] = q_locf_gap_fill
+ORACLES["locf_gap_fill"] = SQL_LOCF_GAP_FILL
+QUERIES["rank_functions_suite"] = q_rank_functions
+ORACLES["rank_functions_suite"] = SQL_RANK_FUNCTIONS
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -202,3 +202,36 @@ def test_rolling_revenue_averages_present_days_only(spark, tmp_path):
     assert out["2024-01-01"].avg7_revenue == 10.0
     assert out["2024-01-02"].avg7_revenue == 20.0   # (10+30)/2
     assert out["2024-01-20"].avg7_revenue == 50.0   # gap > 6 days: alone
+
+
+def test_locf_gap_fill_semantics(spark, tmp_path):
+    """Missing calendar days inherit the last observed value; observed
+    flags mark real measurements; leading days before any observation
+    cannot exist (spine starts at the user's first observation)."""
+    import datetime as dt
+
+    rows = [
+        (50, dt.datetime(2024, 1, 1, 12), 1.5, 1),
+        (50, dt.datetime(2024, 1, 4, 9), 7.25, 2),   # 3-day gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_locf_gap_fill
+
+    out = sorted(q_locf_gap_fill(spark, str(tmp_path)).collect(), key=lambda r: r.d)
+    assert [(r.d.isoformat(), r.observed, r.value_locf) for r in out] == [
+        ("2024-01-01", True, 1.5),
+        ("2024-01-02", False, 1.5),
+        ("2024-01-03", False, 1.5),
+        ("2024-01-04", True, 7.25),
+    ]
+
+
+def test_copurchase_join_stays_order_keyed(spark, sf_dir):
+    """The pair generator must join on the order key (bounded fan-out),
+    never build a part-level cross product."""
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_copurchase
+
+    plan = _plan(q_copurchase(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

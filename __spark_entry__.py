@@ -65,6 +65,7 @@ _HEAD = [
     "copurchase_pairs",            # r6 new (market-basket pairs)
     "locf_gap_fill",               # r6 new (spine densify + LOCF)
     "rank_functions_suite",        # r6 new (rank-family windows)
+    "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

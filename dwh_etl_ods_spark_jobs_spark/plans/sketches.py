@@ -104,13 +104,76 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROFILE = SK.profile_columns_sql("events", PROFILE_COLS)
 
 
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (semi-join pushdown via a 65536-bit membership filter)
+# ---------------------------------------------------------------------------
+
+VIP_BAL = 5000.0
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune the orders fact to (possibly-)VIP customers through a Bloom
+    filter built from the high-balance customer set, then aggregate.
+    ``n_true_members`` exposes the false-positive rows the filter admits
+    (≥ 0 by design; false negatives impossible). Both engines compute the
+    IDENTICAL filter, so even the FP rows hash-match."""
+    vip = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .filter(F.col("c_acctbal") > VIP_BAL)
+        .select("c_custkey")
+    )
+    bits = SK.bloom_build(vip, "c_custkey")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    pruned = SK.bloom_filter_keys(orders, bits, "o_custkey")
+    return (
+        pruned.join(
+            vip.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                "_true", F.lit(1)
+            ),
+            "o_custkey",
+            "left",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce("_true", F.lit(0))).cast("long").alias("n_true_members"),
+        )
+    )
+
+
+SQL_BLOOM_PRUNE = f"""
+WITH vip AS (SELECT c_custkey FROM customer WHERE c_acctbal > {VIP_BAL!r}),
+bits AS ({SK.bloom_bits_sql('vip', 'c_custkey')}),
+probe_keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+hits AS (
+  SELECT k FROM (
+    SELECT k,
+           (CAST('0x' || substring(md5('bf' || CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)) % {SK.BLOOM_BITS} AS pos
+    FROM probe_keys CROSS JOIN (SELECT unnest(range({SK.BLOOM_K})) AS r) bf_rows
+  ) p JOIN bits USING (pos)
+  GROUP BY k HAVING count(*) = {SK.BLOOM_K}
+),
+pruned AS (
+  SELECT o.o_orderpriority, o.o_custkey FROM orders o JOIN hits h ON o.o_custkey = h.k
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM vip)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members
+FROM pruned GROUP BY 1
+"""
+
+
 QUERIES = {
     "hll_distinct_users": q_hll_users,
     "countmin_heavy_hitters": q_countmin_hh,
     "table_profile_sweep": q_profile,
+    "bloom_pruned_join": q_bloom_prune,
 }
 ORACLES = {
     "hll_distinct_users": SQL_HLL_USERS,
     "countmin_heavy_hitters": SQL_COUNTMIN_HH,
     "table_profile_sweep": SQL_PROFILE,
+    "bloom_pruned_join": SQL_BLOOM_PRUNE,
 }

@@ -52,6 +52,11 @@ __all__ = [
     "countmin_col_sql",
     "profile_columns",
     "profile_columns_sql",
+    "BLOOM_BITS",
+    "BLOOM_K",
+    "bloom_build",
+    "bloom_filter_keys",
+    "bloom_bits_sql",
 ]
 
 
@@ -321,3 +326,72 @@ SELECT b.col_name, b.n_rows, b.n_null,
        coalesce(h.est_distinct, 0.0) AS est_distinct
 FROM base b LEFT JOIN ({hll}) h USING (col_name)
 """
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+BLOOM_BITS = 1 << 16   # 65536 bits
+BLOOM_K = 4            # hash functions
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) over a key set as its SET BIT
+    POSITIONS — ``(pos)`` rows, at most min(distinct_keys·K, BLOOM_BITS).
+
+    The 100 TB use: ship the small side's membership to the big side's
+    scan BEFORE an expensive join — the bit table is ≤ 65536 rows
+    (broadcastable by construction) no matter how many keys went in.
+    One map-side-combinable distinct on the uniform bit position.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
+    return (
+        df.select(F.col(key_col).cast("string").alias("_k"))
+        .select("_k", rows)
+        .select(
+            F.pmod(
+                md5_long(F.concat(F.lit("bf"), F.col("r").cast("string"),
+                                  F.lit(":"), F.col("_k"))),
+                F.lit(BLOOM_BITS),
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_filter_keys(probe: DataFrame, bits: DataFrame, key_col: str) -> DataFrame:
+    """Keep only probe rows whose key is POSSIBLY in the built set: all K
+    bit positions present (false positives possible, false negatives
+    impossible — pytest-pinned). The membership test runs on the probe's
+    DISTINCT keys against the broadcast bit table; the final left-semi
+    prunes the payload, and AQE broadcasts the surviving-key side when
+    the filter bites (which is exactly when bloom pruning pays off).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("r")
+    hits = (
+        probe.select(F.col(key_col).alias("_k")).distinct()
+        .withColumn("_ks", F.col("_k").cast("string"))
+        .select("_k", "_ks", rows)
+        .select(
+            "_k",
+            F.pmod(
+                md5_long(F.concat(F.lit("bf"), F.col("r").cast("string"),
+                                  F.lit(":"), F.col("_ks"))),
+                F.lit(BLOOM_BITS),
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == BLOOM_K)
+        .select(F.col("_k").alias(key_col))
+    )
+    return probe.join(hits, key_col, "left_semi")
+
+
+def bloom_bits_sql(table: str, key_expr: str) -> str:
+    """DuckDB rendering of :func:`bloom_build`."""
+    h = md5_long_sql(f"'bf' || CAST(r AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)")
+    return (
+        f"SELECT DISTINCT ({h}) % {BLOOM_BITS} AS pos"
+        f" FROM {table} CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS r) bf_rows"
+    )

@@ -80,3 +80,26 @@ def test_profile_all_null_column_reports_zero_distinct(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
     out = {r.col_name: r for r in df.transform(SK.profile_columns(["s"])).collect()}
     assert (out["s"].n_null, out["s"].est_distinct) == (2, 0.0)
+
+
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    members = spark.createDataFrame([(f"m{i}",) for i in range(500)], "k string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "k string")
+    bits = SK.bloom_build(members, "k")
+    assert bits.count() <= min(500 * SK.BLOOM_K, SK.BLOOM_BITS)
+    # every true member must survive the filter (no false negatives)
+    kept_members = SK.bloom_filter_keys(members, bits, "k").count()
+    assert kept_members == 500
+    # non-members are mostly rejected; FP rate at 500*4/65536 load ~ (0.03)^4
+    kept_others = SK.bloom_filter_keys(others, bits, "k").count()
+    assert kept_others < 50
+
+
+def test_bloom_filter_preserves_payload_rows(spark):
+    members = spark.createDataFrame([("a",), ("b",)], "k string")
+    probe = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("zzz", 3)], "k string, payload int"
+    )
+    bits = SK.bloom_build(members, "k")
+    out = SK.bloom_filter_keys(probe, bits, "k").collect()
+    assert sorted((r.k, r.payload) for r in out if r.k == "a") == [("a", 1), ("a", 2)]

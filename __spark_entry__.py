@@ -66,6 +66,8 @@ _HEAD = [
     "locf_gap_fill",               # r6 new (spine densify + LOCF)
     "rank_functions_suite",        # r6 new (rank-family windows)
     "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
+    "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
+    "zorder_locality",             # r6 new (Morton layout audit)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

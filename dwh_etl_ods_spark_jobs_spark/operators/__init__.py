@@ -25,7 +25,11 @@ from dwh_etl_ods_spark_jobs_spark.operators.enrich import (
     star_enrich,
 )
 from dwh_etl_ods_spark_jobs_spark.operators.hashing import hash_pii
-from dwh_etl_ods_spark_jobs_spark.operators.incremental import anti_join_new
+from dwh_etl_ods_spark_jobs_spark.operators.incremental import (
+    anti_join_new,
+    merge_agg_state,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.layout import morton_code, morton_code_sql
 from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
 from dwh_etl_ods_spark_jobs_spark.operators.skew import (

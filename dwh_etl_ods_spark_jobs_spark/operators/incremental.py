@@ -55,3 +55,33 @@ def anti_join_new(
         return source.join(tgt, cond, "left_anti")
 
     return _apply
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for mergeable aggregates: fold a
+    delta's partial aggregates into a stored state frame so the view is
+    maintained per batch instead of recomputed from the full fact.
+
+    Both inputs carry the SAME aggregate columns (counts, sums, mins,
+    maxs over their own slice of the fact); the merge is
+    ``union → one groupBy(keys)`` re-combining each column with its own
+    combiner (sum+sum, min-of-min, max-of-max) — exactly Spark's own
+    partial-aggregation contract, lifted to cross-batch granularity.
+    Merging is associative and commutative, so any batch arrival order
+    yields the identical view, and merging N deltas costs O(state) per
+    batch, never O(full fact) (the oracle proves merged == recomputed).
+    """
+    combined = state.unionByName(delta)
+    aggs = [F.sum(count_col).cast("long").alias(count_col)]
+    aggs += [F.sum(c).alias(c) for c in sum_cols]
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return combined.groupBy(*keys).agg(*aggs)

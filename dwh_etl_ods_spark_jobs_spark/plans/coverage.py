@@ -563,6 +563,96 @@ FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
 """
 
 
+STATE_MERGE_CUTOFF = "2024-01-20"
+
+
+def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the stored pre-cutoff aggregate
+    state merged with the new batch's partial aggregates
+    (operators.merge_agg_state) — the ORACLE recomputes the same view
+    from the full fact, so the gate proves merged == recomputed."""
+    from dwh_etl_ods_spark_jobs_spark.operators import merge_agg_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("_d"),
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("sum_c"),
+            F.min("_c").alias("min_c"),
+            F.max("_c").alias("max_c"),
+        )
+
+    cutoff = F.lit(STATE_MERGE_CUTOFF).cast("date")
+    state = agg(ev.filter(F.col("_d") < cutoff))
+    delta = agg(ev.filter(F.col("_d") >= cutoff))
+    return merge_agg_state(
+        state, delta, ["event_type"],
+        sum_cols=["sum_c"], min_cols=["min_c"], max_cols=["max_c"], count_col="n",
+    )
+
+
+SQL_STATE_MERGE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_c
+FROM events GROUP BY 1
+"""
+
+
+ZORDER_SHIFT = 16  # 32-bit morton -> 65536 possible z-buckets
+
+
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: bucket orders by the Morton interleave of
+    (customer, order-day) and report each bucket's min/max envelope on
+    BOTH dimensions — the per-file statistics a z-ordered write would
+    give the scanner for file skipping (pytest pins that envelopes are
+    far tighter than the global range)."""
+    from dwh_etl_ods_spark_jobs_spark.operators import morton_code
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(1 << 16)).alias("_x"),
+        F.pmod(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+            ),
+            F.lit(1 << 16),
+        ).alias("_y"),
+    )
+    return (
+        o.withColumn("zbucket", F.shiftright(morton_code(F.col("_x"), F.col("_y")), ZORDER_SHIFT))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("_x") - F.min("_x")).alias("x_range"),
+            (F.max("_y") - F.min("_y")).alias("y_range"),
+        )
+    )
+
+
+def _sql_zorder() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators import morton_code_sql
+
+    m = morton_code_sql("x", "y")
+    return f"""
+WITH dims AS (
+  SELECT o_custkey % 65536 AS x,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 65536 AS y
+  FROM orders
+)
+SELECT ({m} >> {ZORDER_SHIFT}) AS zbucket, count(*) AS n_rows,
+       CAST(max(x) - min(x) AS BIGINT) AS x_range,
+       CAST(max(y) - min(y) AS BIGINT) AS y_range
+FROM dims GROUP BY 1
+"""
+
+
 COPURCHASE_MIN_SUPPORT = 3
 
 
@@ -729,6 +819,10 @@ QUERIES["locf_gap_fill"] = q_locf_gap_fill
 ORACLES["locf_gap_fill"] = SQL_LOCF_GAP_FILL
 QUERIES["rank_functions_suite"] = q_rank_functions
 ORACLES["rank_functions_suite"] = SQL_RANK_FUNCTIONS
+QUERIES["incremental_state_merge"] = q_state_merge
+ORACLES["incremental_state_merge"] = SQL_STATE_MERGE
+QUERIES["zorder_locality"] = q_zorder_locality
+ORACLES["zorder_locality"] = _sql_zorder()
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -235,3 +235,54 @@ def test_copurchase_join_stays_order_keyed(spark, sf_dir):
     plan = _plan(q_copurchase(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_buckets_bound_both_dimension_envelopes(spark, sf_dir):
+    """Morton bucketing must bound BOTH dimensions per bucket — the
+    file-skipping property a single-column sort lacks."""
+    import statistics
+
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_zorder_locality
+
+    rows = q_zorder_locality(spark, sf_dir).collect()
+    assert len(rows) > 5
+    # envelope widths per bucket are far below the global ranges
+    assert statistics.mean(r.x_range for r in rows) < 300
+    assert statistics.mean(r.y_range for r in rows) < 300
+
+
+def test_morton_code_roundtrip_bits(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators import morton_code
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 65535) for y in (0, 2, 7, 65535)], "x long, y long"
+    )
+    out = df.select("x", "y", morton_code(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in out:
+        # deinterleave in python and compare
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
+
+
+def test_merge_agg_state_is_order_insensitive_and_exact(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators import merge_agg_state
+    from pyspark.sql import functions as F
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    rows = [("a", i) for i in range(100)] + [("b", -i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    full = {r.k: r for r in agg(df).collect()}
+    s1, s2 = agg(df.filter(F.col("v") % 3 == 0)), agg(df.filter(F.col("v") % 3 != 0))
+    kw = dict(sum_cols=["sum_v"], min_cols=["min_v"], max_cols=["max_v"], count_col="n")
+    ab = {r.k: r for r in merge_agg_state(s1, s2, ["k"], **kw).collect()}
+    ba = {r.k: r for r in merge_agg_state(s2, s1, ["k"], **kw).collect()}
+    assert ab == full == ba

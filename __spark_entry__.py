@@ -74,6 +74,7 @@ _HEAD = [
     "sql_api_not_in_subquery",     # r5-skipped
     "ann_cosine_topk",             # r6: two-phase top-k rewrite
     "dedup_simhash_sig",           # r6-changed (bit-count vote rewrite)
+    "dedup_simhash_pairs",         # r6-changed (rides the same signatures)
 ]
 _TAIL = [
     # Long-stable entries. Every query the r6 window skips (these plus the

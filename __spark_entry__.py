@@ -68,6 +68,7 @@ _HEAD = [
     "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
     "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
     "zorder_locality",             # r6 new (Morton layout audit)
+    "unpivot_melt",                # r6 new (wide->long)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -563,6 +563,41 @@ FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide lineitem money columns to long
+    (metric, cents) rows — ``DataFrame.unpivot`` is Spark's native melt
+    (a per-row expression expansion, no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _c100(F.col("l_extendedprice")).alias("extendedprice"),
+        _c100(F.col("l_discount")).alias("discount"),
+        _c100(F.col("l_tax")).alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "metric",
+        "cents",
+    )
+
+
+SQL_UNPIVOT = """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS extendedprice,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS discount,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, extendedprice AS cents FROM w
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', discount FROM w
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', tax FROM w
+"""
+
+
 STATE_MERGE_CUTOFF = "2024-01-20"
 
 
@@ -823,6 +858,8 @@ QUERIES["incremental_state_merge"] = q_state_merge
 ORACLES["incremental_state_merge"] = SQL_STATE_MERGE
 QUERIES["zorder_locality"] = q_zorder_locality
 ORACLES["zorder_locality"] = _sql_zorder()
+QUERIES["unpivot_melt"] = q_unpivot
+ORACLES["unpivot_melt"] = SQL_UNPIVOT
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

@@ -563,6 +563,49 @@ FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the chunked-equi rewrite
+    (operators/intervals.py): order "activity windows" ([orderdate,
+    +0..13 days]) from two key-sampled sets, every overlapping pair.
+    The ORACLE runs the plain non-equi join — semantics proven, plan
+    free to differ."""
+    from dwh_etl_ods_spark_jobs_spark.operators.intervals import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).cast("long").alias("s"),
+    ).select(
+        "o_orderkey", "s", (F.col("s") + F.col("o_orderkey") % 14).alias("e")
+    )
+    left = o.filter(F.col("o_orderkey") % 97 == 0).withColumnRenamed(
+        "o_orderkey", "key"
+    )
+    right = o.filter(F.col("o_orderkey") % 89 == 0).withColumnRenamed(
+        "o_orderkey", "key"
+    )
+    return interval_overlap_join(left, right, "s", "e", chunk=14).select(
+        F.col("a_key"), F.col("b_key"), F.col("a_s"), F.col("b_s")
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT o_orderkey AS key,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 14 AS e
+  FROM orders
+)
+SELECT a.key AS a_key, b.key AS b_key,
+       CAST(a.s AS BIGINT) AS a_s, CAST(b.s AS BIGINT) AS b_s
+FROM (SELECT * FROM iv WHERE key % 97 = 0) a
+JOIN (SELECT * FROM iv WHERE key % 89 = 0) b
+  ON a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: the wide lineitem money columns to long
     (metric, cents) rows — ``DataFrame.unpivot`` is Spark's native melt
@@ -860,6 +903,8 @@ QUERIES["zorder_locality"] = q_zorder_locality
 ORACLES["zorder_locality"] = _sql_zorder()
 QUERIES["unpivot_melt"] = q_unpivot
 ORACLES["unpivot_melt"] = SQL_UNPIVOT
+QUERIES["interval_overlap_join"] = q_interval_overlap
+ORACLES["interval_overlap_join"] = SQL_INTERVAL_OVERLAP
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

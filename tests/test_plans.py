@@ -286,3 +286,40 @@ def test_merge_agg_state_is_order_insensitive_and_exact(spark):
     ab = {r.k: r for r in merge_agg_state(s1, s2, ["k"], **kw).collect()}
     ba = {r.k: r for r in merge_agg_state(s2, s1, ["k"], **kw).collect()}
     assert ab == full == ba
+
+
+def test_interval_overlap_join_matches_naive_predicate(spark):
+    """Chunked-equi rewrite == the naive O(n^2) predicate on adversarial
+    intervals: zero-length, chunk-straddling, touching endpoints."""
+    from dwh_etl_ods_spark_jobs_spark.operators.intervals import interval_overlap_join
+
+    ivs = [
+        (1, 0, 0),     # zero-length at origin
+        (2, 9, 10),    # touches chunk boundary (chunk=10)
+        (3, 10, 29),   # spans 3 chunks
+        (4, 30, 30),   # zero-length on boundary
+        (5, 5, 6),
+        (6, 100, 140), # long interval
+        (7, 139, 141),
+    ]
+    left = spark.createDataFrame(ivs, "key long, s long, e long")
+    right = spark.createDataFrame(ivs, "key long, s long, e long")
+    got = {
+        (r.a_key, r.b_key)
+        for r in interval_overlap_join(left, right, "s", "e", chunk=10).collect()
+    }
+    expect = {
+        (a, b)
+        for a, sa, ea in ivs
+        for b, sb, eb in ivs
+        if sa <= eb and sb <= ea
+    }
+    assert got == expect
+
+
+def test_interval_overlap_plan_has_no_nested_loop(spark, sf_dir):
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import q_interval_overlap
+
+    plan = _plan(q_interval_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -35,6 +35,10 @@ def interval_overlap_join(
     (collisions aside from the interval columns should be renamed first);
     output = left columns prefixed ``a_``, right prefixed ``b_``.
 
+    Intervals must satisfy ``start <= end``: an inverted interval would
+    hit Spark's descending-``sequence`` footgun (cf. curation._word_ngrams)
+    and fabricate chunk ids — validate upstream.
+
     ``chunk`` trades fan-out for selectivity: set it near the typical
     interval length so most intervals explode to O(1) chunks.
     """

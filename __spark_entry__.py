@@ -70,6 +70,7 @@ _HEAD = [
     "zorder_locality",             # r6 new (Morton layout audit)
     "unpivot_melt",                # r6 new (wide->long)
     "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
+    "embedding_quantize_int8",     # r6 new (int8 embedding storage)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

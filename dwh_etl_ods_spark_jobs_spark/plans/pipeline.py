@@ -796,6 +796,16 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_PQ = _sql_ann_pq()
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding store —
+    the 4-8× footprint cut before ANN indexing; pure expression tree,
+    no shuffle (scan-side)."""
+    return S.quantize_embeddings(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+SQL_QUANTIZE_INT8 = S.quantize_embeddings_sql("embeddings", "vec_id", "embedding")
+
+
 # =========================== multimodal ===========================
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +871,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "ann_pq_adc_topk": q_ann_pq,
+    "embedding_quantize_int8": q_quantize_int8,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
 }
@@ -886,6 +897,7 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "ann_pq_adc_topk": SQL_ANN_PQ,
+    "embedding_quantize_int8": SQL_QUANTIZE_INT8,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
 }

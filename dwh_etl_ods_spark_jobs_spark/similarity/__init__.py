@@ -43,6 +43,9 @@ __all__ = [
     "pq_encode",
     "l2sq_sub",
     "l2sq_sub_sql",
+    "quantize_embeddings",
+    "quantize_embeddings_sql",
+    "Q8_LEVELS",
     "ivf_assign",
     "train_ivf_centroids",
     "cosine",
@@ -435,3 +438,64 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_micro")
     )
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+Q8_LEVELS = 127
+
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each float becomes
+    ``round(x * 127 / max_abs)`` with the per-vector scale kept alongside
+    — the 4× (vs float32) / 8× (vs float64) storage cut a 100 TB
+    embedding store takes before ANN indexing, at <1% cosine error
+    (pytest-pinned on the dequantized vectors).
+
+    Pure expression tree: one ``aggregate`` fold for max|x|, one
+    ``transform`` for the codes. Returns (id, scale, q) where
+    ``q`` is array<tinyint>-valued codes (int array — Spark has no
+    tinyint array literal; values are in [-127, 127]) and
+    ``scale = max_abs / 127`` reconstructs ``x ≈ q * scale``.
+    All-zero vectors quantize to all-zero codes with scale 0.0.
+    """
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    codes = F.when(max_abs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(Q8_LEVELS)) / F.col("_ma")
+            ).cast("int"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), v.alias(vec_col), max_abs.alias("_ma"))
+        .select(
+            id_col,
+            F.round(F.col("_ma") / F.lit(float(Q8_LEVELS)), 9).alias("scale"),
+            codes.alias("q"),
+        )
+    )
+
+
+def quantize_embeddings_sql(table: str, id_expr: str, vec_expr: str) -> str:
+    """DuckDB rendering of :func:`quantize_embeddings`."""
+    ma = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({vec_expr}, x -> abs(CAST(x AS DOUBLE)))), "
+        f"(a, b) -> greatest(a, b))"
+    )
+    return f"""
+WITH qin AS (SELECT {id_expr} AS qid, {vec_expr} AS v, {ma} AS ma FROM {table})
+SELECT qid AS {id_expr},
+       round(ma / {float(Q8_LEVELS)!r}, 9) AS scale,
+       CASE WHEN ma = 0.0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * {float(Q8_LEVELS)!r} / ma) AS INT))
+       END AS q
+FROM qin
+"""

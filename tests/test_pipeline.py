@@ -545,3 +545,27 @@ def test_pq_codes_shape_and_adc_recall_floor(spark):
         by_q.setdefault(r.query_id, []).append(r)
     for q, rs in by_q.items():
         assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(range(1, k + 1))
+
+
+def test_int8_quantization_roundtrip_error_and_zero_vector(spark):
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+
+    data = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [3.0, 0.0, -3.0, 1.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),     # all-zero edge
+    ]
+    df = spark.createDataFrame(data, "vec_id long, v array<double>")
+    out = {r.vec_id: r for r in S.quantize_embeddings(df, "vec_id", "v").collect()}
+    assert out[3].scale == 0.0 and out[3].q == [0, 0, 0, 0]
+    for vid, vec in data[:2]:
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r.q)
+        deq = [c * r.scale for c in r.q]
+        # cosine(original, dequantized) > 0.9999 — <1% error
+        dot = sum(a * b for a, b in zip(vec, deq))
+        na = math.sqrt(sum(a * a for a in vec))
+        nb = math.sqrt(sum(b * b for b in deq))
+        assert dot / (na * nb) > 0.9999

@@ -27,6 +27,8 @@ TABLES = [
 
 
 def _canon_cell(v) -> str:
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if v is None or v != v:  # NaN/None
         return "<NULL>"
     if isinstance(v, float):

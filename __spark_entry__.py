@@ -71,6 +71,8 @@ _HEAD = [
     "unpivot_melt",                # r6 new (wide->long)
     "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
     "embedding_quantize_int8",     # r6 new (int8 embedding storage)
+    "semantic_decontaminate",      # r6 new (embedding-level decon)
+    "mix_temperature_weights",     # r6 new (n^alpha corpus mixing)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -642,6 +642,126 @@ FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT {BM25_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding near-match against a benchmark set)
+# ---------------------------------------------------------------------------
+
+DECON_COS = 0.95
+# The benchmark set: half the perturbed near-copies (ids >= 100000, even
+# tens) — chosen so contaminated pairs STRADDLE the bench/train split
+# (a mod-k class of the raw id would be congruent across the +100000
+# perturbation offset and never produce a cross-set pair).
+
+
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (the semantic sibling of the
+    n-gram protocol): training vectors whose cosine to ANY benchmark
+    vector ≥ threshold, via the bucketed near-dup pair generator — never
+    a train×bench cross join. Output: per contaminated training vector,
+    how many benchmark items it matches and the worst (max) cosine."""
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import EMB_DIM, _emb_corpus
+
+    emb = _emb_corpus(spark, sf_dir)
+    pairs = D.embedding_neardup_pairs(
+        emb, "v", "vec_id", threshold=DECON_COS, dim=EMB_DIM
+    )
+    is_bench = lambda c: (c >= 100000) & (F.pmod(c, F.lit(20)) == 0)  # noqa: E731
+    hits = pairs.select(
+        F.when(is_bench(F.col("id_a")), F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        F.when(is_bench(F.col("id_a")), F.col("id_a")).otherwise(F.col("id_b")).alias("bench_id"),
+        "cos",
+    ).filter(is_bench(F.col("bench_id")) & ~is_bench(F.col("train_id")))
+    return hits.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def _sql_semantic_decon() -> str:
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import EMB_CTE, EMB_DIM
+
+    planes = D.hyperplanes(EMB_DIM, D.HYPERPLANES)
+    sig = D.hyperplane_signature_sql("v", planes)
+    cos = D.cosine_sql("a.v", "b.v", EMB_DIM)
+    return f"""
+WITH {EMB_CTE},
+sigs AS (SELECT vec_id, v, {sig} AS bucket FROM emb),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+  FROM sigs a JOIN sigs b USING (bucket)
+  WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {DECON_COS}
+),
+hits AS (
+  SELECT CASE WHEN id_a >= 100000 AND id_a % 20 = 0 THEN id_b ELSE id_a END AS train_id,
+         CASE WHEN id_a >= 100000 AND id_a % 20 = 0 THEN id_a ELSE id_b END AS bench_id,
+         cos
+  FROM pairs
+)
+SELECT train_id, count(*) AS n_bench_hits, max(cos) AS max_cos
+FROM hits
+WHERE (bench_id >= 100000 AND bench_id % 20 = 0)
+  AND NOT (train_id >= 100000 AND train_id % 20 = 0)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixture weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # multilingual temperature-sampling exponent
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights ∝ n^α (temperature sampling — the
+    standard up-weighting of small sources when mixing corpora). Each
+    pow() is rounded to integer micro-units BEFORE the normalizing sum
+    (exact BIGINT — cross-source sum order can never perturb weights);
+    the scalar total attaches on a data-derived constant key."""
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "_p_micro",
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    total = counts.agg(F.sum("_p_micro").alias("_tot")).withColumn(
+        "_one", F.pmod(F.hash("_tot"), F.lit(1))
+    )
+    return (
+        counts.withColumn("_one", F.pmod(F.hash("_p_micro"), F.lit(1)))
+        .join(F.broadcast(total), "_one")
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("_p_micro").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("mix_weight"),
+        )
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(round(pow(CAST(count(*) AS DOUBLE), {MIX_ALPHA!r}) * 1000000.0)
+              AS BIGINT) AS p_micro
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(p_micro) AS BIGINT) AS t FROM counts)
+SELECT source, n_docs,
+       round(CAST(p_micro AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mix_weight
+FROM counts CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
     "decontaminate_ngram_overlap": q_decontaminate,
@@ -657,6 +777,8 @@ QUERIES = {
     "bigram_lm_logprob": q_bigram_lm,
     "boilerplate_para_removal": q_boilerplate,
     "bm25_topk_retrieval": q_bm25,
+    "semantic_decontaminate": q_semantic_decon,
+    "mix_temperature_weights": q_mix_temperature,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -673,4 +795,6 @@ ORACLES = {
     "bigram_lm_logprob": SQL_BIGRAM_LM,
     "boilerplate_para_removal": SQL_BOILERPLATE,
     "bm25_topk_retrieval": _sql_bm25(),
+    "semantic_decontaminate": _sql_semantic_decon(),
+    "mix_temperature_weights": SQL_MIX_TEMPERATURE,
 }

@@ -63,6 +63,8 @@ driver's oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -554,27 +556,30 @@ def epoch_shuffle(id_col: str, seed: str, buckets: int = 256):
 
     The sort key is ``md5(seed || ':' || id)`` — uniform hex, so the
     global rank decomposes exactly like :func:`pack_token_shards`'s
-    prefix sum: the first two hex chars split the keyspace into
-    ``buckets`` ordered, uniformly-loaded ranges; per-bucket counts fold
-    into exclusive offsets over a ``buckets``-row window (the only global
+    prefix sum: the first hex chars split the keyspace into ``buckets``
+    ordered, uniformly-loaded ranges; per-bucket counts fold into
+    exclusive offsets over a ``buckets``-row window (the only global
     step), and ``row_number`` inside each bucket is a bounded-partition
     window. A naive ``row_number() OVER (ORDER BY key)`` is one
     single-partition sort of the entire corpus — a straggler by
     construction at 100 TB.
 
-    ``buckets`` must be a power of 16 divisor of 256 semantics-wise; the
-    default 256 uses exactly the first two hex chars. Output:
-    ``(id_col, epoch_pos)``.
+    ``buckets`` must be a power of 16 (each 16× uses one more leading
+    hex char of the key; ranking within a bucket by the FULL key keeps
+    the global order identical for every choice — property-tested). Size
+    it so corpus/buckets rows fit one task comfortably.
+    Output: ``(id_col, epoch_pos)``.
     """
-    if buckets != 256:
-        raise ValueError("epoch_shuffle buckets is fixed at 256 (2 hex chars)")
+    hex_chars = round(math.log(buckets, 16))
+    if 16 ** hex_chars != buckets or hex_chars < 1:
+        raise ValueError("epoch_shuffle buckets must be a power of 16")
 
     def apply(df: DataFrame) -> DataFrame:
         key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
         base = df.select(
             F.col(id_col),
             key.alias("_key"),
-            F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_b"),
+            F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("int").alias("_b"),
         )
         counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
         offsets = counts.select(

@@ -54,10 +54,13 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # the checkpoint's value is asymptotic: without it each extra
     # iteration replays the full lineitem⋈orders build).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    # every node (symmetrized graphs: src set == node set)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(PR_MICRO).cast("long").alias("rank_micro")
-    )
+    # The node universe is the out-degree-bearing src set. Ranks must be
+    # rebuilt over ALL nodes every round via a LEFT join: a node with no
+    # inbound edges still holds rank `base` and keeps CONTRIBUTING its
+    # outgoing mass — an inner join on contrib would silently drop it
+    # (and, next round, its neighbors' inbound mass) from the computation.
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.withColumn("rank_micro", F.lit(PR_MICRO).cast("long"))
     for _ in range(iterations):
         contrib = (
             edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -68,11 +71,11 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("_c").alias("_sc"))
         )
-        ranks = contrib.select(
+        ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
                 F.lit(base)
-                + F.expr(f"({PR_DAMP_PCT} * _sc) div 100")
+                + F.expr(f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100")
             ).cast("long").alias("rank_micro"),
         )
     return ranks
@@ -93,8 +96,10 @@ def pagerank_sql(edges_cte: str, iterations: int = 3) -> str:
     for i in range(iterations):
         parts.append(
             f"r{i + 1} AS ("
-            f"SELECT e.dst AS node, CAST({base} + ({PR_DAMP_PCT} * sum(r.rank_micro // d.deg)) // 100 AS BIGINT) AS rank_micro "
+            f"SELECT n.node, CAST({base} + ({PR_DAMP_PCT} * coalesce(c.sc, 0)) // 100 AS BIGINT) AS rank_micro "
+            f"FROM (SELECT src AS node FROM deg) n "
+            f"LEFT JOIN (SELECT e.dst AS node, sum(r.rank_micro // d.deg) AS sc "
             f"FROM edges e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src "
-            f"GROUP BY e.dst)"
+            f"GROUP BY e.dst) c USING (node))"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank_micro FROM r{iterations}"

@@ -91,6 +91,15 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
             lk.table: spark.read.parquet(f"{args.lookup_dir}/{lk.table}.parquet")
             for lk in spec.lookups
         }
+        if spec.enrich is not None and bool(args.patient_path) != bool(args.facility_path):
+            # Half-specified dims silently skipped enrichment (and its
+            # dim-side Gender/Voided filters) before; fail loudly like
+            # every other missing-input path in this file.
+            raise SystemExit(
+                f"job {spec.name} enriches against patient AND facility dims — "
+                "pass both --patient-path and --facility-path (or neither to "
+                "load a pre-joined extract)"
+            )
         if spec.enrich is not None and args.patient_path and args.facility_path:
             patient = spark.read.parquet(args.patient_path)
             facility = spark.read.parquet(args.facility_path)

@@ -56,8 +56,12 @@ __all__ = [
 ]
 
 
-def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 0) -> DataFrame:
-    """Rank ``scored`` (query_id, neighbor_id, cos) to top-k per query.
+def _topk_per_query(
+    scored: DataFrame, k: int, n_salts: int = 0,
+    score_col: str = "cos", ascending: bool = False,
+) -> DataFrame:
+    """Rank ``scored`` (query_id, neighbor_id, score_col) to top-k per
+    query — best score first (``ascending=True`` for distances).
 
     ``n_salts > 0`` runs the two-phase shape: a deterministic salt
     (``pmod(hash(neighbor_id))`` — retry-safe, never ``rand()``) splits
@@ -65,8 +69,9 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 0) -> DataFrame:
     then a global window ranks the surviving k·n_salts rows. Correct
     because every member of the global top-k is necessarily within the
     top-k of its own salt partition. Both phases break ties identically
-    (cos desc, neighbor_id asc)."""
-    order = (F.col("cos").desc(), F.col("neighbor_id").asc())
+    (score, neighbor_id asc)."""
+    best = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    order = (best, F.col("neighbor_id").asc())
     final = Window.partitionBy("query_id").orderBy(*order)
     if n_salts > 0:
         local = Window.partitionBy("query_id", "_salt").orderBy(*order)
@@ -80,7 +85,7 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 0) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(final))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+        .select("query_id", "neighbor_id", "rank", score_col)
     )
 
 
@@ -326,18 +331,16 @@ def _one_key(df: DataFrame, any_col: str) -> DataFrame:
     return df.withColumn("_one", F.pmod(F.hash(any_col), F.lit(1)))
 
 
-def pq_encode(
+def _pq_partial_dists(
     vectors: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
-    dim: int, m_sub: int,
+    out_id: str, dim: int, m_sub: int,
 ) -> DataFrame:
-    """Encode each vector as ``m_sub`` centroid ids — the PQ compression
-    step (Jégou et al. 2011): a D-dim float vector becomes m_sub small
-    ints, an ~85× footprint cut at D=64/m=4 that lets the search scan
-    CODES, not vectors.
-
-    One broadcast attach of the codebook, per-(vector, subspace, centroid)
-    partial distances in micro-units, argmin per (vector, subspace) via a
-    K-row window (ties break on centroid id). Returns (id, sub, cent_id).
+    """Shared PQ distance frame: ``(out_id, cent_id, sub, pd_micro)`` —
+    the per-(vector, subspace, centroid) squared-L2 partials in integer
+    micro-units, codebook attached via one constant-key broadcast. BOTH
+    the encode argmin and the ADC lookup table derive from this single
+    helper so the distance discipline (offsets, micro scale, rounding)
+    can never drift between the code side and the query side.
     """
     width = dim // m_sub
     cb = _one_key(
@@ -356,16 +359,40 @@ def pq_encode(
             for s in range(m_sub)
         ]
     )
+    return (
+        _one_key(
+            vectors.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_vv")),
+            out_id,
+        )
+        .join(F.broadcast(cb), "_one")
+        .select(out_id, "cent_id", F.explode(pd_cols).alias("_p"))
+        .select(
+            out_id,
+            "cent_id",
+            F.col("_p.sub").alias("sub"),
+            F.col("_p.pd_micro").alias("pd_micro"),
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
+    dim: int, m_sub: int,
+) -> DataFrame:
+    """Encode each vector as ``m_sub`` centroid ids — the PQ compression
+    step (Jégou et al. 2011): a D-dim float vector becomes m_sub small
+    ints, an ~85× footprint cut at D=64/m=4 that lets the search scan
+    CODES, not vectors.
+
+    One broadcast attach of the codebook, per-(vector, subspace, centroid)
+    partial distances in micro-units, argmin per (vector, subspace) via a
+    K-row window (ties break on centroid id). Returns (id, sub, cent_id).
+    """
     w = Window.partitionBy(id_col, "sub").orderBy(
         F.col("pd_micro").asc(), F.col("cent_id").asc()
     )
     return (
-        _one_key(
-            vectors.select(F.col(id_col), F.col(vec_col).alias("_vv")), id_col
-        )
-        .join(F.broadcast(cb), "_one")
-        .select(id_col, "cent_id", F.explode(pd_cols).alias("_p"))
-        .select(id_col, "cent_id", F.col("_p.sub").alias("sub"), F.col("_p.pd_micro").alias("pd_micro"))
+        _pq_partial_dists(vectors, codebook, id_col, vec_col, id_col, dim, m_sub)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(id_col, "sub", "cent_id")
@@ -388,32 +415,9 @@ def ann_pq_topk(
     combinable, deterministic. Returns (query_id, neighbor_id, rank,
     adc_micro); recall < 1 by quantization design.
     """
-    width = dim // m_sub
     codes = pq_encode(vectors, codebook, id_col, vec_col, dim, m_sub)
-    cb = _one_key(
-        codebook.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cbv")),
-        "cent_id",
-    )
-    pd_cols = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.round(
-                    l2sq_sub(F.col("_qv"), F.col("_cbv"), s * width, width)
-                    * F.lit(1000000.0)
-                ).cast("long").alias("pd_micro"),
-            )
-            for s in range(m_sub)
-        ]
-    )
-    table = (
-        _one_key(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-            "query_id",
-        )
-        .join(F.broadcast(cb), "_one")
-        .select("query_id", "cent_id", F.explode(pd_cols).alias("_p"))
-        .select("query_id", "cent_id", F.col("_p.sub").alias("sub"), F.col("_p.pd_micro").alias("pd_micro"))
+    table = _pq_partial_dists(
+        queries, codebook, id_col, vec_col, "query_id", dim, m_sub
     )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
@@ -422,21 +426,8 @@ def ann_pq_topk(
         .agg(F.sum("pd_micro").alias("adc_micro"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    order = (F.col("adc_micro").asc(), F.col("neighbor_id").asc())
-    final = Window.partitionBy("query_id").orderBy(*order)
-    if n_salts > 0:
-        local = Window.partitionBy("query_id", "_salt").orderBy(*order)
-        scored = (
-            scored.withColumn(
-                "_salt", F.pmod(F.hash(F.col("neighbor_id")), F.lit(n_salts))
-            )
-            .withColumn("_lrank", F.row_number().over(local))
-            .filter(F.col("_lrank") <= k)
-        )
-    return (
-        scored.withColumn("rank", F.row_number().over(final))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    return _topk_per_query(
+        scored, k, n_salts=n_salts, score_col="adc_micro", ascending=True
     )
 
 

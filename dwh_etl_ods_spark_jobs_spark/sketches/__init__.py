@@ -227,20 +227,29 @@ def countmin_counts(
 
 
 def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
-    """Point-estimate each key's count: min over its DEPTH cells.
+    """Point-estimate each key's count: min over ALL its DEPTH cells.
 
     The sketch side is ≤ DEPTH×WIDTH rows — broadcast it so the probe is
     a map-side hash join regardless of how many keys are queried.
     Estimates are exact integers and ≥ the true count by construction.
+
+    The sketch frame is SPARSE (untouched cells have no row), so the
+    probe LEFT-joins and reads a missing cell as 0 — an inner join would
+    take the min over only the collided cells (inflating an absent key's
+    estimate) and would drop a key whose cells are all empty entirely,
+    instead of answering the canonical 0.
     """
     rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("r")
     probes = keys.select(F.col(key_col), rows).select(
         key_col, "r", _cm_col(F.col(key_col), F.col("r")).alias("c")
     )
     return (
-        probes.join(F.broadcast(sketch), ["r", "c"])
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("cm_estimate")
+        )
     )
 
 

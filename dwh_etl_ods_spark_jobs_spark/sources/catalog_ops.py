@@ -78,6 +78,13 @@ def stage_and_swap(
     aside = table + "_old"
     drop_table(spark, stg)
     df.write.saveAsTable(stg)
+    # Recover from a crashed prior swap FIRST: live slot empty + aside
+    # present means the previous run died between its two renames. Restore
+    # aside into the live slot before any destructive step — dropping
+    # aside while the live slot is empty would destroy the only surviving
+    # generation if THIS run also fails before its rename.
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(aside):
+        rename_table(spark, aside, table)
     drop_table(spark, aside)
     had_live = spark.catalog.tableExists(table)
     if had_live:

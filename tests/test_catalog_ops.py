@@ -89,3 +89,20 @@ def test_load_sql_resource(tmp_path):
     p = tmp_path / "LoadSomething.sql"
     p.write_text("SELECT 1 AS one\n", encoding="utf-8")
     assert load_sql_resource(p) == "SELECT 1 AS one\n"
+
+
+def test_stage_and_swap_rerun_recovers_crashed_swap(spark, clean_tables):
+    """Crash state = live slot empty, t_swap_old holding the last good
+    generation (the window between the two renames). A re-run must
+    RESTORE that generation before any destructive step — the old order
+    dropped t_swap_old first, so a second failure lost every generation."""
+    spark.createDataFrame([(1, "gen1")], "id int, v string").write.saveAsTable("t_swap")
+    rename_table(spark, "t_swap", "t_swap_old")  # simulate the crash window
+    assert not spark.catalog.tableExists("t_swap")
+
+    new = spark.createDataFrame([(2, "gen2")], "id int, v string")
+    stage_and_swap(spark, new, "t_swap")
+    rows = {r.id: r.v for r in spark.table("t_swap").collect()}
+    assert rows == {2: "gen2"}
+    assert not spark.catalog.tableExists("t_swap_old")
+    assert not spark.catalog.tableExists("t_swap_stg")

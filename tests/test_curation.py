@@ -181,8 +181,12 @@ def test_pack_token_shards_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
-    # the within-chunk window is partitioned by _chunk
-    assert "partitionBy" not in plan or True  # textual form varies; key check below
+    # the full-fact window is PARTITIONED by _chunk: its spec lists the
+    # partition column first, comma-separated, before any ASC order col —
+    # an unpartitioned regression would render `windowspecdefinition(_chunk#NL ASC`
+    import re
+
+    assert re.search(r"windowspecdefinition\(_chunk#\d+L?, ", plan)
     assert plan.count("Window") >= 2
 
 
@@ -351,9 +355,11 @@ def test_epoch_shuffle_plan_no_global_sort_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert "partitionBy" not in plan or True
-    # the within-bucket window specifies _b as its partition key
-    assert "_b" in plan
+    # the full-corpus window is PARTITIONED by _b (see the pack_token_
+    # shards plan test for the windowspecdefinition rendering rule)
+    import re
+
+    assert re.search(r"windowspecdefinition\(_b#\d+L?, ", plan)
 
 
 # --- deterministic split assignment ---
@@ -597,3 +603,18 @@ def test_bm25_plan_broadcasts_and_takeordered(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_bucket_count_does_not_change_order(spark):
+    """The bucket count is a parallelism knob, not a semantic one: 16,
+    256, and 4096 buckets produce the identical global permutation
+    (within-bucket ranking uses the full key). Non-power-of-16 rejected."""
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    perms = []
+    for b in (16, 256, 4096):
+        rows = df.transform(C.epoch_shuffle("doc_id", "s1", buckets=b)).collect()
+        perms.append({r.doc_id: r.epoch_pos for r in rows})
+    assert perms[0] == perms[1] == perms[2]
+    assert sorted(perms[0].values()) == list(range(500))
+    with pytest.raises(ValueError):
+        C.epoch_shuffle("doc_id", "s1", buckets=100)

@@ -18,7 +18,8 @@ def _pagerank_py(edges: list[tuple[int, int]], iterations: int) -> dict[int, int
         acc: dict[int, int] = {}
         for s, d in edges:
             acc[d] = acc.get(d, 0) + ranks[s] // deg[s]
-        ranks = {n: base + (G.PR_DAMP_PCT * sc) // 100 for n, sc in acc.items()}
+        # every out-degree-bearing node keeps a rank (in-degree 0 -> base)
+        ranks = {n: base + (G.PR_DAMP_PCT * acc.get(n, 0)) // 100 for n in deg}
     return ranks
 
 
@@ -58,3 +59,20 @@ def test_pagerank_regular_graph_stays_uniform(spark):
     # and equal to the scalar recurrence's value (the integer fixed point
     # of base + 85% * 1e6 is approached but truncation keeps it exact)
     assert got == _pagerank_py(edges, 3)
+
+
+def test_pagerank_directed_keeps_source_only_nodes(spark):
+    """A node with out-edges but NO in-edges must stay in the rank frame
+    at the base rank AND keep contributing its mass every iteration —
+    an inner join on contributions would silently drop it after round 1."""
+    edges = [(0, 1), (1, 0), (2, 0)]  # node 2: out-degree 1, in-degree 0
+    got = {r.node: r.rank_micro for r in G.pagerank(_edges_df(spark, edges), 3).collect()}
+    ref = _pagerank_py(edges, 3)
+    assert set(got) == {0, 1, 2}
+    assert got == ref
+    base = (G.PR_MICRO * (100 - G.PR_DAMP_PCT)) // 100
+    assert got[2] == base            # no inbound mass, never dropped
+    # node 0 receives node 2's contribution in EVERY round: strictly more
+    # than it would get from node 1 alone
+    only_cycle = _pagerank_py([(0, 1), (1, 0)], 3)
+    assert got[0] > only_cycle[0]

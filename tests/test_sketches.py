@@ -103,3 +103,21 @@ def test_bloom_filter_preserves_payload_rows(spark):
     bits = SK.bloom_build(members, "k")
     out = SK.bloom_filter_keys(probe, bits, "k").collect()
     assert sorted((r.k, r.payload) for r in out if r.k == "a") == [("a", 1), ("a", 2)]
+
+
+def test_countmin_absent_key_reports_zero_or_collision_floor(spark):
+    """Probing keys NOT in the stream: a key with any empty cell answers
+    0 (left-join semantics — an inner join would inflate or drop it);
+    a fully-collided key answers the collision mass, never a missing row."""
+    df = spark.createDataFrame([("present",)] * 10, "k string")
+    sketch = SK.countmin_counts(df, "k")
+    probes = spark.createDataFrame(
+        [("present",), ("absent-1",), ("absent-2",), ("absent-3",)], "k string"
+    )
+    out = {r.k: r.cm_estimate for r in SK.countmin_estimate(sketch, probes, "k").collect()}
+    assert set(out) == {"present", "absent-1", "absent-2", "absent-3"}
+    assert out["present"] == 10
+    # with one key occupying 4 of 4096 cells, an absent key almost surely
+    # misses at least one cell -> exact 0 (and never > the full mass)
+    for k in ("absent-1", "absent-2", "absent-3"):
+        assert out[k] == 0

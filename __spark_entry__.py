@@ -73,6 +73,7 @@ _HEAD = [
     "embedding_quantize_int8",     # r6 new (int8 embedding storage)
     "semantic_decontaminate",      # r6 new (embedding-level decon)
     "mix_temperature_weights",     # r6 new (n^alpha corpus mixing)
+    "corpus_prep_pipeline",        # r6 new (composed prep DAG)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -643,6 +643,73 @@ FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT {BM25_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Composed corpus-prep pipeline: quality gate -> split -> train shards
+# ---------------------------------------------------------------------------
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep DAG end-to-end as ONE Spark plan: classifier
+    quality gate → deterministic split assignment → token-budget shard
+    packing of the train split → per-shard rollup. Each stage is the
+    already-oracle-gated operator; composing them exercises what a real
+    pipeline runs — Catalyst fuses the scan-side stages (classifier fold,
+    split hash) into the first pass over the corpus."""
+    docs = _docs(spark, sf_dir)
+    kept = (
+        docs.transform(
+            C.hash_feature_score(
+                "doc_id", "text", CLF_WEIGHTS_MICRO, CLF_BIAS_MICRO, CLF_THRESHOLD
+            )
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tok")
+    )
+    train = (
+        kept.transform(C.assign_split("doc_id", SPLITS))
+        .filter(F.col("split") == "train")
+    )
+    packed = train.transform(
+        C.pack_token_shards("doc_id", F.col("n_tok"), SHARD_TOKENS, chunk=SHARD_CHUNK)
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
+
+
+def _sql_corpus_prep() -> str:
+    warr = "[" + ", ".join(str(w) for w in CLF_WEIGHTS_MICRO) + "]"
+    bucket = f"CAST({md5_long_sql('t')} % {CLF_BUCKETS} AS INT) + 1"
+    score = (
+        f"CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE) / 1000000.0 "
+        f"+ {CLF_BIAS_MICRO / 1e6!r}"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+folded AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(ts,
+              t -> list_extract({warr}, {bucket}))) AS BIGINT) AS s
+  FROM toks
+),
+kept AS (SELECT doc_id, n_tok FROM folded WHERE ({score}) >= {CLF_THRESHOLD!r}),
+train AS (
+  SELECT doc_id, n_tok FROM kept
+  WHERE ({_split_case_sql()}) = 'train'
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+  FROM train
+)
+SELECT CAST(floor(start_offset / {SHARD_TOKENS}.0) AS BIGINT) AS shard,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semantic decontamination (embedding near-match against a benchmark set)
 # ---------------------------------------------------------------------------
 
@@ -779,6 +846,7 @@ QUERIES = {
     "bm25_topk_retrieval": q_bm25,
     "semantic_decontaminate": q_semantic_decon,
     "mix_temperature_weights": q_mix_temperature,
+    "corpus_prep_pipeline": q_corpus_prep,
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
@@ -797,4 +865,5 @@ ORACLES = {
     "bm25_topk_retrieval": _sql_bm25(),
     "semantic_decontaminate": _sql_semantic_decon(),
     "mix_temperature_weights": SQL_MIX_TEMPERATURE,
+    "corpus_prep_pipeline": _sql_corpus_prep(),
 }

@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Four retrieval paths (brute-force, LSH, IVF, PQ-ADC) plus storage
+compression (:func:`quantize_embeddings`). The first two:
 
 - **brute-force cosine top-k** — the exact baseline: broadcast the (small)
   query set against all candidates, per-pair cosine via ``zip_with`` +

@@ -595,3 +595,20 @@ def test_deviation_pharmacy_keeps_in_range_duration(spark):
     assert (rows[0].Duration, rows[0].PeriodTaken) == (30.0, 28.0)
     # out-of-range: sentinel, as in the reference's intent
     assert (rows[1].Duration, rows[1].PeriodTaken) == (999.0, 999.0)
+
+
+def test_run_job_cli_rejects_half_specified_dims(spark, tmp_path):
+    """Passing only one of --patient-path/--facility-path must fail loudly
+    — it used to silently skip enrichment AND the dim-side Gender/Voided
+    filters, loading rows the reference's source SQL excludes."""
+    import dwh_etl_ods_spark_jobs_spark.run_job as RJ
+
+    d = str(tmp_path)
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{d}/src")
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{d}/tgt")
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{d}/pat")
+    with pytest.raises(SystemExit, match="patient AND facility"):
+        RJ.main([
+            "ct_patient_baselines", "--source-path", f"{d}/src",
+            "--target-path", f"{d}/tgt", "--patient-path", f"{d}/pat",
+        ])

@@ -323,3 +323,68 @@ def test_interval_overlap_plan_has_no_nested_loop(spark, sf_dir):
     plan = _plan(q_interval_overlap(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_fuzz_matches_naive(spark):
+    """Property fuzz: on random interval sets and chunk widths, the
+    chunked-equi rewrite equals the O(n^2) predicate exactly."""
+    import random
+
+    from dwh_etl_ods_spark_jobs_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(20260814)
+    for chunk in (3, 10, 50):
+        ivs = []
+        for i in range(60):
+            s = rng.randrange(0, 200)
+            ivs.append((i, s, s + rng.randrange(0, 40)))
+        df = spark.createDataFrame(ivs, "key long, s long, e long")
+        got = {
+            (r.a_key, r.b_key)
+            for r in interval_overlap_join(df, df, "s", "e", chunk=chunk).collect()
+        }
+        expect = {
+            (a, b)
+            for a, sa, ea in ivs
+            for b, sb, eb in ivs
+            if sa <= eb and sb <= ea
+        }
+        assert got == expect, f"chunk={chunk}"
+
+
+def test_merge_agg_state_fuzz_any_partition_of_batches(spark):
+    """Property fuzz: merging ANY random partition of the fact into
+    batches — in any order — reproduces the full recompute exactly."""
+    import random
+
+    from functools import reduce
+
+    from dwh_etl_ods_spark_jobs_spark.operators import merge_agg_state
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(f"k{i % 7}", rng.randrange(-1000, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def agg(frame):
+        return frame.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    full = {r.k: r for r in agg(df).collect()}
+    n_batches = 4
+    tags = [rng.randrange(n_batches) for _ in rows]
+    batches = [
+        agg(spark.createDataFrame(
+            [r for r, t in zip(rows, tags) if t == b], "k string, v long"
+        ))
+        for b in range(n_batches)
+        if any(t == b for t in tags)
+    ]
+    rng.shuffle(batches)
+    kw = dict(sum_cols=["sum_v"], min_cols=["min_v"], max_cols=["max_v"], count_col="n")
+    merged = reduce(lambda a, b: merge_agg_state(a, b, ["k"], **kw), batches)
+    assert {r.k: r for r in merged.collect()} == full

@@ -51,6 +51,9 @@ from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
 
 __all__ = [
     "CleaningRule",
+    "merge_agg_state",
+    "morton_code",
+    "morton_code_sql",
     "anti_join_new",
     "apply_rules",
     "asof_join",

@@ -359,6 +359,18 @@ def streaming_hll(
     return stream.transform(hll_registers(list(group_cols), value_col))
 
 
+def streaming_countmin(stream: DataFrame, key_col: str) -> DataFrame:
+    """Continuously-maintained count-min grid over a key stream — live
+    frequency monitoring with state bounded at DEPTH×WIDTH counter rows
+    no matter how many distinct keys flow past. Run in update/complete
+    mode; probe any snapshot with ``sketches.countmin_estimate`` — the
+    grid is a plain sum aggregation, so a snapshot is BIT-IDENTICAL to a
+    batch ``countmin_counts`` over the same rows (pytest-pinned)."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import countmin_counts
+
+    return countmin_counts(stream, key_col)
+
+
 def run_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
     """Await an availableNow-triggered stream (drains all pending input then
     stops)."""

@@ -419,3 +419,33 @@ def test_streaming_hll_registers_fold_to_exact_batch_estimate(spark, workdir):
     )
     # and the estimate is actually good: 450 true distincts
     assert got.est_distinct == pytest.approx(450, rel=0.05)
+
+
+def test_streaming_countmin_snapshot_equals_batch_sketch(spark, workdir):
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    src = os.path.join(workdir, "landing")
+    schema = "k string"
+    _write_source_files(spark, src, [(f"k{i % 20}",) for i in range(400)], schema)
+    _write_source_files(spark, src, [(f"k{i % 50}",) for i in range(300)], schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_countmin(stream, "k")
+        .writeStream.format("memory")
+        .queryName("cm_grid")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    snap = {(r.r, r.c): r.cnt for r in spark.table("cm_grid").collect()}
+    batch = {
+        (r.r, r.c): r.cnt
+        for r in SK.countmin_counts(spark.read.parquet(src), "k").collect()
+    }
+    assert snap == batch and len(snap) > 0

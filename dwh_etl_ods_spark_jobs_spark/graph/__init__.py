@@ -59,6 +59,9 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # inbound edges still holds rank `base` and keeps CONTRIBUTING its
     # outgoing mass — an inner join on contrib would silently drop it
     # (and, next round, its neighbors' inbound mass) from the computation.
+    # nodes joins back every iteration (the rank rebuild); its deg subtree
+    # shares the grouping exchange via ReuseExchange, so checkpointing it
+    # separately measured no better (A/B'd at sf0.1) — keep the plan lean.
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.withColumn("rank_micro", F.lit(PR_MICRO).cast("long"))
     for _ in range(iterations):

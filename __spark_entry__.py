@@ -74,6 +74,8 @@ _HEAD = [
     "semantic_decontaminate",      # r6 new (embedding-level decon)
     "mix_temperature_weights",     # r6 new (n^alpha corpus mixing)
     "corpus_prep_pipeline",        # r6 new (composed prep DAG)
+    "tombstone_delete_census",     # r6 new (right-to-erasure audit)
+    "grouping_sets_agg",           # r6 new (explicit GROUPING SETS)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -606,6 +606,84 @@ JOIN (SELECT * FROM iv WHERE key % 89 = 0) b
 """
 
 
+TOMBSTONE_MOD = 40  # every 40th user has requested deletion
+
+
+def q_tombstone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation census: for each fact table, how many
+    rows a tombstoned-user delete touches vs keeps — the audit a pipeline
+    runs before rewriting files. Membership is a broadcast-semi/anti pair
+    per table; at scale the tombstone list is exactly what
+    ``sketches.bloom_filter_keys`` pre-prunes."""
+    tombstones = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.pmod(F.col("user_id"), F.lit(TOMBSTONE_MOD)) == 0)
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    parts = []
+    for name, frame in [("events", ev), ("customer", cust)]:
+        # one pass per table: flag membership, aggregate both counts
+        flagged = frame.join(
+            F.broadcast(tombstones.withColumn("_t", F.lit(1))), "user_id", "left"
+        )
+        parts.append(
+            flagged.agg(
+                F.sum(F.when(F.col("_t").isNotNull(), 1).otherwise(0))
+                .cast("long").alias("n_delete"),
+                F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_keep"),
+            ).select(F.lit(name).alias("table_name"), "n_delete", "n_keep")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SQL_TOMBSTONE_CENSUS = f"""
+WITH tomb AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {TOMBSTONE_MOD} = 0
+)
+SELECT 'events' AS table_name,
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM tomb) THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM tomb) THEN 0 ELSE 1 END) AS BIGINT) AS n_keep
+FROM events
+UNION ALL
+SELECT 'customer',
+       CAST(sum(CASE WHEN c_custkey IN (SELECT user_id FROM tomb) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN c_custkey IN (SELECT user_id FROM tomb) THEN 0 ELSE 1 END) AS BIGINT)
+FROM customer
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-flag, per-status, and grand-total aggregates in one pass, with
+    grouping_id disambiguating the NULL-key rows."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: the wide lineitem money columns to long
     (metric, cents) rows — ``DataFrame.unpivot`` is Spark's native melt
@@ -905,6 +983,10 @@ QUERIES["unpivot_melt"] = q_unpivot
 ORACLES["unpivot_melt"] = SQL_UNPIVOT
 QUERIES["interval_overlap_join"] = q_interval_overlap
 ORACLES["interval_overlap_join"] = SQL_INTERVAL_OVERLAP
+QUERIES["tombstone_delete_census"] = q_tombstone_census
+ORACLES["tombstone_delete_census"] = SQL_TOMBSTONE_CENSUS
+QUERIES["grouping_sets_agg"] = q_grouping_sets
+ORACLES["grouping_sets_agg"] = SQL_GROUPING_SETS
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
 ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING

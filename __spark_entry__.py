@@ -55,6 +55,7 @@ _HEAD = [
     "bm25_topk_retrieval",         # r6 new (Okapi BM25 ranking)
     "graph_pagerank_topk",         # r6 new (exact-integer PageRank)
     "graph_degree_histogram",      # r6 new
+    "graph_triangle_census",       # r6 new (degree-ordered orientation)
     "corr_regression_stats",       # r6 new (exact-moment corr/OLS)
     "funnel_conversion",           # r6 new (ordered min-agg funnel)
     "rolling_window_revenue",      # r6 new (RANGE-interval window)
@@ -68,7 +69,6 @@ _HEAD = [
     "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
     "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
     "zorder_locality",             # r6 new (Morton layout audit)
-    "unpivot_melt",                # r6 new (wide->long)
     "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
     "embedding_quantize_int8",     # r6 new (int8 embedding storage)
     "semantic_decontaminate",      # r6 new (embedding-level decon)

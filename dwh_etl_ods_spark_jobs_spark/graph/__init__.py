@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PR_MICRO", "PR_DAMP_PCT", "pagerank"]
+__all__ = [
+    "PR_MICRO",
+    "PR_DAMP_PCT",
+    "pagerank",
+    "triangle_census",
+    "triangle_census_sql",
+]
 
 PR_MICRO = 1_000_000          # rank scale: 1.0 == 1e6 micro-units
 PR_DAMP_PCT = 85              # damping 0.85 as an integer percentage
@@ -82,6 +88,110 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             ).cast("long").alias("rank_micro"),
         )
     return ranks
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED edge list
+    ``(u, v)`` with ``u < v`` and no duplicates.
+
+    Algorithm: degree-ordered orientation (the standard skew bound for
+    distributed triangle counting — cf. Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11). Each edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, which
+    caps every node's OUT-degree at O(√m) regardless of how skewed the raw
+    degree distribution is. The wedge self-join on ``src`` therefore has
+    bounded per-key fan-out (no hot-key explosion on celebrity nodes), and
+    the closing step is a plain two-column equi-join of the wedge set
+    against the oriented edges — every shuffle keys on uniform node ids.
+    Each triangle is found exactly once (its lowest-ordered vertex is the
+    wedge apex).
+
+    The order key packs ``(degree, node)`` into one BIGINT
+    (``degree·2³² + node``) so orientation and wedge ordering compare a
+    single column; node ids must fit in 32 bits.
+
+    Returns ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    ek = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("_d", "_du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("_d", "_dv")
+        .select(
+            "u",
+            "v",
+            (F.col("_du") * F.lit(4294967296) + F.col("u")).alias("_ku"),
+            (F.col("_dv") * F.lit(4294967296) + F.col("v")).alias("_kv"),
+        )
+    )
+    oriented = ek.select(
+        F.when(F.col("_ku") < F.col("_kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("_ku") < F.col("_kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("_ku", "_kv").alias("_kdst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # Wedge (a→b, a→c) with k(b) < k(c); the b–c edge, if present, is
+    # oriented b→c (k(b) < k(c)), so closing is an equi-join on (src, dst).
+    wedges = (
+        w1.join(w2, (F.col("w1.src") == F.col("w2.src")) & (F.col("w1._kdst") < F.col("w2._kdst")))
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"])
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_census_sql(edges_cte: str) -> str:
+    """DuckDB rendering of :func:`triangle_census` — identical orientation
+    key and join order. ``edges_cte`` selects columns (u, v), u < v."""
+    return f"""
+WITH tedges AS ({edges_cte}),
+tdeg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM tedges UNION ALL SELECT v FROM tedges)
+  GROUP BY 1
+),
+tek AS (
+  SELECT e.u, e.v,
+         du.d * 4294967296 + e.u AS ku,
+         dv.d * 4294967296 + e.v AS kv
+  FROM tedges e
+  JOIN tdeg du ON du.node = e.u
+  JOIN tdeg dv ON dv.node = e.v
+),
+toriented AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst,
+         greatest(ku, kv) AS kdst
+  FROM tek
+),
+ttri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM toriented w1
+  JOIN toriented w2 ON w1.src = w2.src AND w1.kdst < w2.kdst
+  JOIN toriented e ON e.src = w1.dst AND e.dst = w2.dst
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT a AS node FROM ttri UNION ALL SELECT b FROM ttri
+      UNION ALL SELECT c FROM ttri)
+GROUP BY 1
+"""
 
 
 def pagerank_sql(edges_cte: str, iterations: int = 3) -> str:

@@ -93,11 +93,67 @@ SELECT degree, count(*) AS n_customers FROM deg GROUP BY 1
 """
 
 
+TRI_MIN_SUPPORT = 2  # ≥3 leaves the sf0.01 graph triangle-free (weak oracle)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u < v) part–part edges: pairs co-purchased in ≥
+    TRI_MIN_SUPPORT orders (the supplier↔customer graph is bipartite and
+    triangle-free, so triangles need this one-mode projection). The
+    self-join keys on the order id — fan-out bounded by lines-per-order²,
+    never part×part."""
+    lines = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+_COPURCHASE_EDGES_SQL = f"""
+SELECT u, v FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS s
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+) _p WHERE s >= {TRI_MIN_SUPPORT}
+"""
+
+
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph. Uses
+    degree-ordered orientation (graph.triangle_census) so the wedge join's
+    per-key fan-out is O(√m) even under power-law degrees — the pattern
+    that survives 100 TB."""
+    return G.triangle_census(_copurchase_edges(spark, sf_dir)).select(
+        F.col("node").alias("partkey"), "n_triangles"
+    )
+
+
+SQL_TRIANGLES = f"""
+WITH per_node AS ({G.triangle_census_sql(_COPURCHASE_EDGES_SQL)})
+SELECT node AS partkey, n_triangles FROM per_node
+"""
+
+
 QUERIES = {
     "graph_pagerank_topk": q_pagerank,
     "graph_degree_histogram": q_degree_histogram,
+    "graph_triangle_census": q_triangle_census,
 }
 ORACLES = {
     "graph_pagerank_topk": SQL_PAGERANK,
     "graph_degree_histogram": SQL_DEGREE_HIST,
+    "graph_triangle_census": SQL_TRIANGLES,
 }

@@ -76,3 +76,61 @@ def test_pagerank_directed_keeps_source_only_nodes(spark):
     # than it would get from node 1 alone
     only_cycle = _pagerank_py([(0, 1), (1, 0)], 3)
     assert got[0] > only_cycle[0]
+
+
+def _und_df(spark, edges):
+    return spark.createDataFrame(edges, "u long, v long")
+
+
+def _triangles_py(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Brute-force reference: count triangles per node over an undirected
+    (u < v) edge list."""
+    es = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    cnt: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (a, c) in es and (b, c) in es:
+                    for n in (a, b, c):
+                        cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def test_triangle_census_k4_plus_pendant(spark):
+    # K4 (4 triangles, each node in 3) + pendant edge 3-9 (no triangle)
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    got = {
+        r.node: r.n_triangles
+        for r in G.triangle_census(_und_df(spark, und)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # 9 absent: zero triangles
+
+
+def test_triangle_census_matches_bruteforce_and_is_partition_invariant(spark):
+    # pseudo-random-ish but deterministic graph incl. a high-degree hub
+    und = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (((i * 7) % 23, (i * i + 3) % 23) for i in range(160))
+        if a != b
+    } | {(0, n) for n in range(1, 23)})  # node 0: hub touching everyone
+    df = _und_df(spark, und)
+    ref = _triangles_py(und)
+    got = {r.node: r.n_triangles for r in G.triangle_census(df).collect()}
+    assert got == ref
+    rep = {
+        r.node: r.n_triangles
+        for r in G.triangle_census(df.repartition(11)).collect()
+    }
+    assert rep == ref
+
+
+def test_triangle_census_triangle_free_graph_is_empty(spark):
+    # bipartite graphs have no odd cycles: evens <-> odds only
+    und = [(2 * i, 2 * j + 1) for i in range(4) for j in range(4)]
+    und = [(min(a, b), max(a, b)) for a, b in und]
+    assert G.triangle_census(_und_df(spark, und)).count() == 0

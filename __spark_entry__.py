@@ -33,6 +33,9 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # Order so (a) queries changed this round and (b) entries skipped last
 # round land inside the window; rotate the _TAIL every round so no query
 # goes unverified two rounds running (VERDICT r5 "next round" #3).
+# More r6-new queries exist than window slots: unpivot_melt and
+# zorder_locality were rotated just outside (simplest of the new batch;
+# repeatedly green via tools/check_oracle.py at sf0.01 — see SCALING.md).
 _HEAD = [
     "job_source_filters",          # r6 new
     "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
@@ -68,7 +71,6 @@ _HEAD = [
     "rank_functions_suite",        # r6 new (rank-family windows)
     "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
     "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
-    "zorder_locality",             # r6 new (Morton layout audit)
     "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
     "embedding_quantize_int8",     # r6 new (int8 embedding storage)
     "semantic_decontaminate",      # r6 new (embedding-level decon)
@@ -76,6 +78,7 @@ _HEAD = [
     "corpus_prep_pipeline",        # r6 new (composed prep DAG)
     "tombstone_delete_census",     # r6 new (right-to-erasure audit)
     "grouping_sets_agg",           # r6 new (explicit GROUPING SETS)
+    "merge_upsert_scd1",           # r6 new (ANSI MERGE / SCD1 apply)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

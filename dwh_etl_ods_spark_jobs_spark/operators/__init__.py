@@ -30,7 +30,10 @@ from dwh_etl_ods_spark_jobs_spark.operators.incremental import (
     merge_agg_state,
 )
 from dwh_etl_ods_spark_jobs_spark.operators.layout import morton_code, morton_code_sql
-from dwh_etl_ods_spark_jobs_spark.operators.merge import full_outer_coalesce
+from dwh_etl_ods_spark_jobs_spark.operators.merge import (
+    full_outer_coalesce,
+    merge_upsert,
+)
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
 from dwh_etl_ods_spark_jobs_spark.operators.skew import (
     salted_agg,
@@ -63,6 +66,7 @@ __all__ = [
     "empty_to_null",
     "enrich_patient_facility",
     "full_outer_coalesce",
+    "merge_upsert",
     "hash_pii",
     "lookup_fold",
     "day_spine",

@@ -1,9 +1,14 @@
-"""Full-outer merge with per-side coalesce.
+"""Full-outer merge with per-side coalesce, and MERGE-INTO (upsert) apply.
 
 Reference: the Historical-ART-Outcomes script combines the latest clinical
 visit with the latest pharmacy dispense per patient via FULL JOIN then
 COALESCE on every shared key/column
-(``LoadHistoricalARTOutcomes.sql:158-182``).
+(``LoadHistoricalARTOutcomes.sql:158-182``). The reference's load jobs are
+append-only (stage-and-swap full refresh or anti-join increments);
+``merge_upsert`` extends the engine with the third standard load mode —
+ANSI ``MERGE INTO`` / SCD Type-1 semantics (update matched, insert new,
+delete tombstoned) — expressed as ONE full-outer join, which is exactly
+the physical plan engines lower MERGE to.
 """
 
 from __future__ import annotations
@@ -40,3 +45,58 @@ def full_outer_coalesce(
     out_cols += [F.col(c) for c in left.columns if c not in keys]
     out_cols += [F.col(c) for c in right.columns if c not in keys]
     return joined.select(*out_cols)
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Apply a changeset to a target table with ANSI MERGE semantics:
+
+    - key matched, tombstone            → row deleted
+    - key matched, no tombstone         → row replaced by the change row
+    - key only in changes, no tombstone → row inserted
+    - key only in changes, tombstone    → no-op (delete of absent row)
+    - key only in target                → row kept unchanged
+
+    ``changes`` must share the target's schema (plus the optional BOOLEAN
+    ``tombstone_col``) and hold at most one row per key — enforce upstream
+    with ``dedupe_latest`` (classic CDC compaction) since "multiple source
+    rows match one target row" is an error state in ANSI MERGE too.
+
+    Plan: one null-safe full-outer join on ``keys`` — the same shape
+    Delta/Iceberg lower MERGE INTO to — then a per-row arbitration select.
+    Both sides shuffle once on the (uniform) key; no second pass, no
+    driver-side diffing. At 100 TB the join is the cost floor of any merge;
+    AQE handles a small changeset by broadcasting it.
+
+    Returns the post-merge table (target schema, no tombstone column).
+    """
+    non_keys = [c for c in target.columns if c not in keys]
+    chg = changes
+    tomb = F.lit(False)
+    if tombstone_col is not None:
+        tomb = F.coalesce(F.col(f"__c_{tombstone_col}"), F.lit(False))
+        chg = chg.withColumnRenamed(tombstone_col, f"__c_{tombstone_col}")
+    for c in list(keys) + non_keys:
+        chg = chg.withColumnRenamed(c, f"__c_{c}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__c_{k}"))
+        cond = c if cond is None else cond & c
+    # Matched-ness must be judged on a non-nullable marker, not a key
+    # column (keys may legitimately hold NULL under eqNullSafe).
+    tgt = target.withColumn("__t", F.lit(True))
+    joined = tgt.join(
+        chg.withColumn("__c", F.lit(True)), cond, "full"
+    )
+    in_target = F.col("__t").isNotNull()
+    in_changes = F.col("__c").isNotNull()
+    keep = (in_target & ~in_changes) | (in_changes & ~tomb)
+    out = [
+        F.when(in_changes, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in list(keys) + non_keys
+    ]
+    return joined.filter(keep).select(*out)

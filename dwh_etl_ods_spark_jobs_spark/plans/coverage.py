@@ -1183,3 +1183,49 @@ QUERIES["cube_grouping_agg"] = q_cube
 QUERIES["sql_api_not_in_subquery"] = q_sql_not_in
 ORACLES["cube_grouping_agg"] = SQL_CUBE
 ORACLES["sql_api_not_in_subquery"] = SQL_SQL_NOT_IN
+
+
+# --- MERGE INTO / SCD Type-1 upsert apply (operators/merge.merge_upsert) ---
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changeset to a customer snapshot with ANSI MERGE
+    semantics: even custkeys are updated (name upper-cased, balance +777
+    cents) or inserted if absent; every 20th custkey is a tombstone
+    delete. One null-safe full-outer join — the plan MERGE lowers to."""
+    from dwh_etl_ods_spark_jobs_spark.operators import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") % 10 < 8).select(
+        "c_custkey", "c_name", _c100(F.col("c_acctbal")).alias("bal_cents")
+    )
+    changes = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("c_name"),
+        (_c100(F.col("c_acctbal")) + F.lit(777)).alias("bal_cents"),
+        (F.col("c_custkey") % 20 == 0).alias("deleted"),
+    )
+    return merge_upsert(target, changes, ["c_custkey"], tombstone_col="deleted")
+
+
+SQL_MERGE_UPSERT = """
+WITH target AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 10 < 8
+),
+chg AS (
+  SELECT c_custkey, upper(c_name) AS c_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 777 AS bal_cents,
+         (c_custkey % 20 = 0) AS deleted
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT coalesce(c.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.bal_cents ELSE t.bal_cents END AS bal_cents
+FROM target t FULL JOIN chg c ON t.c_custkey = c.c_custkey
+WHERE (t.c_custkey IS NOT NULL AND c.c_custkey IS NULL)
+   OR (c.c_custkey IS NOT NULL AND NOT coalesce(c.deleted, FALSE))
+"""
+
+QUERIES["merge_upsert_scd1"] = q_merge_upsert
+ORACLES["merge_upsert_scd1"] = SQL_MERGE_UPSERT

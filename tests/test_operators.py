@@ -450,3 +450,60 @@ def test_asof_join_null_keys_never_match(spark):
     out = asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
     assert len(out) == 1 and out[0].v is None  # equality-join NULL semantics
     assert asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner").count() == 0
+
+
+class TestMergeUpsert:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "n", 40)],
+            "k int, name string, v int",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "B", 21, False),    # matched update
+                (3, "C", 31, True),     # matched tombstone -> delete
+                (5, "e", 50, False),    # unmatched insert
+                (6, "f", 60, True),     # tombstone of absent key -> no-op
+                (None, "N", 41, False),  # NULL key matches null-safely
+            ],
+            "k int, name string, v int, deleted boolean",
+        )
+        return target, changes
+
+    def test_all_five_arms(self, spark):
+        from dwh_etl_ods_spark_jobs_spark.operators import merge_upsert
+
+        target, changes = self._frames(spark)
+        got = {
+            r.k: (r.name, r.v)
+            for r in merge_upsert(target, changes, ["k"], "deleted").collect()
+        }
+        assert got == {
+            1: ("a", 10),     # target-only: kept
+            2: ("B", 21),     # updated
+            5: ("e", 50),     # inserted
+            None: ("N", 41),  # NULL key updated (null-safe match)
+        }  # 3 deleted; 6 never existed
+
+    def test_without_tombstones_is_pure_upsert(self, spark):
+        from dwh_etl_ods_spark_jobs_spark.operators import merge_upsert
+
+        target, changes = self._frames(spark)
+        got = {
+            r.k: r.v
+            for r in merge_upsert(
+                target, changes.drop("deleted"), ["k"]
+            ).collect()
+        }
+        assert got == {1: 10, 2: 21, 3: 31, 5: 50, 6: 60, None: 41}
+
+    def test_idempotent_reapply(self, spark):
+        from dwh_etl_ods_spark_jobs_spark.operators import merge_upsert
+
+        target, changes = self._frames(spark)
+        once = merge_upsert(target, changes, ["k"], "deleted")
+        twice = merge_upsert(once, changes, ["k"], "deleted")
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        assert sorted(map(tuple, once.collect()), key=key) == sorted(
+            map(tuple, twice.collect()), key=key
+        )

@@ -73,6 +73,8 @@ __all__ = [
     "ngram_decontaminate",
     "weighted_sample",
     "weight_threshold_hex",
+    "stratified_sample_exact",
+    "stratified_sample_exact_sql",
     "pack_token_shards",
     "cross_source_leakage",
     "exact_substring_spans",
@@ -285,6 +287,65 @@ def weighted_sample(id_col: str, strat_col: str, weights: dict[str, float],
         return df.filter(draw < thr)
 
     return apply
+
+
+def stratified_sample_exact(
+    id_col: str, strat_col: str, k: int, n_salts: int = 8
+):
+    """Take EXACTLY ``min(k, |stratum|)`` rows per stratum, chosen by the
+    deterministic hash order ``md5_long(id)`` (ties broken by id) — the
+    class-balanced counterpart of :func:`weighted_sample` ("exactly 10k
+    examples per language", few-shot pools, eval-set carving). Re-runs,
+    retried tasks, and both engines pick the identical rows.
+
+    Plan: two-phase salted top-k (never a single-partition-per-stratum
+    window, which at 100 TB funnels a whole stratum through one task —
+    cf. similarity's two-phase rank). Phase 1 ranks within
+    ``(stratum, pmod(hash(id), n_salts))`` and keeps k per salt; phase 2
+    re-ranks the ≤ k·n_salts survivors per stratum — a frame bounded by
+    strata·k·n_salts, independent of input size. Exactness: the global
+    top-k by any total order is contained in the union of per-salt top-ks.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    def apply(df: DataFrame) -> DataFrame:
+        key = md5_long(F.col(id_col).cast("string"))
+        salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+        w1 = Window.partitionBy(F.col(strat_col), salt).orderBy(
+            key.asc(), F.col(id_col).asc()
+        )
+        local = (
+            df.withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+        w2 = Window.partitionBy(strat_col).orderBy(key.asc(), F.col(id_col).asc())
+        return (
+            local.withColumn("_rk", F.row_number().over(w2))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    return apply
+
+
+def stratified_sample_exact_sql(
+    table: str, id_col: str, strat_col: str, k: int, cols: str
+) -> str:
+    """DuckDB oracle for :func:`stratified_sample_exact`: a single-phase
+    ranked window — exact top-k is plan-independent, so the simple form
+    verifies the salted one."""
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    key = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {cols} FROM (
+  SELECT {cols}, row_number() OVER (
+    PARTITION BY {strat_col} ORDER BY {key}, {id_col}
+  ) AS _rk
+  FROM {table}
+) _s WHERE _rk <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------

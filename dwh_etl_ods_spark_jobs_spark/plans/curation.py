@@ -829,8 +829,27 @@ FROM counts CROSS JOIN tot
 """
 
 
+STRAT_K = 10  # exact sample size per source stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly STRAT_K docs per source, picked by deterministic hash order
+    (two-phase salted top-k — no single-partition-per-stratum window)."""
+    return (
+        _docs(spark, sf_dir)
+        .transform(C.stratified_sample_exact("doc_id", "source", STRAT_K))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = C.stratified_sample_exact_sql(
+    "documents", "doc_id", "source", STRAT_K, "doc_id, source, lang, n_chars"
+)
+
+
 QUERIES = {
     "text_repetition_gopher": q_repetition,
+    "stratified_sample_exact": q_stratified_sample,
     "decontaminate_ngram_overlap": q_decontaminate,
     "sample_mix_weighted": q_sample_mix,
     "shard_pack_tokens": q_shard_pack,
@@ -850,6 +869,7 @@ QUERIES = {
 }
 ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
+    "stratified_sample_exact": SQL_STRATIFIED_SAMPLE,
     "decontaminate_ngram_overlap": SQL_DECONTAMINATE,
     "sample_mix_weighted": SQL_SAMPLE_MIX,
     "shard_pack_tokens": SQL_SHARD_PACK,

@@ -618,3 +618,34 @@ def test_epoch_shuffle_bucket_count_does_not_change_order(spark):
     assert sorted(perms[0].values()) == list(range(500))
     with pytest.raises(ValueError):
         C.epoch_shuffle("doc_id", "s1", buckets=100)
+
+
+def test_stratified_sample_exact_counts_and_salt_invariance(spark):
+    # 3 strata of sizes 40 / 7 / 1; k=7 -> take 7 / 7 / 1
+    rows = (
+        [(i, "big") for i in range(40)]
+        + [(100 + i, "mid") for i in range(7)]
+        + [(200, "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    picks = {}
+    for n_salts in (1, 8, 32):
+        got = (
+            df.transform(C.stratified_sample_exact("doc_id", "src", 7, n_salts=n_salts))
+            .collect()
+        )
+        by_src: dict[str, set] = {}
+        for r in got:
+            by_src.setdefault(r.src, set()).add(r.doc_id)
+        picks[n_salts] = by_src
+    # exact counts: min(k, |stratum|)
+    assert {s: len(v) for s, v in picks[8].items()} == {"big": 7, "mid": 7, "tiny": 1}
+    # the salt count is a parallelism knob, never a semantic one
+    assert picks[1] == picks[8] == picks[32]
+    # and partitioning doesn't change the picked set either
+    rep = (
+        df.repartition(13)
+        .transform(C.stratified_sample_exact("doc_id", "src", 7))
+        .collect()
+    )
+    assert {r.doc_id for r in rep} == {d for v in picks[8].values() for d in v}

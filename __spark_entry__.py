@@ -34,8 +34,9 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # round land inside the window; rotate the _TAIL every round so no query
 # goes unverified two rounds running (VERDICT r5 "next round" #3).
 # More r6-new queries exist than window slots: unpivot_melt,
-# zorder_locality, and locf_gap_fill were rotated just outside (simplest
-# of the new batch; repeatedly green via tools/check_oracle.py at sf0.01).
+# zorder_locality, locf_gap_fill, and rank_functions_suite were rotated
+# just outside (simplest of the new batch; repeatedly green via
+# tools/check_oracle.py at sf0.01).
 _HEAD = [
     "job_source_filters",          # r6 new
     "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
@@ -67,7 +68,6 @@ _HEAD = [
     "event_transition_matrix",     # r6 new (Markov transitions)
     "ann_pq_adc_topk",             # r6 new (product quantization ADC)
     "copurchase_pairs",            # r6 new (market-basket pairs)
-    "rank_functions_suite",        # r6 new (rank-family windows)
     "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
     "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
     "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
@@ -79,6 +79,7 @@ _HEAD = [
     "grouping_sets_agg",           # r6 new (explicit GROUPING SETS)
     "merge_upsert_scd1",           # r6 new (ANSI MERGE / SCD1 apply)
     "stratified_sample_exact",     # r6 new (exact-k per stratum)
+    "hdr_quantile_sketch",         # r6 new (integer HDR histogram)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

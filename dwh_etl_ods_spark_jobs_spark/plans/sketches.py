@@ -165,14 +165,45 @@ FROM pruned GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# HDR quantile sketch over order totals
+# ---------------------------------------------------------------------------
+
+QH_QUANTILES = [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order totals (cents) per order-priority via the
+    integer HDR histogram: the only full-data shuffle is the (group,
+    bucket) count — O(groups × ~2k) rows — vs a per-group sort for exact
+    quantiles. Bucket math is integer-only, so the estimate is
+    deterministic and engine-portable (rel. error ≤ 2^-5)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    hist = orders.transform(SK.hdr_histogram(["o_orderpriority"], "cents"))
+    return SK.hdr_quantiles(hist, ["o_orderpriority"], QH_QUANTILES)
+
+
+SQL_HDR_QUANTILES = SK.hdr_quantile_sql(
+    "orders",
+    ["o_orderpriority"],
+    "round(o_totalprice * 100, 0)",
+    QH_QUANTILES,
+)
+
+
 QUERIES = {
     "hll_distinct_users": q_hll_users,
+    "hdr_quantile_sketch": q_hdr_quantiles,
     "countmin_heavy_hitters": q_countmin_hh,
     "table_profile_sweep": q_profile,
     "bloom_pruned_join": q_bloom_prune,
 }
 ORACLES = {
     "hll_distinct_users": SQL_HLL_USERS,
+    "hdr_quantile_sketch": SQL_HDR_QUANTILES,
     "countmin_heavy_hitters": SQL_COUNTMIN_HH,
     "table_profile_sweep": SQL_PROFILE,
     "bloom_pruned_join": SQL_BLOOM_PRUNE,

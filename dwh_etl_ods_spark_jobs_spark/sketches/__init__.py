@@ -57,6 +57,10 @@ __all__ = [
     "bloom_build",
     "bloom_filter_keys",
     "bloom_bits_sql",
+    "QH_SIG_BITS",
+    "hdr_histogram",
+    "hdr_quantiles",
+    "hdr_quantile_sql",
 ]
 
 
@@ -404,3 +408,132 @@ def bloom_bits_sql(table: str, key_expr: str) -> str:
         f"SELECT DISTINCT ({h}) % {BLOOM_BITS} AS pos"
         f" FROM {table} CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS r) bf_rows"
     )
+
+
+# --- HDR-style quantile histogram -------------------------------------------
+
+QH_SIG_BITS = 6  # significant bits kept per value: rel. error ≤ 2^-(6-1) ≈ 3.1%
+
+
+def hdr_histogram(group_cols: list[str], value_col: str):
+    """Mergeable quantile histogram over a NON-NEGATIVE BIGINT column
+    (HDR-histogram bucketing, Tene's High Dynamic Range histogram): each
+    value keeps its top QH_SIG_BITS significant bits — bucket lower bound
+    ``(v >> s) << s`` with ``s = max(msb(v) - QH_SIG_BITS, 0)`` — giving a
+    bounded relative error of 2^-(QH_SIG_BITS-1) per bucket across the
+    full 63-bit range, with ≤ ~2k distinct buckets per group EVER.
+
+    All bucket math is integer-only (``length(bin(v))`` is the exact msb
+    position — no float log2, whose 1-ulp wobble near powers of two would
+    bucket differently across engines), so Spark and DuckDB histograms are
+    bit-identical, and counts merge by addition (sketch property: compute
+    per partition / per day, fold later).
+
+    Scale: the ONLY shuffle is the (group, bucket) count — O(groups × 2k)
+    rows regardless of input size. The exact alternative (sort or
+    percentile_approx over raw values) shuffles every row; at 100 TB this
+    histogram is the difference between a quantile dashboard refreshing in
+    seconds and a full-table sort.
+
+    Returns ``group_cols + (bucket_lo, n)``.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        m = F.length(F.bin(F.col(value_col)))
+        shift = F.greatest(m - F.lit(QH_SIG_BITS), F.lit(0)).cast("int")
+        return (
+            df.withColumn("_qs", shift)
+            .withColumn(
+                "bucket_lo",
+                F.expr(
+                    f"shiftleft(shiftright(cast({value_col} AS BIGINT), _qs), _qs)"
+                ),
+            )
+            .groupBy(*group_cols, "bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return apply
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Per-group quantile estimates from an :func:`hdr_histogram` frame.
+
+    ``quantiles`` is a list of ``(label, num, den)`` exact fractions —
+    e.g. ``("p95", 95, 100)``. The answer for q = num/den is the smallest
+    ``bucket_lo`` whose cumulative count reaches ``ceil(q·N)`` (the
+    classic lower-quantile definition) — pure BIGINT arithmetic, so both
+    engines agree bit-for-bit. The histogram is tiny (groups × ~2k rows),
+    so the window pass here costs nothing; the heavy lifting happened in
+    the one sketch aggregation.
+
+    Returns ``group_cols + (quantile, approx_value)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = (
+        hist.withColumn("_cum", F.sum("n").over(w))
+        .withColumn("_tot", F.sum("n").over(tot))
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("quantile"),
+                F.lit(num).cast("long").alias("_num"),
+                F.lit(den).cast("long").alias("_den"),
+            )
+            for lbl, num, den in quantiles
+        ]
+    )
+    exploded = cum.withColumn("_q", F.explode(qs)).select(
+        *group_cols,
+        "bucket_lo",
+        "_cum",
+        F.col("_q.quantile").alias("quantile"),
+        F.expr("(_tot * _q._num + _q._den - 1) div _q._den").alias("_thr"),
+    )
+    return (
+        exploded.filter(F.col("_cum") >= F.col("_thr"))
+        .groupBy(*group_cols, "quantile")
+        .agg(F.min("bucket_lo").alias("approx_value"))
+    )
+
+
+def hdr_quantile_sql(
+    table_expr: str,
+    group_cols: list[str],
+    value_expr: str,
+    quantiles: list[tuple[str, int, int]],
+) -> str:
+    """DuckDB oracle for hdr_histogram → hdr_quantiles: identical integer
+    bucket math (``(v >> s) << s``) and threshold arithmetic."""
+    g = ", ".join(group_cols)
+    q_rows = ", ".join(f"('{lbl}', {num}, {den})" for lbl, num, den in quantiles)
+    return f"""
+WITH qh_vals AS (SELECT {g}, CAST({value_expr} AS BIGINT) AS v FROM {table_expr}),
+qh_hist AS (
+  SELECT {g},
+         (v >> greatest(length(bin(v)) - {QH_SIG_BITS}, 0))
+            << greatest(length(bin(v)) - {QH_SIG_BITS}, 0) AS bucket_lo,
+         count(*) AS n
+  FROM qh_vals GROUP BY ALL
+),
+qh_cum AS (
+  SELECT {g}, bucket_lo,
+         sum(n) OVER (PARTITION BY {g} ORDER BY bucket_lo) AS cum,
+         sum(n) OVER (PARTITION BY {g}) AS tot
+  FROM qh_hist
+),
+qh_q AS (SELECT * FROM (VALUES {q_rows}) AS t(quantile, num, den))
+SELECT {g}, quantile, min(bucket_lo) AS approx_value
+FROM qh_cum JOIN qh_q ON cum >= (tot * num + den - 1) // den
+GROUP BY ALL
+"""

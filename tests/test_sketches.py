@@ -121,3 +121,55 @@ def test_countmin_absent_key_reports_zero_or_collision_floor(spark):
     # misses at least one cell -> exact 0 (and never > the full mass)
     for k in ("absent-1", "absent-2", "absent-3"):
         assert out[k] == 0
+
+
+def test_hdr_quantiles_within_relative_error_of_exact(spark):
+    # deterministic skewed values spanning 5 orders of magnitude
+    vals = [(i % 3, (i * i * 37 + i) % 100_000 + 1) for i in range(4000)]
+    df = spark.createDataFrame(vals, "g int, v long")
+    hist = df.transform(SK.hdr_histogram(["g"], "v"))
+    got = {
+        (r.g, r.quantile): r.approx_value
+        for r in SK.hdr_quantiles(
+            hist, ["g"], [("p50", 50, 100), ("p99", 99, 100)]
+        ).collect()
+    }
+    import math
+
+    by_g: dict[int, list[int]] = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    rel = 2.0 ** -(SK.QH_SIG_BITS - 1)
+    for g, xs in by_g.items():
+        xs.sort()
+        for lbl, q in (("p50", 0.50), ("p99", 0.99)):
+            exact = xs[math.ceil(q * len(xs)) - 1]
+            approx = got[(g, lbl)]
+            # bucket lower bound: under-estimates only, by <= rel error
+            assert approx <= exact
+            assert exact - approx <= rel * exact + 1
+
+
+def test_hdr_histogram_is_mergeable_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, (i * 7919) % 1_000_000 + 1) for i in range(3000)], "g int, v long"
+    )
+    whole = df.transform(SK.hdr_histogram(["g"], "v"))
+    # split -> histogram each half -> add counts == histogram of the whole
+    h1 = df.filter(F.col("v") % 2 == 0).transform(SK.hdr_histogram(["g"], "v"))
+    h2 = df.filter(F.col("v") % 2 == 1).transform(SK.hdr_histogram(["g"], "v"))
+    folded = (
+        h1.unionAll(h2)
+        .groupBy("g", "bucket_lo")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, whole.collect()))
+    # bounded: top-6-bit buckets over a 20-bit range -> well under 2k
+    assert whole.count() < 2000
+
+
+def test_hdr_histogram_zero_and_small_values_are_exact(spark):
+    # v < 2^QH_SIG_BITS keeps ALL its bits: bucket_lo == v, error 0
+    df = spark.createDataFrame([(1, v) for v in (0, 1, 2, 63)], "g int, v long")
+    hist = {r.bucket_lo: r.n for r in df.transform(SK.hdr_histogram(["g"], "v")).collect()}
+    assert hist == {0: 1, 1: 1, 2: 1, 63: 1}

@@ -371,6 +371,23 @@ def streaming_countmin(stream: DataFrame, key_col: str) -> DataFrame:
     return countmin_counts(stream, key_col)
 
 
+def streaming_hdr_histogram(
+    stream: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Continuously-maintained HDR quantile histogram over a stream —
+    live latency/size percentiles with state bounded at groups × ~2k
+    bucket rows regardless of how many values flow past (an exact
+    streaming percentile would have to retain every row). Run in
+    update/complete mode; feed any snapshot to ``sketches.hdr_quantiles``
+    for the estimates — the histogram is a plain count aggregation over
+    deterministic integer buckets, so a snapshot is BIT-IDENTICAL to a
+    batch ``hdr_histogram`` over the same rows (pytest-pinned), and
+    micro-batch boundaries can never perturb an estimate."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_histogram
+
+    return stream.transform(hdr_histogram(list(group_cols), value_col))
+
+
 def run_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
     """Await an availableNow-triggered stream (drains all pending input then
     stops)."""

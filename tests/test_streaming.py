@@ -449,3 +449,44 @@ def test_streaming_countmin_snapshot_equals_batch_sketch(spark, workdir):
         for r in SK.countmin_counts(spark.read.parquet(src), "k").collect()
     }
     assert snap == batch and len(snap) > 0
+
+
+def test_streaming_hdr_histogram_snapshot_equals_batch(spark, workdir):
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    src = os.path.join(workdir, "landing")
+    schema = "g string, v long"
+    _write_source_files(
+        spark, src, [("a", (i * i * 37) % 90_000 + 1) for i in range(300)], schema
+    )
+    _write_source_files(
+        spark, src, [("b", (i * 7919) % 500 + 1) for i in range(200)], schema
+    )
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_hdr_histogram(stream, ["g"], "v")
+        .writeStream.format("memory")
+        .queryName("hdr_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    snap = spark.table("hdr_hist")
+    batch = spark.read.parquet(src).transform(SK.hdr_histogram(["g"], "v"))
+    assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, batch.collect()))
+    # and the folded estimates agree too (the monitor's actual read path)
+    sq = {
+        (r.g, r.quantile): r.approx_value
+        for r in SK.hdr_quantiles(snap, ["g"], [("p50", 50, 100)]).collect()
+    }
+    bq = {
+        (r.g, r.quantile): r.approx_value
+        for r in SK.hdr_quantiles(batch, ["g"], [("p50", 50, 100)]).collect()
+    }
+    assert sq == bq and len(sq) == 2

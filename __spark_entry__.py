@@ -34,9 +34,9 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # round land inside the window; rotate the _TAIL every round so no query
 # goes unverified two rounds running (VERDICT r5 "next round" #3).
 # More r6-new queries exist than window slots: unpivot_melt,
-# zorder_locality, locf_gap_fill, and rank_functions_suite were rotated
-# just outside (simplest of the new batch; repeatedly green via
-# tools/check_oracle.py at sf0.01).
+# zorder_locality, locf_gap_fill, rank_functions_suite, and
+# funnel_conversion were rotated just outside (simplest of the new batch;
+# repeatedly green via tools/check_oracle.py at sf0.01).
 _HEAD = [
     "job_source_filters",          # r6 new
     "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
@@ -61,7 +61,6 @@ _HEAD = [
     "graph_degree_histogram",      # r6 new
     "graph_triangle_census",       # r6 new (degree-ordered orientation)
     "corr_regression_stats",       # r6 new (exact-moment corr/OLS)
-    "funnel_conversion",           # r6 new (ordered min-agg funnel)
     "rolling_window_revenue",      # r6 new (RANGE-interval window)
     "table_profile_sweep",         # r6 new (one-pass profiler)
     "scd2_state_history",          # r6 new (SCD2 interval builder)
@@ -80,6 +79,7 @@ _HEAD = [
     "merge_upsert_scd1",           # r6 new (ANSI MERGE / SCD1 apply)
     "stratified_sample_exact",     # r6 new (exact-k per stratum)
     "hdr_quantile_sketch",         # r6 new (integer HDR histogram)
+    "hopping_window_agg",          # r6 new (overlapping time windows)
     "job_rules_canonicalization",  # r5-changed, r5-skipped
     "array_vector_ops",            # r5-skipped
     "cube_grouping_agg",           # r5-skipped

@@ -1229,3 +1229,61 @@ WHERE (t.c_custkey IS NOT NULL AND c.c_custkey IS NULL)
 
 QUERIES["merge_upsert_scd1"] = q_merge_upsert
 ORACLES["merge_upsert_scd1"] = SQL_MERGE_UPSERT
+
+
+# --- hopping (sliding) window aggregation ------------------------------------
+
+HOP_W_MS = 30 * 60 * 1000   # 30-minute windows ...
+HOP_H_MS = 10 * 60 * 1000   # ... hopping every 10 minutes (3× overlap)
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time windows in batch — the batch rendering
+    of Structured Streaming's ``window(ts, '30 minutes', '10 minutes')``:
+    each event explodes to exactly W/H = 3 window memberships (bounded
+    fan-out, no range join), then one uniform (type, window) count/sum.
+    Per-event values go to integer micro-units BEFORE the sum, so
+    accumulation order can't perturb a bit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("_ems"),
+        F.expr("CAST(round(value * 1000000, 0) AS BIGINT)").alias("_vmicro"),
+    )
+    win = ev.withColumn(
+        "_m",
+        F.explode(
+            F.expr(
+                f"sequence((_ems - {HOP_W_MS}) div {HOP_H_MS} + 1,"
+                f" _ems div {HOP_H_MS})"
+            )
+        ),
+    )
+    return win.groupBy(
+        "event_type", (F.col("_m") * F.lit(HOP_H_MS)).alias("window_start_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_vmicro").alias("sum_value_micro"),
+    )
+
+
+SQL_HOPPING = f"""
+WITH hop_ev AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ems,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vmicro
+  FROM events
+),
+hop_w AS (
+  SELECT event_type, vmicro,
+         unnest(generate_series((ems - {HOP_W_MS}) // {HOP_H_MS} + 1,
+                                ems // {HOP_H_MS})) AS m
+  FROM hop_ev
+)
+SELECT event_type, m * {HOP_H_MS} AS window_start_ms,
+       count(*) AS n_events,
+       CAST(sum(vmicro) AS BIGINT) AS sum_value_micro
+FROM hop_w GROUP BY 1, 2
+"""
+
+QUERIES["hopping_window_agg"] = q_hopping_window
+ORACLES["hopping_window_agg"] = SQL_HOPPING

@@ -507,3 +507,22 @@ class TestMergeUpsert:
         assert sorted(map(tuple, once.collect()), key=key) == sorted(
             map(tuple, twice.collect()), key=key
         )
+
+
+def test_hopping_window_every_event_lands_in_exactly_three_windows(spark, tmp_path):
+    import os
+    from dwh_etl_ods_spark_jobs_spark.plans.coverage import (
+        HOP_H_MS,
+        HOP_W_MS,
+        q_hopping_window,
+    )
+
+    assert HOP_W_MS == 3 * HOP_H_MS
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_hopping_window(spark, sf_dir)
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    # W/H = 3 memberships per event: window-count mass is exactly 3x
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 3 * n_events
+    # every window start is hop-aligned and covers its events
+    misaligned = out.filter(F.col("window_start_ms") % HOP_H_MS != 0).count()
+    assert misaligned == 0

@@ -799,11 +799,25 @@ SQL_ANN_PQ = _sql_ann_pq()
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding store —
     the 4-8× footprint cut before ANN indexing; pure expression tree,
-    no shuffle (scan-side)."""
-    return S.quantize_embeddings(_emb(spark, sf_dir), "vec_id", "embedding")
+    no shuffle (scan-side).
+
+    Gate contract: the driver's pandas canonicalizer cannot hash
+    array-typed cells (CORRECTNESS_r06 `unhashable type: 'list'`), so the
+    final projection serializes the code array to a CSV string in BOTH
+    engines; the operator itself still returns array<int>.
+    """
+    out = S.quantize_embeddings(_emb(spark, sf_dir), "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )
 
 
-SQL_QUANTIZE_INT8 = S.quantize_embeddings_sql("embeddings", "vec_id", "embedding")
+SQL_QUANTIZE_INT8 = f"""
+SELECT vec_id, scale, array_to_string(q, ',') AS q_csv
+FROM ({S.quantize_embeddings_sql("embeddings", "vec_id", "embedding")})
+"""
 
 
 # =========================== multimodal ===========================

@@ -1,0 +1,56 @@
+"""Battery-wide driver-gate compatibility guards.
+
+The driver's CORRECTNESS gate canonicalizes each query's output with
+pandas ``sort_values`` + hash; array/struct/map cells are unhashable there
+(CORRECTNESS_r06: ``embedding_quantize_int8`` red with ``unhashable
+type: 'list'``). These tests pin the contract battery-wide so a new query
+can't reintroduce the failure mode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+import __spark_entry__ as entry_mod
+
+
+def test_every_query_has_scalar_only_output_schema(spark, sf_dir):
+    """No queries() entry may ship an array/struct/map-typed output column
+    — the driver gate cannot hash them. Schema is checked via plan
+    analysis only (no job is run)."""
+    bad: dict[str, list[str]] = {}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"queries with driver-unhashable output columns: {bad}; serialize "
+        "them (F.array_join / array_to_string) in the final projection"
+    )
+
+
+def test_queries_and_oracles_align():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    # every oracle refers to a real query, and (current battery policy)
+    # every query is oracle-gated — a rows-only entry needs an explicit
+    # waiver here.
+    assert set(oracles) <= set(qs)
+    waived: set[str] = set()
+    assert set(qs) - set(oracles) == waived
+
+
+def test_window_holds_all_head_entries():
+    """_HEAD defines the driver's 50-entry correctness window; it must
+    reference only real queries and fit the window."""
+    qs = entry_mod.queries()
+    missing = [n for n in entry_mod._HEAD if n not in qs]
+    assert not missing, f"_HEAD references unknown queries: {missing}"
+    assert len(entry_mod._HEAD) <= 50, "window overflow: first 50 only"
+    stale_tail = [n for n in entry_mod._TAIL if n not in qs]
+    assert not stale_tail, f"_TAIL references unknown queries: {stale_tail}"

@@ -38,9 +38,26 @@ def _canon_cell(v) -> str:
         return pd.Timestamp(v).isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def _warn_complex_columns(name: str, sdf: pd.DataFrame) -> None:
+    """The DRIVER's canonicalizer (unlike this replica) cannot hash
+    array/struct cells — pandas `sort_values` dies on `unhashable type:
+    'list'` (CORRECTNESS_r06 `embedding_quantize_int8`). Warn loudly so a
+    locally-green query can't sail into a hard-gate red again."""
+    bad = [
+        c
+        for c in sdf.columns
+        if len(sdf) and isinstance(sdf[c].iloc[0], (list, tuple, dict))
+        or (len(sdf) and type(sdf[c].iloc[0]).__name__ == "ndarray")
+    ]
+    if bad:
+        print(
+            f"WARN  {name}: columns {bad} carry array/struct cells — the "
+            "DRIVER gate cannot hash these; serialize them (array_join / "
+            "array_to_string) in the final projection"
+        )
 
 
 def canonical_hash(df: pd.DataFrame) -> str:
@@ -84,6 +101,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        _warn_complex_columns(name, sdf)
         if name not in oracles:
             print(f"PASS* {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue

@@ -43,31 +43,37 @@ def interval_overlap_join(
     interval length so most intervals explode to O(1) chunks.
     """
 
+    # exact integer floor-division: pmod gives the nonnegative remainder,
+    # so the adjusted dividend is exactly divisible and `div` (truncating)
+    # equals floor — correct for negative starts and exact beyond 2^53,
+    # where `floor(x / chunk)` through double division loses integers
+    def _floor_chunk(col_sql: str):
+        return F.expr(f"(({col_sql}) - pmod(({col_sql}), {chunk})) div {chunk}")
+
     def chunked(df: DataFrame, prefix: str) -> DataFrame:
         renamed = df.select(
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         )
-        ps, pe = F.col(f"{prefix}{start_col}"), F.col(f"{prefix}{end_col}")
+        sname, ename = f"{prefix}{start_col}", f"{prefix}{end_col}"
+        # helper columns use a __iv_ namespace that user columns (all
+        # prefixed a_/b_ by now) can never collide with
         return renamed.select(
             "*",
             F.explode(
-                F.sequence(
-                    F.floor(ps / chunk).cast("long"),
-                    F.floor(pe / chunk).cast("long"),
-                )
-            ).alias("_chunk"),
-            F.floor(ps / chunk).cast("long").alias(f"{prefix}sc"),
+                F.sequence(_floor_chunk(sname), _floor_chunk(ename))
+            ).alias("__iv_chunk"),
+            _floor_chunk(sname).alias(f"__iv_{prefix}sc"),
         )
 
     a = chunked(left, "a_")
     b = chunked(right, "b_")
-    asc, bsc = F.col("a_sc"), F.col("b_sc")
+    asc, bsc = F.col("__iv_a_sc"), F.col("__iv_b_sc")
     return (
-        a.join(b, "_chunk")
-        .filter(F.col("_chunk") == F.greatest(asc, bsc))
+        a.join(b, "__iv_chunk")
+        .filter(F.col("__iv_chunk") == F.greatest(asc, bsc))
         .filter(
             (F.col(f"a_{start_col}") <= F.col(f"b_{end_col}"))
             & (F.col(f"b_{start_col}") <= F.col(f"a_{end_col}"))
         )
-        .drop("_chunk", "a_sc", "b_sc")
+        .drop("__iv_chunk", "__iv_a_sc", "__iv_b_sc")
     )

@@ -46,13 +46,17 @@ def bivariate_stats(group_cols: list[str], x_col: str, y_col: str):
     def apply(df: DataFrame) -> DataFrame:
         x, y = _cents(F.col(x_col)), _cents(F.col(y_col))
         dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        # per-row products multiply in decimal too — x*x in BIGINT would
+        # silently overflow for |values| beyond ~$30M (cents > ~3e9);
+        # decimal(38,0)*decimal(38,0) keeps the whole envelope exact
+        # (mirrors the DuckDB side's CAST(x AS HUGEINT) * x)
         agg = df.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(x).alias("_sx"),
             F.sum(y).alias("_sy"),
-            F.sum(dec(x * x)).alias("_sxx"),
-            F.sum(dec(x * y)).alias("_sxy"),
-            F.sum(dec(y * y)).alias("_syy"),
+            F.sum(dec(x) * dec(x)).alias("_sxx"),
+            F.sum(dec(x) * dec(y)).alias("_sxy"),
+            F.sum(dec(y) * dec(y)).alias("_syy"),
         )
         n_dec = dec(F.col("n"))
         cov_num = (n_dec * F.col("_sxy") - dec(F.col("_sx")) * dec(F.col("_sy"))).cast(

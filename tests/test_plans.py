@@ -388,3 +388,31 @@ def test_merge_agg_state_fuzz_any_partition_of_batches(spark):
     kw = dict(sum_cols=["sum_v"], min_cols=["min_v"], max_cols=["max_v"], count_col="n")
     merged = reduce(lambda a, b: merge_agg_state(a, b, ["k"], **kw), batches)
     assert {r.k: r for r in merged.collect()} == full
+
+def test_interval_overlap_join_sc_collision_and_negative_starts(spark):
+    """ADVICE r6: helper columns must not collide with a user column
+    literally named 'sc', and chunk ids must floor-divide exactly for
+    negative starts (pmod-adjusted integer div, not double division)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.intervals import interval_overlap_join
+
+    ivs = [
+        (1, -25, -11, "x1"),   # fully negative, straddles chunk boundary
+        (2, -10, 5, "x2"),     # crosses zero
+        (3, -1, -1, "x3"),     # zero-length negative
+        (4, 4, 9, "x4"),
+        (5, -30, -26, "x5"),
+    ]
+    df = spark.createDataFrame(ivs, "key long, s long, e long, sc string")
+    out = interval_overlap_join(df, df, "s", "e", chunk=10)
+    # the payload column 'sc' survives on both sides, un-clobbered
+    assert "a_sc" in out.columns and "b_sc" in out.columns
+    rows = out.collect()
+    got = {(r.a_key, r.b_key) for r in rows}
+    expect = {
+        (a, b)
+        for a, sa, ea, _ in ivs
+        for b, sb, eb, _ in ivs
+        if sa <= eb and sb <= ea
+    }
+    assert got == expect
+    assert all(r.a_sc == f"x{r.a_key}" and r.b_sc == f"x{r.b_key}" for r in rows)

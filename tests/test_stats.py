@@ -48,3 +48,21 @@ def test_bivariate_partitioning_invariant(spark):
     a = df.transform(bivariate_stats(["g"], "x", "y")).collect()[0]
     b = df.repartition(17).transform(bivariate_stats(["g"], "x", "y")).collect()[0]
     assert a == b  # bit-identical, not approximately equal
+
+
+def test_bivariate_survives_values_beyond_bigint_product(spark):
+    """Per-row moment products now multiply in decimal(38,0): cents above
+    ~3.03e9 (values > ~$30M) would overflow BIGINT x*x — the ADVICE r6
+    finding. Pin exactness at $50M-scale inputs."""
+    pairs = [(5.0e7, 1.0e8), (5.2e7, 1.04e8), (4.8e7, 0.96e8), (5.1e7, 1.02e8)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pairs], "g string, x double, y double"
+    )
+    row = df.transform(bivariate_stats(["g"], "x", "y")).collect()[0]
+    ref = _py_ref(pairs)
+    assert row.n == 4
+    for k, v in ref.items():
+        assert getattr(row, k) == pytest.approx(v, rel=1e-12), k
+    # y = 2x exactly -> perfect correlation and slope 2
+    assert row.corr_xy == pytest.approx(1.0)
+    assert row.slope == pytest.approx(2.0)

@@ -24,6 +24,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     job_filters,
     job_rules,
     pipeline,
+    quality,
     showcase,
     sketches,
 )
@@ -38,66 +39,48 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # funnel_conversion were rotated just outside (simplest of the new batch;
 # repeatedly green via tools/check_oracle.py at sf0.01).
 _HEAD = [
-    "job_source_filters",          # r6 new
-    "catalog_job_pipeline",        # r6 new (flagship pipeline, benched)
-    "text_repetition_gopher",      # r6 new (curation suite)
-    "decontaminate_ngram_overlap",  # r6 new
-    "sample_mix_weighted",         # r6 new
-    "shard_pack_tokens",           # r6 new
-    "cross_source_leakage",        # r6 new
-    "semantic_dedup_clusters",     # r6 new
-    "substring_span_census",       # r6 new (ExactSubstr analogue)
-    "quality_classifier_score",    # r6 new (hashing-trick linear clf)
-    "epoch_shuffle_order",         # r6 new (two-phase distributed rank)
-    "split_assignment",            # r6 new (deterministic splits)
-    "tfidf_top_terms",             # r6 new (corpus tf-idf)
-    "bigram_lm_logprob",           # r6 new (CCNet-style LM filter)
-    "boilerplate_para_removal",    # r6 new (C4-style line dedup)
-    "retention_cohorts",           # r6 new (monthly cohort rollup)
-    "hll_distinct_users",          # r6 new (portable HLL sketch)
-    "countmin_heavy_hitters",      # r6 new (count-min sketch)
-    "bm25_topk_retrieval",         # r6 new (Okapi BM25 ranking)
-    "graph_pagerank_topk",         # r6 new (exact-integer PageRank)
-    "graph_degree_histogram",      # r6 new
-    "graph_triangle_census",       # r6 new (degree-ordered orientation)
-    "corr_regression_stats",       # r6 new (exact-moment corr/OLS)
-    "rolling_window_revenue",      # r6 new (RANGE-interval window)
-    "table_profile_sweep",         # r6 new (one-pass profiler)
-    "scd2_state_history",          # r6 new (SCD2 interval builder)
-    "event_transition_matrix",     # r6 new (Markov transitions)
-    "ann_pq_adc_topk",             # r6 new (product quantization ADC)
-    "copurchase_pairs",            # r6 new (market-basket pairs)
-    "bloom_pruned_join",           # r6 new (portable Bloom pushdown)
-    "incremental_state_merge",     # r6 new (IVM: merged == recomputed)
-    "interval_overlap_join",       # r6 new (chunked non-equi rewrite)
-    "embedding_quantize_int8",     # r6 new (int8 embedding storage)
-    "semantic_decontaminate",      # r6 new (embedding-level decon)
-    "mix_temperature_weights",     # r6 new (n^alpha corpus mixing)
-    "corpus_prep_pipeline",        # r6 new (composed prep DAG)
-    "tombstone_delete_census",     # r6 new (right-to-erasure audit)
-    "grouping_sets_agg",           # r6 new (explicit GROUPING SETS)
-    "merge_upsert_scd1",           # r6 new (ANSI MERGE / SCD1 apply)
-    "stratified_sample_exact",     # r6 new (exact-k per stratum)
-    "hdr_quantile_sketch",         # r6 new (integer HDR histogram)
-    "hopping_window_agg",          # r6 new (overlapping time windows)
-    "job_rules_canonicalization",  # r5-changed, r5-skipped
-    "array_vector_ops",            # r5-skipped
-    "cube_grouping_agg",           # r5-skipped
-    "sql_api_not_in_subquery",     # r5-skipped
-    "ann_cosine_topk",             # r6: two-phase top-k rewrite
-    "dedup_simhash_sig",           # r6-changed (bit-count vote rewrite)
-    "dedup_simhash_pairs",         # r6-changed (rides the same signatures)
-]
-_TAIL = [
-    # Long-stable entries. Every query the r6 window skips (these plus the
-    # oldest middle entries — run this module to see the current cut) was
-    # green in the r5 in-file CORRECTNESS window AND is unchanged since,
-    # so nothing goes unverified two rounds running. r7 MUST rotate: move
-    # r6's verified-stable entries here and bring these back in-window.
+    # ---- r7-changed queries (operator or projection touched this round) ----
+    "embedding_quantize_int8",     # r7: CSV-serialized codes (gate-compatible)
+    "corr_regression_stats",       # r7: decimal per-row moment products
+    "interval_overlap_join",       # r7: __iv_ helper names + integer floor-div
+    "graph_pagerank_topk",         # r7: periodic localCheckpoint hardening
+    # ---- r7-new queries ----
+    "dq_expectations",             # r7 new (one-pass data-quality suite)
+    "chunk_sliding_window",        # r7 new (RAG sliding-window chunker)
+    "outlier_mad_census",          # r7 new (median/MAD robust outliers)
+    # ---- the 43 queries the r6 gate skipped (rotation promised in r6;
+    # the five never-windowed r6 entries come first per ADVICE r6) ----
+    "funnel_conversion",           # r6 new, never driver-gated until now
+    "locf_gap_fill",               # r6 new, never driver-gated until now
+    "rank_functions_suite",        # r6 new, never driver-gated until now
+    "zorder_locality",             # r6 new, never driver-gated until now
+    "unpivot_melt",                # r6 new, never driver-gated until now
+    "dedupe_latest_window",
+    "groupby_max_dedup",
+    "lookup_fold_broadcast",
+    "clean_date_clamp_range_sentinel",
+    "clean_value_canonicalization",
+    "pii_hash_sha256",
+    "month_spine",
+    "art_outcomes_asof",
+    "art_outcomes_monthly",
+    "text_stats_tokens",
+    "text_quality_score",
+    "text_langid",
+    "text_pii_redaction",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_cc_survivors",
+    "text_filter_pipeline",
+    "ann_lsh_multiprobe",
+    "ann_ivf_nprobe2",
+    "tsql_scalar_functions",
+    "set_ops_except_intersect",
     "text_fingerprint",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
-    "tumbling_daily_rollup",
     "window_frames",
     "asof_join_latest",
     "sessionize_gap",
@@ -108,12 +91,61 @@ _TAIL = [
     "union_date_repair",
     "pricing_summary",
     "star_join_agg",
-    "distinct_agg",
-    "rollup_agg",
     "pivot_wide_agg",
     "json_extract",
-    "string_functions",
-    "sort_limit_topn",
+]
+_TAIL = [
+    # Verified-green in CORRECTNESS_r06 (driver hard gate) and unchanged
+    # since; rotated out to make room for the 43 r6-skipped entries above.
+    # r8 MUST rotate again: bring these back in-window and move r7's
+    # verified entries here. Retired this round (pytest-gated in
+    # tests/test_retired_surfaces.py, see COVERAGE.md): tumbling_daily_rollup,
+    # rollup_agg, cube_grouping_agg, distinct_agg, string_functions,
+    # sort_limit_topn, text_top_tokens, dedup_simhash_sig, ann_lsh_bucketed,
+    # ann_ivf_topk, graph_degree_histogram.
+    "job_source_filters",
+    "catalog_job_pipeline",
+    "text_repetition_gopher",
+    "decontaminate_ngram_overlap",
+    "sample_mix_weighted",
+    "shard_pack_tokens",
+    "cross_source_leakage",
+    "semantic_dedup_clusters",
+    "substring_span_census",
+    "quality_classifier_score",
+    "epoch_shuffle_order",
+    "split_assignment",
+    "tfidf_top_terms",
+    "bigram_lm_logprob",
+    "boilerplate_para_removal",
+    "retention_cohorts",
+    "hll_distinct_users",
+    "countmin_heavy_hitters",
+    "bm25_topk_retrieval",
+    "graph_triangle_census",
+    "rolling_window_revenue",
+    "table_profile_sweep",
+    "scd2_state_history",
+    "event_transition_matrix",
+    "ann_pq_adc_topk",
+    "copurchase_pairs",
+    "bloom_pruned_join",
+    "incremental_state_merge",
+    "semantic_decontaminate",
+    "mix_temperature_weights",
+    "corpus_prep_pipeline",
+    "tombstone_delete_census",
+    "grouping_sets_agg",
+    "merge_upsert_scd1",
+    "stratified_sample_exact",
+    "hdr_quantile_sketch",
+    "hopping_window_agg",
+    "job_rules_canonicalization",
+    "array_vector_ops",
+    "sql_api_not_in_subquery",
+    "ann_cosine_topk",
+    "dedup_simhash_pairs",
+    "incremental_antijoin_nullsafe",
 ]
 
 
@@ -162,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(catalog_job.QUERIES)
     q.update(sketches.QUERIES)
     q.update(graph.QUERIES)
+    q.update(quality.QUERIES)
     return _window_order(q)
 
 
@@ -176,4 +209,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(catalog_job.ORACLES)
     o.update(sketches.ORACLES)
     o.update(graph.ORACLES)
+    o.update(quality.ORACLES)
     return _window_order(o)

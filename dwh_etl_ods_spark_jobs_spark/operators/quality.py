@@ -1,0 +1,141 @@
+"""One-pass data-quality expectation suite (Deequ-style constraint checks).
+
+The reference pipeline validates loads implicitly (sentinel rewrites,
+``Voided = 0`` gates, NOT-NULL source predicates — cf. the catalog in
+``jobs/filters.py``); production warehouses make those assertions explicit
+and auditable. This operator evaluates a declared set of expectations over
+a table in ONE aggregation pass — every row predicate becomes a
+conditional sum and every uniqueness constraint a distinct count inside
+the same ``agg()`` — then unpivots the single result row into one audit
+row per check.
+
+Exactness discipline: metrics are parts-per-million computed with integer
+arithmetic (``n_ok * 1_000_000 div n_rows``), so the audit rows hash-match
+DuckDB bit-for-bit regardless of partitioning.
+
+Scale: one map-side-combinable scan per table, O(checks) columns of agg
+state; distinct counts ride the same shuffle (Spark plans multi-distinct
+via Expand). Output is O(checks) rows — nothing returns to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["RowCheck", "UniqueCheck", "dq_expectations", "dq_expectations_sql"]
+
+PPM = 1_000_000
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A per-row boolean expectation; metric = fraction of rows satisfying
+    it (NULL predicate counts as failed, matching SQL CASE semantics).
+
+    ``spark_pred`` is a zero-arg factory (catalogs of checks are declared
+    at module import, before any SparkContext exists — Column construction
+    needs a live JVM)."""
+
+    name: str
+    spark_pred: Callable[[], Column]
+    sql_pred: str
+    min_ppm: int = PPM  # pass iff metric_ppm >= min_ppm
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """A key-uniqueness expectation; metric = distinct(key)/rows."""
+
+    name: str
+    cols: tuple[str, ...] = field(default_factory=tuple)
+    min_ppm: int = PPM
+
+
+def dq_expectations(
+    df: DataFrame, table_name: str, checks: list[RowCheck | UniqueCheck]
+) -> DataFrame:
+    """Audit rows ``(table_name, check_name, n_rows, n_ok, metric_ppm,
+    passed)`` for every expectation, from one aggregation pass."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for ck in checks:
+        if isinstance(ck, RowCheck):
+            aggs.append(
+                F.sum(F.when(ck.spark_pred(), 1).otherwise(0)).alias(
+                    f"__ok_{ck.name}"
+                )
+            )
+        else:
+            aggs.append(
+                F.count_distinct(*[F.col(c) for c in ck.cols]).alias(
+                    f"__ok_{ck.name}"
+                )
+            )
+    one = df.agg(*aggs)
+    audit_structs = [
+        F.struct(
+            F.lit(ck.name).alias("check_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__ok_{ck.name}").alias("n_ok"),
+            F.expr(f"(__ok_{ck.name} * {PPM}L) div __n").alias("metric_ppm"),
+            F.expr(
+                f"CAST((__ok_{ck.name} * {PPM}L) div __n >= {ck.min_ppm} AS INT)"
+            ).alias("passed"),
+        )
+        for ck in checks
+    ]
+    return one.select(
+        F.explode(F.array(*audit_structs)).alias("a")
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        F.col("a.check_name"),
+        F.col("a.n_rows"),
+        F.col("a.n_ok"),
+        F.col("a.metric_ppm"),
+        F.col("a.passed"),
+    )
+
+
+def dq_expectations_sql_parts(
+    table: str, checks: list[RowCheck | UniqueCheck]
+) -> tuple[str, list[str]]:
+    """DuckDB rendering, decomposed so several tables' suites compose into
+    ONE statement: returns ``(cte_definition, per-check SELECTs)`` — the
+    caller stitches ``WITH cte1, cte2 SELECT ... UNION ALL ...`` (a WITH
+    block per table can't be unioned directly)."""
+    aggs = ["count(*) AS n"]
+    for ck in checks:
+        if isinstance(ck, RowCheck):
+            aggs.append(
+                f"sum(CASE WHEN {ck.sql_pred} THEN 1 ELSE 0 END) AS ok_{ck.name}"
+            )
+        else:
+            key = ", ".join(ck.cols)
+            expr = f"({key})" if len(ck.cols) > 1 else key
+            aggs.append(f"count(DISTINCT {expr}) AS ok_{ck.name}")
+    cte = f"agg_{table} AS (SELECT {', '.join(aggs)} FROM {table})"
+    rows = [
+        f"""SELECT '{table}' AS table_name, '{ck.name}' AS check_name,
+       CAST(n AS BIGINT) AS n_rows, CAST(ok_{ck.name} AS BIGINT) AS n_ok,
+       CAST((ok_{ck.name} * {PPM}) // n AS BIGINT) AS metric_ppm,
+       CAST(CASE WHEN (ok_{ck.name} * {PPM}) // n >= {ck.min_ppm}
+                 THEN 1 ELSE 0 END AS INT) AS passed
+FROM agg_{table}"""
+        for ck in checks
+    ]
+    return cte, rows
+
+
+def dq_expectations_sql(
+    suites: dict[str, list[RowCheck | UniqueCheck]]
+) -> str:
+    """One DuckDB statement auditing every (table -> checks) suite."""
+    ctes, rows = [], []
+    for table, checks in suites.items():
+        cte, table_rows = dq_expectations_sql_parts(table, checks)
+        ctes.append(cte)
+        rows.extend(table_rows)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bivariate_stats", "bivariate_stats_sql"]
+__all__ = [
+    "bivariate_stats",
+    "bivariate_stats_sql",
+    "robust_outlier_census",
+    "robust_outlier_census_sql",
+]
 
 
 def _cents(col: Column) -> Column:
@@ -129,4 +134,88 @@ SELECT {g}, n,
        round(cov_num / varx_num, 6) AS slope,
        round((sy_d - (cov_num / varx_num) * sx_d) / n_d / 100.0, 6) AS intercept
 FROM nums
+"""
+
+
+def robust_outlier_census(group_cols: list[str], x_col: str, k: int = 3):
+    """Per-group robust (median/MAD) outlier census: ``(group, n, med_c2,
+    mad_c4, n_outliers)`` where a row is an outlier iff
+    ``|x - median| > k * MAD`` — the standard robust alternative to
+    z-scores (mean/stddev break down under the very outliers being
+    hunted).
+
+    Exactness: 2-decimal inputs become cents; medians of integers are
+    exact halves, so ``med_c2 = 2*median`` and ``mad_c4 = 4*MAD`` are
+    exact BIGINTs and the outlier rule becomes the pure integer
+    comparison ``2*|2c - med_c2| > k * mad_c4`` — bit-identical on any
+    engine or partitioning.
+
+    Scale: two grouped exact percentiles + one census aggregation, all
+    shuffling on the same group key (the exchange is reused). Spark's
+    exact ``percentile`` holds a per-group value-count map — fine for
+    bounded-cardinality metrics (prices, latencies in cents); for
+    unbounded domains swap in ``approx_percentile`` or the HDR sketch
+    (``sketches.hdr_histogram``) and keep the same integer rule.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        c = F.round(F.col(x_col) * 100, 0).cast("long")
+        base = df.select(*group_cols, c.alias("__c"))
+        med = base.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.expr("percentile(__c, 0.5)") * 2).cast("long").alias("med_c2"),
+        )
+        dev = base.join(med, group_cols).select(
+            *group_cols,
+            F.col("n"),
+            F.col("med_c2"),
+            F.abs(F.lit(2) * F.col("__c") - F.col("med_c2")).alias("__abs2"),
+        )
+        mad = dev.groupBy(*group_cols).agg(
+            (F.expr("percentile(__abs2, 0.5)") * 2).cast("long").alias("mad_c4")
+        )
+        return (
+            dev.join(mad, group_cols)
+            .groupBy(*group_cols)
+            .agg(
+                F.max("n").alias("n"),
+                F.max("med_c2").alias("med_c2"),
+                F.max("mad_c4").alias("mad_c4"),
+                F.sum(
+                    F.when(
+                        F.lit(2) * F.col("__abs2") > F.lit(k) * F.col("mad_c4"), 1
+                    ).otherwise(0)
+                ).alias("n_outliers"),
+            )
+        )
+
+    return apply
+
+
+def robust_outlier_census_sql(
+    table: str, group_cols: list[str], x_expr: str, k: int = 3
+) -> str:
+    """DuckDB rendering — quantile_cont on BIGINT cents interpolates the
+    identical exact halves."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH cents AS (SELECT {g}, CAST(round(({x_expr}) * 100, 0) AS BIGINT) AS c FROM {table}),
+med AS (
+  SELECT {g}, count(*) AS n,
+         CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med_c2
+  FROM cents GROUP BY {g}
+),
+dev AS (
+  SELECT cents.*, med.n, med.med_c2, abs(2 * c - med.med_c2) AS abs2
+  FROM cents JOIN med USING ({g})
+),
+mad AS (
+  SELECT {g}, CAST(quantile_cont(abs2, 0.5) * 2 AS BIGINT) AS mad_c4
+  FROM dev GROUP BY {g}
+)
+SELECT {g}, max(n) AS n, max(med_c2) AS med_c2, max(mad_c4) AS mad_c4,
+       CAST(sum(CASE WHEN 2 * abs2 > {k} * mad_c4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING ({g})
+GROUP BY {g}
 """

@@ -149,11 +149,13 @@ SELECT node AS partkey, n_triangles FROM per_node
 
 QUERIES = {
     "graph_pagerank_topk": q_pagerank,
-    "graph_degree_histogram": q_degree_histogram,
     "graph_triangle_census": q_triangle_census,
 }
 ORACLES = {
     "graph_pagerank_topk": SQL_PAGERANK,
-    "graph_degree_histogram": SQL_DEGREE_HIST,
     "graph_triangle_census": SQL_TRIANGLES,
 }
+# Battery consolidation (VERDICT r6 #7): the degree histogram is the triangle
+# census's own first stage; still oracle-verified at pytest level.
+RETIRED_QUERIES = {"graph_degree_histogram": q_degree_histogram}
+RETIRED_ORACLES = {"graph_degree_histogram": SQL_DEGREE_HIST}

@@ -870,19 +870,15 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redaction": q_text_redact_pii,
-    "text_top_tokens": q_text_top_tokens,
     "dedup_exact_hash": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash_sig": q_dedup_simhash_sig,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_cc_survivors": q_dedup_cc,
     "text_filter_pipeline": q_filter_pipeline,
     "ann_cosine_topk": q_ann_bruteforce,
-    "ann_lsh_bucketed": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "ann_pq_adc_topk": q_ann_pq,
     "embedding_quantize_int8": q_quantize_int8,
@@ -896,22 +892,33 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_pii_redaction": SQL_TEXT_REDACT,
-    "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
-    "dedup_simhash_sig": SQL_DEDUP_SIMHASH_SIG,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_cc_survivors": SQL_DEDUP_CC,
     "text_filter_pipeline": SQL_FILTER_PIPELINE,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
-    "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
-    "ann_ivf_topk": SQL_ANN_IVF,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "ann_pq_adc_topk": SQL_ANN_PQ,
     "embedding_quantize_int8": SQL_QUANTIZE_INT8,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
+}
+
+# Battery consolidation (VERDICT r6 #7): parameterization-subsumed entries —
+# still oracle-verified at pytest level (tests/test_retired_surfaces.py).
+RETIRED_QUERIES = {
+    "text_top_tokens": q_text_top_tokens,     # ⊂ tfidf_top_terms (same explode→groupBy→top-k)
+    "dedup_simhash_sig": q_dedup_simhash_sig,  # ⊂ dedup_simhash_pairs (pairs builds the sigs)
+    "ann_lsh_bucketed": q_ann_lsh,             # ⊂ ann_lsh_multiprobe (probe radius 0 vs 1)
+    "ann_ivf_topk": q_ann_ivf,                 # ⊂ ann_ivf_nprobe2 (nprobe parameter)
+}
+RETIRED_ORACLES = {
+    "text_top_tokens": SQL_TEXT_TOP_TOKENS,
+    "dedup_simhash_sig": SQL_DEDUP_SIMHASH_SIG,
+    "ann_lsh_bucketed": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
 }

@@ -324,3 +324,66 @@ def redact_pii_sql(expr: str) -> str:
     for _name, pat, rep in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
+
+
+# --- sliding-window chunking (RAG / context-window preparation) ---
+
+def chunk_sliding(
+    df, text_col: str, id_col: str, window: int, stride: int
+):
+    """Split each document into fixed-width character chunks on a sliding
+    window — the standard RAG / long-context preparation step (chunk w/
+    overlap, hash each chunk for downstream dedup + retrieval indexing).
+
+    Chunk i covers ``[i*stride, i*stride + window)``;
+    ``n = (len + stride - 1) div stride`` chunks per document (exact
+    integer arithmetic, so the explode fan-out is identical on any
+    engine). Empty/NULL documents are dropped — and the guard also keeps
+    ``sequence(0, n-1)`` ascending (Spark's sequence DESCENDS when the
+    bound is negative, fabricating rows).
+
+    Scale: linear explode bounded by len/stride per row, no shuffle at
+    all — chunking is scan-side; the md5 chunk hash gives downstream
+    exact-dedup/bucketing a uniform key.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    t = F.col(text_col)
+    n_chunks = F.expr(f"(length({text_col}) + {stride - 1}) div {stride}")
+    chunk = F.expr(
+        f"substring({text_col}, __chunk_idx * {stride} + 1, {window})"
+    )
+    return (
+        df.filter(F.length(t) >= 1)
+        .select(
+            F.col(id_col),
+            t.alias(text_col),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "__chunk_idx"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("__chunk_idx") * stride).cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            md5_long(chunk).alias("chunk_h"),
+        )
+    )
+
+
+def chunk_sliding_sql(
+    table: str, text_expr: str, id_expr: str, window: int, stride: int
+) -> str:
+    """DuckDB rendering of :func:`chunk_sliding`."""
+    chunk = f"substring({text_expr}, i * {stride} + 1, {window})"
+    return f"""
+SELECT {id_expr},
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS chunk_start,
+       CAST(length({chunk}) AS BIGINT) AS chunk_len,
+       {md5_long_sql(chunk)} AS chunk_h
+FROM {table},
+     unnest(range(0, (length({text_expr}) + {stride - 1}) // {stride})) AS t(i)
+WHERE length({text_expr}) >= 1
+"""

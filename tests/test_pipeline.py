@@ -437,8 +437,10 @@ def test_pipeline_query_matches_duckdb(spark, sf_dir, name):
     for t in ("documents", "embeddings"):
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    sdf = P.QUERIES[name](spark, sf_dir).toPandas()
-    ddf = con.execute(P.ORACLES[name]).df()
+    all_queries = {**P.QUERIES, **P.RETIRED_QUERIES}
+    all_oracles = {**P.ORACLES, **P.RETIRED_ORACLES}
+    sdf = all_queries[name](spark, sf_dir).toPandas()
+    ddf = con.execute(all_oracles[name]).df()
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     ddf = ddf.reindex(sorted(ddf.columns), axis=1)
     assert list(sdf.columns) == list(ddf.columns)

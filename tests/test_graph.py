@@ -134,3 +134,36 @@ def test_triangle_census_triangle_free_graph_is_empty(spark):
     und = [(2 * i, 2 * j + 1) for i in range(4) for j in range(4)]
     und = [(min(a, b), max(a, b)) for a, b in und]
     assert G.triangle_census(_und_df(spark, und)).count() == 0
+
+
+def test_pagerank_deep_iteration_checkpointed(spark):
+    """20-iteration PageRank (VERDICT r6 #6): values identical to the
+    driver-side recurrence AND the plan stays bounded — periodic
+    localCheckpoint truncates lineage, so the final frame's exchange count
+    reflects only the iterations since the last checkpoint, not all 20."""
+    und = [(0, 1), (0, 2), (0, 3), (3, 4), (1, 2)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = _edges_df(spark, edges)
+
+    deep = G.pagerank(df, iterations=20, checkpoint_every=5)
+    got = {r.node: r.rank_micro for r in deep.collect()}
+    assert got == _pagerank_py(edges, 20)
+
+    def exchanges(frame) -> int:
+        return frame._jdf.queryExecution().optimizedPlan().toString().count(
+            "Join"
+        )
+
+    # lineage bound: the checkpointed 20-iteration plan must be no deeper
+    # than an UNcheckpointed 5-iteration plan + 1 (the LogicalRDD source),
+    # and strictly shallower than the uncheckpointed 20-iteration chain.
+    flat = exchanges(deep)
+    five = exchanges(G.pagerank(df, iterations=5, checkpoint_every=0))
+    full = exchanges(G.pagerank(df, iterations=20, checkpoint_every=0))
+    assert flat <= five + 1, (flat, five)
+    assert full > 3 * flat, (full, flat)
+
+    # checkpoint cadence does not perturb a single bit
+    a = sorted(G.pagerank(df, 7, checkpoint_every=2).collect())
+    b = sorted(G.pagerank(df, 7, checkpoint_every=0).collect())
+    assert a == b

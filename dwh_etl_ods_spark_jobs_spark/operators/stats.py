@@ -160,7 +160,11 @@ def robust_outlier_census(group_cols: list[str], x_col: str, k: int = 3):
 
     def apply(df: DataFrame) -> DataFrame:
         c = F.round(F.col(x_col) * 100, 0).cast("long")
-        base = df.select(*group_cols, c.alias("__c"))
+        # base feeds the median agg AND the deviation join; dev feeds the
+        # MAD agg AND the census — localCheckpoint each (the ≥2×-reference
+        # lineage discipline) so the fact is scanned ONCE, not four times
+        # (plan audit: 4 parquet scans / 6 exchanges without, 1 scan with)
+        base = df.select(*group_cols, c.alias("__c")).localCheckpoint(eager=False)
         med = base.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("n"),
             (F.expr("percentile(__c, 0.5)") * 2).cast("long").alias("med_c2"),
@@ -170,7 +174,7 @@ def robust_outlier_census(group_cols: list[str], x_col: str, k: int = 3):
             F.col("n"),
             F.col("med_c2"),
             F.abs(F.lit(2) * F.col("__c") - F.col("med_c2")).alias("__abs2"),
-        )
+        ).localCheckpoint(eager=False)
         mad = dev.groupBy(*group_cols).agg(
             (F.expr("percentile(__abs2, 0.5)") * 2).cast("long").alias("mad_c4")
         )

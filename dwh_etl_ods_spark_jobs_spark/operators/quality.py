@@ -26,7 +26,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["RowCheck", "UniqueCheck", "dq_expectations", "dq_expectations_sql"]
+__all__ = [
+    "RowCheck",
+    "UniqueCheck",
+    "dq_expectations",
+    "dq_expectations_sql",
+    "dq_audit_from_counts",
+    "streaming_dq_counts",
+]
 
 PPM = 1_000_000
 
@@ -55,11 +62,9 @@ class UniqueCheck:
     min_ppm: int = PPM
 
 
-def dq_expectations(
-    df: DataFrame, table_name: str, checks: list[RowCheck | UniqueCheck]
-) -> DataFrame:
-    """Audit rows ``(table_name, check_name, n_rows, n_ok, metric_ppm,
-    passed)`` for every expectation, from one aggregation pass."""
+def _check_aggs(checks: list[RowCheck | UniqueCheck]) -> list[Column]:
+    """The one-pass aggregate column set (row count + one counter per
+    check)."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for ck in checks:
         if isinstance(ck, RowCheck):
@@ -74,7 +79,14 @@ def dq_expectations(
                     f"__ok_{ck.name}"
                 )
             )
-    one = df.agg(*aggs)
+    return aggs
+
+
+def dq_audit_from_counts(
+    counts: DataFrame, table_name: str, checks: list[RowCheck | UniqueCheck]
+) -> DataFrame:
+    """Unpivot a one-row counter frame (``__n`` + ``__ok_<check>``) into
+    the audit rows — shared by the batch path and streaming snapshots."""
     audit_structs = [
         F.struct(
             F.lit(ck.name).alias("check_name"),
@@ -87,7 +99,7 @@ def dq_expectations(
         )
         for ck in checks
     ]
-    return one.select(
+    return counts.select(
         F.explode(F.array(*audit_structs)).alias("a")
     ).select(
         F.lit(table_name).alias("table_name"),
@@ -97,6 +109,38 @@ def dq_expectations(
         F.col("a.metric_ppm"),
         F.col("a.passed"),
     )
+
+
+def dq_expectations(
+    df: DataFrame, table_name: str, checks: list[RowCheck | UniqueCheck]
+) -> DataFrame:
+    """Audit rows ``(table_name, check_name, n_rows, n_ok, metric_ppm,
+    passed)`` for every expectation, from one aggregation pass."""
+    return dq_audit_from_counts(df.agg(*_check_aggs(checks)), table_name, checks)
+
+
+def streaming_dq_counts(
+    stream: DataFrame, checks: list[RowCheck]
+) -> DataFrame:
+    """Continuously-maintained expectation counters over a stream — live
+    data-quality monitoring with O(checks) scalar state, no matter how
+    many rows flow past. Run in update/complete mode; feed any snapshot to
+    :func:`dq_audit_from_counts` — the counters are plain conditional
+    sums, so a snapshot's audit rows are BIT-IDENTICAL to a batch
+    :func:`dq_expectations` over the same rows (pytest-pinned), and
+    micro-batch boundaries can never perturb a metric.
+
+    RowChecks only: a uniqueness counter needs distinct state (unbounded),
+    which streaming aggregation rightly refuses — dedupe upstream with
+    ``dedupe_within_watermark`` and count instead.
+    """
+    bad = [ck.name for ck in checks if not isinstance(ck, RowCheck)]
+    if bad:
+        raise ValueError(
+            f"streaming DQ supports RowChecks only (distinct-state checks "
+            f"{bad} are unbounded); dedupe upstream within a watermark"
+        )
+    return stream.agg(*_check_aggs(checks))
 
 
 def dq_expectations_sql_parts(

@@ -490,3 +490,64 @@ def test_streaming_hdr_histogram_snapshot_equals_batch(spark, workdir):
         for r in SK.hdr_quantiles(batch, ["g"], [("p50", 50, 100)]).collect()
     }
     assert sq == bq and len(sq) == 2
+
+
+def test_streaming_dq_counts_snapshot_equals_batch_audit(spark, workdir):
+    """Live DQ monitoring: expectation counters maintained across two
+    micro-batch file drops fold to BIT-IDENTICAL audit rows vs a batch
+    dq_expectations over the union of the same rows."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        UniqueCheck,
+        dq_audit_from_counts,
+        dq_expectations,
+        streaming_dq_counts,
+    )
+
+    src = os.path.join(workdir, "landing")
+    schema = "id long, v double, s string"
+    _write_source_files(
+        spark, src, [(1, 10.0, "A"), (2, -1.0, "B"), (3, None, "A")], schema
+    )
+    _write_source_files(
+        spark, src, [(4, 5.0, "Z"), (5, 0.5, "A")], schema
+    )
+
+    checks = [
+        RowCheck("v_not_null", lambda: F.col("v").isNotNull(), "v IS NOT NULL"),
+        RowCheck("v_positive", lambda: F.col("v") > 0, "v > 0", min_ppm=600_000),
+        RowCheck("s_in_domain", lambda: F.col("s").isin("A", "B"), "s IN ('A','B')"),
+    ]
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        streaming_dq_counts(stream, checks)
+        .writeStream.format("memory")
+        .queryName("dq_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        dq_audit_from_counts(spark.table("dq_counts"), "t", checks).collect()
+    )
+    expect = sorted(
+        dq_expectations(spark.read.parquet(src), "t", checks).collect()
+    )
+    assert got == expect
+    by_name = {r.check_name: r for r in got}
+    assert by_name["v_positive"].n_ok == 3  # 10.0, 5.0, 0.5
+    assert by_name["v_positive"].metric_ppm == 600_000
+    assert by_name["v_positive"].passed == 1
+
+    # uniqueness checks are refused loudly: their state is unbounded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RowChecks only"):
+        streaming_dq_counts(stream, checks + [UniqueCheck("u", ("id",))])

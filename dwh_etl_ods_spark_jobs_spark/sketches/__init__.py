@@ -61,6 +61,7 @@ __all__ = [
     "hdr_histogram",
     "hdr_quantiles",
     "hdr_quantile_sql",
+    "hll_set_algebra",
 ]
 
 
@@ -142,11 +143,7 @@ def hll_fold(group_cols: list[str]):
         )
         v = (F.lit(HLL_M) - F.col("_hit")).cast("long")
         s = F.col("_s_hit") + v * F.lit(_HLL_EMPTY_TERM)
-        e_raw = F.lit(_HLL_NUM) / s.cast("double")
-        est = F.when(
-            (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
-            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
-        ).otherwise(e_raw)
+        est = _hll_estimate(s, v)
         return folded.select(
             *group_cols,
             v.alias("empty_registers"),
@@ -537,3 +534,110 @@ SELECT {g}, quantile, min(bucket_lo) AS approx_value
 FROM qh_cum JOIN qh_q ON cum >= (tot * num + den - 1) // den
 GROUP BY ALL
 """
+
+
+def _hll_estimate(s_col: Column, v_col: Column) -> Column:
+    """The HLL fold formula on an exact-BIGINT register-term sum ``s`` and
+    empty-register count ``v`` (linear-counting small-range correction
+    included) — shared by :func:`hll_fold` and :func:`hll_set_algebra`."""
+    e_raw = F.lit(_HLL_NUM) / s_col.cast("double")
+    return F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_col > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_col.cast("double")),
+    ).otherwise(e_raw)
+
+
+def hll_set_algebra(df: DataFrame, set_col: str, value_col: str) -> DataFrame:
+    """Pairwise set algebra over HLL sketches: for every pair of sets
+    (distinct ``set_col`` values) estimate ``|A|``, ``|B|``, ``|A∪B|``,
+    ``|A∩B|`` (inclusion–exclusion) and the Jaccard similarity — the
+    sketch-side answer to "how much do these two corpora overlap?" that
+    never rescans the raw rows.
+
+    Union registers are max-merges, but enumerating set pairs with a
+    cross join would be both flagged and wrong at scale. Instead the
+    register frame (O(sets × 2^p) rows) self-joins on the REGISTER id — a
+    uniform 4096-value equi key — producing, per pair, the registers both
+    sets populate; registers only ONE side holds are recovered from each
+    set's own totals by subtraction:
+
+        s_union = s_max(shared) + (s_A − s_A(shared)) + (s_B − s_B(shared))
+        hit_union = hit_A + hit_B − hit_shared
+
+    All sums are exact BIGINT, so the union estimate is bit-identical to
+    physically max-merging the registers (pytest-pinned), and the whole
+    computation is two tiny aggregations + one equi-join — the raw table
+    is scanned exactly once (by :func:`hll_registers`).
+
+    Returns ``(set_a, set_b, est_a, est_b, est_union, est_intersect,
+    jaccard_micro)`` for every unordered pair with ``set_a < set_b``;
+    ``est_intersect`` clamps at 0 (inclusion–exclusion on estimates can go
+    slightly negative for disjoint sets), and ``jaccard_micro`` is an
+    integer in [0, 1e6].
+    """
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_POW} - _m AS INT))")
+    regs = (
+        df.transform(hll_registers([set_col], value_col))
+        .select(set_col, "_reg", term.alias("_t"))
+        .localCheckpoint(eager=False)  # referenced 3x: totals + both join sides
+    )
+    totals = regs.groupBy(set_col).agg(
+        F.count(F.lit(1)).alias("_hit"), F.sum("_t").alias("_s")
+    )
+    a = regs.select(
+        F.col(set_col).alias("set_a"), "_reg", F.col("_t").alias("_ta")
+    )
+    b = regs.select(
+        F.col(set_col).alias("set_b"), "_reg", F.col("_t").alias("_tb")
+    )
+    shared = (
+        a.join(b, "_reg")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.count(F.lit(1)).alias("_hit_sh"),
+            F.sum(F.least("_ta", "_tb")).alias("_s_max"),  # smaller term == larger rho
+            F.sum("_ta").alias("_s_a_sh"),
+            F.sum("_tb").alias("_s_b_sh"),
+        )
+    )
+    ta = totals.select(
+        F.col(set_col).alias("set_a"), F.col("_hit").alias("_hit_a"), F.col("_s").alias("_s_a")
+    )
+    tb = totals.select(
+        F.col(set_col).alias("set_b"), F.col("_hit").alias("_hit_b"), F.col("_s").alias("_s_b")
+    )
+    j = shared.join(ta, "set_a").join(tb, "set_b")
+    hit_union = F.col("_hit_a") + F.col("_hit_b") - F.col("_hit_sh")
+    v_union = (F.lit(HLL_M) - hit_union).cast("long")
+    s_union = (
+        F.col("_s_max")
+        + (F.col("_s_a") - F.col("_s_a_sh"))
+        + (F.col("_s_b") - F.col("_s_b_sh"))
+        + v_union * F.lit(_HLL_EMPTY_TERM)
+    )
+    v_a = (F.lit(HLL_M) - F.col("_hit_a")).cast("long")
+    v_b = (F.lit(HLL_M) - F.col("_hit_b")).cast("long")
+    est_a = _hll_estimate(F.col("_s_a") + v_a * F.lit(_HLL_EMPTY_TERM), v_a)
+    est_b = _hll_estimate(F.col("_s_b") + v_b * F.lit(_HLL_EMPTY_TERM), v_b)
+    est_u = _hll_estimate(s_union, v_union)
+    est_i = F.greatest(est_a + est_b - est_u, F.lit(0.0))
+    return j.select(
+        "set_a",
+        "set_b",
+        F.round(est_a, 3).alias("est_a"),
+        F.round(est_b, 3).alias("est_b"),
+        F.round(est_u, 3).alias("est_union"),
+        F.round(est_i, 3).alias("est_intersect"),
+        F.round(est_i / est_u * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+
+
+# NOTE: pairs that share ZERO populated registers are omitted from
+# hll_set_algebra's output (no row survives the register equi-join). At
+# p=12 that needs both sets to miss each other across all 4096 registers
+# — vanishingly unlikely beyond toy sizes; callers needing the full pair
+# matrix left-join the distinct-set universe. Staged for the r8 battery
+# window (pytest-gated this round: tests/test_sketches.py).

@@ -173,3 +173,51 @@ def test_hdr_histogram_zero_and_small_values_are_exact(spark):
     df = spark.createDataFrame([(1, v) for v in (0, 1, 2, 63)], "g int, v long")
     hist = {r.bucket_lo: r.n for r in df.transform(SK.hdr_histogram(["g"], "v")).collect()}
     assert hist == {0: 1, 1: 1, 2: 1, 63: 1}
+
+
+def test_hll_set_algebra_union_is_bit_identical_to_merged_sketch(spark):
+    """The subtraction trick (shared-register join + per-set totals) must
+    reproduce EXACTLY the estimate of physically max-merging the two
+    sets' registers — i.e. hll_distinct over the concatenated rows."""
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+    from pyspark.sql import functions as F
+
+    rows = [("A", f"u{i}") for i in range(900)] + [
+        ("B", f"u{i + 600}") for i in range(900)  # overlap u600..u899 (300)
+    ]
+    df = spark.createDataFrame(rows, "s string, v string")
+    pair = SK.hll_set_algebra(df, "s", "v").collect()[0]
+
+    merged = (
+        df.select(F.lit("all").alias("g"), "v")
+        .transform(SK.hll_distinct(["g"], "v"))
+        .collect()[0]
+    )
+    assert pair.est_union == merged.est_distinct  # bit-identical, not approx
+
+    # and the estimates are actually good (true: |A|=|B|=900, |A∪B|=1500,
+    # |A∩B|=300, J=0.2); HLL at p=12 is ~1.6% rel. error
+    assert pair.est_a == pytest.approx(900, rel=0.05)
+    assert pair.est_b == pytest.approx(900, rel=0.05)
+    assert pair.est_union == pytest.approx(1500, rel=0.05)
+    assert pair.est_intersect == pytest.approx(300, rel=0.20)
+    assert pair.jaccard_micro == pytest.approx(200_000, rel=0.20)
+
+
+def test_hll_set_algebra_all_pairs_and_disjoint_clamp(spark):
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    rows = (
+        [("A", f"a{i}") for i in range(400)]
+        + [("B", f"a{i}") for i in range(400)]          # B == A
+        + [("C", f"c{i}") for i in range(400)]           # C disjoint
+    )
+    df = spark.createDataFrame(rows, "s string, v string")
+    out = {(r.set_a, r.set_b): r for r in SK.hll_set_algebra(df, "s", "v").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.est_union == ab.est_a == ab.est_b  # identical sets
+    assert ab.jaccard_micro == 1_000_000
+    for k in (("A", "C"), ("B", "C")):
+        assert out[k].est_intersect >= 0.0  # clamped, never negative
+        assert out[k].jaccard_micro < 150_000

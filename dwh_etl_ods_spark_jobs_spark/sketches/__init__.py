@@ -62,6 +62,7 @@ __all__ = [
     "hdr_quantiles",
     "hdr_quantile_sql",
     "hll_set_algebra",
+    "hdr_percentile_calibrate",
 ]
 
 
@@ -641,3 +642,45 @@ def hll_set_algebra(df: DataFrame, set_col: str, value_col: str) -> DataFrame:
 # — vanishingly unlikely beyond toy sizes; callers needing the full pair
 # matrix left-join the distinct-set universe. Staged for the r8 battery
 # window (pytest-gated this round: tests/test_sketches.py).
+
+
+def hdr_percentile_calibrate(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Percentile calibration (quantile normalization) of a non-negative
+    BIGINT score column against its own per-group distribution — the
+    standard move before mixing quality scores across domains whose raw
+    scales differ (a 0.7 from one classifier is not a 0.7 from another).
+
+    Exact percent_rank would globally sort every row per group; instead
+    each row joins the tiny cumulative :func:`hdr_histogram` (≤ ~2k
+    buckets/group — broadcastable by construction) on its own bucket and
+    takes ``pct_micro = (rows strictly below bucket) · 1e6 div N``: a
+    lower-bound percentile with the histogram's 2^-(sig_bits-1) relative
+    value error, integer-exact and engine-portable. The fact is scanned
+    once; nothing heavier than a broadcast join touches it.
+
+    Returns the input columns + ``pct_micro`` in [0, 1e6).
+    """
+    from pyspark.sql import Window
+
+    hist = df.transform(hdr_histogram(group_cols, value_col))
+    w = Window.partitionBy(*group_cols).orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("_below", F.sum("n").over(w) - F.col("n"))
+        .withColumn("_tot", F.sum("n").over(Window.partitionBy(*group_cols)))
+        .select(*group_cols, "bucket_lo", "_below", "_tot")
+    )
+    m = F.length(F.bin(F.col(value_col)))
+    shift = F.greatest(m - F.lit(QH_SIG_BITS), F.lit(0)).cast("int")
+    bucketed = df.withColumn("_qs", shift).withColumn(
+        "bucket_lo",
+        F.expr(f"shiftleft(shiftright(cast({value_col} AS BIGINT), _qs), _qs)"),
+    )
+    return (
+        bucketed.join(F.broadcast(cum), [*group_cols, "bucket_lo"])
+        .withColumn("pct_micro", F.expr("(_below * 1000000L) div _tot"))
+        .drop("_qs", "bucket_lo", "_below", "_tot")
+    )

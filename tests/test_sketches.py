@@ -221,3 +221,51 @@ def test_hll_set_algebra_all_pairs_and_disjoint_clamp(spark):
     for k in (("A", "C"), ("B", "C")):
         assert out[k].est_intersect >= 0.0  # clamped, never negative
         assert out[k].jaccard_micro < 150_000
+
+
+def test_hdr_percentile_calibrate_tracks_exact_percent_rank(spark):
+    """pct_micro must equal the exact fraction-strictly-below for values
+    in distinct buckets, and stay within the histogram's bucket error in
+    general; every input row survives with its payload."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    # geometric spread -> each value lands in its own bucket
+    vals = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+    df = spark.createDataFrame(
+        [("g", v, f"p{v}") for v in vals], "g string, v long, payload string"
+    )
+    out = {r.v: r for r in SK.hdr_percentile_calibrate(df, ["g"], "v").collect()}
+    assert len(out) == len(vals)
+    for i, v in enumerate(sorted(vals)):
+        assert out[v].pct_micro == (i * 1_000_000) // len(vals), v
+        assert out[v].payload == f"p{v}"
+
+    # dense integers share buckets above 2^sig_bits: pct is a lower bound
+    # within one bucket width and monotone across buckets
+    dense = spark.createDataFrame(
+        [("g", v) for v in range(1, 2001)], "g string, v long"
+    )
+    got = SK.hdr_percentile_calibrate(dense, ["g"], "v")
+    rows = got.groupBy("v").agg(F.max("pct_micro").alias("p")).collect()
+    by_v = {r.v: r.p for r in rows}
+    assert by_v[1] == 0
+    assert 400_000 <= by_v[1000] <= 500_000   # true rank ~0.4995
+    assert 950_000 <= by_v[1999] <= 999_500
+    mono = sorted(by_v.items())
+    assert all(a[1] <= b[1] for a, b in zip(mono, mono[1:]))
+
+
+def test_hdr_percentile_calibrate_is_broadcast_join(spark):
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    df = spark.range(10_000).selectExpr("'g' AS g", "id AS v")
+    plan = (
+        SK.hdr_percentile_calibrate(df, ["g"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -63,6 +63,8 @@ __all__ = [
     "hdr_quantile_sql",
     "hll_set_algebra",
     "hdr_percentile_calibrate",
+    "hll_set_algebra_sql",
+    "hdr_percentile_calibrate_sql",
 ]
 
 
@@ -684,3 +686,96 @@ def hdr_percentile_calibrate(
         .withColumn("pct_micro", F.expr("(_below * 1000000L) div _tot"))
         .drop("_qs", "bucket_lo", "_below", "_tot")
     )
+
+
+def hll_set_algebra_sql(table_expr: str, set_expr: str, value_expr: str) -> str:
+    """DuckDB rendering of :func:`hll_set_algebra` — same register frame,
+    same self-join + subtraction, same single-IEEE-op fold sequence."""
+    h = md5_long_sql(f"CAST({value_expr} AS VARCHAR)")
+    num, lim, m_f = f"{_HLL_NUM!r}", f"{2.5 * HLL_M!r}", f"{float(HLL_M)!r}"
+
+    def est(s: str, v: str) -> str:
+        return (
+            f"CASE WHEN ({num} / CAST({s} AS DOUBLE)) <= {lim} AND ({v}) > 0 "
+            f"THEN {m_f} * ln({m_f} / CAST({v} AS DOUBLE)) "
+            f"ELSE {num} / CAST({s} AS DOUBLE) END"
+        )
+
+    s_a = f"CAST(s_a + ({HLL_M} - hit_a) * CAST({_HLL_EMPTY_TERM} AS BIGINT) AS BIGINT)"
+    s_b = f"CAST(s_b + ({HLL_M} - hit_b) * CAST({_HLL_EMPTY_TERM} AS BIGINT) AS BIGINT)"
+    s_u = (
+        f"CAST(s_max + (s_a - s_a_sh) + (s_b - s_b_sh) "
+        f"+ ({HLL_M} - (hit_a + hit_b - hit_sh)) * CAST({_HLL_EMPTY_TERM} AS BIGINT) AS BIGINT)"
+    )
+    v_a, v_b = f"({HLL_M} - hit_a)", f"({HLL_M} - hit_b)"
+    v_u = f"({HLL_M} - (hit_a + hit_b - hit_sh))"
+    e_a, e_b, e_u = est(s_a, v_a), est(s_b, v_b), est(s_u, v_u)
+    e_i = f"greatest(({e_a}) + ({e_b}) - ({e_u}), 0.0)"
+    return f"""
+WITH regs AS (
+  SELECT s, reg, max(rho) AS m
+  FROM (
+    SELECT {set_expr} AS s,
+           h % {HLL_M} AS reg,
+           CAST({_HLL_RHO_MAX} - (CASE WHEN (h >> {HLL_P}) = 0 THEN 0
+                 ELSE length(bin(h >> {HLL_P})) END) AS BIGINT) AS rho
+    FROM (SELECT {set_expr}, {h} AS h FROM {table_expr})
+  ) GROUP BY s, reg
+),
+terms AS (
+  SELECT s, reg, CAST(1 AS BIGINT) << CAST({_HLL_SCALE_POW} - m AS INT) AS t
+  FROM regs
+),
+totals AS (
+  SELECT s, count(*) AS hit, CAST(sum(t) AS BIGINT) AS st FROM terms GROUP BY s
+),
+shared AS (
+  SELECT a.s AS set_a, b.s AS set_b, count(*) AS hit_sh,
+         CAST(sum(least(a.t, b.t)) AS BIGINT) AS s_max,
+         CAST(sum(a.t) AS BIGINT) AS s_a_sh,
+         CAST(sum(b.t) AS BIGINT) AS s_b_sh
+  FROM terms a JOIN terms b ON a.reg = b.reg AND a.s < b.s
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT shared.*, ta.hit AS hit_a, ta.st AS s_a, tb.hit AS hit_b, tb.st AS s_b
+  FROM shared
+  JOIN totals ta ON ta.s = shared.set_a
+  JOIN totals tb ON tb.s = shared.set_b
+)
+SELECT set_a, set_b,
+       round({e_a}, 3) AS est_a,
+       round({e_b}, 3) AS est_b,
+       round({e_u}, 3) AS est_union,
+       round({e_i}, 3) AS est_intersect,
+       CAST(round(({e_i}) / ({e_u}) * 1000000.0, 0) AS BIGINT) AS jaccard_micro
+FROM j
+"""
+
+
+def hdr_percentile_calibrate_sql(
+    table_expr: str, group_cols: list[str], value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`hdr_percentile_calibrate` (payload = the
+    group cols + value only; callers carrying more columns adapt the outer
+    select)."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH b AS (
+  SELECT {g}, v, (v >> qs) << qs AS bucket_lo
+  FROM (
+    SELECT {g}, CAST({value_expr} AS BIGINT) AS v,
+           CAST(greatest(length(bin(CAST({value_expr} AS BIGINT))) - {QH_SIG_BITS}, 0) AS INT) AS qs
+    FROM {table_expr}
+  )
+),
+hist AS (SELECT {g}, bucket_lo, count(*) AS n FROM b GROUP BY {g}, bucket_lo),
+cum AS (
+  SELECT {g}, bucket_lo,
+         CAST(sum(n) OVER (PARTITION BY {g} ORDER BY bucket_lo) - n AS BIGINT) AS below,
+         CAST(sum(n) OVER (PARTITION BY {g}) AS BIGINT) AS tot
+  FROM hist
+)
+SELECT b.{g.replace(', ', ', b.')}, b.v, CAST((below * 1000000) // tot AS BIGINT) AS pct_micro
+FROM b JOIN cum USING ({g}, bucket_lo)
+"""

@@ -269,3 +269,58 @@ def test_hdr_percentile_calibrate_is_broadcast_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_staged_operators_hash_match_duckdb(spark):
+    """The two r8-staged operators already hash-match their DuckDB
+    renderings over the same rows — battery registration in r8 is then a
+    pure wiring step."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    rows = [("A", f"u{i}") for i in range(700)] + [
+        ("B", f"u{i + 400}") for i in range(700)
+    ] + [("C", f"w{i}" if i % 3 else f"u{i}") for i in range(500)]
+    pdf = pd.DataFrame(rows, columns=["s", "v"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    sdf = (
+        SK.hll_set_algebra(
+            spark.createDataFrame(pdf, "s string, v string"), "s", "v"
+        )
+        .toPandas()
+        .sort_values(["set_a", "set_b"])
+        .reset_index(drop=True)
+    )
+    ddf = (
+        con.execute(SK.hll_set_algebra_sql("t", "s", "v"))
+        .df()
+        .sort_values(["set_a", "set_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sdf, ddf.astype(sdf.dtypes.to_dict()))
+
+    vals = pd.DataFrame(
+        [("g", (7 * i * i + 3) % 5000 + 1) for i in range(2000)],
+        columns=["g", "x"],
+    )
+    con.register("vals", vals)
+    s2 = (
+        SK.hdr_percentile_calibrate(
+            spark.createDataFrame(vals, "g string, x long"), ["g"], "x"
+        )
+        .selectExpr("g", "x AS v", "pct_micro")
+        .toPandas()
+        .sort_values(["g", "v", "pct_micro"])
+        .reset_index(drop=True)
+    )
+    d2 = (
+        con.execute(SK.hdr_percentile_calibrate_sql("vals", ["g"], "x"))
+        .df()
+        .sort_values(["g", "v", "pct_micro"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s2, d2.astype(s2.dtypes.to_dict()))

@@ -1,0 +1,156 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, ACL) —
+the tokenizer-training step of an LLM data pipeline, as DataFrame ops.
+
+The classic algorithm: start from characters, repeatedly (1) count
+adjacent symbol pairs across the corpus, (2) merge the most frequent
+pair everywhere. Engine-native shape:
+
+- The corpus first collapses to DISTINCT WORDS with counts — the
+  standard BPE trick: pair statistics are word-frequency-weighted, so a
+  100 TB corpus reduces to a vocabulary-sized working set (~millions of
+  rows) after ONE scan. Every subsequent iteration touches only that
+  (word-symbols, count) frame.
+- Each iteration is one explode → map-side-combinable weighted count +
+  a top-1 reduction (count DESC, pair ASC tiebreak — fully
+  deterministic), then a scan-side literal string replace to apply the
+  merge; the frame is localCheckpointed per iteration (the
+  connected_components lineage discipline).
+- The per-iteration driver round-trip is ONE row (the argmax pair) —
+  the same O(1)-per-round pattern as the CC convergence counter.
+
+Merge-application semantics: a symbol sequence is kept as a
+space-joined string with sentinel spaces; applying merge (a, b) means
+replacing ``" a b "`` with ``" ab "`` repeatedly until fixpoint
+(``BPE_FIX_PASSES`` literal passes — adjacent occurrences share a
+boundary space, so one pass cannot catch them all). This rule is
+deterministic and IDENTICAL in Spark, DuckDB, and Python ``str.replace``
+(all leftmost non-overlapping); it differs from textbook greedy
+left-to-right scanning only in how an odd run of a self-pair
+(``aaaaa`` with merge a+a) is segmented — a documented, consistent
+variant, chosen because both engines can express it as pure string
+expressions (no per-row Python, no UDF).
+
+Words are restricted to ``[a-z]+`` (lowercased) so the space separator
+and the ``_`` end-of-word marker can never collide with symbol text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["BPE_FIX_PASSES", "bpe_word_counts", "bpe_train", "bpe_train_sql"]
+
+BPE_FIX_PASSES = 5  # covers runs up to 2^5 symbols — beyond any [a-z]+ word
+
+
+def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan → ``(sym, n)``: the space-joined character symbols
+    of each DISTINCT lowercase word (with the ``_`` end-of-word marker)
+    and its corpus frequency."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.concat(F.col("w"), F.lit("_")), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    return words.select(sym.alias("sym"), "n")
+
+
+def _pairs(frame: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts of a ``(sym, n)`` frame."""
+    arr = F.split(F.trim(F.col("sym")), " ")
+    pair_list = F.expr(
+        "transform(sequence(1, size(split(trim(sym), ' ')) - 1), "
+        "i -> concat(element_at(split(trim(sym), ' '), i), ' ', "
+        "element_at(split(trim(sym), ' '), i + 1)))"
+    )
+    return (
+        frame.filter(F.size(arr) >= 2)
+        .select(F.explode(pair_list).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns ``(rank, pair, merged,
+    pair_count)`` with rank 1 = first (most frequent) merge.
+
+    Stops early if no adjacent pair remains. The returned frame is built
+    from the driver-side merge list (n_merges rows — the merge table IS
+    tiny state, exactly like a broadcast codebook)."""
+    frame = bpe_word_counts(df, text_col).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pairs(frame)
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].pair_count
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        sym = F.col("sym")
+        for _ in range(BPE_FIX_PASSES):
+            sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        frame = frame.select(sym.alias("sym"), "n").localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_train_sql(table: str, text_expr: str, n_merges: int) -> str:
+    """DuckDB rendering: the same iterations unrolled as chained CTEs
+    (the ``graph.pagerank`` unrolled-oracle idiom). Each iteration
+    re-derives pair counts, picks the same (count DESC, pair ASC) argmax,
+    and applies the same ``BPE_FIX_PASSES`` literal replaces."""
+    ctes = [
+        f"""w0 AS (
+  SELECT ' ' || trim(regexp_replace(w || '_', '(.)', '\\1 ', 'g')) || ' ' AS sym,
+         count(*) AS n
+  FROM (
+    SELECT unnest(string_split_regex(lower({text_expr}), '[^a-z]+')) AS w
+    FROM {table}
+  ) WHERE w != ''
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev, cur = f"w{i - 1}", f"w{i}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM (
+    SELECT a[j] || ' ' || a[j + 1] AS pair, n
+    FROM (SELECT string_split(trim(sym), ' ') AS a, n FROM {prev}),
+         unnest(range(1, len(a))) AS t(j)
+  ) GROUP BY pair
+),
+m{i} AS (
+  SELECT {i} AS rank, pair, replace(pair, ' ', '') AS merged, pair_count
+  FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+{cur} AS (
+  SELECT {"".join("replace(" for _ in range(BPE_FIX_PASSES))}sym{"".join(f", ' ' || m{i}.pair || ' ', ' ' || m{i}.merged || ' ')" for _ in range(BPE_FIX_PASSES))} AS sym,
+         n
+  FROM {prev}, m{i}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT rank, pair, merged, pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY rank"

@@ -1,0 +1,137 @@
+"""Distributed BPE merge training (text/bpe.py) — r8-staged operator.
+
+Verifies the three-way contract: the Spark trainer, the DuckDB unrolled
+rendering, and a pure-Python reference of the SAME merge variant all
+produce identical (rank, pair, merged, pair_count) tables, so battery
+registration in r8 is a pure wiring step.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark.text.bpe import (
+    BPE_FIX_PASSES,
+    bpe_train,
+    bpe_train_sql,
+    bpe_word_counts,
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Reference implementation of the exact documented variant:
+    word-frequency-weighted pair counts, (count DESC, pair ASC) argmax,
+    merge applied via repeated leftmost str.replace to BPE_FIX_PASSES."""
+    wc: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                wc[w] += 1
+    frame = {(" " + " ".join(list(w) + ["_"]) + " "): n for w, n in wc.items()}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: collections.Counter = collections.Counter()
+        for sym, n in frame.items():
+            toks = sym.split()
+            for a, b in zip(toks, toks[1:]):
+                pc[f"{a} {b}"] += n
+        if not pc:
+            break
+        pair, cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        nxt: collections.Counter = collections.Counter()
+        for sym, n in frame.items():
+            for _ in range(BPE_FIX_PASSES):
+                sym = sym.replace(f" {pair} ", f" {merged} ")
+            nxt[sym] += n
+        frame = dict(nxt)
+    return merges
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps all day, the lazy cat naps",
+    "low lower lowest newer newest widest wide the them then",
+] * 3
+
+
+def test_bpe_word_counts_collapses_corpus(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "body string")
+    rows = {r.sym: r.n for r in bpe_word_counts(df, "body").collect()}
+    # distinct lowercase words only — the 100 TB corpus reduction
+    assert rows[" t h e _ "] == 15  # 'the' across all repeats
+    assert all(s.startswith(" ") and s.endswith("_ ") for s in rows)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "body string")
+    got = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(spark, df, "body", 8).collect()
+    ]
+    assert got == _py_bpe(TEXTS, 8)
+    # sanity: the most frequent pair in this corpus is 'h e' from 'the'
+    assert got[0][1] == "h e" and got[1][2] == "the"
+
+
+def test_bpe_train_hash_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"body": TEXTS})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    ddf = con.execute(bpe_train_sql("docs", "body", 8)).df()
+    duck = [
+        (int(r["rank"]), r["pair"], r["merged"], int(r["pair_count"]))
+        for _, r in ddf.iterrows()
+    ]
+    spark_rows = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(
+            spark, spark.createDataFrame(pdf), "body", 8
+        ).collect()
+    ]
+    assert duck == spark_rows == _py_bpe(TEXTS, 8)
+
+
+def test_bpe_self_pair_odd_run_is_deterministic(spark):
+    """The documented variant: an odd run of a self-pair ('aaaaa' with
+    merge a+a) segments identically in Spark, DuckDB and str.replace —
+    leftmost non-overlapping, repeated to fixpoint."""
+    texts = ["aaaaa aaaaa aaaaa aaaa"]
+    df = spark.createDataFrame([(t,) for t in texts], "body string")
+    got = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(spark, df, "body", 3).collect()
+    ]
+    assert got == _py_bpe(texts, 3)
+    assert got[0][1] == "a a"
+
+
+def test_bpe_train_stops_early_when_no_pairs_remain(spark):
+    # single 2-symbol word: merge 1 consumes the only pair ('a _'),
+    # leaving 1-symbol frames -> early stop regardless of n_merges
+    df = spark.createDataFrame([("a",)], "body string")
+    out = bpe_train(spark, df, "body", 10).collect()
+    assert len(out) == 1
+    assert (out[0].pair, out[0].merged) == ("a _", "a_")
+
+
+def test_bpe_iteration_state_is_word_sized_and_checkpointed(spark):
+    """Scale shape: after training the working frame is the distinct-word
+    vocabulary (not the corpus), and each iteration's frame is
+    localCheckpointed so deep merge counts never re-derive the chain."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "body string")
+    wc = bpe_word_counts(df, "body")
+    n_words = wc.count()
+    assert n_words < sum(len(t.split()) for t in TEXTS)  # collapsed
+    # 12 merges: lineage stays bounded because every iteration checkpoints
+    out = bpe_train(spark, df, "body", 12)
+    assert out.count() <= 12
+    ranks = [r.rank for r in out.collect()]
+    assert ranks == list(range(1, len(ranks) + 1))

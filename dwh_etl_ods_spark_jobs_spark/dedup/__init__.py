@@ -594,3 +594,194 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --- 6. Incremental dedup against a persisted signature store ---
+
+def incremental_lsh_dedup(
+    new_df: DataFrame, store_sigs: DataFrame, text_col: str, id_col: str,
+    threshold_micro: int = 500_000, k: int = MINHASH_K, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Dedupe a NEW document batch against a persisted corpus signature
+    store — the incremental shape a 100 TB pipeline actually runs: the
+    historical corpus is never rescanned; only its minhash signature table
+    (``store_sigs``: (doc_id, sig array<bigint>) from
+    :func:`minhash_signatures`, ~130 B/doc persisted as parquet) joins
+    against the day's batch.
+
+    Returns one row per new doc::
+
+        (doc_id, store_dup_of, store_est_micro,
+         batch_dup_of, batch_est_micro, is_new)
+
+    - ``store_dup_of``: best-matching store doc at est-Jaccard >=
+      ``threshold_micro`` ppm (max estimate, tie -> min store id), else -1.
+    - ``batch_dup_of``: best-matching EARLIER-id doc within the batch
+      (direct-pair rule; transitive survivor selection is
+      :func:`connected_components` composed downstream), else -1.
+    - ``is_new`` (int 0/1): matched nowhere — the rows whose signatures
+      get appended to the store after the run.
+
+    Estimates are exact integers (``agree * 1e6 div k``) so the output
+    hash-matches any engine. Scale: both candidate joins are equi-joins on
+    uniform (band, band_hash) keys; the batch signature frame is
+    localCheckpointed once and feeds banding + both verify sides; the
+    store side only ever ships its colliding bucket rows.
+    """
+    rows = k // bands
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
+    bandify = lambda sigs: sigs.select(  # noqa: E731
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
+    )
+    nb = bandify(new_sigs)
+    sb = bandify(store_sigs)
+
+    est_micro = F.expr(f"(CAST(agree AS BIGINT) * 1000000) div {k}")
+
+    def _score(cand: DataFrame, other_sigs: DataFrame) -> DataFrame:
+        a = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
+        b = other_sigs.select(
+            F.col("doc_id").alias("other_id"), F.col("sig").alias("sig_b")
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        return (
+            cand.join(a, "new_id")
+            .join(b, "other_id")
+            .withColumn("agree", agree)
+            .withColumn("est_micro", est_micro)
+            .filter(F.col("est_micro") >= threshold_micro)
+            .select("new_id", "other_id", "est_micro")
+        )
+
+    def _best(matches: DataFrame) -> DataFrame:
+        # two-step argmax (max est -> min id at that est): plain GROUP BYs,
+        # deterministic and portable — no engine-specific max_by/arg_max
+        top = matches.groupBy("new_id").agg(F.max("est_micro").alias("est_micro"))
+        return (
+            matches.join(top, ["new_id", "est_micro"])
+            .groupBy("new_id", "est_micro")
+            .agg(F.min("other_id").alias("dup_of"))
+        )
+
+    cand_store = (
+        nb.withColumnRenamed("doc_id", "new_id")
+        .join(sb.withColumnRenamed("doc_id", "other_id"), ["band", "band_hash"])
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    best_store = _best(_score(cand_store, store_sigs)).select(
+        "new_id",
+        F.col("dup_of").alias("store_dup_of"),
+        F.col("est_micro").alias("store_est_micro"),
+    )
+
+    cand_batch = (
+        nb.alias("x")
+        .join(nb.alias("y"), ["band", "band_hash"])
+        .filter(F.col("y.doc_id") < F.col("x.doc_id"))  # earlier id only
+        .select(
+            F.col("x.doc_id").alias("new_id"), F.col("y.doc_id").alias("other_id")
+        )
+        .distinct()
+    )
+    best_batch = _best(_score(cand_batch, new_sigs)).select(
+        "new_id",
+        F.col("dup_of").alias("batch_dup_of"),
+        F.col("est_micro").alias("batch_est_micro"),
+    )
+
+    ids = new_sigs.select(F.col("doc_id").alias("new_id"))
+    return (
+        ids.join(best_store, "new_id", "left")
+        .join(best_batch, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.coalesce("store_dup_of", F.lit(-1)).alias("store_dup_of"),
+            F.coalesce("store_est_micro", F.lit(0)).alias("store_est_micro"),
+            F.coalesce("batch_dup_of", F.lit(-1)).alias("batch_dup_of"),
+            F.coalesce("batch_est_micro", F.lit(0)).alias("batch_est_micro"),
+            (
+                F.col("store_dup_of").isNull() & F.col("batch_dup_of").isNull()
+            ).cast("int").alias("is_new"),
+        )
+    )
+
+
+def incremental_lsh_dedup_sql(
+    new_cte: str, store_cte: str, threshold_micro: int = 500_000,
+    k: int = MINHASH_K, bands: int = LSH_BANDS,
+) -> str:
+    """DuckDB rendering of :func:`incremental_lsh_dedup`. ``new_cte`` /
+    ``store_cte`` are subqueries each yielding (doc_id, text); the store
+    side re-derives its signatures (the oracle has no persisted table —
+    same math, same rows)."""
+    rows = k // bands
+    comps = ", ".join(_mh_comp_sql("bh", j, k) for j in range(k))
+    band_structs = ", ".join(
+        "{'band': %d, 'band_hash': md5(array_to_string("
+        "list_transform(sig[%d:%d], x -> CAST(x AS VARCHAR)), ','))}"
+        % (b, b * rows + 1, b * rows + rows)
+        for b in range(bands)
+    )
+    sig_cte = (
+        "SELECT doc_id, [" + comps + "] AS sig FROM "
+        "(SELECT doc_id, " + minhash_base_sql("text") + " AS bh FROM {src})"
+    )
+    est = f"(len(list_filter(range(1, {k} + 1), j -> a.sig[j] = b.sig[j])) * 1000000) // {k}"
+    return f"""
+WITH new_src AS ({new_cte}),
+store_src AS ({store_cte}),
+new_sigs AS ({sig_cte.format(src='new_src')}),
+store_sigs AS ({sig_cte.format(src='store_src')}),
+nb AS (SELECT doc_id, unnest([{band_structs}], recursive := true) FROM new_sigs),
+sb AS (SELECT doc_id, unnest([{band_structs}], recursive := true) FROM store_sigs),
+cand_store AS (
+  SELECT DISTINCT nb.doc_id AS new_id, sb.doc_id AS other_id
+  FROM nb JOIN sb USING (band, band_hash)
+),
+cand_batch AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS other_id
+  FROM nb x JOIN nb y USING (band, band_hash) WHERE y.doc_id < x.doc_id
+),
+scored_store AS (
+  SELECT new_id, other_id, {est} AS est_micro
+  FROM cand_store c JOIN new_sigs a ON c.new_id = a.doc_id
+                    JOIN store_sigs b ON c.other_id = b.doc_id
+),
+scored_batch AS (
+  SELECT new_id, other_id, {est} AS est_micro
+  FROM cand_batch c JOIN new_sigs a ON c.new_id = a.doc_id
+                    JOIN new_sigs b ON c.other_id = b.doc_id
+),
+ms AS (SELECT * FROM scored_store WHERE est_micro >= {threshold_micro}),
+mb AS (SELECT * FROM scored_batch WHERE est_micro >= {threshold_micro}),
+ts AS (SELECT new_id, max(est_micro) AS est_micro FROM ms GROUP BY 1),
+bs AS (
+  SELECT new_id, est_micro, min(other_id) AS dup_of
+  FROM ms JOIN ts USING (new_id, est_micro) GROUP BY 1, 2
+),
+tb AS (SELECT new_id, max(est_micro) AS est_micro FROM mb GROUP BY 1),
+bb AS (
+  SELECT new_id, est_micro, min(other_id) AS dup_of
+  FROM mb JOIN tb USING (new_id, est_micro) GROUP BY 1, 2
+)
+SELECT n.doc_id,
+       coalesce(bs.dup_of, -1) AS store_dup_of,
+       coalesce(bs.est_micro, 0) AS store_est_micro,
+       coalesce(bb.dup_of, -1) AS batch_dup_of,
+       coalesce(bb.est_micro, 0) AS batch_est_micro,
+       CAST(bs.dup_of IS NULL AND bb.dup_of IS NULL AS INT) AS is_new
+FROM new_sigs n LEFT JOIN bs ON n.doc_id = bs.new_id
+                LEFT JOIN bb ON n.doc_id = bb.new_id
+"""

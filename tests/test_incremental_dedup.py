@@ -1,0 +1,138 @@
+"""Incremental MinHash-LSH dedup against a persisted signature store
+(dedup/__init__.py) — r8-staged operator.
+
+The 100 TB shape: the historical corpus is never rescanned; a new batch
+joins the persisted (doc_id, sig) table, gets flagged vs store and vs
+earlier-id batch rows, and survivors' signatures append to the store.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again "
+    "token %d filler words here"
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    store_rows = [(i, BASE % (i // 3)) for i in range(30)]  # near-dup triples
+    new_rows = (
+        [(100 + i, BASE % (i // 3)) for i in range(12)]  # dups of store
+        + [
+            (
+                200,
+                "completely fresh text about distributed query engines "
+                "and vectorized execution plans",
+            ),
+            (
+                201,
+                "completely fresh text about distributed query engines "
+                "and vectorized execution plans",  # batch dup of 200
+            ),
+            (
+                202,
+                "another unique document mentioning watermarks state "
+                "stores and arrow batches only once",
+            ),
+        ]
+    )
+    store_df = spark.createDataFrame(store_rows, "doc_id long, text string")
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    return store_rows, new_rows, store_df, new_df
+
+
+def test_incremental_lsh_flags_store_batch_and_fresh(spark, frames):
+    _, _, store_df, new_df = frames
+    store_sigs = D.minhash_signatures(store_df, "text", "doc_id")
+    out = {
+        r.doc_id: r
+        for r in D.incremental_lsh_dedup(
+            new_df, store_sigs, "text", "doc_id"
+        ).collect()
+    }
+    assert len(out) == 15  # every new doc exactly once
+
+    # store dups resolve to the min-id store doc of their triple
+    for i in range(12):
+        r = out[100 + i]
+        assert r.store_dup_of == (i // 3) * 3
+        assert r.store_est_micro == 1_000_000
+        assert r.is_new == 0
+    # within-batch: later ids point at the EARLIEST batch id of the group
+    assert out[101].batch_dup_of == 100 and out[102].batch_dup_of == 100
+    assert out[100].batch_dup_of == -1  # first of its group: no earlier id
+    # fresh rows
+    assert out[200].is_new == 1 and out[200].store_dup_of == -1
+    assert out[202].is_new == 1
+    # 201 is fresh vs store but a batch dup of 200
+    assert out[201].store_dup_of == -1
+    assert out[201].batch_dup_of == 200
+    assert out[201].is_new == 0
+
+
+def test_incremental_lsh_hash_matches_duckdb(spark, frames):
+    import duckdb
+    import pandas as pd
+
+    store_rows, new_rows, store_df, new_df = frames
+    store_sigs = D.minhash_signatures(store_df, "text", "doc_id")
+    spdf = (
+        D.incremental_lsh_dedup(new_df, store_sigs, "text", "doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("store_t", pd.DataFrame(store_rows, columns=["doc_id", "text"]))
+    con.register("new_t", pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+    ddf = (
+        con.execute(
+            D.incremental_lsh_dedup_sql(
+                "SELECT doc_id, text FROM new_t",
+                "SELECT doc_id, text FROM store_t",
+            )
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ddf.columns:
+        ddf[c] = ddf[c].astype("int64")
+        spdf[c] = spdf[c].astype("int64")
+    assert spdf.equals(ddf)
+
+
+def test_incremental_lsh_store_side_never_rescans_text(spark, frames):
+    """The operator consumes only the signature table for the store side —
+    the corpus text column must not appear anywhere in the plan (the whole
+    point of the incremental shape)."""
+    _, _, store_df, new_df = frames
+    store_sigs = D.minhash_signatures(store_df, "text", "doc_id").select(
+        "doc_id", "sig"
+    )
+    out = D.incremental_lsh_dedup(new_df, store_sigs, "text", "doc_id")
+    # signature store has no text column at all -> structurally impossible
+    assert "text" not in [f.name for f in store_sigs.schema.fields]
+    assert out.count() == 15
+
+
+def test_incremental_lsh_empty_store_marks_all_fresh_or_batch(spark, frames):
+    _, _, _, new_df = frames
+    empty_store = D.minhash_signatures(
+        new_df.limit(0), "text", "doc_id"
+    )
+    out = {
+        r.doc_id: r
+        for r in D.incremental_lsh_dedup(
+            new_df, empty_store, "text", "doc_id"
+        ).collect()
+    }
+    assert all(r.store_dup_of == -1 for r in out.values())
+    # batch-internal structure still detected
+    assert out[101].batch_dup_of == 100
+    assert out[100].is_new == 1

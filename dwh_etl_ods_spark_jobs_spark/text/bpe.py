@@ -39,7 +39,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["BPE_FIX_PASSES", "bpe_word_counts", "bpe_train", "bpe_train_sql"]
+__all__ = [
+    "BPE_FIX_PASSES",
+    "BPE_APPLY_CHUNK",
+    "bpe_word_counts",
+    "bpe_train",
+    "bpe_train_sql",
+    "bpe_encode_counts",
+    "bpe_encode_counts_sql",
+]
 
 BPE_FIX_PASSES = 5  # covers runs up to 2^5 symbols — beyond any [a-z]+ word
 
@@ -154,3 +162,101 @@ m{i} AS (
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY rank"
+
+
+BPE_APPLY_CHUNK = 16  # merges applied per select before a localCheckpoint
+
+
+def _apply_merges(sym: "F.Column | str", merges: list[tuple[str, str]]):
+    """Chain the replace-to-fixpoint rule for ``merges`` (rank order) onto
+    a symbol-string column expression."""
+    col = F.col(sym) if isinstance(sym, str) else sym
+    for pair, merged in merges:
+        for _ in range(BPE_FIX_PASSES):
+            col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return col
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    chunk: int = BPE_APPLY_CHUNK,
+) -> DataFrame:
+    """Apply a learned merge table to a corpus and return exact per-doc
+    token statistics: ``(doc_id, n_words, n_tokens)`` where n_tokens is
+    the BPE token count of the doc's ``[a-z]+`` words under ``merges``.
+
+    ``merges`` is the (pair, merged) list in rank order — the tiny
+    driver-side codebook from :func:`bpe_train` (``[(r.pair, r.merged) for
+    r in bpe_train(...).collect()]``). Scale shape: merges apply on the
+    DISTINCT-WORD frame only (the same corpus collapse as training), in
+    chunks of ``chunk`` merges per projection with a localCheckpoint
+    between chunks so a 32k-merge vocabulary never builds a 160k-deep
+    expression tree; the corpus-sized pass is a single explode +
+    broadcast-joinable word->count lookup + one sum."""
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = words.select("w").distinct()
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.concat(F.col("w"), F.lit("_")), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    seg = vocab.select("w", sym.alias("sym"))
+    for i in range(0, len(merges), chunk):
+        seg = seg.select(
+            "w", _apply_merges("sym", merges[i : i + chunk]).alias("sym")
+        ).localCheckpoint(eager=False)
+    tok = seg.select(
+        "w", F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_tok")
+    )
+    return (
+        words.join(tok, "w")  # vocab-sized right side: broadcast at scale
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_counts_sql(
+    table: str, text_expr: str, id_expr: str, merges: list[tuple[str, str]]
+) -> str:
+    """DuckDB rendering of :func:`bpe_encode_counts` — the same distinct-word
+    segmentation with the replace chain inlined (the oracle runs at test
+    scale; chunked checkpointing is an executor concern, not a semantic
+    one)."""
+    expr = "sym"
+    for pair, merged in merges:
+        for _ in range(BPE_FIX_PASSES):
+            expr = f"replace({expr}, ' {pair} ', ' {merged} ')"
+    return f"""
+WITH words AS (
+  SELECT {id_expr} AS doc_id, w
+  FROM (
+    SELECT {id_expr},
+           unnest(string_split_regex(lower({text_expr}), '[^a-z]+')) AS w
+    FROM {table}
+  ) WHERE w != ''
+),
+vocab AS (
+  SELECT DISTINCT w,
+         ' ' || trim(regexp_replace(w || '_', '(.)', '\\1 ', 'g')) || ' ' AS sym
+  FROM words
+),
+seg AS (SELECT w, {expr} AS sym FROM vocab),
+tok AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_tok FROM seg)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM words JOIN tok USING (w)
+GROUP BY doc_id
+"""

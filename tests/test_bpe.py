@@ -135,3 +135,84 @@ def test_bpe_iteration_state_is_word_sized_and_checkpointed(spark):
     assert out.count() <= 12
     ranks = [r.rank for r in out.collect()]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def _py_encode(texts: list[str], merges: list[tuple[str, str]]) -> dict[int, tuple[int, int]]:
+    out = {}
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        n_tok = 0
+        for w in words:
+            sym = " " + " ".join(list(w) + ["_"]) + " "
+            for pair, merged in merges:
+                for _ in range(BPE_FIX_PASSES):
+                    sym = sym.replace(f" {pair} ", f" {merged} ")
+            n_tok += len(sym.split())
+        out[i] = (len(words), n_tok)
+    return out
+
+
+def test_bpe_encode_counts_matches_python_and_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.text.bpe import (
+        bpe_encode_counts,
+        bpe_encode_counts_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, body string"
+    )
+    merges = [
+        (r.pair, r.merged) for r in bpe_train(spark, df, "body", 6).collect()
+    ]
+    ref = _py_encode(TEXTS, merges)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_counts(df, "body", "doc_id", merges).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(TEXTS)), "body": TEXTS}))
+    ddf = con.execute(
+        bpe_encode_counts_sql("docs", "body", "doc_id", merges)
+    ).df()
+    duck = {
+        int(r["doc_id"]): (int(r["n_words"]), int(r["n_tokens"]))
+        for _, r in ddf.iterrows()
+    }
+    assert duck == ref
+
+
+def test_bpe_encode_zero_merges_is_chars_plus_marker(spark):
+    from dwh_etl_ods_spark_jobs_spark.text.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame([(0, "ab abc")], "doc_id long, body string")
+    r = bpe_encode_counts(df, "body", "doc_id", []).collect()[0]
+    # 'ab' -> a b _ (3), 'abc' -> a b c _ (4)
+    assert (r.n_words, r.n_tokens) == (2, 7)
+
+
+def test_bpe_encode_chunked_apply_matches_unchunked(spark):
+    """chunk=2 forces multiple checkpointed projections over a 6-merge
+    table; the result must be identical to one-shot application."""
+    from dwh_etl_ods_spark_jobs_spark.text.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, body string"
+    )
+    merges = [
+        (r.pair, r.merged) for r in bpe_train(spark, df, "body", 6).collect()
+    ]
+    one = sorted(
+        (r.doc_id, r.n_words, r.n_tokens)
+        for r in bpe_encode_counts(df, "body", "doc_id", merges, chunk=100).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.n_words, r.n_tokens)
+        for r in bpe_encode_counts(df, "body", "doc_id", merges, chunk=2).collect()
+    )
+    assert one == many

@@ -394,3 +394,56 @@ def run_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
     query.awaitTermination(timeout_s)
     if query.isActive:
         query.stop()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within_seconds: int,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left row with right rows
+    sharing ``key`` whose ``right_ts`` falls in ``[left_ts, left_ts +
+    within_seconds]`` — the impressions⋈clicks attribution shape.
+
+    Both sides carry the same event-time watermark and the join condition
+    bounds the two event times against each other, which is exactly what
+    lets Spark compute a state-eviction horizon for BOTH join buffers:
+    state is bounded by (watermark + within_seconds) of data per side,
+    independent of total stream length. Without the time-range condition a
+    stream-stream join would buffer both sides forever.
+
+    ``how='left_outer'`` additionally emits unmatched left rows — but only
+    once the watermark passes their join window (a row can't be declared
+    unmatched while a matching right row could still arrive), so outer
+    results trail the watermark by design; the right-side columns are NULL.
+
+    The right side's ``key`` column is dropped from the output (it equals
+    the left's on matches and is NULL on outer rows). Works identically on
+    batch frames (``withWatermark`` is a no-op there) — the
+    batch-equivalence tests rely on that.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    rk = "__ssj_rk"
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withColumnRenamed(key, rk)
+        .withWatermark(right_ts, watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{rk}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        )
+    )
+    return l.join(r, cond, how).drop(rk)

@@ -551,3 +551,111 @@ def test_streaming_dq_counts_snapshot_equals_batch_audit(spark, workdir):
 
     with _pytest.raises(ValueError, match="RowChecks only"):
         streaming_dq_counts(stream, checks + [UniqueCheck("u", ("id",))])
+
+
+def test_stream_stream_interval_join_matches_batch(spark, workdir):
+    """Watermarked stream-stream inner join == the same operator applied
+    to batch frames (withWatermark is a no-op there): every (impression,
+    click-within-5min) pair, attribution-style."""
+    import datetime as dt
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 10, minute, second)
+
+    imp_rows = [("u1", t(0), "ad_a"), ("u1", t(20), "ad_b"),
+                ("u2", t(1), "ad_c"), ("u3", t(2), "ad_d")]
+    clk_rows = [("u1", t(3), "home"),    # joins ad_a (within 5m)
+                ("u1", t(22), "cart"),   # joins ad_b
+                ("u2", t(30), "home"),   # too late for ad_c
+                ("u4", t(4), "promo")]   # no impression
+    imp_schema = "user string, imp_ts timestamp, ad string"
+    clk_schema = "user string, clk_ts timestamp, page string"
+
+    imp_src = os.path.join(workdir, "imps")
+    clk_src = os.path.join(workdir, "clks")
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    _write_source_files(spark, imp_src, imp_rows, imp_schema)
+    _write_source_files(spark, clk_src, clk_rows, clk_schema)
+
+    joined = ST.stream_stream_interval_join(
+        ST.file_stream(spark, imp_src, spark.read.parquet(imp_src).schema),
+        ST.file_stream(spark, clk_src, spark.read.parquet(clk_src).schema),
+        key="user", left_ts="imp_ts", right_ts="clk_ts",
+        within_seconds=300,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    ST.run_to_completion(q)
+    got = sorted(
+        (r.user, r.imp_ts, r.ad, r.clk_ts, r.page)
+        for r in spark.read.parquet(out).collect()
+    )
+    expected = sorted(
+        (r.user, r.imp_ts, r.ad, r.clk_ts, r.page)
+        for r in ST.stream_stream_interval_join(
+            spark.createDataFrame(imp_rows, imp_schema),
+            spark.createDataFrame(clk_rows, clk_schema),
+            key="user", left_ts="imp_ts", right_ts="clk_ts",
+            within_seconds=300,
+        ).collect()
+    )
+    assert got == expected
+    assert [(u, a) for u, _, a, _, _ in got] == [
+        ("u1", "ad_a"), ("u1", "ad_b")
+    ]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, workdir):
+    """left_outer: unmatched impressions surface with NULL click columns —
+    but only after the watermark passes their join window (a later batch
+    advances it), proving state is evicted rather than held forever."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    imp_schema = "user string, imp_ts timestamp, ad string"
+    clk_schema = "user string, clk_ts timestamp, page string"
+    imp_src = os.path.join(workdir, "imps")
+    clk_src = os.path.join(workdir, "clks")
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    # batch 1: one matched and one unmatched impression
+    _write_source_files(
+        spark, imp_src, [("u1", t(0), "ad_a"), ("u9", t(0), "ad_x")], imp_schema
+    )
+    _write_source_files(spark, clk_src, [("u1", t(3), "home")], clk_schema)
+
+    def run_once():
+        joined = ST.stream_stream_interval_join(
+            ST.file_stream(spark, imp_src, spark.read.parquet(imp_src).schema),
+            ST.file_stream(spark, clk_src, spark.read.parquet(clk_src).schema),
+            key="user", left_ts="imp_ts", right_ts="clk_ts",
+            within_seconds=300, watermark="1 minutes", how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        ST.run_to_completion(q)
+        return {
+            (r.user, r.ad): (r.clk_ts, r.page)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run_once()
+    assert first.get(("u1", "ad_a")) is not None  # match emits immediately
+
+    # batch 2: far-future rows on BOTH sides push the watermark past
+    # ad_x's join window -> the unmatched left row must now emit with NULLs
+    _write_source_files(spark, imp_src, [("zz", t(59), "ad_z")], imp_schema)
+    _write_source_files(spark, clk_src, [("zz", t(59), "late")], clk_schema)
+    second = run_once()
+    assert second[("u9", "ad_x")] == (None, None)
+    assert ("u1", "ad_a") in second

@@ -33,6 +33,8 @@ __all__ = [
     "dq_expectations_sql",
     "dq_audit_from_counts",
     "streaming_dq_counts",
+    "k_anonymity_census",
+    "k_anonymity_census_sql",
 ]
 
 PPM = 1_000_000
@@ -183,3 +185,53 @@ def dq_expectations_sql(
         ctes.append(cte)
         rows.extend(table_rows)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def k_anonymity_census(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Privacy-risk audit: rows grouped by their quasi-identifier tuple
+    form equivalence classes; any class smaller than ``k`` re-identifies
+    its members (Sweeney, IJUFKS 2002 — k-anonymity). Returns the census
+    by class size::
+
+        (class_size, n_classes, n_rows, at_risk)
+
+    with ``at_risk = 1`` where ``class_size < k``. Total at-risk rows /
+    total rows gives the exposure ratio; the k-anonymity of the table is
+    the smallest class_size present.
+
+    Scale: ONE shuffle on the quasi-identifier tuple (map-side
+    combinable count — NULLs group as values, matching SQL GROUP BY);
+    the second aggregation runs on one row per class, and class-size
+    grouping collapses that to at most a few hundred rows. No row data
+    leaves the first aggregation.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < k).cast("int").alias("at_risk"),
+        )
+    )
+
+
+def k_anonymity_census_sql(table: str, quasi_cols: list[str], k: int) -> str:
+    """DuckDB rendering of :func:`k_anonymity_census` (same two grouped
+    passes; counts cast back to BIGINT so pandas keeps them integral)."""
+    qcols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+  SELECT {qcols}, CAST(count(*) AS BIGINT) AS class_size
+  FROM {table} GROUP BY {qcols}
+)
+SELECT class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+       CAST(class_size < {k} AS INT) AS at_risk
+FROM classes GROUP BY class_size
+"""

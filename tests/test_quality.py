@@ -111,3 +111,72 @@ def test_robust_outlier_census_partitioning_invariant(spark):
     many = df.repartition(13).transform(robust_outlier_census(["g"], "v")).collect()[0]
     assert one == many
     assert one.n_outliers == 2
+
+
+def test_k_anonymity_census_known_values(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import k_anonymity_census
+
+    rows = (
+        [("us", "a")] * 5      # class of 5 (safe at k=3)
+        + [("us", "b")] * 2    # class of 2 (risky)
+        + [("fr", "a")] * 2    # class of 2 (risky)
+        + [("de", None)]       # NULL groups as a value: class of 1 (risky)
+    )
+    df = spark.createDataFrame(rows, "nation string, segment string")
+    out = {
+        r.class_size: (r.n_classes, r.n_rows, r.at_risk)
+        for r in k_anonymity_census(df, ["nation", "segment"], k=3).collect()
+    }
+    assert out == {5: (1, 5, 0), 2: (2, 4, 1), 1: (1, 1, 1)}
+    # table's k-anonymity = min class size; exposure = risky rows / rows
+    assert min(out) == 1
+    assert sum(n for s, (_, n, r) in out.items() if r) == 5
+
+
+def test_k_anonymity_census_hash_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        k_anonymity_census,
+        k_anonymity_census_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "nation": ["us"] * 7 + ["fr"] * 3 + ["de"] * 2,
+            "segment": ["a", "a", "a", "b", "b", "c", "c", "a", "a", "b", "c", "c"],
+        }
+    )
+    spdf = (
+        k_anonymity_census(spark.createDataFrame(pdf), ["nation", "segment"], 3)
+        .toPandas()
+        .sort_values("class_size")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ddf = (
+        con.execute(k_anonymity_census_sql("t", ["nation", "segment"], 3))
+        .df()
+        .sort_values("class_size")
+        .reset_index(drop=True)
+    )
+    for c in ddf.columns:
+        ddf[c] = ddf[c].astype("int64")
+        spdf[c] = spdf[c].astype("int64")
+    assert spdf.equals(ddf)
+
+
+def test_k_anonymity_census_single_shuffle_on_rows(spark):
+    """Plan shape: exactly one exchange touches row-sized data (the
+    quasi-tuple count); the census aggregation exchanges class rows only."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import k_anonymity_census
+
+    df = spark.range(10_000).selectExpr(
+        "CAST(id % 7 AS STRING) AS nation", "CAST(id % 13 AS STRING) AS segment"
+    )
+    out = k_anonymity_census(df, ["nation", "segment"], 100)
+    assert out.count() == 2  # 10000 over 91 classes -> sizes 109 and 110
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3  # quasi shuffle + class shuffle (+AQE read)

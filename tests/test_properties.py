@@ -240,3 +240,79 @@ def test_epoch_shuffle_dense_over_arbitrary_ids(spark, ids, seed):
     )
     got = [r.doc_id for r in sorted(out, key=lambda r: r.epoch_pos)]
     assert got == expect
+
+
+# --- BPE training: Spark == the pure-Python reference for ANY corpus ---
+
+word = st.text(alphabet="abc", min_size=1, max_size=6)
+corpus = st.lists(
+    st.lists(word, min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=8,
+)
+
+BPE_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=corpus)
+@BPE_SET
+def test_bpe_train_equals_python_reference_for_any_corpus(spark, texts):
+    """The tiny 'abc' alphabet maximizes self-pairs, runs, and argmax
+    ties — the exact places a Spark/Python divergence would hide."""
+    from dwh_etl_ods_spark_jobs_spark.text.bpe import bpe_train
+
+    from tests.test_bpe import _py_bpe
+
+    df = spark.createDataFrame([(t,) for t in texts], "body string")
+    got = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(spark, df, "body", 4).collect()
+    ]
+    assert got == _py_bpe(list(texts), 4)
+
+
+# --- incremental dedup: flags partition the batch for ANY store/batch ---
+
+doc = st.tuples(
+    st.integers(0, 50),
+    st.lists(st.sampled_from(["alpha beta gamma delta", "one two three four",
+                              "red green blue yellow"]), min_size=1, max_size=2)
+    .map(" ".join),
+)
+
+
+@given(store=st.lists(doc, min_size=0, max_size=8, unique_by=lambda d: d[0]),
+       batch=st.lists(doc, min_size=1, max_size=8, unique_by=lambda d: d[0]))
+@BPE_SET
+def test_incremental_dedup_invariants(spark, store, batch):
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+
+    schema = "doc_id long, text string"
+    batch_df = spark.createDataFrame(batch, schema)
+    store_df = (
+        spark.createDataFrame(store, schema)
+        if store
+        else spark.createDataFrame([], schema)
+    )
+    sigs = D.minhash_signatures(store_df, "text", "doc_id")
+    out = D.incremental_lsh_dedup(batch_df, sigs, "text", "doc_id").collect()
+
+    # every batch doc exactly once
+    assert sorted(r.doc_id for r in out) == sorted(d for d, _ in batch)
+    store_ids = {d for d, _ in store}
+    batch_ids = {d for d, _ in batch}
+    for r in out:
+        # is_new consistent with the two flags
+        assert r.is_new == int(r.store_dup_of == -1 and r.batch_dup_of == -1)
+        # dup pointers land in the right id space, batch dup strictly earlier
+        assert r.store_dup_of == -1 or r.store_dup_of in store_ids
+        assert r.batch_dup_of == -1 or (
+            r.batch_dup_of in batch_ids and r.batch_dup_of < r.doc_id
+        )
+        # identical text MUST be flagged (LSH recall is 1.0 on exact dups)
+        texts_by_id = dict(batch)
+        if any(t == texts_by_id[r.doc_id] and d < r.doc_id for d, t in batch):
+            assert r.batch_dup_of != -1

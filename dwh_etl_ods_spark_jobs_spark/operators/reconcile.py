@@ -1,0 +1,175 @@
+"""Table reconciliation: snapshot diff and referential-integrity audit.
+
+The reference's load modes (stage-and-swap full refresh, anti-join
+increments, MERGE upserts) all need a verification counterpart a
+warehouse team actually runs: "what changed between yesterday's snapshot
+and today's?" and "do my fact rows still have parents?". Both are
+single-shuffle DataFrame ops with exact-integer outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "snapshot_diff",
+    "snapshot_diff_sql",
+    "fk_orphan_census",
+    "fk_orphan_census_sql",
+]
+
+_NULL_SENTINEL = "\x00"  # Spark lit == DuckDB chr(0); cannot occur in data
+
+
+def _row_hash(cols: Sequence[str]):
+    """Cross-engine row fingerprint: md5 of the '|'-joined,
+    NUL-sentineled string forms of ``cols`` (rendered identically by
+    ``snapshot_diff_sql``)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Classify every key between two table versions::
+
+        (key..., change)   change in {'added','removed','changed','same'}
+
+    One null-safe full-outer join on ``keys``; non-key columns compare by
+    md5 row fingerprint (computed scan-side on each side — the join ships
+    (keys, 32-char hash), never the payload). Keys must be unique per side
+    (pre-dedupe if not). Scale: single shuffle on the key, AQE-skew-safe;
+    the fingerprint makes the compare O(1) per row regardless of column
+    count.
+    """
+    keys = list(keys)
+    val_cols = [c for c in new.columns if c not in keys]
+    old_val_cols = [c for c in old.columns if c not in keys]
+    if sorted(val_cols) != sorted(old_val_cols):
+        raise ValueError(
+            f"column mismatch: old={sorted(old_val_cols)} new={sorted(val_cols)}"
+        )
+    ordered = sorted(val_cols)  # fixed hash order, independent of projection
+    # per-side key renames (the full_outer_coalesce idiom): keeps the join
+    # unambiguous even when old and new derive from the SAME DataFrame
+    o = old.select(
+        *[F.col(k).alias(f"__o_{k}") for k in keys],
+        _row_hash(ordered).alias("__h_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__n_{k}") for k in keys],
+        _row_hash(ordered).alias("__h_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k) for k in keys
+    ]
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, change.alias("change"))
+
+
+def snapshot_diff_sql(
+    old_cte: str, new_cte: str, keys: Sequence[str], val_cols: Sequence[str]
+) -> str:
+    """DuckDB rendering of :func:`snapshot_diff` — same fingerprint (md5 of
+    '|'-joined NUL-sentineled strings over sorted ``val_cols``)."""
+    keys = list(keys)
+    ordered = sorted(val_cols)
+    fp = (
+        "md5(concat_ws('|', "
+        + ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in ordered)
+        + "))"
+    )
+    on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
+    key_sel = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
+    key_list = ", ".join(keys)
+    return f"""
+WITH old_v AS ({old_cte}),
+new_v AS ({new_cte}),
+o AS (SELECT {key_list}, {fp} AS h FROM old_v),
+n AS (SELECT {key_list}, {fp} AS h FROM new_v)
+SELECT {key_sel},
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'same'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON {on}
+"""
+
+
+def fk_orphan_census(
+    child: DataFrame, parent: DataFrame, fk: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Referential-integrity audit: count child rows whose foreign key has
+    no parent. ``fk`` maps child column -> parent column. Returns one row::
+
+        (n_child, n_orphans, orphan_ppm)
+
+    NULL foreign keys count as orphans (they reference nothing —
+    null-rejecting ``=`` on both engines). Scale: ONE left join against
+    the deduplicated parent keyset folded into a single
+    map-side-combinable count pass — the parent ships keys only, and a
+    wide child row contributes two ints to the aggregation.
+    """
+    fk = list(fk)
+    child_keys = [c for c, _ in fk]
+    parent_keys = parent.select(
+        *[F.col(p).alias(c) for c, p in fk]
+    ).dropDuplicates(child_keys)
+    counted = (
+        child.join(parent_keys.withColumn("__hit", F.lit(1)), child_keys, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_orphans"),
+        )
+    )
+    return counted.select(
+        "n_child",
+        F.coalesce("n_orphans", F.lit(0)).cast("long").alias("n_orphans"),
+        F.expr(
+            "CASE WHEN n_child = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (coalesce(n_orphans, 0) * 1000000) div n_child END"
+        ).alias("orphan_ppm"),
+    )
+
+
+def fk_orphan_census_sql(
+    child_cte: str, parent_cte: str, fk: Sequence[tuple[str, str]]
+) -> str:
+    """DuckDB rendering of :func:`fk_orphan_census` (LEFT JOIN against the
+    deduplicated parent keyset — identical NULL semantics)."""
+    fk = list(fk)
+    on = " AND ".join(f"c.{cc} = p.{cc}" for cc, _ in fk)
+    pk_sel = ", ".join(f"{pc} AS {cc}" for cc, pc in fk)
+    return f"""
+WITH child_v AS ({child_cte}),
+parent_v AS ({parent_cte}),
+pkeys AS (SELECT DISTINCT {pk_sel}, 1 AS hit FROM parent_v),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(coalesce(sum(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_orphans
+  FROM child_v c LEFT JOIN pkeys p ON {on}
+)
+SELECT n_child, n_orphans,
+       CASE WHEN n_child = 0 THEN CAST(0 AS BIGINT)
+            ELSE (n_orphans * 1000000) // n_child END AS orphan_ppm
+FROM stats
+"""

@@ -1,0 +1,91 @@
+"""Encoding-artifact detection (text/encoding.py) — r8-staged operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.text.encoding import (
+    ENCODING_ARTIFACTS,
+    encoding_artifact_sql_columns,
+    encoding_artifact_stats,
+)
+
+
+def _mojibake(s: str) -> str:
+    """Simulate the UTF-8 -> Windows-1252 misread that produces mojibake."""
+    return s.encode("utf-8").decode("windows-1252")
+
+
+ROWS = [
+    (0, "perfectly clean ascii text"),
+    (1, _mojibake("café crème")),                  # vowel digraphs
+    (2, _mojibake("it’s a “test – really… — done")),
+    (3, "broken �� replacement chars"),
+    (4, ""),                                        # empty text -> ppm 0
+]
+
+
+def test_artifact_literals_are_real_mojibake():
+    """Every non-FFFD literal is exactly what some UTF-8 sequence becomes
+    when misread as Windows-1252 — the detector hunts real-world damage,
+    not arbitrary strings."""
+    sources = ["é", "è", "ç", "ñ", "ü", "ö", "ä",
+               "’", "“", "–", "—", "…", " "]
+    produced = {_mojibake(s) for s in sources}
+    for lit in ENCODING_ARTIFACTS:
+        if lit == "�":
+            continue
+        assert lit in produced, repr(lit)
+
+
+def test_encoding_artifact_stats_counts(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    stats = encoding_artifact_stats(F.col("text"))
+    out = {
+        r.doc_id: (r.n_artifacts, r.artifact_ppm)
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in stats.items()]
+        ).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[1][0] == 2            # Ã© twice (café, crème -> Ã© and Ã¨)
+    assert out[2][0] == 5            # ’ “ – … — each once
+    assert out[3][0] == 2            # two U+FFFD
+    assert out[4] == (0, 0)          # empty text: guarded ppm
+    assert out[1][1] > 0
+
+
+def test_encoding_artifact_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    stats = encoding_artifact_stats(F.col("text"))
+    spdf = (
+        df.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = encoding_artifact_sql_columns("text")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{v} AS {k}" for k, v in cols.items()
+    ) + " FROM t ORDER BY doc_id"
+    ddf = con.execute(sql).df()
+    for c in ("n_chars", "n_artifacts", "artifact_ppm"):
+        assert list(spdf[c].astype("int64")) == list(ddf[c].astype("int64")), c
+
+
+def test_encoding_artifact_is_scan_side_only(spark):
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS text")
+    stats = encoding_artifact_stats(F.col("text"))
+    plan = (
+        df.select(*[v.alias(k) for k, v in stats.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero shuffle: pure projection

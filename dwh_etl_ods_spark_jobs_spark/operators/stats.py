@@ -31,6 +31,8 @@ __all__ = [
     "bivariate_stats_sql",
     "robust_outlier_census",
     "robust_outlier_census_sql",
+    "chi2_association",
+    "chi2_association_sql",
 ]
 
 
@@ -222,4 +224,110 @@ SELECT {g}, max(n) AS n, max(med_c2) AS med_c2, max(mad_c4) AS mad_c4,
          AS n_outliers
 FROM dev JOIN mad USING ({g})
 GROUP BY {g}
+"""
+
+
+def chi2_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, on the exact-integer discipline. One row out::
+
+        (n, n_cells, dof, chi2_micro)
+
+    Uses the identity ``chi2 = n * (SUM_cells obs^2/(rowtot*coltot) - 1)``
+    so every per-cell term is ``(obs^2 * 1e9) div (rt*ct)`` — an exact
+    integer nano-unit, decimal(38,0) products (obs^2*1e9 <= 1e27 for any
+    n), quotient <= 1e9 (obs <= min(rt, ct)) so Spark's long-valued
+    decimal ``div`` cannot overflow. The nano sum folds to micro at the
+    end; floor bias is < n*n_cells*1e-9 chi2 units (0.1 at n=1e6,
+    100 cells). NULL categories join the census as a NUL-sentinel
+    value (first-class category, dof included).
+
+    Scale: ONE shuffle on the (a, b) cell key (map-side combinable
+    count); marginals derive from the cell frame (cells-sized, tiny) and
+    join back broadcast; the grand total attaches via the data-derived
+    constant-key broadcast idiom. Output chi2_micro fits BIGINT for
+    n*min_cardinality up to ~9e12.
+    """
+    # NULL categories become a NUL sentinel BEFORE grouping: the marginal
+    # joins below use null-rejecting equality in both engines, so a raw
+    # NULL cell would silently drop from the term sum while still counting
+    # in n — the sentinel keeps NULL a first-class category end to end
+    nn = lambda c: F.coalesce(c.cast("string"), F.lit("\x00"))  # noqa: E731
+    cells = (
+        df.groupBy(nn(F.col(col_a)).alias("a"), nn(F.col(col_b)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=False)  # feeds marginals + totals + terms
+    )
+    rt = cells.groupBy("a").agg(F.sum("obs").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct(F.col("a")) - 1)
+            * (F.count_distinct(F.col("b")) - 1)
+        ).alias("dof"),
+        F.lit(1).alias("_k"),
+    )
+    term = F.expr(
+        "CAST(CAST(obs AS decimal(38,0)) * CAST(obs AS decimal(38,0)) "
+        "* 1000000000 AS decimal(38,0)) div "
+        "CAST(CAST(rt AS decimal(38,0)) * CAST(ct AS decimal(38,0)) "
+        "AS decimal(38,0))"
+    )
+    summed = (
+        cells.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .select(term.alias("t"), F.lit(1).alias("_k"))
+        .groupBy("_k")
+        .agg(F.sum("t").alias("t_nano"))
+    )
+    out = summed.join(F.broadcast(tot), "_k")
+    # clamp at the independence floor: per-cell floor rounding can push
+    # t_nano a hair under 1e9 for perfectly independent data, and the two
+    # engines disagree on NEGATIVE integer division (truncate vs floor) —
+    # clamping keeps every division non-negative AND chi2 >= 0 by law
+    chi2 = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * (greatest(CAST(t_nano AS "
+        "decimal(38,0)), CAST(1000000000 AS decimal(38,0))) - 1000000000) "
+        "AS decimal(38,0)) div CAST(1000 AS decimal(38,0))"
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("dof").cast("long").alias("dof"),
+        chi2.cast("long").alias("chi2_micro"),
+    )
+
+
+def chi2_association_sql(table_expr: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB rendering of :func:`chi2_association` — HUGEINT arithmetic,
+    identical op order and floor divisions."""
+    return f"""
+WITH src AS (SELECT coalesce(CAST({a_expr} AS VARCHAR), chr(0)) AS a,
+                    coalesce(CAST({b_expr} AS VARCHAR), chr(0)) AS b
+             FROM {table_expr}),
+cells AS (
+  SELECT a, b, CAST(count(*) AS HUGEINT) AS obs FROM src GROUP BY a, b
+),
+rt AS (SELECT a, CAST(sum(obs) AS HUGEINT) AS rt FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(obs) AS HUGEINT) AS ct FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(obs) AS HUGEINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+           AS dof
+  FROM cells
+),
+terms AS (
+  SELECT (obs * obs * 1000000000) // (rt.rt * ct.ct) AS t
+  FROM cells JOIN rt USING (a) JOIN ct USING (b)
+),
+summed AS (SELECT CAST(sum(t) AS HUGEINT) AS t_nano FROM terms)
+SELECT CAST(n AS BIGINT) AS n,
+       n_cells,
+       dof,
+       CAST((n * (greatest(t_nano, CAST(1000000000 AS HUGEINT))
+                  - 1000000000)) // 1000 AS BIGINT) AS chi2_micro
+FROM summed, tot
 """

@@ -66,3 +66,61 @@ def test_bivariate_survives_values_beyond_bigint_product(spark):
     # y = 2x exactly -> perfect correlation and slope 2
     assert row.corr_xy == pytest.approx(1.0)
     assert row.slope == pytest.approx(2.0)
+
+
+def test_chi2_association_known_value(spark):
+    """2x2 table with a textbook chi2: obs [[20,10],[10,20]] ->
+    chi2 = 60*(sum obs^2/(rt*ct) - 1) = 60*( (400+100+100+400)/900 - 1 )
+         = 60*(1000/900 - 1) = 6.666... -> 6_666_6xx micro."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import chi2_association
+
+    rows = (
+        [("x", "p")] * 20 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_association(df, "a", "b").collect()[0]
+    assert (r.n, r.n_cells, r.dof) == (60, 4, 1)
+    assert abs(r.chi2_micro - 6_666_667) <= 300  # nano-floor bias only
+
+
+def test_chi2_association_independent_is_zero(spark):
+    # perfectly independent 2x2 -> chi2 exactly 0 (clamped floor)
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import chi2_association
+
+    rows = (
+        [("x", "p")] * 12 + [("x", "q")] * 6
+        + [("y", "p")] * 4 + [("y", "q")] * 2
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_association(df, "a", "b").collect()[0]
+    assert r.chi2_micro == 0
+    assert r.dof == 1
+
+
+def test_chi2_association_hash_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        chi2_association,
+        chi2_association_sql,
+    )
+
+    rows = [(f"a{i % 5}", f"b{(i * 7 + i // 3) % 4}") for i in range(500)]
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    got = chi2_association(spark.createDataFrame(pdf), "a", "b").collect()[0]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.execute(chi2_association_sql("t", "a", "b")).fetchone()
+    assert (got.n, got.n_cells, got.dof, got.chi2_micro) == duck
+
+
+def test_chi2_association_null_categories_group(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import chi2_association
+
+    rows = [("x", "p"), ("x", None), (None, "p"), (None, None)] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_association(df, "a", "b").collect()[0]
+    assert (r.n, r.n_cells, r.dof) == (20, 4, 1)
+    assert r.chi2_micro == 0  # independent by construction

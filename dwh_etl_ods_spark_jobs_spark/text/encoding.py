@@ -17,13 +17,16 @@ the ASCII-dominant corpora the battery runs on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "ENCODING_ARTIFACTS",
     "encoding_artifact_stats",
     "encoding_artifact_sql_columns",
+    "COMPRESSION_SCHEMA",
+    "compression_ratio",
+    "compression_ratio_batches",
 ]
 
 # The replacement char, the common Latin-1-mojibake vowel digraphs, the
@@ -106,3 +109,57 @@ def encoding_artifact_sql_columns(expr: str) -> dict[str, str]:
             f"ELSE 0 END AS BIGINT)"
         ),
     }
+
+
+# --- compression-ratio quality signal (Arrow-batched Python boundary) ---
+
+COMPRESSION_SCHEMA = (
+    "doc_id long, n_bytes long, n_zlib long, compression_ppm long"
+)
+
+
+def compression_ratio_batches(batches):
+    """zlib-level-6 compressed size per document, Arrow batch at a time.
+    ``compression_ppm = n_zlib*1e6 div n_bytes`` — LOW values mean highly
+    repetitive text (the RefinedWeb/Gopher-style compression filter; a
+    near-1e6 value is incompressible, likely already-compressed noise or
+    high-entropy garbage). zlib level 6 output is deterministic for a
+    given input across CPython builds (same zlib stream parameters), so
+    the signal is retry-stable."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        data = pdf["text"].fillna("").map(lambda s: s.encode("utf-8"))
+        n_bytes = data.map(len).astype("int64")
+        n_zlib = data.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+        ppm = (n_zlib * 1_000_000).floordiv(n_bytes.clip(lower=1)).where(
+            n_bytes > 0, 0
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "n_zlib": n_zlib,
+                "compression_ppm": ppm.astype("int64"),
+            }
+        )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """mapInPandas driver: ``(doc_id, n_bytes, n_zlib, compression_ppm)``
+    per document. The ONLY Python-boundary text operator in the repo —
+    justified because no Catalyst expression computes a DEFLATE stream;
+    Arrow batches keep the transfer columnar and the cost is one
+    C-implemented zlib call per doc (no per-row Python arithmetic
+    beyond the map). Non-SQL-expressible -> pytest-gated vs direct zlib,
+    like the streaming operators."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    payload = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return payload.mapInPandas(
+        compression_ratio_batches, schema=COMPRESSION_SCHEMA
+    )

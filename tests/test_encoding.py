@@ -89,3 +89,43 @@ def test_encoding_artifact_is_scan_side_only(spark):
         .toString()
     )
     assert "Exchange" not in plan  # zero shuffle: pure projection
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from dwh_etl_ods_spark_jobs_spark.text.encoding import compression_ratio
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # hyper-repetitive
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "x9$Kq2!pW7@zR4#mT8%vN1^bL5&cJ3*dF6(gH0)"),    # high entropy
+        (3, ""),                                            # empty -> ppm 0
+        (4, None),                                          # NULL -> as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for doc_id, text in rows:
+        b = (text or "").encode("utf-8")
+        r = out[doc_id]
+        assert r.n_bytes == len(b)
+        assert r.n_zlib == len(zlib.compress(b, 6))
+        if len(b):
+            assert r.compression_ppm == (r.n_zlib * 1_000_000) // len(b)
+        else:
+            assert r.compression_ppm == 0
+    # the signal orders as designed: repetitive << prose < random-ish
+    assert out[0].compression_ppm < out[1].compression_ppm < out[2].compression_ppm
+
+
+def test_compression_ratio_is_arrow_batched_python(spark):
+    """The plan must show the Arrow-batched mapInPandas boundary (and a
+    single pass — no shuffle added by the operator)."""
+    from dwh_etl_ods_spark_jobs_spark.text.encoding import compression_ratio
+
+    df = spark.range(100).selectExpr("id AS doc_id", "repeat('ab', CAST(id AS INT)) AS text")
+    out = compression_ratio(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert out.count() == 100

@@ -1,0 +1,272 @@
+"""r8-STAGED battery queries: every operator landed in round 7 with its
+query + DuckDB oracle fully wired, held OUT of ``__spark_entry__`` only
+because the 50-entry correctness window is spoken for this round (the
+rotation contract — COVERAGE.md §Driver gate compatibility).
+
+Registration in r8 is one line per entry: move the name from
+``STAGED_QUERIES``/``STAGED_ORACLES`` into the module QUERIES/ORACLES
+maps (or ``q.update(staged.STAGED_QUERIES)``) and slot it into ``_HEAD``.
+Until then ``tests/test_staged_surfaces.py`` runs the exact
+driver-gate comparison (sorted-column value equality) on every entry, and
+pins the scalar-output rule the hard gate requires.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark import dedup as D
+from dwh_etl_ods_spark_jobs_spark import sketches as SK
+from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+    k_anonymity_census,
+    k_anonymity_census_sql,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+    fk_orphan_census,
+    fk_orphan_census_sql,
+    snapshot_diff,
+    snapshot_diff_sql,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+    chi2_association,
+    chi2_association_sql,
+)
+from dwh_etl_ods_spark_jobs_spark.text import bpe as B
+from dwh_etl_ods_spark_jobs_spark.text.encoding import (
+    ENCODING_ARTIFACTS,
+    encoding_artifact_sql_columns,
+    encoding_artifact_stats,
+)
+
+BPE_MERGES = 8           # documents vocabulary is far from pair exhaustion
+KANON_K = 10
+INJECT = " caf" + ENCODING_ARTIFACTS[1]  # deterministic mojibake injection
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- sketches: HLL set algebra + HDR percentile calibration ---
+
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types, from sketches
+    alone (registers join on the uniform register id; no raw rescans)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return SK.hll_set_algebra(ev, "event_type", "user_id")
+
+
+SQL_HLL_SET_ALGEBRA = SK.hll_set_algebra_sql(
+    "(SELECT event_type, user_id FROM events)", "event_type", "user_id"
+)
+
+
+def q_hdr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals quantile-normalized per status: each order's integer
+    percentile within its o_orderstatus distribution via the broadcast
+    cumulative HDR histogram."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    return SK.hdr_percentile_calibrate(o, ["o_orderstatus"], "v").select(
+        "o_orderstatus", "v", "pct_micro"
+    )
+
+
+SQL_HDR_CALIBRATE = SK.hdr_percentile_calibrate_sql(
+    "(SELECT o_orderstatus, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v"
+    " FROM orders)",
+    ["o_orderstatus"],
+    "v",
+)
+
+
+# --- BPE: merge training + token counting ---
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return B.bpe_train(spark, docs, "text", BPE_MERGES)
+
+
+SQL_BPE_TRAIN = B.bpe_train_sql("documents", "text", BPE_MERGES)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: the learned codebook (a driver-side list, like
+    the PQ/IVF centroids) applies back over the distinct-word frame for
+    exact per-doc token counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.pair, r.merged)
+        for r in B.bpe_train(spark, docs, "text", BPE_MERGES).collect()
+    ]
+    return B.bpe_encode_counts(docs, "text", "doc_id", merges)
+
+
+SQL_BPE_TOKEN_COUNTS = B.bpe_encode_pipeline_sql(
+    "documents", "text", "doc_id", BPE_MERGES
+)
+
+
+# --- incremental dedup against a persisted signature store ---
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents split 1:3 into (new batch, corpus store); the store side
+    enters as its signature table only — in production that table is the
+    persisted parquet artifact of the previous runs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    store = docs.filter(F.col("doc_id") % 4 != 0)
+    store_sigs = D.minhash_signatures(store, "text", "doc_id")
+    return D.incremental_lsh_dedup(batch, store_sigs, "text", "doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = D.incremental_lsh_dedup_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0",
+)
+
+
+# --- privacy: k-anonymity census ---
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_census(cust, ["c_nationkey", "c_mktsegment"], KANON_K)
+
+
+SQL_K_ANONYMITY = k_anonymity_census_sql(
+    "customer", ["c_nationkey", "c_mktsegment"], KANON_K
+)
+
+
+# --- reconciliation: snapshot diff + FK orphan census ---
+
+def _orders_versions(spark: SparkSession, sf_dir: str):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yesterday-vs-today orders reconciliation: %11 drops simulate
+    removals, %13 drops simulate additions, %5 cent bumps simulate
+    updates — every key classified in one hash-only full-outer join."""
+    old, new = _orders_versions(spark, sf_dir)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_ORDERS_V = (
+    "SELECT o_orderkey, o_orderstatus,"
+    " CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders"
+)
+SQL_SNAPSHOT_DIFF = snapshot_diff_sql(
+    f"SELECT * FROM ({_ORDERS_V}) WHERE o_orderkey % 11 != 0",
+    f"SELECT o_orderkey, o_orderstatus, cents +"
+    f" (CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS cents"
+    f" FROM ({_ORDERS_V}) WHERE o_orderkey % 13 != 0",
+    ["o_orderkey"],
+    ["o_orderstatus", "cents"],
+)
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do event rows still have customer parents? (events.user_id is a
+    synthetic id space wider than customer keys — real orphans.)"""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return fk_orphan_census(ev, cust, [("user_id", "c_custkey")])
+
+
+SQL_FK_ORPHANS = fk_orphan_census_sql(
+    "SELECT user_id FROM events",
+    "SELECT c_custkey FROM customer",
+    [("user_id", "c_custkey")],
+)
+
+
+# --- text: encoding artifacts ---
+
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake census over documents with deterministic damage injected
+    into every 10th doc (the raw table is clean — the injection makes the
+    detector's positive path observable at the gate)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(INJECT)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    stats = encoding_artifact_stats(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
+def _sql_encoding() -> str:
+    inj = INJECT.replace("'", "''")
+    cols = encoding_artifact_sql_columns("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 10 = 0 THEN '{inj}' ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id, {sel} FROM docs
+"""
+
+
+SQL_ENCODING_ARTIFACTS = _sql_encoding()
+
+
+# --- stats: chi-square association ---
+
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are document language and source independent? Exact-integer
+    chi-square over the (lang, source) contingency cells."""
+    docs = _t(spark, sf_dir, "documents")
+    return chi2_association(docs, "lang", "source")
+
+
+SQL_CHI2_LANG_SOURCE = chi2_association_sql("documents", "lang", "source")
+
+
+STAGED_QUERIES = {
+    "hll_set_algebra": q_hll_set_algebra,
+    "hdr_percentile_calibrate": q_hdr_calibrate,
+    "bpe_train_merges": q_bpe_train,
+    "bpe_token_counts": q_bpe_token_counts,
+    "dedup_incremental_lsh": q_incremental_dedup,
+    "k_anonymity_census": q_k_anonymity,
+    "snapshot_diff_orders": q_snapshot_diff,
+    "fk_orphan_census": q_fk_orphans,
+    "encoding_artifact_census": q_encoding_artifacts,
+    "chi2_lang_source": q_chi2_lang_source,
+}
+
+STAGED_ORACLES = {
+    "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
+    "hdr_percentile_calibrate": SQL_HDR_CALIBRATE,
+    "bpe_train_merges": SQL_BPE_TRAIN,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "dedup_incremental_lsh": SQL_INCREMENTAL_DEDUP,
+    "k_anonymity_census": SQL_K_ANONYMITY,
+    "snapshot_diff_orders": SQL_SNAPSHOT_DIFF,
+    "fk_orphan_census": SQL_FK_ORPHANS,
+    "encoding_artifact_census": SQL_ENCODING_ARTIFACTS,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+}

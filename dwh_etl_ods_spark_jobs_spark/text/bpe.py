@@ -47,6 +47,7 @@ __all__ = [
     "bpe_train_sql",
     "bpe_encode_counts",
     "bpe_encode_counts_sql",
+    "bpe_encode_pipeline_sql",
 ]
 
 BPE_FIX_PASSES = 5  # covers runs up to 2^5 symbols — beyond any [a-z]+ word
@@ -260,3 +261,69 @@ SELECT doc_id,
 FROM words JOIN tok USING (w)
 GROUP BY doc_id
 """
+
+
+def bpe_encode_pipeline_sql(
+    table: str, text_expr: str, id_expr: str, n_merges: int
+) -> str:
+    """Self-contained DuckDB train-then-encode pipeline: learns
+    ``n_merges`` merges from ``table`` and returns the same per-doc
+    ``(doc_id, n_words, n_tokens)`` as running :func:`bpe_train` +
+    :func:`bpe_encode_counts` on the Spark side.
+
+    The merge chain carries ``(w, n, sym)`` so the final segmented
+    vocabulary joins back to per-doc word occurrences. Requires the
+    corpus to actually support ``n_merges`` merges — if pairs exhaust
+    early the m{i} cross join empties the chain (size the merge count
+    with a prior :func:`bpe_train` run; the battery corpus is far from
+    exhaustion at single-digit merge counts).
+    """
+    ctes = [
+        f"""words AS (
+  SELECT {id_expr} AS doc_id, w
+  FROM (
+    SELECT {id_expr},
+           unnest(string_split_regex(lower({text_expr}), '[^a-z]+')) AS w
+    FROM {table}
+  ) WHERE w != ''
+)""",
+        """u0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n,
+         ' ' || trim(regexp_replace(w || '_', '(.)', '\\1 ', 'g')) || ' ' AS sym
+  FROM words GROUP BY w
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        prev, cur = f"u{i - 1}", f"u{i}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM (
+    SELECT a[j] || ' ' || a[j + 1] AS pair, n
+    FROM (SELECT string_split(trim(sym), ' ') AS a, n FROM {prev}),
+         unnest(range(1, len(a))) AS t(j)
+  ) GROUP BY pair
+),
+m{i} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged
+  FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+{cur} AS (
+  SELECT w, n, {"".join("replace(" for _ in range(BPE_FIX_PASSES))}sym{"".join(f", ' ' || m{i}.pair || ' ', ' ' || m{i}.merged || ' ')" for _ in range(BPE_FIX_PASSES))} AS sym
+  FROM {prev}, m{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tok AS (
+  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok
+  FROM u{n_merges}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM words JOIN tok USING (w)
+GROUP BY doc_id"""
+    )

@@ -1,0 +1,65 @@
+"""Oracle parity for the r8-STAGED battery queries (plans/staged.py).
+
+Runs the exact driver-gate comparison (sorted-column value equality) on
+every staged entry at sf0.001, and pins the hard gate's scalar-output
+rule — so r8 registration is pure wiring with zero correctness risk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark.plans import staged
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(staged.STAGED_QUERIES))
+def test_staged_query_matches_duckdb(spark, sf_dir, name):
+    con = _connect(sf_dir)
+    sdf = staged.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    ddf = con.execute(staged.STAGED_ORACLES[name]).df()
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in ddf.columns]
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} != {len(ddf)}"
+    ddf.columns = list(sdf.columns)
+    # hard-gate scalar rule: no array/struct cells anywhere
+    for c in sdf.columns:
+        assert not sdf[c].map(
+            lambda v: isinstance(v, (list, tuple, dict))
+            or type(v).__name__ == "ndarray"
+        ).any(), f"{name}.{c}: non-scalar output cell (driver gate would crash)"
+    key = list(sdf.columns)
+    s = sdf.sort_values(key, na_position="first").reset_index(drop=True)
+    d = ddf.sort_values(key, na_position="first").reset_index(drop=True)
+    s = s.astype(d.dtypes.to_dict())
+    assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
+
+
+def test_staged_names_not_yet_in_battery():
+    """Staged entries must not collide with live battery names (the r8
+    move is an ADD, never a silent overwrite)."""
+    import __spark_entry__ as entry_mod
+
+    live = set(entry_mod.queries())
+    clash = live & set(staged.STAGED_QUERIES)
+    assert not clash, f"staged names already registered: {sorted(clash)}"
+
+
+def test_staged_oracle_keys_align():
+    assert set(staged.STAGED_QUERIES) == set(staged.STAGED_ORACLES)

@@ -270,3 +270,55 @@ STAGED_ORACLES = {
     "encoding_artifact_census": SQL_ENCODING_ARTIFACTS,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
 }
+
+
+# --- similarity: hard-negative mining ---
+
+HN_K, HN_FLOOR, HN_CEIL = 5, 0.2, 0.9
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: top-5 in-band (0.2 <= cos <
+    0.9) neighbors per query vector — confusable but not near-duplicate."""
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.hard_negative_mining(
+        queries, emb, "vec_id", "v", k=HN_K,
+        floor_cos=HN_FLOOR, ceil_cos=HN_CEIL,
+    )
+
+
+def _sql_hard_negatives() -> str:
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import EMB_DIM
+
+    cos = D.cosine_sql("q.v", "c.v", EMB_DIM)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cos
+  FROM q JOIN emb c ON q.vec_id <> c.vec_id
+),
+banded AS (SELECT * FROM scored WHERE cos >= {HN_FLOOR} AND cos < {HN_CEIL}),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM banded
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {HN_K}
+"""
+
+
+SQL_HARD_NEGATIVES = _sql_hard_negatives()
+
+STAGED_QUERIES["hard_negative_mining"] = q_hard_negatives
+STAGED_ORACLES["hard_negative_mining"] = SQL_HARD_NEGATIVES

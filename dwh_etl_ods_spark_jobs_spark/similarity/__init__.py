@@ -54,6 +54,7 @@ __all__ = [
     "hyperplane_signature",
     "hyperplane_signature_sql",
     "hyperplanes",
+    "hard_negative_mining",
 ]
 
 
@@ -491,3 +492,39 @@ SELECT qid AS {id_expr},
        END AS q
 FROM qin
 """
+
+
+def hard_negative_mining(
+    queries: DataFrame, candidates: DataFrame,
+    id_col: str, vec_col: str, k: int,
+    floor_cos: float, ceil_cos: float,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Top-k similar-but-NOT-near-duplicate candidates per query — the
+    hard-negative mining step of contrastive retrieval training: cosine
+    in ``[floor_cos, ceil_cos)``. Above the floor the negative is hard
+    (confusable); at/above the ceiling it is presumed a positive or a
+    near-duplicate and excluded (pairing it as a negative would teach the
+    model to split duplicates).
+
+    Same scale shape as :func:`ann_bruteforce_topk`: queries broadcast,
+    candidates stream, the band filter runs scan-side BEFORE the
+    two-phase salted rank (so the rank sees only in-band rows), cosine
+    rounded to 6 decimals with the fixed fold order both engines share.
+    Returns (query_id, neighbor_id, rank, cos).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .filter(
+            (F.col("cos") >= F.lit(float(floor_cos)))
+            & (F.col("cos") < F.lit(float(ceil_cos)))
+        )
+    )
+    return _topk_per_query(scored, k, n_salts=n_salts)

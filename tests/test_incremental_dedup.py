@@ -136,3 +136,26 @@ def test_incremental_lsh_empty_store_marks_all_fresh_or_batch(spark, frames):
     # batch-internal structure still detected
     assert out[101].batch_dup_of == 100
     assert out[100].is_new == 1
+
+
+def test_hard_negative_mining_band_and_rank(spark):
+    """Band semantics: positives (>= ceil) and dissimilar (< floor) are
+    excluded; survivors rank by cosine desc with id tiebreak."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import hard_negative_mining
+
+    # 2-d unit-ish vectors with controlled cosines to q=[1,0]
+    rows = [
+        (0, [1.0, 0.0]),     # query
+        (1, [1.0, 0.001]),   # cos ~1.0    -> excluded (>= ceil: near-dup)
+        (2, [0.8, 0.6]),     # cos 0.8     -> hard negative
+        (3, [0.6, 0.8]),     # cos 0.6     -> hard negative
+        (4, [0.0, 1.0]),     # cos 0.0     -> excluded (< floor)
+        (5, [-1.0, 0.0]),    # cos -1      -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = hard_negative_mining(
+        df.filter("vec_id = 0"), df, "vec_id", "v",
+        k=5, floor_cos=0.5, ceil_cos=0.95,
+    ).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    assert all(0.5 <= r.cos < 0.95 for r in out)

@@ -98,7 +98,9 @@ _TAIL = [
     # Verified-green in CORRECTNESS_r06 (driver hard gate) and unchanged
     # since; rotated out to make room for the 43 r6-skipped entries above.
     # r8 MUST rotate again: bring these back in-window and move r7's
-    # verified entries here. Retired this round (pytest-gated in
+    # verified entries here. r8 also registers plans/staged.py's 11
+    # STAGED_QUERIES/STAGED_ORACLES (parity-proven at sf0.001+sf0.01 by
+    # tests/test_staged_surfaces.py) — new entries go FIRST in _HEAD. Retired this round (pytest-gated in
     # tests/test_retired_surfaces.py, see COVERAGE.md): tumbling_daily_rollup,
     # rollup_agg, cube_grouping_agg, distinct_agg, string_functions,
     # sort_limit_topn, text_top_tokens, dedup_simhash_sig, ann_lsh_bucketed,

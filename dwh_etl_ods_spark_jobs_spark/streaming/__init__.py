@@ -447,3 +447,85 @@ def stream_stream_interval_join(
         )
     )
     return l.join(r, cond, how).drop(rk)
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    flags_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    threshold_micro: int = 500_000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The production corpus-ingest loop as one micro-batch pipeline: per
+    batch, flag documents against the PERSISTED MinHash signature store
+    (``dedup.incremental_lsh_dedup`` — corpus text never rescanned),
+    append the flag rows to ``flags_path``, and append the SURVIVORS'
+    (is_new = 1) signatures to ``store_path`` so the next batch dedupes
+    against them too.
+
+    Replay-idempotent at the row level, the ``incremental_sink``
+    discipline: both writes anti-join their target on ``doc_id`` first, and
+    the store is filtered of the batch's own ids before flagging, so a
+    replayed batch neither flags its docs against themselves nor
+    double-appends. Store bootstrap: a missing/empty ``store_path`` means
+    an empty store (first batch seeds it).
+    """
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        incremental_lsh_dedup,
+        minhash_signatures,
+    )
+
+    spark = stream.sparkSession
+
+    def _read_or_none(path: str):
+        if not _hadoop_path_exists(spark, path):
+            return None
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            msg = f"{_error_condition(e)} {e}"
+            if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
+                raise
+            return None
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).dropDuplicates(["doc_id"])
+        ids = batch.select("doc_id")
+        store = _read_or_none(store_path)
+        store_sigs = (
+            store.join(F.broadcast(ids), "doc_id", "left_anti")
+            if store is not None
+            else minhash_signatures(batch.limit(0), "text", "doc_id")
+        )
+        flags = incremental_lsh_dedup(
+            batch, store_sigs, "text", "doc_id",
+            threshold_micro=threshold_micro,
+        ).localCheckpoint()  # eager: both writes below reuse the result
+        prev_flags = _read_or_none(flags_path)
+        delta_flags = (
+            flags.join(prev_flags.select("doc_id"), "doc_id", "left_anti")
+            if prev_flags is not None
+            else flags
+        )
+        delta_flags.write.mode("append").parquet(flags_path)
+        survivors = flags.filter(F.col("is_new") == 1).select("doc_id")
+        new_sigs = minhash_signatures(
+            batch.join(F.broadcast(survivors), "doc_id"), "text", "doc_id"
+        )
+        if store is not None:
+            new_sigs = new_sigs.join(
+                store.select("doc_id"), "doc_id", "left_anti"
+            )
+        new_sigs.write.mode("append").parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -659,3 +659,54 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, workdir
     second = run_once()
     assert second[("u9", "ad_x")] == (None, None)
     assert ("u1", "ad_a") in second
+
+
+def test_incremental_dedup_sink_loop_and_replay(spark, workdir):
+    """The corpus-ingest loop: batch 1 seeds the signature store; batch 2's
+    cross-batch duplicate is caught via the PERSISTED store (no text
+    rescan); replaying batch 2 changes nothing (row-level idempotency)."""
+    src = os.path.join(workdir, "landing")
+    flags = os.path.join(workdir, "flags")
+    store = os.path.join(workdir, "store")
+    ck1 = os.path.join(workdir, "ck1")
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different document about arrow batches and state stores"
+    text_c = "yet another unrelated text mentioning watermarks and exchanges"
+    _write_source_files(
+        spark, src, [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+
+    def run(ckpt):
+        q = ST.incremental_dedup_sink(
+            ST.file_stream(spark, src, spark.read.parquet(src).schema),
+            "text", "doc_id", flags, store, ckpt,
+        )
+        ST.run_to_completion(q)
+
+    run(ck1)
+    out = {r.doc_id: r for r in spark.read.parquet(flags).collect()}
+    assert out[1].is_new == 1 and out[2].is_new == 1
+    assert spark.read.parquet(store).count() == 2  # both seeded
+
+    # batch 2: doc 10 duplicates doc 1's text; doc 11 is fresh
+    _write_source_files(
+        spark, src, [(10, text_a), (11, text_c)], "doc_id long, text string"
+    )
+    run(ck1)  # same checkpoint: the stream continues, sees only new files
+    out = {r.doc_id: r for r in spark.read.parquet(flags).collect()}
+    assert len(out) == 4
+    assert out[10].store_dup_of == 1 and out[10].is_new == 0
+    assert out[11].is_new == 1
+    # store holds survivors only: 1, 2, 11 — never the duplicate 10
+    store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert store_ids == {1, 2, 11}
+
+    # replay ALL landing data with a fresh checkpoint (lost-checkpoint
+    # disaster drill): the target anti-joins make it a no-op
+    run(os.path.join(workdir, "ck2"))
+    assert spark.read.parquet(flags).count() == 4
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11}
+    # and the replayed docs were NOT re-flagged as dups of themselves
+    out = {r.doc_id: r for r in spark.read.parquet(flags).collect()}
+    assert out[1].is_new == 1

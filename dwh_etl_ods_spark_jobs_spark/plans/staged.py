@@ -322,3 +322,56 @@ SQL_HARD_NEGATIVES = _sql_hard_negatives()
 
 STAGED_QUERIES["hard_negative_mining"] = q_hard_negatives
 STAGED_ORACLES["hard_negative_mining"] = SQL_HARD_NEGATIVES
+
+
+# --- sliding-window distinct counts via mergeable sketches ---
+
+HOPW_MS = 30 * 60 * 1000   # 30-minute windows ...
+HOPH_MS = 10 * 60 * 1000   # ... hopping every 10 minutes
+
+
+def q_hopping_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding window per event type — the composition
+    the sketches exist for: each event explodes to its W/H = 3 window
+    memberships (bounded fan-out, never a range join) and the HLL
+    register aggregation runs per (type, window). Register state is
+    mergeable, so the identical shape maintains live sliding distincts in
+    streaming update mode."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("_ems"),
+        "user_id",
+    )
+    win = ev.withColumn(
+        "_m",
+        F.explode(
+            F.expr(
+                f"sequence((_ems - {HOPW_MS}) div {HOPH_MS} + 1,"
+                f" _ems div {HOPH_MS})"
+            )
+        ),
+    ).select(
+        "event_type",
+        (F.col("_m") * F.lit(HOPH_MS)).alias("window_start_ms"),
+        "user_id",
+    )
+    return win.transform(
+        SK.hll_registers(["event_type", "window_start_ms"], "user_id")
+    ).transform(SK.hll_fold(["event_type", "window_start_ms"]))
+
+
+SQL_HOPPING_HLL = SK.hll_distinct_sql(
+    f"""(
+  SELECT event_type, m * {HOPH_MS} AS window_start_ms, user_id
+  FROM (
+    SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ems, user_id
+    FROM events
+  ), unnest(range((ems - {HOPW_MS}) // {HOPH_MS} + 1,
+                  ems // {HOPH_MS} + 1)) AS t(m)
+)""",
+    ["event_type", "window_start_ms"],
+    "user_id",
+)
+
+STAGED_QUERIES["hopping_hll_distinct"] = q_hopping_hll_distinct
+STAGED_ORACLES["hopping_hll_distinct"] = SQL_HOPPING_HLL

@@ -102,7 +102,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = [
         (r.pair, r.merged)
-        for r in B.bpe_train(spark, docs, "text", BPE_MERGES).collect()
+        for r in B.bpe_train(spark, docs, "text", BPE_MERGES).head(BPE_MERGES)
     ]
     return B.bpe_encode_counts(docs, "text", "doc_id", merges)
 

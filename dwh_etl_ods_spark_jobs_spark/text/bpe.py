@@ -101,11 +101,12 @@ def bpe_train(
     frame = bpe_word_counts(df, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
+        # ONE-row driver round-trip per iteration (the CC convergence-
+        # counter discipline: head(), never a collect of distributed data)
         top = (
             _pairs(frame)
             .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
+            .head(1)
         )
         if not top:
             break
@@ -191,7 +192,7 @@ def bpe_encode_counts(
 
     ``merges`` is the (pair, merged) list in rank order — the tiny
     driver-side codebook from :func:`bpe_train` (``[(r.pair, r.merged) for
-    r in bpe_train(...).collect()]``). Scale shape: merges apply on the
+    r in bpe_train(...).head(n)]``). Scale shape: merges apply on the
     DISTINCT-WORD frame only (the same corpus collapse as training), in
     chunks of ``chunk`` merges per projection with a localCheckpoint
     between chunks so a 32k-merge vocabulary never builds a 160k-deep

@@ -710,3 +710,72 @@ def test_incremental_dedup_sink_loop_and_replay(spark, workdir):
     # and the replayed docs were NOT re-flagged as dups of themselves
     out = {r.doc_id: r for r in spark.read.parquet(flags).collect()}
     assert out[1].is_new == 1
+
+
+def test_streaming_windowed_hll_matches_batch_hopping(spark, workdir):
+    """The staged hopping_hll_distinct claim, pinned: the SAME
+    explode-to-window-membership + HLL register aggregation runs as a
+    streaming stateful agg, and its snapshot folds bit-identical to the
+    batch sliding-window distinct over the same rows."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    W_MS, H_MS = 30 * 60 * 1000, 10 * 60 * 1000
+    src = os.path.join(workdir, "landing")
+    schema = "etype string, ts timestamp, user string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=minute)
+
+    rows1 = [("click", t(m), f"u{m % 7}") for m in range(0, 25, 2)]
+    rows2 = [("click", t(m), f"u{m % 11}") for m in range(25, 55, 3)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    def windowed(df):
+        ev = df.select(
+            "etype",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("_ems"),
+            "user",
+        )
+        return ev.withColumn(
+            "_m",
+            F.explode(
+                F.expr(
+                    f"sequence((_ems - {W_MS}) div {H_MS} + 1, _ems div {H_MS})"
+                )
+            ),
+        ).select(
+            "etype", (F.col("_m") * F.lit(H_MS)).alias("win_ms"), "user"
+        )
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    regs = ST.streaming_hll(windowed(stream), ["etype", "win_ms"], "user")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_win_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = {
+        (r.etype, r.win_ms): (r.empty_registers, r.est_distinct)
+        for r in spark.table("hll_win_regs")
+        .transform(SK.hll_fold(["etype", "win_ms"]))
+        .collect()
+    }
+    expect = {
+        (r.etype, r.win_ms): (r.empty_registers, r.est_distinct)
+        for r in windowed(spark.read.parquet(src))
+        .transform(SK.hll_distinct(["etype", "win_ms"], "user"))
+        .collect()
+    }
+    assert got == expect
+    assert len(got) >= 5  # multiple overlapping windows actually formed

@@ -375,3 +375,152 @@ SQL_HOPPING_HLL = SK.hll_distinct_sql(
 
 STAGED_QUERIES["hopping_hll_distinct"] = q_hopping_hll_distinct
 STAGED_ORACLES["hopping_hll_distinct"] = SQL_HOPPING_HLL
+
+
+# --- classic TPC-H analytics (Q3 / Q5 / Q10 shapes over the test tables) ---
+# Revenue discipline: price -> cents (BIGINT), discount -> integer percent;
+# revenue_c4 = cents * (100 - disc_pct) is an EXACT integer in 1e-4-dollar
+# units, so the sums hash-match across engines (the _c100 convention).
+
+_REV = (
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+def _rev_col() -> F.Column:
+    return F.expr(_REV).alias("rev_c4")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (shipping priority): top-10 highest-revenue orders still
+    unshipped at the cutoff, for one market segment. Broadcast dims, one
+    fact shuffle on the group key, TakeOrdered top-k."""
+    cutoff = F.to_timestamp(F.lit("1998-01-01"))
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    ).select("l_orderkey", _rev_col())
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum({_REV}) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape (local supplier volume): revenue per nation in one region
+    where the supplier and the customer share a nation — two broadcast
+    dim chains meeting on the fact."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_col()
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name, CAST(sum({_REV}) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned items): top-20 customers by revenue lost to
+    returns in one quarter."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _rev_col())
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REV}) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+"""
+
+STAGED_QUERIES["tpch_q3_priority"] = q_tpch_q3
+STAGED_ORACLES["tpch_q3_priority"] = SQL_TPCH_Q3
+STAGED_QUERIES["tpch_q5_local_volume"] = q_tpch_q5
+STAGED_ORACLES["tpch_q5_local_volume"] = SQL_TPCH_Q5
+STAGED_QUERIES["tpch_q10_returns"] = q_tpch_q10
+STAGED_ORACLES["tpch_q10_returns"] = SQL_TPCH_Q10

@@ -63,3 +63,18 @@ def test_staged_names_not_yet_in_battery():
 
 def test_staged_oracle_keys_align():
     assert set(staged.STAGED_QUERIES) == set(staged.STAGED_ORACLES)
+
+
+def test_tpch_staged_plans_broadcast_dims(spark, sf_dir):
+    """The TPC-H shapes must broadcast every dimension: the only
+    exchanges left are the fact-side group-by (and AQE reads), never a
+    SortMergeJoin against a dim table."""
+    for name in ("tpch_q3_priority", "tpch_q5_local_volume", "tpch_q10_returns"):
+        plan = (
+            staged.STAGED_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name

@@ -524,3 +524,101 @@ STAGED_QUERIES["tpch_q5_local_volume"] = q_tpch_q5
 STAGED_ORACLES["tpch_q5_local_volume"] = SQL_TPCH_Q5
 STAGED_QUERIES["tpch_q10_returns"] = q_tpch_q10
 STAGED_ORACLES["tpch_q10_returns"] = SQL_TPCH_Q10
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity revenue): revenue from order lines whose
+    quantity is under 20% of the part's average — the correlated scalar
+    subquery DECORRELATED into a per-part aggregate join, compared in
+    exact integers: ``100·qty_c·n_lines < 20·sum_qty_c`` (no fractional
+    average ever materializes). One row out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qty_c"),
+        _rev_col(),
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n"))
+    )
+    small = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(
+            F.col("qty_c") * F.lit(100) * F.col("n")
+            < F.lit(20) * F.col("sum_qty_c")
+        )
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.coalesce(F.sum("rev_c4"), F.lit(0)).cast("long").alias("revenue_c4"),
+    )
+
+
+SQL_TPCH_Q17 = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+         {_REV} AS rev_c4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(coalesce(sum(rev_c4), 0) AS BIGINT) AS revenue_c4
+FROM li JOIN per_part USING (l_partkey)
+WHERE qty_c * 100 * n < 20 * sum_qty_c
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customers): orders whose total quantity
+    exceeds a threshold (HAVING over a fact aggregate), joined back to
+    the customer — top-20 by quantity."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qty_c"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 30000)  # > 300 units
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty_c")
+        .orderBy(F.desc("sum_qty_c"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(sum_qty_c AS BIGINT) AS sum_qty_c
+FROM (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+           AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty_c > 30000
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20
+"""
+
+STAGED_QUERIES["tpch_q17_small_qty"] = q_tpch_q17
+STAGED_ORACLES["tpch_q17_small_qty"] = SQL_TPCH_Q17
+STAGED_QUERIES["tpch_q18_big_orders"] = q_tpch_q18
+STAGED_ORACLES["tpch_q18_big_orders"] = SQL_TPCH_Q18

@@ -45,9 +45,17 @@ def main() -> int:
         warm_dir = None
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    bench_queries = dict(entry_mod.queries())
+    if os.environ.get("SPARK_GRAFT_BENCH_STAGED") == "1":
+        # local-only extension: time the r8-staged queries too (the driver
+        # never sets this, so its recorded battery stays the contract)
+        from dwh_etl_ods_spark_jobs_spark.plans import staged as staged_mod
+
+        for k, v in staged_mod.STAGED_QUERIES.items():
+            bench_queries.setdefault(f"staged:{k}", v)
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entry_mod.queries().items():
+    for name, fn in bench_queries.items():
         if warm_dir is not None:
             try:
                 fn(spark, warm_dir).count()  # JIT/codegen warm-up, untimed

@@ -121,7 +121,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     store = docs.filter(F.col("doc_id") % 4 != 0)
-    store_sigs = D.minhash_signatures(store, "text", "doc_id")
+    # localCheckpoint = the production semantics: the store IS a
+    # materialized table (persisted parquet), not a recomputed lineage —
+    # without it the signature build runs once per reference (banding +
+    # verify) inside the operator
+    store_sigs = D.minhash_signatures(store, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     return D.incremental_lsh_dedup(batch, store_sigs, "text", "doc_id")
 
 

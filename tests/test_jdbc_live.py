@@ -83,3 +83,67 @@ def test_jdbc_spec_rejects_partitioning_without_bounds():
         from dwh_etl_ods_spark_jobs_spark.session import get_spark
 
         read_table(get_spark("jdbc-neg"), spec).count()
+
+
+def test_jdbc_upsert_batch_merge_and_bootstrap(spark):
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import jdbc_upsert_batch
+
+    spec = JdbcSpec(url=URL, table="APP.UPS")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, v double"
+    )
+    jdbc_upsert_batch(b1, spec, ["id"])  # bootstrap: plain append
+    assert read_table(spark, spec).count() == 2
+
+    # batch 2: update id=2, insert id=3 — one server-side MERGE
+    b2 = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    jdbc_upsert_batch(b2, spec, ["id"])
+    rows = {r.id: (r.name, r.v) for r in read_table(spark, spec).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+    # idempotent: replaying batch 2 merges to the same state
+    jdbc_upsert_batch(b2, spec, ["id"])
+    rows = {r.id: (r.name, r.v) for r in read_table(spark, spec).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+
+def test_jdbc_upsert_sink_streams_scd1_state(spark, tmp_path):
+    import os
+
+    from dwh_etl_ods_spark_jobs_spark import streaming as ST
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import jdbc_upsert_sink
+
+    src = os.path.join(str(tmp_path), "landing")
+    spec = JdbcSpec(url=URL, table="APP.UPS_STREAM")
+    schema = "id int, name string, gen int"
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (2, "b-later", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = jdbc_upsert_sink(
+        ST.file_stream(spark, src, spark.read.parquet(src).schema),
+        spec, ["id"],
+        os.path.join(str(tmp_path), "ckpt"),
+        dedupe_order=["gen"],
+    )
+    ST.run_to_completion(q)
+    rows = {r.id: (r.name, r.gen) for r in read_table(spark, spec).collect()}
+    # within-batch dedupe kept the latest generation for id=2
+    assert rows == {1: ("a", 1), 2: ("b-later", 2)}
+
+    # second drop: update id=1, add id=9; stream continues via checkpoint
+    spark.createDataFrame([(1, "a2", 2), (9, "z", 1)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = jdbc_upsert_sink(
+        ST.file_stream(spark, src, spark.read.parquet(src).schema),
+        spec, ["id"],
+        os.path.join(str(tmp_path), "ckpt"),
+        dedupe_order=["gen"],
+    )
+    ST.run_to_completion(q)
+    rows = {r.id: (r.name, r.gen) for r in read_table(spark, spec).collect()}
+    assert rows == {1: ("a2", 2), 2: ("b-later", 2), 9: ("z", 1)}

@@ -628,3 +628,149 @@ STAGED_QUERIES["tpch_q17_small_qty"] = q_tpch_q17
 STAGED_ORACLES["tpch_q17_small_qty"] = SQL_TPCH_Q17
 STAGED_QUERIES["tpch_q18_big_orders"] = q_tpch_q18
 STAGED_ORACLES["tpch_q18_big_orders"] = SQL_TPCH_Q18
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promo revenue share): per ship month, the ppm of revenue
+    from PROMO-type parts — conditional sum over one broadcast-dim join,
+    share as an exact integer ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), _rev_col())
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").cast("int").alias("is_promo")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.expr("CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END")).alias("promo_c4"),
+            F.sum("rev_c4").alias("total_c4"),
+        )
+        .select(
+            "ship_month", "promo_c4", "total_c4",
+            F.expr("(promo_c4 * 1000000) div total_c4").alias("promo_ppm"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = f"""
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST({_REV} AS BIGINT) AS rev_c4,
+         CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT ship_month,
+       CAST(sum(CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END) AS BIGINT)
+         AS promo_c4,
+       CAST(sum(rev_c4) AS BIGINT) AS total_c4,
+       CAST(sum(CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END) AS BIGINT)
+         * 1000000
+         // CAST(sum(rev_c4) AS BIGINT) AS promo_ppm
+FROM j GROUP BY ship_month
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (disjunctive predicate revenue): an OR of three
+    brand/size/quantity conjunct groups — the classic test that a planner
+    pushes a disjunction into one scan instead of three. One row out."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qty_c"),
+        _rev_col(),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qc = F.col("qty_c")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & (qc <= 1500))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(10, 30)
+           & qc.between(1000, 3000))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50)
+           & qc.between(2000, 5000))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum("rev_c4"), F.lit(0)).cast("long").alias("revenue_c4"),
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum({_REV}), 0) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity * 100, 0) AS BIGINT) <= 1500)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+       AND CAST(round(l_quantity * 100, 0) AS BIGINT) BETWEEN 1000 AND 3000)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND CAST(round(l_quantity * 100, 0) AS BIGINT) BETWEEN 2000 AND 5000)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (idle wealthy customers): customers above the global
+    positive-balance average with NO orders, censused per nation. The
+    scalar-avg subquery decorrelates to exact integers
+    (``bal_c * n > sum_c``) attached via the data-derived constant-key
+    broadcast; the NOT EXISTS is a left anti join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("bal_c"),
+    )
+    stats = (
+        cust.filter(F.col("bal_c") > 0)
+        .agg(F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n"))
+        .withColumn("_k", F.lit(1))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        cust.withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats), "_k")
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .drop("_k", "sum_c", "n")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("bal_c").alias("total_bal_c"),
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer
+),
+stats AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS n
+  FROM cust WHERE bal_c > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, bal_c
+  FROM cust, stats WHERE bal_c * n > sum_c
+),
+idle AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM idle GROUP BY c_nationkey
+"""
+
+STAGED_QUERIES["tpch_q14_promo_share"] = q_tpch_q14
+STAGED_ORACLES["tpch_q14_promo_share"] = SQL_TPCH_Q14
+STAGED_QUERIES["tpch_q19_disjunctive"] = q_tpch_q19
+STAGED_ORACLES["tpch_q19_disjunctive"] = SQL_TPCH_Q19
+STAGED_QUERIES["tpch_q22_idle_rich"] = q_tpch_q22
+STAGED_ORACLES["tpch_q22_idle_rich"] = SQL_TPCH_Q22

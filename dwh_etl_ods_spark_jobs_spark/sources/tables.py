@@ -241,3 +241,50 @@ def jdbc_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    **options: str,
+):
+    """PERMISSIVE CSV ingestion with corrupt-record accounting: returns
+    ``(clean_df, audit_df)`` where clean rows parsed fully and
+    ``audit_df`` is one row ``(n_rows, n_clean, n_corrupt, corrupt_ppm)``.
+
+    A malformed row never kills the load (the reference's T-SQL BULK
+    paths die or silently truncate); it lands in the internal corrupt
+    column and is counted. The parsed frame is localCheckpointed before
+    the corrupt-column filter — Spark disallows/mis-evaluates predicates
+    on ``_corrupt_record`` over a raw file scan (documented CSV-parser
+    behavior), and the checkpoint also keeps the two derived frames to
+    one parse pass.
+    """
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    full_schema = schema + f", {corrupt} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .options(**options)
+        .csv(path)
+        .localCheckpoint(eager=False)
+    )
+    clean = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    audit = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(corrupt).isNull().cast("long")).alias("n_clean"),
+        F.sum(F.col(corrupt).isNotNull().cast("long")).alias("n_corrupt"),
+    ).select(
+        "n_rows", "n_clean", "n_corrupt",
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (n_corrupt * 1000000) div n_rows END"
+        ).alias("corrupt_ppm"),
+    )
+    return clean, audit

@@ -106,3 +106,36 @@ def test_stage_and_swap_rerun_recovers_crashed_swap(spark, clean_tables):
     assert rows == {2: "gen2"}
     assert not spark.catalog.tableExists("t_swap_old")
     assert not spark.catalog.tableExists("t_swap_stg")
+
+
+def test_read_csv_audited_counts_corrupt_rows(spark, tmp_path):
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,v\n"
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"   # malformed double -> corrupt
+        "3,carol,30.25\n"
+        "4,dave\n"               # missing column -> corrupt
+    )
+    clean, audit = read_csv_audited(
+        spark, str(p), "id int, name string, v double"
+    )
+    rows = {r.id: (r.name, r.v) for r in clean.collect()}
+    assert rows == {1: ("alice", 10.5), 3: ("carol", 30.25)}
+    a = audit.collect()[0]
+    assert (a.n_rows, a.n_clean, a.n_corrupt, a.corrupt_ppm) == (4, 2, 2, 500_000)
+
+
+def test_read_csv_audited_clean_file_is_zero_ppm(spark, tmp_path):
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import read_csv_audited
+
+    p = tmp_path / "ok.csv"
+    p.write_text("id,name,v\n1,a,1.0\n2,b,2.0\n")
+    clean, audit = read_csv_audited(
+        spark, str(p), "id int, name string, v double"
+    )
+    assert clean.count() == 2
+    a = audit.collect()[0]
+    assert (a.n_corrupt, a.corrupt_ppm) == (0, 0)

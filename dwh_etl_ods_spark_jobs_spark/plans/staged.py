@@ -774,3 +774,64 @@ STAGED_QUERIES["tpch_q19_disjunctive"] = q_tpch_q19
 STAGED_ORACLES["tpch_q19_disjunctive"] = SQL_TPCH_Q19
 STAGED_QUERIES["tpch_q22_idle_rich"] = q_tpch_q22
 STAGED_ORACLES["tpch_q22_idle_rich"] = SQL_TPCH_Q22
+
+
+def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the corpus-wide top-20 event-type trigram paths.
+    Events order per (user, day) by (ts, event_id) — collect_list alone is
+    partition-order-nondeterministic, so the struct array is sort_array'd
+    before the path builds (the only correct way to aggregate an ordered
+    sequence). Grouping by (user, DAY) bounds the per-group array — a
+    hot user never accumulates an unbounded path (the 100 TB guard)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ).alias("e"),
+    )
+    paths = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
+        .select(
+            F.expr(
+                "transform(seq, x -> x.event_type)"
+            ).alias("types")
+        )
+        .filter(F.size("types") >= 3)
+    )
+    tri = paths.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(types) - 2),"
+                " j -> concat(element_at(types, j), '>',"
+                " element_at(types, j + 1), '>', element_at(types, j + 2)))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+SQL_SESSION_TRIGRAMS = """
+WITH seqs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+tri AS (
+  SELECT types[j] || '>' || types[j + 1] || '>' || types[j + 2] AS trigram
+  FROM seqs, unnest(range(1, len(types) - 1)) AS t(j)
+  WHERE len(types) >= 3
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT 20
+"""
+
+STAGED_QUERIES["session_path_trigrams"] = q_session_path_trigrams
+STAGED_ORACLES["session_path_trigrams"] = SQL_SESSION_TRIGRAMS

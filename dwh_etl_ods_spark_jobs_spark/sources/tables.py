@@ -288,3 +288,66 @@ def read_csv_audited(
         ).alias("corrupt_ppm"),
     )
     return clean, audit
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a parquet directory — the maintenance op
+    every long-lived 100 TB table needs (micro-batch appends and
+    per-partition writers accumulate thousands of KB-sized files; footer
+    planning and open() overhead then dominate scans).
+
+    Reads the directory, rewrites it as ``ceil(total_bytes /
+    target_file_bytes)`` files, and swaps crash-safely: write to
+    ``path__stg``, rename the live dir ASIDE, rename staging in, drop the
+    aside — the ``stage_and_swap`` rename-aside discipline, so a crash
+    between renames leaves the previous generation recoverable at
+    ``path__old``. Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+
+    def _data_files(p):
+        it, out = fs.listFiles(p, True), []
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((str(f.getPath()), f.getLen()))
+        return out
+
+    aside = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    if fs.exists(aside) and not fs.exists(hpath):
+        # a previous compaction died between its two renames: recover
+        fs.rename(aside, hpath)
+    files = _data_files(hpath)
+    total = sum(b for _, b in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    stg = jvm.org.apache.hadoop.fs.Path(path + "__stg")
+    if fs.exists(stg):
+        fs.delete(stg, True)
+    df = spark.read.parquet(path)
+    # repartition(n) — not coalesce — so the rewrite redistributes evenly
+    # instead of concatenating skewed input partitions
+    df.repartition(n_out).write.mode("overwrite").parquet(str(stg))
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    fs.rename(hpath, aside)
+    try:
+        fs.rename(stg, hpath)
+    except Exception:
+        fs.rename(aside, hpath)  # restore the previous generation
+        raise
+    fs.delete(aside, True)
+    return {
+        "files_before": len(files),
+        "files_after": len(_data_files(hpath)),
+        "bytes": total,
+    }

@@ -139,3 +139,30 @@ def test_read_csv_audited_clean_file_is_zero_ppm(spark, tmp_path):
     assert clean.count() == 2
     a = audit.collect()[0]
     assert (a.n_corrupt, a.corrupt_ppm) == (0, 0)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate micro-batch fragmentation: 12 tiny appends
+    for i in range(12):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    checksum_before = before.agg({"id": "sum"}).collect()[0][0]
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] == 1  # everything fits one target file
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert after.agg({"id": "sum"}).collect()[0][0] == checksum_before
+    # no staging/aside residue
+    import os
+
+    assert not os.path.exists(path + "__stg")
+    assert not os.path.exists(path + "__old")

@@ -35,6 +35,8 @@ __all__ = [
     "streaming_dq_counts",
     "k_anonymity_census",
     "k_anonymity_census_sql",
+    "quarantine_split",
+    "quarantine_split_sql_reason",
 ]
 
 PPM = 1_000_000
@@ -235,3 +237,51 @@ SELECT class_size,
        CAST(class_size < {k} AS INT) AS at_risk
 FROM classes GROUP BY class_size
 """
+
+
+def quarantine_split(
+    df: DataFrame, checks: list[RowCheck]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expectation routing (the Delta-Live-Tables/Deequ
+    "expect or quarantine" shape): returns ``(passed, quarantined)``
+    where quarantined rows carry ``failed_checks`` — the comma-joined,
+    declaration-ordered names of every expectation they violate (NULL
+    predicate = violation, matching :func:`dq_expectations`).
+
+    Scale: one scan-side projection computes every check flag once; the
+    two outputs are opposite filters over it (shared subtree, zero
+    shuffle). Write ``quarantined`` to a side table and the load keeps
+    flowing — no crash, no silent row loss.
+    """
+    bad = [ck.name for ck in checks if not isinstance(ck, RowCheck)]
+    if bad:
+        raise ValueError(f"quarantine_split takes RowChecks only, got {bad}")
+    reason = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.when(ck.spark_pred(), F.lit(None).cast("string"))
+                    .otherwise(F.lit(ck.name))
+                    for ck in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    flagged = df.withColumn("failed_checks", reason)
+    passed = flagged.filter(F.col("failed_checks") == "").drop("failed_checks")
+    quarantined = flagged.filter(F.col("failed_checks") != "")
+    return passed, quarantined
+
+
+def quarantine_split_sql_reason(checks: list[RowCheck]) -> str:
+    """DuckDB rendering of the ``failed_checks`` expression (same
+    declaration order, same NULL-as-violation rule)."""
+    arms = ", ".join(
+        f"CASE WHEN ({ck.sql_pred}) THEN NULL ELSE '{ck.name}' END"
+        for ck in checks
+    )
+    return (
+        f"array_to_string(list_filter([{arms}], x -> x IS NOT NULL), ',')"
+    )

@@ -180,3 +180,67 @@ def test_k_anonymity_census_single_shuffle_on_rows(spark):
     assert out.count() == 2  # 10000 over 91 classes -> sizes 109 and 110
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3  # quasi shuffle + class shuffle (+AQE read)
+
+
+def test_quarantine_split_routes_rows_with_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        quarantine_split,
+    )
+
+    checks = [
+        RowCheck("id_positive", lambda: F.col("id") > 0, "id > 0"),
+        RowCheck("name_present", lambda: F.col("name") != "", "name != ''"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "a"), (0, "b"), (2, ""), (-1, ""), (3, None)],
+        "id int, name string",
+    )
+    passed, quarantined = quarantine_split(df, checks)
+    assert sorted(r.id for r in passed.collect()) == [1]
+    q = {r.id: r.failed_checks for r in quarantined.collect()}
+    assert q == {
+        0: "id_positive",
+        2: "name_present",
+        -1: "id_positive,name_present",   # declaration order
+        3: "name_present",                # NULL predicate = violation
+    }
+    # shared scan, zero shuffle on either branch
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quarantine_reason_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        quarantine_split,
+        quarantine_split_sql_reason,
+    )
+
+    checks = [
+        RowCheck("id_positive", lambda: F.col("id") > 0, "id > 0"),
+        RowCheck("v_in_range", lambda: F.col("v") < 100, "v < 100"),
+    ]
+    pdf = pd.DataFrame(
+        {"id": [1, -2, 3, -4], "v": [50.0, 150.0, None, 99.0]}
+    )
+    _, quarantined = quarantine_split(spark.createDataFrame(pdf), checks)
+    got = sorted(
+        (r.id, r.failed_checks) for r in quarantined.collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    expr = quarantine_split_sql_reason(checks)
+    duck = sorted(
+        (int(r[0]), r[1])
+        for r in con.execute(
+            f"SELECT id, {expr} AS fc FROM t WHERE {expr} != ''"
+        ).fetchall()
+    )
+    assert got == duck

@@ -78,3 +78,28 @@ def test_tpch_staged_plans_broadcast_dims(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["chi2_lang_source", "k_anonymity_census", "snapshot_diff_orders",
+     "bpe_train_merges", "dedup_incremental_lsh"],
+)
+def test_staged_results_invariant_under_repartition(spark, sf_dir, name, monkeypatch):
+    """Physical layout must never leak into results: the same staged query
+    over inputs forced through a 7-way repartition hashes identically."""
+    import dwh_etl_ods_spark_jobs_spark.plans.staged as staged_mod
+
+    base = staged_mod.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+
+    orig_t = staged_mod._t
+    monkeypatch.setattr(
+        staged_mod, "_t",
+        lambda spark_, sf, tbl: orig_t(spark_, sf, tbl).repartition(7),
+    )
+    shuffled = staged_mod.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+
+    key = sorted(base.columns)
+    b = base[key].sort_values(key, na_position="first").reset_index(drop=True)
+    s = shuffled[key].sort_values(key, na_position="first").reset_index(drop=True)
+    assert b.equals(s), name

@@ -300,3 +300,55 @@ def run_incremental_load(
     if sink is not None:
         write_append(delta, sink, write_partitions=write_partitions)
     return delta
+
+
+def run_backfill(
+    spark: SparkSession,
+    spec: JobSpec,
+    source: DataFrame | TableSpec,
+    target: DataFrame | TableSpec,
+    date_col: str,
+    start: str,
+    end: str,
+    chunk_days: int = 30,
+    **load_kwargs,
+) -> list[DataFrame]:
+    """Reprocess a historical window in bounded chunks: the source is
+    filtered to ``[start, end)`` on ``date_col`` and re-run through
+    :func:`run_incremental_load` one ``chunk_days`` slice at a time.
+
+    The anti-join makes every chunk idempotent — rows the target already
+    holds append nothing, so a backfill can overlap live data, be
+    re-run after a crash, or cover a window that was partially loaded,
+    with no delete-window preamble (the reference's scripts DELETE the
+    window first and re-insert — a non-idempotent two-step that loses
+    rows if the insert dies). Chunking bounds each run's shuffle and
+    lets a scheduler checkpoint progress between slices.
+
+    Returns the per-chunk delta DataFrames (lazily; pass ``sink`` in
+    ``load_kwargs`` to write them).
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    src = source if isinstance(source, DataFrame) else read_table(spark, source)
+    s = _dt.date.fromisoformat(start)
+    e = _dt.date.fromisoformat(end)
+    if not (s < e):
+        raise ValueError(f"empty backfill window: {start!r} .. {end!r}")
+    if chunk_days < 1:
+        raise ValueError(f"chunk_days must be >= 1, got {chunk_days}")
+    deltas: list[DataFrame] = []
+    lo = s
+    while lo < e:
+        hi = min(lo + _dt.timedelta(days=chunk_days), e)
+        chunk = src.filter(
+            (F.col(date_col) >= F.lit(lo.isoformat()))
+            & (F.col(date_col) < F.lit(hi.isoformat()))
+        )
+        deltas.append(
+            run_incremental_load(spark, spec, chunk, target, **load_kwargs)
+        )
+        lo = hi
+    return deltas

@@ -612,3 +612,52 @@ def test_run_job_cli_rejects_half_specified_dims(spark, tmp_path):
             "ct_patient_baselines", "--source-path", f"{d}/src",
             "--target-path", f"{d}/tgt", "--patient-path", f"{d}/pat",
         ])
+
+
+def test_run_backfill_chunks_are_idempotent_and_fill_gaps(spark):
+    """Chunked backfill over a 4-month window: only rows the target lacks
+    append, chunk boundaries lose nothing, and a second pass appends
+    zero (no delete-window preamble needed)."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec, run_backfill
+
+    spec = JobSpec(
+        name="backfill_demo", source_system="dwapicentral",
+        target="dbo.BF", keys=("SiteCode", "PatientPK"),
+    )
+    rows = [
+        (100, f"p{i}", i, dt.date(2021, 1 + (i % 4), 1 + i % 27))
+        for i in range(40)
+    ]
+    source = spark.createDataFrame(
+        rows, "SiteCode int, PatientPK string, ID int, VisitDate date"
+    )
+    # target already holds the even patients
+    target = source.filter("ID % 2 = 0").select("SiteCode", "PatientPK")
+
+    deltas = run_backfill(
+        spark, spec, source, target,
+        date_col="VisitDate", start="2021-01-01", end="2021-05-01",
+        chunk_days=31,
+    )
+    assert len(deltas) == 4  # 120 days / 31-day chunks
+    appended = set()
+    for d in deltas:
+        appended |= {r.PatientPK for r in d.collect()}
+    expect = {f"p{i}" for i in range(40) if i % 2 == 1}
+    assert appended == expect  # gaps filled, nothing duplicated
+
+    # idempotency: target now complete -> second backfill appends nothing
+    full_target = source.select("SiteCode", "PatientPK")
+    deltas2 = run_backfill(
+        spark, spec, source, full_target,
+        date_col="VisitDate", start="2021-01-01", end="2021-05-01",
+        chunk_days=31,
+    )
+    assert sum(d.count() for d in deltas2) == 0
+
+    # window validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty backfill window"):
+        run_backfill(spark, spec, source, target, date_col="VisitDate",
+                     start="2021-05-01", end="2021-05-01")

@@ -835,3 +835,79 @@ ORDER BY n DESC, trigram LIMIT 20
 
 STAGED_QUERIES["session_path_trigrams"] = q_session_path_trigrams
 STAGED_ORACLES["session_path_trigrams"] = SQL_SESSION_TRIGRAMS
+
+
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity (SCD2) join — the classic warehouse shape: each
+    fact row picks the dimension VERSION valid at its (lagged) event
+    time, here "which state was the user in one hour before this event".
+    Physically an EQUI-join on the key with the validity range as a
+    post-condition — per-key version counts are bounded, so this never
+    degenerates into a range join (pathological version explosions would
+    switch to operators/intervals.py's chunked form). Events before a
+    user's first state fall out to the 'none' bucket via the left join.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import changes_to_scd2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    dim = ev.transform(changes_to_scd2("user_id", "ts", ["event_type"])).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "effective_from",
+        "effective_to",
+    )
+    facts = ev.select(
+        "user_id", "event_type",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_lag"),
+    )
+    j = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (dim.effective_from <= facts.ts_lag)
+        & (dim.effective_to.isNull() | (dim.effective_to > facts.ts_lag)),
+        "left",
+    )
+    return (
+        j.groupBy(
+            F.coalesce(F.col("state"), F.lit("none")).alias("state_1h_ago"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _sql_scd2_temporal() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import changes_to_scd2_sql
+
+    scd2 = changes_to_scd2_sql(
+        "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)"
+        " _ev_",
+        "user_id",
+        "ts",
+        ["event_type"],
+    )
+    return f"""
+WITH dim AS ({scd2}),
+facts AS (
+  SELECT user_id, event_type,
+         CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS ts_lag
+  FROM events
+)
+SELECT coalesce(d.event_type, 'none') AS state_1h_ago,
+       f.event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.effective_from <= f.ts_lag
+ AND (d.effective_to IS NULL OR d.effective_to > f.ts_lag)
+GROUP BY 1, 2
+"""
+
+
+SQL_SCD2_TEMPORAL = _sql_scd2_temporal()
+
+STAGED_QUERIES["scd2_temporal_join"] = q_scd2_temporal_join
+STAGED_ORACLES["scd2_temporal_join"] = SQL_SCD2_TEMPORAL

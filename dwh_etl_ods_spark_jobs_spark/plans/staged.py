@@ -911,3 +911,35 @@ SQL_SCD2_TEMPORAL = _sql_scd2_temporal()
 
 STAGED_QUERIES["scd2_temporal_join"] = q_scd2_temporal_join
 STAGED_ORACLES["scd2_temporal_join"] = SQL_SCD2_TEMPORAL
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-over-load distribution drift monitor: order totals (cents)
+    between two deterministic versions of the orders table — every third
+    order re-priced +160% in the "new" load. Exact-integer TVD over the
+    shared HDR bucketing; input size never reaches the compare stage."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    old = o.select("cents")
+    new = o.select(
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0 THEN cents * 26 div 10"
+            " ELSE cents END"
+        ).alias("cents")
+    )
+    return SK.hdr_distribution_drift(old, new, "cents")
+
+
+SQL_DISTRIBUTION_DRIFT = SK.hdr_distribution_drift_sql(
+    "SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders",
+    "SELECT CASE WHEN o_orderkey % 3 = 0"
+    " THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) * 26 // 10"
+    " ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents"
+    " FROM orders",
+    "cents",
+)
+
+STAGED_QUERIES["distribution_drift_tvd"] = q_distribution_drift
+STAGED_ORACLES["distribution_drift_tvd"] = SQL_DISTRIBUTION_DRIFT

@@ -65,6 +65,8 @@ __all__ = [
     "hdr_percentile_calibrate",
     "hll_set_algebra_sql",
     "hdr_percentile_calibrate_sql",
+    "hdr_distribution_drift",
+    "hdr_distribution_drift_sql",
 ]
 
 
@@ -778,4 +780,98 @@ cum AS (
 )
 SELECT b.{g.replace(', ', ', b.')}, b.v, CAST((below * 1000000) // tot AS BIGINT) AS pct_micro
 FROM b JOIN cum USING ({g}, bucket_lo)
+"""
+
+
+def hdr_distribution_drift(
+    old: DataFrame, new: DataFrame, value_col: str
+) -> DataFrame:
+    """Distribution drift between two versions of a non-negative BIGINT
+    column, as exact-integer TOTAL VARIATION DISTANCE over the shared HDR
+    bucketing: ``tvd_ppm = SUM |share_new - share_old| div 2`` with each
+    share an exact ppm (``n_bucket * 1e6 div n_total``). One row out::
+
+        (n_old, n_new, n_buckets, tvd_ppm)
+
+    TVD is the integer-exact drift metric (0 = identical binned shapes,
+    1e6 = disjoint support); PSI's per-bucket ``ln`` would drag the whole
+    comparison into cross-engine float territory for no operational gain.
+    Scale: two histogram aggregations (each O(~2k buckets) out) + one
+    full-outer bucket join of two tiny frames — input size never touches
+    the comparison stage. Monitors the same column across loads without
+    retaining either version's rows.
+    """
+    ho = old.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_old")
+    )
+    hn = new.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_new")
+    )
+    j = (
+        ho.join(hn, "bucket_lo", "full_outer")
+        .select(
+            "bucket_lo",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .localCheckpoint(eager=False)  # totals + shares read it twice
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.lit(1).alias("_k"),
+    )
+    shares = (
+        j.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .withColumn("sh_old", F.expr("(n_old * 1000000L) div t_old"))
+        .withColumn("sh_new", F.expr("(n_new * 1000000L) div t_new"))
+    )
+    return shares.groupBy("t_old", "t_new", "n_buckets").agg(
+        F.expr("sum(abs(sh_new - sh_old)) div 2").alias("tvd_ppm")
+    ).select(
+        F.col("t_old").alias("n_old"),
+        F.col("t_new").alias("n_new"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("tvd_ppm").cast("long").alias("tvd_ppm"),
+    )
+
+
+def hdr_distribution_drift_sql(
+    old_cte: str, new_cte: str, value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`hdr_distribution_drift` — identical
+    integer bucketing, shares, and TVD fold."""
+    def hist(src: str) -> str:
+        return f"""
+  SELECT (v >> qs) << qs AS bucket_lo, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT CAST({value_expr} AS BIGINT) AS v,
+           CAST(greatest(length(bin(CAST({value_expr} AS BIGINT)))
+                         - {QH_SIG_BITS}, 0) AS INT) AS qs
+    FROM {src}
+  ) GROUP BY 1"""
+
+    return f"""
+WITH old_v AS ({old_cte}),
+new_v AS ({new_cte}),
+ho AS ({hist('old_v')}),
+hn AS ({hist('new_v')}),
+j AS (
+  SELECT coalesce(ho.bucket_lo, hn.bucket_lo) AS bucket_lo,
+         coalesce(ho.n, 0) AS n_old, coalesce(hn.n, 0) AS n_new
+  FROM ho FULL OUTER JOIN hn ON ho.bucket_lo = hn.bucket_lo
+),
+tot AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM j
+)
+SELECT t_old AS n_old, t_new AS n_new, n_buckets,
+       CAST(sum(abs((n_new * 1000000) // t_new
+                    - (n_old * 1000000) // t_old)) // 2 AS BIGINT) AS tvd_ppm
+FROM j, tot
+GROUP BY t_old, t_new, n_buckets
 """

@@ -324,3 +324,45 @@ def test_staged_operators_hash_match_duckdb(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(s2, d2.astype(s2.dtypes.to_dict()))
+
+
+def test_hdr_distribution_drift_zero_for_identical_and_positive_for_shift(spark):
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_distribution_drift
+
+    base = spark.range(5000).selectExpr("(id % 997) * 100 AS v")
+    r0 = hdr_distribution_drift(base, base, "v").collect()[0]
+    assert (r0.n_old, r0.n_new, r0.tvd_ppm) == (5000, 5000, 0)
+
+    shifted = spark.range(5000).selectExpr("((id % 997) * 100) * 3 AS v")
+    r1 = hdr_distribution_drift(base, shifted, "v").collect()[0]
+    assert r1.tvd_ppm > 500_000  # 3x scale moves most mass across buckets
+
+    # mild drift: 20% of rows shifted -> small but nonzero
+    mild = spark.range(5000).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN (id % 997) * 260 ELSE (id % 997) * 100 END AS v"
+    )
+    r2 = hdr_distribution_drift(base, mild, "v").collect()[0]
+    assert 0 < r2.tvd_ppm < r1.tvd_ppm
+
+
+def test_hdr_distribution_drift_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        hdr_distribution_drift,
+        hdr_distribution_drift_sql,
+    )
+
+    old = pd.DataFrame({"v": [(i % 37) * 50 for i in range(800)]})
+    new = pd.DataFrame({"v": [(i % 41) * 70 for i in range(1100)]})
+    got = hdr_distribution_drift(
+        spark.createDataFrame(old), spark.createDataFrame(new), "v"
+    ).collect()[0]
+    con = duckdb.connect()
+    con.register("o", old)
+    con.register("n", new)
+    duck = con.execute(
+        hdr_distribution_drift_sql("SELECT v FROM o", "SELECT v FROM n", "v")
+    ).fetchone()
+    assert (got.n_old, got.n_new, got.n_buckets, got.tvd_ppm) == duck

@@ -186,3 +186,50 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:  # pragma: no cover
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mode"])
 
     return payloads.mapInPandas(decode, schema=schema)
+
+
+# --- codec-free binary near-duplicate signatures ---
+
+BLOCKHASH_BITS = 60  # matches dedup.SIMHASH_BITS: the banding reuses as-is
+
+
+def payload_blockhash_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Average-hash over raw bytes (aHash without a codec): split the
+    payload into BLOCKHASH_BITS equal byte blocks; bit b = 1 iff
+    mean(block b) >= mean(payload). Deterministic, pure byte arithmetic —
+    near-identical payloads (re-encodes, appended metadata, small edits)
+    flip few bits, so hamming distance ranks similarity. Empty payloads
+    hash to 0."""
+    import numpy as np
+    import pandas as pd
+
+    def sig(b) -> int:
+        a = np.frombuffer(bytes(b), dtype=np.uint8)
+        if a.size == 0:
+            return 0
+        overall = a.mean()
+        out = 0
+        for i, block in enumerate(np.array_split(a, BLOCKHASH_BITS)):
+            if block.size and block.mean() >= overall:
+                out |= 1 << i
+        return out
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "simhash": pdf["payload"].map(sig).astype("int64"),
+            }
+        )
+
+
+def payload_blockhash(payloads: DataFrame) -> DataFrame:
+    """mapInPandas driver: ``(doc_id, simhash)`` block-hash signatures over
+    (doc_id, payload) — feed straight into ``dedup.simhash_near_pairs``
+    (same 60-bit layout, same pigeonhole banding) for codec-free binary
+    near-dup detection at corpus scale. Arrow-batched; zero shuffle."""
+    return payloads.mapInPandas(
+        payload_blockhash_batches, schema="doc_id long, simhash long"
+    )

@@ -81,3 +81,54 @@ def test_export_training_shards_layout(spark, tmp_path):
     assert back.count() == 40
     # round-trips with the shard readable as a partition column
     assert back.select(F.countDistinct("shard")).collect()[0][0] == 4
+
+
+def test_payload_blockhash_near_dup_via_simhash_banding(spark):
+    """Codec-free binary near-dup: a lightly perturbed payload lands
+    within hamming<=3 of its original through the EXISTING simhash
+    banding; an unrelated payload does not pair."""
+    import numpy as np
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import simhash_near_pairs
+    from dwh_etl_ods_spark_jobs_spark.multimodal import (
+        BLOCKHASH_BITS,
+        payload_blockhash,
+    )
+
+    rng = np.random.RandomState(7)  # test fixture only, never in operators
+    base = rng.randint(0, 256, 6000).astype(np.uint8)
+    near = base.copy()
+    near[100:110] = 255  # tiny edit: flips at most a couple of blocks
+    other = rng.randint(0, 256, 6000).astype(np.uint8)
+
+    rows = [
+        (1, bytearray(base.tobytes())),
+        (2, bytearray(near.tobytes())),
+        (3, bytearray(other.tobytes())),
+        (4, bytearray(b"")),  # empty payload -> sig 0, pairs with nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = payload_blockhash(df)
+
+    got = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert got[4] == 0
+    assert 0 <= got[1] < (1 << BLOCKHASH_BITS)
+
+    # python reference for the signature itself
+    def ref(a):
+        if a.size == 0:
+            return 0
+        m, out = a.mean(), 0
+        for i, blk in enumerate(np.array_split(a, BLOCKHASH_BITS)):
+            if blk.size and blk.mean() >= m:
+                out |= 1 << i
+        return out
+
+    assert got[1] == ref(base) and got[3] == ref(other)
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -67,6 +67,7 @@ __all__ = [
     "hdr_percentile_calibrate_sql",
     "hdr_distribution_drift",
     "hdr_distribution_drift_sql",
+    "hdr_drift_from_hists",
 ]
 
 
@@ -807,6 +808,16 @@ def hdr_distribution_drift(
     hn = new.transform(hdr_histogram([], value_col)).select(
         "bucket_lo", F.col("n").alias("n_new")
     )
+    return hdr_drift_from_hists(ho, hn)
+
+
+def hdr_drift_from_hists(ho: DataFrame, hn: DataFrame) -> DataFrame:
+    """TVD from two PRE-BUILT HDR histograms — ``(bucket_lo, n_old)`` and
+    ``(bucket_lo, n_new)``. The sketch-native entry point: histograms are
+    the mergeable artifact (persisted per load, or snapshotted live from
+    ``streaming.streaming_hdr_histogram``), so drift between any two
+    loads — or between the live stream and a reference — never rereads
+    rows. :func:`hdr_distribution_drift` is this + two histogram scans."""
     j = (
         ho.join(hn, "bucket_lo", "full_outer")
         .select(

@@ -779,3 +779,47 @@ def test_streaming_windowed_hll_matches_batch_hopping(spark, workdir):
     }
     assert got == expect
     assert len(got) >= 5  # multiple overlapping windows actually formed
+
+
+def test_streaming_histogram_snapshot_feeds_drift_monitor(spark, workdir):
+    """Live drift monitoring: the streaming HDR histogram snapshot plugs
+    straight into sketches.hdr_drift_from_hists against a batch reference
+    — same TVD as batch-vs-batch over the same rows."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    src = os.path.join(workdir, "landing")
+    # reference distribution vs a drifted live stream
+    ref_rows = [((i % 97) * 100,) for i in range(3000)]
+    live_rows = [((i % 97) * 100 * (3 if i % 4 == 0 else 1),) for i in range(3000)]
+    ref = spark.createDataFrame(ref_rows, "v long")
+    _write_source_files(spark, src, live_rows, "v long")
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    hist = ST.streaming_hdr_histogram(stream, [], "v")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hdr_live")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    ho = ref.transform(SK.hdr_histogram([], "v")).select(
+        "bucket_lo", F.col("n").alias("n_old")
+    )
+    hn = spark.table("hdr_live").select("bucket_lo", F.col("n").alias("n_new"))
+    live = SK.hdr_drift_from_hists(ho, hn).collect()[0]
+
+    batch = SK.hdr_distribution_drift(
+        ref, spark.read.parquet(src), "v"
+    ).collect()[0]
+    assert (live.n_old, live.n_new, live.tvd_ppm) == (
+        batch.n_old, batch.n_new, batch.tvd_ppm,
+    )
+    assert live.tvd_ppm > 0  # the drift is real and detected

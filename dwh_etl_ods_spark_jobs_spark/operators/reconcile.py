@@ -19,6 +19,8 @@ __all__ = [
     "snapshot_diff_sql",
     "fk_orphan_census",
     "fk_orphan_census_sql",
+    "table_checksum",
+    "table_checksum_sql",
 ]
 
 _NULL_SENTINEL = "\x00"  # Spark lit == DuckDB chr(0); cannot occur in data
@@ -172,4 +174,50 @@ SELECT n_child, n_orphans,
        CASE WHEN n_child = 0 THEN CAST(0 AS BIGINT)
             ELSE (n_orphans * 1000000) // n_child END AS orphan_ppm
 FROM stats
+"""
+
+
+def table_checksum(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum: one row
+    ``(n_rows, xor_hash)`` where xor_hash is the BIGINT bit-XOR of every
+    row's 60-bit md5 over the NUL-sentineled, name-sorted column values
+    (the :func:`snapshot_diff` fingerprint, folded with XOR so
+    partitioning and row order can never matter).
+
+    The cheap pre-check of reconciliation: two replicas/loads with equal
+    checksums almost surely match (XOR collision ~2^-60); only on
+    mismatch run the full :func:`snapshot_diff`. One scan, one 1-row
+    aggregate — no shuffle of row data at any scale. ``keys`` limits the
+    hash to a column subset (e.g. keys only, for a fast key-census
+    compare).
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    cols = sorted(keys if keys is not None else df.columns)
+    h = md5_long(
+        F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols],
+        )
+    )
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).cast("long").alias("xor_hash"),
+    )
+
+
+def table_checksum_sql(table_expr: str, cols: Sequence[str]) -> str:
+    """DuckDB rendering of :func:`table_checksum` (same fingerprint, same
+    XOR fold; pass the name-sorted column list)."""
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    cols = sorted(cols)
+    concat = "concat_ws('|', " + ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    ) + ")"
+    h = md5_long_sql(concat)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(bit_xor({h}), 0) AS BIGINT) AS xor_hash
+FROM {table_expr}
 """

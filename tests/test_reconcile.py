@@ -137,3 +137,48 @@ def test_fk_orphan_census_empty_child(spark):
     parent = spark.createDataFrame([(1,)], "pk int")
     r = fk_orphan_census(child, parent, [("fk", "pk")]).collect()[0]
     assert (r.n_child, r.n_orphans, r.orphan_ppm) == (0, 0, 0)
+
+
+def test_table_checksum_order_insensitive_and_detects_change(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import table_checksum
+
+    df = spark.createDataFrame(OLD, SCHEMA)
+    a = table_checksum(df).collect()[0]
+    b = table_checksum(df.repartition(7).orderBy(F_desc())).collect()[0]
+    assert (a.n_rows, a.xor_hash) == (b.n_rows, b.xor_hash)
+
+    changed = spark.createDataFrame(
+        [(1, "alice", 11)] + OLD[1:], SCHEMA  # one cell changed
+    )
+    c = table_checksum(changed).collect()[0]
+    assert c.xor_hash != a.xor_hash
+
+    empty = spark.createDataFrame([], SCHEMA)
+    e = table_checksum(empty).collect()[0]
+    assert (e.n_rows, e.xor_hash) == (0, 0)
+
+
+def F_desc():
+    from pyspark.sql import functions as F
+
+    return F.desc("name")
+
+
+def test_table_checksum_matches_duckdb(spark):
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        table_checksum,
+        table_checksum_sql,
+    )
+
+    got = table_checksum(spark.createDataFrame(OLD, SCHEMA)).collect()[0]
+    con = duckdb.connect()
+    # typed table, not a pandas register: a None in an int column would
+    # float-promote and render '1.0' vs Spark's '1'
+    con.execute("CREATE TABLE t (id INTEGER, name VARCHAR, amount INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", OLD)
+    duck = con.execute(
+        table_checksum_sql("t", ["id", "name", "amount"])
+    ).fetchone()
+    assert (got.n_rows, got.xor_hash) == duck

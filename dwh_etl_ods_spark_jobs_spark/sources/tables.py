@@ -351,3 +351,28 @@ def compact_parquet(
         "files_after": len(_data_files(hpath)),
         "bytes": total,
     }
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write a GLOBALLY ordered parquet layout: range-partition into
+    ``n_files`` key ranges, sort within each, one file per range — file k's
+    keys all precede file k+1's. Downstream merge readers, binary-search
+    point lookups, and min/max footer pruning on the sort key all get the
+    strongest possible layout (a plain sorted write per-partition gives
+    only LOCAL order; a global orderBy().coalesce(1) gives one giant
+    file). Range boundaries come from Spark's reservoir sampling of the
+    key distribution — skewed keys still split evenly."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -166,3 +166,29 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
 
     assert not os.path.exists(path + "__stg")
     assert not os.path.exists(path + "__old")
+
+
+def test_write_range_sorted_files_are_disjoint_and_ordered(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import write_range_sorted
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(10_000).selectExpr(
+        "pmod(hash(id), 100000) AS k", "id AS payload"
+    )
+    write_range_sorted(df, path, ["k"], n_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # per-file key ranges must not overlap: global order across files
+    ranges = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) == 8
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo  # disjoint, ascending

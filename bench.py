@@ -73,6 +73,7 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - bench must not die
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     payload = json.dumps(
         {
             "metric": "total_query_wall_sec",
@@ -80,13 +81,11 @@ def main() -> int:
             "unit": "sec",
             "queries": timings,
             "n": n_runs,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
         }
     )
-    print(payload)
-    # Self-contained artifact: the driver's stdout capture has truncated
-    # long battery outputs before (BENCH_r06 recorded parsed: null), so the
-    # full per-query record is also written to disk and committed per round.
+    # Self-contained artifact: the full ~4 KB per-query record goes to disk
+    # (committed per round as bench_r{N}_local.json).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_local_latest.json"),
@@ -94,8 +93,30 @@ def main() -> int:
     try:
         with open(out_path, "w") as fh:
             fh.write(payload + "\n")
-    except OSError as e:  # pragma: no cover - stdout line already emitted
+    except OSError as e:  # pragma: no cover - stdout line still emitted below
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    # The driver's stdout capture keeps only a ~2,000-char TAIL, so the full
+    # payload on stdout is unparseable (BENCH_r06/r07 recorded parsed: null).
+    # Emit a compact summary as the LAST stdout line instead — same schema,
+    # but "queries" carries only the slowest 10 (name -> sec) so the line
+    # stays well under the capture window; the full per-query detail lives
+    # in the file above (committed per round).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n": n_runs,
+                "sf": sf_val,
+            }
+        )
+    )
     return 0
 
 

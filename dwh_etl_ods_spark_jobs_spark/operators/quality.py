@@ -59,11 +59,36 @@ class RowCheck:
 
 @dataclass(frozen=True)
 class UniqueCheck:
-    """A key-uniqueness expectation; metric = distinct(key)/rows."""
+    """A key-uniqueness expectation; metric = distinct(key)/rows.
+
+    NULL-bearing key tuples count as distinct key values (per-field md5
+    with a NULL sentinel on BOTH engines — Spark's ``count_distinct(a, b)``
+    natively skips any-NULL rows while DuckDB's ``count(DISTINCT (a, b))``
+    counts them, so the sentinel form is the only rendering that agrees;
+    ADVICE r7)."""
 
     name: str
     cols: tuple[str, ...] = field(default_factory=tuple)
     min_ppm: int = PPM
+
+
+# 32-char non-hex token: cannot collide with a real md5 output
+_NULL_MD5 = "n" * 32
+
+
+def _unique_key_spark(cols: tuple[str, ...]) -> Column:
+    return F.concat(
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_MD5))
+            for c in cols
+        ]
+    )
+
+
+def _unique_key_sql(cols: tuple[str, ...]) -> str:
+    return "concat(" + ", ".join(
+        f"coalesce(md5(CAST({c} AS VARCHAR)), repeat('n', 32))" for c in cols
+    ) + ")"
 
 
 def _check_aggs(checks: list[RowCheck | UniqueCheck]) -> list[Column]:
@@ -79,7 +104,7 @@ def _check_aggs(checks: list[RowCheck | UniqueCheck]) -> list[Column]:
             )
         else:
             aggs.append(
-                F.count_distinct(*[F.col(c) for c in ck.cols]).alias(
+                F.count_distinct(_unique_key_spark(ck.cols)).alias(
                     f"__ok_{ck.name}"
                 )
             )
@@ -91,14 +116,21 @@ def dq_audit_from_counts(
 ) -> DataFrame:
     """Unpivot a one-row counter frame (``__n`` + ``__ok_<check>``) into
     the audit rows — shared by the batch path and streaming snapshots."""
+    # n = 0 (empty/failed-upstream extract) must FAIL loudly, not emit NULL
+    # audit rows that downstream passed-gating never sees (ADVICE r7):
+    # metric_ppm -> 0, passed -> 0.
     audit_structs = [
         F.struct(
             F.lit(ck.name).alias("check_name"),
             F.col("__n").alias("n_rows"),
             F.col(f"__ok_{ck.name}").alias("n_ok"),
-            F.expr(f"(__ok_{ck.name} * {PPM}L) div __n").alias("metric_ppm"),
             F.expr(
-                f"CAST((__ok_{ck.name} * {PPM}L) div __n >= {ck.min_ppm} AS INT)"
+                f"CASE WHEN __n = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (__ok_{ck.name} * {PPM}L) div __n END"
+            ).alias("metric_ppm"),
+            F.expr(
+                f"CASE WHEN __n = 0 THEN 0 ELSE "
+                f"CAST((__ok_{ck.name} * {PPM}L) div __n >= {ck.min_ppm} AS INT) END"
             ).alias("passed"),
         )
         for ck in checks
@@ -161,15 +193,17 @@ def dq_expectations_sql_parts(
                 f"sum(CASE WHEN {ck.sql_pred} THEN 1 ELSE 0 END) AS ok_{ck.name}"
             )
         else:
-            key = ", ".join(ck.cols)
-            expr = f"({key})" if len(ck.cols) > 1 else key
-            aggs.append(f"count(DISTINCT {expr}) AS ok_{ck.name}")
+            aggs.append(
+                f"count(DISTINCT {_unique_key_sql(ck.cols)}) AS ok_{ck.name}"
+            )
     cte = f"agg_{table} AS (SELECT {', '.join(aggs)} FROM {table})"
     rows = [
         f"""SELECT '{table}' AS table_name, '{ck.name}' AS check_name,
        CAST(n AS BIGINT) AS n_rows, CAST(ok_{ck.name} AS BIGINT) AS n_ok,
-       CAST((ok_{ck.name} * {PPM}) // n AS BIGINT) AS metric_ppm,
-       CAST(CASE WHEN (ok_{ck.name} * {PPM}) // n >= {ck.min_ppm}
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (ok_{ck.name} * {PPM}) // n END AS BIGINT) AS metric_ppm,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN (ok_{ck.name} * {PPM}) // n >= {ck.min_ppm}
                  THEN 1 ELSE 0 END AS INT) AS passed
 FROM agg_{table}"""
         for ck in checks

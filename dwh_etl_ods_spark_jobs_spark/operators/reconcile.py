@@ -24,16 +24,21 @@ __all__ = [
 ]
 
 _NULL_SENTINEL = "\x00"  # Spark lit == DuckDB chr(0); cannot occur in data
+# 32-char non-hex token for NULL fields: cannot collide with any md5 output
+_NULL_MD5 = "n" * 32
 
 
 def _row_hash(cols: Sequence[str]):
-    """Cross-engine row fingerprint: md5 of the '|'-joined,
-    NUL-sentineled string forms of ``cols`` (rendered identically by
-    ``snapshot_diff_sql``)."""
+    """Cross-engine row fingerprint: md5 of the concatenation of each
+    field's OWN md5 (NULL -> a 32-char non-hex token). Per-field hashes
+    are fixed-width, so field boundaries are unambiguous — distinct rows
+    like ('a|b','c') vs ('a','b|c') can no longer collide, and a literal
+    NUL value is distinguishable from NULL (ADVICE r7). Rendered
+    identically by ``snapshot_diff_sql``."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_MD5)) for c in cols
     ]
-    return F.md5(F.concat_ws("|", *parts))
+    return F.md5(F.concat(*parts))
 
 
 def snapshot_diff(
@@ -93,8 +98,10 @@ def snapshot_diff_sql(
     keys = list(keys)
     ordered = sorted(val_cols)
     fp = (
-        "md5(concat_ws('|', "
-        + ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in ordered)
+        "md5(concat("
+        + ", ".join(
+            f"coalesce(md5(CAST({c} AS VARCHAR)), repeat('n', 32))" for c in ordered
+        )
         + "))"
     )
     on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
@@ -177,47 +184,53 @@ FROM stats
 """
 
 
+_MOD_2_63 = "9223372036854775808"  # 2^63, for the sum-fold modulus
+
+
 def table_checksum(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     """Order-insensitive content checksum: one row
-    ``(n_rows, xor_hash)`` where xor_hash is the BIGINT bit-XOR of every
-    row's 60-bit md5 over the NUL-sentineled, name-sorted column values
-    (the :func:`snapshot_diff` fingerprint, folded with XOR so
-    partitioning and row order can never matter).
+    ``(n_rows, xor_hash, sum_hash)``. ``xor_hash`` is the BIGINT bit-XOR
+    of every row's 60-bit md5 over the boundary-safe, name-sorted column
+    fingerprint (the :func:`snapshot_diff` per-field-md5 fingerprint),
+    and ``sum_hash`` the exact sum of the same hashes mod 2^63. XOR alone
+    self-cancels on even multiplicities (swapping a duplicated pair
+    {R,R} for {S,S} leaves it unchanged — ADVICE r7); the sum fold breaks
+    that, so the pair detects any multiset difference with collision
+    probability ~2^-60 even on duplicate-bearing tables.
 
     The cheap pre-check of reconciliation: two replicas/loads with equal
-    checksums almost surely match (XOR collision ~2^-60); only on
-    mismatch run the full :func:`snapshot_diff`. One scan, one 1-row
-    aggregate — no shuffle of row data at any scale. ``keys`` limits the
-    hash to a column subset (e.g. keys only, for a fast key-census
-    compare).
+    checksums almost surely match; only on mismatch run the full
+    :func:`snapshot_diff`. One scan, one 1-row aggregate — no shuffle of
+    row data at any scale. ``keys`` limits the hash to a column subset
+    (e.g. keys only, for a fast key-census compare).
     """
     from dwh_etl_ods_spark_jobs_spark.text import md5_long
 
     cols = sorted(keys if keys is not None else df.columns)
-    h = md5_long(
-        F.concat_ws(
-            "|",
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols],
-        )
-    )
+    h = md5_long(_row_hash(cols))
     return df.select(h.alias("__h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).cast("long").alias("xor_hash"),
+        F.coalesce(
+            F.expr(f"CAST(sum(CAST(__h AS DECIMAL(38,0))) % {_MOD_2_63} AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("sum_hash"),
     )
 
 
 def table_checksum_sql(table_expr: str, cols: Sequence[str]) -> str:
     """DuckDB rendering of :func:`table_checksum` (same fingerprint, same
-    XOR fold; pass the name-sorted column list)."""
+    XOR + mod-2^63 sum folds; pass the name-sorted column list)."""
     from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
 
     cols = sorted(cols)
-    concat = "concat_ws('|', " + ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    concat = "concat(" + ", ".join(
+        f"coalesce(md5(CAST({c} AS VARCHAR)), repeat('n', 32))" for c in cols
     ) + ")"
-    h = md5_long_sql(concat)
+    h = md5_long_sql(f"md5({concat})")
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(coalesce(bit_xor({h}), 0) AS BIGINT) AS xor_hash
+       CAST(coalesce(bit_xor({h}), 0) AS BIGINT) AS xor_hash,
+       CAST(coalesce(sum({h}) % {_MOD_2_63}, 0) AS BIGINT) AS sum_hash
 FROM {table_expr}
 """

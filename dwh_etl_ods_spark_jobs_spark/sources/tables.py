@@ -163,11 +163,38 @@ def run_jdbc_update(
 
 
 def _jdbc_table_exists(spark: SparkSession, spec: "JdbcSpec") -> bool:
+    """Definitive existence probe via JDBC ``DatabaseMetaData.getTables``.
+
+    Deliberately NOT a SELECT-and-catch: swallowing every exception would
+    turn a transient connection drop into "table missing", sending
+    :func:`jdbc_upsert_batch` down the first-load plain-append branch and
+    silently duplicating a replayed micro-batch (ADVICE r7). Here only the
+    catalog's own answer decides; connection/transient errors propagate so
+    the micro-batch fails and retries.
+    """
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if spec.user:
+        props.setProperty("user", spec.user)
+    if spec.password:
+        props.setProperty("password", spec.password)
+    conn = jvm.java.sql.DriverManager.getConnection(spec.url, props)
     try:
-        read_table(spark, spec).limit(1).count()
-        return True
-    except Exception:
+        meta = conn.getMetaData()
+        # Unquoted DDL identifiers case-fold per dialect (Derby/Oracle up,
+        # Postgres down) — probe the stored-case candidates.
+        for name in dict.fromkeys(
+            (spec.table, spec.table.upper(), spec.table.lower())
+        ):
+            rs = meta.getTables(None, None, name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
         return False
+    finally:
+        conn.close()
 
 
 def jdbc_upsert_batch(

@@ -244,3 +244,60 @@ def test_quarantine_reason_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+def test_unique_check_null_keys_match_duckdb(spark):
+    """NULL-bearing multi-column keys: Spark count_distinct(a, b) skips
+    any-NULL rows while DuckDB count(DISTINCT (a, b)) counts them — the
+    sentinel rendering must make both engines agree (ADVICE r7)."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        UniqueCheck,
+        dq_expectations,
+        dq_expectations_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 1, None, None, 2],
+            "b": ["x", "x", "y", "y", None],
+        }
+    )
+    checks = [UniqueCheck("key_unique", ("a", "b"))]
+    got = dq_expectations(
+        spark.createDataFrame(pdf), "t", checks
+    ).collect()[0]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.execute(dq_expectations_sql({"t": checks})).fetchone()
+    assert (got.n_rows, got.n_ok, got.metric_ppm, got.passed) == duck[2:]
+    # and the distinct count itself treats each NULL-bearing tuple as a
+    # key value: {(1,x), (NULL,y), (2,NULL)} -> 3
+    assert got.n_ok == 3
+
+
+def test_dq_expectations_empty_table_fails_loudly(spark):
+    """n = 0 must yield metric_ppm 0 / passed 0 on BOTH engines, not NULL
+    rows that passed-gating silently skips (ADVICE r7)."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        UniqueCheck,
+        dq_expectations,
+        dq_expectations_sql,
+    )
+
+    checks = [
+        RowCheck("v_pos", lambda: F.col("v") > 0, "v > 0"),
+        UniqueCheck("id_unique", ("id",)),
+    ]
+    empty = spark.createDataFrame([], "id INT, v DOUBLE")
+    rows = dq_expectations(empty, "t", checks).collect()
+    assert [(r.n_rows, r.metric_ppm, r.passed) for r in rows] == [(0, 0, 0)] * 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INTEGER, v DOUBLE)")
+    duck = con.execute(dq_expectations_sql({"t": checks})).fetchall()
+    assert [(r[2], r[4], r[5]) for r in duck] == [(0, 0, 0)] * 2

@@ -155,7 +155,33 @@ def test_table_checksum_order_insensitive_and_detects_change(spark):
 
     empty = spark.createDataFrame([], SCHEMA)
     e = table_checksum(empty).collect()[0]
-    assert (e.n_rows, e.xor_hash) == (0, 0)
+    assert (e.n_rows, e.xor_hash, e.sum_hash) == (0, 0, 0)
+
+
+def test_table_checksum_detects_even_multiplicity_swap(spark):
+    """XOR alone self-cancels on duplicated pairs ({R,R} -> {S,S} keeps
+    xor_hash); the mod-2^63 sum fold must still differ (ADVICE r7)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import table_checksum
+
+    rr = spark.createDataFrame([(1, "r", 1), (1, "r", 1)], SCHEMA)
+    ss = spark.createDataFrame([(2, "s", 2), (2, "s", 2)], SCHEMA)
+    a = table_checksum(rr).collect()[0]
+    b = table_checksum(ss).collect()[0]
+    assert a.xor_hash == 0 and b.xor_hash == 0  # the self-cancel mode
+    assert a.sum_hash != b.sum_hash  # the sum fold catches it
+
+
+def test_row_hash_field_boundaries_unambiguous(spark):
+    """('a|b','c') vs ('a','b|c') and NUL-vs-NULL must hash differently
+    (per-field md5 fingerprint, ADVICE r7)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a|b", "c"), (2, "\x00", "x")],
+                                "id INT, u STRING, v STRING")
+    new = spark.createDataFrame([(1, "a", "b|c"), (2, None, "x")],
+                                "id INT, u STRING, v STRING")
+    got = {r.id: r.change for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
 
 
 def F_desc():
@@ -181,4 +207,4 @@ def test_table_checksum_matches_duckdb(spark):
     duck = con.execute(
         table_checksum_sql("t", ["id", "name", "amount"])
     ).fetchone()
-    assert (got.n_rows, got.xor_hash) == duck
+    assert (got.n_rows, got.xor_hash, got.sum_hash) == duck

@@ -546,18 +546,21 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#13"
     ).select("p_partkey")
-    per_part = (
+    # the brand-filtered fact slice feeds BOTH the per-part aggregate and
+    # the probe side — localCheckpoint so lineitem is scanned ONCE, not
+    # twice (the referenced->=2x discipline; plan-pinned by
+    # tests/test_staged_surfaces.py::test_tpch_self_join_scans_lineitem_once)
+    lib = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_partkey")
-        .agg(F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n"))
+        .select("l_partkey", "qty_c", "rev_c4")
+        .localCheckpoint(eager=False)
     )
-    small = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(per_part, "l_partkey")
-        .filter(
-            F.col("qty_c") * F.lit(100) * F.col("n")
-            < F.lit(20) * F.col("sum_qty_c")
-        )
+    per_part = lib.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n")
+    )
+    small = lib.join(per_part, "l_partkey").filter(
+        F.col("qty_c") * F.lit(100) * F.col("n")
+        < F.lit(20) * F.col("sum_qty_c")
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small_lines"),
@@ -943,3 +946,163 @@ SQL_DISTRIBUTION_DRIFT = SK.hdr_distribution_drift_sql(
 
 STAGED_QUERIES["distribution_drift_tvd"] = q_distribution_drift
 STAGED_ORACLES["distribution_drift_tvd"] = SQL_DISTRIBUTION_DRIFT
+
+
+# --- r8 additions: quarantine census, chunked backfill, layout checksum ---
+
+def _quarantine_checks():
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import RowCheck
+
+    return [
+        RowCheck(
+            "price_cap",
+            lambda: F.col("o_totalprice") < 300000.0,
+            "o_totalprice < 300000.0",
+        ),
+        RowCheck(
+            "not_urgent",
+            lambda: F.col("o_orderpriority") != "1-URGENT",
+            "o_orderpriority <> '1-URGENT'",
+        ),
+        RowCheck(
+            "key_mod3",
+            lambda: F.col("o_orderkey") % 3 != 0,
+            "o_orderkey % 3 <> 0",
+        ),
+    ]
+
+
+def q_quarantine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expect-or-quarantine routing census: every violating orders row is
+    routed (zero-shuffle opposite filters over one shared check
+    projection) and counted by its exact comma-joined failure reason —
+    the monitoring view a DLT/Deequ-style pipeline keeps of its side
+    table."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import quarantine_split
+
+    orders = _t(spark, sf_dir, "orders")
+    _, quarantined = quarantine_split(orders, _quarantine_checks())
+    return (
+        quarantined.groupBy("failed_checks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("failed_checks")
+    )
+
+
+def _sql_quarantine() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        quarantine_split_sql_reason,
+    )
+
+    reason = quarantine_split_sql_reason(_quarantine_checks())
+    return f"""
+WITH flagged AS (SELECT {reason} AS failed_checks FROM orders)
+SELECT failed_checks, CAST(count(*) AS BIGINT) AS n_rows
+FROM flagged WHERE failed_checks != ''
+GROUP BY failed_checks ORDER BY failed_checks
+"""
+
+
+SQL_QUARANTINE_CENSUS = _sql_quarantine()
+STAGED_QUERIES["quarantine_reason_census"] = q_quarantine_census
+STAGED_ORACLES["quarantine_reason_census"] = SQL_QUARANTINE_CENSUS
+
+
+BF_START, BF_END, BF_CHUNK_DAYS, BF_N_CHUNKS = "1995-01-01", "1995-07-01", 30, 7
+
+
+def q_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked idempotent backfill over a 6-month orders window: each
+    30-day slice re-runs the incremental load (null-safe anti-join vs the
+    already-loaded target), and the per-chunk delta row counts prove no
+    slice double-loads. jobs/spec.py:run_backfill end-to-end."""
+    from dwh_etl_ods_spark_jobs_spark.jobs.spec import JobSpec, run_backfill
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 10 < 7).select("o_orderkey")
+    spec = JobSpec(
+        name="backfill_orders", source_system="his", target="t",
+        keys=("o_orderkey",),
+    )
+    deltas = run_backfill(
+        spark, spec, orders, target, "o_orderdate",
+        BF_START, BF_END, BF_CHUNK_DAYS,
+    )
+    counted = [
+        d.agg(F.count(F.lit(1)).cast("long").alias("n_delta")).select(
+            F.lit(i).cast("int").alias("chunk_id"), "n_delta"
+        )
+        for i, d in enumerate(deltas)
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("chunk_id")
+
+
+SQL_BACKFILL_CHUNKS = f"""
+WITH chunks AS (SELECT UNNEST(range({BF_N_CHUNKS})) AS chunk_id),
+tgt AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 7),
+delta AS (
+  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '{BF_START}')
+              // {BF_CHUNK_DAYS} AS INT) AS chunk_id,
+         count(*) AS n
+  FROM orders s
+  WHERE o_orderdate >= DATE '{BF_START}' AND o_orderdate < DATE '{BF_END}'
+    AND NOT EXISTS (SELECT 1 FROM tgt t
+                    WHERE t.o_orderkey IS NOT DISTINCT FROM s.o_orderkey)
+  GROUP BY 1
+)
+SELECT CAST(c.chunk_id AS INT) AS chunk_id,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_delta
+FROM chunks c LEFT JOIN delta d ON c.chunk_id = d.chunk_id
+ORDER BY chunk_id
+"""
+STAGED_QUERIES["backfill_chunked_delta"] = q_backfill_chunks
+STAGED_ORACLES["backfill_chunked_delta"] = SQL_BACKFILL_CHUNKS
+
+
+RS_COLS = ["l_linenumber", "l_orderkey", "l_shipdate", "l_suppkey"]
+RS_LO, RS_HI = "1995-01-01", "1996-01-01"
+
+
+def q_range_sorted_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-op composition (VERDICT r7 #8): range-sorted parquet write
+    (global order on l_shipdate, one file per key range) -> re-read with a
+    shipdate filter the sorted layout serves via min/max footer pruning ->
+    order-insensitive table checksum. Matching the oracle's checksum of
+    the SAME slice of the ORIGINAL unsorted table proves the rewrite is
+    lossless and the checksum layout-independent, end-to-end."""
+    import tempfile
+
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import table_checksum
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import write_range_sorted
+
+    li = _t(spark, sf_dir, "lineitem").select(*RS_COLS)
+    # fixed path (not mkdtemp-per-call): repeated gate/bench runs overwrite
+    # instead of accumulating; lazy consumers read after this returns
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_range_sorted_ck")
+    write_range_sorted(li, path, ["l_shipdate"], n_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= RS_LO) & (F.col("l_shipdate") < RS_HI)
+    )
+    return table_checksum(back)
+
+
+def _sql_range_sorted() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        table_checksum_sql,
+    )
+
+    cols = ", ".join(RS_COLS)
+    return table_checksum_sql(
+        f"(SELECT {cols} FROM lineitem"
+        f" WHERE l_shipdate >= DATE '{RS_LO}'"
+        f" AND l_shipdate < DATE '{RS_HI}')",
+        RS_COLS,
+    )
+
+
+SQL_RANGE_SORTED_CHECKSUM = _sql_range_sorted()
+STAGED_QUERIES["range_sorted_checksum"] = q_range_sorted_checksum
+STAGED_ORACLES["range_sorted_checksum"] = SQL_RANGE_SORTED_CHECKSUM

@@ -216,3 +216,19 @@ def test_bpe_encode_chunked_apply_matches_unchunked(spark):
         for r in bpe_encode_counts(df, "body", "doc_id", merges, chunk=2).collect()
     )
     assert one == many
+
+
+def test_local_and_distributed_paths_identical(spark):
+    """The driver-side fast path (vocab <= BPE_LOCAL_VOCAB_MAX, VERDICT r7
+    #3) must emit the bit-identical merge table to the distributed loop —
+    same pairs, same ranks, same counts — including early stop."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "body string")
+    local = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(spark, df, "body", 12).collect()
+    ]
+    dist = [
+        (r.rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(spark, df, "body", 12, local_vocab_max=0).collect()
+    ]
+    assert local == dist and len(local) > 0

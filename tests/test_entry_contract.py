@@ -54,3 +54,53 @@ def test_window_holds_all_head_entries():
     assert len(entry_mod._HEAD) <= 50, "window overflow: first 50 only"
     stale_tail = [n for n in entry_mod._TAIL if n not in qs]
     assert not stale_tail, f"_TAIL references unknown queries: {stale_tail}"
+
+
+def test_tail_freshness_invariant():
+    """Rotation contract as a test (VERDICT r7 #7): no battery entry may go
+    >= 2 recorded rounds without either a driver CORRECTNESS row (all three
+    matches green) or a committed tools/check_oracle.py sweep entry
+    (tools/sweep_log.json). Entries in the current _HEAD are scheduled for
+    the imminent gate run and pass by construction."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    last_green: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rno = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rno)
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last_green[name] = max(last_green.get(name, -1), rno)
+    sweep_path = os.path.join(repo, "tools", "sweep_log.json")
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as fh:
+            for entry in json.load(fh):
+                for name in entry["queries"]:
+                    last_green[name] = max(
+                        last_green.get(name, -1), int(entry["round"])
+                    )
+    assert rounds, "no CORRECTNESS_r*.json committed — cannot check freshness"
+    latest = max(rounds)
+    head = set(entry_mod._HEAD)
+    stale = {
+        name: last_green.get(name)
+        for name in entry_mod.queries()
+        if name not in head and last_green.get(name, -1) < latest - 1
+    }
+    assert not stale, (
+        f"battery entries unverified since round {latest - 1} and not in the "
+        f"current gate window: {stale} — rotate them into _HEAD or record a "
+        f"check_oracle.py --log-sweep run"
+    )

@@ -51,14 +51,17 @@ def test_staged_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_names_not_yet_in_battery():
-    """Staged entries must not collide with live battery names (the r8
-    move is an ADD, never a silent overwrite)."""
+def test_staged_names_registered_in_battery():
+    """r8 flipped the invariant: every staged entry IS registered in the
+    live battery, bound to the SAME callable/SQL (no shadow copy drift),
+    and the registration overwrote nothing (battery grew by exactly the
+    staged count)."""
     import __spark_entry__ as entry_mod
 
-    live = set(entry_mod.queries())
-    clash = live & set(staged.STAGED_QUERIES)
-    assert not clash, f"staged names already registered: {sorted(clash)}"
+    live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
+    for name, fn in staged.STAGED_QUERIES.items():
+        assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
+        assert live_o.get(name) == staged.STAGED_ORACLES[name], name
 
 
 def test_staged_oracle_keys_align():
@@ -103,3 +106,18 @@ def test_staged_results_invariant_under_repartition(spark, sf_dir, name, monkeyp
     b = base[key].sort_values(key, na_position="first").reset_index(drop=True)
     s = shuffled[key].sort_values(key, na_position="first").reset_index(drop=True)
     assert b.equals(s), name
+
+
+def test_tpch_self_join_scans_lineitem_once(spark, sf_dir):
+    """Q17/Q18 join lineitem to an aggregate of itself; the fact table must
+    be scanned at most once per query (Q17: shared slice localCheckpointed;
+    Q18: the agg is the only lineitem reference) — VERDICT r7 #4."""
+    for name in ("tpch_q17_small_qty", "tpch_q18_big_orders"):
+        plan = (
+            staged.STAGED_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_scans = plan.count("lineitem.parquet")
+        assert n_scans <= 1, f"{name}: {n_scans} lineitem scans in plan"

@@ -4,7 +4,12 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet tables, then compares row count, sorted column names,
 and an order-insensitive value hash. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--log-sweep N] [sf_dir] [query ...]
+
+``--log-sweep N`` records the PASSing query names into
+``tools/sweep_log.json`` under round ``N`` — the committed evidence the
+_TAIL freshness invariant (tests/test_entry_contract.py) accepts for
+battery entries the driver's 50-slot gate window dropped that round.
 """
 
 from __future__ import annotations
@@ -68,10 +73,37 @@ def canonical_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def _record_sweep(round_no: int, sf_dir: str, passed: list[str]) -> None:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sweep_log.json")
+    entries = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            entries = json.load(fh)
+    entries.append(
+        {
+            "round": round_no,
+            "sf_dir": sf_dir,
+            "utc": dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
+            "queries": sorted(passed),
+        }
+    )
+    with open(path, "w") as fh:
+        json.dump(entries, fh, indent=1)
+    print(f"sweep_log: recorded {len(passed)} green queries for round {round_no}")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    argv = list(sys.argv[1:])
+    log_round: int | None = None
+    if "--log-sweep" in argv:
+        i = argv.index("--log-sweep")
+        log_round = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(argv[1:]) if len(argv) > 1 else (
+        set(argv) if argv and not os.path.isdir(argv[0]) else None
     )
 
     import __spark_entry__ as entry_mod
@@ -131,6 +163,9 @@ def main() -> int:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     n_run = len(only) if only else len(qs)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if log_round is not None:
+        ran = [n for n in qs if (not only or n in only)]
+        _record_sweep(log_round, sf_dir, [n for n in ran if n not in failures])
     return 1 if failures else 0
 
 

@@ -87,6 +87,9 @@ __all__ = [
     "bm25_topk",
     "BM25_K1",
     "BM25_B",
+    "temporal_split",
+    "temporal_split_census",
+    "temporal_split_census_sql",
 ]
 
 
@@ -1055,3 +1058,114 @@ def bm25_topk(id_col: str, text_col: str, terms: list[str], k: int = 10):
         ).limit(k)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# 16. Temporal train/test split with embargo (leakage-safe time series)
+# ---------------------------------------------------------------------------
+
+def temporal_split(date_col: str, train_end: str, test_start: str):
+    """Label rows ``train`` (< train_end) / ``embargo`` ([train_end,
+    test_start)) / ``test`` (>= test_start) on a date/timestamp column.
+
+    The embargo gap prevents look-ahead leakage through features computed
+    over windows that would straddle the boundary (the purged/embargoed
+    split of de Prado, *Advances in Financial ML* ch. 7 — standard
+    hygiene for any time-ordered training set). Scan-side expression,
+    zero shuffle; requires ``train_end <= test_start``.
+    """
+    if not (train_end <= test_start):
+        raise ValueError(
+            f"embargo window inverted: train_end {train_end!r} must be <= "
+            f"test_start {test_start!r}"
+        )
+
+    def apply(df: DataFrame) -> DataFrame:
+        c = F.col(date_col)
+        return df.withColumn(
+            "split",
+            F.when(c < F.lit(train_end), F.lit("train"))
+            .when(c < F.lit(test_start), F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+
+    return apply
+
+
+def temporal_split_census(
+    df: DataFrame,
+    date_col: str,
+    entity_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """Audit of a temporal split: per split ``(split, n_rows, n_entities,
+    shared_train_entities)`` — the last column counts the split's entities
+    that ALSO appear in train (0 for train itself). A non-zero test
+    overlap is expected (the same customer exists across time) but must
+    be KNOWN: entity-level memorization is the leakage an embargo cannot
+    remove, and the census makes the reviewer decide instead of discover.
+
+    Scale: one labeling scan + per-split aggregate; the overlap is a
+    semi-join of two distinct-entity keysets (keys only shuffled).
+    """
+    labeled = (
+        df.select(F.col(entity_col).alias("_e"), F.col(date_col).alias("_d"))
+        .transform(temporal_split("_d", train_end, test_start))
+        .localCheckpoint(eager=False)  # referenced three times below
+    )
+    per = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("_e").cast("long").alias("n_entities"),
+    )
+    train_e = labeled.filter(F.col("split") == "train").select("_e").distinct()
+    shared = (
+        labeled.filter(F.col("split") != "train")
+        .select("split", "_e")
+        .distinct()
+        .join(train_e, "_e", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("_shared"))
+    )
+    return (
+        per.join(shared, "split", "left")
+        .select(
+            "split",
+            "n_rows",
+            "n_entities",
+            F.coalesce("_shared", F.lit(0)).cast("long").alias(
+                "shared_train_entities"
+            ),
+        )
+    )
+
+
+def temporal_split_census_sql(
+    table_expr: str, date_expr: str, entity_expr: str,
+    train_end: str, test_start: str,
+) -> str:
+    """DuckDB rendering of :func:`temporal_split_census`."""
+    return f"""
+WITH labeled AS (
+  SELECT {entity_expr} AS e,
+         CASE WHEN {date_expr} < '{train_end}' THEN 'train'
+              WHEN {date_expr} < '{test_start}' THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM {table_expr}
+),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT e) AS BIGINT) AS n_entities
+  FROM labeled GROUP BY split
+),
+train_e AS (SELECT DISTINCT e FROM labeled WHERE split = 'train'),
+shared AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS shared
+  FROM (SELECT DISTINCT split, e FROM labeled WHERE split != 'train') s
+  WHERE EXISTS (SELECT 1 FROM train_e t WHERE t.e = s.e)
+  GROUP BY split
+)
+SELECT per.split AS split, n_rows, n_entities,
+       CAST(coalesce(shared.shared, 0) AS BIGINT) AS shared_train_entities
+FROM per LEFT JOIN shared ON per.split = shared.split
+"""

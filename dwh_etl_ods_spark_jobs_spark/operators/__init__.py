@@ -35,6 +35,7 @@ from dwh_etl_ods_spark_jobs_spark.operators.merge import (
     merge_upsert,
 )
 from dwh_etl_ods_spark_jobs_spark.operators.normalize import lookup_fold
+from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank, quantile_bin
 from dwh_etl_ods_spark_jobs_spark.operators.skew import (
     salted_agg,
     salted_join,
@@ -58,6 +59,8 @@ __all__ = [
     "morton_code",
     "morton_code_sql",
     "anti_join_new",
+    "global_rank",
+    "quantile_bin",
     "apply_rules",
     "asof_join",
     "date_clamp",

@@ -37,6 +37,8 @@ __all__ = [
     "k_anonymity_census_sql",
     "quarantine_split",
     "quarantine_split_sql_reason",
+    "json_field_audit",
+    "json_field_audit_sql",
 ]
 
 PPM = 1_000_000
@@ -319,3 +321,81 @@ def quarantine_split_sql_reason(checks: list[RowCheck]) -> str:
     return (
         f"array_to_string(list_filter([{arms}], x -> x IS NOT NULL), ',')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedded-JSON field audit (semi-structured column quality)
+# ---------------------------------------------------------------------------
+
+def json_field_audit(
+    df: DataFrame,
+    json_col: str,
+    fields: list[tuple[str, str]],
+    numeric_sums: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """One-row parse audit of an embedded JSON string column::
+
+        (n_rows, n_valid, n_malformed, nn_<field>..., sum_<name>...)
+
+    ``fields`` is ``(name, json_path)`` — ``nn_<name>`` counts rows where
+    the path yields a value; ``numeric_sums`` additionally sums a path's
+    integer values over valid rows (salvage proof). Validity is
+    ``get_json_object(col, '$')`` — NULL iff the cell is not parseable
+    JSON, the portable equivalent of DuckDB's ``json_valid`` (rendered by
+    :func:`json_field_audit_sql`). Malformed rows never kill the job and
+    never silently vanish: they are COUNTED, and the caller quarantines
+    with the same predicate. Scale: scan-side expressions folded into one
+    map-side-combinable aggregation — no shuffle of row data.
+    """
+    j = F.col(json_col)
+    valid = F.get_json_object(j, "$").isNotNull()
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("long").alias("n_malformed"),
+    ]
+    for name, path in fields:
+        aggs.append(
+            F.sum(
+                F.when(F.get_json_object(j, path).isNotNull(), 1).otherwise(0)
+            ).cast("long").alias(f"nn_{name}")
+        )
+    for name, path in numeric_sums or []:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.get_json_object(j, path).cast("long")), F.lit(0)
+            ).cast("long").alias(f"sum_{name}")
+        )
+    return df.agg(*aggs)
+
+
+def json_field_audit_sql(
+    table_expr: str,
+    json_expr: str,
+    fields: list[tuple[str, str]],
+    numeric_sums: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB rendering of :func:`json_field_audit` (json_valid guard —
+    DuckDB's json_extract ERRORS on invalid JSON instead of yielding
+    NULL, so every path access is gated)."""
+    j = json_expr
+    sel = [
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        f"CAST(sum(CASE WHEN json_valid({j}) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_valid",
+        f"CAST(sum(CASE WHEN json_valid({j}) THEN 0 ELSE 1 END) AS BIGINT)"
+        " AS n_malformed",
+    ]
+    for name, path in fields:
+        sel.append(
+            f"CAST(sum(CASE WHEN json_valid({j}) AND "
+            f"json_extract_string({j}, '{path}') IS NOT NULL "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS nn_{name}"
+        )
+    for name, path in numeric_sums or []:
+        sel.append(
+            f"CAST(coalesce(sum(CASE WHEN json_valid({j}) THEN "
+            f"CAST(json_extract_string({j}, '{path}') AS BIGINT) END), 0) "
+            f"AS BIGINT) AS sum_{name}"
+        )
+    return f"SELECT {', '.join(sel)} FROM {table_expr}"

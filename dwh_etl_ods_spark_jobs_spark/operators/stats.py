@@ -33,6 +33,10 @@ __all__ = [
     "robust_outlier_census_sql",
     "chi2_association",
     "chi2_association_sql",
+    "target_encoding",
+    "target_encoding_sql",
+    "key_skew_profile",
+    "key_skew_profile_sql",
 ]
 
 
@@ -330,4 +334,153 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST((n * (greatest(t_nano, CAST(1000000000 AS HUGEINT))
                   - 1000000000)) // 1000 AS BIGINT) AS chi2_micro
 FROM summed, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Target encoding (m-estimate smoothed category mean) — ML feature prep
+# ---------------------------------------------------------------------------
+
+def target_encoding(
+    df: DataFrame, cat_col: str, y: Column, m: int
+) -> DataFrame:
+    """Smoothed mean (m-estimate) target encoding per category::
+
+        enc_micro = (sum_y·10⁶ + m·global_mean_micro) div (n + m)
+
+    ``y`` must be an integer 0/1 Column (a predicate cast); all
+    arithmetic is exact integer micro-units so the encoding is
+    deterministic and hash-matches any SQL engine (Micci-Barreca, SIGKDD
+    Expl. 2001 — the standard high-cardinality categorical encoder).
+
+    Returns ``(category, n, sum_y, enc_micro)``. Scale: ONE map-side
+    combinable aggregation over the data; the global mean comes from a
+    second aggregation of the tiny per-category frame, attached back via
+    a constant-key broadcast hash join (never a cross join). Categories
+    unseen at apply time take the global prior — exposed here as the
+    fallback value ``enc_micro`` of an all-categories row the caller can
+    union if needed.
+    """
+    per_cat = (
+        df.select(F.col(cat_col).alias("category"), y.cast("long").alias("_y"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("sum_y"),
+        )
+        .localCheckpoint(eager=False)  # referenced twice below
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    totals = (
+        per_cat.agg(
+            F.sum("n").cast("long").alias("_n_t"),
+            F.sum("sum_y").cast("long").alias("_y_t"),
+        )
+        .select(
+            F.expr("(_y_t * 1000000) div _n_t").alias("_gm"),
+        )
+        .withColumn("_one", one)
+    )
+    return (
+        per_cat.withColumn("_one", one)
+        .join(F.broadcast(totals), "_one")
+        .select(
+            "category",
+            "n",
+            "sum_y",
+            F.expr(f"(sum_y * 1000000 + {m} * _gm) div (n + {m})").alias(
+                "enc_micro"
+            ),
+        )
+    )
+
+
+def target_encoding_sql(table_expr: str, cat_expr: str, y_pred: str, m: int) -> str:
+    """DuckDB rendering of :func:`target_encoding` (same integer ops)."""
+    return f"""
+WITH per_cat AS (
+  SELECT {cat_expr} AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN {y_pred} THEN 1 ELSE 0 END) AS BIGINT) AS sum_y
+  FROM {table_expr} GROUP BY 1
+),
+g AS (
+  SELECT CAST((sum(sum_y) * 1000000) // sum(n) AS BIGINT) AS gm FROM per_cat
+)
+SELECT category, n, sum_y,
+       CAST((sum_y * 1000000 + {m} * gm) // (n + {m}) AS BIGINT) AS enc_micro
+FROM per_cat, g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile — the pre-shuffle diagnostic that decides salting
+# ---------------------------------------------------------------------------
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row shuffle-skew diagnostic for a prospective join/agg key::
+
+        (n_rows, n_keys, max_per_key, skew_x_micro, top_key)
+
+    ``skew_x_micro`` = max_per_key · n_keys · 10⁶ div n_rows — how many
+    times hotter the hottest key runs vs a uniform spread (1.0 == 10⁶).
+    The number that decides whether a planned shuffle on ``key_cols``
+    needs salting (``operators.skew``) or AQE skew-join before it runs at
+    100 TB. Scale: one map-side-combinable count per key + aggregation of
+    the key frame; the argmax key resolves by the portable two-step rule
+    (max count, then MIN key string) — deterministic across engines.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # referenced twice below
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_per_key"),
+    ).withColumn("_one", one)
+    return (
+        counts.withColumn("_one", one)
+        .join(F.broadcast(stats), "_one")
+        .filter(F.col("n") == F.col("max_per_key"))
+        .groupBy("n_rows", "n_keys", "max_per_key")
+        .agg(F.min("k").alias("top_key"))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            F.expr("(max_per_key * n_keys * 1000000) div n_rows").alias(
+                "skew_x_micro"
+            ),
+            "top_key",
+        )
+    )
+
+
+def key_skew_profile_sql(table_expr: str, key_exprs: list[str]) -> str:
+    """DuckDB rendering of :func:`key_skew_profile`."""
+    key = "concat_ws('|', " + ", ".join(
+        f"CAST({e} AS VARCHAR)" for e in key_exprs
+    ) + ")"
+    return f"""
+WITH counts AS (
+  SELECT {key} AS k, CAST(count(*) AS BIGINT) AS n
+  FROM {table_expr} GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_per_key
+  FROM counts
+)
+SELECT n_rows, n_keys, max_per_key,
+       CAST((max_per_key * n_keys * 1000000) // n_rows AS BIGINT)
+         AS skew_x_micro,
+       (SELECT min(k) FROM counts, s WHERE counts.n = s.max_per_key)
+         AS top_key
+FROM s
 """

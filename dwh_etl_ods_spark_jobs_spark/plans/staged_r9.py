@@ -1,0 +1,189 @@
+"""r9-STAGED battery queries: operators landed in round 8 with query +
+DuckDB oracle fully wired, held OUT of ``__spark_entry__`` because the r8
+50-entry gate window is fully claimed by the 26 just-registered staged
+entries + rotation (see the window plan in ``__spark_entry__.py``).
+
+r9 registration: ``q.update(staged_r9.STAGED_QUERIES)`` and slot into
+``_HEAD``. Until then ``tests/test_staged_r9_surfaces.py`` runs the exact
+driver-gate comparison (sorted-column value equality + scalar-output
+rule) on every entry.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.curation import temporal_split_census
+from dwh_etl_ods_spark_jobs_spark.curation import temporal_split_census_sql
+from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+    json_field_audit,
+    json_field_audit_sql,
+)
+from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_bin
+from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+    key_skew_profile,
+    key_skew_profile_sql,
+    target_encoding,
+    target_encoding_sql,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+
+
+# --- equal-frequency quantile binning (feature prep) ---
+
+QB_BINS = 8
+
+
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency binning of lineitem price cents into 8 bins
+    via the distributed two-phase global rank (operators/rank.py — never a
+    single-partition ORDER BY window); census per bin."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    binned = li.transform(
+        quantile_bin(["cents", "l_orderkey", "l_linenumber"], QB_BINS)
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_QUANTILE_BINNING = f"""
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1
+           AS rk,
+         count(*) OVER () AS n
+  FROM li
+)
+SELECT CAST((rk * {QB_BINS}) // n AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM r GROUP BY 1 ORDER BY bin
+"""
+STAGED_QUERIES["quantile_binning_census"] = q_quantile_binning
+STAGED_ORACLES["quantile_binning_census"] = SQL_QUANTILE_BINNING
+
+
+# --- m-estimate target encoding (feature prep) ---
+
+TE_M = 20
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of order priority against the
+    'big order' label (totalprice > 150k) in exact micro-units."""
+    orders = _t(spark, sf_dir, "orders")
+    return target_encoding(
+        orders,
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000.0).cast("int"),
+        TE_M,
+    ).orderBy("category")
+
+
+SQL_TARGET_ENCODING = (
+    target_encoding_sql(
+        "orders", "o_orderpriority", "o_totalprice > 150000.0", TE_M
+    )
+    + " ORDER BY category"
+)
+STAGED_QUERIES["target_encoding_priority"] = q_target_encoding
+STAGED_ORACLES["target_encoding_priority"] = SQL_TARGET_ENCODING
+
+
+# --- key-skew diagnostic (pre-shuffle salting decision) ---
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profile of events keyed by (user_id, event_type) —
+    the exact diagnostic run before committing a 100 TB shuffle to that
+    key (skew_x_micro >= ~10e6 would trigger operators/skew salting)."""
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id", "event_type"])
+
+
+SQL_KEY_SKEW = key_skew_profile_sql("events", ["user_id", "event_type"])
+STAGED_QUERIES["key_skew_diagnostics"] = q_key_skew
+STAGED_ORACLES["key_skew_diagnostics"] = SQL_KEY_SKEW
+
+
+# --- embedded-JSON parse audit with deterministic corruption ---
+
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse audit of events.props with every 7th row's JSON truncated
+    (the crawl-shard reality: a few malformed cells must be counted and
+    quarantined, never fail the job or silently vanish); salvages the
+    integer field sum from the valid rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_field_audit(
+        ev, "props", fields=[("k", "$.k")], numeric_sums=[("k", "$.k")]
+    )
+
+
+SQL_JSON_MALFORMED = json_field_audit_sql(
+    "(SELECT CASE WHEN event_id % 7 = 0"
+    " THEN substring(props, 1, length(props) - 1)"
+    " ELSE props END AS props FROM events)",
+    "props",
+    fields=[("k", "$.k")],
+    numeric_sums=[("k", "$.k")],
+)
+STAGED_QUERIES["json_malformed_census"] = q_json_malformed
+STAGED_ORACLES["json_malformed_census"] = SQL_JSON_MALFORMED
+
+
+# --- temporal split with embargo (time-series leakage hygiene) ---
+
+TS_TRAIN_END, TS_TEST_START = "1996-01-01", "1996-04-01"
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split of orders (3-month embargo) with the
+    entity-overlap census — the leakage an embargo cannot remove, made
+    explicit per split."""
+    orders = _t(spark, sf_dir, "orders")
+    return temporal_split_census(
+        orders, "o_orderdate", "o_custkey", TS_TRAIN_END, TS_TEST_START
+    ).orderBy("split")
+
+
+SQL_TEMPORAL_SPLIT = (
+    temporal_split_census_sql(
+        "orders", "o_orderdate", "o_custkey", TS_TRAIN_END, TS_TEST_START
+    )
+    + " ORDER BY split"
+)
+STAGED_QUERIES["temporal_split_embargo"] = q_temporal_split
+STAGED_ORACLES["temporal_split_embargo"] = SQL_TEMPORAL_SPLIT

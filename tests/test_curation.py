@@ -649,3 +649,61 @@ def test_stratified_sample_exact_counts_and_salt_invariance(spark):
         .collect()
     )
     assert {r.doc_id for r in rep} == {d for v in picks[8].values() for d in v}
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.curation import temporal_split
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(1995, 12, 31)),
+            (2, dt.date(1996, 1, 1)),   # train_end itself -> embargo
+            (3, dt.date(1996, 3, 31)),
+            (4, dt.date(1996, 4, 1)),   # test_start itself -> test
+        ],
+        "id int, d date",
+    )
+    got = {
+        r.id: r.split
+        for r in df.transform(
+            temporal_split("d", "1996-01-01", "1996-04-01")
+        ).collect()
+    }
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test"}
+
+
+def test_temporal_split_rejects_inverted_window():
+    import pytest as _pytest
+
+    from dwh_etl_ods_spark_jobs_spark.curation import temporal_split
+
+    with _pytest.raises(ValueError):
+        temporal_split("d", "1996-04-01", "1996-01-01")
+
+
+def test_temporal_split_census_overlap_counts(spark):
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.curation import temporal_split_census
+
+    rows = [
+        ("c1", dt.date(1995, 6, 1)),
+        ("c2", dt.date(1995, 7, 1)),
+        ("c1", dt.date(1996, 2, 1)),   # embargo, c1 also in train
+        ("c1", dt.date(1996, 6, 1)),   # test, c1 also in train
+        ("c3", dt.date(1996, 7, 1)),   # test only
+    ]
+    df = spark.createDataFrame(rows, "e string, d date")
+    got = {
+        r.split: (r.n_rows, r.n_entities, r.shared_train_entities)
+        for r in temporal_split_census(
+            df, "d", "e", "1996-01-01", "1996-04-01"
+        ).collect()
+    }
+    assert got == {
+        "train": (2, 2, 0),
+        "embargo": (1, 1, 1),
+        "test": (2, 2, 1),
+    }

@@ -301,3 +301,24 @@ def test_dq_expectations_empty_table_fails_loudly(spark):
     con.execute("CREATE TABLE t (id INTEGER, v DOUBLE)")
     duck = con.execute(dq_expectations_sql({"t": checks})).fetchall()
     assert [(r[2], r[4], r[5]) for r in duck] == [(0, 0, 0)] * 2
+
+
+def test_json_field_audit_known_values(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import json_field_audit
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 5}',),
+            ('{"k": 7, "x": "y"}',),
+            ('{"x": 1}',),        # valid, field missing
+            ('{"k": 5',),         # malformed
+            (None,),              # NULL cell -> malformed
+        ],
+        "props string",
+    )
+    r = json_field_audit(
+        df, "props", fields=[("k", "$.k")], numeric_sums=[("k", "$.k")]
+    ).collect()[0]
+    assert (r.n_rows, r.n_valid, r.n_malformed) == (5, 3, 2)
+    assert r.nn_k == 2
+    assert r.sum_k == 12

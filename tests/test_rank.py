@@ -1,0 +1,76 @@
+"""operators/rank.py: distributed global rank + equal-frequency binning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank, quantile_bin
+
+
+def _df(spark, n=1000, parts=None):
+    df = spark.range(n).select(
+        F.col("id"),
+        # non-monotonic, duplicate-heavy sort value with unique (v, id) order
+        F.pmod(F.col("id") * 37 + 11, F.lit(101)).alias("v"),
+    )
+    return df.repartition(parts) if parts else df
+
+
+def test_global_rank_matches_single_partition_row_number(spark):
+    got = (
+        _df(spark)
+        .transform(global_rank(["v", "id"], out_col="rk", n_ranges=8))
+        .select("id", "rk")
+        .toPandas()
+        .set_index("id")["rk"]
+        .to_dict()
+    )
+    rows = _df(spark).orderBy("v", "id").select("id").collect()
+    expected = {r.id: i for i, r in enumerate(rows)}
+    assert got == expected
+
+
+def test_global_rank_invariant_under_input_partitioning(spark):
+    a = (
+        _df(spark)
+        .transform(global_rank(["v", "id"], out_col="rk"))
+        .orderBy("id")
+        .collect()
+    )
+    b = (
+        _df(spark, parts=13)
+        .transform(global_rank(["v", "id"], out_col="rk", n_ranges=4))
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.rk) for r in a] == [(r.id, r.rk) for r in b]
+
+
+def test_global_rank_with_total(spark):
+    out = _df(spark, n=50).transform(
+        global_rank(["v", "id"], out_col="rk", with_total="n")
+    )
+    rows = out.collect()
+    assert all(r.n == 50 for r in rows)
+    assert sorted(r.rk for r in rows) == list(range(50))
+
+
+def test_quantile_bin_sizes_differ_by_at_most_one(spark):
+    out = _df(spark, n=1003).transform(quantile_bin(["v", "id"], 8))
+    sizes = {
+        r.bin: r.cnt
+        for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == 1003
+
+
+def test_quantile_bin_is_order_consistent(spark):
+    """Every row in bin k has (v, id) <= every row in bin k+1."""
+    out = _df(spark, n=500).transform(quantile_bin(["v", "id"], 4)).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append((r.v, r.id))
+    for k in range(3):
+        assert max(by_bin[k]) < min(by_bin[k + 1])

@@ -124,3 +124,43 @@ def test_chi2_association_null_categories_group(spark):
     r = chi2_association(df, "a", "b").collect()[0]
     assert (r.n, r.n_cells, r.dof) == (20, 4, 1)
     assert r.chi2_micro == 0  # independent by construction
+
+
+def test_target_encoding_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import target_encoding
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("c", 1)],
+        "cat string, y int",
+    )
+    out = {
+        r.category: (r.n, r.sum_y, r.enc_micro)
+        for r in target_encoding(df, "cat", F.col("y") == 1, m=2).collect()
+    }
+    gm = (3 * 1_000_000) // 6  # 500000
+    assert out["a"] == (3, 2, (2_000_000 + 2 * gm) // 5)
+    assert out["b"] == (2, 0, (0 + 2 * gm) // 4)
+    assert out["c"] == (1, 1, (1_000_000 + 2 * gm) // 3)
+
+
+def test_key_skew_profile_known_values(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("w1",), ("w2",), ("w3",), ("w4",)], "k string"
+    )
+    r = key_skew_profile(df, ["k"]).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_per_key) == (10, 5, 6)
+    assert r.skew_x_micro == (6 * 5 * 1_000_000) // 10  # 3.0x uniform
+    assert r.top_key == "hot"
+
+
+def test_key_skew_profile_tie_breaks_to_min_key(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("z",)], "k string"
+    )
+    assert key_skew_profile(df, ["k"]).collect()[0].top_key == "a"

@@ -148,3 +148,117 @@ def tumbling_rollup(
         .groupBy("window_start", *group_cols)
         .agg(*aggs)
     )
+
+
+def attribution_credits(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int,
+) -> DataFrame:
+    """Multi-touch marketing attribution: for every conversion event,
+    credit the user's touch events in the ``lookback_days`` window
+    strictly before it, under the three standard models at once::
+
+        (channel, first_touch, last_touch, linear_micro)
+
+    first/last = count of conversions where the channel was the
+    earliest/latest touch in-window (ties broken by ``id_col`` — fully
+    deterministic); linear_micro = sum over conversions of
+    ``10⁶ div n_touches`` per touch (exact integers; a conversion's
+    credits sum to ≤ 10⁶ with the remainder truncated, the price of
+    cross-engine exactness).
+
+    Scale: conversions ⋈ touches is an EQUI join on the user (never a
+    non-equi time join — the window filter prunes post-join), and the
+    ranking windows partition by conversion id, whose fan-in is bounded
+    by the user's touch rate × lookback window, not by table size.
+    Conversions with zero in-window touches simply contribute nothing
+    (standard "unattributed" bucket — count them upstream if needed).
+    """
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_cid"),
+        F.col(ts_col).alias("_cts"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+    )
+    pairs = conv.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.expr(f"INTERVAL {lookback_days} DAYS"))
+    )
+    w = Window.partitionBy("_cid")
+    asc = w.orderBy(F.col("_tts").asc(), F.col("_tid").asc())
+    desc = w.orderBy(F.col("_tts").desc(), F.col("_tid").desc())
+    credited = pairs.select(
+        "channel",
+        (F.row_number().over(asc) == 1).cast("long").alias("_first"),
+        (F.row_number().over(desc) == 1).cast("long").alias("_last"),
+        F.expr("1000000L").alias("_one_m"),
+        F.count(F.lit(1)).over(w).alias("_n_t"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.sum("_first").cast("long").alias("first_touch"),
+            F.sum("_last").cast("long").alias("last_touch"),
+            F.sum(F.expr("_one_m div _n_t")).cast("long").alias("linear_micro"),
+        )
+    )
+
+
+def attribution_credits_sql(
+    table_expr: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int,
+) -> str:
+    """DuckDB rendering of :func:`attribution_credits` (same tie-breaks,
+    same integer linear credit)."""
+    types = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH conv AS (
+  SELECT {user_col} AS u, {id_col} AS cid, {ts_col} AS cts
+  FROM {table_expr} WHERE {type_col} = '{conversion_type}'
+),
+touch AS (
+  SELECT {user_col} AS u, {type_col} AS channel, {ts_col} AS tts,
+         {id_col} AS tid
+  FROM {table_expr} WHERE {type_col} IN ({types})
+),
+pairs AS (
+  SELECT cid, channel, tts, tid
+  FROM conv JOIN touch USING (u)
+  WHERE tts < cts AND tts >= cts - INTERVAL {lookback_days} DAY
+),
+credited AS (
+  SELECT channel,
+         CASE WHEN row_number() OVER
+              (PARTITION BY cid ORDER BY tts ASC, tid ASC) = 1
+              THEN 1 ELSE 0 END AS first_t,
+         CASE WHEN row_number() OVER
+              (PARTITION BY cid ORDER BY tts DESC, tid DESC) = 1
+              THEN 1 ELSE 0 END AS last_t,
+         1000000 // count(*) OVER (PARTITION BY cid) AS lin
+  FROM pairs
+)
+SELECT channel,
+       CAST(sum(first_t) AS BIGINT) AS first_touch,
+       CAST(sum(last_t) AS BIGINT) AS last_touch,
+       CAST(sum(lin) AS BIGINT) AS linear_micro
+FROM credited GROUP BY channel
+"""

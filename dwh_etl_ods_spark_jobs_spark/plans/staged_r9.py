@@ -187,3 +187,47 @@ SQL_TEMPORAL_SPLIT = (
 )
 STAGED_QUERIES["temporal_split_embargo"] = q_temporal_split
 STAGED_ORACLES["temporal_split_embargo"] = SQL_TEMPORAL_SPLIT
+
+
+# --- multi-touch attribution over the events stream ---
+
+AT_LOOKBACK = 7
+AT_TOUCHES = ["view", "click", "signup"]
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear attribution of purchases to view/click/signup
+    touches in a strict 7-day lookback, exact-integer linear credits."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        attribution_credits,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir)
+    return attribution_credits(
+        ev, "user_id", "event_type", "ts", "event_id",
+        conversion_type="purchase",
+        touch_types=AT_TOUCHES,
+        lookback_days=AT_LOOKBACK,
+    ).orderBy("channel")
+
+
+def _sql_attribution() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        attribution_credits_sql,
+    )
+
+    return (
+        attribution_credits_sql(
+            "events", "user_id", "event_type", "ts", "event_id",
+            conversion_type="purchase",
+            touch_types=AT_TOUCHES,
+            lookback_days=AT_LOOKBACK,
+        )
+        + " ORDER BY channel"
+    )
+
+
+SQL_ATTRIBUTION = _sql_attribution()
+STAGED_QUERIES["attribution_touchpoints"] = q_attribution
+STAGED_ORACLES["attribution_touchpoints"] = SQL_ATTRIBUTION

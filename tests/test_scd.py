@@ -81,3 +81,43 @@ def test_scd2_multi_attribute_any_change_opens_interval(spark):
     )
     out = df.transform(changes_to_scd2("k", "ts", ["a1", "a2"])).collect()
     assert len(out) == 3
+
+
+def test_attribution_credits_known_values(spark):
+    """Hand-checked attribution: u1 converts once with touches
+    [view@d1, click@d3] (first=view, last=click, linear 500000 each);
+    u2 converts with one in-window touch (signup) and one out-of-window
+    view (8 days before, excluded)."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        attribution_credits,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, "u1", "view", T(2024, 1, 1)),
+        (2, "u1", "click", T(2024, 1, 3)),
+        (3, "u1", "purchase", T(2024, 1, 5)),
+        (4, "u2", "view", T(2024, 1, 1)),      # 8 days before -> excluded
+        (5, "u2", "signup", T(2024, 1, 7)),
+        (6, "u2", "purchase", T(2024, 1, 9)),
+        (7, "u3", "purchase", T(2024, 1, 9)),  # zero touches -> nothing
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+    got = {
+        r.channel: (r.first_touch, r.last_touch, r.linear_micro)
+        for r in attribution_credits(
+            ev, "user_id", "event_type", "ts", "event_id",
+            conversion_type="purchase",
+            touch_types=["view", "click", "signup"],
+            lookback_days=7,
+        ).collect()
+    }
+    assert got == {
+        "view": (1, 0, 500000),
+        "click": (0, 1, 500000),
+        "signup": (1, 1, 1000000),
+    }

@@ -37,6 +37,10 @@ __all__ = [
     "target_encoding_sql",
     "key_skew_profile",
     "key_skew_profile_sql",
+    "rfm_quintiles",
+    "rfm_quintiles_sql",
+    "cusum_flags",
+    "cusum_flags_sql",
 ]
 
 
@@ -483,4 +487,190 @@ SELECT n_rows, n_keys, max_per_key,
        (SELECT min(k) FROM counts, s WHERE counts.n = s.max_per_key)
          AS top_key
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile features (recency / frequency / monetary customer scoring)
+# ---------------------------------------------------------------------------
+
+def rfm_quintiles(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    amount_cents: Column,
+    n_q: int = 5,
+) -> DataFrame:
+    """Classic RFM feature build: per entity, recency (days before the
+    dataset's max date), frequency (row count), monetary (exact cent
+    sum), each cut into ``n_q`` exact equal-frequency quantiles via the
+    distributed global rank (``operators/rank.py`` — no single-partition
+    ORDER BY anywhere). Returns::
+
+        (entity, recency_days, n_orders, cents, r_q, f_q, m_q)
+
+    with quantiles 1..n_q; recency ranks ASCENDING (fewest days = best =
+    highest r_q by the standard marketing convention: r_q = n_q - bin).
+    The anchor date is data-derived (max date), attached by constant-key
+    broadcast. Scale: one entity aggregation + three bounded-range rank
+    passes over the ENTITY frame (already reduced from transactions).
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_bin
+
+    per = df.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.max(F.col(date_col)).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(amount_cents).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)  # referenced twice (anchor + features)
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    anchor = per.agg(F.max("_last").alias("_anchor")).withColumn("_one", one)
+    feats = (
+        per.withColumn("_one", one)
+        .join(F.broadcast(anchor), "_one")
+        .select(
+            "entity",
+            F.datediff(F.col("_anchor"), F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "n_orders",
+            "cents",
+        )
+    )
+    return (
+        feats.transform(quantile_bin(["recency_days", "entity"], n_q, out_col="_rb"))
+        .transform(quantile_bin(["n_orders", "entity"], n_q, out_col="_fb"))
+        .transform(quantile_bin(["cents", "entity"], n_q, out_col="_mb"))
+        .select(
+            "entity",
+            "recency_days",
+            "n_orders",
+            "cents",
+            (F.lit(n_q) - F.col("_rb")).cast("int").alias("r_q"),
+            (F.col("_fb") + 1).cast("int").alias("f_q"),
+            (F.col("_mb") + 1).cast("int").alias("m_q"),
+        )
+    )
+
+
+def rfm_quintiles_sql(
+    table_expr: str,
+    entity_expr: str,
+    date_expr: str,
+    cents_expr: str,
+    n_q: int = 5,
+) -> str:
+    """DuckDB rendering of :func:`rfm_quintiles` (row_number quantile
+    formula, same tie-breaks)."""
+    return f"""
+WITH per AS (
+  SELECT {entity_expr} AS entity,
+         max({date_expr}) AS last_d,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum({cents_expr}) AS BIGINT) AS cents
+  FROM {table_expr} GROUP BY 1
+),
+a AS (SELECT max(last_d) AS anchor FROM per),
+feats AS (
+  SELECT entity,
+         CAST(datediff('day', last_d, anchor) AS BIGINT) AS recency_days,
+         n_orders, cents
+  FROM per, a
+),
+ranked AS (
+  SELECT *,
+    (row_number() OVER (ORDER BY recency_days, entity) - 1) * {n_q}
+      // count(*) OVER () AS rb,
+    (row_number() OVER (ORDER BY n_orders, entity) - 1) * {n_q}
+      // count(*) OVER () AS fb,
+    (row_number() OVER (ORDER BY cents, entity) - 1) * {n_q}
+      // count(*) OVER () AS mb
+  FROM feats
+)
+SELECT entity, recency_days, n_orders, cents,
+       CAST({n_q} - rb AS INT) AS r_q,
+       CAST(fb + 1 AS INT) AS f_q,
+       CAST(mb + 1 AS INT) AS m_q
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point flags (drift detection over a daily series)
+# ---------------------------------------------------------------------------
+
+def cusum_flags(
+    df: DataFrame, day_col: str, cents_col: str, threshold_x_micro: int
+) -> DataFrame:
+    """Page's CUSUM over a (day, cents) series, exact integers: the
+    running sum of scaled deviations ``cents·n − total`` (i.e. the
+    deviation from the global mean, scaled by n so no fraction ever
+    materializes); a day is flagged when |cusum| exceeds
+    ``threshold_x_micro``·10⁻⁶ of the |total|·n envelope::
+
+        (day, cents, cusum_scaled, flagged)
+
+    Scale: the series is an already-aggregated DAILY frame (bounded by
+    calendar days, not rows) — the ordered running-sum window is bounded
+    the same way; the global total attaches by constant-key broadcast.
+    """
+    from pyspark.sql import Window
+
+    series = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(F.col(cents_col)).cast("long").alias("cents"))
+        .localCheckpoint(eager=False)  # referenced twice below
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    tot = series.agg(
+        F.sum("cents").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).withColumn("_one", one)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        series.withColumn("_one", one)
+        .join(F.broadcast(tot), "_one")
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                (F.col("cents") * F.col("_n") - F.col("_total")).cast(
+                    "decimal(38,0)"
+                )
+            ).over(w).cast("long"),
+        )
+        .select(
+            "day",
+            "cents",
+            "cusum_scaled",
+            (
+                F.abs(F.col("cusum_scaled"))
+                * F.lit(1_000_000)
+                > F.lit(threshold_x_micro) * F.abs(F.col("_total")) * F.col("_n")
+            ).cast("int").alias("flagged"),
+        )
+    )
+
+
+def cusum_flags_sql(
+    table_expr: str, day_expr: str, cents_expr: str, threshold_x_micro: int
+) -> str:
+    """DuckDB rendering of :func:`cusum_flags`."""
+    return f"""
+WITH series AS (
+  SELECT {day_expr} AS day, CAST(sum({cents_expr}) AS BIGINT) AS cents
+  FROM {table_expr} GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n
+  FROM series
+)
+SELECT day, cents,
+       CAST(sum(cents * n - total) OVER
+            (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cusum_scaled,
+       CAST(CASE WHEN abs(CAST(sum(cents * n - total) OVER
+                 (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT))
+                 * 1000000 > {threshold_x_micro} * abs(total) * n
+            THEN 1 ELSE 0 END AS INT) AS flagged
+FROM series, t
 """

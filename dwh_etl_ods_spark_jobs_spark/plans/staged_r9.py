@@ -231,3 +231,76 @@ def _sql_attribution() -> str:
 SQL_ATTRIBUTION = _sql_attribution()
 STAGED_QUERIES["attribution_touchpoints"] = q_attribution
 STAGED_ORACLES["attribution_touchpoints"] = SQL_ATTRIBUTION
+
+
+# --- RFM quintile features (rank-op composition) ---
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quintiles over orders — three exact equal-
+    frequency cuts via the distributed global rank, anchor date
+    data-derived."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import rfm_quintiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_quintiles(
+        orders,
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+    ).orderBy("entity")
+
+
+def _sql_rfm() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import rfm_quintiles_sql
+
+    return (
+        rfm_quintiles_sql(
+            "orders",
+            "o_custkey",
+            "CAST(o_orderdate AS DATE)",
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+        )
+        + " ORDER BY entity"
+    )
+
+
+SQL_RFM = _sql_rfm()
+STAGED_QUERIES["rfm_quintile_features"] = q_rfm
+STAGED_ORACLES["rfm_quintile_features"] = SQL_RFM
+
+
+# --- CUSUM change-point flags over monthly revenue ---
+
+CUSUM_THR_MICRO = 2000
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over monthly order revenue, exact-integer scaled
+    deviations; months where the cumulative drift exceeds the envelope
+    threshold are flagged."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import cusum_flags
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return cusum_flags(orders, "month", "cents", CUSUM_THR_MICRO).orderBy("day")
+
+
+def _sql_cusum() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import cusum_flags_sql
+
+    return (
+        cusum_flags_sql(
+            "orders",
+            "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)",
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+            CUSUM_THR_MICRO,
+        )
+        + " ORDER BY day"
+    )
+
+
+SQL_CUSUM = _sql_cusum()
+STAGED_QUERIES["cusum_changepoint_flags"] = q_cusum
+STAGED_ORACLES["cusum_changepoint_flags"] = SQL_CUSUM

@@ -164,3 +164,54 @@ def test_key_skew_profile_tie_breaks_to_min_key(spark):
         [("b",), ("b",), ("a",), ("a",), ("z",)], "k string"
     )
     assert key_skew_profile(df, ["k"]).collect()[0].top_key == "a"
+
+
+def test_rfm_quintiles_known_values(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import rfm_quintiles
+
+    # 5 customers, one order each on distinct days with distinct amounts:
+    # every quintile cut is a clean 1-per-bin split
+    rows = [
+        (f"c{i}", dt.date(2024, 1, 1 + i), float(100 * (i + 1)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "cust string, d date, amt double")
+    out = {
+        r.entity: (r.recency_days, r.n_orders, r.cents, r.r_q, r.f_q, r.m_q)
+        for r in rfm_quintiles(
+            df, "cust", "d", F.expr("CAST(round(amt * 100, 0) AS BIGINT)")
+        ).collect()
+    }
+    # anchor = 2024-01-05 (c4). c0 is oldest (recency 4 -> worst r_q=1)
+    # and cheapest (m_q=1); c4 newest (r_q=5) and dearest (m_q=5).
+    assert out["c0"] == (4, 1, 10000, 1, 1, 1)
+    assert out["c4"] == (0, 1, 50000, 5, 5, 5)
+    # frequency all equal 1: f_q is then rank-by-entity tiebreak (1..5)
+    assert sorted(v[4] for v in out.values()) == [1, 2, 3, 4, 5]
+
+
+def test_cusum_flags_known_values(spark):
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import cusum_flags
+
+    # series 10, 10, 40: total=60, n=3, mean=20
+    # dev_scaled = c*3 - 60 -> -30, -30, +60; cusum -> -30, -60, 0
+    rows = [
+        (dt.date(2024, 1, 1), 10),
+        (dt.date(2024, 2, 1), 10),
+        (dt.date(2024, 3, 1), 40),
+    ]
+    df = spark.createDataFrame(rows, "day date, cents long")
+    out = {
+        str(r.day): (r.cents, r.cusum_scaled, r.flagged)
+        for r in cusum_flags(df, "day", "cents", 250_000).collect()
+    }
+    # envelope = thr_micro * |total| * n / 1e6 = 0.25 * 60 * 3 = 45
+    assert out["2024-01-01"] == (10, -30, 0)
+    assert out["2024-02-01"] == (10, -60, 1)
+    assert out["2024-03-01"] == (40, 0, 0)

@@ -785,3 +785,90 @@ SELECT n.doc_id,
 FROM new_sigs n LEFT JOIN bs ON n.doc_id = bs.new_id
                 LEFT JOIN bb ON n.doc_id = bb.new_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (attribute mode per resolved cluster)
+# ---------------------------------------------------------------------------
+
+def golden_record(
+    df: DataFrame, cluster_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Per-cluster golden record: for every attribute independently, the
+    MOST FREQUENT non-NULL value among the cluster's members (ties break
+    to the MIN value string — the repo's portable two-step argmax, fully
+    deterministic cross-engine). The survivorship step a master-data
+    pipeline runs after :func:`connected_components` resolves entities:
+    CC names the cluster, this op writes its canonical attributes.
+
+    Returns ``(cluster_col, <attr>...)`` with every attribute as its
+    string form (mode is a string-domain operation; cast back at the
+    edge). Clusters whose members are all-NULL on an attribute yield
+    NULL.
+
+    Scale shape: ONE melt (attribute name is data, not plan — attr count
+    never widens the shuffle count) -> one (cluster, attr, value) count
+    -> per-(cluster, attr) max join -> pivot over the BOUNDED attr-name
+    set. Two shuffles total regardless of how many attributes survive.
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("attr"), F.col(a).cast("string").alias("v")
+            )
+            for a in attr_cols
+        ]
+    )
+    melted = (
+        df.select(F.col(cluster_col).alias("_cl"), F.explode(structs).alias("m"))
+        .select("_cl", "m.attr", "m.v")
+        .filter(F.col("v").isNotNull())
+    )
+    counts = melted.groupBy("_cl", "attr", "v").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint(eager=False)  # feeds the max agg AND the tie filter
+    mx = counts.groupBy("_cl", "attr").agg(F.max("_n").alias("_mx"))
+    best = (
+        counts.join(mx, ["_cl", "attr"])
+        .filter(F.col("_n") == F.col("_mx"))
+        .groupBy("_cl", "attr")
+        .agg(F.min("v").alias("v"))
+    )
+    return (
+        best.groupBy("_cl")
+        .pivot("attr", attr_cols)
+        .agg(F.first("v"))  # exactly one row per (cluster, attr) by now
+        .withColumnRenamed("_cl", cluster_col)
+    )
+
+
+def golden_record_sql(
+    table_expr: str, cluster_expr: str, attr_exprs: dict[str, str],
+    cluster_name: str = "cl",
+) -> str:
+    """DuckDB rendering of :func:`golden_record` (same melt + two-step
+    argmax + conditional pivot). ``attr_exprs`` maps output name -> SQL
+    expression; ``cluster_name`` names the output cluster column."""
+    melts = " UNION ALL ".join(
+        f"SELECT {cluster_expr} AS cl, '{name}' AS attr,"
+        f" CAST({expr} AS VARCHAR) AS v FROM {table_expr}"
+        f" WHERE {expr} IS NOT NULL"
+        for name, expr in attr_exprs.items()
+    )
+    pivots = ", ".join(
+        f"max(CASE WHEN attr = '{name}' THEN v END) AS {name}"
+        for name in attr_exprs
+    )
+    return f"""
+WITH melted AS ({melts}),
+counts AS (
+  SELECT cl, attr, v, count(*) AS n FROM melted GROUP BY 1, 2, 3
+),
+mx AS (SELECT cl, attr, max(n) AS mx FROM counts GROUP BY 1, 2),
+best AS (
+  SELECT counts.cl, counts.attr, min(v) AS v
+  FROM counts JOIN mx ON counts.cl = mx.cl AND counts.attr = mx.attr
+  WHERE n = mx GROUP BY 1, 2
+)
+SELECT cl AS {cluster_name}, {pivots} FROM best GROUP BY cl
+"""

@@ -304,3 +304,43 @@ def _sql_cusum() -> str:
 SQL_CUSUM = _sql_cusum()
 STAGED_QUERIES["cusum_changepoint_flags"] = q_cusum
 STAGED_ORACLES["cusum_changepoint_flags"] = SQL_CUSUM
+
+
+# --- golden-record survivorship over synthetic entity clusters ---
+
+GR_MOD = 97
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: customers hash-clustered (%97 synthetic
+    entity resolution stand-in), per cluster the mode of market segment
+    and nation key — the canonical-attribute write after CC."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import golden_record
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.pmod(F.col("c_custkey"), F.lit(GR_MOD)).alias("cluster_id"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return golden_record(
+        cust, "cluster_id", ["c_mktsegment", "c_nationkey"]
+    ).orderBy("cluster_id")
+
+
+def _sql_golden() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import golden_record_sql
+
+    return (
+        golden_record_sql(
+            "customer",
+            f"c_custkey % {GR_MOD}",
+            {"c_mktsegment": "c_mktsegment", "c_nationkey": "c_nationkey"},
+            cluster_name="cluster_id",
+        )
+        + " ORDER BY cluster_id"
+    )
+
+
+SQL_GOLDEN_RECORD = _sql_golden()
+STAGED_QUERIES["golden_record_mode"] = q_golden_record
+STAGED_ORACLES["golden_record_mode"] = SQL_GOLDEN_RECORD

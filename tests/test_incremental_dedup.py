@@ -159,3 +159,25 @@ def test_hard_negative_mining_band_and_rank(spark):
     ).collect()
     assert [(r.neighbor_id, r.rank) for r in out] == [(2, 1), (3, 2)]
     assert all(0.5 <= r.cos < 0.95 for r in out)
+
+
+def test_golden_record_mode_and_ties(spark):
+    """Per-cluster attribute mode: frequency wins; ties break to MIN value;
+    all-NULL attribute yields NULL."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import golden_record
+
+    rows = [
+        (1, "gold", "KE"),
+        (1, "gold", "UG"),
+        (1, "silver", "UG"),   # seg: gold(2) wins; nat: UG(2) wins
+        (2, None, "TZ"),
+        (2, None, "TZ"),       # seg all-NULL -> NULL; nat TZ
+        (3, "b", None),
+        (3, "a", None),        # seg b/a tie -> a; nat NULL
+    ]
+    df = spark.createDataFrame(rows, "cl int, seg string, nat string")
+    got = {
+        r.cl: (r.seg, r.nat)
+        for r in golden_record(df, "cl", ["seg", "nat"]).collect()
+    }
+    assert got == {1: ("gold", "UG"), 2: (None, "TZ"), 3: ("a", None)}

@@ -823,3 +823,43 @@ def test_streaming_histogram_snapshot_feeds_drift_monitor(spark, workdir):
         batch.n_old, batch.n_new, batch.tvd_ppm,
     )
     assert live.tvd_ppm > 0  # the drift is real and detected
+
+
+def test_streaming_json_audit_snapshot_equals_batch(spark, workdir):
+    """json_field_audit is a pure scan-side aggregation, so it binds to a
+    stream unchanged: the complete-mode snapshot after two micro-batch
+    drops is bit-identical to the batch audit over the union."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import json_field_audit
+
+    src = os.path.join(workdir, "landing_json")
+    schema = "id long, props string"
+    _write_source_files(
+        spark, src,
+        [(1, '{"k": 5}'), (2, '{"k": 7'), (3, '{"x": 1}')], schema,
+    )
+    _write_source_files(spark, src, [(4, '{"k": 3}'), (5, None)], schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        json_field_audit(
+            stream, "props", fields=[("k", "$.k")], numeric_sums=[("k", "$.k")]
+        )
+        .writeStream.format("memory")
+        .queryName("json_audit")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_json"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = spark.table("json_audit").collect()
+    expect = json_field_audit(
+        spark.read.parquet(src), "props",
+        fields=[("k", "$.k")], numeric_sums=[("k", "$.k")],
+    ).collect()
+    assert got == expect
+    r = got[0]
+    assert (r.n_rows, r.n_valid, r.n_malformed, r.nn_k, r.sum_k) == (5, 3, 2, 2, 8)

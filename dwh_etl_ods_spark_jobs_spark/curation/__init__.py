@@ -90,6 +90,8 @@ __all__ = [
     "temporal_split",
     "temporal_split_census",
     "temporal_split_census_sql",
+    "token_pmi",
+    "token_pmi_sql",
 ]
 
 
@@ -1168,4 +1170,125 @@ shared AS (
 SELECT per.split AS split, n_rows, n_entities,
        CAST(coalesce(shared.shared, 0) AS BIGINT) AS shared_train_entities
 FROM per LEFT JOIN shared ON per.split = shared.split
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. Token co-occurrence PMI (collocation mining)
+# ---------------------------------------------------------------------------
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs by document
+    co-occurrence (Church & Hanks, CL 1990 — the classic collocation
+    signal)::
+
+        (w1, w2, n_ab, n_a, n_b, pmi_micro)
+
+    where ``pmi_micro = round(ln(n_ab·N / (n_a·n_b)) · 10⁶)`` computed as
+    a FIXED sequence of single IEEE ops on exact integer counts (the
+    ``bigram_lm_score`` float discipline — deterministic on any engine or
+    partitioning). Presence-based: counts are documents containing the
+    token(s), each pair ordered ``w1 < w2``.
+
+    ``min_df`` drops rare tokens before pairing; ``max_df`` drops
+    ubiquitous ones (stopword guard) — both applied to DOCUMENT
+    frequency. Scale: the pair generator is a per-document self-join of
+    the distinct-token frame — fan-out O(L²) per doc in the retained
+    vocabulary, with the hot-token cap (``max_df``) bounding the
+    worst-case token's posting list exactly like the n-gram Jaccard
+    DF cap. N (total docs) attaches by constant-key broadcast.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.array_distinct(_toks(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .localCheckpoint(eager=False)  # feeds df-counts AND the pair join
+    )
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    dfreq = dfreq.filter(F.col("_df") >= min_df)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    kept = toks.join(dfreq, "w").select("_doc", "w", "_df")
+    a = kept.select(
+        "_doc", F.col("w").alias("w1"), F.col("_df").alias("n_a")
+    )
+    b = kept.select(
+        "_doc", F.col("w").alias("w2"), F.col("_df").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "_doc")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    n_docs = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    ).withColumn("_one", one)
+    return (
+        pairs.withColumn("_one", one)
+        .join(F.broadcast(n_docs), "_one")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("_n_docs").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+
+
+def token_pmi_sql(
+    table_expr: str,
+    text_expr: str,
+    id_expr: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB rendering of :func:`token_pmi` (same counts, same single-op
+    float sequence)."""
+    cap = f"AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_expr} AS doc, w
+  FROM (
+    SELECT {id_expr}, unnest(string_split({text_expr}, ' ')) AS w
+    FROM {table_expr}
+  ) t({id_expr}, w)
+  WHERE w != ''
+),
+dfreq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY w
+),
+kept AS (
+  SELECT doc, toks.w, df FROM toks JOIN dfreq USING (w)
+  WHERE df >= {min_df} {cap}
+),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, a.df AS n_a, b.df AS n_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc = b.doc AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table_expr})
+SELECT w1, w2, n_ab, n_a, n_b,
+       CAST(round(ln((CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS pmi_micro
+FROM pairs, nd
 """

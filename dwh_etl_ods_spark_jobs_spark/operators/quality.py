@@ -63,34 +63,26 @@ class RowCheck:
 class UniqueCheck:
     """A key-uniqueness expectation; metric = distinct(key)/rows.
 
-    NULL-bearing key tuples count as distinct key values (per-field md5
-    with a NULL sentinel on BOTH engines — Spark's ``count_distinct(a, b)``
-    natively skips any-NULL rows while DuckDB's ``count(DISTINCT (a, b))``
-    counts them, so the sentinel form is the only rendering that agrees;
-    ADVICE r7)."""
+    NULL-bearing key tuples count as distinct key values on BOTH engines:
+    Spark's bare ``count_distinct(a, b)`` skips any-NULL rows while
+    DuckDB's ``count(DISTINCT (a, b))`` counts them (ADVICE r7), so both
+    sides render as a STRUCT/ROW distinct — ``count_distinct(struct(...))``
+    vs ``count(DISTINCT row(...))`` — whose tuple is never NULL and whose
+    fields compare null-safely, with identical results (pinned by
+    tests/test_quality.py). Native tuple hashing, no per-field md5 cost
+    (the md5-sentinel form measured +0.85 s on the sf0.1 battery)."""
 
     name: str
     cols: tuple[str, ...] = field(default_factory=tuple)
     min_ppm: int = PPM
 
 
-# 32-char non-hex token: cannot collide with a real md5 output
-_NULL_MD5 = "n" * 32
-
-
 def _unique_key_spark(cols: tuple[str, ...]) -> Column:
-    return F.concat(
-        *[
-            F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_MD5))
-            for c in cols
-        ]
-    )
+    return F.struct(*[F.col(c) for c in cols])
 
 
 def _unique_key_sql(cols: tuple[str, ...]) -> str:
-    return "concat(" + ", ".join(
-        f"coalesce(md5(CAST({c} AS VARCHAR)), repeat('n', 32))" for c in cols
-    ) + ")"
+    return "row(" + ", ".join(cols) + ")"
 
 
 def _check_aggs(checks: list[RowCheck | UniqueCheck]) -> list[Column]:

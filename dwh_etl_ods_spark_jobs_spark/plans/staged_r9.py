@@ -344,3 +344,38 @@ def _sql_golden() -> str:
 SQL_GOLDEN_RECORD = _sql_golden()
 STAGED_QUERIES["golden_record_mode"] = q_golden_record
 STAGED_ORACLES["golden_record_mode"] = SQL_GOLDEN_RECORD
+
+
+# --- token co-occurrence PMI (collocation mining) ---
+
+PMI_MIN_DF, PMI_MAX_DF, PMI_TOPK = 3, 5000, 50
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations in documents by PMI (doc-frequency floored and
+    hot-token capped); deterministic (pmi desc, pair asc) rank."""
+    from dwh_etl_ods_spark_jobs_spark.curation import token_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        token_pmi(docs, "text", "doc_id", min_df=PMI_MIN_DF, max_df=PMI_MAX_DF)
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+    )
+
+
+def _sql_pmi() -> str:
+    from dwh_etl_ods_spark_jobs_spark.curation import token_pmi_sql
+
+    return (
+        token_pmi_sql(
+            "documents", "text", "doc_id",
+            min_df=PMI_MIN_DF, max_df=PMI_MAX_DF,
+        )
+        + f" ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {PMI_TOPK}"
+    )
+
+
+SQL_TOKEN_PMI = _sql_pmi()
+STAGED_QUERIES["token_pmi_topk"] = q_token_pmi
+STAGED_ORACLES["token_pmi_topk"] = SQL_TOKEN_PMI

@@ -379,3 +379,44 @@ def _sql_pmi() -> str:
 SQL_TOKEN_PMI = _sql_pmi()
 STAGED_QUERIES["token_pmi_topk"] = q_token_pmi
 STAGED_ORACLES["token_pmi_topk"] = SQL_TOKEN_PMI
+
+
+# --- file provenance census over a range-sorted layout ---
+
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage audit composed with the layout op: lineitem rewritten
+    range-sorted on l_orderkey into 6 files, then censused per source
+    file with the key range — the oracle reads the SAME written files
+    (DuckDB filename=true), proving both the provenance expression and
+    the writer's per-file key disjointness end-to-end."""
+    import tempfile
+
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import (
+        provenance_census,
+        write_range_sorted,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_provenance")
+    write_range_sorted(li, path, ["l_orderkey"], n_files=6)
+    back = spark.read.parquet(path)
+    return provenance_census(back, "l_orderkey").orderBy("file_name")
+
+
+def _sql_provenance() -> str:
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_provenance")
+    return f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_l_orderkey,
+       CAST(max(l_orderkey) AS BIGINT) AS max_l_orderkey
+FROM read_parquet('{path}/*.parquet', filename = true)
+GROUP BY 1 ORDER BY file_name
+"""
+
+
+SQL_FILE_PROVENANCE = _sql_provenance()
+STAGED_QUERIES["file_provenance_ranges"] = q_file_provenance
+STAGED_ORACLES["file_provenance_ranges"] = SQL_FILE_PROVENANCE

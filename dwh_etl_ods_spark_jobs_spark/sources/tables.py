@@ -403,3 +403,26 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def provenance_census(df: DataFrame, *agg_cols: str) -> DataFrame:
+    """Per-source-file row census of a file-backed DataFrame::
+
+        (file_name, n_rows [, min_<c>, max_<c> ...])
+
+    ``file_name`` is the basename of ``input_file_name()`` — the lineage
+    view that answers "which shard produced these rows" when one bad
+    upstream file skews a load (row counts wildly off per file) or a
+    layout op must be audited (after :func:`write_range_sorted`, each
+    file's [min, max] key range must be disjoint). Scale: scan-side
+    expression + one aggregation keyed by file — cardinality = file
+    count, never row count.
+    """
+    from pyspark.sql import functions as F
+
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in agg_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(base.alias("file_name")).agg(*aggs)

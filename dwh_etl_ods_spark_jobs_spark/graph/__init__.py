@@ -30,6 +30,8 @@ __all__ = [
     "pagerank",
     "triangle_census",
     "triangle_census_sql",
+    "negative_edge_samples",
+    "negative_edge_samples_sql",
 ]
 
 PR_MICRO = 1_000_000          # rank scale: 1.0 == 1e6 micro-units
@@ -233,3 +235,98 @@ def pagerank_sql(edges_cte: str, iterations: int = 3) -> str:
             f"GROUP BY e.dst) c USING (node))"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank_micro FROM r{iterations}"
+
+
+def negative_edge_samples(
+    edges: DataFrame, src_col: str, dst_col: str, k: int, seed: str
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / contrastive
+    graph training: for every source node, up to ``k`` candidate
+    destinations drawn pseudo-randomly (seed-keyed md5, NEVER ``rand()``)
+    from the graph's destination domain, minus true edges and self-loops::
+
+        (src, dst, draw)    draw = 0..k-1 (surviving draws only)
+
+    Re-run with the same seed → bit-identical negatives (training
+    resumability); change the seed → fresh draws. Some draws collide with
+    real edges or self-loops and are dropped — standard practice is to
+    over-draw (k ≈ 2× the needed negatives). Scale: the destination
+    domain gets a dense index via the distributed ``global_rank`` (no
+    single-partition sort); draws are scan-side md5 expressions; the
+    resolve is one equi-join on the index and the filter one null-safe
+    anti-join on (src, dst) — uniform keys throughout.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    dsts = (
+        edges.select(F.col(dst_col).alias("_dst"))
+        .distinct()
+        .transform(global_rank(["_dst"], out_col="_idx", with_total="_n"))
+        .localCheckpoint(eager=False)  # indexed domain used twice (n + join)
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    n_dom = dsts.groupBy().agg(F.max("_n").alias("_n_dom")).withColumn("_one", one)
+    draws = (
+        edges.select(F.col(src_col).alias("_src"))
+        .distinct()
+        .select("_src", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("draw"))
+        .withColumn("_one", one)
+        .join(F.broadcast(n_dom), "_one")
+        .select(
+            "_src",
+            "draw",
+            F.pmod(
+                md5_long(
+                    F.concat_ws(":", F.lit(seed), F.col("_src").cast("string"),
+                                F.col("draw").cast("string"))
+                ),
+                F.col("_n_dom"),
+            ).alias("_idx"),
+        )
+    )
+    cands = draws.join(dsts.select("_idx", "_dst"), "_idx").filter(
+        ~F.col("_dst").eqNullSafe(F.col("_src"))
+    )
+    true_edges = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    return cands.join(true_edges, ["_src", "_dst"], "left_anti").select(
+        F.col("_src").alias(src_col),
+        F.col("_dst").alias(dst_col),
+        F.col("draw").cast("int").alias("draw"),
+    )
+
+
+def negative_edge_samples_sql(
+    edges_cte: str, src_col: str, dst_col: str, k: int, seed: str
+) -> str:
+    """DuckDB rendering of :func:`negative_edge_samples` (row_number dense
+    index over the unique destination domain == global_rank's)."""
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    h = md5_long_sql(f"concat_ws(':', '{seed}', CAST(s.src AS VARCHAR), CAST(d.draw AS VARCHAR))")
+    return f"""
+WITH edges AS ({edges_cte}),
+dsts AS (
+  SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx
+  FROM (SELECT DISTINCT {dst_col} AS dst FROM edges)
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dom FROM dsts),
+srcs AS (SELECT DISTINCT {src_col} AS src FROM edges),
+draws AS (
+  SELECT s.src, d.draw, {h} % nd.n_dom AS idx
+  FROM srcs s, (SELECT unnest(range({k})) AS draw) d, nd
+),
+cands AS (
+  SELECT dr.src, dsts.dst, dr.draw
+  FROM draws dr JOIN dsts ON dr.idx = dsts.idx
+  WHERE dsts.dst IS DISTINCT FROM dr.src
+)
+SELECT c.src AS {src_col}, c.dst AS {dst_col}, CAST(c.draw AS INT) AS draw
+FROM cands c
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e
+  WHERE e.{src_col} = c.src AND e.{dst_col} = c.dst
+)
+"""

@@ -420,3 +420,44 @@ GROUP BY 1 ORDER BY file_name
 SQL_FILE_PROVENANCE = _sql_provenance()
 STAGED_QUERIES["file_provenance_ranges"] = q_file_provenance
 STAGED_ORACLES["file_provenance_ranges"] = SQL_FILE_PROVENANCE
+
+
+# --- deterministic negative edge sampling (graph contrastive training) ---
+
+NEG_K, NEG_SEED = 5, "r8seed"
+
+
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction negatives over the supplier->part supply graph:
+    5 seed-keyed draws per supplier from the part domain, true edges and
+    self-loops removed — bit-identical on re-run, never rand()."""
+    from dwh_etl_ods_spark_jobs_spark.graph import negative_edge_samples
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    return negative_edge_samples(
+        edges, "l_suppkey", "l_partkey", NEG_K, NEG_SEED
+    ).orderBy("l_suppkey", "draw")
+
+
+def _sql_negative_edges() -> str:
+    from dwh_etl_ods_spark_jobs_spark.graph import negative_edge_samples_sql
+
+    return (
+        negative_edge_samples_sql(
+            "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+            "l_suppkey",
+            "l_partkey",
+            NEG_K,
+            NEG_SEED,
+        )
+        + " ORDER BY l_suppkey, draw"
+    )
+
+
+SQL_NEGATIVE_EDGES = _sql_negative_edges()
+STAGED_QUERIES["negative_edge_samples"] = q_negative_edges
+STAGED_ORACLES["negative_edge_samples"] = SQL_NEGATIVE_EDGES

@@ -167,3 +167,21 @@ def test_pagerank_deep_iteration_checkpointed(spark):
     a = sorted(G.pagerank(df, 7, checkpoint_every=2).collect())
     b = sorted(G.pagerank(df, 7, checkpoint_every=0).collect())
     assert a == b
+
+
+def test_negative_edges_deterministic_and_disjoint_from_real(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import negative_edge_samples
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "s long, d long"
+    )
+    a = negative_edge_samples(edges, "s", "d", 4, "x").collect()
+    b = negative_edge_samples(edges, "s", "d", 4, "x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same seed == same
+    real = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    for r in a:
+        assert (r.s, r.d) not in real  # never a true edge
+        assert r.d in {10, 11, 12}     # drawn from the dst domain
+        assert r.s != r.d
+    c = negative_edge_samples(edges, "s", "d", 4, "y").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # new seed, new draws

@@ -47,9 +47,11 @@ def main() -> int:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     bench_queries = dict(entry_mod.queries())
     if os.environ.get("SPARK_GRAFT_BENCH_STAGED") == "1":
-        # local-only extension: time the r8-staged queries too (the driver
-        # never sets this, so its recorded battery stays the contract)
-        from dwh_etl_ods_spark_jobs_spark.plans import staged as staged_mod
+        # local-only extension: time the r9-staged queries too (the driver
+        # never sets this, so its recorded battery stays the contract);
+        # plans/staged.py's entries are registered since r8 and already in
+        # queries()
+        from dwh_etl_ods_spark_jobs_spark.plans import staged_r9 as staged_mod
 
         for k, v in staged_mod.STAGED_QUERIES.items():
             bench_queries.setdefault(f"staged:{k}", v)

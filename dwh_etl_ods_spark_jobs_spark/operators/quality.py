@@ -39,6 +39,9 @@ __all__ = [
     "quarantine_split_sql_reason",
     "json_field_audit",
     "json_field_audit_sql",
+    "BENFORD_PPM",
+    "benford_first_digit_audit",
+    "benford_first_digit_audit_sql",
 ]
 
 PPM = 1_000_000
@@ -391,3 +394,82 @@ def json_field_audit_sql(
             f"AS BIGINT) AS sum_{name}"
         )
     return f"SELECT {', '.join(sel)} FROM {table_expr}"
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (synthetic / fabricated-data detector)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6): CONSTANT integer expectations — both engines
+# consume the same literals, so no runtime float ever enters the compare.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_first_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit census of a positive numeric column against
+    Benford's law (Newcomb 1881 / Benford 1938 — the classic
+    fabricated-or-synthetic-data tripwire for naturally-spanning
+    magnitudes like amounts)::
+
+        (digit, n, share_ppm, benford_ppm, dev_ppm)
+
+    ``share_ppm`` is the exact observed ppm among positive values;
+    ``benford_ppm`` the constant integer expectation; ``dev_ppm`` their
+    absolute gap. Rows with value <= 0 or NULL are excluded (Benford is
+    defined on positive magnitudes). Scale: one map-side-combinable
+    9-ary count + a broadcast of the one-row total.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # total + shares read it twice
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    tot = counts.agg(F.sum("n").cast("long").alias("_t")).withColumn("_one", one)
+    bppm = F.element_at(
+        F.array(*[F.lit(BENFORD_PPM[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        counts.withColumn("_one", one)
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000L) div _t").alias("share_ppm"),
+            bppm.cast("long").alias("benford_ppm"),
+            F.abs(
+                F.expr("(n * 1000000L) div _t") - bppm.cast("long")
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def benford_first_digit_audit_sql(table_expr: str, value_expr: str) -> str:
+    """DuckDB rendering of :func:`benford_first_digit_audit` (same
+    constants, same integer shares)."""
+    arms = " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST({value_expr} AS HUGEINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL AND {value_expr} > 0
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM counts)
+SELECT digit, n,
+       (n * 1000000) // tt AS share_ppm,
+       CAST(CASE digit {arms} END AS BIGINT) AS benford_ppm,
+       abs((n * 1000000) // tt - CAST(CASE digit {arms} END AS BIGINT))
+         AS dev_ppm
+FROM counts, t
+"""

@@ -461,3 +461,79 @@ def _sql_negative_edges() -> str:
 SQL_NEGATIVE_EDGES = _sql_negative_edges()
 STAGED_QUERIES["negative_edge_samples"] = q_negative_edges
 STAGED_ORACLES["negative_edge_samples"] = SQL_NEGATIVE_EDGES
+
+
+# --- Wasserstein-1 drift (magnitude-aware, integer-exact) ---
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-vs-new load drift as earth-mover distance over the shared HDR
+    bucketing — the same %3 price-inflation scenario as the TVD monitor,
+    but W1 also sees HOW FAR the mass moved."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_wasserstein_drift
+
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select(cents.alias("cents"))
+    new = orders.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, (cents * 26) - ((cents * 26) % 10)
+        ).otherwise(cents * 10).alias("scaled")
+    ).select((F.col("scaled") / 10).cast("long").alias("cents"))
+    return hdr_wasserstein_drift(old, new, "cents")
+
+
+SQL_WASSERSTEIN = None  # built below
+
+
+def _sql_wasserstein() -> str:
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_wasserstein_drift_sql
+
+    base = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+    return hdr_wasserstein_drift_sql(
+        f"SELECT {base} AS cents FROM orders",
+        f"SELECT CAST((CASE WHEN o_orderkey % 3 = 0"
+        f" THEN ({base} * 26) - (({base} * 26) % 10)"
+        f" ELSE {base} * 10 END) / 10 AS BIGINT) AS cents FROM orders",
+        "cents",
+    )
+
+
+SQL_WASSERSTEIN = _sql_wasserstein()
+STAGED_QUERIES["wasserstein_drift"] = q_wasserstein
+STAGED_ORACLES["wasserstein_drift"] = SQL_WASSERSTEIN
+
+
+# --- Benford first-digit audit over order amounts ---
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricated-data tripwire: first-digit census of order totals (in
+    cents, pre-rounded identically on both engines) vs Benford's constant
+    integer expectations."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        benford_first_digit_audit,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents")
+    )
+    return benford_first_digit_audit(orders, "cents").orderBy("digit")
+
+
+def _sql_benford() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        benford_first_digit_audit_sql,
+    )
+
+    return (
+        benford_first_digit_audit_sql(
+            "(SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents"
+            " FROM orders)",
+            "cents",
+        )
+        + " ORDER BY digit"
+    )
+
+
+SQL_BENFORD = _sql_benford()
+STAGED_QUERIES["benford_digit_audit"] = q_benford
+STAGED_ORACLES["benford_digit_audit"] = SQL_BENFORD

@@ -57,6 +57,9 @@ __all__ = [
     "bloom_build",
     "bloom_filter_keys",
     "bloom_bits_sql",
+    "hdr_wasserstein_from_hists",
+    "hdr_wasserstein_drift",
+    "hdr_wasserstein_drift_sql",
     "QH_SIG_BITS",
     "hdr_histogram",
     "hdr_quantiles",
@@ -884,5 +887,144 @@ SELECT t_old AS n_old, t_new AS n_new, n_buckets,
        CAST(sum(abs((n_new * 1000000) // t_new
                     - (n_old * 1000000) // t_old)) // 2 AS BIGINT) AS tvd_ppm
 FROM j, tot
+GROUP BY t_old, t_new, n_buckets
+"""
+
+
+def hdr_wasserstein_from_hists(ho: DataFrame, hn: DataFrame) -> DataFrame:
+    """Earth-mover (Wasserstein-1) drift from two PRE-BUILT HDR
+    histograms, exact integers end-to-end::
+
+        (n_old, n_new, n_buckets, emd_ppm_units)
+
+    ``emd_ppm_units = Σ_i |CDF_old(i) − CDF_new(i)| · (lo_{i+1} − lo_i)``
+    over the bucket-sorted union — each CDF an exact ppm and each segment
+    width an exact BIGINT of VALUE units, so the metric is ppm·units of
+    "mass × distance moved". Complements :func:`hdr_drift_from_hists`'s
+    TVD: TVD sees THAT mass moved, W1 sees HOW FAR (a +1-bucket shift and
+    a +100-bucket shift have equal TVD but very different W1). The
+    per-bucket ``ln`` of PSI/KL stays rejected (float territory); W1
+    needs only |cumsum| · width — integer-exact.
+
+    Scale: identical to the TVD path — two ~2k-bucket frames, one
+    full-outer join, one bounded window over the bucket frame (≤2k rows
+    by construction, never row-scaled).
+    """
+    from pyspark.sql import Window
+
+    j = (
+        ho.join(hn, "bucket_lo", "full_outer")
+        .select(
+            "bucket_lo",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .localCheckpoint(eager=False)  # totals + cumulative read it twice
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.lit(1).alias("_k"),
+    )
+    w = Window.orderBy("bucket_lo")  # bucket frame: ≤ ~2k rows, bounded
+    cum = (
+        j.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .withColumn(
+            "cum_old",
+            F.expr(
+                "(sum(n_old) OVER (ORDER BY bucket_lo"
+                " ROWS UNBOUNDED PRECEDING) * 1000000L) div t_old"
+            ),
+        )
+        .withColumn(
+            "cum_new",
+            F.expr(
+                "(sum(n_new) OVER (ORDER BY bucket_lo"
+                " ROWS UNBOUNDED PRECEDING) * 1000000L) div t_new"
+            ),
+        )
+        .withColumn("next_lo", F.lead("bucket_lo").over(w))
+    )
+    return cum.groupBy("t_old", "t_new", "n_buckets").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("next_lo").isNotNull(),
+                    F.abs(F.col("cum_old") - F.col("cum_new"))
+                    * (F.col("next_lo") - F.col("bucket_lo")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("emd_ppm_units")
+    ).select(
+        F.col("t_old").alias("n_old"),
+        F.col("t_new").alias("n_new"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "emd_ppm_units",
+    )
+
+
+def hdr_wasserstein_drift(
+    old: DataFrame, new: DataFrame, value_col: str
+) -> DataFrame:
+    """:func:`hdr_wasserstein_from_hists` + the two histogram scans (the
+    row-reading convenience entry, mirroring
+    :func:`hdr_distribution_drift`)."""
+    ho = old.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_old")
+    )
+    hn = new.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_new")
+    )
+    return hdr_wasserstein_from_hists(ho, hn)
+
+
+def hdr_wasserstein_drift_sql(
+    old_cte: str, new_cte: str, value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`hdr_wasserstein_drift` — identical
+    bucketing, integer CDF ppm, and |cumdiff|·gap fold."""
+    def hist(src: str) -> str:
+        return f"""
+  SELECT (v >> qs) << qs AS bucket_lo, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT CAST({value_expr} AS BIGINT) AS v,
+           CAST(greatest(length(bin(CAST({value_expr} AS BIGINT)))
+                         - {QH_SIG_BITS}, 0) AS INT) AS qs
+    FROM {src}
+  ) GROUP BY 1"""
+
+    return f"""
+WITH old_v AS ({old_cte}),
+new_v AS ({new_cte}),
+ho AS ({hist('old_v')}),
+hn AS ({hist('new_v')}),
+j AS (
+  SELECT coalesce(ho.bucket_lo, hn.bucket_lo) AS bucket_lo,
+         coalesce(ho.n, 0) AS n_old, coalesce(hn.n, 0) AS n_new
+  FROM ho FULL OUTER JOIN hn ON ho.bucket_lo = hn.bucket_lo
+),
+t AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM j
+),
+cum AS (
+  SELECT bucket_lo,
+         (sum(n_old) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)
+          * 1000000) // t_old AS cum_old,
+         (sum(n_new) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)
+          * 1000000) // t_new AS cum_new,
+         lead(bucket_lo) OVER (ORDER BY bucket_lo) AS next_lo
+  FROM j, t
+)
+SELECT t_old AS n_old, t_new AS n_new, n_buckets,
+       CAST(coalesce(sum(CASE WHEN next_lo IS NOT NULL
+                          THEN abs(cum_old - cum_new) * (next_lo - bucket_lo)
+                          END), 0) AS BIGINT) AS emd_ppm_units
+FROM cum, t
 GROUP BY t_old, t_new, n_buckets
 """

@@ -322,3 +322,29 @@ def test_json_field_audit_known_values(spark):
     assert (r.n_rows, r.n_valid, r.n_malformed) == (5, 3, 2)
     assert r.nn_k == 2
     assert r.sum_k == 12
+
+
+def test_benford_audit_known_distribution(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        BENFORD_PPM,
+        benford_first_digit_audit,
+    )
+
+    # 1000 values of 1xx, 500 of 2xx, zero/negative/NULL excluded
+    rows = (
+        [(100 + i % 100,) for i in range(1000)]
+        + [(200 + i % 100,) for i in range(500)]
+        + [(0,), (-5,), (None,)]
+    )
+    df = spark.createDataFrame(rows, "v long")
+    got = {
+        r.digit: (r.n, r.share_ppm, r.benford_ppm, r.dev_ppm)
+        for r in benford_first_digit_audit(df, "v").collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (
+        1000, 666666, BENFORD_PPM[1], abs(666666 - BENFORD_PPM[1])
+    )
+    assert got[2] == (
+        500, 333333, BENFORD_PPM[2], abs(333333 - BENFORD_PPM[2])
+    )

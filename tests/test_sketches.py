@@ -366,3 +366,22 @@ def test_hdr_distribution_drift_matches_duckdb(spark):
         hdr_distribution_drift_sql("SELECT v FROM o", "SELECT v FROM n", "v")
     ).fetchone()
     assert (got.n_old, got.n_new, got.n_buckets, got.tvd_ppm) == duck
+
+
+def test_wasserstein_sees_shift_distance_tvd_does_not(spark):
+    """Two shifted copies with equal TVD but different shift magnitude:
+    W1 must rank the far shift higher; identical inputs -> 0."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_wasserstein_drift
+
+    base = spark.range(2000).select((F.col("id") % 100 + 100).alias("v"))
+    near = spark.range(2000).select((F.col("id") % 100 + 228).alias("v"))
+    far = spark.range(2000).select((F.col("id") % 100 + 5100).alias("v"))
+
+    zero = hdr_wasserstein_drift(base, base, "v").collect()[0]
+    assert zero.emd_ppm_units == 0 and zero.n_old == 2000
+
+    w_near = hdr_wasserstein_drift(base, near, "v").collect()[0].emd_ppm_units
+    w_far = hdr_wasserstein_drift(base, far, "v").collect()[0].emd_ppm_units
+    assert 0 < w_near < w_far

@@ -388,7 +388,14 @@ def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-sorted on l_orderkey into 6 files, then censused per source
     file with the key range — the oracle reads the SAME written files
     (DuckDB filename=true), proving both the provenance expression and
-    the writer's per-file key disjointness end-to-end."""
+    the writer's per-file key disjointness end-to-end.
+
+    Ordering contract: the write executes EAGERLY inside this function
+    (mode=overwrite), so by the time any comparison harness evaluates the
+    oracle the files exist and are current — valid as long as the harness
+    obtains the Spark DataFrame (calling this) before running the oracle
+    SQL, which is how both tools/check_oracle.py and the staged-surface
+    pytest behave."""
     import tempfile
 
     from dwh_etl_ods_spark_jobs_spark.sources.tables import (

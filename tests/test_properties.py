@@ -316,3 +316,27 @@ def test_incremental_dedup_invariants(spark, store, batch):
         texts_by_id = dict(batch)
         if any(t == texts_by_id[r.doc_id] and d < r.doc_id for d, t in batch):
             assert r.batch_dup_of != -1
+
+
+_rank_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+    min_size=1, max_size=60, unique=True,
+)
+
+
+@given(data=_rank_rows, n_ranges=st.sampled_from([1, 2, 7, 64]))
+@SET
+def test_global_rank_equals_sorted_enumeration(spark, data, n_ranges):
+    """Property: global_rank == enumerate(sorted(rows)) for ANY row set
+    and ANY range count (boundaries can never change the answer)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(data, "v int, u int")
+    got = {
+        (r.v, r.u): r.rk
+        for r in df.transform(
+            global_rank(["v", "u"], out_col="rk", n_ranges=n_ranges)
+        ).collect()
+    }
+    expect = {vu: i for i, vu in enumerate(sorted(data))}
+    assert got == expect

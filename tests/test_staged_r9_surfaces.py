@@ -58,3 +58,19 @@ def test_staged_r9_names_not_yet_in_battery():
 
 def test_staged_r9_oracle_keys_align():
     assert set(staged_r9.STAGED_QUERIES) == set(staged_r9.STAGED_ORACLES)
+
+
+def test_rank_queries_use_range_partitioning_not_global_sort(spark, sf_dir):
+    """The binning/RFM queries must rank via the range-repartition
+    decomposition — RangePartitioning present, and the only
+    single-partition exchanges feed the tiny offsets/anchor frames, never
+    a Window over the data (no Sort+Window directly under an
+    Exchange SinglePartition of the fact)."""
+    for name in ("quantile_binning_census", "rfm_quintile_features"):
+        plan = (
+            staged_r9.STAGED_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" in plan.lower(), name

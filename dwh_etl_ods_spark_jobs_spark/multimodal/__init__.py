@@ -233,3 +233,76 @@ def payload_blockhash(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(
         payload_blockhash_batches, schema="doc_id long, simhash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-PCM window energy (REAL signal processing — codec-free)
+# ---------------------------------------------------------------------------
+
+PCM_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def pcm_window_energy_batches(window_samples: int, hop: int):
+    """Batch fn factory: interpret each payload as little-endian int16 PCM
+    and emit per-window exact-integer energy (sum x²) and peak |x|.
+
+    Unlike the image decode (codec libs absent -> declared stub), raw PCM
+    needs NO codec: ``numpy.frombuffer`` + a strided window is the whole
+    decoder, so this path is REAL end-to-end — the shape every
+    audio-feature stage (VAD energy gating, loudness filters, silence
+    trimming) starts from. Energies are int64-exact (max |x|=32768 ->
+    x² ≤ 2³⁰, 2³³ windows before overflow), so results are deterministic
+    and partitioning-independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "n_samples": [],
+                "energy": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n = len(buf) // 2 * 2  # whole int16 samples only
+                x = np.frombuffer(buf[:n], dtype="<i2").astype(np.int64)
+                i, w = 0, 0
+                while i < len(x):
+                    win = x[i : i + window_samples]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w)
+                    out["n_samples"].append(len(win))
+                    out["energy"].append(int((win * win).sum()))
+                    out["peak"].append(int(np.abs(win).max()) if len(win) else 0)
+                    i += hop
+                    w += 1
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def pcm_window_energy(
+    payloads: DataFrame, window_samples: int = 256, hop: int = 128
+) -> DataFrame:
+    """mapInPandas driver: per-window PCM energy over (doc_id, payload).
+
+    Scale: Arrow-batched, partition-parallel, constant memory per batch;
+    output fan-out = payload_bytes / (2·hop) rows per doc — bounded by
+    input size, never quadratic. ``hop < window_samples`` gives
+    overlapping windows (the standard 50% overlap default).
+    """
+    if hop < 1 or window_samples < 1:
+        raise ValueError("window_samples and hop must be >= 1")
+    return payloads.mapInPandas(
+        pcm_window_energy_batches(window_samples, hop),
+        schema=PCM_ENERGY_SCHEMA,
+    )

@@ -129,3 +129,40 @@ def test_compression_ratio_is_arrow_batched_python(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert out.count() == 100
+
+
+def test_pcm_window_energy_matches_numpy_reference(spark):
+    """Raw-PCM windows: exact int64 energy/peak vs a direct numpy
+    computation, including the ragged final window and odd-byte tails."""
+    import struct
+
+    import numpy as np
+
+    from dwh_etl_ods_spark_jobs_spark.multimodal import pcm_window_energy
+
+    def pcm(samples):
+        return struct.pack(f"<{len(samples)}h", *samples)
+
+    s1 = [100, -200, 300, -32768, 32767, 0, 7, -7, 15, 2]   # 10 samples
+    s2 = [5] * 3
+    rows = [
+        (1, bytearray(pcm(s1))),
+        (2, bytearray(pcm(s2) + b"\x01")),  # odd trailing byte dropped
+        (3, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.win_idx): (r.n_samples, r.energy, r.peak)
+        for r in pcm_window_energy(df, window_samples=4, hop=2).collect()
+    }
+    for doc_id, samples in ((1, s1), (2, s2)):
+        x = np.array(samples, dtype=np.int64)
+        i = w = 0
+        while i < len(x):
+            win = x[i : i + 4]
+            assert got[(doc_id, w)] == (
+                len(win), int((win * win).sum()), int(np.abs(win).max())
+            )
+            i += 2
+            w += 1
+    assert not any(k[0] == 3 for k in got)  # empty payload -> no windows

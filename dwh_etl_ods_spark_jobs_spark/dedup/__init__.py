@@ -803,8 +803,10 @@ def golden_record(
 
     Returns ``(cluster_col, <attr>...)`` with every attribute as its
     string form (mode is a string-domain operation; cast back at the
-    edge). Clusters whose members are all-NULL on an attribute yield
-    NULL.
+    edge). Every cluster appears exactly once — one whose members are
+    all-NULL on an attribute yields NULL there, and one all-NULL on EVERY
+    attribute still gets its row (hypothesis-caught edge: the melt drops
+    NULL values, so the output re-anchors on the distinct cluster set).
 
     Scale shape: ONE melt (attribute name is data, not plan — attr count
     never widens the shuffle count) -> one (cluster, attr, value) count
@@ -834,11 +836,14 @@ def golden_record(
         .groupBy("_cl", "attr")
         .agg(F.min("v").alias("v"))
     )
-    return (
+    pivoted = (
         best.groupBy("_cl")
         .pivot("attr", attr_cols)
         .agg(F.first("v"))  # exactly one row per (cluster, attr) by now
-        .withColumnRenamed("_cl", cluster_col)
+    )
+    clusters = df.select(F.col(cluster_col).alias("_cl")).distinct()
+    return clusters.join(pivoted, "_cl", "left").withColumnRenamed(
+        "_cl", cluster_col
     )
 
 
@@ -859,6 +864,7 @@ def golden_record_sql(
         f"max(CASE WHEN attr = '{name}' THEN v END) AS {name}"
         for name in attr_exprs
     )
+    pivot_names = ", ".join(attr_exprs)
     return f"""
 WITH melted AS ({melts}),
 counts AS (
@@ -869,6 +875,9 @@ best AS (
   SELECT counts.cl, counts.attr, min(v) AS v
   FROM counts JOIN mx ON counts.cl = mx.cl AND counts.attr = mx.attr
   WHERE n = mx GROUP BY 1, 2
-)
-SELECT cl AS {cluster_name}, {pivots} FROM best GROUP BY cl
+),
+clusters AS (SELECT DISTINCT {cluster_expr} AS cl FROM {table_expr}),
+pivoted AS (SELECT cl, {pivots} FROM best GROUP BY cl)
+SELECT clusters.cl AS {cluster_name}, {pivot_names}
+FROM clusters LEFT JOIN pivoted ON clusters.cl = pivoted.cl
 """

@@ -340,3 +340,99 @@ def test_global_rank_equals_sorted_enumeration(spark, data, n_ranges):
     }
     expect = {vu: i for i, vu in enumerate(sorted(data))}
     assert got == expect
+
+
+_gr_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@given(data=_gr_rows)
+@SET
+def test_golden_record_matches_python_mode(spark, data):
+    """Property: per-cluster attribute mode (max count, tie -> min value,
+    all-NULL -> NULL) matches a brute-force Python computation."""
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import golden_record
+
+    df = spark.createDataFrame(data, "cl int, p string, q string")
+    got = {
+        r.cl: (r.p, r.q)
+        for r in golden_record(df, "cl", ["p", "q"]).collect()
+    }
+
+    def mode(vals):
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return None
+        c = Counter(vals)
+        mx = max(c.values())
+        return min(v for v, n in c.items() if n == mx)
+
+    expect = {}
+    for cl in {r[0] for r in data}:
+        rows = [r for r in data if r[0] == cl]
+        expect[cl] = (mode(r[1] for r in rows), mode(r[2] for r in rows))
+    assert got == expect
+
+
+_at_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.sampled_from(["t1", "t2", "conv"]),  # type
+        st.integers(0, 20),                     # day offset
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=_at_rows)
+@SET
+def test_attribution_matches_python_reference(spark, data):
+    """Property: first/last/linear credits match a brute-force Python
+    attribution over the same events (unique ids are list indexes)."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        attribution_credits,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (i, u, t, base + dt.timedelta(days=d)) for i, (u, t, d) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, user_id int, event_type string, ts timestamp"
+    )
+    got = {
+        r.channel: (r.first_touch, r.last_touch, r.linear_micro)
+        for r in attribution_credits(
+            df, "user_id", "event_type", "ts", "event_id",
+            conversion_type="conv", touch_types=["t1", "t2"], lookback_days=7,
+        ).collect()
+    }
+
+    expect: dict[str, list[int]] = {}
+    for cid, cu, ct, cts in events:
+        if ct != "conv":
+            continue
+        touches = sorted(
+            (ts, i, t)
+            for i, u, t, ts in events
+            if u == cu and t in ("t1", "t2")
+            and ts < cts and ts >= cts - dt.timedelta(days=7)
+        )
+        if not touches:
+            continue
+        for pos, (_, _, ch) in enumerate(touches):
+            e = expect.setdefault(ch, [0, 0, 0])
+            e[0] += int(pos == 0)
+            e[1] += int(pos == len(touches) - 1)
+            e[2] += 1_000_000 // len(touches)
+    assert got == {k: tuple(v) for k, v in expect.items()}

@@ -48,13 +48,13 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 #   _TAIL = first the 20 rotation-due-in-r9 entries (10 r6-gated-but-
 #           judge-sampled-r7 + 10 r6-gated remainder), then the 43
 #           r7-gate-verified entries.
-# r9 COMMITMENT: _HEAD = the 14 plans/staged_r9.py entries (registered
+# r9 COMMITMENT: _HEAD = ALL plans/staged_r9.py entries (registered
 # r9: quantile_binning_census, target_encoding_priority,
 # key_skew_diagnostics, json_malformed_census, temporal_split_embargo,
 # attribution_touchpoints, rfm_quintile_features, cusum_changepoint_flags,
 # golden_record_mode, token_pmi_topk, file_provenance_ranges,
-# negative_edge_samples, wasserstein_drift, benford_digit_audit + any
-# r9 additions) + the first 20 _TAIL entries
+# negative_edge_samples, wasserstein_drift, benford_digit_audit,
+# cdc_feed_apply, ... — count via len(staged_r9.STAGED_QUERIES)) + the first 20 _TAIL entries
 # below (rotation-due) + r9-changed; remainder from the 43 r7-verified
 # block (oldest first). Whatever the r9 gate drops gets a committed
 # tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the

@@ -100,3 +100,39 @@ def merge_upsert(
         for c in list(keys) + non_keys
     ]
     return joined.filter(keep).select(*out)
+
+
+def apply_change_feed(
+    target: DataFrame,
+    feed: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_ops: Sequence[str] = ("d",),
+) -> DataFrame:
+    """Apply a CDC change feed (Debezium-style envelope: payload columns +
+    an op code + a total-order position) to a snapshot:
+
+    1. compact the feed to the LATEST change per key by ``order_cols``
+       (ts, log offset — the standard CDC compaction; interleaved
+       insert/update/delete generations resolve to whatever came last);
+    2. map ``delete_ops`` codes to tombstones;
+    3. one :func:`merge_upsert` (null-safe full-outer join) applies
+       inserts, updates, and deletes in a single pass.
+
+    ``feed`` must carry the target's payload columns plus ``op_col`` and
+    ``order_cols``; op codes other than ``delete_ops`` (Debezium 'c',
+    'u', 'r') all mean "this payload is the row's new state" — SCD1
+    apply does not care which. Scale: one bounded window over the feed
+    (keyed by the natural key) + the single merge join; a day's feed vs a
+    100 TB snapshot broadcasts or AQE-skews like any merge changeset.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.dedupe import dedupe_latest
+
+    latest = feed.transform(
+        dedupe_latest(list(keys), [F.col(c).desc() for c in order_cols])
+    )
+    chg = latest.withColumn(
+        "__tomb", F.col(op_col).isin(*[str(o) for o in delete_ops])
+    ).drop(op_col, *order_cols)
+    return merge_upsert(target, chg, keys, tombstone_col="__tomb")

@@ -544,3 +544,75 @@ def _sql_benford() -> str:
 SQL_BENFORD = _sql_benford()
 STAGED_QUERIES["benford_digit_audit"] = q_benford
 STAGED_ORACLES["benford_digit_audit"] = SQL_BENFORD
+
+
+# --- CDC change-feed apply (Debezium-envelope compaction + merge) ---
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yesterday's orders snapshot + a synthetic multi-generation change
+    feed (inserts for the %11 keys the snapshot lacks, TWO update
+    generations for %5 keys — the later must win — and deletes for %13
+    keys) applied in one compact+merge pass."""
+    from dwh_etl_ods_spark_jobs_spark.operators.merge import apply_change_feed
+
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"), cents.alias("cents")
+    )
+    snapshot = base.filter(F.col("o_orderkey") % 11 != 0)
+    inserts = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "status", "cents",
+        F.lit("c").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd1 = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "status", (F.col("cents") + 1).alias("cents"),
+        F.lit("u").alias("op"), F.lit(2).alias("seq"),
+    )
+    upd2 = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "status", (F.col("cents") + 2).alias("cents"),
+        F.lit("u").alias("op"), F.lit(3).alias("seq"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "status", "cents",
+        F.lit("d").alias("op"), F.lit(4).alias("seq"),
+    )
+    feed = inserts.unionByName(upd1).unionByName(upd2).unionByName(dels)
+    return apply_change_feed(
+        snapshot, feed, ["o_orderkey"], ["seq"]
+    ).orderBy("o_orderkey")
+
+
+SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+snapshot AS (SELECT * FROM base WHERE o_orderkey % 11 != 0),
+feed AS (
+  SELECT o_orderkey, status, cents, 'c' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, status, cents + 1, 'u', 2 FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, status, cents + 2, 'u', 3 FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, status, cents, 'd', 4 FROM base WHERE o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT o_orderkey, status, cents, op
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn FROM feed)
+  WHERE rn = 1
+)
+SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+       CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE s.status END
+         AS status,
+       CASE WHEN l.o_orderkey IS NOT NULL THEN l.cents ELSE s.cents END
+         AS cents
+FROM snapshot s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
+WHERE NOT (l.o_orderkey IS NOT NULL AND l.op = 'd')
+ORDER BY o_orderkey
+"""
+STAGED_QUERIES["cdc_feed_apply"] = q_cdc_apply
+STAGED_ORACLES["cdc_feed_apply"] = SQL_CDC_APPLY

@@ -526,3 +526,30 @@ def test_hopping_window_every_event_lands_in_exactly_three_windows(spark, tmp_pa
     # every window start is hop-aligned and covers its events
     misaligned = out.filter(F.col("window_start_ms") % HOP_H_MS != 0).count()
     assert misaligned == 0
+
+
+def test_apply_change_feed_multi_generation(spark):
+    """CDC envelope apply: later generation wins, deletes remove, inserts
+    add, untouched snapshot rows survive; a delete AFTER an update for the
+    same key deletes."""
+    from dwh_etl_ods_spark_jobs_spark.operators.merge import apply_change_feed
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, "b1", "u", 1),
+            (2, "b2", "u", 2),   # later generation wins
+            (3, "c", "d", 1),    # delete
+            (4, "new", "c", 1),  # insert
+            (5, "x1", "u", 1),
+            (5, "x1", "d", 2),   # update then delete -> deleted (absent)
+        ],
+        "k int, v string, op string, seq int",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_change_feed(snap, feed, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "new"}

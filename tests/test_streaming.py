@@ -863,3 +863,46 @@ def test_streaming_json_audit_snapshot_equals_batch(spark, workdir):
     assert got == expect
     r = got[0]
     assert (r.n_rows, r.n_valid, r.n_malformed, r.nn_k, r.sum_k) == (5, 3, 2, 2, 8)
+
+
+def test_streaming_quarantine_split_matches_batch(spark, workdir):
+    """quarantine_split is scan-side routing (zero shuffle), so it binds
+    to a stream unchanged: the quarantined side written per micro-batch
+    equals the batch split over the union, reasons included."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        quarantine_split,
+    )
+
+    src = os.path.join(workdir, "landing_q")
+    schema = "id long, v double"
+    _write_source_files(spark, src, [(1, 5.0), (2, -1.0), (3, None)], schema)
+    _write_source_files(spark, src, [(4, 0.0), (5, 9.0)], schema)
+
+    checks = [
+        RowCheck("v_pos", lambda: F.col("v") > 0, "v > 0"),
+        RowCheck("v_not_null", lambda: F.col("v").isNotNull(), "v IS NOT NULL"),
+    ]
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    _, quarantined = quarantine_split(stream, checks)
+    q = (
+        quarantined.writeStream.format("memory")
+        .queryName("quarantined_rows")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        (r.id, r.failed_checks) for r in spark.table("quarantined_rows").collect()
+    )
+    _, batch_quarantined = quarantine_split(spark.read.parquet(src), checks)
+    expect = sorted((r.id, r.failed_checks) for r in batch_quarantined.collect())
+    assert got == expect
+    assert got == [(2, "v_pos"), (3, "v_pos,v_not_null"), (4, "v_pos")]

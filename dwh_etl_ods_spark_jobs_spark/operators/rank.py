@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "quantile_bin"]
+__all__ = ["global_rank", "quantile_bin", "weighted_quantile", "weighted_quantile_sql"]
 
 
 def global_rank(
@@ -99,3 +99,109 @@ def quantile_bin(
         ).drop("_rk", "_n")
 
     return apply
+
+
+def weighted_quantile(
+    value_cols: Sequence[str],
+    weight_col: str,
+    quantiles: Sequence[tuple[int, int]],
+    n_ranges: int = 64,
+):
+    """Exact weighted quantiles at scale: for each ``(num, den)`` quantile
+    the SMALLEST value (by ``value_cols`` order, unique tie-break
+    required) whose cumulative integer weight w satisfies
+    ``w·den >= num·total`` — the standard left-continuous weighted
+    quantile, in pure integer arithmetic (no fraction ever
+    materializes)::
+
+        (q_num, q_den, <value_cols...>)
+
+    Same decomposition as :func:`global_rank`, but the offsets fold
+    per-range WEIGHT sums instead of counts: range-repartition on the
+    sort key, per-range weight totals -> exclusive weight offsets (tiny
+    window), within-range running weight, then one filter + min per
+    quantile. Weights must be non-negative BIGINTs. Scale: one range
+    shuffle + a bounded window; never a single-partition sort.
+    """
+    cols = [F.col(c) for c in value_cols]
+
+    def apply(df_in: DataFrame) -> DataFrame:
+        ranged = (
+            df_in.repartitionByRange(n_ranges, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)  # referenced twice below
+        )
+        wsums = ranged.groupBy("_pid").agg(
+            F.sum(F.col(weight_col)).cast("long").alias("_w")
+        )
+        w = Window.orderBy("_pid")  # n_ranges rows — bounded
+        offsets = wsums.select(
+            "_pid",
+            F.coalesce(
+                F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("_off"),
+            F.sum("_w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long").alias("_total"),
+        )
+        within = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = (
+            ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn(
+                "_cw",
+                F.col("_off")
+                + F.sum(F.col(weight_col)).over(within).cast("long"),
+            )
+        )
+        picks = []
+        for num, den in quantiles:
+            hit = cum.filter(
+                F.col("_cw") * F.lit(den) >= F.lit(num) * F.col("_total")
+            )
+            picks.append(
+                hit.groupBy()
+                .agg(
+                    F.min(F.struct(*cols)).alias("_v")  # smallest qualifying
+                )
+                .select(
+                    F.lit(num).alias("q_num"),
+                    F.lit(den).alias("q_den"),
+                    *[F.col(f"_v.{c}").alias(c) for c in value_cols],
+                )
+            )
+        out = picks[0]
+        for p in picks[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return apply
+
+
+def weighted_quantile_sql(
+    table_expr: str,
+    value_cols: Sequence[str],
+    weight_expr: str,
+    quantiles: Sequence[tuple[int, int]],
+) -> str:
+    """DuckDB rendering of :func:`weighted_quantile` (window cumulative
+    weight + per-quantile first-crossing pick)."""
+    vlist = ", ".join(value_cols)
+    picks = [
+        f"""SELECT {num} AS q_num, {den} AS q_den, {vlist}
+FROM (SELECT {vlist} FROM cum
+      WHERE cw * {den} >= {num} * total
+      ORDER BY {vlist} LIMIT 1)"""
+        for num, den in quantiles
+    ]
+    return f"""
+WITH cum AS (
+  SELECT {vlist},
+         sum({weight_expr}) OVER (ORDER BY {vlist}
+                                  ROWS UNBOUNDED PRECEDING) AS cw,
+         sum({weight_expr}) OVER () AS total
+  FROM {table_expr}
+)
+""" + "\nUNION ALL\n".join(picks)

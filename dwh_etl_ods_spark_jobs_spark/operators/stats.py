@@ -674,3 +674,93 @@ SELECT day, cents,
             THEN 1 ELSE 0 END AS INT) AS flagged
 FROM series, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical entropy (class-balance / diversity signal)
+# ---------------------------------------------------------------------------
+
+def categorical_entropy(
+    df: DataFrame, group_cols: list[str], cat_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column per group::
+
+        (group..., n_rows, n_cats, entropy_micro)
+
+    ``entropy_micro = Σ_cat round(-(n_c/n)·ln(n_c/n)·10⁶)`` — each term a
+    FIXED sequence of single IEEE ops on exact integer counts, rounded to
+    integer micro-nats BEFORE the sum (the PMI/bigram-LM float
+    discipline: aggregation order can never perturb the result). NULL
+    categories count as a category. The class-balance monitor for
+    training mixes: 0 = one class, ln(k)·10⁶ = uniform over k.
+
+    Scale: one (group, cat) count + one group fold — both
+    map-side-combinable; group totals attach via a same-key join (no
+    second scan of the data).
+    """
+    counts = (
+        df.groupBy(
+            *[F.col(c) for c in group_cols],
+            F.col(cat_col).alias("_cat"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_c"))
+        .localCheckpoint(eager=False)  # totals + terms read it twice
+    )
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum("_n_c").cast("long").alias("_n")
+    )
+    p = F.col("_n_c").cast("double") / F.col("_n").cast("double")
+    term = F.round(-(p * F.log(p)) * F.lit(1000000.0)).cast("long")
+    if group_cols:
+        joined = counts.join(totals, list(group_cols))
+    else:
+        # global entropy: constant-key broadcast attach (HASH join, never
+        # a nested loop)
+        one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+        joined = counts.withColumn("_one", one).join(
+            F.broadcast(totals.withColumn("_one", one)), "_one"
+        )
+    return joined.withColumn("_term", term).groupBy(
+        *group_cols, "_n"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.sum("_term").cast("long").alias("entropy_micro"),
+    ).select(
+        *group_cols,
+        F.col("_n").alias("n_rows"),
+        "n_cats",
+        "entropy_micro",
+    )
+
+
+def categorical_entropy_sql(
+    table_expr: str, group_exprs: list[str], cat_expr: str
+) -> str:
+    """DuckDB rendering of :func:`categorical_entropy` (same count-exact
+    terms, same single-op float sequence, same per-term rounding)."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    join_on = " AND ".join(
+        f"counts.{e} IS NOT DISTINCT FROM totals.{e}" for e in group_exprs
+    ) or "TRUE"
+    return f"""
+WITH counts AS (
+  SELECT {gsel}{cat_expr} AS cat, CAST(count(*) AS BIGINT) AS n_c
+  FROM {table_expr} GROUP BY {gsel}cat
+),
+totals AS (
+  SELECT {gsel}CAST(sum(n_c) AS BIGINT) AS n FROM counts {gby or 'GROUP BY ()'}
+),
+terms AS (
+  SELECT {("counts." + ", counts.".join(group_exprs) + ", ") if group_exprs else ""}n,
+         CAST(round(-((CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+              AS BIGINT) AS term
+  FROM counts JOIN totals ON {join_on}
+)
+SELECT {gsel}n AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cats,
+       CAST(sum(term) AS BIGINT) AS entropy_micro
+FROM terms GROUP BY {gsel}n
+"""

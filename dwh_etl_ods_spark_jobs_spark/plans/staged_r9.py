@@ -616,3 +616,78 @@ ORDER BY o_orderkey
 """
 STAGED_QUERIES["cdc_feed_apply"] = q_cdc_apply
 STAGED_ORACLES["cdc_feed_apply"] = SQL_CDC_APPLY
+
+
+# --- exact weighted quantiles (quantity-weighted price points) ---
+
+WQ_QUANTILES = [(1, 4), (1, 2), (9, 10)]
+
+
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles/p90 over lineitem via the
+    weighted two-phase rank — "the price point below which half the UNITS
+    (not lines) ship", exact integers, no single-partition sort."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_quantity, 0) AS BIGINT)").alias("qty"),
+    )
+    return li.transform(
+        weighted_quantile(
+            ["cents", "l_orderkey", "l_linenumber"], "qty", WQ_QUANTILES
+        )
+    ).orderBy("q_num", "q_den")
+
+
+def _sql_weighted_quantile() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile_sql
+
+    return (
+        weighted_quantile_sql(
+            "(SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,"
+            " l_orderkey, l_linenumber,"
+            " CAST(round(l_quantity, 0) AS BIGINT) AS qty FROM lineitem)",
+            ["cents", "l_orderkey", "l_linenumber"],
+            "qty",
+            WQ_QUANTILES,
+        )
+        + " ORDER BY q_num, q_den"
+    )
+
+
+SQL_WEIGHTED_QUANTILE = _sql_weighted_quantile()
+STAGED_QUERIES["weighted_price_quantiles"] = q_weighted_quantile
+STAGED_ORACLES["weighted_price_quantiles"] = SQL_WEIGHTED_QUANTILE
+
+
+# --- categorical entropy (class-balance monitor) ---
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation entropy of customer market segments — the class-balance
+    signal a training-mix monitor tracks per stratum (micro-nats, exact
+    per-term rounding)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import categorical_entropy
+
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    return categorical_entropy(
+        cust, ["c_nationkey"], "c_mktsegment"
+    ).orderBy("c_nationkey")
+
+
+def _sql_entropy() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        categorical_entropy_sql,
+    )
+
+    return (
+        categorical_entropy_sql("customer", ["c_nationkey"], "c_mktsegment")
+        + " ORDER BY c_nationkey"
+    )
+
+
+SQL_ENTROPY = _sql_entropy()
+STAGED_QUERIES["mktsegment_entropy"] = q_entropy
+STAGED_ORACLES["mktsegment_entropy"] = SQL_ENTROPY

@@ -74,3 +74,43 @@ def test_quantile_bin_is_order_consistent(spark):
         by_bin.setdefault(r.bin, []).append((r.v, r.id))
     for k in range(3):
         assert max(by_bin[k]) < min(by_bin[k + 1])
+
+
+def test_weighted_quantile_known_values(spark):
+    """Weighted median/p90: first value whose cumulative weight crosses
+    the threshold, exact integers."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile
+
+    # values 1..4 with weights 1,1,6,2 (total 10):
+    # median (cw*2 >= 10 -> cw >= 5): value 3 (cw=8); p90 (cw*10 >= 90): 4
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 6), (4, 2)], "v int, w long"
+    )
+    got = {
+        (r.q_num, r.q_den): r.v
+        for r in df.transform(
+            weighted_quantile(["v"], "w", [(1, 2), (9, 10)], n_ranges=3)
+        ).collect()
+    }
+    assert got == {(1, 2): 3, (9, 10): 4}
+
+
+def test_weighted_quantile_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile
+
+    df = spark.range(1000).select(
+        F.pmod(F.col("id") * 37, F.lit(101)).alias("v"),
+        F.col("id").alias("u"),
+        (F.pmod(F.col("id"), F.lit(9)) + 1).alias("w"),
+    )
+    a = df.transform(
+        weighted_quantile(["v", "u"], "w", [(1, 2)], n_ranges=8)
+    ).collect()
+    b = df.repartition(13).transform(
+        weighted_quantile(["v", "u"], "w", [(1, 2)], n_ranges=2)
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -215,3 +215,39 @@ def test_cusum_flags_known_values(spark):
     assert out["2024-01-01"] == (10, -30, 0)
     assert out["2024-02-01"] == (10, -60, 1)
     assert out["2024-03-01"] == (40, 0, 0)
+
+
+def test_categorical_entropy_known_values(spark):
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import categorical_entropy
+
+    # group g1: uniform over 4 cats -> ln(4) nats; g2: single cat -> 0
+    rows = [("g1", c) for c in "abcd" * 3] + [("g2", "z")] * 5
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {
+        r.g: (r.n_rows, r.n_cats, r.entropy_micro)
+        for r in categorical_entropy(df, ["g"], "c").collect()
+    }
+    # per-term rounding: 4 * round((1/4)*ln(4)*1e6)
+    expect_g1 = 4 * round(0.25 * math.log(4) * 1e6)
+    assert got["g1"] == (12, 4, expect_g1)
+    assert got["g2"] == (5, 1, 0)
+
+
+def test_categorical_entropy_global_and_nulls_match_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        categorical_entropy,
+        categorical_entropy_sql,
+    )
+
+    pdf = pd.DataFrame({"c": ["a", "a", "b", None, None, "c", "a", None]})
+    got = categorical_entropy(spark.createDataFrame(pdf), [], "c").collect()[0]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.execute(categorical_entropy_sql("t", [], "c")).fetchone()
+    assert (got.n_rows, got.n_cats, got.entropy_micro) == duck
+    assert got.n_cats == 4  # NULL is a category

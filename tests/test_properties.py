@@ -436,3 +436,37 @@ def test_attribution_matches_python_reference(spark, data):
             e[1] += int(pos == len(touches) - 1)
             e[2] += 1_000_000 // len(touches)
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+_wq_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 9)),
+    min_size=1, max_size=40,
+)
+
+
+@given(data=_wq_rows, num_den=st.sampled_from([(1, 4), (1, 2), (3, 4), (1, 1)]))
+@SET
+def test_weighted_quantile_matches_python(spark, data, num_den):
+    """Property: first value (by (v, idx) order) whose cumulative weight
+    crosses num·total/den — matches brute force, for any weights incl. 0.
+    Skips the degenerate all-zero-weight case (quantile undefined)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile
+
+    total = sum(w for _, w in data)
+    if total == 0:
+        return
+    num, den = num_den
+    rows = [(v, i, w) for i, (v, w) in enumerate(data)]
+    df = spark.createDataFrame(rows, "v int, i int, w long")
+    got = df.transform(
+        weighted_quantile(["v", "i"], "w", [(num, den)], n_ranges=4)
+    ).collect()
+    assert len(got) == 1
+    cw = 0
+    expect = None
+    for v, i, w in sorted(rows):
+        cw += w
+        if cw * den >= num * total:
+            expect = (v, i)
+            break
+    assert (got[0].v, got[0].i) == expect

@@ -529,3 +529,71 @@ def incremental_dedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_sequence(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Custom stateful operator #2: per-key MONOTONIC sequence numbers
+    that survive across micro-batches — the ordered-ingestion primitive a
+    CDC/merge consumer needs (``apply_change_feed``'s ``order_cols``) when
+    the source carries no log offset of its own.
+
+    State per key is ONE counter (the next sequence number). Each batch's
+    rows for a key are sorted by ``order_cols`` (total order within the
+    key — include a unique tie-break) and numbered from the stored
+    counter; the counter advances and persists. Emits
+    ``(key, <id_col>, seq)``; join back to the payload on the id.
+    ProcessingTimeTimeout is deliberately NOT set: a sequence fountain
+    must never forget a key's high-water mark (re-issuing seq 0 would
+    corrupt downstream ordering), so state is one long per key FOREVER —
+    size it accordingly (keys × 8 bytes; prune retired keys out-of-band
+    if the key space churns).
+
+    Cross-batch arrival order is the source's responsibility: within a
+    key, whatever arrives in a later batch gets later sequence numbers
+    (arrival order IS the order a log-less source can promise).
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("row_id", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("next_seq", LongType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        next_seq = state.get[0] if state.exists else 0
+        cols = list(dict.fromkeys([*order_cols, id_col]))  # id may tie-break
+        frames = [pdf[cols] for pdf in pdfs]
+        if not frames:
+            return
+        allf = pd.concat(frames, ignore_index=True)
+        if not len(allf):
+            return
+        allf = allf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        seqs = list(range(next_seq, next_seq + len(allf)))
+        state.update((next_seq + len(allf),))
+        yield pd.DataFrame(
+            {
+                "key": [str(k)] * len(allf),
+                "row_id": allf[id_col].astype("int64"),
+                "seq": seqs,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -906,3 +906,46 @@ def test_streaming_quarantine_split_matches_batch(spark, workdir):
     expect = sorted((r.id, r.failed_checks) for r in batch_quarantined.collect())
     assert got == expect
     assert got == [(2, "v_pos"), (3, "v_pos,v_not_null"), (4, "v_pos")]
+
+
+def test_stateful_sequence_monotonic_across_batches(spark, workdir):
+    """Per-key sequence numbers continue across micro-batches (state
+    carries the high-water mark), are dense from 0 per key, and order by
+    the declared columns within each batch."""
+    from dwh_etl_ods_spark_jobs_spark.streaming import stateful_sequence
+
+    src = os.path.join(workdir, "landing_seq")
+    schema = "id long, k string, ord long"
+    # batch 1: two keys, interleaved arrival order vs ord
+    _write_source_files(
+        spark, src,
+        [(10, "a", 2), (11, "a", 1), (12, "b", 5)], schema,
+    )
+    # batch 2: key a continues -> seq must resume at 2
+    _write_source_files(spark, src, [(13, "a", 9), (14, "b", 1)], schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        stateful_sequence(stream, "k", ["ord", "id"], "id")
+        .writeStream.format("memory")
+        .queryName("seq_rows")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_seq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = {
+        (r.key, r.row_id): r.seq for r in spark.table("seq_rows").collect()
+    }
+    # batch 1 key a: ord 1 (id 11) -> seq 0, ord 2 (id 10) -> seq 1
+    # batch 2 key a: id 13 -> seq 2 (resumed, NOT reset)
+    # key b: id 12 -> 0 (batch 1), id 14 -> 1 (batch 2, later arrival wins
+    # later seq even with smaller ord — arrival order across batches)
+    assert got == {
+        ("a", 11): 0, ("a", 10): 1, ("a", 13): 2,
+        ("b", 12): 0, ("b", 14): 1,
+    }

@@ -92,6 +92,8 @@ __all__ = [
     "temporal_split_census_sql",
     "token_pmi",
     "token_pmi_sql",
+    "largest_remainder_allocation",
+    "largest_remainder_allocation_sql",
 ]
 
 
@@ -1291,4 +1293,96 @@ SELECT w1, w2, n_ab, n_a, n_b,
                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
                   * 1000000.0) AS BIGINT) AS pmi_micro
 FROM pairs, nd
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. Largest-remainder budget allocation (training-mix apportionment)
+# ---------------------------------------------------------------------------
+
+def largest_remainder_allocation(
+    df: DataFrame, key_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Apportion an integer token/sample ``budget`` across groups
+    proportionally to their integer weights, by the Hare–Niemeyer
+    largest-remainder method (the house-seat algorithm)::
+
+        (key, weight, alloc)    with  Σ alloc == budget  exactly
+
+    ``alloc_i = floor(budget·w_i / W)`` plus one extra unit for the
+    ``budget − Σ floor`` groups with the LARGEST remainders
+    (``(budget·w_i) mod W``; ties break to the smaller key — fully
+    deterministic, pure integers). The mix-planning primitive that turns
+    "sample sources at these ratios" into exact per-source counts that
+    sum to the budget — naive independent rounding over- or under-shoots
+    by up to n_groups/2.
+
+    Scale: one weight aggregation over the data; everything after runs on
+    the GROUP frame (bounded by source/domain count — the remainder rank
+    window is over that tiny frame, never rows).
+    """
+    weights = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("weight"))
+        .localCheckpoint(eager=False)  # totals + quotas read it twice
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    tot = weights.agg(F.sum("weight").cast("long").alias("_W")).withColumn(
+        "_one", one
+    )
+    quot = (
+        weights.withColumn("_one", one)
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "key",
+            "weight",
+            F.expr(f"(weight * {budget}L) div _W").alias("_floor"),
+            F.expr(f"pmod(weight * {budget}L, _W)").alias("_rem"),
+        )
+    )
+    w = Window.orderBy(F.col("_rem").desc(), F.col("key").asc())  # group frame
+    spare = quot.agg(
+        (F.lit(budget) - F.sum("_floor")).cast("long").alias("_spare")
+    ).withColumn("_one", one)
+    return (
+        quot.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_one", one)
+        .join(F.broadcast(spare), "_one")
+        .select(
+            "key",
+            "weight",
+            (
+                F.col("_floor")
+                + (F.col("_rk") <= F.col("_spare")).cast("long")
+            ).alias("alloc"),
+        )
+    )
+
+
+def largest_remainder_allocation_sql(
+    table_expr: str, key_expr: str, weight_expr: str, budget: int
+) -> str:
+    """DuckDB rendering of :func:`largest_remainder_allocation`."""
+    return f"""
+WITH weights AS (
+  SELECT {key_expr} AS key, CAST(sum({weight_expr}) AS BIGINT) AS weight
+  FROM {table_expr} GROUP BY 1
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM weights),
+quot AS (
+  SELECT key, weight,
+         (weight * {budget}) // W AS fl,
+         (weight * {budget}) % W AS rem
+  FROM weights, t
+),
+sp AS (SELECT {budget} - CAST(sum(fl) AS BIGINT) AS spare FROM quot),
+ranked AS (
+  SELECT key, weight, fl,
+         row_number() OVER (ORDER BY rem DESC, key ASC) AS rk
+  FROM quot
+)
+SELECT key, weight,
+       CAST(fl + (CASE WHEN rk <= sp.spare THEN 1 ELSE 0 END) AS BIGINT)
+         AS alloc
+FROM ranked, sp AS sp
 """

@@ -691,3 +691,40 @@ def _sql_entropy() -> str:
 SQL_ENTROPY = _sql_entropy()
 STAGED_QUERIES["mktsegment_entropy"] = q_entropy
 STAGED_ORACLES["mktsegment_entropy"] = SQL_ENTROPY
+
+
+# --- largest-remainder mix allocation ---
+
+MIX_BUDGET = 1_000_003  # prime: every source carries a nontrivial remainder
+
+
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment across corpus sources by character
+    mass: exact Hare-Niemeyer largest-remainder, allocations sum to the
+    budget to the unit."""
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        largest_remainder_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return largest_remainder_allocation(
+        docs, "source", "n_chars", MIX_BUDGET
+    ).orderBy("key")
+
+
+def _sql_mix() -> str:
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        largest_remainder_allocation_sql,
+    )
+
+    return (
+        largest_remainder_allocation_sql(
+            "documents", "source", "n_chars", MIX_BUDGET
+        )
+        + " ORDER BY key"
+    )
+
+
+SQL_MIX_ALLOCATION = _sql_mix()
+STAGED_QUERIES["mix_allocation_exact"] = q_mix_allocation
+STAGED_ORACLES["mix_allocation_exact"] = SQL_MIX_ALLOCATION

@@ -707,3 +707,36 @@ def test_temporal_split_census_overlap_counts(spark):
         "embargo": (1, 1, 1),
         "test": (2, 2, 1),
     }
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        largest_remainder_allocation,
+    )
+
+    # weights 3, 3, 1 over budget 10: quotas 30/7, 30/7, 10/7 ->
+    # floors 4, 4, 1 (sum 9), remainders 2, 2, 3 -> spare 1 goes to 'c'
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 1)], "k string, w long"
+    )
+    got = {
+        r.key: r.alloc
+        for r in largest_remainder_allocation(df, "k", "w", 10).collect()
+    }
+    assert got == {"a": 4, "b": 4, "c": 2}
+    assert sum(got.values()) == 10
+
+
+def test_largest_remainder_tie_breaks_to_smaller_key(spark):
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        largest_remainder_allocation,
+    )
+
+    # equal weights, budget 5 over 2 groups: floors 2,2; equal remainders
+    # -> the single spare unit goes to the SMALLER key
+    df = spark.createDataFrame([("x", 1), ("m", 1)], "k string, w long")
+    got = {
+        r.key: r.alloc
+        for r in largest_remainder_allocation(df, "k", "w", 5).collect()
+    }
+    assert got == {"m": 3, "x": 2}

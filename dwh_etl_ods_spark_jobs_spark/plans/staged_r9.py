@@ -728,3 +728,83 @@ def _sql_mix() -> str:
 SQL_MIX_ALLOCATION = _sql_mix()
 STAGED_QUERIES["mix_allocation_exact"] = q_mix_allocation
 STAGED_ORACLES["mix_allocation_exact"] = SQL_MIX_ALLOCATION
+
+
+# --- hybrid retrieval: BM25 sparse candidates -> exact dense rerank ---
+
+HY_TERMS = ["spark", "vector", "stream"]
+# candidate depth = plans/curation.BM25_TOPK (the reused oracle SQL has
+# its LIMIT baked in); final rerank keeps 5
+HY_FINAL_K, HY_QUERY_ID, HY_DIM = 5, 0, 64
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-tier RAG retrieval: BM25 takes the top-k sparse
+    candidates (cheap, index-shaped), then the exact cosine against a
+    query embedding reranks just those candidates (the expensive metric touches
+    only candidates, never the corpus) — top-5 out. Composes bm25_topk,
+    the embeddings table, and the fixed-fold cosine; query vector
+    attaches by constant-key broadcast."""
+    from dwh_etl_ods_spark_jobs_spark import curation as C
+    from dwh_etl_ods_spark_jobs_spark.dedup import cosine
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    from dwh_etl_ods_spark_jobs_spark.plans.curation import BM25_TOPK
+
+    cands = docs.transform(
+        C.bm25_topk("doc_id", "text", HY_TERMS, k=BM25_TOPK)
+    ).select("doc_id", "bm25_micro")
+    qv = emb.filter(F.col("vec_id") == HY_QUERY_ID).select(
+        F.col("embedding").alias("_qv"),
+        F.pmod(F.hash(F.lit(1)), F.lit(1)).alias("_one"),
+    )
+    scored = (
+        cands.filter(F.col("doc_id") != HY_QUERY_ID)
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
+        .join(F.broadcast(qv), "_one")
+        .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("_qv")), 6))
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())  # 25 rows
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HY_FINAL_K)
+        .select("rank", "doc_id", "bm25_micro", "cos")
+        .orderBy("rank")
+    )
+
+
+def _sql_hybrid() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import cosine_sql
+    from dwh_etl_ods_spark_jobs_spark.plans.curation import _sql_bm25
+
+    bm25 = _sql_bm25().strip()
+    cos = cosine_sql("e.embedding", "q.embedding", HY_DIM)
+    return f"""
+WITH cands AS (
+  SELECT doc_id, bm25_micro FROM ({bm25})
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {HY_QUERY_ID}),
+scored AS (
+  SELECT c.doc_id, c.bm25_micro, round({cos}, 6) AS cos
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.doc_id, q
+  WHERE c.doc_id != {HY_QUERY_ID}
+)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, bm25_micro, cos
+FROM scored
+QUALIFY rank <= {HY_FINAL_K}
+ORDER BY rank
+"""
+
+
+SQL_HYBRID = None
+def _late_bind_hybrid():
+    global SQL_HYBRID
+    SQL_HYBRID = _sql_hybrid()
+    STAGED_QUERIES["hybrid_retrieval_rerank"] = q_hybrid_retrieval
+    STAGED_ORACLES["hybrid_retrieval_rerank"] = SQL_HYBRID
+_late_bind_hybrid()

@@ -949,3 +949,51 @@ def test_stateful_sequence_monotonic_across_batches(spark, workdir):
         ("a", 11): 0, ("a", 10): 1, ("a", 13): 2,
         ("b", 12): 0, ("b", 14): 1,
     }
+
+
+def test_streaming_snapshot_feeds_wasserstein_drift(spark, workdir):
+    """The W1 monitor's sketch-native path: a LIVE streaming HDR
+    histogram snapshot vs a persisted reference histogram through
+    hdr_wasserstein_from_hists equals the batch-vs-batch computation —
+    drift between the stream and a reference never rereads rows."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark import sketches as SK
+
+    src = os.path.join(workdir, "landing_w1")
+    schema = "v long"
+    _write_source_files(
+        spark, src, [((i * i * 37) % 9_000 + 100,) for i in range(300)], schema
+    )
+    _write_source_files(
+        spark, src, [((i * 7919) % 900 + 5_000,) for i in range(200)], schema
+    )
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_hdr_histogram(stream, [], "v")
+        .writeStream.format("memory")
+        .queryName("w1_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_w1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    ref = spark.range(500).select(
+        (F.pmod(F.col("id") * 13, F.lit(9_000)) + 50).alias("v")
+    ).transform(SK.hdr_histogram([], "v")).select(
+        "bucket_lo", F.col("n").alias("n_old")
+    )
+    live = spark.table("w1_hist").select("bucket_lo", F.col("n").alias("n_new"))
+    got = SK.hdr_wasserstein_from_hists(ref, live).collect()[0]
+
+    batch_hist = spark.read.parquet(src).transform(
+        SK.hdr_histogram([], "v")
+    ).select("bucket_lo", F.col("n").alias("n_new"))
+    expect = SK.hdr_wasserstein_from_hists(ref, batch_hist).collect()[0]
+    assert tuple(got) == tuple(expect)
+    assert got.emd_ppm_units > 0  # the shifted stream HAS drifted

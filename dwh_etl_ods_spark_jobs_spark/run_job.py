@@ -134,6 +134,30 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
         }
         sink = ods if args.write else None
     n_parts = _conf(spark, "spark.ods.numpartitions")
+    if args.backfill:
+        # Chunked idempotent backfill (jobs/spec.run_backfill): each slice
+        # re-runs the anti-join load, so overlapping live data or a
+        # crashed previous attempt re-appends nothing.
+        from dwh_etl_ods_spark_jobs_spark.jobs.spec import run_backfill
+
+        start, end = args.backfill
+        deltas = run_backfill(
+            spark, spec, source, target,
+            args.backfill_date_col, start, end,
+            chunk_days=args.chunk_days,
+            lookups=lookups, patient=patient, facility=facility,
+            sink=sink if args.write else None,
+            write_partitions=int(n_parts) if n_parts else None,
+        )
+        total = 0
+        for i, d in enumerate(deltas):
+            n = d.count()
+            total += n
+            print(f"{spec.name}: backfill chunk {i}: {n} records"
+                  f"{' appended' if args.write else ' (dry run)'}")
+        print(f"{spec.name}: backfill total {total} records over "
+              f"{len(deltas)} chunks")
+        return deltas
     delta = run_incremental_load(
         spark, spec, source, target, lookups, sink=None,
         patient=patient, facility=facility,
@@ -169,6 +193,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet Facility dim (dev mode, enrich jobs)")
     p.add_argument("--write", action="store_true",
                    help="append the delta to the sink (default: dry-run count)")
+    p.add_argument("--backfill", nargs=2, metavar=("START", "END"),
+                   default=None,
+                   help="reprocess [START, END) ISO dates in chunked, "
+                        "idempotent slices instead of one incremental run")
+    p.add_argument("--backfill-date-col", default="DateExtracted",
+                   help="source date column the backfill window slices on")
+    p.add_argument("--chunk-days", type=int, default=30,
+                   help="backfill slice width in days")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"ods-load-{args.job}").getOrCreate()

@@ -102,3 +102,43 @@ def test_run_job_parquet_enrich_dims(spark, tmp_path, capsys):
     ]) == 0
     # p1 survives; p2 Unknown gender, p3 voided facility, FK 9 unmatched
     assert "1 new records" in capsys.readouterr().out
+
+
+def test_run_job_cli_backfill_dev_mode(spark, tmp_path, capsys):
+    """--backfill START END: chunked idempotent reprocess through the CLI
+    (dev parquet mode) — per-chunk counts printed, --write appends once,
+    replay appends zero."""
+    import datetime as dt
+
+    spec = CATALOG["ct_facility_manifest"]
+    d = str(tmp_path)
+    rows = [
+        (i, f"m{i}", dt.date(2023, 1, 1) + dt.timedelta(days=7 * i))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "ID int, ManifestData string, DateExtracted date"
+    ).write.parquet(f"{d}/src")
+    tgt_schema = ", ".join(
+        f"`{c}` int" if c.lower() == "id" else f"`{c}` string"
+        for c in spec.select
+    )
+    spark.createDataFrame([], tgt_schema).write.parquet(f"{d}/tgt")
+
+    base = [
+        "ct_facility_manifest", "--source-path", f"{d}/src",
+        "--target-path", f"{d}/tgt",
+        "--backfill", "2023-01-01", "2023-03-01",
+        "--backfill-date-col", "DateExtracted", "--chunk-days", "30",
+    ]
+    assert RJ.main(base) == 0
+    out = capsys.readouterr().out
+    assert "backfill chunk 0" in out and "backfill chunk 1" in out
+    # window [jan1, mar1) covers rows with DateExtracted < 2023-03-01:
+    # days 0,7,...,56 -> 9 rows within window
+    assert "backfill total 9 records over 2 chunks" in out
+
+    assert RJ.main(base + ["--write"]) == 0
+    assert spark.read.parquet(f"{d}/tgt").count() == 9
+    assert RJ.main(base + ["--write"]) == 0
+    assert spark.read.parquet(f"{d}/tgt").count() == 9  # idempotent replay

@@ -142,3 +142,56 @@ def test_run_job_cli_backfill_dev_mode(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{d}/tgt").count() == 9
     assert RJ.main(base + ["--write"]) == 0
     assert spark.read.parquet(f"{d}/tgt").count() == 9  # idempotent replay
+
+
+def test_run_job_cli_backfill_jdbc_derby(spark, capsys):
+    """--backfill over the LIVE JDBC path (Derby): chunk slicing on the
+    source date column, per-chunk appends to the ODS target, idempotent
+    replay."""
+    import datetime as dt
+
+    url = "jdbc:derby:memory:run_job_backfill;create=true"
+    spec = CATALOG["ct_facility_manifest"]
+    rows = [
+        (i, f"m{i}", dt.date(2023, 1, 1) + dt.timedelta(days=10 * i))
+        for i in range(6)
+    ]
+    write_append(
+        spark.createDataFrame(
+            rows, "ID int, ManifestData string, DateExtracted date"
+        ),
+        JdbcSpec(url=url, table="dbo.FacilityManifest"),
+    )
+    tgt_schema = ", ".join(
+        f"`{c}` int" if c.lower() == "id" else f"`{c}` string"
+        for c in spec.select
+    )
+    # seed one row so the target table exists with the DDL projection
+    write_append(
+        spark.createDataFrame(
+            [(999,) + (None,) * (len(spec.select) - 1)], tgt_schema
+        ),
+        JdbcSpec(url=url, table="dbo.CT_FacilityManifest"),
+    )
+    spark.conf.set("spark.dwapicentral.url", url)
+    spark.conf.set("spark.ods.url", url)
+    base = [
+        "ct_facility_manifest",
+        "--backfill", "2023-01-01", "2023-02-20", "--chunk-days", "25",
+    ]
+    try:
+        assert RJ.main(base) == 0
+        out = capsys.readouterr().out
+        # window [jan1, feb20): days 0,10,20,30,40 -> 5 rows in 2 chunks
+        assert "backfill total 5 records over 2 chunks" in out
+        assert RJ.main(base + ["--write"]) == 0
+        ods = read_table(
+            spark,
+            JdbcSpec(url=url, table=RJ._render_table(url, spec.target)),
+        )
+        assert ods.count() == 6  # seed + 5 backfilled
+        assert RJ.main(base + ["--write"]) == 0
+        assert ods.count() == 6  # idempotent replay appends nothing
+    finally:
+        spark.conf.unset("spark.dwapicentral.url")
+        spark.conf.unset("spark.ods.url")

@@ -261,6 +261,12 @@ def negative_edge_samples(
 
     dsts = (
         edges.select(F.col(dst_col).alias("_dst"))
+        # NULL is excluded from the draw domain on BOTH engines: Spark's
+        # ASC sort is NULLS FIRST while DuckDB's row_number default is
+        # NULLS LAST — one NULL dst would shift every index and
+        # desynchronize the seeded draws (ADVICE r8); a NULL negative
+        # edge is meaningless anyway.
+        .filter(F.col("_dst").isNotNull())
         .distinct()
         .transform(global_rank(["_dst"], out_col="_idx", with_total="_n"))
         .localCheckpoint(eager=False)  # indexed domain used twice (n + join)
@@ -309,8 +315,9 @@ def negative_edge_samples_sql(
     return f"""
 WITH edges AS ({edges_cte}),
 dsts AS (
+  -- NULL dst excluded on both engines (index-order desync otherwise)
   SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx
-  FROM (SELECT DISTINCT {dst_col} AS dst FROM edges)
+  FROM (SELECT DISTINCT {dst_col} AS dst FROM edges WHERE {dst_col} IS NOT NULL)
 ),
 nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dom FROM dsts),
 srcs AS (SELECT DISTINCT {src_col} AS src FROM edges),

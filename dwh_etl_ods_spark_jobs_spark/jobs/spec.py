@@ -325,8 +325,12 @@ def run_backfill(
     rows if the insert dies). Chunking bounds each run's shuffle and
     lets a scheduler checkpoint progress between slices.
 
-    Returns the per-chunk delta DataFrames (lazily; pass ``sink`` in
-    ``load_kwargs`` to write them).
+    Returns the per-chunk delta DataFrames (lazily). Passing ``sink`` in
+    ``load_kwargs`` writes each chunk eagerly inside the loop — the
+    returned deltas then RE-evaluate their anti-join against the
+    already-updated target if acted on (count() would print 0 per chunk;
+    ADVICE r8). Callers who need per-chunk counts should keep sink=None
+    and ride an ``Observation`` on their own write (run_job.py does).
     """
     import datetime as _dt
 

@@ -156,26 +156,43 @@ def weighted_quantile(
                 + F.sum(F.col(weight_col)).over(within).cast("long"),
             )
         )
-        picks = []
-        for num, den in quantiles:
-            hit = cum.filter(
-                F.col("_cw") * F.lit(den) >= F.lit(num) * F.col("_total")
-            )
-            picks.append(
-                hit.groupBy()
-                .agg(
-                    F.min(F.struct(*cols)).alias("_v")  # smallest qualifying
+        # SINGLE PASS over the cum frame: one conditional min per quantile
+        # in ONE aggregation job (was one filter+agg job per quantile).
+        # min() ignores NULLs, so min(when(crossed, struct)) is the
+        # smallest qualifying value; a quantile no row qualifies for
+        # (empty input / zero total weight) yields a NULL struct, which is
+        # DROPPED — matching the SQL rendering's 'ORDER BY ... LIMIT 1'
+        # subquery emitting zero rows on the degenerate input (ADVICE r8).
+        row = cum.groupBy().agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cw") * F.lit(den) >= F.lit(num) * F.col("_total"),
+                        F.struct(*cols),
+                    )
+                ).alias(f"_v{i}")
+                for i, (num, den) in enumerate(quantiles)
+            ]
+        )
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(num).alias("q_num"),
+                            F.lit(den).alias("q_den"),
+                            F.col(f"_v{i}").alias("_v"),
+                        )
+                        for i, (num, den) in enumerate(quantiles)
+                    ]
                 )
-                .select(
-                    F.lit(num).alias("q_num"),
-                    F.lit(den).alias("q_den"),
-                    *[F.col(f"_v.{c}").alias(c) for c in value_cols],
-                )
-            )
-        out = picks[0]
-        for p in picks[1:]:
-            out = out.unionByName(p)
-        return out
+            ).alias("_q")
+        )
+        return stacked.filter(F.col("_q._v").isNotNull()).select(
+            F.col("_q.q_num").alias("q_num"),
+            F.col("_q.q_den").alias("q_den"),
+            *[F.col(f"_q._v.{c}").alias(c) for c in value_cols],
+        )
 
     return apply
 

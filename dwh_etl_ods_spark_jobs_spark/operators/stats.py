@@ -712,7 +712,19 @@ def categorical_entropy(
     p = F.col("_n_c").cast("double") / F.col("_n").cast("double")
     term = F.round(-(p * F.log(p)) * F.lit(1000000.0)).cast("long")
     if group_cols:
-        joined = counts.join(totals, list(group_cols))
+        # NULL-SAFE join: a plain equi-join would drop every group whose
+        # key is NULL while the SQL rendering (IS NOT DISTINCT FROM) keeps
+        # them (ADVICE r8). NULL is a legitimate group in this operator.
+        c_al, t_al = counts.alias("_c"), totals.alias("_t")
+        cond = None
+        for g in group_cols:
+            eq = F.col(f"_c.{g}").eqNullSafe(F.col(f"_t.{g}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = c_al.join(t_al, cond).select(
+            *[F.col(f"_c.{g}") for g in group_cols],
+            F.col("_c._n_c"),
+            F.col("_t._n"),
+        )
     else:
         # global entropy: constant-key broadcast attach (HASH join, never
         # a nested loop)

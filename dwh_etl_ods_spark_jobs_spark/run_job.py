@@ -141,20 +141,34 @@ def run(spark: SparkSession, spec: JobSpec, args: argparse.Namespace):
         from dwh_etl_ods_spark_jobs_spark.jobs.spec import run_backfill
 
         start, end = args.backfill
+        # sink=None: the write happens HERE, with the count observed on the
+        # write job itself. Passing the sink through run_backfill would
+        # append each chunk eagerly and leave the returned deltas lazy —
+        # a later d.count() re-evaluates the anti-join against the
+        # now-updated target and prints 0 for every chunk (ADVICE r8),
+        # computing each plan twice.
         deltas = run_backfill(
             spark, spec, source, target,
             args.backfill_date_col, start, end,
             chunk_days=args.chunk_days,
             lookups=lookups, patient=patient, facility=facility,
-            sink=sink if args.write else None,
-            write_partitions=int(n_parts) if n_parts else None,
+            sink=None,
         )
         total = 0
         for i, d in enumerate(deltas):
-            n = d.count()
+            if sink is not None:
+                obs = Observation(f"ods-backfill-{spec.name}-{i}")
+                observed = d.observe(obs, F.count(F.lit(1)).alias("n_appended"))
+                write_append(
+                    observed, sink,
+                    write_partitions=int(n_parts) if n_parts else None,
+                )
+                n = obs.get["n_appended"]
+            else:
+                n = d.count()
             total += n
             print(f"{spec.name}: backfill chunk {i}: {n} records"
-                  f"{' appended' if args.write else ' (dry run)'}")
+                  f"{' appended' if sink is not None else ' (dry run)'}")
         print(f"{spec.name}: backfill total {total} records over "
               f"{len(deltas)} chunks")
         return deltas

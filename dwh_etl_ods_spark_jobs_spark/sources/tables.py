@@ -181,17 +181,30 @@ def _jdbc_table_exists(spark: SparkSession, spec: "JdbcSpec") -> bool:
     conn = jvm.java.sql.DriverManager.getConnection(spec.url, props)
     try:
         meta = conn.getMetaData()
+        # getTables matches the TABLE NAME only — a schema-qualified spec
+        # ('APP.UPS', 'dbo.CT_X') must be split into (schemaPattern,
+        # tableNamePattern) or it never matches and every upsert would take
+        # the bootstrap plain-append branch, duplicating replays (ADVICE r8).
+        # Both patterns are LIKE patterns and escape support is
+        # dialect-dependent (Derby's getSearchStringEscape() is ''): let the
+        # pattern over-match ('CT_X' also hits CTAX) and exact-compare the
+        # returned names instead — portable across every driver.
+        schema, _, table = spec.table.rpartition(".")
         # Unquoted DDL identifiers case-fold per dialect (Derby/Oracle up,
         # Postgres down) — probe the stored-case candidates.
-        for name in dict.fromkeys(
-            (spec.table, spec.table.upper(), spec.table.lower())
-        ):
-            rs = meta.getTables(None, None, name, None)
-            try:
-                if rs.next():
-                    return True
-            finally:
-                rs.close()
+        for t in dict.fromkeys((table, table.upper(), table.lower())):
+            for s in dict.fromkeys(
+                (schema, schema.upper(), schema.lower())
+            ) if schema else (None,):
+                rs = meta.getTables(None, s if s else None, t, None)
+                try:
+                    while rs.next():
+                        if rs.getString("TABLE_NAME") == t and (
+                            s is None or rs.getString("TABLE_SCHEM") == s
+                        ):
+                            return True
+                finally:
+                    rs.close()
         return False
     finally:
         conn.close()

@@ -185,3 +185,41 @@ def test_negative_edges_deterministic_and_disjoint_from_real(spark):
         assert r.s != r.d
     c = negative_edge_samples(edges, "s", "d", 4, "y").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # new seed, new draws
+
+
+def test_negative_edges_null_dst_excluded_and_engines_agree(spark):
+    """A NULL destination must not enter the draw domain: Spark indexes
+    NULLS FIRST, DuckDB's row_number NULLS LAST — one NULL would shift
+    every index and desynchronize the seeded draws between the engines
+    (ADVICE r8)."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        negative_edge_samples,
+        negative_edge_samples_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {"s": [1, 1, 2, 3, 4], "d": [10.0, 11.0, 10.0, 12.0, None]}
+    )
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12), (4, None)], "s long, d long"
+    )
+    got = sorted(
+        (r.s, r.d, r.draw)
+        for r in negative_edge_samples(edges, "s", "d", 3, "nx").collect()
+    )
+    con = duckdb.connect()
+    con.register("edges_src", pdf)
+    duck = sorted(
+        (r[0], int(r[1]), r[2])
+        for r in con.execute(
+            negative_edge_samples_sql(
+                "SELECT s, CAST(d AS BIGINT) AS d FROM edges_src",
+                "s", "d", 3, "nx",
+            )
+        ).fetchall()
+    )
+    assert got == duck
+    assert all(d is not None for _, d, _ in got)  # no NULL negatives drawn

@@ -95,18 +95,46 @@ def test_jdbc_upsert_batch_merge_and_bootstrap(spark):
     jdbc_upsert_batch(b1, spec, ["id"])  # bootstrap: plain append
     assert read_table(spark, spec).count() == 2
 
-    # batch 2: update id=2, insert id=3 — one server-side MERGE
+    # batch 2: update id=2, insert id=3 — one server-side MERGE.
+    # Assert COUNT, not just a dict (dicts collapse duplicate keys — a
+    # plain-append regression would pass the dict check; ADVICE r8).
     b2 = spark.createDataFrame(
         [(2, "b2", 99.0), (3, "c", 30.0)], "id int, name string, v double"
     )
     jdbc_upsert_batch(b2, spec, ["id"])
+    assert read_table(spark, spec).count() == 3
     rows = {r.id: (r.name, r.v) for r in read_table(spark, spec).collect()}
     assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
 
-    # idempotent: replaying batch 2 merges to the same state
+    # idempotent: replaying batch 2 merges to the same state, same count
     jdbc_upsert_batch(b2, spec, ["id"])
+    assert read_table(spark, spec).count() == 3
     rows = {r.id: (r.name, r.v) for r in read_table(spark, spec).collect()}
     assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+
+def test_jdbc_table_exists_schema_qualified_and_wildcards(spark):
+    """The metadata probe must split 'SCHEMA.TABLE' (getTables matches the
+    table-name component only) and escape LIKE wildcards so 'UP_' does not
+    match 'UPS' (ADVICE r8 — the unsplit spec made every existing table
+    probe False, turning every MERGE into a duplicate-append bootstrap)."""
+    from dwh_etl_ods_spark_jobs_spark.sources.tables import (
+        _jdbc_table_exists,
+        write_append,
+    )
+
+    write_append(
+        spark.createDataFrame([(1,)], "id int"),
+        JdbcSpec(url=URL, table="APP.EXISTS_PROBE"),
+    )
+    assert _jdbc_table_exists(spark, JdbcSpec(url=URL, table="APP.EXISTS_PROBE"))
+    # case-fold candidates cover unquoted-DDL storage case
+    assert _jdbc_table_exists(spark, JdbcSpec(url=URL, table="app.exists_probe"))
+    # unqualified name still resolves (schemaPattern=None -> any schema)
+    assert _jdbc_table_exists(spark, JdbcSpec(url=URL, table="EXISTS_PROBE"))
+    assert not _jdbc_table_exists(spark, JdbcSpec(url=URL, table="APP.EXISTS_PROBX"))
+    # '_' must be escaped: 'EXISTS_PROB_' would LIKE-match EXISTS_PROBE
+    assert not _jdbc_table_exists(spark, JdbcSpec(url=URL, table="APP.EXISTS_PROB_"))
 
 
 def test_jdbc_upsert_sink_streams_scd1_state(spark, tmp_path):

@@ -114,3 +114,56 @@ def test_weighted_quantile_partitioning_invariant(spark):
         weighted_quantile(["v", "u"], "w", [(1, 2)], n_ranges=2)
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_weighted_quantile_degenerate_inputs_emit_zero_rows(spark):
+    """Empty input (and any quantile no row qualifies for) must emit ZERO
+    rows, matching the SQL rendering's 'ORDER BY ... LIMIT 1' subquery —
+    not one all-NULL row per quantile (ADVICE r8)."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_quantile,
+        weighted_quantile_sql,
+    )
+
+    empty = spark.createDataFrame([], "v int, w long")
+    got = empty.transform(
+        weighted_quantile(["v"], "w", [(1, 2), (9, 10)], n_ranges=3)
+    ).collect()
+    assert got == []
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                    "w": pd.Series([], dtype="int64")}))
+    duck = con.execute(
+        weighted_quantile_sql("t", ["v"], "w", [(1, 2), (9, 10)])
+    ).fetchall()
+    assert duck == []
+
+    # all-zero weights: every row qualifies (0 >= 0) -> min value, both engines
+    pdf = pd.DataFrame({"v": [5, 3, 7], "w": [0, 0, 0]})
+    got = spark.createDataFrame(pdf).transform(
+        weighted_quantile(["v"], "w", [(1, 2)], n_ranges=2)
+    ).collect()
+    con.register("t0", pdf)
+    duck = con.execute(weighted_quantile_sql("t0", ["v"], "w", [(1, 2)])).fetchall()
+    assert [(r.q_num, r.q_den, r.v) for r in got] == [tuple(r) for r in duck] == [
+        (1, 2, 3)
+    ]
+
+
+def test_weighted_quantile_is_single_pass(spark):
+    """The per-quantile picks fold into ONE aggregation over the cum
+    frame — Q quantiles must not fan out into Q filter+agg jobs
+    (VERDICT r8 #7)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import weighted_quantile
+
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "v int, w long")
+    plan = df.transform(
+        weighted_quantile(["v"], "w", [(i, 10) for i in range(1, 10)], n_ranges=4)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate over the cumulative frame (plus nothing per-quantile):
+    # a per-quantile fan would show 9 Aggregates + Union
+    assert plan.count("Aggregate") <= 2  # cum-side none; offsets agg + final
+    assert "Union" not in plan

@@ -185,12 +185,21 @@ def test_run_job_cli_backfill_jdbc_derby(spark, capsys):
         # window [jan1, feb20): days 0,10,20,30,40 -> 5 rows in 2 chunks
         assert "backfill total 5 records over 2 chunks" in out
         assert RJ.main(base + ["--write"]) == 0
+        out = capsys.readouterr().out
+        # the PRINTED per-chunk counts must reflect what the write appended
+        # (ADVICE r8: a lazy post-write count re-evaluates the anti-join
+        # against the updated target and prints 0 for every chunk)
+        assert "backfill chunk 0: 3 records appended" in out
+        assert "backfill chunk 1: 2 records appended" in out
+        assert "backfill total 5 records over 2 chunks" in out
         ods = read_table(
             spark,
             JdbcSpec(url=url, table=RJ._render_table(url, spec.target)),
         )
         assert ods.count() == 6  # seed + 5 backfilled
         assert RJ.main(base + ["--write"]) == 0
+        out = capsys.readouterr().out
+        assert "backfill total 0 records over 2 chunks" in out
         assert ods.count() == 6  # idempotent replay appends nothing
     finally:
         spark.conf.unset("spark.dwapicentral.url")

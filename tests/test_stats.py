@@ -251,3 +251,35 @@ def test_categorical_entropy_global_and_nulls_match_duckdb(spark):
     duck = con.execute(categorical_entropy_sql("t", [], "c")).fetchone()
     assert (got.n_rows, got.n_cats, got.entropy_micro) == duck
     assert got.n_cats == 4  # NULL is a category
+
+
+def test_categorical_entropy_null_group_key_matches_duckdb(spark):
+    """A NULL grouping key is a legitimate group: the Spark totals join
+    must be null-safe (eqNullSafe) like the SQL's IS NOT DISTINCT FROM —
+    a plain equi-join silently drops the NULL group (ADVICE r8)."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        categorical_entropy,
+        categorical_entropy_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["x", "x", None, None, None, "y"],
+            "c": ["a", "b", "a", "a", "b", "a"],
+        }
+    )
+    got = {
+        r.g: (r.n_rows, r.n_cats, r.entropy_micro)
+        for r in categorical_entropy(spark.createDataFrame(pdf), ["g"], "c").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(categorical_entropy_sql("t", ["g"], "c")).fetchall()
+    }
+    assert got == duck
+    assert None in got and got[None][0] == 3  # NULL group present, 3 rows

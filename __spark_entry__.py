@@ -28,6 +28,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     showcase,
     sketches,
     staged,
+    staged_r9,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -37,96 +38,50 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r8 WINDOW PLAN (resolves the 66-claims-on-50-slots over-subscription,
-# VERDICT r7 "What's missing" #1 / "Next round" #1):
-#   _HEAD = 26 newly registered plans/staged.py entries (never gated)
-#         + dq_expectations (quality.py changed r8: NULL-key UniqueCheck
-#           sentinel + n=0 guard)
-#         + 23 of the 43 r7 _TAIL entries — the ones NOT in the judge's
-#           r7 10-query replica sample, which are the longest without an
-#           independent check (r6 gate was their last).
-#   _TAIL = first the 20 rotation-due-in-r9 entries (10 r6-gated-but-
-#           judge-sampled-r7 + 10 r6-gated remainder), then the 43
-#           r7-gate-verified entries.
-# r9 COMMITMENT: _HEAD = ALL plans/staged_r9.py entries (registered
-# r9: quantile_binning_census, target_encoding_priority,
-# key_skew_diagnostics, json_malformed_census, temporal_split_embargo,
-# attribution_touchpoints, rfm_quintile_features, cusum_changepoint_flags,
-# golden_record_mode, token_pmi_topk, file_provenance_ranges,
-# negative_edge_samples, wasserstein_drift, benford_digit_audit,
-# cdc_feed_apply, ... — count via len(staged_r9.STAGED_QUERIES)) + the first 20 _TAIL entries
-# below (rotation-due) + r9-changed; remainder from the 43 r7-verified
-# block (oldest first). Whatever the r9 gate drops gets a committed
+# r9 WINDOW PLAN (executes the r8 commitment, VERDICT r8 #1; battery
+# consolidated 138 -> 120 per VERDICT r8 #2 — 18 subsumed entries moved
+# to per-module RETIRED_QUERIES, oracle-gated by
+# tests/test_retired_surfaces.py):
+#   _HEAD = 19 newly registered plans/staged_r9.py entries (never gated)
+#         + 17 rotation-due r6-gated entries (the committed 20 minus the
+#           3 retired: hopping_window_agg, ann_cosine_topk,
+#           hdr_quantile_sketch)
+#         + 14 oldest entries of the r7-hard-gate-verified block.
+#   _TAIL = first the 30 r7-verified-block remainder (rotation-due r10),
+#           then the r8-hard-gate-verified block (fresh).
+# r10 COMMITMENT: _HEAD = the first 30 _TAIL entries below (rotation-due)
+# + r10-changed + r10-new; remainder from the r8-verified block (oldest
+# first). Whatever the r10 gate drops gets a committed
 # tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the
 # freshness test enforces this.
 _HEAD = [
-    # ---- 26 newly registered staged entries (first driver gating) ----
-    "hll_set_algebra",
-    "hdr_percentile_calibrate",
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "dedup_incremental_lsh",
-    "k_anonymity_census",
-    "snapshot_diff_orders",         # r8: per-field-md5 fingerprint (ADVICE)
-    "fk_orphan_census",
-    "encoding_artifact_census",
-    "chi2_lang_source",
-    "hard_negative_mining",
-    "hopping_hll_distinct",
-    "tpch_q3_priority",
-    "tpch_q5_local_volume",
-    "tpch_q10_returns",
-    "tpch_q17_small_qty",
-    "tpch_q18_big_orders",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich",
-    "session_path_trigrams",
-    "scd2_temporal_join",
-    "distribution_drift_tvd",
-    # ---- r8-new queries (VERDICT r7 #6/#8) ----
-    "quarantine_reason_census",
-    "backfill_chunked_delta",
-    "range_sorted_checksum",
-    # ---- r8-changed ----
-    "dq_expectations",              # r8: NULL-key UniqueCheck + n=0 guard
-    # ---- 23 rotation entries: r6-gated, NOT in the judge's r7 replica
-    # sample -> longest without an independent check ----
-    "job_source_filters",
-    "text_repetition_gopher",
-    "decontaminate_ngram_overlap",
-    "sample_mix_weighted",
-    "shard_pack_tokens",
-    "cross_source_leakage",
-    "semantic_dedup_clusters",
-    "substring_span_census",
-    "quality_classifier_score",
-    "split_assignment",
-    "tfidf_top_terms",
-    "bigram_lm_logprob",
-    "boilerplate_para_removal",
-    "retention_cohorts",
-    "hll_distinct_users",
-    "countmin_heavy_hitters",
-    "rolling_window_revenue",
-    "table_profile_sweep",
-    "event_transition_matrix",
-    "copurchase_pairs",
-    "incremental_state_merge",
-    "mix_temperature_weights",
-    "corpus_prep_pipeline",
-]
-_TAIL = [
-    # ---- rotation-due FIRST in r9 (r6-gated; 10 judge-replica-sampled
-    # r7 + 10 not): these 20 lead r9's _HEAD ----
+    # ---- 19 newly registered staged_r9 entries (first driver gating) ----
+    "quantile_binning_census",
+    "target_encoding_priority",
+    "key_skew_diagnostics",
+    "json_malformed_census",
+    "temporal_split_embargo",
+    "attribution_touchpoints",
+    "rfm_quintile_features",
+    "cusum_changepoint_flags",
+    "golden_record_mode",
+    "token_pmi_topk",
+    "file_provenance_ranges",
+    "negative_edge_samples",
+    "wasserstein_drift",
+    "benford_digit_audit",
+    "cdc_feed_apply",
+    "weighted_price_quantiles",
+    "mktsegment_entropy",
+    "mix_allocation_exact",
+    "hybrid_retrieval_rerank",
+    # ---- 17 rotation-due (r6-gated, last swept r8) ----
     "tombstone_delete_census",
     "grouping_sets_agg",
     "merge_upsert_scd1",
-    "hopping_window_agg",
     "job_rules_canonicalization",
     "array_vector_ops",
     "sql_api_not_in_subquery",
-    "ann_cosine_topk",
     "dedup_simhash_pairs",
     "incremental_antijoin_nullsafe",
     "catalog_job_pipeline",
@@ -136,10 +91,9 @@ _TAIL = [
     "scd2_state_history",
     "semantic_decontaminate",
     "bloom_pruned_join",
-    "hdr_quantile_sketch",
     "stratified_sample_exact",
     "epoch_shuffle_order",
-    # ---- r7-hard-gate-verified (CORRECTNESS_r07 green), unchanged ----
+    # ---- 14 oldest r7-hard-gate-verified entries ----
     "embedding_quantize_int8",
     "corr_regression_stats",
     "interval_overlap_join",
@@ -154,6 +108,9 @@ _TAIL = [
     "dedupe_latest_window",
     "groupby_max_dedup",
     "lookup_fold_broadcast",
+]
+_TAIL = [
+    # ---- r7-verified-block remainder: rotation-due FIRST in r10 ----
     "clean_date_clamp_range_sentinel",
     "clean_value_canonicalization",
     "pii_hash_sha256",
@@ -161,10 +118,7 @@ _TAIL = [
     "art_outcomes_asof",
     "art_outcomes_monthly",
     "text_stats_tokens",
-    "text_quality_score",
-    "text_langid",
     "text_pii_redaction",
-    "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -174,7 +128,6 @@ _TAIL = [
     "ann_ivf_nprobe2",
     "tsql_scalar_functions",
     "set_ops_except_intersect",
-    "text_fingerprint",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "window_frames",
@@ -182,13 +135,53 @@ _TAIL = [
     "sessionize_gap",
     "semi_join_exists",
     "record_linkage_fuzzy",
-    "percentile_agg",
     "full_outer_coalesce",
     "union_date_repair",
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
     "json_extract",
+    # ---- r8-hard-gate-verified (CORRECTNESS_r08 green), freshest ----
+    "hll_set_algebra",
+    "hdr_percentile_calibrate",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "dedup_incremental_lsh",
+    "k_anonymity_census",
+    "snapshot_diff_orders",
+    "fk_orphan_census",
+    "encoding_artifact_census",
+    "chi2_lang_source",
+    "hard_negative_mining",
+    "hopping_hll_distinct",
+    "tpch_q3_priority",
+    "tpch_q5_local_volume",
+    "tpch_q17_small_qty",
+    "tpch_q18_big_orders",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich",
+    "session_path_trigrams",
+    "scd2_temporal_join",
+    "quarantine_reason_census",
+    "backfill_chunked_delta",
+    "range_sorted_checksum",
+    "dq_expectations",
+    "job_source_filters",
+    "text_repetition_gopher",
+    "decontaminate_ngram_overlap",
+    "cross_source_leakage",
+    "semantic_dedup_clusters",
+    "substring_span_census",
+    "tfidf_top_terms",
+    "bigram_lm_logprob",
+    "boilerplate_para_removal",
+    "retention_cohorts",
+    "countmin_heavy_hitters",
+    "table_profile_sweep",
+    "incremental_state_merge",
+    "mix_temperature_weights",
+    "corpus_prep_pipeline",
 ]
 
 
@@ -239,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(graph.QUERIES)
     q.update(quality.QUERIES)
     q.update(staged.STAGED_QUERIES)  # registered r8 (VERDICT r7 #1)
+    q.update(staged_r9.STAGED_QUERIES)  # registered r9 (VERDICT r8 #1)
     return _window_order(q)
 
 
@@ -255,4 +249,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(graph.ORACLES)
     o.update(quality.ORACLES)
     o.update(staged.STAGED_ORACLES)  # registered r8 (VERDICT r7 #1)
+    o.update(staged_r9.STAGED_ORACLES)  # registered r9 (VERDICT r8 #1)
     return _window_order(o)

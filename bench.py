@@ -47,14 +47,20 @@ def main() -> int:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     bench_queries = dict(entry_mod.queries())
     if os.environ.get("SPARK_GRAFT_BENCH_STAGED") == "1":
-        # local-only extension: time the r9-staged queries too (the driver
-        # never sets this, so its recorded battery stays the contract);
-        # plans/staged.py's entries are registered since r8 and already in
-        # queries()
-        from dwh_etl_ods_spark_jobs_spark.plans import staged_r9 as staged_mod
-
-        for k, v in staged_mod.STAGED_QUERIES.items():
-            bench_queries.setdefault(f"staged:{k}", v)
+        # local-only extension: time any not-yet-registered staged queries
+        # too (the driver never sets this, so its recorded battery stays
+        # the contract). staged.py (r8) and staged_r9.py (r9) entries are
+        # registered and already in queries(); this picks up a future
+        # plans/staged_r10.py if one exists.
+        try:
+            from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: F401
+                staged_r10 as staged_mod,
+            )
+        except ImportError:
+            staged_mod = None
+        if staged_mod is not None:
+            for k, v in staged_mod.STAGED_QUERIES.items():
+                bench_queries.setdefault(f"staged:{k}", v)
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in bench_queries.items():

@@ -976,14 +976,17 @@ QUERIES["corr_regression_stats"] = q_bivariate_stats
 ORACLES["corr_regression_stats"] = _sql_bivariate_stats()
 QUERIES["funnel_conversion"] = q_funnel
 ORACLES["funnel_conversion"] = _sql_funnel()
-QUERIES["rolling_window_revenue"] = q_rolling_revenue
-ORACLES["rolling_window_revenue"] = SQL_ROLLING_REVENUE
+# r9 retired: rolling_window_revenue ⊂ window_frames (same rows/range frames)
+RETIRED_QUERIES["rolling_window_revenue"] = q_rolling_revenue
+RETIRED_ORACLES["rolling_window_revenue"] = SQL_ROLLING_REVENUE
 QUERIES["scd2_state_history"] = q_scd2_history
 ORACLES["scd2_state_history"] = _sql_scd2()
-QUERIES["event_transition_matrix"] = q_event_transitions
-ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITIONS
-QUERIES["copurchase_pairs"] = q_copurchase
-ORACLES["copurchase_pairs"] = SQL_COPURCHASE
+# r9 retired: 2-gram transitions ⊂ session_path_trigrams (same lag-window n-grams)
+RETIRED_QUERIES["event_transition_matrix"] = q_event_transitions
+RETIRED_ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITIONS
+# r9 retired: co-occurrence pair join ⊂ token_pmi_topk (same posting-list equi-join, plus PMI)
+RETIRED_QUERIES["copurchase_pairs"] = q_copurchase
+RETIRED_ORACLES["copurchase_pairs"] = SQL_COPURCHASE
 QUERIES["locf_gap_fill"] = q_locf_gap_fill
 ORACLES["locf_gap_fill"] = SQL_LOCF_GAP_FILL
 QUERIES["rank_functions_suite"] = q_rank_functions
@@ -1105,8 +1108,9 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-QUERIES["percentile_agg"] = q_percentiles
-ORACLES["percentile_agg"] = SQL_PERCENTILES
+# r9 retired: unweighted percentiles ⊂ weighted_price_quantiles (weight ≡ 1 case)
+RETIRED_QUERIES["percentile_agg"] = q_percentiles
+RETIRED_ORACLES["percentile_agg"] = SQL_PERCENTILES
 
 
 # --- 16. array / higher-order-function ops over vector columns ---
@@ -1298,5 +1302,6 @@ SELECT event_type, m * {HOP_H_MS} AS window_start_ms,
 FROM hop_w GROUP BY 1, 2
 """
 
-QUERIES["hopping_window_agg"] = q_hopping_window
-ORACLES["hopping_window_agg"] = SQL_HOPPING
+# r9 retired: hopping expansion ⊂ hopping_hll_distinct (same hop explode, plus sketch fold)
+RETIRED_QUERIES["hopping_window_agg"] = q_hopping_window
+RETIRED_ORACLES["hopping_window_agg"] = SQL_HOPPING

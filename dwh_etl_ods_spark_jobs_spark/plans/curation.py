@@ -851,14 +851,10 @@ QUERIES = {
     "text_repetition_gopher": q_repetition,
     "stratified_sample_exact": q_stratified_sample,
     "decontaminate_ngram_overlap": q_decontaminate,
-    "sample_mix_weighted": q_sample_mix,
-    "shard_pack_tokens": q_shard_pack,
     "cross_source_leakage": q_leakage,
     "semantic_dedup_clusters": q_semantic_dedup,
     "substring_span_census": q_substring_spans,
-    "quality_classifier_score": q_quality_classifier,
     "epoch_shuffle_order": q_epoch_shuffle,
-    "split_assignment": q_assign_split,
     "tfidf_top_terms": q_tfidf,
     "bigram_lm_logprob": q_bigram_lm,
     "boilerplate_para_removal": q_boilerplate,
@@ -871,14 +867,10 @@ ORACLES = {
     "text_repetition_gopher": SQL_REPETITION,
     "stratified_sample_exact": SQL_STRATIFIED_SAMPLE,
     "decontaminate_ngram_overlap": SQL_DECONTAMINATE,
-    "sample_mix_weighted": SQL_SAMPLE_MIX,
-    "shard_pack_tokens": SQL_SHARD_PACK,
     "cross_source_leakage": SQL_LEAKAGE,
     "semantic_dedup_clusters": _sql_semantic_dedup(),
     "substring_span_census": SQL_SUBSTRING_SPANS,
-    "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
     "epoch_shuffle_order": SQL_EPOCH_SHUFFLE,
-    "split_assignment": SQL_ASSIGN_SPLIT,
     "tfidf_top_terms": SQL_TFIDF,
     "bigram_lm_logprob": SQL_BIGRAM_LM,
     "boilerplate_para_removal": SQL_BOILERPLATE,
@@ -886,4 +878,21 @@ ORACLES = {
     "semantic_decontaminate": _sql_semantic_decon(),
     "mix_temperature_weights": SQL_MIX_TEMPERATURE,
     "corpus_prep_pipeline": _sql_corpus_prep(),
+}
+
+# Battery consolidation (VERDICT r8 #2): composition-subsumed by
+# corpus_prep_pipeline (classifier gate -> split -> shard pack run as one
+# plan) and by mix_temperature_weights + stratified_sample_exact. Still
+# oracle-verified at pytest level (tests/test_retired_surfaces.py).
+RETIRED_QUERIES = {
+    "quality_classifier_score": q_quality_classifier,  # ⊂ corpus_prep_pipeline stage 1
+    "split_assignment": q_assign_split,                # ⊂ corpus_prep_pipeline stage 2
+    "shard_pack_tokens": q_shard_pack,                 # ⊂ corpus_prep_pipeline stage 3
+    "sample_mix_weighted": q_sample_mix,  # ⊂ mix_temperature_weights (weights) + stratified_sample_exact (exact-k draw)
+}
+RETIRED_ORACLES = {
+    "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
+    "split_assignment": SQL_ASSIGN_SPLIT,
+    "shard_pack_tokens": SQL_SHARD_PACK,
+    "sample_mix_weighted": SQL_SAMPLE_MIX,
 }

@@ -866,18 +866,13 @@ FROM documents,
 
 QUERIES = {
     "text_stats_tokens": q_text_stats,
-    "text_quality_score": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
     "text_pii_redaction": q_text_redact_pii,
-    "dedup_exact_hash": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_cc_survivors": q_dedup_cc,
     "text_filter_pipeline": q_filter_pipeline,
-    "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "ann_pq_adc_topk": q_ann_pq,
@@ -888,18 +883,13 @@ QUERIES = {
 
 ORACLES = {
     "text_stats_tokens": SQL_TEXT_STATS,
-    "text_quality_score": SQL_TEXT_QUALITY,
-    "text_langid": SQL_TEXT_LANGID,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_pii_redaction": SQL_TEXT_REDACT,
-    "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_cc_survivors": SQL_DEDUP_CC,
     "text_filter_pipeline": SQL_FILTER_PIPELINE,
-    "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "ann_pq_adc_topk": SQL_ANN_PQ,
@@ -908,17 +898,29 @@ ORACLES = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
 }
 
-# Battery consolidation (VERDICT r6 #7): parameterization-subsumed entries —
-# still oracle-verified at pytest level (tests/test_retired_surfaces.py).
+# Battery consolidation (VERDICT r6 #7, widened r9 per VERDICT r8 #2):
+# parameterization-/composition-subsumed entries — still oracle-verified at
+# pytest level (tests/test_retired_surfaces.py).
 RETIRED_QUERIES = {
     "text_top_tokens": q_text_top_tokens,     # ⊂ tfidf_top_terms (same explode→groupBy→top-k)
     "dedup_simhash_sig": q_dedup_simhash_sig,  # ⊂ dedup_simhash_pairs (pairs builds the sigs)
     "ann_lsh_bucketed": q_ann_lsh,             # ⊂ ann_lsh_multiprobe (probe radius 0 vs 1)
     "ann_ivf_topk": q_ann_ivf,                 # ⊂ ann_ivf_nprobe2 (nprobe parameter)
+    # ---- r9 consolidation ----
+    "text_langid": q_text_langid,              # ⊂ text_filter_pipeline (language gate stage)
+    "text_quality_score": q_text_quality,      # ⊂ text_filter_pipeline (quality gate stage)
+    "text_fingerprint": q_text_fingerprint,    # ⊂ text_filter_pipeline (fingerprint stage)
+    "dedup_exact_hash": q_dedup_exact,         # ⊂ text_filter_pipeline (min-doc_id survivor stage)
+    "ann_cosine_topk": q_ann_bruteforce,       # exact-cosine top-k survives in hard_negative_mining + hybrid_retrieval_rerank
 }
 RETIRED_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "dedup_simhash_sig": SQL_DEDUP_SIMHASH_SIG,
     "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_quality_score": SQL_TEXT_QUALITY,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact_hash": SQL_DEDUP_EXACT,
+    "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
 }

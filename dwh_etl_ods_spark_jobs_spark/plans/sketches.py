@@ -195,16 +195,25 @@ SQL_HDR_QUANTILES = SK.hdr_quantile_sql(
 
 
 QUERIES = {
-    "hll_distinct_users": q_hll_users,
-    "hdr_quantile_sketch": q_hdr_quantiles,
     "countmin_heavy_hitters": q_countmin_hh,
     "table_profile_sweep": q_profile,
     "bloom_pruned_join": q_bloom_prune,
 }
 ORACLES = {
-    "hll_distinct_users": SQL_HLL_USERS,
-    "hdr_quantile_sketch": SQL_HDR_QUANTILES,
     "countmin_heavy_hitters": SQL_COUNTMIN_HH,
     "table_profile_sweep": SQL_PROFILE,
     "bloom_pruned_join": SQL_BLOOM_PRUNE,
+}
+
+# Battery consolidation (VERDICT r8 #2): subsumed by the registered staged
+# entries built on the same sketch cores — hll_set_algebra (same HLL
+# registers, plus merge algebra) and hdr_percentile_calibrate (same HDR
+# buckets, plus inverse lookup). Oracle-gated by tests/test_retired_surfaces.py.
+RETIRED_QUERIES = {
+    "hll_distinct_users": q_hll_users,       # ⊂ hll_set_algebra
+    "hdr_quantile_sketch": q_hdr_quantiles,  # ⊂ hdr_percentile_calibrate
+}
+RETIRED_ORACLES = {
+    "hll_distinct_users": SQL_HLL_USERS,
+    "hdr_quantile_sketch": SQL_HDR_QUANTILES,
 }

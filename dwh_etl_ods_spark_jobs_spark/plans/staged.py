@@ -277,6 +277,11 @@ STAGED_ORACLES = {
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
 }
 
+# Battery consolidation (VERDICT r8 #2): entries retired from the driver
+# battery but still DuckDB-verified by tests/test_retired_surfaces.py.
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLES: dict = {}
+
 
 # --- similarity: hard-negative mining ---
 
@@ -528,8 +533,10 @@ STAGED_QUERIES["tpch_q3_priority"] = q_tpch_q3
 STAGED_ORACLES["tpch_q3_priority"] = SQL_TPCH_Q3
 STAGED_QUERIES["tpch_q5_local_volume"] = q_tpch_q5
 STAGED_ORACLES["tpch_q5_local_volume"] = SQL_TPCH_Q5
-STAGED_QUERIES["tpch_q10_returns"] = q_tpch_q10
-STAGED_ORACLES["tpch_q10_returns"] = SQL_TPCH_Q10
+# r9 retired: Q10 is the same join-agg-topk plan shape as tpch_q3_priority
+# (VERDICT r8 #2); still oracle-gated by tests/test_retired_surfaces.py.
+RETIRED_QUERIES["tpch_q10_returns"] = q_tpch_q10
+RETIRED_ORACLES["tpch_q10_returns"] = SQL_TPCH_Q10
 
 
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,8 +951,10 @@ SQL_DISTRIBUTION_DRIFT = SK.hdr_distribution_drift_sql(
     "cents",
 )
 
-STAGED_QUERIES["distribution_drift_tvd"] = q_distribution_drift
-STAGED_ORACLES["distribution_drift_tvd"] = SQL_DISTRIBUTION_DRIFT
+# r9 retired: TVD drift ⊂ wasserstein_drift (same shared bucketing; W1 is
+# the CDF-gap fold, TVD the per-bucket complement).
+RETIRED_QUERIES["distribution_drift_tvd"] = q_distribution_drift
+RETIRED_ORACLES["distribution_drift_tvd"] = SQL_DISTRIBUTION_DRIFT
 
 
 # --- r8 additions: quarantine census, chunked backfill, layout checksum ---

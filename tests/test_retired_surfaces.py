@@ -15,7 +15,14 @@ import os
 import duckdb
 import pytest
 
-from dwh_etl_ods_spark_jobs_spark.plans import coverage, graph, pipeline
+from dwh_etl_ods_spark_jobs_spark.plans import (
+    coverage,
+    curation,
+    graph,
+    pipeline,
+    sketches,
+    staged,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -24,7 +31,7 @@ TABLES = [
 
 RETIRED = [
     (mod, name)
-    for mod in (coverage, pipeline, graph)
+    for mod in (coverage, pipeline, graph, curation, sketches, staged)
     for name in mod.RETIRED_QUERIES
 ]
 

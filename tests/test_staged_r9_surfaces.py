@@ -47,13 +47,17 @@ def test_staged_r9_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r9_names_not_yet_in_battery():
-    """r9 move is an ADD: no collision with live battery names."""
+def test_staged_r9_names_registered_and_gated():
+    """r9 registration executed (VERDICT r8 #1): every staged_r9 entry is
+    live in the battery AND inside the driver's 50-slot gate window."""
     import __spark_entry__ as entry_mod
 
-    live = set(entry_mod.queries())
-    clash = live & set(staged_r9.STAGED_QUERIES)
-    assert not clash, f"staged_r9 names already registered: {sorted(clash)}"
+    live = list(entry_mod.queries())
+    missing = set(staged_r9.STAGED_QUERIES) - set(live)
+    assert not missing, f"staged_r9 names not registered: {sorted(missing)}"
+    window = set(live[:50])
+    outside = set(staged_r9.STAGED_QUERIES) - window
+    assert not outside, f"staged_r9 names outside the gate window: {sorted(outside)}"
 
 
 def test_staged_r9_oracle_keys_align():

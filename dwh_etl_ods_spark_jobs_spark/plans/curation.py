@@ -600,7 +600,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(k: int = BM25_TOPK) -> str:
+    """DuckDB BM25 rendering; ``k`` is the candidate depth (LIMIT) so
+    composing queries (hybrid rerank) can thread their own depth instead
+    of relying on the module constant (VERDICT r8 #6)."""
     k1, b = C.BM25_K1, C.BM25_B
     arms = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, dl, '{t}' AS term,"
@@ -638,7 +641,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_terms_hit, bm25_micro
-FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT {BM25_TOPK}
+FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT {k}
 """
 
 

@@ -733,12 +733,15 @@ STAGED_ORACLES["mix_allocation_exact"] = SQL_MIX_ALLOCATION
 # --- hybrid retrieval: BM25 sparse candidates -> exact dense rerank ---
 
 HY_TERMS = ["spark", "vector", "stream"]
-# candidate depth = plans/curation.BM25_TOPK (the reused oracle SQL has
-# its LIMIT baked in); final rerank keeps 5
+# candidate depth defaults to plans/curation.BM25_TOPK but is threaded as
+# a PARAMETER through both renderers (VERDICT r8 #6 — no hidden
+# cross-module LIMIT coupling); final rerank keeps 5
 HY_FINAL_K, HY_QUERY_ID, HY_DIM = 5, 0, 64
 
 
-def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hybrid_retrieval(
+    spark: SparkSession, sf_dir: str, k_candidates: int | None = None
+) -> DataFrame:
     """The standard two-tier RAG retrieval: BM25 takes the top-k sparse
     candidates (cheap, index-shaped), then the exact cosine against a
     query embedding reranks just those candidates (the expensive metric touches
@@ -753,8 +756,9 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     from dwh_etl_ods_spark_jobs_spark.plans.curation import BM25_TOPK
 
+    k_cand = BM25_TOPK if k_candidates is None else k_candidates
     cands = docs.transform(
-        C.bm25_topk("doc_id", "text", HY_TERMS, k=BM25_TOPK)
+        C.bm25_topk("doc_id", "text", HY_TERMS, k=k_cand)
     ).select("doc_id", "bm25_micro")
     qv = emb.filter(F.col("vec_id") == HY_QUERY_ID).select(
         F.col("embedding").alias("_qv"),
@@ -776,11 +780,12 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid() -> str:
+def _sql_hybrid(k_candidates: int | None = None) -> str:
     from dwh_etl_ods_spark_jobs_spark.dedup import cosine_sql
-    from dwh_etl_ods_spark_jobs_spark.plans.curation import _sql_bm25
+    from dwh_etl_ods_spark_jobs_spark.plans.curation import BM25_TOPK, _sql_bm25
 
-    bm25 = _sql_bm25().strip()
+    k_cand = BM25_TOPK if k_candidates is None else k_candidates
+    bm25 = _sql_bm25(k=k_cand).strip()
     cos = cosine_sql("e.embedding", "q.embedding", HY_DIM)
     return f"""
 WITH cands AS (

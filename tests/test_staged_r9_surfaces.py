@@ -64,6 +64,24 @@ def test_staged_r9_oracle_keys_align():
     assert set(staged_r9.STAGED_QUERIES) == set(staged_r9.STAGED_ORACLES)
 
 
+@pytest.mark.parametrize("depth", [3, 17])
+def test_hybrid_rerank_depth_is_a_parameter(spark, sf_dir, depth):
+    """Candidate depth threads through BOTH engines (VERDICT r8 #6): the
+    Spark query and the SQL rendering take k_candidates explicitly, so
+    parity holds at depths other than the module default BM25_TOPK."""
+    con = _connect(sf_dir)
+    sdf = staged_r9.q_hybrid_retrieval(spark, sf_dir, k_candidates=depth).toPandas()
+    ddf = con.execute(staged_r9._sql_hybrid(k_candidates=depth)).df()
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in ddf.columns]
+    assert len(sdf) == len(ddf)
+    ddf.columns = list(sdf.columns)
+    key = list(sdf.columns)
+    s = sdf.sort_values(key, na_position="first").reset_index(drop=True)
+    d = ddf.sort_values(key, na_position="first").reset_index(drop=True)
+    s = s.astype(d.dtypes.to_dict())
+    assert s.equals(d)
+
+
 def test_rank_queries_use_range_partitioning_not_global_sort(spark, sf_dir):
     """The binning/RFM queries must rank via the range-repartition
     decomposition — RangePartitioning present, and the only

@@ -9,10 +9,17 @@ pipeline are visible per job, not just in the single-job
 
 Usage::
 
-    python tools/catalog_bench.py [n_rows] [out_json]
+    python tools/catalog_bench.py [n_rows] [out_json] [--parallel N]
 
 Prints a per-job table (slowest first) + total, and writes the JSON
 record (default ``tools/catalog_bench_sf01.json``).
+
+``--parallel N`` (VERDICT r8 #3) submits jobs from an N-thread pool into
+ONE Spark app under a FAIR scheduler: the 51 jobs are independent, so
+concurrent submission overlaps each job's driver-side planning and
+scheduling gaps with other jobs' task execution and collapses the wall
+toward the slowest job. Per-job row counts are recorded either way, so a
+sequential-vs-parallel diff proves no cross-job interference.
 
 Source synthesis mirrors tests/test_jobs.py::_spec_columns — columns are
 derived from each spec's own keys/dedupe/rules/lookups/PII/filters
@@ -111,49 +118,86 @@ def synth_source(spark, spec, n_rows: int):
     return un.select(*exprs)
 
 
+def run_one(spark, spec, n_rows: int) -> int:
+    """One catalog job end-to-end (synth source -> incremental load ->
+    delta count); returns the delta row count."""
+    from dwh_etl_ods_spark_jobs_spark.jobs import run_incremental_load
+
+    source = synth_source(spark, spec, n_rows)
+    # ID = row_id*10 + generation, so ID % 100 < 30 <=> row_id % 10 in
+    # {0,1,2}: 30% of keys preloaded, 70% should survive the anti-join
+    target = source.filter(F.col("ID") % 100 < 30).select(*spec.keys)
+    lookups = {
+        lk.table: spark.createDataFrame(
+            [(f"{lk.column.lower()}_1", "Mapped")],
+            f"`{lk.source_col}` string, `{lk.target_col}` string",
+        )
+        for lk in spec.lookups
+    }
+    delta = run_incremental_load(spark, spec, source, target, lookups)
+    return delta.count()
+
+
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    args = [a for a in sys.argv[1:]]
+    parallel = 0
+    if "--parallel" in args:
+        i = args.index("--parallel")
+        parallel = int(args[i + 1])
+        del args[i:i + 2]
+    n_rows = int(args[0]) if len(args) > 0 else 100_000
+    out_path = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "catalog_bench_sf01.json"
     )
-    from dwh_etl_ods_spark_jobs_spark.jobs import CATALOG, run_incremental_load
+    from dwh_etl_ods_spark_jobs_spark.jobs import CATALOG
     from dwh_etl_ods_spark_jobs_spark.session import get_spark
 
-    spark = get_spark("catalog-bench")
+    # FAIR mode so concurrently submitted jobs share task slots round-robin
+    # instead of FIFO head-of-line blocking (only matters with --parallel,
+    # harmless otherwise; must be set before the session exists).
+    spark = get_spark(
+        "catalog-bench",
+        extra_conf={"spark.scheduler.mode": "FAIR"} if parallel else None,
+    )
     # JVM/codegen warm-up, untimed
     spark.range(1000).selectExpr("sum(id)").collect()
 
     walls: dict[str, float] = {}
     rows_out: dict[str, int] = {}
     t_all = time.time()
-    for name in sorted(CATALOG):
-        spec = CATALOG[name]
-        t0 = time.time()
-        source = synth_source(spark, spec, n_rows)
-        # ID = row_id*10 + generation, so ID % 100 < 30 <=> row_id % 10 in
-        # {0,1,2}: 30% of keys preloaded, 70% should survive the anti-join
-        target = source.filter(
-            F.col("ID") % 100 < 30
-        ).select(*spec.keys)
-        lookups = {
-            lk.table: spark.createDataFrame(
-                [(f"{lk.column.lower()}_1", "Mapped")],
-                f"`{lk.source_col}` string, `{lk.target_col}` string",
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(name: str) -> None:
+            # per-thread pool name -> per-job FAIR share (PySpark pinned
+            # thread mode maps Python threads onto JVM threads, so the
+            # local property scopes to this job's stages)
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"job-{name}"
             )
-            for lk in spec.lookups
-        }
-        delta = run_incremental_load(spark, spec, source, target, lookups)
-        rows_out[name] = delta.count()
-        walls[name] = round(time.time() - t0, 2)
-        print(f"{name:35s} {walls[name]:7.2f}s  {rows_out[name]:>8d} rows")
+            t0 = time.time()
+            rows_out[name] = run_one(spark, CATALOG[name], n_rows)
+            walls[name] = round(time.time() - t0, 2)
+            print(f"{name:35s} {walls[name]:7.2f}s  {rows_out[name]:>8d} rows")
+
+        with ThreadPoolExecutor(max_workers=parallel) as pool:
+            list(pool.map(worker, sorted(CATALOG)))
+    else:
+        for name in sorted(CATALOG):
+            t0 = time.time()
+            rows_out[name] = run_one(spark, CATALOG[name], n_rows)
+            walls[name] = round(time.time() - t0, 2)
+            print(f"{name:35s} {walls[name]:7.2f}s  {rows_out[name]:>8d} rows")
     total = round(time.time() - t_all, 1)
     ranked = sorted(walls.items(), key=lambda kv: kv[1], reverse=True)
-    print(f"\nTOTAL {total}s for {len(walls)} jobs @ {n_rows} rows/job")
+    mode = f" ({parallel} concurrent)" if parallel else " (sequential)"
+    print(f"\nTOTAL {total}s for {len(walls)} jobs @ {n_rows} rows/job{mode}")
     print("slowest 5:", ranked[:5])
     with open(out_path, "w") as fh:
         json.dump(
             {
                 "n_rows_per_job": n_rows,
+                "parallel": parallel,
                 "total_sec": total,
                 "n_jobs": len(walls),
                 "per_job_sec": walls,

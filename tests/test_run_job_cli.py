@@ -204,3 +204,72 @@ def test_run_job_cli_backfill_jdbc_derby(spark, capsys):
     finally:
         spark.conf.unset("spark.dwapicentral.url")
         spark.conf.unset("spark.ods.url")
+
+
+def test_run_job_cli_multi_job_parallel_derby(spark, capsys):
+    """Several catalog jobs in ONE app (vs the reference's one
+    spark-submit per job): each reads its own catalog source over JDBC;
+    --parallel submits them from a thread pool into FAIR pools. Dry-run
+    counts print per job, and --write appends each delta to its own
+    target exactly once."""
+    url = "jdbc:derby:memory:run_job_multi;create=true"
+    # two non-enrich, no-lookup jobs: multi-job JDBC mode reads each
+    # spec's own source table only
+    names = ["ct_facility_manifest", "hts_test_kits"]
+    for name in names:
+        spec = CATALOG[name]
+        src_table = RJ._render_table(url, spec.source_table)
+        cols = {c.lower() for c in spec.select}
+        # minimal source: ID + every column a rule/dedupe/key touches, as
+        # in the catalog bench synthesis — here two plain rows suffice
+        import dwh_etl_ods_spark_jobs_spark.run_job  # noqa: F401
+        from tools.catalog_bench import spec_columns, synth_source
+
+        write_append(synth_source(spark, spec, 5).limit(20),
+                     JdbcSpec(url=url, table=src_table))
+        tgt_schema = ", ".join(
+            f"`{c}` int" if c.lower() == "id" else f"`{c}` string"
+            for c in spec.select
+        )
+        write_append(
+            spark.createDataFrame([], tgt_schema),
+            JdbcSpec(url=url, table=RJ._render_table(url, spec.target)),
+        )
+    # each job's own source system conf (ct_* -> dwapicentral,
+    # hts_* -> htscentral), one shared ODS
+    for system in {CATALOG[n].source_system for n in names}:
+        spark.conf.set(f"spark.{system}.url", url)
+    spark.conf.set("spark.ods.url", url)
+    try:
+        assert RJ.main(names + ["--parallel", "2"]) == 0
+        out = capsys.readouterr().out
+        for name in names:
+            assert f"{name}:" in out and "new records (dry run" in out
+        assert RJ.main(names + ["--parallel", "2", "--write"]) == 0
+        counts = {
+            name: read_table(
+                spark,
+                JdbcSpec(url=url, table=RJ._render_table(url, CATALOG[name].target)),
+            ).count()
+            for name in names
+        }
+        assert all(c > 0 for c in counts.values()), counts
+        # replay appends nothing (anti-join idempotency per job)
+        assert RJ.main(names + ["--parallel", "2", "--write"]) == 0
+        counts2 = {
+            name: read_table(
+                spark,
+                JdbcSpec(url=url, table=RJ._render_table(url, CATALOG[name].target)),
+            ).count()
+            for name in names
+        }
+        assert counts2 == counts
+    finally:
+        for system in {CATALOG[n].source_system for n in names}:
+            spark.conf.unset(f"spark.{system}.url")
+        spark.conf.unset("spark.ods.url")
+
+
+def test_run_job_cli_multi_job_rejects_single_job_flags():
+    with pytest.raises(SystemExit):
+        RJ.main(["ct_allergies", "ct_covid", "--source-path", "/tmp/x"])

@@ -881,3 +881,83 @@ pivoted AS (SELECT cl, {pivots} FROM best GROUP BY cl)
 SELECT clusters.cl AS {cluster_name}, {pivot_names}
 FROM clusters LEFT JOIN pivoted ON clusters.cl = pivoted.cl
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+    classic non-LSH candidate generator for record linkage: sort by a
+    blocking key, compare each record only to its ``window`` successors::
+
+        (a_id, b_id, a_key, b_key, lev)    lev = levenshtein(a_key, b_key)
+
+    Complements the LSH family: catches typo-close keys that share no
+    shingle band ('jon smith' / 'john smith') at O(n·w) comparisons,
+    never all-pairs. Scale: the global sort is the distributed
+    :func:`~dwh_etl_ods_spark_jobs_spark.operators.rank.global_rank`
+    (range-repartition + offsets — no single-partition window); the
+    neighbor join is ``window`` equi-joins on the dense rank, generated
+    as one explode of offsets 1..w. ``max_distance`` optionally keeps
+    only pairs within an edit-distance budget (the usual match
+    threshold). NULL keys are excluded (they cannot be compared).
+    """
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
+
+    ranked = (
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
+        .filter(F.col("_key").isNotNull())
+        .transform(global_rank(["_key", "_id"], out_col="_rk"))
+        .localCheckpoint(eager=False)  # both sides of the neighbor join
+    )
+    left = ranked.select(
+        F.col("_id").alias("a_id"), F.col("_key").alias("a_key"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_off"),
+        F.col("_rk"),
+    ).withColumn("_rk2", F.col("_rk") + F.col("_off"))
+    pairs = left.join(
+        ranked.select(
+            F.col("_id").alias("b_id"), F.col("_key").alias("b_key"),
+            F.col("_rk").alias("_rk2"),
+        ),
+        "_rk2",
+    ).select(
+        "a_id", "b_id", "a_key", "b_key",
+        F.levenshtein(F.col("a_key"), F.col("b_key")).alias("lev"),
+    )
+    if max_distance is not None:
+        pairs = pairs.filter(F.col("lev") <= max_distance)
+    return pairs
+
+
+def sorted_neighborhood_pairs_sql(
+    table_expr: str,
+    id_expr: str,
+    key_expr: str,
+    window: int = 3,
+    max_distance: int | None = None,
+) -> str:
+    """DuckDB rendering of :func:`sorted_neighborhood_pairs` (row_number
+    dense rank == global_rank's total order on (key, id))."""
+    gate = f"WHERE lev <= {max_distance}" if max_distance is not None else ""
+    return f"""
+WITH ranked AS (
+  SELECT {id_expr} AS id, {key_expr} AS key,
+         row_number() OVER (ORDER BY {key_expr}, {id_expr}) - 1 AS rk
+  FROM {table_expr} WHERE {key_expr} IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, a.key AS a_key, b.key AS b_key,
+         CAST(levenshtein(a.key, b.key) AS INT) AS lev
+  FROM ranked a
+  JOIN (SELECT unnest(range(1, {window + 1})) AS off) o ON TRUE
+  JOIN ranked b ON b.rk = a.rk + o.off
+)
+SELECT * FROM pairs {gate}
+"""

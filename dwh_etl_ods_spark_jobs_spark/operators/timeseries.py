@@ -262,3 +262,72 @@ SELECT channel,
        CAST(sum(lin) AS BIGINT) AS linear_micro
 FROM credited GROUP BY channel
 """
+
+
+def decay_halving_agg(
+    group_cols: Sequence[str],
+    amount_cents: Column,
+    age_days: Column,
+    half_life_days: int,
+):
+    """Recency-weighted score per group with EXACT integer decay: an
+    amount's weight halves every ``half_life_days`` — implemented as a
+    right-shift by the elapsed half-life count, so the fold is pure
+    integer arithmetic (no ``pow`` call whose libm rounding could differ
+    between engines)::
+
+        (group..., n_rows, raw_cents, decayed_cents)
+        decayed_cents = Σ  cents >> min(age_days div H, 62)
+
+    The standard feature-store recency weighting (recent activity
+    dominates, stale activity fades) in a form that is bit-identical on
+    any engine and map-side combinable — one groupBy, no window. Negative
+    ages (future-dated rows) clamp to shift 0, i.e. full weight.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        a = age_days.cast("long")
+        # exact floor division (== DuckDB //): (a - pmod(a, H)) div H —
+        # plain `/` would be double math
+        halvings = (a - F.pmod(a, F.lit(half_life_days))).cast("long") / F.lit(
+            half_life_days
+        )
+        h = F.greatest(
+            F.least(halvings.cast("long"), F.lit(62)), F.lit(0)
+        )
+        # F.shiftright's numBits must be a Python int; the SQL function
+        # itself takes an expression — call it directly for a per-row shift
+        decayed = F.call_function(
+            "shiftright", amount_cents.cast("long"), h.cast("int")
+        )
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(amount_cents.cast("long")).cast("long").alias("raw_cents"),
+            F.sum(decayed).cast("long").alias("decayed_cents"),
+        )
+
+    return apply
+
+
+def decay_halving_agg_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    cents_expr: str,
+    age_days_expr: str,
+    half_life_days: int,
+) -> str:
+    """DuckDB rendering of :func:`decay_halving_agg` (same integer
+    shift, same clamps)."""
+    g = ", ".join(group_exprs)
+    shift = (
+        f"greatest(least(CAST(({age_days_expr}) AS BIGINT) // {half_life_days}, 62), 0)"
+    )
+    return f"""
+SELECT {g},
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(({cents_expr}) AS BIGINT)) AS BIGINT) AS raw_cents,
+       CAST(sum(CAST(({cents_expr}) AS BIGINT) >> {shift}) AS BIGINT)
+         AS decayed_cents
+FROM {table_expr}
+GROUP BY {g}
+"""

@@ -528,3 +528,86 @@ def hard_negative_mining(
         )
     )
     return _topk_per_query(scored, k, n_salts=n_salts)
+
+
+def jl_signs(out_dim: int, in_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix from md5
+    of (seed, row, col) — computed ONCE in Python and baked into the plan
+    as literal coefficients, so both engines evaluate the identical
+    expression (no runtime hashing)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{k}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1
+    (Achlioptas 2003) projection, in EXACT integer arithmetic::
+
+        (id, p0..p{K-1})    p_k = Σ_i s_ki · round(vec[i]·10⁶)
+
+    Distances contract by a known factor (·√K after /10⁶ descaling), so
+    the projected space feeds the existing ANN/near-dup operators at K/D
+    of the shuffle width — the standard recipe for embedding columns too
+    wide to band directly. Each component rounds to micro BEFORE the
+    signed sum (integer fold — aggregation order can never perturb), and
+    the ±1 coefficients are plan literals from :func:`jl_signs`.
+    Scan-side expression: zero shuffles, zero UDFs.
+    """
+    signs = jl_signs(out_dim, in_dim, seed)
+    v = F.col(vec_col)
+    micro = lambda i: F.round(  # noqa: E731
+        F.element_at(v, i + 1).cast("double") * F.lit(1000000.0)
+    ).cast("long")
+    outs = []
+    for k in range(out_dim):
+        terms = [
+            micro(i) if signs[k][i] == 1 else -micro(i) for i in range(in_dim)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        outs.append(acc.alias(f"p{k}"))
+    return df.select(F.col(id_col), *outs)
+
+
+def jl_project_sql(
+    table_expr: str,
+    id_expr: str,
+    vec_expr: str,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: str = "jl",
+) -> str:
+    """DuckDB rendering of :func:`jl_project` — identical literal signs,
+    identical per-component round-then-sum sequence."""
+    signs = jl_signs(out_dim, in_dim, seed)
+
+    def comp(k: int) -> str:
+        terms = [
+            ("+" if signs[k][i] == 1 else "-")
+            + f" CAST(round(CAST({vec_expr}[{i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT) "
+            for i in range(in_dim)
+        ]
+        body = "".join(terms).lstrip("+ ")
+        return f"CAST({body} AS BIGINT) AS p{k}"
+
+    comps = ",\n       ".join(comp(k) for k in range(out_dim))
+    return f"""
+SELECT {id_expr},
+       {comps}
+FROM {table_expr}
+"""

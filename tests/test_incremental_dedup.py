@@ -181,3 +181,54 @@ def test_golden_record_mode_and_ties(spark):
         for r in golden_record(df, "cl", ["seg", "nat"]).collect()
     }
     assert got == {1: ("gold", "UG"), 2: (None, "TZ"), 3: ("a", None)}
+
+
+def test_sorted_neighborhood_pairs_window_and_threshold(spark):
+    """Each record pairs with exactly its `window` successors in key
+    order; max_distance gates on exact edit distance; NULL keys are
+    excluded from the neighborhood entirely."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "anna"), (2, "annab"), (3, "bob"), (4, "bobby"),
+        (5, None), (6, "zed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r.a_id, r.b_id): r.lev
+        for r in sorted_neighborhood_pairs(df, "id", "name", window=2).collect()
+    }
+    # name order: anna, annab, bob, bobby, zed (NULL excluded)
+    assert set(pairs) == {
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 6), (4, 6),
+    }
+    assert pairs[(1, 2)] == 1 and pairs[(3, 4)] == 2
+    gated = sorted_neighborhood_pairs(
+        df, "id", "name", window=2, max_distance=2
+    ).collect()
+    assert {(r.a_id, r.b_id) for r in gated} == {(1, 2), (3, 4)}
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    """The pair set is a function of the data's total order, never of the
+    physical layout (global_rank decomposition)."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import sorted_neighborhood_pairs
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.concat(F.lit("k"), F.pmod(F.col("id") * 7, F.lit(100)).cast("string"))
+        .alias("key"),
+    )
+    a = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(13), "id", "key", window=3
+        ).collect()
+    )
+    assert a == b and len(a) > 0

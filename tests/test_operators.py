@@ -553,3 +553,30 @@ def test_apply_change_feed_multi_generation(spark):
         for r in apply_change_feed(snap, feed, ["k"], ["seq"]).collect()
     }
     assert got == {1: "a", 2: "b2", 4: "new"}
+
+
+def test_decay_halving_agg_known_values(spark):
+    """Weight halves per 30 elapsed days via integer right-shift: exact,
+    no pow(); negative ages clamp to full weight, huge ages to shift 62."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import decay_halving_agg
+
+    rows = [
+        ("a", 1000, 0),     # shift 0 -> 1000
+        ("a", 1000, 29),    # still shift 0 -> 1000
+        ("a", 1000, 30),    # shift 1 -> 500
+        ("a", 1000, 65),    # shift 2 -> 250
+        ("a", 1001, 30),    # shift 1 -> 500 (floor)
+        ("b", 1000, -5),    # future-dated -> clamp shift 0 -> 1000
+        ("b", 1 << 40, 30 * 100),  # 100 halvings -> clamp 62 -> 0
+    ]
+    df = spark.createDataFrame(rows, "g string, cents long, age long")
+    got = {
+        r.g: (r.n_rows, r.raw_cents, r.decayed_cents)
+        for r in df.transform(
+            decay_halving_agg(["g"], F.col("cents"), F.col("age"), 30)
+        ).collect()
+    }
+    assert got["a"] == (5, 5001, 1000 + 1000 + 500 + 250 + 500)
+    assert got["b"] == (2, 1000 + (1 << 40), 1000 + 0)

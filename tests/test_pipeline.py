@@ -571,3 +571,40 @@ def test_int8_quantization_roundtrip_error_and_zero_vector(spark):
         na = math.sqrt(sum(a * a for a in vec))
         nb = math.sqrt(sum(b * b for b in deq))
         assert dot / (na * nb) > 0.9999
+
+
+def test_jl_projection_preserves_neighborhoods(spark, sf_dir):
+    """Sanity on the JL contract: the 8-dim projection keeps near
+    vectors nearer than far vectors on average — top-1 exact neighbor in
+    the projected space lands in the true top-20% for most queries."""
+    import numpy as np
+
+    from dwh_etl_ods_spark_jobs_spark.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    pdf = emb.toPandas()
+    vecs = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    proj = (
+        jl_project(emb, "vec_id", "embedding", 64, 8)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    P = proj[[c for c in proj.columns if c.startswith("p")]].to_numpy(float)
+    # align row order: proj is ordered by vec_id, sort the raw frame to match
+    idx = np.argsort(pdf["vec_id"].to_numpy())
+    vecs = vecs[idx]
+    hits = 0
+    n = len(vecs)
+    for q in range(0, n, 10):
+        d_true = ((vecs - vecs[q]) ** 2).sum(axis=1)
+        d_proj = ((P - P[q]) ** 2).sum(axis=1)
+        d_true[q] = np.inf
+        d_proj[q] = np.inf
+        nn_proj = int(np.argmin(d_proj))
+        if d_true[nn_proj] <= np.quantile(d_true[np.isfinite(d_true)], 0.2):
+            hits += 1
+    # random projection to 8/64 dims is a LOSSY sketch: the contract is
+    # "much better than chance" (a random pick lands in the true top-20%
+    # exactly 20% of the time), not exact-NN recall — observed ~50%
+    n_q = n // 10 + 1
+    assert hits >= 0.35 * n_q, f"JL neighborhood recall at chance level: {hits}/{n_q}"

@@ -961,3 +961,106 @@ pairs AS (
 )
 SELECT * FROM pairs {gate}
 """
+
+
+def ngram_containment_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold_ppm: int, w: int = SHINGLE_W,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT (Broder 1997):
+
+        C(A→B) = |A∩B| / |A|       (how much of A lives inside B)
+
+    Jaccard under-scores subset/superset pairs — a tweet quoted whole
+    inside an article has tiny Jaccard but containment ≈ 1 from the
+    tweet's side, which is exactly the signal "this document is swallowed
+    by that one" that quote/boilerplate/summary dedup needs. Emits, per
+    candidate pair sharing ≥1 shingle::
+
+        (id_a, id_b, inter, na, nb, cont_a_ppm, cont_b_ppm)
+
+    with both directions as EXACT ppm integers
+    (``inter·10⁶ div n_side`` — no float division anywhere) and the pair
+    kept when either direction clears ``threshold_ppm``.
+
+    Scale: identical physiology to :func:`ngram_jaccard_pairs` (same
+    posting self-equi-join on 60-bit shingle hashes, same map-side
+    combinable pair count, same optional hot-shingle DF cap, no caching,
+    un-hinted size joins for AQE) — only the final scoring expression
+    differs.
+    """
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
+    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = posting
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh_h")
+        )
+        joinable = posting.join(hot, "sh_h", "left_anti")
+    inter = (
+        joinable.alias("p1")
+        .join(joinable.alias("p2"), on="sh_h")
+        .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .groupBy(
+            F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    ppm = lambda num, den: F.expr(  # noqa: E731
+        f"CAST((({num}) * 1000000L) div ({den}) AS BIGINT)"
+    )
+    return (
+        inter.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            ppm("inter", "na").alias("cont_a_ppm"),
+            ppm("inter", "nb").alias("cont_b_ppm"),
+        )
+        .filter(
+            (F.col("cont_a_ppm") >= threshold_ppm)
+            | (F.col("cont_b_ppm") >= threshold_ppm)
+        )
+    )
+
+
+def ngram_containment_pairs_sql(
+    table_expr: str, text_expr: str, id_expr: str,
+    threshold_ppm: int, w: int = SHINGLE_W,
+) -> str:
+    """DuckDB rendering of :func:`ngram_containment_pairs` (no DF cap —
+    parity is checked with the cap off, matching the Jaccard oracle)."""
+    return f"""
+WITH posting AS (
+  SELECT {id_expr} AS doc_id, {md5_long_sql('sh')} AS sh_h
+  FROM {table_expr}, unnest({shingles_sql(text_expr, w)}) AS t(sh)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM posting GROUP BY 1),
+inter AS (
+  SELECT p1.doc_id AS id_a, p2.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM posting p1 JOIN posting p2 ON p1.sh_h = p2.sh_h
+  WHERE p1.doc_id < p2.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       a.n AS na, b.n AS nb,
+       CAST((inter * 1000000) // a.n AS BIGINT) AS cont_a_ppm,
+       CAST((inter * 1000000) // b.n AS BIGINT) AS cont_b_ppm
+FROM inter
+JOIN sizes a ON a.doc_id = id_a
+JOIN sizes b ON b.doc_id = id_b
+WHERE (inter * 1000000) // a.n >= {threshold_ppm}
+   OR (inter * 1000000) // b.n >= {threshold_ppm}
+"""

@@ -337,3 +337,83 @@ WHERE NOT EXISTS (
   WHERE e.{src_col} = c.src AND e.{dst_col} = c.dst
 )
 """
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): delete
+    every node of degree < ``k``, recompute degrees, repeat to fixpoint.
+    The surviving subgraph is the maximal one where every node keeps ≥ k
+    neighbors — the standard "dense kernel" extractor for community
+    seeding and spam/bot-ring detection. Input: SYMMETRIZED directed
+    edges (src, dst) — each undirected edge appears in both directions,
+    as :func:`pagerank` expects. Returns ``(node, degree)`` of the k-core
+    (degree = within-core degree ≥ k), empty frame when no core survives.
+
+    Scale discipline (same physiology as :func:`pagerank` /
+    connected-components peeling):
+
+    - each round = ONE map-side-combinable degree count + two semi-joins
+      on uniform node ids (src gate, dst gate) — no windows, no collects;
+    - lineage truncates every round via ``localCheckpoint`` (iterative
+      plans otherwise double in depth per round);
+    - convergence = the surviving-edge count stops changing — one
+      distributed count per round (the count also drives the checkpoint
+      materialization, so it is not an extra pass);
+    - rounds are data-bounded: each non-final round deletes ≥1 node, so
+      iterations ≤ peel depth ≪ |V| in practice (``max_iters`` is a
+      runaway backstop, not a tuning knob).
+    """
+    cur = edges.select("src", "dst").localCheckpoint(eager=False)
+    prev_edges = cur.count()
+    for _ in range(max_iters):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_edges:
+            break
+        prev_edges = n
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, iters: int = 20) -> str:
+    """DuckDB rendering of :func:`k_core` as ``iters`` UNROLLED peel
+    rounds (standard SQL forbids aggregation over a recursive CTE term,
+    so the loop is generated instead). Peeling is monotone and idempotent
+    at the fixpoint — extra rounds are no-ops — so any ``iters`` ≥ the
+    true peel depth yields the exact k-core; the Spark side iterates to
+    the detected fixpoint and the parity test would catch an under-unroll
+    as a row mismatch."""
+    # AS MATERIALIZED: each round references the previous one 3x (degree
+    # filter + both semi-gates); inlined CTEs would expand 3^iters scans
+    # (observed: fd exhaustion at 12 rounds) — materialization keeps the
+    # oracle linear in iters, exactly like Spark's localCheckpoint.
+    ctes = [f"e0 AS MATERIALIZED ({edges_cte})"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS node FROM e{i - 1} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"JOIN k{i} a ON a.node = e.src "
+            f"JOIN k{i} b ON b.node = e.dst)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT src AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM e{iters} GROUP BY src"
+    )

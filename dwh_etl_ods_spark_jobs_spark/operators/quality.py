@@ -473,3 +473,64 @@ SELECT digit, n,
          AS dev_ppm
 FROM counts, t
 """
+
+
+def l_diversity_census(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l_min: int
+) -> DataFrame:
+    """Privacy-risk audit one level past k-anonymity: a quasi-identifier
+    class can be large (k-anonymous) yet expose everyone if all its
+    members share ONE sensitive value — l-diversity (Machanavajjhala et
+    al., ICDE 2006) requires ≥ ``l_min`` DISTINCT sensitive values per
+    class. Census by observed diversity::
+
+        (diversity, n_classes, n_rows, at_risk)
+
+    ``diversity`` = distinct non-NULL sensitive values in the class
+    (0 = all-NULL — maximally exposed); ``at_risk = 1`` where
+    ``diversity < l_min``. Complements :func:`k_anonymity_census` (same
+    census shape, different axis).
+
+    Scale: ONE shuffle on the quasi-identifier tuple (count +
+    count-distinct in the same aggregation — Spark plans distinct aggs as
+    a two-phase expand without an extra job); the diversity census then
+    runs on one row per class. No row data leaves the first aggregation.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("diversity"),
+    )
+    return (
+        classes.groupBy("diversity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("diversity").cast("long").alias("diversity"),
+            "n_classes",
+            "n_rows",
+            (F.col("diversity") < l_min).cast("int").alias("at_risk"),
+        )
+    )
+
+
+def l_diversity_census_sql(
+    table: str, quasi_cols: list[str], sensitive_expr: str, l_min: int
+) -> str:
+    """DuckDB rendering of :func:`l_diversity_census` (same two grouped
+    passes; COUNT(DISTINCT x) ignores NULL in both engines)."""
+    qcols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+  SELECT {qcols},
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT {sensitive_expr}) AS BIGINT) AS diversity
+  FROM {table} GROUP BY {qcols}
+)
+SELECT diversity,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(diversity < {l_min} AS INT) AS at_risk
+FROM classes GROUP BY diversity
+"""

@@ -295,3 +295,265 @@ SQL_TOKENIZER_FERTILITY = _sql_fertility()
 
 STAGED_QUERIES["tokenizer_fertility_by_lang"] = q_tokenizer_fertility
 STAGED_ORACLES["tokenizer_fertility_by_lang"] = SQL_TOKENIZER_FERTILITY
+
+
+# --- shingle-containment near-dup pairs (asymmetric) ---
+
+CONT_THRESHOLD_PPM = 300000  # keep pairs where either side is >=30% contained
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs over documents: catches
+    subset/superset relationships (doc swallowed by another) that the
+    symmetric Jaccard under-scores. Census per containment decile of the
+    dominant direction keeps the battery frame compact while pinning
+    every pair through the hash."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        docs, "text", "doc_id", threshold_ppm=CONT_THRESHOLD_PPM
+    )
+    decile = (
+        F.expr(
+            "CAST((greatest(cont_a_ppm, cont_b_ppm) * 10"
+            " - pmod(greatest(cont_a_ppm, cont_b_ppm) * 10, 1000000))"
+            " div 1000000 AS BIGINT)"
+        )
+    )
+    return (
+        pairs.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+            F.sum("inter").cast("long").alias("inter_sum"),
+            F.min(F.col("cont_a_ppm")).cast("long").alias("min_cont_a_ppm"),
+            F.max(F.col("cont_b_ppm")).cast("long").alias("max_cont_b_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _sql_containment() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import ngram_containment_pairs_sql
+
+    pairs = ngram_containment_pairs_sql(
+        "documents", "text", "doc_id", threshold_ppm=CONT_THRESHOLD_PPM
+    )
+    return f"""
+WITH pairs AS ({pairs})
+SELECT (greatest(cont_a_ppm, cont_b_ppm) * 10) // 1000000 AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum,
+       CAST(sum(inter) AS BIGINT) AS inter_sum,
+       CAST(min(cont_a_ppm) AS BIGINT) AS min_cont_a_ppm,
+       CAST(max(cont_b_ppm) AS BIGINT) AS max_cont_b_ppm
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+STAGED_QUERIES["dedup_containment_census"] = q_ngram_containment
+STAGED_ORACLES["dedup_containment_census"] = _sql_containment()
+
+
+# --- k-core of the supplier-customer graph ---
+
+K_CORE_K = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the supplier↔customer transaction graph (iterative
+    peel): the dense kernel where every surviving node keeps ≥8
+    within-core neighbors. Census per side and degree keeps the frame
+    compact; the oracle unrolls the peel 12 rounds (idempotent past the
+    fixpoint)."""
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _sc_edges
+
+    core = G.k_core(_sc_edges(spark, sf_dir), k=K_CORE_K)
+    side = F.when(F.col("node") % 2 == 0, F.lit("supp")).otherwise(F.lit("cust"))
+    return (
+        core.groupBy(side.alias("side"), F.col("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+        .orderBy("side", "degree")
+    )
+
+
+def _sql_k_core() -> str:
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _SC_EDGES_SQL
+
+    core = G.k_core_sql(
+        f"SELECT src, dst FROM ({_SC_EDGES_SQL}) _sym_", k=K_CORE_K, iters=12
+    )
+    return f"""
+WITH core AS ({core})
+SELECT CASE WHEN node % 2 = 0 THEN 'supp' ELSE 'cust' END AS side,
+       degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM core GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+STAGED_QUERIES["graph_k_core_census"] = q_k_core
+STAGED_ORACLES["graph_k_core_census"] = _sql_k_core()
+
+
+# --- Kolmogorov-Smirnov drift statistic ---
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-vs-new load drift as the KS statistic (max CDF gap in exact
+    ppm) over the shared HDR bucketing — the same %3 price-inflation
+    scenario as the TVD and W1 monitors; KS is the classical two-sample
+    test statistic a monitoring threshold maps onto."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_ks_drift
+
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select(cents.alias("cents"))
+    new = orders.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, (cents * 26) - ((cents * 26) % 10)
+        ).otherwise(cents * 10).alias("scaled")
+    ).select((F.col("scaled") / 10).cast("long").alias("cents"))
+    return hdr_ks_drift(old, new, "cents")
+
+
+def _sql_ks_drift() -> str:
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_ks_drift_sql
+
+    base = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+    return hdr_ks_drift_sql(
+        f"SELECT {base} AS cents FROM orders",
+        f"SELECT CAST((CASE WHEN o_orderkey % 3 = 0"
+        f" THEN ({base} * 26) - (({base} * 26) % 10)"
+        f" ELSE {base} * 10 END) / 10 AS BIGINT) AS cents FROM orders",
+        "cents",
+    )
+
+
+STAGED_QUERIES["ks_drift_stat"] = q_ks_drift
+STAGED_ORACLES["ks_drift_stat"] = _sql_ks_drift()
+
+
+# --- reciprocal-rank fusion of lexical + semantic retrieval ---
+
+RRF_K, RRF_LIST_K = 60, 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-free hybrid retrieval: fuse the BM25 top-10 (lexical) and
+    the exact-cosine top-10 (semantic, vs the vec_id=0 query embedding)
+    by reciprocal-rank fusion — no score calibration, only ranks enter.
+    Contrast with hybrid_retrieval_rerank (a CASCADE: BM25 gates, cosine
+    decides); RRF treats both lists as peers, so a doc missed by BM25
+    can still win on its semantic rank. Both list windows are
+    ≤10-row frames; fusion is one bounded groupBy."""
+    from pyspark.sql import Window
+
+    from dwh_etl_ods_spark_jobs_spark import curation as C
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_QUERY_ID, HY_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    wb = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    lexical = (
+        docs.transform(C.bm25_topk("doc_id", "text", HY_TERMS, k=RRF_LIST_K))
+        .withColumn("rank", F.row_number().over(wb))  # <=10-row frame
+        .select("doc_id", "rank")
+    )
+    semantic = S.ann_bruteforce_topk(
+        emb.filter(F.col("vec_id") == HY_QUERY_ID), emb, "vec_id", "v",
+        k=RRF_LIST_K,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = S.reciprocal_rank_fusion(
+        [lexical, semantic], "doc_id", "rank", k=RRF_K
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+
+
+def _sql_rrf() -> str:
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark import similarity as S
+    from dwh_etl_ods_spark_jobs_spark.plans.curation import _sql_bm25
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_DIM, HY_QUERY_ID
+
+    cos = D.cosine_sql("q.v", "c.v", HY_DIM)
+    lexical = f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+FROM ({_sql_bm25(k=RRF_LIST_K)})
+"""
+    semantic = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE vec_id = {HY_QUERY_ID}),
+ranked AS (
+  SELECT c.vec_id AS doc_id,
+         row_number() OVER (ORDER BY round({cos}, 6) DESC, c.vec_id ASC)
+           AS rank
+  FROM q JOIN emb c ON q.vec_id <> c.vec_id
+)
+SELECT doc_id, rank FROM ranked WHERE rank <= {RRF_LIST_K}
+"""
+    fused = S.reciprocal_rank_fusion_sql(
+        [lexical, semantic], "doc_id", "rank", k=RRF_K
+    )
+    return f"{fused}\nORDER BY rrf_micro DESC, doc_id ASC"
+
+
+STAGED_QUERIES["rrf_hybrid_fusion"] = q_rrf_fusion
+STAGED_ORACLES["rrf_hybrid_fusion"] = _sql_rrf()
+
+
+# --- l-diversity privacy census ---
+
+LDIV_L = 3
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over documents: quasi-identifier = (lang,
+    source), sensitive attribute = the document's length bucket (chars
+    div 100). A (lang, source) class whose members all share one length
+    bucket leaks that bucket for every member even when the class is
+    k-anonymous — the census counts classes below l=3 distinct sensitive
+    values."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import l_diversity_census
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.expr("(n_chars - pmod(n_chars, 100)) div 100").alias("len_bucket"),
+    )
+    return l_diversity_census(
+        docs, ["lang", "source"], "len_bucket", l_min=LDIV_L
+    ).orderBy("diversity")
+
+
+def _sql_l_diversity() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import l_diversity_census_sql
+
+    return (
+        l_diversity_census_sql(
+            "(SELECT lang, source, n_chars // 100 AS len_bucket"
+            " FROM documents) t",
+            ["lang", "source"],
+            "len_bucket",
+            l_min=LDIV_L,
+        )
+        + " ORDER BY diversity"
+    )
+
+
+STAGED_QUERIES["l_diversity_census"] = q_l_diversity
+STAGED_ORACLES["l_diversity_census"] = _sql_l_diversity()

@@ -611,3 +611,60 @@ SELECT {id_expr},
        {comps}
 FROM {table_expr}
 """
+
+
+def reciprocal_rank_fusion(
+    ranked: list[DataFrame], id_col: str, rank_col: str, k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    N independent rankings of the same candidate space::
+
+        rrf_micro(d) = Σ_lists  10⁶ div (k + rank_list(d))
+
+    The standard score-free hybrid-retrieval combiner (lexical + semantic
+    rankings fuse without any score calibration, since only RANKS enter).
+    Each contribution is an EXACT integer (``10⁶ div (k+r)``), so the fold
+    is order-independent and engine-portable. Returns
+    ``(id, n_lists, rrf_micro)``: ``n_lists`` = how many rankings contain
+    the candidate (absent = contributes 0, the conventional treatment).
+
+    Scale: one union of the ranked frames (each already top-k-bounded by
+    its producer) + one map-side-combinable groupBy on the id — the fusion
+    itself never touches the corpus, only the candidate lists.
+    """
+    if not ranked:
+        raise ValueError("reciprocal_rank_fusion needs >= 1 ranked frame")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"CAST(1000000L div ({k} + CAST({rank_col} AS BIGINT)) AS BIGINT)")
+            .alias("_contrib"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("_contrib").cast("long").alias("rrf_micro"),
+    )
+
+
+def reciprocal_rank_fusion_sql(
+    ranked_ctes: list[str], id_expr: str, rank_expr: str, k: int = 60
+) -> str:
+    """DuckDB rendering of :func:`reciprocal_rank_fusion`; each CTE body
+    must select (id, rank) columns named by ``id_expr``/``rank_expr``."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {id_expr} AS id, CAST(1000000 // ({k} + CAST({rank_expr} AS BIGINT)) AS BIGINT)"
+        f" AS contrib FROM ({cte})"
+        for cte in ranked_ctes
+    )
+    return f"""
+WITH u AS ({unions})
+SELECT id AS {id_expr},
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(contrib) AS BIGINT) AS rrf_micro
+FROM u GROUP BY id
+"""

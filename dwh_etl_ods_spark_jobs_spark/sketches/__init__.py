@@ -1028,3 +1028,122 @@ SELECT t_old AS n_old, t_new AS n_new, n_buckets,
 FROM cum, t
 GROUP BY t_old, t_new, n_buckets
 """
+
+
+def hdr_ks_from_hists(ho: DataFrame, hn: DataFrame) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic from two PRE-BUILT HDR
+    histograms, exact integers end-to-end::
+
+        (n_old, n_new, n_buckets, ks_ppm)
+
+    ``ks_ppm = max_i |CDF_old(i) − CDF_new(i)|`` over the bucket-sorted
+    union, each CDF an exact ppm (``cumsum·10⁶ div total``). Completes
+    the drift triptych: TVD (how much mass moved), W1 (how far it
+    moved), KS (the single worst CDF gap — the classical two-sample test
+    statistic, what a monitoring threshold α maps onto). Same rejection
+    of PSI/KL stands: those need per-bucket ``ln`` (float territory); KS
+    is a pure integer max.
+
+    Scale: identical physiology to :func:`hdr_wasserstein_from_hists` —
+    two ≤~2k-bucket frames, one full-outer join, one bounded window over
+    the bucket frame, never row-scaled.
+    """
+    j = (
+        ho.join(hn, "bucket_lo", "full_outer")
+        .select(
+            "bucket_lo",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .localCheckpoint(eager=False)  # totals + cumulative read it twice
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.lit(1).alias("_k"),
+    )
+    cum = (
+        j.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .withColumn(
+            "cum_old",
+            F.expr(
+                "(sum(n_old) OVER (ORDER BY bucket_lo"
+                " ROWS UNBOUNDED PRECEDING) * 1000000L) div t_old"
+            ),
+        )
+        .withColumn(
+            "cum_new",
+            F.expr(
+                "(sum(n_new) OVER (ORDER BY bucket_lo"
+                " ROWS UNBOUNDED PRECEDING) * 1000000L) div t_new"
+            ),
+        )
+    )
+    return cum.groupBy("t_old", "t_new", "n_buckets").agg(
+        F.max(F.abs(F.col("cum_old") - F.col("cum_new")))
+        .cast("long")
+        .alias("ks_ppm")
+    ).select(
+        F.col("t_old").alias("n_old"),
+        F.col("t_new").alias("n_new"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "ks_ppm",
+    )
+
+
+def hdr_ks_drift(old: DataFrame, new: DataFrame, value_col: str) -> DataFrame:
+    """:func:`hdr_ks_from_hists` + the two histogram scans (row-reading
+    convenience entry, mirroring :func:`hdr_wasserstein_drift`)."""
+    ho = old.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_old")
+    )
+    hn = new.transform(hdr_histogram([], value_col)).select(
+        "bucket_lo", F.col("n").alias("n_new")
+    )
+    return hdr_ks_from_hists(ho, hn)
+
+
+def hdr_ks_drift_sql(old_cte: str, new_cte: str, value_expr: str) -> str:
+    """DuckDB rendering of :func:`hdr_ks_drift` — identical bucketing,
+    integer CDF ppm, max-|gap| fold."""
+    def hist(src: str) -> str:
+        return f"""
+  SELECT (v >> qs) << qs AS bucket_lo, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT CAST({value_expr} AS BIGINT) AS v,
+           CAST(greatest(length(bin(CAST({value_expr} AS BIGINT)))
+                         - {QH_SIG_BITS}, 0) AS INT) AS qs
+    FROM {src}
+  ) GROUP BY 1"""
+
+    return f"""
+WITH old_v AS ({old_cte}),
+new_v AS ({new_cte}),
+ho AS ({hist('old_v')}),
+hn AS ({hist('new_v')}),
+j AS (
+  SELECT coalesce(ho.bucket_lo, hn.bucket_lo) AS bucket_lo,
+         coalesce(ho.n, 0) AS n_old, coalesce(hn.n, 0) AS n_new
+  FROM ho FULL OUTER JOIN hn ON ho.bucket_lo = hn.bucket_lo
+),
+t AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM j
+),
+cum AS (
+  SELECT bucket_lo,
+         (sum(n_old) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)
+          * 1000000) // t_old AS cum_old,
+         (sum(n_new) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)
+          * 1000000) // t_new AS cum_new
+  FROM j, t
+)
+SELECT t_old AS n_old, t_new AS n_new, n_buckets,
+       CAST(max(abs(cum_old - cum_new)) AS BIGINT) AS ks_ppm
+FROM cum, t
+GROUP BY t_old, t_new, n_buckets
+"""

@@ -223,3 +223,38 @@ def test_negative_edges_null_dst_excluded_and_engines_agree(spark):
     )
     assert got == duck
     assert all(d is not None for _, d, _ in got)  # no NULL negatives drawn
+
+
+def test_k_core_peels_cascade(spark):
+    """Classic cascade: a triangle is a 2-core; a pendant chain hanging
+    off it peels away node-by-node (removing the tip drops its parent to
+    degree 1, and so on) — single-round degree filtering would miss the
+    cascade."""
+    from dwh_etl_ods_spark_jobs_spark.graph import k_core
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}   # chain 4-5-6 fully cascaded away
+    assert k_core(edges, k=3).count() == 0  # no 3-core anywhere
+
+
+def test_k_core_sql_matches_spark(spark):
+    """Unrolled-CTE oracle == iterative Spark peel on a graph whose peel
+    takes several rounds."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.graph import k_core, k_core_sql
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8)]
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = sorted(
+        (r.node, r.degree) for r in k_core(edges, k=2).collect()
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in sym)
+    sql = k_core_sql(f"SELECT * FROM (VALUES {vals}) v(src, dst)", k=2, iters=10)
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want and got == [(1, 2), (2, 2), (3, 2)]

@@ -232,3 +232,25 @@ def test_sorted_neighborhood_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_containment_asymmetric_subset(spark):
+    """A doc fully contained in a longer one scores cont_a ~ 1e6 while
+    the superset side stays low — the subset signal Jaccard misses."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " eta theta iota kappa " * 4
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(
+        df, "text", "doc_id", threshold_ppm=900000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_a_ppm == 1000000       # every shingle of 1 is in 2
+    assert r.cont_b_ppm < 500000         # 2 is mostly NOT 1
+    assert r.inter == r.na

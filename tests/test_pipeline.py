@@ -608,3 +608,24 @@ def test_jl_projection_preserves_neighborhoods(spark, sf_dir):
     # exactly 20% of the time), not exact-NN recall — observed ~50%
     n_q = n // 10 + 1
     assert hits >= 0.35 * n_q, f"JL neighborhood recall at chance level: {hits}/{n_q}"
+
+
+def test_reciprocal_rank_fusion_known_values(spark):
+    """RRF with k=60: a doc present in BOTH lists at modest ranks beats a
+    rank-1 doc present in only one; contributions are exact integer
+    1e6 div (k+r)."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(20, 1), (30, 2), (40, 3)], "doc_id long, rank long")
+    got = {
+        r.doc_id: (r.n_lists, r.rrf_micro)
+        for r in reciprocal_rank_fusion([lex, sem], "doc_id", "rank", k=60).collect()
+    }
+    c = lambda r: 1000000 // (60 + r)  # noqa: E731
+    assert got[20] == (2, c(2) + c(1))
+    assert got[30] == (2, c(3) + c(2))
+    assert got[10] == (1, c(1))
+    assert got[40] == (1, c(3))
+    # both-lists docs outrank the single-list rank-1 doc
+    assert got[20][1] > got[10][1] and got[30][1] > got[10][1]

@@ -348,3 +348,22 @@ def test_benford_audit_known_distribution(spark):
     assert got[2] == (
         500, 333333, BENFORD_PPM[2], abs(333333 - BENFORD_PPM[2])
     )
+
+
+def test_l_diversity_census_null_and_risk(spark):
+    """count(DISTINCT sensitive) ignores NULL in both engines: an
+    all-NULL class reports diversity 0 (maximally exposed); classes below
+    l flag at_risk."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import l_diversity_census
+
+    rows = [
+        ("a", "x", 1), ("a", "x", 2), ("a", "x", 3),   # diversity 3
+        ("b", "x", 1), ("b", "x", 1),                  # diversity 1
+        ("c", "x", None), ("c", "x", None),            # diversity 0
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    got = {
+        r.diversity: (r.n_classes, r.n_rows, r.at_risk)
+        for r in l_diversity_census(df, ["q1", "q2"], "s", l_min=2).collect()
+    }
+    assert got == {3: (1, 3, 0), 1: (1, 2, 1), 0: (1, 2, 1)}

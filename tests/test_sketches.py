@@ -385,3 +385,16 @@ def test_wasserstein_sees_shift_distance_tvd_does_not(spark):
     w_near = hdr_wasserstein_drift(base, near, "v").collect()[0].emd_ppm_units
     w_far = hdr_wasserstein_drift(base, far, "v").collect()[0].emd_ppm_units
     assert 0 < w_near < w_far
+
+
+def test_hdr_ks_drift_known_shift(spark):
+    """Identical distributions -> ks_ppm == 0; a disjoint shift -> the
+    full mass gap (1e6) at some bucket boundary."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_ks_drift
+
+    a = spark.range(1, 1001).selectExpr("id AS v")
+    same = hdr_ks_drift(a, a, "v").collect()[0]
+    assert same.ks_ppm == 0 and same.n_old == 1000 == same.n_new
+    b = spark.range(1, 1001).selectExpr("id + 1000000 AS v")
+    far = hdr_ks_drift(a, b, "v").collect()[0]
+    assert far.ks_ppm == 1000000

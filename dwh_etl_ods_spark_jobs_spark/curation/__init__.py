@@ -94,6 +94,8 @@ __all__ = [
     "token_pmi_sql",
     "largest_remainder_allocation",
     "largest_remainder_allocation_sql",
+    "kl_token_drift",
+    "kl_token_drift_sql",
 ]
 
 
@@ -1385,4 +1387,193 @@ SELECT key, weight,
        CAST(fl + (CASE WHEN rk <= sp.spare THEN 1 ELSE 0 END) AS BIGINT)
          AS alloc
 FROM ranked, sp AS sp
+"""
+
+
+def kl_token_drift(
+    df_p: DataFrame, df_q: DataFrame, text_col: str
+) -> DataFrame:
+    """KL divergence (micro-nats) between the unigram token distributions
+    of two corpus slices — the language-model-facing drift monitor (TVD /
+    W1 / KS watch bucketed numeric marginals; KL watches the TOKEN
+    distribution the next training epoch will actually see)::
+
+        (n_tokens_p, n_tokens_q, vocab, kl_micro)
+
+    ``kl_micro = Σ_t round(p_t·ln(p_t/q_t)·10⁶)`` with add-one (Laplace)
+    smoothing over the UNION vocabulary V — ``p_t=(c_P(t)+1)/(N_P+|V|)``,
+    ``q_t=(c_Q(t)+1)/(N_Q+|V|)`` — so tokens private to either side stay
+    finite. Terms are fixed single-IEEE-op sequences on exact integer
+    counts, rounded to micro BEFORE the sum (the entropy/PMI float
+    discipline).
+
+    Scale: two map-side-combinable token counts, one full-outer equi-join
+    on the token key, constant-key broadcast of the three scalar totals
+    (N_P, N_Q, |V|). State is O(vocab), row-count independent.
+    """
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.col(text_col), " ")).alias("_t"))
+            .groupBy("_t")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c{side}"))
+        )
+
+    joined = (
+        counts(df_p, "p")
+        .join(counts(df_q, "q"), "_t", "full_outer")
+        .select(
+            F.coalesce("_cp", F.lit(0)).cast("long").alias("_cp"),
+            F.coalesce("_cq", F.lit(0)).cast("long").alias("_cq"),
+        )
+        .localCheckpoint(eager=False)  # totals + terms read it twice
+    )
+    tot = joined.groupBy().agg(
+        F.sum("_cp").cast("long").alias("_np"),
+        F.sum("_cq").cast("long").alias("_nq"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    j = joined.withColumn("_one", one).join(
+        F.broadcast(tot.withColumn("_one", one)), "_one"
+    )
+    p = (F.col("_cp") + F.lit(1)).cast("double") / (
+        F.col("_np") + F.col("_v")
+    ).cast("double")
+    q = (F.col("_cq") + F.lit(1)).cast("double") / (
+        F.col("_nq") + F.col("_v")
+    ).cast("double")
+    term = F.round(p * F.log(p / q) * F.lit(1000000.0)).cast("long")
+    return (
+        j.withColumn("_term", term)
+        .groupBy("_np", "_nq", "_v")
+        .agg(F.sum("_term").cast("long").alias("kl_micro"))
+        .select(
+            F.col("_np").alias("n_tokens_p"),
+            F.col("_nq").alias("n_tokens_q"),
+            F.col("_v").alias("vocab"),
+            "kl_micro",
+        )
+    )
+
+
+def kl_token_drift_sql(p_table: str, q_table: str, text_expr: str) -> str:
+    """DuckDB rendering of :func:`kl_token_drift` (same smoothing, same
+    single-op float sequence, same per-term rounding)."""
+    def counts(table: str, side: str) -> str:
+        return (
+            f"SELECT t.tok AS tok, CAST(count(*) AS BIGINT) AS c{side}"
+            f" FROM {table}, unnest(string_split({text_expr}, ' ')) AS t(tok)"
+            f" GROUP BY 1"
+        )
+
+    return f"""
+WITH cp AS ({counts(p_table, 'p')}),
+cq AS ({counts(q_table, 'q')}),
+joined AS (
+  SELECT CAST(coalesce(cp, 0) AS BIGINT) AS cp,
+         CAST(coalesce(cq, 0) AS BIGINT) AS cq
+  FROM cp FULL OUTER JOIN cq USING (tok)
+),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+         CAST(count(*) AS BIGINT) AS v
+  FROM joined
+),
+terms AS (
+  SELECT np, nq, v,
+         CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+              * ln((CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+                   / (CAST(cq + 1 AS DOUBLE) / CAST(nq + v AS DOUBLE))))
+              * 1000000.0) AS BIGINT) AS term
+  FROM joined CROSS JOIN tot
+)
+SELECT np AS n_tokens_p, nq AS n_tokens_q, v AS vocab,
+       CAST(sum(term) AS BIGINT) AS kl_micro
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+def phrase_match_census(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[tuple[str, str]]
+) -> DataFrame:
+    """Exact two-word PHRASE match census from positional postings — the
+    retrieval primitive BM25's bag-of-words scoring cannot express
+    ("sort merge" the phrase, not the two words anywhere)::
+
+        (w1, w2, n_docs, n_hits)
+
+    Builds the positional posting list (doc, position, token), keeps
+    only tokens that can start/end a listed phrase (scan-side IN filter
+    — the posting list never materializes for the rest of the
+    vocabulary), and adjacency-joins on ``(doc, position+1)``.
+
+    Scale: the position join is equi-keyed on (doc, position) over the
+    pre-filtered postings (corpus frequency of the phrase words, not
+    corpus size); the phrase list attaches by broadcast. A census per
+    phrase is two map-side-combinable aggregates.
+    """
+    spark = df.sparkSession
+    phr = F.broadcast(
+        spark.createDataFrame(
+            [(a, b) for a, b in phrases], schema="w1 string, w2 string"
+        )
+    )
+    w1s = sorted({a for a, _ in phrases})
+    w2s = sorted({b for _, b in phrases})
+    pos = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
+    )
+    t1 = pos.filter(F.col("_tok").isin(w1s)).select(
+        F.col("_doc"), F.col("_p").alias("_p1"), F.col("_tok").alias("w1")
+    )
+    t2 = pos.filter(F.col("_tok").isin(w2s)).select(
+        F.col("_doc"), F.col("_p").alias("_p2"), F.col("_tok").alias("w2")
+    )
+    hits = (
+        t1.join(phr, "w1")
+        .join(
+            t2,
+            (t1["_doc"] == t2["_doc"])
+            & (F.col("_p2") == F.col("_p1") + 1)
+            & (phr["w2"] == t2["w2"]),
+        )
+        .select("w1", t2["w2"].alias("w2"), t1["_doc"].alias("_doc"))
+    )
+    return hits.groupBy("w1", "w2").agg(
+        F.countDistinct("_doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+
+
+def phrase_match_census_sql(
+    table_expr: str, id_expr: str, text_expr: str,
+    phrases: list[tuple[str, str]],
+) -> str:
+    """DuckDB rendering of :func:`phrase_match_census` (same positional
+    postings, same adjacency join)."""
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in phrases)
+    w1s = ", ".join(f"'{a}'" for a, _ in phrases)
+    w2s = ", ".join(f"'{b}'" for _, b in phrases)
+    return f"""
+WITH docs AS (
+  SELECT {id_expr} AS doc, string_split({text_expr}, ' ') AS toks
+  FROM {table_expr}
+),
+pos AS (
+  SELECT doc, u.s['p'] AS p, u.s['tok'] AS tok
+  FROM docs, unnest(list_transform(range(1, len(toks) + 1),
+                                   i -> {{'p': i, 'tok': toks[i]}})) AS u(s)
+),
+phrases(w1, w2) AS (VALUES {vals}),
+m AS (
+  SELECT ph.w1, ph.w2, t1.doc
+  FROM (SELECT * FROM pos WHERE tok IN ({w1s})) t1
+  JOIN phrases ph ON t1.tok = ph.w1
+  JOIN (SELECT * FROM pos WHERE tok IN ({w2s})) t2
+    ON t2.doc = t1.doc AND t2.p = t1.p + 1 AND t2.tok = ph.w2
+)
+SELECT w1, w2, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM m GROUP BY 1, 2
 """

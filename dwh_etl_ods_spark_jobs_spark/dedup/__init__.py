@@ -32,6 +32,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dwh_etl_ods_spark_jobs_spark.text import (
     md5_long,
@@ -1063,4 +1064,268 @@ JOIN sizes a ON a.doc_id = id_a
 JOIN sizes b ON b.doc_id = id_b
 WHERE (inter * 1000000) // a.n >= {threshold_ppm}
    OR (inter * 1000000) // b.n >= {threshold_ppm}
+"""
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold_ppm: int, w: int = SHINGLE_W,
+) -> DataFrame:
+    """Exact Jaccard similarity join with PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08),
+    the standard way to make a similarity self-join survive a corpus
+    whose full posting self-join is too hot.
+
+    Reference scope note: the reference engine has no similarity join at
+    all; this is part of the training-data-pipeline extension surface
+    (same family as :func:`ngram_jaccard_pairs`, different candidate
+    physiology).
+
+    Semantics (identical to :func:`ngram_jaccard_pairs` at the same
+    threshold): emit ``(id_a, id_b, inter, na, nb, jaccard_ppm)`` for
+    every pair of documents whose distinct-shingle Jaccard, as an exact
+    ppm integer ``inter·10⁶ div (na+nb-inter)``, reaches
+    ``threshold_ppm``.
+
+    Why a different candidate generator: the plain posting self-join
+    explodes on EVERY shared shingle — a shingle with document frequency
+    d contributes C(d,2) candidate rows regardless of the threshold. With
+    a global shingle order (rarest DF first), a pair at Jaccard ≥ t is
+    GUARANTEED to share a shingle inside both documents' first
+    ``n - ceil(t·n) + 1`` shingles (prefix-filtering lemma: the pair's
+    intersection size m ≥ ceil(t·n_side), and the (n-m+1)-prefixes of
+    both sides must contain the (m-α+1)-th smallest common shingle), so
+    only PREFIXES enter the self-join — the hot high-DF shingles sort to
+    the ends of the order and never generate candidates at high
+    thresholds. Recall stays EXACT (no cap/approximation), which is why
+    this needs no ``max_shingle_df`` escape hatch.
+
+    Pipeline (all integer arithmetic, engine-portable):
+
+    1. posting = distinct (doc, shingle-hash); sizes n per doc.
+    2. global order = (DF asc, hash asc); per-DOC rank via a window
+       partitioned by doc (bounded by document length — never global).
+    3. prefix = rows with rank ≤ n - ceil(t·n) + 1, where
+       ceil(t·n) = (ppm·n + 10⁶ - 1) div 10⁶.
+    4. candidates = prefix ⋈ prefix on hash, id_a < id_b, plus the
+       length filter ppm·max(na,nb) ≤ 10⁶·min(na,nb) (a pair failing it
+       cannot reach t), deduplicated.
+    5. verify: candidates ⋈ posting_a ⋈ posting_b count the EXACT
+       intersection; score and filter.
+
+    Scale: the only wide ops are the prefix self-join (rare-token keys by
+    construction), the candidate dedup (already-filtered pair set), and
+    the verify joins (candidates × document length, equi-keyed). No
+    caching; sizes joins left un-hinted for AQE.
+    """
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
+    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    sizes = posting.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dfreq = posting.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        posting.join(dfreq, "sh_h")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh_h")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(
+            f"CAST(({threshold_ppm}L * n + 999999) div 1000000 AS BIGINT)"
+        )
+        + F.lit(1)
+    ).select("doc_id", "sh_h", "n")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="sh_h")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(threshold_ppm)
+                * F.greatest(F.col("a.n"), F.col("b.n"))
+                <= F.lit(1000000) * F.least(F.col("a.n"), F.col("b.n"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            posting.select(F.col("doc_id").alias("id_a"), "sh_h"), "id_a"
+        )
+        .join(
+            posting.select(F.col("doc_id").alias("id_b"), "sh_h"),
+            ["id_b", "sh_h"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST((inter * 1000000L) div (na + nb - inter) AS BIGINT)"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "inter", "na", "nb", "jaccard_ppm")
+    )
+
+
+def prefix_filter_jaccard_pairs_sql(
+    table_expr: str, text_expr: str, id_expr: str,
+    threshold_ppm: int, w: int = SHINGLE_W,
+) -> str:
+    """DuckDB rendering of :func:`prefix_filter_jaccard_pairs` — the SAME
+    prefix-filtered candidate generation (not a shortcut oracle), so the
+    parity check pins the filter's exact-recall claim too."""
+    return f"""
+WITH posting AS (
+  SELECT {id_expr} AS doc_id, {md5_long_sql('sh')} AS sh_h
+  FROM {table_expr}, unnest({shingles_sql(text_expr, w)}) AS t(sh)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM posting GROUP BY 1),
+dfreq AS (SELECT sh_h, count(*) AS df FROM posting GROUP BY 1),
+ranked AS (
+  SELECT p.doc_id, p.sh_h, s.n,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sh_h) AS rn
+  FROM posting p JOIN dfreq d USING (sh_h) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, sh_h, n FROM ranked
+  WHERE rn <= n - ({threshold_ppm} * n + 999999) // 1000000 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b USING (sh_h)
+  WHERE a.doc_id < b.doc_id
+    AND {threshold_ppm} * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN posting pa ON pa.doc_id = c.id_a
+  JOIN posting pb ON pb.doc_id = c.id_b AND pb.sh_h = pa.sh_h
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, a.n AS na, b.n AS nb,
+       CAST((inter * 1000000) // (a.n + b.n - inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes a ON a.doc_id = id_a
+JOIN sizes b ON b.doc_id = id_b
+WHERE (inter * 1000000) // (a.n + b.n - inter) >= {threshold_ppm}
+"""
+
+
+def mutual_knn_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    k: int, dim: int, n_planes: int = 6,
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs over an embedding
+    column: keep (a, b) only when b is in a's top-k AND a is in b's
+    top-k among their LSH bucket-mates. Mutual-kNN is the standard
+    precision filter on top of raw ANN lists — one-directional
+    neighbors (a hub vector everyone points at) drop out, which is what
+    semantic-dedup and graph-building pipelines want before they trust
+    an edge. Emits ``(id_a, id_b, cos, rank_ab, rank_ba)`` with
+    ``id_a < id_b``.
+
+    Scale: the SAME hyperplane-bucket physiology as
+    :func:`embedding_neardup_pairs` (fewer planes → bigger buckets →
+    denser candidate lists; pick n_planes so the expected bucket size
+    covers k). Per-node ranking is a window over BUCKET-MATES only
+    (bounded by bucket size, never the corpus); the mutuality check is
+    one self-equi-join of the ≤k·n directed list on the swapped key.
+    """
+    from pyspark.sql.window import Window as W
+
+    planes = hyperplanes(dim, n_planes)
+    sigs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    directed = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), on="bucket")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("src"),
+            F.col("y.vec_id").alias("dst"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(
+                    F.col("cos").desc(), F.col("dst").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=False)  # both sides of the mutual join
+    )
+    ab, ba = directed.alias("ab"), directed.alias("ba")
+    return (
+        ab.join(
+            ba,
+            (F.col("ab.src") == F.col("ba.dst"))
+            & (F.col("ab.dst") == F.col("ba.src")),
+        )
+        .filter(F.col("ab.src") < F.col("ab.dst"))
+        .select(
+            F.col("ab.src").alias("id_a"),
+            F.col("ab.dst").alias("id_b"),
+            F.col("ab.cos").alias("cos"),
+            F.col("ab.rank").cast("long").alias("rank_ab"),
+            F.col("ba.rank").cast("long").alias("rank_ba"),
+        )
+    )
+
+
+def mutual_knn_pairs_sql(
+    table_expr: str, vec_expr: str, id_expr: str,
+    k: int, dim: int, n_planes: int = 6,
+) -> str:
+    """DuckDB rendering of :func:`mutual_knn_pairs` (same literal
+    hyperplanes, same bucket join, same rounded-cosine rank order)."""
+    planes = hyperplanes(dim, n_planes)
+    sig = hyperplane_signature_sql("v", planes)
+    cos = cosine_sql("x.v", "y.v", dim)
+    return f"""
+WITH sigs AS (
+  SELECT {id_expr} AS vec_id,
+         list_transform({vec_expr}, e -> CAST(e AS DOUBLE)) AS v
+  FROM {table_expr}
+),
+bucketed AS (SELECT vec_id, v, {sig} AS bucket FROM sigs),
+directed AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC)
+           AS rank
+  FROM (
+    SELECT x.vec_id AS src, y.vec_id AS dst, round({cos}, 6) AS cos
+    FROM bucketed x JOIN bucketed y USING (bucket)
+    WHERE x.vec_id <> y.vec_id
+  )
+),
+knn AS (SELECT * FROM directed WHERE rank <= {k})
+SELECT ab.src AS id_a, ab.dst AS id_b, ab.cos AS cos,
+       CAST(ab.rank AS BIGINT) AS rank_ab, CAST(ba.rank AS BIGINT) AS rank_ba
+FROM knn ab JOIN knn ba ON ab.src = ba.dst AND ab.dst = ba.src
+WHERE ab.src < ab.dst
 """

@@ -25,7 +25,15 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "quantile_bin", "weighted_quantile", "weighted_quantile_sql"]
+__all__ = [
+    "global_rank",
+    "quantile_bin",
+    "weighted_quantile",
+    "weighted_quantile_sql",
+    "systematic_weighted_sample",
+    "systematic_weighted_sample_sql",
+    "grouped_global_rank",
+]
 
 
 def global_rank(
@@ -222,3 +230,190 @@ WITH cum AS (
   FROM {table_expr}
 )
 """ + "\nUNION ALL\n".join(picks)
+
+
+def systematic_weighted_sample(
+    order_cols: Sequence[str],
+    weight_col: str,
+    n_picks: int,
+    n_ranges: int = 64,
+):
+    """Transform implementing DETERMINISTIC weight-proportional
+    (PPS) systematic sampling — the reproducible sampler a training-mix
+    builder needs (draw n documents proportional to token count, same
+    draw on every cluster, no ``rand()`` anywhere).
+
+    Classic systematic sampling over the cumulative-weight axis: lay the
+    rows on [0, total) in ``order_cols`` order (pass a hash key, e.g.
+    ``md5_long(id)``, plus a unique tie-break for a deterministic
+    pseudo-random order), then walk the axis in strides of total/n — row
+    r is picked once per stride boundary inside its weight interval
+    ``(cum_w - w, cum_w]``::
+
+        picks(r) = floor(cum_w·n/total) - floor((cum_w - w)·n/total)
+
+    Exactly ``n`` picks are distributed in total (the n-th boundary lands
+    at ``total`` exactly — pure integer arithmetic, no float strides);
+    a row heavier than one stride is picked multiple times (standard PPS
+    multiplicity), zero-weight rows are never picked. Emits the input
+    columns + ``n_picks > 0`` rows with their multiplicity.
+
+    Scale: the :func:`global_rank` decomposition on the weight axis —
+    range-repartition + per-range weight offsets via the tiny
+    ``n_ranges``-row window + a bounded within-range running sum. Never
+    a single-partition sort. ``total·n_picks`` must stay inside signed
+    64-bit (document weights, not byte counts, as the weight).
+    """
+    cols = [F.col(c) for c in order_cols]
+
+    def apply(df_in: DataFrame) -> DataFrame:
+        ranged = (
+            df_in.repartitionByRange(n_ranges, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)  # referenced twice below
+        )
+        wsums = ranged.groupBy("_pid").agg(
+            F.sum(F.col(weight_col)).cast("long").alias("_w")
+        )
+        w = Window.orderBy("_pid")  # n_ranges rows — bounded
+        offsets = wsums.select(
+            "_pid",
+            F.coalesce(
+                F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("_off"),
+            F.sum("_w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long").alias("_total"),
+        )
+        within = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = (
+            ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn(
+                "_cw",
+                F.col("_off")
+                + F.sum(F.col(weight_col)).over(within).cast("long"),
+            )
+        )
+        picks = F.expr(
+            f"CAST((_cw * {n_picks}L) div _total"
+            f" - ((_cw - {weight_col}) * {n_picks}L) div _total AS BIGINT)"
+        )
+        return (
+            cum.withColumn("n_picks", picks)
+            .filter(F.col("n_picks") > 0)
+            .drop("_pid", "_off", "_total", "_cw")
+        )
+
+    return apply
+
+
+def systematic_weighted_sample_sql(
+    table_expr: str,
+    select_cols: Sequence[str],
+    order_exprs: Sequence[str],
+    weight_expr: str,
+    n_picks: int,
+) -> str:
+    """DuckDB rendering of :func:`systematic_weighted_sample` (one
+    cumulative window over the same total order — the single-node
+    collapse of the range decomposition, value-identical)."""
+    sel = ", ".join(select_cols)
+    order = ", ".join(order_exprs)
+    return f"""
+WITH cum AS (
+  SELECT {sel}, {weight_expr} AS w,
+         CAST(sum({weight_expr}) OVER (ORDER BY {order}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cw,
+         CAST(sum({weight_expr}) OVER () AS BIGINT) AS total
+  FROM {table_expr}
+)
+SELECT {sel},
+       CAST((cw * {n_picks}) // total
+            - ((cw - w) * {n_picks}) // total AS BIGINT) AS n_picks
+FROM cum
+WHERE (cw * {n_picks}) // total - ((cw - w) * {n_picks}) // total > 0
+"""
+
+
+def grouped_global_rank(
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "rank",
+    n_ranges: int = 64,
+    with_total: str | None = None,
+):
+    """Exact per-group global rank for the FEW-HUGE-GROUPS regime, where
+    ``row_number() OVER (PARTITION BY grp ORDER BY ...)`` funnels each
+    giant group through one task (5 order priorities × 20 B rows = 5
+    stragglers).
+
+    Same decomposition as :func:`global_rank`, carried per group: one
+    range-repartition on ``(group_cols..., order_cols...)`` (so a group's
+    rows land in contiguous ranges and each range holds bounded rows
+    regardless of group size), per-``(range, group)`` counts, exclusive
+    offsets via a window over the tiny ``n_ranges × n_groups`` frame,
+    and ``row_number`` inside the bounded ``(range, group)`` cell.
+    ``out_col`` is the 0-based rank within the row's group under
+    ``ORDER BY order_cols`` (unique tie-break required); ``with_total``
+    optionally attaches the group's row count (free from the offsets
+    frame).
+
+    Scale: intended for BOUNDED group cardinality (the offsets frame and
+    its broadcast are O(n_ranges·n_groups)); with millions of small
+    groups use a plain partitioned window instead — each group already
+    fits a task. NULL group keys are legitimate (null-safe offset join).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+
+    def apply(df_in: DataFrame) -> DataFrame:
+        ranged = (
+            df_in.repartitionByRange(n_ranges, *gcols, *ocols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)  # referenced twice below
+        )
+        counts = ranged.groupBy("_pid", *gcols).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy(*gcols).orderBy("_pid")  # ranges/group — bounded
+        offsets = counts.select(
+            "_pid",
+            *gcols,
+            F.coalesce(
+                F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("_off"),
+            F.sum("_n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long").alias("_gtotal"),
+        )
+        r, o = ranged.alias("_r"), offsets.alias("_o")
+        cond = F.col("_r._pid") == F.col("_o._pid")
+        for g in group_cols:
+            cond = cond & F.col(f"_r.{g}").eqNullSafe(F.col(f"_o.{g}"))
+        within = Window.partitionBy(
+            F.col("_r._pid"), *[F.col(f"_r.{g}") for g in group_cols]
+        ).orderBy(*[F.col(f"_r.{c}") for c in order_cols])
+        out = (
+            r.join(F.broadcast(o), cond)
+            .select(
+                "_r.*",
+                F.col("_o._off").alias("_off"),
+                F.col("_o._gtotal").alias("_gtotal"),
+            )
+            .withColumn(
+                out_col,
+                (F.col("_off") + F.row_number().over(within) - F.lit(1)).cast(
+                    "long"
+                ),
+            )
+        )
+        if with_total:
+            out = out.withColumn(with_total, F.col("_gtotal"))
+        return out.drop("_pid", "_off", "_gtotal")
+
+    return apply

@@ -776,3 +776,184 @@ SELECT {gsel}n AS n_rows,
        CAST(sum(term) AS BIGINT) AS entropy_micro
 FROM terms GROUP BY {gsel}n
 """
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (micro-nats) between two categorical columns::
+
+        (n_rows, n_cells, mi_micro)
+
+    ``mi_micro = Σ_{x,y} round((c_xy/N)·ln(c_xy·N / (c_x·c_y))·10⁶)`` —
+    the dependence counterpart to the chi² monitor (chi² scores the
+    DEVIATION from independence in count units; MI scores it in
+    information units, the quantity feature-selection and leakage
+    screens threshold on). Each term is a fixed sequence of single IEEE
+    ops on exact integer counts, rounded to integer micro-nats BEFORE
+    the sum — the entropy/PMI float discipline, so aggregation order can
+    never perturb the result. NULL categories count as categories
+    (null-safe marginal joins).
+
+    Scale: one (x, y) count (map-side combinable), two marginal folds
+    OVER THE JOINT COUNTS (never a second scan of the data), equi-joins
+    on the marginal keys, and a constant-key broadcast of the 1-row
+    total. State is O(|X|·|Y|), row-count independent.
+    """
+    joint = (
+        df.groupBy(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)  # marginals + terms read it thrice
+    )
+    mx = joint.groupBy("_x").agg(F.sum("_c").cast("long").alias("_cx"))
+    my = joint.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy"))
+    tot = joint.groupBy().agg(F.sum("_c").cast("long").alias("_n"))
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    j = (
+        joint.alias("_j")
+        .join(mx.alias("_mx"), F.col("_j._x").eqNullSafe(F.col("_mx._x")))
+        .join(my.alias("_my"), F.col("_j._y").eqNullSafe(F.col("_my._y")))
+        .select(F.col("_j._c").alias("_c"), "_cx", "_cy")
+        .withColumn("_one", one)
+        .join(F.broadcast(tot.withColumn("_one", one)), "_one")
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    ratio = (F.col("_c").cast("double") * F.col("_n").cast("double")) / (
+        F.col("_cx").cast("double") * F.col("_cy").cast("double")
+    )
+    term = F.round(p * F.log(ratio) * F.lit(1000000.0)).cast("long")
+    return (
+        j.withColumn("_term", term)
+        .groupBy("_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_term").cast("long").alias("mi_micro"),
+        )
+        .select(F.col("_n").alias("n_rows"), "n_cells", "mi_micro")
+    )
+
+
+def mutual_information_sql(table_expr: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB rendering of :func:`mutual_information` (same count-exact
+    terms, same single-op float sequence, same per-term rounding)."""
+    return f"""
+WITH joint AS (
+  SELECT {x_expr} AS x, {y_expr} AS y, CAST(count(*) AS BIGINT) AS c
+  FROM {table_expr} GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+terms AS (
+  SELECT c, n,
+         CAST(round(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                   / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+              * 1000000.0) AS BIGINT) AS term
+  FROM joint
+  JOIN mx ON joint.x IS NOT DISTINCT FROM mx.x
+  JOIN my ON joint.y IS NOT DISTINCT FROM my.y
+  CROSS JOIN tot
+)
+SELECT n AS n_rows, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(term) AS BIGINT) AS mi_micro
+FROM terms GROUP BY n
+"""
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Winsorized + trimmed sums per group — the robust aggregate pair
+    monitoring pipelines want when a few fat-finger rows poison a plain
+    mean::
+
+        (group..., n, k, lo_val, hi_val, winsor_sum, trim_sum, n_mid)
+
+    With per-group order ``(value_col, key_col)`` (unique tie-break) and
+    ``k = n·trim_pct div 100``: the k smallest rows clamp to ``lo_val``
+    (the value at rank k+1), the k largest clamp to ``hi_val`` (rank
+    n-k), so ``winsor_sum = Σ middle + k·(lo_val+hi_val)`` and
+    ``trim_sum`` drops the tails outright (``n_mid = n-2k`` rows). Pure
+    integer arithmetic on an integer value column (use cents).
+
+    Scale: per-group ranks come from :func:`grouped_global_rank` — the
+    range-decomposed rank, NOT a per-group window — so five giant groups
+    do not become five stragglers; the final fold is one
+    map-side-combinable groupBy. Bounded group cardinality assumed (the
+    rank's offsets frame is O(ranges·groups)).
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import grouped_global_rank
+
+    ranked = df.transform(
+        grouped_global_rank(
+            group_cols, [value_col, key_col], out_col="_rk0",
+            with_total="_n",
+        )
+    ).withColumn("_rn", F.col("_rk0") + F.lit(1))
+    k = F.expr(f"CAST((_n * {trim_pct}) div 100 AS BIGINT)")
+    v = F.col(value_col).cast("long")
+    mid = (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+    return (
+        ranked.withColumn("_k", k)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.max("_k").cast("long").alias("k"),
+            F.max(F.when(F.col("_rn") == F.col("_k") + 1, v)).cast("long").alias("lo_val"),
+            F.max(F.when(F.col("_rn") == F.col("_n") - F.col("_k"), v)).cast("long").alias("hi_val"),
+            F.sum(F.when(mid, v).otherwise(F.lit(0))).cast("long").alias("_mid_sum"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "k",
+            "lo_val",
+            "hi_val",
+            (F.col("_mid_sum") + F.col("k") * (F.col("lo_val") + F.col("hi_val")))
+            .cast("long")
+            .alias("winsor_sum"),
+            F.col("_mid_sum").alias("trim_sum"),
+            (F.col("n") - F.lit(2) * F.col("k")).cast("long").alias("n_mid"),
+        )
+    )
+
+
+def winsorized_stats_sql(
+    table_expr: str,
+    group_exprs: list[str],
+    value_expr: str,
+    key_expr: str,
+    trim_pct: int = 5,
+) -> str:
+    """DuckDB rendering of :func:`winsorized_stats` (plain per-group
+    windows — the single-node collapse of the grouped range
+    decomposition, value-identical)."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH ranked AS (
+  SELECT {g}, CAST({value_expr} AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {g} ORDER BY {value_expr}, {key_expr})
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY {g}) AS BIGINT) AS n
+  FROM {table_expr}
+),
+flagged AS (SELECT *, (n * {trim_pct}) // 100 AS k FROM ranked),
+agg AS (
+  SELECT {g},
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(k) AS BIGINT) AS k,
+         CAST(max(CASE WHEN rn = k + 1 THEN v END) AS BIGINT) AS lo_val,
+         CAST(max(CASE WHEN rn = n - k THEN v END) AS BIGINT) AS hi_val,
+         CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END)
+              AS BIGINT) AS mid_sum
+  FROM flagged GROUP BY {g}
+)
+SELECT {g}, n, k, lo_val, hi_val,
+       CAST(mid_sum + k * (lo_val + hi_val) AS BIGINT) AS winsor_sum,
+       mid_sum AS trim_sum,
+       CAST(n - 2 * k AS BIGINT) AS n_mid
+FROM agg
+"""

@@ -331,3 +331,97 @@ SELECT {g},
 FROM {table_expr}
 GROUP BY {g}
 """
+
+
+def gap_fill_interpolate(
+    df: DataFrame, key_cols: list[str], day_col: str, value_col: str
+) -> DataFrame:
+    """Dense daily series per key with LINEAR interpolation across gaps —
+    the companion to LOCF gap-fill (which holds the last value flat;
+    this one draws the line a rate/balance series actually follows)::
+
+        (key..., day, value, is_obs)
+
+    One row for every day in [min(day), max(day)] per key. Between
+    consecutive observations ``(d0,v0) -> (d1,v1)`` the value is the
+    exact floored lerp ``v0 + (v1-v0)·(day-d0) fdiv (d1-d0)`` — computed
+    as ``(a - pmod(a, b)) div b`` so the FLOOR semantics are engine-
+    portable even when ``v1 < v0`` (Spark ``div`` truncates, DuckDB
+    ``//`` floors; on the pmod-adjusted exact multiple they agree).
+    Observation days reproduce their value exactly (``is_obs = 1``).
+    ``day_col``/``value_col`` must be integers (epoch days / cents).
+
+    Scale: per-key lead window (bounded by a key's observation count) +
+    one explode of each gap's day range — the same shape as the LOCF
+    fill; multi-year gaps would want the month-spine chunked explode
+    (operators/spine.py), not a per-segment sequence.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    seg = (
+        df.select(
+            *key_cols,
+            F.col(day_col).cast("long").alias("_d0"),
+            F.col(value_col).cast("long").alias("_v0"),
+        )
+        .withColumn("_d1", F.lead("_d0").over(
+            Window.partitionBy(*key_cols).orderBy("_d0")
+        ))
+        .withColumn("_v1", F.lead("_v0").over(
+            Window.partitionBy(*key_cols).orderBy("_d0")
+        ))
+    )
+    days = F.when(
+        F.col("_d1").isNotNull(),
+        F.sequence(F.col("_d0"), F.col("_d1") - 1),
+    ).otherwise(F.array(F.col("_d0")))
+    out = (
+        seg.withColumn("day", F.explode(days))
+        .withColumn("_num", (F.col("_v1") - F.col("_v0")) * (F.col("day") - F.col("_d0")))
+        .withColumn("_den", F.col("_d1") - F.col("_d0"))
+        .withColumn(
+            "value",
+            F.when(F.col("_d1").isNull(), F.col("_v0")).otherwise(
+                F.col("_v0")
+                + F.expr("CAST((_num - pmod(_num, _den)) div _den AS BIGINT)")
+            ).cast("long"),
+        )
+        .withColumn(
+            "is_obs", (F.col("day") == F.col("_d0")).cast("int")
+        )
+    )
+    return out.select(*key_cols, "day", "value", "is_obs")
+
+
+def gap_fill_interpolate_sql(
+    table_expr: str, key_exprs: list[str], day_expr: str, value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`gap_fill_interpolate` (same floored
+    lerp via the sign-safe pmod adjustment)."""
+    k = ", ".join(key_exprs)
+    return f"""
+WITH obs AS (
+  SELECT {k}, CAST({day_expr} AS BIGINT) AS d0,
+         CAST({value_expr} AS BIGINT) AS v0
+  FROM {table_expr}
+),
+seg AS (
+  SELECT *, lead(d0) OVER w AS d1, lead(v0) OVER w AS v1
+  FROM obs WINDOW w AS (PARTITION BY {k} ORDER BY d0)
+),
+days AS (
+  SELECT {k}, d0, v0, d1, v1,
+         unnest(CASE WHEN d1 IS NULL THEN [d0] ELSE range(d0, d1) END) AS day
+  FROM seg
+),
+lerp AS (
+  SELECT {k}, d0, v0, d1, v1, day,
+         (v1 - v0) * (day - d0) AS num, d1 - d0 AS den
+  FROM days
+)
+SELECT {k}, day,
+       CAST(CASE WHEN d1 IS NULL THEN v0
+            ELSE v0 + (num - ((num % den) + den) % den) // den END AS BIGINT)
+         AS value,
+       CAST(CASE WHEN day = d0 THEN 1 ELSE 0 END AS INT) AS is_obs
+FROM lerp
+"""

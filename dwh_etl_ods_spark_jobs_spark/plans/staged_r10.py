@@ -557,3 +557,303 @@ def _sql_l_diversity() -> str:
 
 STAGED_QUERIES["l_diversity_census"] = q_l_diversity
 STAGED_ORACLES["l_diversity_census"] = _sql_l_diversity()
+
+
+# --- prefix-filtered Jaccard similarity join (AllPairs/PPJoin family) ---
+
+PFJ_THRESHOLD_PPM = 500000
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard≥0.5 near-dup pairs over documents via PREFIX
+    FILTERING: only each document's rarest-first shingle prefix enters
+    the self-join (recall stays exact by the prefix-filtering lemma), so
+    hot shingles generate zero candidates — the scale path for
+    similarity self-joins where the plain posting join's hot-key C(d,2)
+    blowup bites. Both engines run the same filtered plan, so parity
+    pins the exact-recall claim."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold_ppm=PFJ_THRESHOLD_PPM
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_prefix_filter_jaccard() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import prefix_filter_jaccard_pairs_sql
+
+    return (
+        prefix_filter_jaccard_pairs_sql(
+            "documents", "text", "doc_id", threshold_ppm=PFJ_THRESHOLD_PPM
+        )
+        + " ORDER BY id_a, id_b"
+    )
+
+
+STAGED_QUERIES["dedup_prefix_filter_jaccard"] = q_prefix_filter_jaccard
+STAGED_ORACLES["dedup_prefix_filter_jaccard"] = _sql_prefix_filter_jaccard()
+
+
+# --- mutual information between document language and source ---
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(lang; source) over documents in exact micro-nats — the
+    information-units companion to the chi² independence monitor
+    (chi2_lang_source): feature-selection and leakage screens threshold
+    on MI directly. Count-exact terms, per-term micro rounding (the
+    entropy/PMI float discipline)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _sql_mutual_information() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information_sql
+
+    return mutual_information_sql("documents", "lang", "source")
+
+
+STAGED_QUERIES["mutual_info_lang_source"] = q_mutual_information
+STAGED_ORACLES["mutual_info_lang_source"] = _sql_mutual_information()
+
+
+# --- KL unigram drift between the old and new source mixes ---
+
+KL_P_PRED = "CAST(substr(source, 4) AS INT) < 10"
+
+
+def q_kl_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P‖Q) in exact micro-nats between the unigram distributions of
+    the src0-src9 slice (current mix) and the src10-src19 slice
+    (incoming mix) — the token-space drift monitor that complements the
+    bucketed-numeric TVD/W1/KS family. Laplace-smoothed over the union
+    vocabulary so private tokens stay finite."""
+    from dwh_etl_ods_spark_jobs_spark.curation import kl_token_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = F.expr(KL_P_PRED)
+    return kl_token_drift(docs.filter(pred), docs.filter(~pred), "text")
+
+
+def _sql_kl_token_drift() -> str:
+    from dwh_etl_ods_spark_jobs_spark.curation import kl_token_drift_sql
+
+    return kl_token_drift_sql(
+        f"(SELECT * FROM documents WHERE {KL_P_PRED}) p",
+        f"(SELECT * FROM documents WHERE NOT ({KL_P_PRED})) q",
+        "text",
+    )
+
+
+STAGED_QUERIES["kl_unigram_drift"] = q_kl_token_drift
+STAGED_ORACLES["kl_unigram_drift"] = _sql_kl_token_drift()
+
+
+# --- deterministic PPS systematic sample of the corpus ---
+
+PPS_N = 40
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible weight-proportional systematic sample: 40 picks over
+    documents with probability ∝ n_chars, laid out on a deterministic
+    md5(doc_id) axis — the no-rand() sampler a training-mix builder
+    replays identically on any cluster. Heavy documents may carry
+    multiplicity (standard PPS); pick counts are exact integers."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        systematic_weighted_sample,
+    )
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("_h", md5_long(F.col("doc_id").cast("string")))
+    )
+    return (
+        docs.transform(
+            systematic_weighted_sample(["_h", "doc_id"], "n_chars", PPS_N)
+        )
+        .select("doc_id", "n_chars", "n_picks")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pps_sample() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        systematic_weighted_sample_sql,
+    )
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    inner = systematic_weighted_sample_sql(
+        "documents", ["doc_id", "n_chars"], [f"{h}", "doc_id"],
+        "n_chars", PPS_N,
+    )
+    return inner + " ORDER BY doc_id"
+
+
+STAGED_QUERIES["pps_systematic_sample"] = q_pps_sample
+STAGED_ORACLES["pps_systematic_sample"] = _sql_pps_sample()
+
+
+# --- winsorized / trimmed order-value stats per priority ---
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized and trimmed order-value sums (exact cents) per order
+    priority: the robust aggregates that survive fat-finger rows. Ranks
+    come from the grouped range decomposition — five giant priority
+    groups never funnel through five window tasks."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import winsorized_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return winsorized_stats(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", trim_pct=5
+    ).orderBy("o_orderpriority")
+
+
+def _sql_winsorized_stats() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import winsorized_stats_sql
+
+    return (
+        winsorized_stats_sql(
+            "(SELECT o_orderpriority, o_orderkey,"
+            " CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents"
+            " FROM orders) t",
+            ["o_orderpriority"],
+            "cents",
+            "o_orderkey",
+            trim_pct=5,
+        )
+        + " ORDER BY o_orderpriority"
+    )
+
+
+STAGED_QUERIES["winsorized_priority_stats"] = q_winsorized_stats
+STAGED_ORACLES["winsorized_priority_stats"] = _sql_winsorized_stats()
+
+
+# --- linear-interpolation gap fill of daily per-cohort spend ---
+
+
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spend series per user cohort (user_id mod 10) with
+    exact floored linear interpolation across days no event landed on —
+    the lerp companion to the LOCF fill. Observation days carry
+    is_obs=1 and reproduce the daily sum exactly."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    daily = (
+        read_events(spark, sf_dir)
+        .groupBy(
+            (F.col("user_id") % 10).alias("cohort"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return gap_fill_interpolate(daily, ["cohort"], "day", "cents").orderBy(
+        "cohort", "day"
+    )
+
+
+def _sql_gap_fill_interpolate() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        gap_fill_interpolate_sql,
+    )
+
+    daily = """
+(SELECT user_id % 10 AS cohort,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+ FROM events GROUP BY 1, 2) daily
+"""
+    return (
+        gap_fill_interpolate_sql(daily, ["cohort"], "day", "cents")
+        + " ORDER BY cohort, day"
+    )
+
+
+STAGED_QUERIES["gap_fill_lerp_daily"] = q_gap_fill_interpolate
+STAGED_ORACLES["gap_fill_lerp_daily"] = _sql_gap_fill_interpolate()
+
+
+# --- mutual k-nearest-neighbor pairs over embeddings ---
+
+MKNN_K, MKNN_PLANES = 3, 6
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal top-3 neighbor pairs among LSH bucket-mates (6
+    hyperplanes → 64 buckets): the precision filter semantic-dedup
+    applies before trusting an ANN edge — hub vectors that appear in
+    everyone's list but reciprocate nothing drop out."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import mutual_knn_pairs
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_DIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(
+        emb, "embedding", "vec_id", k=MKNN_K, dim=HY_DIM, n_planes=MKNN_PLANES
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_mutual_knn() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import mutual_knn_pairs_sql
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_DIM
+
+    return (
+        mutual_knn_pairs_sql(
+            "embeddings", "embedding", "vec_id",
+            k=MKNN_K, dim=HY_DIM, n_planes=MKNN_PLANES,
+        )
+        + " ORDER BY id_a, id_b"
+    )
+
+
+STAGED_QUERIES["mutual_knn_pairs"] = q_mutual_knn
+STAGED_ORACLES["mutual_knn_pairs"] = _sql_mutual_knn()
+
+
+# --- positional phrase-match census ---
+
+PHRASES = [("table", "scan"), ("sort", "merge"), ("hash", "join")]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact adjacent-phrase counts ("table scan" as a PHRASE) from
+    positional postings — the retrieval primitive bag-of-words BM25
+    can't express. Postings are IN-filtered to phrase words before the
+    adjacency join touches them."""
+    from dwh_etl_ods_spark_jobs_spark.curation import phrase_match_census
+
+    return phrase_match_census(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", PHRASES
+    ).orderBy("w1", "w2")
+
+
+def _sql_phrase_match() -> str:
+    from dwh_etl_ods_spark_jobs_spark.curation import phrase_match_census_sql
+
+    return (
+        phrase_match_census_sql("documents", "doc_id", "text", PHRASES)
+        + " ORDER BY w1, w2"
+    )
+
+
+STAGED_QUERIES["phrase_match_census"] = q_phrase_match
+STAGED_ORACLES["phrase_match_census"] = _sql_phrase_match()

@@ -1,0 +1,182 @@
+"""Property tests for the second r10-staged wave (beyond oracle parity):
+prefix-filtered Jaccard's exact-recall claim, PPS sampling invariants,
+grouped global rank vs the single-window ground truth, lerp gap-fill
+boundary behavior, MI/KL identities, winsorized degenerate cases,
+mutual-kNN reciprocity, and phrase matching on a handcrafted corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_prefix_filter_jaccard_equals_posting_join(spark, sf_dir):
+    """Exact recall: the prefix-filtered join returns IDENTICAL pairs to
+    the unfiltered posting self-join at the same threshold."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard_ppm)
+        for r in prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", threshold_ppm=500000
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, int(r.jaccard * 1000000))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert {p[:2] for p in fast} == {p[:2] for p in brute}
+    assert len(fast) > 0
+
+
+def test_pps_sample_invariants(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        systematic_weighted_sample,
+    )
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    rows = [(i, (i * 7) % 13) for i in range(200)]  # some zero weights
+    df = (
+        spark.createDataFrame(rows, "id long, w long")
+        .withColumn("_h", md5_long(F.col("id").cast("string")))
+    )
+    out = df.transform(
+        systematic_weighted_sample(["_h", "id"], "w", 25)
+    ).collect()
+    assert sum(r.n_picks for r in out) == 25  # exactly n picks distributed
+    assert all(r.w > 0 for r in out)  # zero-weight rows never picked
+    # deterministic under physical layout changes
+    out2 = (
+        df.repartition(7)
+        .transform(systematic_weighted_sample(["_h", "id"], "w", 25))
+        .collect()
+    )
+    assert sorted((r.id, r.n_picks) for r in out) == sorted(
+        (r.id, r.n_picks) for r in out2
+    )
+
+
+def test_grouped_global_rank_matches_single_window(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import grouped_global_rank
+
+    rows = [(i % 3 if i % 11 else None, (i * 17) % 50, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    got = {
+        (r.g, r.id): (r.rk, r.n)
+        for r in df.transform(
+            grouped_global_rank(["g"], ["v", "id"], out_col="rk",
+                                with_total="n", n_ranges=8)
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r.g, r.id): (r.rk, r.n)
+        for r in df.withColumn(
+            "rk", (F.row_number().over(w) - 1).cast("long")
+        ).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+        ).collect()
+    }
+    assert got == want  # NULL group included, exact per-group ranks
+
+
+def test_gap_fill_lerp_boundaries(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    obs = spark.createDataFrame(
+        [("a", 10, 100), ("a", 14, 60), ("b", 5, 7)],
+        "k string, d long, v long",
+    )
+    out = {
+        (r.k, r.day): (r.value, r.is_obs)
+        for r in gap_fill_interpolate(obs, ["k"], "d", "v").collect()
+    }
+    # observation days exact; descending lerp floors toward -inf consistently
+    assert out[("a", 10)] == (100, 1)
+    assert out[("a", 14)] == (60, 1)
+    assert out[("a", 11)] == (90, 0)
+    assert out[("a", 12)] == (80, 0)
+    assert out[("a", 13)] == (70, 0)
+    assert out[("b", 5)] == (7, 1)  # single-obs key emits itself
+    assert len(out) == 6
+
+
+def test_mutual_information_identities(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information
+
+    # independent columns -> MI == 0 exactly (every cell factorizes)
+    rows = [(i % 4, (i // 4) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert (r.n_rows, r.n_cells, r.mi_micro) == (200, 20, 0)
+    # MI(X; X) == H(X): uniform over 4 -> 4 cells of round(0.25*ln(4)*1e6)
+    # (per-TERM micro rounding, the documented discipline)
+    r2 = mutual_information(df, "x", "x").collect()[0]
+    assert r2.mi_micro == 4 * 346574
+
+
+def test_kl_self_drift_is_zero(spark, sf_dir):
+    from dwh_etl_ods_spark_jobs_spark.curation import kl_token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = kl_token_drift(docs, docs, "text").collect()[0]
+    assert r.kl_micro == 0
+    assert r.n_tokens_p == r.n_tokens_q
+
+
+def test_winsorized_no_trim_equals_plain_sum(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import winsorized_stats
+
+    rows = [("g", i, 10 + i) for i in range(10)]  # n=10, 5% -> k=0
+    df = spark.createDataFrame(rows, "g string, id int, v long")
+    r = winsorized_stats(df, ["g"], "v", "id", trim_pct=5).collect()[0]
+    assert (r.n, r.k) == (10, 0)
+    assert r.winsor_sum == r.trim_sum == sum(10 + i for i in range(10))
+    # 30% trim on 10 rows: k=3, anchors at ranks 4 and 7
+    r3 = winsorized_stats(df, ["g"], "v", "id", trim_pct=30).collect()[0]
+    assert (r3.k, r3.lo_val, r3.hi_val) == (3, 13, 16)
+    assert r3.trim_sum == 13 + 14 + 15 + 16
+    assert r3.winsor_sum == r3.trim_sum + 3 * (13 + 16)
+
+
+def test_mutual_knn_reciprocity(spark, sf_dir):
+    from dwh_etl_ods_spark_jobs_spark.dedup import mutual_knn_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = mutual_knn_pairs(
+        emb, "embedding", "vec_id", k=3, dim=64, n_planes=6
+    ).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 1 <= r.rank_ab <= 3 and 1 <= r.rank_ba <= 3
+
+
+def test_phrase_match_handcrafted(spark):
+    from dwh_etl_ods_spark_jobs_spark.curation import phrase_match_census
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table scan and a table scan again"),
+            (2, "scan table no phrase here"),
+            (3, "one table scan only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): (r.n_docs, r.n_hits)
+        for r in phrase_match_census(
+            docs, "doc_id", "text", [("table", "scan"), ("no", "match")]
+        ).collect()
+    }
+    assert out[("table", "scan")] == (2, 3)  # doc1 twice, doc3 once
+    assert ("no", "match") not in out  # zero-hit phrases emit no row

@@ -417,3 +417,85 @@ def k_core_sql(edges_cte: str, k: int, iters: int = 20) -> str:
         f"SELECT src AS node, CAST(count(*) AS BIGINT) AS degree "
         f"FROM e{iters} GROUP BY src"
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) community
+    detection, made DETERMINISTIC: every node starts with its own id as
+    label; each round every node adopts the most frequent label among
+    its neighbors with ties broken to the SMALLEST label (classic LPA
+    breaks ties randomly — useless for a reproducible pipeline); a
+    fixed ``rounds`` count keeps both engines on the same synchronous
+    schedule (asynchronous/converged LPA is schedule-dependent by
+    construction). Isolated nodes keep their own label. Input:
+    symmetrized ``(src, dst)`` edges, as :func:`pagerank` / :func:`k_core`
+    expect. Returns ``(node, label)``.
+
+    Scale: per round, ONE equi-join (neighbor labels), one map-side-
+    combinable (node, label) count, and one argmax fold via
+    ``max(struct(count, -label))`` — no per-node window, no collect;
+    lineage truncates per round via localCheckpoint exactly like the
+    other iterative graph ops.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node").cast("long")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # argmax by (count desc, label asc): max(struct(c, -label))
+        new = (
+            nbr.groupBy("node")
+            .agg(F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias("_m"))
+            .select("node", (-F.col("_m._nl")).cast("long").alias("_new"))
+        )
+        labels = (
+            labels.alias("_o")
+            .join(new.alias("_n"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, rounds: int = 3) -> str:
+    """DuckDB rendering of :func:`label_propagation` — the same fixed
+    synchronous rounds UNROLLED as materialized CTEs (the k_core_sql
+    idiom: each round reads the previous one twice)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_cte})",
+        "lp0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label "
+        "FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0))",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED ("
+            f"SELECT e.src AS node, l.label, count(*) AS c "
+            f"FROM e0 e JOIN lp{i - 1} l ON e.dst = l.node GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"n{i} AS MATERIALIZED ("
+            f"SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c{i}"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"lp{i} AS MATERIALIZED ("
+            f"SELECT l.node, CAST(coalesce(n.label, l.label) AS BIGINT) AS label "
+            f"FROM lp{i - 1} l LEFT JOIN n{i} n USING (node))"
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT node, label FROM lp{rounds}"

@@ -857,3 +857,90 @@ def _sql_phrase_match() -> str:
 
 STAGED_QUERIES["phrase_match_census"] = q_phrase_match
 STAGED_ORACLES["phrase_match_census"] = _sql_phrase_match()
+
+
+# --- label-propagation communities on the supplier-customer graph ---
+
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds, min-label
+    tie-break) over the supplier↔customer transaction graph; census per
+    community SIZE keeps the frame compact while node_sum pins every
+    membership through the hash."""
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _sc_edges
+
+    labels = G.label_propagation(_sc_edges(spark, sf_dir), rounds=LPA_ROUNDS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.sum("node").cast("long").alias("node_sum"),
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("node_sum").cast("long").alias("node_sum"),
+        )
+        .orderBy("size")
+    )
+
+
+def _sql_label_propagation() -> str:
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _SC_EDGES_SQL
+
+    lp = G.label_propagation_sql(
+        f"SELECT src, dst FROM ({_SC_EDGES_SQL}) _sym_", rounds=LPA_ROUNDS
+    )
+    return f"""
+WITH lp AS ({lp}),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS size,
+         CAST(sum(node) AS BIGINT) AS node_sum
+  FROM lp GROUP BY 1
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(node_sum) AS BIGINT) AS node_sum
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+STAGED_QUERIES["graph_label_prop_census"] = q_label_propagation
+STAGED_ORACLES["graph_label_prop_census"] = _sql_label_propagation()
+
+
+# --- ANN recall@5 evaluation: IVF(nprobe=2) vs exact brute force ---
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF nprobe=2 candidate list against the exact
+    brute-force ground truth, as a standing pipeline query (not just a
+    pytest floor) — reruns on every corpus refresh so an embedding or
+    codebook drift that silently craters recall shows up in the gate."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        q_ann_bruteforce,
+        q_ann_ivf_nprobe2,
+    )
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_recall_eval
+
+    return ann_recall_eval(
+        q_ann_bruteforce(spark, sf_dir),
+        q_ann_ivf_nprobe2(spark, sf_dir),
+        k=5,
+    )
+
+
+def _sql_ann_recall() -> str:
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        SQL_ANN_BRUTEFORCE,
+        SQL_ANN_IVF_NPROBE2,
+    )
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_recall_eval_sql
+
+    return ann_recall_eval_sql(SQL_ANN_BRUTEFORCE, SQL_ANN_IVF_NPROBE2, k=5)
+
+
+STAGED_QUERIES["ann_recall_eval"] = q_ann_recall
+STAGED_ORACLES["ann_recall_eval"] = _sql_ann_recall()

@@ -668,3 +668,80 @@ SELECT id AS {id_expr},
        CAST(sum(contrib) AS BIGINT) AS rrf_micro
 FROM u GROUP BY id
 """
+
+
+def ann_recall_eval(
+    truth: DataFrame, cand: DataFrame,
+    query_col: str = "query_id", neighbor_col: str = "neighbor_id",
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of an ANN candidate list against an exact ground-truth
+    list — the evaluation harness that closes the ANN loop (brute force
+    is the truth at eval scale; IVF/LSH/PQ are the candidates): a
+    recall floor belongs in the pipeline as a QUERY, not just a pytest,
+    so the monitor reruns on every corpus refresh::
+
+        (n_queries, recall_sum_ppm, min_recall_ppm, n_perfect)
+
+    Per query ``recall_ppm = |truth ∩ cand|·10⁶ div k`` (exact
+    integers; mean = recall_sum_ppm / n_queries, left to the consumer
+    to keep the frame integer-only). Queries the candidate list missed
+    entirely count at 0 (left join from the truth side).
+
+    Scale: one equi-join on (query, neighbor) between two ≤k·n_queries
+    lists + two bounded folds. Never touches the corpus.
+    """
+    t = truth.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    c = cand.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    hits = (
+        t.join(c, ["_q", "_n"], "left_semi")
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = (
+        t.select("_q").distinct()
+        .join(hits, "_q", "left")
+        .select(
+            "_q",
+            F.expr(
+                f"CAST(coalesce(_h, 0) * 1000000L div {k} AS BIGINT)"
+            ).alias("_r"),
+        )
+    )
+    return per_q.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("_r").cast("long").alias("recall_sum_ppm"),
+        F.min("_r").cast("long").alias("min_recall_ppm"),
+        F.sum((F.col("_r") == 1000000).cast("long")).cast("long").alias("n_perfect"),
+    )
+
+
+def ann_recall_eval_sql(
+    truth_sql: str, cand_sql: str, k: int = 5,
+    query_col: str = "query_id", neighbor_col: str = "neighbor_id",
+) -> str:
+    """DuckDB rendering of :func:`ann_recall_eval` over two full query
+    texts (each may carry its own WITH clause — nested in parenthesized
+    subqueries)."""
+    return f"""
+WITH t AS (SELECT {query_col} AS q, {neighbor_col} AS n FROM ({truth_sql})),
+c AS (SELECT {query_col} AS q, {neighbor_col} AS n FROM ({cand_sql})),
+hits AS (
+  SELECT t.q, count(*) AS h FROM t SEMI JOIN c ON t.q = c.q AND t.n = c.n
+  GROUP BY 1
+),
+per_q AS (
+  SELECT tq.q, CAST(coalesce(h.h, 0) * 1000000 // {k} AS BIGINT) AS r
+  FROM (SELECT DISTINCT q FROM t) tq LEFT JOIN hits h USING (q)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(r) AS BIGINT) AS recall_sum_ppm,
+       CAST(min(r) AS BIGINT) AS min_recall_ppm,
+       CAST(sum(CASE WHEN r = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect
+FROM per_q
+"""

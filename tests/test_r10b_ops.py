@@ -180,3 +180,38 @@ def test_phrase_match_handcrafted(spark):
     }
     assert out[("table", "scan")] == (2, 3)  # doc1 twice, doc3 once
     assert ("no", "match") not in out  # zero-hit phrases emit no row
+
+
+def test_label_propagation_two_triangles(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.label for r in label_propagation(edges, rounds=3).collect()
+    }
+    # hand-traced synchronous schedule with min-label ties: the bridge
+    # settles into two communities {1,2,3} -> 1 and {4,5,6} -> 3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_ann_recall_eval_handcrafted(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_recall_eval
+
+    truth = spark.createDataFrame(
+        [(q, n) for q in (1, 2, 3) for n in range(5)],
+        "query_id long, neighbor_id long",
+    )
+    cand = spark.createDataFrame(
+        # q1: 3/5 hits; q2: 0 hits; q3: perfect 5/5
+        [(1, 0), (1, 1), (1, 2), (1, 99), (1, 98), (2, 50), (2, 51)]
+        + [(3, n) for n in range(5)],
+        "query_id long, neighbor_id long",
+    )
+    r = ann_recall_eval(truth, cand, k=5).collect()[0]
+    assert r.n_queries == 3
+    assert r.recall_sum_ppm == 600000 + 0 + 1000000
+    assert r.min_recall_ppm == 0
+    assert r.n_perfect == 1

@@ -944,3 +944,86 @@ def _sql_ann_recall() -> str:
 
 STAGED_QUERIES["ann_recall_eval"] = q_ann_recall
 STAGED_ORACLES["ann_recall_eval"] = _sql_ann_recall()
+
+
+# --- salted-join revenue census (skew operator, oracle-verified) ---
+
+SALT_N = 8
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand through the EXPLICIT salted join
+    (operators/skew.salted_join): the big side salts deterministically,
+    the dim replicates once per salt, hot part keys spread over 8
+    reducers. The oracle is the PLAIN join — parity pins the salting's
+    result-equivalence claim on real data (the pytest already pins it on
+    synthetic rows)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("_c"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li,
+        part.withColumnRenamed("p_partkey", "l_partkey"),
+        ["l_partkey"],
+        n_salts=SALT_N,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_c").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+STAGED_QUERIES["salted_join_revenue"] = q_salted_join_revenue
+STAGED_ORACLES["salted_join_revenue"] = SQL_SALTED_JOIN_REVENUE
+
+
+# --- one oracle-checkable Lloyd iteration over quantized embeddings ---
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer-exact k-means step seeded from the stored labels:
+    floored centroid means + exact-L2² reassignment (tie → smaller
+    label). The engine-portable twin of train_ivf_centroids' float
+    Lloyd loop — this one sits fully under the cross-engine gate."""
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_DIM
+    from dwh_etl_ods_spark_jobs_spark.similarity import kmeans_step_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_step_quantized(
+        emb, "vec_id", "embedding", "label", dim=HY_DIM
+    ).orderBy("vec_id")
+
+
+def _sql_kmeans_step() -> str:
+    from dwh_etl_ods_spark_jobs_spark.plans.staged_r9 import HY_DIM
+    from dwh_etl_ods_spark_jobs_spark.similarity import kmeans_step_quantized_sql
+
+    return (
+        kmeans_step_quantized_sql(
+            "embeddings", "vec_id", "embedding", "label", dim=HY_DIM
+        )
+        + " ORDER BY vec_id"
+    )
+
+
+STAGED_QUERIES["kmeans_step_exact"] = q_kmeans_step
+STAGED_ORACLES["kmeans_step_exact"] = _sql_kmeans_step()

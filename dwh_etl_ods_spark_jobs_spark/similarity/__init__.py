@@ -745,3 +745,127 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
          AS n_perfect
 FROM per_q
 """
+
+
+def kmeans_step_quantized(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str,
+    dim: int, scale: int = 1000,
+) -> DataFrame:
+    """One ORACLE-CHECKABLE Lloyd iteration over integer-quantized
+    embeddings: centroid = element-wise floored mean of each current
+    cluster, reassignment = nearest centroid by exact integer L2², ties
+    to the smaller label. :func:`train_ivf_centroids` is the production
+    trainer (float means, pytest-pinned); this is the same step made
+    engine-portable — quantize to ``round(e·scale)`` BIGINTs and every
+    downstream number (centroids, distances, assignment) is exact, so
+    the full clustering step sits under the cross-engine gate instead of
+    only a recall floor. Emits per vector::
+
+        (id, label, new_label, dist_sq)
+
+    Scale: centroids via posexplode → (label, pos) sum/count (n·dim
+    scalar rows, map-side combinable) → floored mean (sign-safe pmod
+    div) → sorted re-pack; assignment via constant-key broadcast of the
+    k-row codebook + one zip_with/aggregate integer fold per (vector,
+    centroid) + min(struct(dist, label)) — no window over the corpus.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.round(e.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_q"),
+    ).localCheckpoint(eager=False)  # centroid pass + assignment pass
+    sums = (
+        q.select("_lbl", F.posexplode("_q").alias("_pos", "_x"))
+        .groupBy("_lbl", "_pos")
+        .agg(
+            F.sum("_x").cast("long").alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        .withColumn(
+            "_c",
+            F.expr("CAST((_s - pmod(_s, _n)) div _n AS BIGINT)"),
+        )
+    )
+    cents = (
+        sums.groupBy("_lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_c")))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col("_lbl").alias("_cl"),
+            F.transform(F.col("_pairs"), lambda p: p._c).alias("_cv"),
+        )
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_q"), F.col("_cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.withColumn("_one", one)
+        .join(F.broadcast(cents.withColumn("_one", one)), "_one")
+        .withColumn("_d", dist)
+    )
+    best = (
+        scored.groupBy("_id", "_lbl")
+        .agg(F.min(F.struct(F.col("_d"), F.col("_cl"))).alias("_m"))
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_lbl").alias("label"),
+        F.col("_m._cl").cast("long").alias("new_label"),
+        F.col("_m._d").cast("long").alias("dist_sq"),
+    )
+
+
+def kmeans_step_quantized_sql(
+    table_expr: str, id_expr: str, vec_expr: str, label_expr: str,
+    dim: int, scale: int = 1000,
+) -> str:
+    """DuckDB rendering of :func:`kmeans_step_quantized` (same
+    quantization, same floored means, same integer L2² and tie-break)."""
+    return f"""
+WITH q AS (
+  SELECT {id_expr} AS id, CAST({label_expr} AS BIGINT) AS lbl,
+         list_transform({vec_expr},
+                        e -> CAST(round(CAST(e AS DOUBLE) * {scale}.0) AS BIGINT)) AS qv
+  FROM {table_expr}
+),
+expl AS (
+  SELECT lbl, u.i AS pos, qv[u.i] AS x
+  FROM q, unnest(range(1, {dim} + 1)) AS u(i)
+),
+sums AS (
+  SELECT lbl, pos, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM expl GROUP BY 1, 2
+),
+cents AS (
+  SELECT lbl AS cl,
+         list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+  FROM sums GROUP BY 1
+),
+scored AS (
+  SELECT q.id, q.lbl, c.cl,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, {dim} + 1),
+                          j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))),
+           (a, b) -> a + b) AS d
+  FROM q CROSS JOIN cents c
+),
+best AS (
+  SELECT id, lbl, cl, d,
+         row_number() OVER (PARTITION BY id ORDER BY d ASC, cl ASC) AS rn
+  FROM scored
+)
+SELECT id AS {id_expr}, lbl AS label, CAST(cl AS BIGINT) AS new_label,
+       CAST(d AS BIGINT) AS dist_sq
+FROM best WHERE rn = 1
+"""

@@ -215,3 +215,30 @@ def test_ann_recall_eval_handcrafted(spark):
     assert r.recall_sum_ppm == 600000 + 0 + 1000000
     assert r.min_recall_ppm == 0
     assert r.n_perfect == 1
+
+
+def test_kmeans_step_quantized_handcrafted(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import kmeans_step_quantized
+
+    # two seed clusters on a line; vector 4 starts mislabeled and must
+    # cross over; floored integer means pin the centroid arithmetic
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.001, 0.0], 0),   # -> q [1, 0]; centroid0 = [0, 0] (floor 1/2)
+        (3, [1.0, 1.0], 1),
+        (4, [0.0, 0.001], 1),   # near cluster 0 -> must reassign
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r.vec_id: (r.new_label, r.dist_sq)
+        for r in kmeans_step_quantized(
+            df, "vec_id", "embedding", "label", dim=2
+        ).collect()
+    }
+    # centroid0 = floor([1,0]/2) = [0,0]; centroid1 = floor([1000,1001]/2)
+    # = [500, 500]
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 1)
+    assert out[4][0] == 0  # crossed over: d to c0 = 1 < d to c1 = 499² + 500²
+    assert out[4][1] == 1
+    assert out[3] == (1, 500 * 500 + 500 * 500)

@@ -49,11 +49,15 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 #         + 14 oldest entries of the r7-hard-gate-verified block.
 #   _TAIL = first the 30 r7-verified-block remainder (rotation-due r10),
 #           then the r8-hard-gate-verified block (fresh).
-# r10 COMMITMENT: _HEAD = the first 30 _TAIL entries below (rotation-due)
-# + r10-changed + r10-new; remainder from the r8-verified block (oldest
-# first). Whatever the r10 gate drops gets a committed
+# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 23
+# entries): _HEAD = the 23 staged_r10 entries (never gated) + the FIRST
+# 27 of the 30 rotation-due _TAIL entries below; the 3 rotation-due
+# overflow (pivot_wide_agg, json_extract, star_join_agg — cheapest to
+# sweep) plus everything else outside the window gets the committed
 # tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the
-# freshness test enforces this.
+# freshness test enforces this. Battery 120 -> 143 at registration:
+# retire parameterization-subsumed entries into RETIRED_QUERIES
+# (slots already in plans/staged_r10.py) to land ≤ ~125.
 _HEAD = [
     # ---- 19 newly registered staged_r9 entries (first driver gating) ----
     "quantile_binning_census",

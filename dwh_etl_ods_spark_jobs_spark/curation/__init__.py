@@ -96,6 +96,8 @@ __all__ = [
     "largest_remainder_allocation_sql",
     "kl_token_drift",
     "kl_token_drift_sql",
+    "token_counts",
+    "kl_from_token_counts",
 ]
 
 
@@ -1411,16 +1413,34 @@ def kl_token_drift(
     on the token key, constant-key broadcast of the three scalar totals
     (N_P, N_Q, |V|). State is O(vocab), row-count independent.
     """
-    def counts(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.select(F.explode(F.split(F.col(text_col), " ")).alias("_t"))
-            .groupBy("_t")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"_c{side}"))
-        )
+    return kl_from_token_counts(
+        token_counts(df_p, text_col), token_counts(df_q, text_col)
+    )
 
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Unigram count frame ``(token, c)`` — the exact-integer snapshot
+    :func:`kl_from_token_counts` folds; also the state a streaming
+    word-count maintains (``streaming.streaming_token_counts``), so a
+    stream snapshot is BIT-IDENTICAL to this batch frame over the same
+    rows and drift never rereads the corpus."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def kl_from_token_counts(counts_p: DataFrame, counts_q: DataFrame) -> DataFrame:
+    """The counts-level core of :func:`kl_token_drift`: fold KL from two
+    ``(token, c)`` frames (batch- or stream-snapshot-produced)."""
     joined = (
-        counts(df_p, "p")
-        .join(counts(df_q, "q"), "_t", "full_outer")
+        counts_p.select(F.col("token").alias("_t"), F.col("c").alias("_cp"))
+        .join(
+            counts_q.select(F.col("token").alias("_t"), F.col("c").alias("_cq")),
+            "_t",
+            "full_outer",
+        )
         .select(
             F.coalesce("_cp", F.lit(0)).cast("long").alias("_cp"),
             F.coalesce("_cq", F.lit(0)).cast("long").alias("_cq"),

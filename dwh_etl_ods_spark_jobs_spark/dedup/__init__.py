@@ -1234,6 +1234,7 @@ WHERE (inter * 1000000) // (a.n + b.n - inter) >= {threshold_ppm}
 def mutual_knn_pairs(
     df: DataFrame, vec_col: str, id_col: str,
     k: int, dim: int, n_planes: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Reciprocal (mutual) k-nearest-neighbor pairs over an embedding
     column: keep (a, b) only when b is in a's top-k AND a is in b's
@@ -1250,6 +1251,16 @@ def mutual_knn_pairs(
     covers k). Per-node ranking is a window over BUCKET-MATES only
     (bounded by bucket size, never the corpus); the mutuality check is
     one self-equi-join of the ≤k·n directed list on the swapped key.
+
+    Within-bucket work is quadratic in BUCKET SIZE, and hyperplane
+    buckets are skewed by construction (correlated bits — that IS the
+    locality); ``max_bucket`` is the hot-bucket cap for the tail
+    (measured: 10× vectors at constant MEAN bucket size ran 48× without
+    a cap, 1.7× with cap=256 — tools/scale_probe_r10b.py): buckets
+    larger than the cap are dropped from pair generation via a
+    left-anti gate, the max_shingle_df idiom — trading recall inside
+    mega-buckets (where rank-k neighbors are least meaningful anyway)
+    for a hard per-bucket bound. Default off for exact oracle parity.
     """
     from pyspark.sql.window import Window as W
 
@@ -1259,6 +1270,14 @@ def mutual_knn_pairs(
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        hot = (
+            sigs.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("bucket")
+        )
+        sigs = sigs.join(hot, "bucket", "left_anti")
     directed = (
         sigs.alias("x")
         .join(sigs.alias("y"), on="bucket")

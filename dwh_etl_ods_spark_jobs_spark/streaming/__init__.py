@@ -681,3 +681,17 @@ def cdc_apply_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_token_counts(stream: DataFrame, text_col: str) -> DataFrame:
+    """Continuously-maintained unigram token counts over a document
+    stream — the KL-drift feeder: state is bounded at O(vocab) count
+    rows regardless of corpus flow. Run in update/complete mode; a
+    snapshot is BIT-IDENTICAL to the batch ``curation.token_counts``
+    over the same rows (plain integer count aggregation over
+    deterministic keys — micro-batch boundaries cannot perturb it,
+    pytest-pinned), so ``curation.kl_from_token_counts`` folds live
+    drift against a batch reference without rereading any row."""
+    from dwh_etl_ods_spark_jobs_spark.curation import token_counts
+
+    return stream.transform(lambda df: token_counts(df, text_col))

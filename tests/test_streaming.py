@@ -1107,3 +1107,44 @@ def test_cdc_apply_sink_bootstraps_empty_snapshot_and_recovers_swap(spark, workd
     assert sorted(
         tuple(r) for r in spark.read.parquet(tgt).select("id", "status", "cents").collect()
     ) == [(1, "a", 10), (2, "b2", 22), (3, "c", 30)]
+
+
+def test_streaming_token_counts_feed_kl_drift(spark, workdir):
+    """KL drift's sketch-native streaming path: the live token-count
+    snapshot vs a batch reference through kl_from_token_counts equals
+    the batch kl_token_drift over the same rows — the token-space twin
+    of the W1/TVD histogram-snapshot bindings."""
+    from dwh_etl_ods_spark_jobs_spark import curation as C
+
+    src = os.path.join(workdir, "landing_kl")
+    schema = "doc_id long, text string"
+    words = ["sort", "merge", "join", "scan", "agg"]
+    rows1 = [(i, " ".join(words[(i + j) % 5] for j in range(6))) for i in range(40)]
+    rows2 = [(100 + i, "drifted token " + words[i % 2]) for i in range(30)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_token_counts(stream, "text")
+        .writeStream.format("memory")
+        .queryName("kl_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_kl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    ref = spark.createDataFrame(
+        [(i, " ".join(words[(i * 3 + j) % 5] for j in range(6))) for i in range(50)],
+        schema,
+    )
+    live = C.kl_from_token_counts(
+        C.token_counts(ref, "text"), spark.table("kl_counts")
+    ).collect()[0]
+    batch = C.kl_token_drift(ref, spark.read.parquet(src), "text").collect()[0]
+    assert tuple(live) == tuple(batch)
+    assert live.kl_micro > 0  # the drifted tokens ARE detected

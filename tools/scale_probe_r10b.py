@@ -46,29 +46,33 @@ def single_partition_exchanges(df) -> int:
 
 
 def _synth_docs(spark, n_docs: int):
-    """~14 tokens/doc from a vocab scaling with n (constant shingle DF),
-    a 6-token shared family prefix every 4 docs (real near-dup pairs at
-    every scale), and one PLANTED hot token in every document."""
+    """~13 tokens/doc: one PLANTED hot token (in EVERY doc), ten
+    family-shared tokens (docs come in near-dup families of 4, so real
+    Jaccard≥0.5 pairs exist at every scale), and two doc-unique tokens
+    drawn from a vocab scaling with n (constant shingle DF)."""
     vocab = max(n_docs // 5, 100)
-    fam = F.concat(F.lit("fam"), (F.col("id") / 4).cast("long").cast("string"))
+    fid = (F.col("id") / 4).cast("long")
+    fam_toks = [
+        F.concat(
+            F.lit("f"),
+            F.pmod(fid * F.lit(p) + F.lit(i), F.lit(vocab)).cast("string"),
+        )
+        for i, p in enumerate(
+            [2654435761, 40503, 2246822519, 3266489917, 668265263,
+             374761393, 971, 8191, 127, 524287]
+        )
+    ]
+    uniq_toks = [
+        F.concat(
+            F.lit("u"),
+            F.pmod(F.col("id") * F.lit(p) + F.lit(i), F.lit(vocab))
+            .cast("string"),
+        )
+        for i, p in enumerate([31, 131])
+    ]
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.lit("hot"),  # max-DF token: in EVERY doc
-            fam, fam, fam, fam, fam, fam,
-            *[
-                F.concat(
-                    F.lit("w"),
-                    F.pmod(F.col("id") * F.lit(p) + F.lit(i), F.lit(vocab))
-                    .cast("string"),
-                )
-                for i, p in enumerate(
-                    [2654435761, 40503, 2246822519, 3266489917,
-                     668265263, 374761393, 971]
-                )
-            ],
-        ).alias("text"),
+        F.concat_ws(" ", F.lit("hot"), *fam_toks, *uniq_toks).alias("text"),
     )
 
 
@@ -119,19 +123,34 @@ def probe_pps_sample(spark, n: int) -> tuple[float, int, int]:
 def probe_mutual_knn(spark, n: int) -> tuple[float, int, int]:
     from dwh_etl_ods_spark_jobs_spark.dedup import mutual_knn_pairs
 
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
     dim = 8
-    # planes grow with log2(n) -> constant expected bucket size (~32)
-    planes = max(int(math.log2(n / 32)), 1)
+    # planes grow with log2(n) -> constant expected MEAN bucket size
+    # (~32); the cap below handles the skewed tail (hyperplane bits are
+    # correlated by construction)
+    planes = max(round(math.log2(n / 32)), 1)
+    # md5-derived components: genuinely scattered vectors (a lattice
+    # pattern collapses whole cohorts into identical vectors -> duplicate
+    # ties -> degenerate giant buckets, a probe artifact not a data shape)
     vec = F.array(
         *[
-            (F.pmod(F.col("id") * F.lit(p), F.lit(2001)).cast("double")
-             - F.lit(1000.0)) / F.lit(1000.0)
-            for p in [31, 131, 971, 8191, 127, 2647, 7919, 104729][:dim]
+            (
+                F.pmod(
+                    md5_long(F.concat(F.col("id").cast("string"), F.lit(f":{j}"))),
+                    F.lit(2001),
+                ).cast("double")
+                - F.lit(1000.0)
+            )
+            / F.lit(1000.0)
+            for j in range(dim)
         ]
     )
     df = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("v"))
     t0 = time.time()
-    out = mutual_knn_pairs(df, "v", "vec_id", k=3, dim=dim, n_planes=planes)
+    out = mutual_knn_pairs(
+        df, "v", "vec_id", k=3, dim=dim, n_planes=planes, max_bucket=256
+    )
     n_rows = out.count()
     wall = time.time() - t0
     return wall, n_rows, single_partition_exchanges(out)
@@ -143,7 +162,7 @@ def probe_phrase_match(spark, n_docs: int) -> tuple[float, int, int]:
     t0 = time.time()
     out = phrase_match_census(
         _synth_docs(spark, n_docs), "doc_id", "text",
-        [("hot", "fam0"), ("w1", "w2")],
+        [("hot", "f0"), ("f1", "f2")],
     )
     n_rows = out.count()
     wall = time.time() - t0

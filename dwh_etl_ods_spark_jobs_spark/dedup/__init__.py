@@ -68,6 +68,22 @@ def shingles(text_col: Column, w: int = SHINGLE_W) -> Column:
     return F.array_distinct(sh)
 
 
+def shingles_of(toks_col: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct ``w``-token shingles from a MATERIALIZED token-array
+    column. Use this (after ``withColumn("_toks", tokens(text))``) in
+    anything that scans a whole corpus: common-subexpression elimination
+    does not reach inside higher-order-function lambdas, so
+    :func:`shingles` over inline text re-runs the regex tokenizer once
+    PER SHINGLE POSITION — O(len²) per document (measured 2.6× on the
+    prefix-filter posting scan at sf0.1). Same output, same hashes."""
+    n = F.size(toks_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks_col, i, w), " "),
+    )
+    return F.array_distinct(sh)
+
+
 def shingles_sql(expr: str, w: int = SHINGLE_W) -> str:
     toks = tokens_sql(expr)
     return (
@@ -134,10 +150,14 @@ def ngram_jaccard_pairs(
       pairs is a conservative (lower-bound) estimate. Default off to keep
       exact parity with the oracle.
     """
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
-    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    # two-step tokenize->shingle: materializing the token array keeps the
+    # regex tokenizer out of the shingle lambda (inline, CSE cannot reach
+    # inside higher-order functions -> O(len^2) retokenization per doc)
+    posting = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     joinable = posting
     if max_shingle_df is not None:
@@ -216,10 +236,11 @@ def minhash_signatures(
     (doc, shingle) and combines map-side. Returns (doc_id, sig).
     """
     salts = _minhash_salts(k)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col))).alias("shingle"),
-    ).withColumn("h", md5_long(F.col("shingle")))
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"))).alias("shingle"))
+        .withColumn("h", md5_long(F.col("shingle")))
+    )
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.col("h").bitwiseXOR(F.lit(s).cast("long"))).alias(f"m{j}")
@@ -991,10 +1012,14 @@ def ngram_containment_pairs(
     un-hinted size joins for AQE) — only the final scoring expression
     differs.
     """
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
-    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    # two-step tokenize->shingle: materializing the token array keeps the
+    # regex tokenizer out of the shingle lambda (inline, CSE cannot reach
+    # inside higher-order functions -> O(len^2) retokenization per doc)
+    posting = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     joinable = posting
     if max_shingle_df is not None:
@@ -1102,39 +1127,36 @@ def prefix_filter_jaccard_pairs(
 
     Pipeline (all integer arithmetic, engine-portable):
 
-    1. posting = distinct (doc, shingle-hash); sizes n per doc.
-    2. global order = (DF asc, hash asc); per-DOC rank via a window
-       partitioned by doc (bounded by document length — never global).
+    1. posting = distinct (doc, shingle-hash).
+    2. global order = (DF asc, hash asc); per-DOC rank AND doc size in
+       ONE window shuffle partitioned by doc (bounded by document
+       length — never global).
     3. prefix = rows with rank ≤ n - ceil(t·n) + 1, where
        ceil(t·n) = (ppm·n + 10⁶ - 1) div 10⁶.
     4. candidates = prefix ⋈ prefix on hash, id_a < id_b, plus the
        length filter ppm·max(na,nb) ≤ 10⁶·min(na,nb) (a pair failing it
-       cannot reach t), deduplicated.
+       cannot reach t), deduplicated — CARRYING (na, nb), so scoring
+       needs no size join-back.
     5. verify: candidates ⋈ posting_a ⋈ posting_b count the EXACT
        intersection; score and filter.
 
     Scale: the only wide ops are the prefix self-join (rare-token keys by
     construction), the candidate dedup (already-filtered pair set), and
     the verify joins (candidates × document length, equi-keyed). No
-    caching; sizes joins left un-hinted for AQE.
+    caching (the posting list is O(corpus tokens)); no separate sizes
+    relation exists at all.
     """
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), w)).alias("shingle"),
-    ).select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
-    sizes = posting.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    posting = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
     )
     dfreq = posting.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    doc_w = Window.partitionBy("doc_id")
     ranked = (
         posting.join(dfreq, "sh_h")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "sh_h")
-            ),
-        )
+        .withColumn("rn", F.row_number().over(doc_w.orderBy("df", "sh_h")))
+        .withColumn("n", F.count(F.lit(1)).over(doc_w).cast("long"))
     )
     prefix = ranked.filter(
         F.col("rn")
@@ -1158,10 +1180,12 @@ def prefix_filter_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
-    inter = (
+    return (
         cand.join(
             posting.select(F.col("doc_id").alias("id_a"), "sh_h"), "id_a"
         )
@@ -1169,14 +1193,8 @@ def prefix_filter_jaccard_pairs(
             posting.select(F.col("doc_id").alias("id_b"), "sh_h"),
             ["id_b", "sh_h"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
-                                F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"),
-                           F.col("n").alias("nb")), "id_b")
         .withColumn(
             "jaccard_ppm",
             F.expr("CAST((inter * 1000000L) div (na + nb - inter) AS BIGINT)"),
@@ -1198,36 +1216,35 @@ WITH posting AS (
   SELECT {id_expr} AS doc_id, {md5_long_sql('sh')} AS sh_h
   FROM {table_expr}, unnest({shingles_sql(text_expr, w)}) AS t(sh)
 ),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM posting GROUP BY 1),
 dfreq AS (SELECT sh_h, count(*) AS df FROM posting GROUP BY 1),
 ranked AS (
-  SELECT p.doc_id, p.sh_h, s.n,
-         row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sh_h) AS rn
-  FROM posting p JOIN dfreq d USING (sh_h) JOIN sizes s USING (doc_id)
+  SELECT p.doc_id, p.sh_h,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sh_h) AS rn,
+         CAST(count(*) OVER (PARTITION BY p.doc_id) AS BIGINT) AS n
+  FROM posting p JOIN dfreq d USING (sh_h)
 ),
 prefix AS (
   SELECT doc_id, sh_h, n FROM ranked
   WHERE rn <= n - ({threshold_ppm} * n + 999999) // 1000000 + 1
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n AS na, b.n AS nb
   FROM prefix a JOIN prefix b USING (sh_h)
   WHERE a.doc_id < b.doc_id
     AND {threshold_ppm} * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)
 ),
 inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  SELECT c.id_a, c.id_b, c.na, c.nb, CAST(count(*) AS BIGINT) AS inter
   FROM cand c
   JOIN posting pa ON pa.doc_id = c.id_a
   JOIN posting pb ON pb.doc_id = c.id_b AND pb.sh_h = pa.sh_h
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, inter, a.n AS na, b.n AS nb,
-       CAST((inter * 1000000) // (a.n + b.n - inter) AS BIGINT) AS jaccard_ppm
+SELECT id_a, id_b, inter, na, nb,
+       CAST((inter * 1000000) // (na + nb - inter) AS BIGINT) AS jaccard_ppm
 FROM inter
-JOIN sizes a ON a.doc_id = id_a
-JOIN sizes b ON b.doc_id = id_b
-WHERE (inter * 1000000) // (a.n + b.n - inter) >= {threshold_ppm}
+WHERE (inter * 1000000) // (na + nb - inter) >= {threshold_ppm}
 """
 
 
@@ -1347,4 +1364,105 @@ SELECT ab.src AS id_a, ab.dst AS id_b, ab.cos AS cos,
        CAST(ab.rank AS BIGINT) AS rank_ab, CAST(ba.rank AS BIGINT) AS rank_ba
 FROM knn ab JOIN knn ba ON ab.src = ba.dst AND ab.dst = ba.src
 WHERE ab.src < ab.dst
+"""
+
+
+def blocking_quality_eval(
+    cand: DataFrame, truth: DataFrame,
+    id_a: str = "id_a", id_b: str = "id_b",
+    n_records: int | None = None,
+) -> DataFrame:
+    """Blocking-scheme quality against a ground-truth pair set — the
+    record-linkage evaluation pair (Christen 2012): PAIR COMPLETENESS
+    (share of true matches the candidate generator surfaces — blocking
+    recall) and, when ``n_records`` is given, REDUCTION RATIO (share of
+    the C(n,2) pair space the scheme never scores)::
+
+        (n_cand, n_true, n_found, pair_completeness_ppm[, reduction_ratio_ppm])
+
+    Standing-query twin of ``similarity.ann_recall_eval``: a banding or
+    sorted-neighborhood config whose completeness drifts after a corpus
+    refresh should fail a gate, not a notebook. Pairs normalize to
+    (least, greatest) so orientation never matters; exact ppm integers
+    (``n_records`` must keep ``n_cand·10⁶`` and C(n,2) inside signed
+    64-bit — at larger n, report completeness only).
+
+    Scale: one equi-join between the two pair lists + two folds; never
+    touches the records themselves.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+        ).distinct()
+
+    c, t = norm(cand), norm(truth)
+    found = t.join(c, ["_a", "_b"], "left_semi")
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    counts = (
+        c.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        .withColumn("_one", one)
+        .join(
+            F.broadcast(
+                t.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+                .withColumn("_one", one)
+            ),
+            "_one",
+        )
+        .join(
+            F.broadcast(
+                found.groupBy().agg(
+                    F.count(F.lit(1)).cast("long").alias("n_found")
+                ).withColumn("_one", one)
+            ),
+            "_one",
+        )
+    )
+    out = counts.select(
+        "n_cand", "n_true", "n_found",
+        F.expr("CAST(n_found * 1000000L div n_true AS BIGINT)").alias(
+            "pair_completeness_ppm"
+        ),
+    )
+    if n_records is not None:
+        total = n_records * (n_records - 1) // 2
+        out = out.withColumn(
+            "reduction_ratio_ppm",
+            F.expr(f"CAST(1000000L - n_cand * 1000000L div {total}L AS BIGINT)"),
+        )
+    return out
+
+
+def blocking_quality_eval_sql(
+    cand_sql: str, truth_sql: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+    n_records: int | None = None,
+) -> str:
+    """DuckDB rendering of :func:`blocking_quality_eval` over two full
+    query texts (each may carry its own WITH clause)."""
+    rr = ""
+    if n_records is not None:
+        total = n_records * (n_records - 1) // 2
+        rr = (
+            f",\n       CAST(1000000 - n_cand * 1000000 // {total} AS BIGINT)"
+            f" AS reduction_ratio_ppm"
+        )
+    return f"""
+WITH c AS (
+  SELECT DISTINCT least({id_a}, {id_b}) AS a, greatest({id_a}, {id_b}) AS b
+  FROM ({cand_sql})
+),
+t AS (
+  SELECT DISTINCT least({id_a}, {id_b}) AS a, greatest({id_a}, {id_b}) AS b
+  FROM ({truth_sql})
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM t SEMI JOIN c ON t.a = c.a AND t.b = c.b) AS n_found
+)
+SELECT n_cand, n_true, n_found,
+       CAST(n_found * 1000000 // n_true AS BIGINT) AS pair_completeness_ppm{rr}
+FROM counts
 """

@@ -425,3 +425,88 @@ SELECT {k}, day,
        CAST(CASE WHEN day = d0 THEN 1 ELSE 0 END AS INT) AS is_obs
 FROM lerp
 """
+
+
+def time_weighted_avg(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key over IRREGULAR samples —
+    the correct mean for telemetry/balance/price series where a plain
+    AVG over-weights bursts (10 samples in one hot minute ≠ 10 minutes
+    at that level). Piecewise-constant holding: each sample holds until
+    the next one, so::
+
+        twap = Σ v_i·(t_{i+1} - t_i)  div  (t_last - t_first)
+
+    Emits ``(key..., n_obs, span, vw_sum, twap)`` — pure integers
+    (``ts_col``/``value_col`` integer epoch/cents; the div is the
+    sign-safe floored ``(a - pmod(a,b)) div b``). A single-sample key
+    (span 0) reports its own value as the TWAP.
+
+    Scale: one per-key lead window (bounded by the key's sample count)
+    + one map-side-combinable fold. ``value·span`` must stay inside
+    signed 64-bit.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    seg = df.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).withColumn(
+        "_dt",
+        F.lead(F.col("_t")).over(
+            Window.partitionBy(*key_cols).orderBy("_t", "_v")
+        )
+        - F.col("_t"),
+    )
+    agg = seg.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (F.max("_t") - F.min("_t")).cast("long").alias("span"),
+        F.sum(F.when(F.col("_dt").isNotNull(), F.col("_v") * F.col("_dt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("vw_sum"),
+        F.max(F.when(F.col("_dt").isNull(), F.col("_v"))).cast("long").alias("_last_v"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        "span",
+        "vw_sum",
+        F.when(F.col("span") == 0, F.col("_last_v"))
+        .otherwise(
+            F.expr("CAST((vw_sum - pmod(vw_sum, span)) div span AS BIGINT)")
+        )
+        .cast("long")
+        .alias("twap"),
+    )
+
+
+def time_weighted_avg_sql(
+    table_expr: str, key_exprs: list[str], ts_expr: str, value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`time_weighted_avg` (same hold-forward
+    weighting, same sign-safe floored division)."""
+    k = ", ".join(key_exprs)
+    return f"""
+WITH seg AS (
+  SELECT {k}, CAST({ts_expr} AS BIGINT) AS t, CAST({value_expr} AS BIGINT) AS v,
+         lead(CAST({ts_expr} AS BIGINT)) OVER w - CAST({ts_expr} AS BIGINT) AS dt
+  FROM {table_expr}
+  WINDOW w AS (PARTITION BY {k} ORDER BY CAST({ts_expr} AS BIGINT),
+               CAST({value_expr} AS BIGINT))
+),
+agg AS (
+  SELECT {k},
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(max(t) - min(t) AS BIGINT) AS span,
+         CAST(sum(CASE WHEN dt IS NOT NULL THEN v * dt ELSE 0 END) AS BIGINT)
+           AS vw_sum,
+         CAST(max(CASE WHEN dt IS NULL THEN v END) AS BIGINT) AS last_v
+  FROM seg GROUP BY {k}
+)
+SELECT {k}, n_obs, span, vw_sum,
+       CAST(CASE WHEN span = 0 THEN last_v
+            ELSE (vw_sum - ((vw_sum % span) + span) % span) // span END
+            AS BIGINT) AS twap
+FROM agg
+"""

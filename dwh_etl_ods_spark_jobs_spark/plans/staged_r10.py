@@ -1027,3 +1027,83 @@ def _sql_kmeans_step() -> str:
 
 STAGED_QUERIES["kmeans_step_exact"] = q_kmeans_step
 STAGED_ORACLES["kmeans_step_exact"] = _sql_kmeans_step()
+
+
+# --- blocking quality: MinHash banding vs exact-Jaccard ground truth ---
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair completeness of the MinHash/LSH banding against the exact
+    ngram-Jaccard truth at the same 0.5 threshold — the record-linkage
+    evaluation as a standing query (the ann_recall_eval twin for the
+    dedup family): a banding config whose recall drifts on a corpus
+    refresh fails the gate, not a notebook."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import blocking_quality_eval
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        q_dedup_jaccard,
+        q_dedup_minhash,
+    )
+
+    return blocking_quality_eval(
+        q_dedup_minhash(spark, sf_dir), q_dedup_jaccard(spark, sf_dir)
+    )
+
+
+def _sql_blocking_quality() -> str:
+    from dwh_etl_ods_spark_jobs_spark.dedup import blocking_quality_eval_sql
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        SQL_DEDUP_JACCARD,
+        SQL_DEDUP_MINHASH,
+    )
+
+    return blocking_quality_eval_sql(SQL_DEDUP_MINHASH, SQL_DEDUP_JACCARD)
+
+
+STAGED_QUERIES["dedup_blocking_quality"] = q_blocking_quality
+STAGED_ORACLES["dedup_blocking_quality"] = _sql_blocking_quality()
+
+
+# --- time-weighted average event value per type ---
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP of event value (cents) per event type over the irregular
+    event timeline — hold-forward weighting, so burst minutes don't
+    over-weight the mean the way a plain AVG does. Exact integers
+    end-to-end (epoch seconds × cents)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        # unix_millis, not a cast-to-long: sub-second truncation must be
+        # identical in both engines (DuckDB epoch_ms is the exact twin)
+        F.unix_millis(F.col("ts")).alias("ms"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return time_weighted_avg(ev, ["event_type"], "ms", "cents").orderBy(
+        "event_type"
+    )
+
+
+def _sql_twap() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        time_weighted_avg_sql,
+    )
+
+    return (
+        time_weighted_avg_sql(
+            "(SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) AS ms,"
+            " CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events) t",
+            ["event_type"],
+            "ms",
+            "cents",
+        )
+        + " ORDER BY event_type"
+    )
+
+
+STAGED_QUERIES["twap_event_value"] = q_twap
+STAGED_ORACLES["twap_event_value"] = _sql_twap()

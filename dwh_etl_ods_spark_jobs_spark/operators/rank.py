@@ -33,6 +33,8 @@ __all__ = [
     "systematic_weighted_sample",
     "systematic_weighted_sample_sql",
     "grouped_global_rank",
+    "grouped_weighted_quantile",
+    "grouped_weighted_quantile_sql",
 ]
 
 
@@ -417,3 +419,144 @@ def grouped_global_rank(
         return out.drop("_pid", "_off", "_gtotal")
 
     return apply
+
+
+def grouped_weighted_quantile(
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    weight_col: str,
+    quantiles: Sequence[tuple[int, int]],
+    n_ranges: int = 64,
+):
+    """Exact weighted quantiles PER GROUP at scale — the grouped
+    completion of :func:`weighted_quantile` (which is global-only): for
+    each group and each ``(num, den)`` quantile, the smallest value (by
+    ``value_cols`` order, unique tie-break required) whose cumulative
+    integer weight w within the group satisfies ``w·den ≥ num·total_g``::
+
+        (group..., q_num, q_den, <value_cols...>)
+
+    The :func:`grouped_global_rank` decomposition carried onto the
+    weight axis: range-repartition on ``(group..., value...)``, weight
+    sums per (range, group), exclusive offsets + group totals over the
+    tiny ranges×groups window, within-cell running weight, then ONE
+    aggregation with a conditional min per quantile. Degenerate groups
+    (zero total weight) emit no row for unreachable quantiles — matching
+    the SQL rendering. Intended for BOUNDED group cardinality (few huge
+    groups); millions of tiny groups should use a plain per-group window.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    vcols = [F.col(c) for c in value_cols]
+
+    def apply(df_in: DataFrame) -> DataFrame:
+        ranged = (
+            df_in.repartitionByRange(n_ranges, *gcols, *vcols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)  # referenced twice below
+        )
+        wsums = ranged.groupBy("_pid", *gcols).agg(
+            F.sum(F.col(weight_col)).cast("long").alias("_w")
+        )
+        w = Window.partitionBy(*gcols).orderBy("_pid")  # ranges/group
+        offsets = wsums.select(
+            "_pid",
+            *gcols,
+            F.coalesce(
+                F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("_off"),
+            F.sum("_w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long").alias("_total"),
+        )
+        r, o = ranged.alias("_r"), offsets.alias("_o")
+        cond = F.col("_r._pid") == F.col("_o._pid")
+        for g in group_cols:
+            cond = cond & F.col(f"_r.{g}").eqNullSafe(F.col(f"_o.{g}"))
+        within = Window.partitionBy(
+            F.col("_r._pid"), *[F.col(f"_r.{g}") for g in group_cols]
+        ).orderBy(*[F.col(f"_r.{c}") for c in value_cols]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = (
+            r.join(F.broadcast(o), cond)
+            .select(
+                "_r.*",
+                F.col("_o._off").alias("_off"),
+                F.col("_o._total").alias("_total"),
+            )
+            .withColumn(
+                "_cw",
+                F.col("_off")
+                + F.sum(F.col(weight_col)).over(within).cast("long"),
+            )
+        )
+        row = cum.groupBy(*group_cols).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cw") * F.lit(den) >= F.lit(num) * F.col("_total"),
+                        F.struct(*vcols),
+                    )
+                ).alias(f"_v{i}")
+                for i, (num, den) in enumerate(quantiles)
+            ]
+        )
+        stacked = row.select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(num).alias("q_num"),
+                            F.lit(den).alias("q_den"),
+                            F.col(f"_v{i}").alias("_v"),
+                        )
+                        for i, (num, den) in enumerate(quantiles)
+                    ]
+                )
+            ).alias("_q"),
+        )
+        return stacked.filter(F.col("_q._v").isNotNull()).select(
+            *group_cols,
+            F.col("_q.q_num").alias("q_num"),
+            F.col("_q.q_den").alias("q_den"),
+            *[F.col(f"_q._v.{c}").alias(c) for c in value_cols],
+        )
+
+    return apply
+
+
+def grouped_weighted_quantile_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    value_cols: Sequence[str],
+    weight_expr: str,
+    quantiles: Sequence[tuple[int, int]],
+) -> str:
+    """DuckDB rendering of :func:`grouped_weighted_quantile` (per-group
+    cumulative window + one first-crossing pick per quantile, UNION ALL
+    across quantiles — the single-node collapse, value-identical)."""
+    g = ", ".join(group_exprs)
+    vlist = ", ".join(value_cols)
+    picks = []
+    for num, den in quantiles:
+        picks.append(f"""
+SELECT {g}, {num} AS q_num, {den} AS q_den, {vlist}
+FROM (
+  SELECT {g}, {vlist},
+         row_number() OVER (PARTITION BY {g} ORDER BY {vlist}) AS rn
+  FROM cum WHERE cw * {den} >= {num} * total
+) WHERE rn = 1""")
+    body = "\nUNION ALL\n".join(picks)
+    return f"""
+WITH cum AS (
+  SELECT {g}, {vlist},
+         CAST(sum({weight_expr}) OVER (PARTITION BY {g} ORDER BY {vlist}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cw,
+         CAST(sum({weight_expr}) OVER (PARTITION BY {g}) AS BIGINT) AS total
+  FROM {table_expr}
+)
+{body}
+"""

@@ -1107,3 +1107,116 @@ def _sql_twap() -> str:
 
 STAGED_QUERIES["twap_event_value"] = q_twap
 STAGED_ORACLES["twap_event_value"] = _sql_twap()
+
+
+# --- grouped weighted quantiles: price deciles per segment ---
+
+GWQ_QUANTILES = [(1, 4), (1, 2), (3, 4)]
+
+
+def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quartiles per market segment, weighted by line count
+    — exact integer weighted quantiles computed PER GROUP through the
+    grouped range decomposition (five giant segments never funnel
+    through five window tasks)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    li_w = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    base = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li_w, orders["o_orderkey"] == li_w["l_orderkey"])
+        .select("c_mktsegment", "cents", "o_orderkey", "w")
+    )
+    return base.transform(
+        grouped_weighted_quantile(
+            ["c_mktsegment"], ["cents", "o_orderkey"], "w", GWQ_QUANTILES
+        )
+    ).orderBy("c_mktsegment", "q_num", "q_den")
+
+
+def _sql_grouped_weighted_quantile() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile_sql,
+    )
+
+    base = """
+(SELECT c.c_mktsegment, CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+        o.o_orderkey, w.w
+ FROM orders o
+ JOIN customer c ON o.o_custkey = c.c_custkey
+ JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+       FROM lineitem GROUP BY 1) w ON o.o_orderkey = w.l_orderkey) base
+"""
+    return (
+        grouped_weighted_quantile_sql(
+            base, ["c_mktsegment"], ["cents", "o_orderkey"], "w", GWQ_QUANTILES
+        )
+        + " ORDER BY c_mktsegment, q_num, q_den"
+    )
+
+
+STAGED_QUERIES["grouped_weighted_quantiles"] = q_grouped_weighted_quantile
+STAGED_ORACLES["grouped_weighted_quantiles"] = _sql_grouped_weighted_quantile()
+
+
+# --- feature relevance ranking by mutual information with the label ---
+
+# explicit floor() before the bigint cast: DuckDB CAST(double AS BIGINT)
+# ROUNDS (half-even) while Spark's truncates — floor is the shared form
+IG_FEATURES = [
+    ("user_bucket", "user_id % 7", "pmod(user_id, 7)"),
+    ("value_band", "CAST(floor(value) AS BIGINT) % 5",
+     "pmod(CAST(floor(value) AS BIGINT), 5)"),
+    ("props_len_band", "length(props) % 4", "pmod(length(props), 4)"),
+]
+
+
+def q_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance screen: MI(feature; event_type) in exact
+    micro-nats for each candidate feature, unioned into one ranking
+    frame — the per-feature composition the MI operator exists for
+    (leakage screens threshold on exactly this table)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir)
+    parts = []
+    for name, _, spark_expr in IG_FEATURES:
+        mi = mutual_information(
+            ev.select(F.expr(spark_expr).alias("_f"), "event_type"),
+            "_f",
+            "event_type",
+        ).select(F.lit(name).alias("feature"), "n_rows", "n_cells", "mi_micro")
+        parts.append(mi)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("feature")
+
+
+def _sql_feature_mi_ranking() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information_sql
+
+    selects = [
+        f"SELECT '{name}' AS feature, * FROM ("
+        + mutual_information_sql("events", duck_expr, "event_type")
+        + ")"
+        for name, duck_expr, _ in IG_FEATURES
+    ]
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY feature"
+
+
+STAGED_QUERIES["feature_mi_ranking"] = q_feature_mi_ranking
+STAGED_ORACLES["feature_mi_ranking"] = _sql_feature_mi_ranking()

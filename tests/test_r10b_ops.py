@@ -242,3 +242,41 @@ def test_kmeans_step_quantized_handcrafted(spark):
     assert out[4][0] == 0  # crossed over: d to c0 = 1 < d to c1 = 499² + 500²
     assert out[4][1] == 1
     assert out[3] == (1, 500 * 500 + 500 * 500)
+
+
+def test_grouped_weighted_quantile_matches_brute_force(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile,
+    )
+
+    rows = [
+        (("g%d" % (i % 3)) if i % 13 else None, (i * 29) % 100, i, (i * 7) % 5)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long, w long")
+    qs = [(1, 4), (1, 2), (3, 4)]
+    got = {
+        (r.g, r.q_num, r.q_den): (r.v, r.id)
+        for r in df.transform(
+            grouped_weighted_quantile(["g"], ["v", "id"], "w", qs, n_ranges=8)
+        ).collect()
+    }
+    # brute force per group in Python
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v, i, w in rows:
+        groups[g].append((v, i, w))
+    want = {}
+    for g, items in groups.items():
+        items.sort()
+        total = sum(w for _, _, w in items)
+        for num, den in qs:
+            cw = 0
+            for v, i, w in items:
+                cw += w
+                if cw * den >= num * total:
+                    want[(g, num, den)] = (v, i)
+                    break
+    assert got == want
+    assert any(k[0] is None for k in got)  # NULL group ranked too

@@ -49,15 +49,17 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 #         + 14 oldest entries of the r7-hard-gate-verified block.
 #   _TAIL = first the 30 r7-verified-block remainder (rotation-due r10),
 #           then the r8-hard-gate-verified block (fresh).
-# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 23
-# entries): _HEAD = the 23 staged_r10 entries (never gated) + the FIRST
-# 27 of the 30 rotation-due _TAIL entries below; the 3 rotation-due
-# overflow (pivot_wide_agg, json_extract, star_join_agg — cheapest to
-# sweep) plus everything else outside the window gets the committed
+# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 26
+# entries): _HEAD = the 26 staged_r10 entries (never gated) + the FIRST
+# 24 of the 30 rotation-due _TAIL entries below; the 6 rotation-due
+# overflow (full_outer_coalesce, union_date_repair, pricing_summary,
+# star_join_agg, pivot_wide_agg, json_extract) plus everything else
+# outside the window gets the committed
 # tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the
-# freshness test enforces this. Battery 120 -> 143 at registration:
+# freshness test enforces this. Battery 120 -> 146 at registration:
 # retire parameterization-subsumed entries into RETIRED_QUERIES
-# (slots already in plans/staged_r10.py) to land ≤ ~125.
+# (slots already in plans/staged_r10.py; candidates listed there) to
+# land ≤ ~125.
 _HEAD = [
     # ---- 19 newly registered staged_r9 entries (first driver gating) ----
     "quantile_binning_census",

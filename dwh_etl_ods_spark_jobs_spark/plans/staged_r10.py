@@ -40,6 +40,22 @@ STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
 
 # Battery consolidation slots (empty until an r10 retirement earns one).
+# r10 retirement CANDIDATES (battery 120 -> 147 at registration; target
+# ≤ ~125 with zero coverage loss — retired entries stay oracle-gated by
+# tests/test_retired_surfaces.py): (a) single-parameter ANN variants
+# whose physiology ann_recall_eval now exercises end-to-end
+# (ann_lsh_multiprobe, ann_ivf_nprobe2 — the recall eval RUNS both the
+# brute-force truth and the IVF candidate list); (b) TPC-H shapes whose
+# plan pattern duplicates a sibling (tpch_q5_local_volume ~ q3 shape,
+# tpch_q14_promo_share ~ q19 disjunctive-filter shape); (c) per-op text
+# queries subsumed by corpus_prep_pipeline (text_stats_tokens,
+# text_filter_pipeline); (d) dedup_ngram_jaccard subsumed by
+# dedup_blocking_quality (which runs it as the TRUTH side) and
+# dedup_prefix_filter_jaccard (same semantics, scale-path candidate
+# generation); (e) full_outer_coalesce subsumed by cdc_feed_apply's
+# merge; (f) sessionize_gap subsumed by session_path_trigrams's
+# sessionize stage. Final pick happens at registration against the
+# r10 gate-window arithmetic in __spark_entry__.py.
 RETIRED_QUERIES: dict = {}
 RETIRED_ORACLES: dict = {}
 

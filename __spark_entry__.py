@@ -49,14 +49,15 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 #         + 14 oldest entries of the r7-hard-gate-verified block.
 #   _TAIL = first the 30 r7-verified-block remainder (rotation-due r10),
 #           then the r8-hard-gate-verified block (fresh).
-# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 26
-# entries): _HEAD = the 26 staged_r10 entries (never gated) + the FIRST
-# 24 of the 30 rotation-due _TAIL entries below; the 6 rotation-due
-# overflow (full_outer_coalesce, union_date_repair, pricing_summary,
-# star_join_agg, pivot_wide_agg, json_extract) plus everything else
+# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 28
+# entries): _HEAD = the 28 staged_r10 entries (never gated) + the FIRST
+# 22 of the 30 rotation-due _TAIL entries below; the 8 rotation-due
+# overflow (semi_join_exists, record_linkage_fuzzy, full_outer_coalesce,
+# union_date_repair, pricing_summary, star_join_agg, pivot_wide_agg,
+# json_extract) plus everything else
 # outside the window gets the committed
 # tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the
-# freshness test enforces this. Battery 120 -> 146 at registration:
+# freshness test enforces this. Battery 120 -> 148 at registration:
 # retire parameterization-subsumed entries into RETIRED_QUERIES
 # (slots already in plans/staged_r10.py; candidates listed there) to
 # land ≤ ~125.

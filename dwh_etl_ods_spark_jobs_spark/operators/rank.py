@@ -35,6 +35,8 @@ __all__ = [
     "grouped_global_rank",
     "grouped_weighted_quantile",
     "grouped_weighted_quantile_sql",
+    "quantile_normalize",
+    "quantile_normalize_sql",
 ]
 
 
@@ -559,4 +561,92 @@ WITH cum AS (
   FROM {table_expr}
 )
 {body}
+"""
+
+
+
+def quantile_normalize(
+    value_cols: Sequence[str],
+    ref: DataFrame,
+    ref_value_cols: Sequence[str],
+    out_col: str = "norm",
+    n_ranges: int = 64,
+):
+    """Map every row's value onto the REFERENCE distribution's value at
+    the same quantile — classic quantile normalization (the batch-effect
+    / score-calibration workhorse: after it, the column's distribution
+    IS the reference's). The row at 0-based rank r of n gets the
+    reference row at rank ``floor(r·ref_n / n)``; the first element of
+    ``ref_value_cols`` comes back as ``out_col``.
+
+    Pure integer rank arithmetic. Both rankings come from the
+    :func:`global_rank` range decomposition (neither side ever funnels
+    through a single-partition sort); the reference row count attaches
+    as a constant-key broadcast scalar; the mapping itself is ONE
+    equi-join on the computed reference index (uniform by construction,
+    each ref rank matched by ~n/ref_n rows). ``value_cols`` /
+    ``ref_value_cols`` must each form a total order (unique tie-break
+    last, as :func:`global_rank`).
+    """
+
+    def apply(df_in: DataFrame) -> DataFrame:
+        ranked = df_in.transform(
+            global_rank(value_cols, out_col="_r", with_total="_n",
+                        n_ranges=n_ranges)
+        )
+        ranked_ref = ref.transform(
+            global_rank(ref_value_cols, out_col="_rr", with_total="_rn",
+                        n_ranges=n_ranges)
+        ).select("_rr", "_rn", F.col(ref_value_cols[0]).alias(out_col))
+        one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+        rn = ranked_ref.groupBy().agg(
+            F.max("_rn").cast("long").alias("_rn")
+        ).withColumn("_one", one)
+        base = (
+            ranked.withColumn("_one", one)
+            .join(F.broadcast(rn), "_one")
+            .withColumn("_idx", F.expr("CAST((_r * _rn) div _n AS BIGINT)"))
+        )
+        return (
+            base.join(
+                ranked_ref.select("_rr", out_col),
+                base["_idx"] == F.col("_rr"),
+            )
+            .drop("_r", "_n", "_rn", "_one", "_idx", "_rr")
+        )
+
+    return apply
+
+
+def quantile_normalize_sql(
+    table_expr: str,
+    select_cols: Sequence[str],
+    value_exprs: Sequence[str],
+    ref_expr: str,
+    ref_value_exprs: Sequence[str],
+    out_col: str = "norm",
+) -> str:
+    """DuckDB rendering of :func:`quantile_normalize` (two plain rank
+    windows + the same floored index join — the single-node collapse,
+    value-identical)."""
+    sel = ", ".join(f"b.{c}" for c in select_cols)
+    vorder = ", ".join(value_exprs)
+    rorder = ", ".join(ref_value_exprs)
+    return f"""
+WITH base0 AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY {vorder}) - 1 AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM {table_expr}
+),
+ref_ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY {rorder}) - 1 AS BIGINT) AS rr,
+         {ref_value_exprs[0]} AS {out_col}
+  FROM {ref_expr}
+),
+ref_n AS (SELECT CAST(count(*) AS BIGINT) AS rn FROM ({ref_expr})),
+base AS (
+  SELECT b.*, (b.r * ref_n.rn) // b.n AS idx FROM base0 b CROSS JOIN ref_n
+)
+SELECT {sel}, rf.{out_col}
+FROM base b JOIN ref_ranked rf ON b.idx = rf.rr
 """

@@ -1236,3 +1236,118 @@ def _sql_feature_mi_ranking() -> str:
 
 STAGED_QUERIES["feature_mi_ranking"] = q_feature_mi_ranking
 STAGED_ORACLES["feature_mi_ranking"] = _sql_feature_mi_ranking()
+
+
+# --- leakage-safe cluster-aware train/valid/test split ---
+
+
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware corpus split: documents are assigned to
+    train/valid/test by the md5 of their near-dup CLUSTER representative
+    (connected components over the MinHash pair graph), so near-dups can
+    NEVER straddle a split boundary — the leakage mode a row-wise random
+    split invites and temporal_split_embargo doesn't address. 80/10/10
+    by hash bucket; census per split pins every assignment through the
+    doc-id sum."""
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import _corpus
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    cc = D.connected_components(pairs, nodes)
+    bucket = F.pmod(md5_long(F.col("canonical_id").cast("string")), F.lit(10))
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        cc.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
+            F.sum("id").cast("long").alias("doc_id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+def _sql_cluster_aware_split() -> str:
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import SQL_DEDUP_CC
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    h = md5_long_sql("CAST(canonical_id AS VARCHAR)")
+    return f"""
+WITH cc AS ({SQL_DEDUP_CC})
+SELECT CASE WHEN {h} % 10 < 8 THEN 'train'
+            WHEN {h} % 10 < 9 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+       CAST(sum(id) AS BIGINT) AS doc_id_sum
+FROM cc GROUP BY 1 ORDER BY 1
+"""
+
+
+STAGED_QUERIES["cluster_aware_split"] = q_cluster_aware_split
+STAGED_ORACLES["cluster_aware_split"] = _sql_cluster_aware_split()
+
+
+# --- quantile normalization: view-event values onto the purchase scale ---
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize 'view' event values onto the 'purchase' value
+    distribution — the score-calibration workhorse (after it, the view
+    column's distribution IS the purchase distribution): exact rank
+    arithmetic through the global_rank decomposition on BOTH sides,
+    one uniform equi-join on the mapped reference index."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_normalize
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "cents")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "cents", "event_id"
+    )
+    return (
+        views.transform(
+            quantile_normalize(
+                ["cents", "event_id"], purch, ["cents", "event_id"],
+                out_col="norm_cents",
+            )
+        )
+        .select("event_id", "cents", "norm_cents")
+        .orderBy("event_id")
+    )
+
+
+def _sql_quantile_normalize() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_normalize_sql
+
+    ev = (
+        "(SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents"
+        " FROM events WHERE event_type = '{t}')"
+    )
+    return (
+        quantile_normalize_sql(
+            ev.format(t="view"),
+            ["event_id", "cents"],
+            ["cents", "event_id"],
+            ev.format(t="purchase"),
+            ["cents", "event_id"],
+            out_col="norm_cents",
+        )
+        + " ORDER BY event_id"
+    )
+
+
+STAGED_QUERIES["quantile_normalize_views"] = q_quantile_normalize
+STAGED_ORACLES["quantile_normalize_views"] = _sql_quantile_normalize()

@@ -280,3 +280,20 @@ def test_grouped_weighted_quantile_matches_brute_force(spark):
                     break
     assert got == want
     assert any(k[0] is None for k in got)  # NULL group ranked too
+
+
+def test_quantile_normalize_maps_onto_reference(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_normalize
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+    )
+    ref = spark.createDataFrame([(7, 100), (8, 200)], "rid long, rv long")
+    out = {
+        r.id: r.norm
+        for r in base.transform(
+            quantile_normalize(["v", "id"], ref, ["rv", "rid"], out_col="norm")
+        ).collect()
+    }
+    # n=4 onto rn=2: ranks 0,1 -> ref rank 0 (100); ranks 2,3 -> rank 1 (200)
+    assert out == {1: 100, 2: 100, 3: 200, 4: 200}

@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -305,4 +305,55 @@ def pcm_window_energy(
     return payloads.mapInPandas(
         pcm_window_energy_batches(window_samples, hop),
         schema=PCM_ENERGY_SCHEMA,
+    )
+
+
+# --- codec-free binary type sniffing (magic bytes) ---
+
+# (name, hex prefix) — longest-prefix-first so RIFF containers (WAV/AVI)
+# disambiguate on their format tag at offset 8.
+MAGIC_SIGNATURES = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "474946383"),          # GIF87a / GIF89a share this prefix
+    ("pdf", "25504446"),
+    ("zip", "504B0304"),
+    ("gzip", "1F8B"),
+]
+RIFF_TAGS = [("wav", "57415645"), ("avi", "41564920")]  # bytes 9..12
+
+
+def sniff_type(bin_col: Column) -> Column:
+    """Media type from MAGIC BYTES — the codec-free triage every binary
+    ingest pipeline runs before routing payloads to a decoder (or a
+    quarantine): a pure scan-side expression (hex prefix compare), no
+    Python boundary, no codec lib. RIFF containers disambiguate on the
+    format tag at offset 8 (WAV vs AVI); unknown/NULL/short payloads
+    label 'unknown'. Whole-stage-codegen friendly at any corpus size."""
+    head = F.upper(F.hex(F.substring(bin_col, 1, 16)))
+    riff = F.upper(F.hex(F.substring(bin_col, 9, 4)))
+    out = F.lit("unknown")
+    for name, tag in reversed(RIFF_TAGS):
+        out = F.when(
+            head.startswith("52494646") & (riff == tag), F.lit(name)
+        ).otherwise(out)
+    for name, sig in reversed(MAGIC_SIGNATURES):
+        out = F.when(head.startswith(sig), F.lit(name)).otherwise(out)
+    return out
+
+
+def type_census(payloads: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """(media_type, n, total_bytes) census over a binary column — the
+    routing/quarantine report sniff_type feeds. One map-side-combinable
+    aggregation; NULL payloads count under 'unknown' with 0 bytes."""
+    return (
+        payloads.select(
+            sniff_type(F.col(bin_col)).alias("media_type"),
+            F.coalesce(F.length(F.col(bin_col)), F.lit(0)).alias("_len"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_len").cast("long").alias("total_bytes"),
+        )
     )

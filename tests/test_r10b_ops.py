@@ -297,3 +297,35 @@ def test_quantile_normalize_maps_onto_reference(spark):
     }
     # n=4 onto rn=2: ranks 0,1 -> ref rank 0 (100); ranks 2,3 -> rank 1 (200)
     assert out == {1: 100, 2: 100, 3: 200, 4: 200}
+
+
+def test_binary_type_sniff_census(spark):
+    """Magic-byte sniffing: real signatures (PNG/JPEG/RIFF-WAV/RIFF-AVI/
+    gzip), a truncated payload, and NULL all route correctly — pure
+    scan-side expression, no codec lib (multimodal discipline)."""
+    from dwh_etl_ods_spark_jobs_spark.multimodal import type_census
+
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"x" * 8),
+        (2, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"jfif"),
+        (3, b"RIFF" + b"\x00\x00\x00\x00" + b"WAVEfmt "),
+        (4, b"RIFF" + b"\x00\x00\x00\x00" + b"AVI LIST"),
+        (5, bytes([0x1F, 0x8B, 0x08]) + b"z"),
+        (6, b"%PDF-1.7 stream"),
+        (7, b"PK\x03\x04zipzip"),
+        (8, b"RI"),  # truncated: not enough for any signature
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.media_type: (r.n, r.total_bytes)
+        for r in type_census(df, "payload").collect()
+    }
+    assert got["png"] == (1, 16)
+    assert got["jpeg"] == (1, 8)
+    assert got["wav"] == (1, 16)
+    assert got["avi"] == (1, 16)
+    assert got["gzip"] == (1, 4)
+    assert got["pdf"] == (1, 15)
+    assert got["zip"] == (1, 10)
+    assert got["unknown"] == (2, 2)  # truncated (2 bytes) + NULL (0 bytes)

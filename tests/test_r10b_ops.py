@@ -329,3 +329,40 @@ def test_binary_type_sniff_census(spark):
     assert got["pdf"] == (1, 15)
     assert got["zip"] == (1, 10)
     assert got["unknown"] == (2, 2)  # truncated (2 bytes) + NULL (0 bytes)
+
+
+def test_r10b_plans_have_no_single_partition_exchange(spark, sf_dir):
+    """Plan-shape pins for the new rank-decomposed operators: the
+    executed plans must carry NO Exchange SinglePartition beyond the
+    documented bounded offsets window (global sorts are the straggler
+    these operators exist to avoid), and the offsets frames must attach
+    via BroadcastExchange."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import prefix_filter_jaccard_pairs
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import grouped_global_rank
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import winsorized_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pf = prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold_ppm=500000)
+    pf.count()
+    plan_pf = pf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan_pf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ws = winsorized_stats(orders, ["o_orderpriority"], "cents", "o_orderkey")
+    ws.count()
+    plan_ws = ws._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan_ws
+    assert "BroadcastExchange" in plan_ws  # offsets attach by broadcast
+
+    gr = orders.transform(
+        grouped_global_rank(["o_orderpriority"], ["cents", "o_orderkey"])
+    )
+    gr.count()
+    plan_gr = gr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan_gr
+    assert "BroadcastExchange" in plan_gr

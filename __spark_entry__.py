@@ -29,6 +29,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     sketches,
     staged,
     staged_r9,
+    staged_r10,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -38,117 +39,83 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r9 WINDOW PLAN (executes the r8 commitment, VERDICT r8 #1; battery
-# consolidated 138 -> 120 per VERDICT r8 #2 — 18 subsumed entries moved
-# to per-module RETIRED_QUERIES, oracle-gated by
-# tests/test_retired_surfaces.py):
-#   _HEAD = 19 newly registered plans/staged_r9.py entries (never gated)
-#         + 17 rotation-due r6-gated entries (the committed 20 minus the
-#           3 retired: hopping_window_agg, ann_cosine_topk,
-#           hdr_quantile_sketch)
-#         + 14 oldest entries of the r7-hard-gate-verified block.
-#   _TAIL = first the 30 r7-verified-block remainder (rotation-due r10),
-#           then the r8-hard-gate-verified block (fresh).
-# r10 COMMITMENT (arithmetic updated as plans/staged_r10.py grew to 28
-# entries): _HEAD = the 28 staged_r10 entries (never gated) + the FIRST
-# 22 of the 30 rotation-due _TAIL entries below; the 8 rotation-due
-# overflow (semi_join_exists, record_linkage_fuzzy, full_outer_coalesce,
-# union_date_repair, pricing_summary, star_join_agg, pivot_wide_agg,
-# json_extract) plus everything else
-# outside the window gets the committed
-# tools/check_oracle.py --log-sweep run (tools/sweep_log.json) — the
-# freshness test enforces this. Battery 120 -> 148 at registration:
-# retire parameterization-subsumed entries into RETIRED_QUERIES
-# (slots already in plans/staged_r10.py; candidates listed there) to
-# land ≤ ~125.
+# r10 WINDOW PLAN (executes the r9 commitment, VERDICT r9 #1; battery
+# consolidated 120 + 28 staged_r10 - 9 retired = 139 — the 9 retirement
+# candidates from plans/staged_r10.py:42-58 (text_stats_tokens,
+# text_filter_pipeline, dedup_ngram_jaccard, ann_lsh_multiprobe,
+# ann_ivf_nprobe2, tpch_q5_local_volume, tpch_q14_promo_share,
+# full_outer_coalesce, sessionize_gap) moved to per-module
+# RETIRED_QUERIES, oracle-gated by tests/test_retired_surfaces.py):
+#   _HEAD = 28 newly registered plans/staged_r10.py entries (never gated)
+#         + 22 rotation-due r7-remainder entries (the committed "first 22"
+#           — after the 7 in-block retirements the rotation-due block is
+#           23 entries, so the only overflow is json_extract, covered by
+#           the committed r10 tools/check_oracle.py --log-sweep run).
+#   _TAIL = first the 38 surviving r8-hard-gate-verified entries
+#           (rotation-due r11) + json_extract, then the 50 r9-gated
+#           entries (fresh).
+# r11 COMMITMENT: _HEAD = the staged_r11 entries (never gated; S of them)
+# + the FIRST (50 - S) of the 39 rotation-due _TAIL entries below
+# (hll_set_algebra .. corpus_prep_pipeline, then json_extract); the
+# rotation-due overflow plus everything else outside the window gets the
+# committed tools/check_oracle.py --log-sweep run (tools/sweep_log.json)
+# — the freshness test enforces this.
 _HEAD = [
-    # ---- 19 newly registered staged_r9 entries (first driver gating) ----
-    "quantile_binning_census",
-    "target_encoding_priority",
-    "key_skew_diagnostics",
-    "json_malformed_census",
-    "temporal_split_embargo",
-    "attribution_touchpoints",
-    "rfm_quintile_features",
-    "cusum_changepoint_flags",
-    "golden_record_mode",
-    "token_pmi_topk",
-    "file_provenance_ranges",
-    "negative_edge_samples",
-    "wasserstein_drift",
-    "benford_digit_audit",
-    "cdc_feed_apply",
-    "weighted_price_quantiles",
-    "mktsegment_entropy",
-    "mix_allocation_exact",
-    "hybrid_retrieval_rerank",
-    # ---- 17 rotation-due (r6-gated, last swept r8) ----
-    "tombstone_delete_census",
-    "grouping_sets_agg",
-    "merge_upsert_scd1",
-    "job_rules_canonicalization",
-    "array_vector_ops",
-    "sql_api_not_in_subquery",
-    "dedup_simhash_pairs",
-    "incremental_antijoin_nullsafe",
-    "catalog_job_pipeline",
-    "graph_triangle_census",
-    "ann_pq_adc_topk",
-    "bm25_topk_retrieval",
-    "scd2_state_history",
-    "semantic_decontaminate",
-    "bloom_pruned_join",
-    "stratified_sample_exact",
-    "epoch_shuffle_order",
-    # ---- 14 oldest r7-hard-gate-verified entries ----
-    "embedding_quantize_int8",
-    "corr_regression_stats",
-    "interval_overlap_join",
-    "graph_pagerank_topk",
-    "chunk_sliding_window",
-    "outlier_mad_census",
-    "funnel_conversion",
-    "locf_gap_fill",
-    "rank_functions_suite",
-    "zorder_locality",
-    "unpivot_melt",
-    "dedupe_latest_window",
-    "groupby_max_dedup",
-    "lookup_fold_broadcast",
-]
-_TAIL = [
-    # ---- r7-verified-block remainder: rotation-due FIRST in r10 ----
+    # ---- 28 newly registered staged_r10 entries (first driver gating) ----
+    "decayed_segment_value",
+    "sorted_neighborhood_linkage",
+    "embedding_jl_projection",
+    "seasonal_weekday_outliers",
+    "tokenizer_fertility_by_lang",
+    "dedup_containment_census",
+    "graph_k_core_census",
+    "ks_drift_stat",
+    "rrf_hybrid_fusion",
+    "l_diversity_census",
+    "dedup_prefix_filter_jaccard",
+    "mutual_info_lang_source",
+    "kl_unigram_drift",
+    "pps_systematic_sample",
+    "winsorized_priority_stats",
+    "gap_fill_lerp_daily",
+    "mutual_knn_pairs",
+    "phrase_match_census",
+    "graph_label_prop_census",
+    "ann_recall_eval",
+    "salted_join_revenue",
+    "kmeans_step_exact",
+    "dedup_blocking_quality",
+    "twap_event_value",
+    "grouped_weighted_quantiles",
+    "feature_mi_ranking",
+    "cluster_aware_split",
+    "quantile_normalize_views",
+    # ---- 22 rotation-due (r7-block remainder, last swept r9) ----
     "clean_date_clamp_range_sentinel",
     "clean_value_canonicalization",
     "pii_hash_sha256",
     "month_spine",
     "art_outcomes_asof",
     "art_outcomes_monthly",
-    "text_stats_tokens",
     "text_pii_redaction",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_cc_survivors",
-    "text_filter_pipeline",
-    "ann_lsh_multiprobe",
-    "ann_ivf_nprobe2",
     "tsql_scalar_functions",
     "set_ops_except_intersect",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "window_frames",
     "asof_join_latest",
-    "sessionize_gap",
     "semi_join_exists",
     "record_linkage_fuzzy",
-    "full_outer_coalesce",
     "union_date_repair",
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
-    "json_extract",
-    # ---- r8-hard-gate-verified (CORRECTNESS_r08 green), freshest ----
+]
+_TAIL = [
+    # ---- r8-hard-gate-verified block: rotation-due FIRST in r11 ----
     "hll_set_algebra",
     "hdr_percentile_calibrate",
     "bpe_train_merges",
@@ -162,10 +129,8 @@ _TAIL = [
     "hard_negative_mining",
     "hopping_hll_distinct",
     "tpch_q3_priority",
-    "tpch_q5_local_volume",
     "tpch_q17_small_qty",
     "tpch_q18_big_orders",
-    "tpch_q14_promo_share",
     "tpch_q19_disjunctive",
     "tpch_q22_idle_rich",
     "session_path_trigrams",
@@ -189,6 +154,59 @@ _TAIL = [
     "incremental_state_merge",
     "mix_temperature_weights",
     "corpus_prep_pipeline",
+    # ---- r10 rotation-due overflow (committed r10 logged sweep) ----
+    "json_extract",
+    # ---- r9-hard-gate-verified (CORRECTNESS_r09 green), freshest ----
+    "quantile_binning_census",
+    "target_encoding_priority",
+    "key_skew_diagnostics",
+    "json_malformed_census",
+    "temporal_split_embargo",
+    "attribution_touchpoints",
+    "rfm_quintile_features",
+    "cusum_changepoint_flags",
+    "golden_record_mode",
+    "token_pmi_topk",
+    "file_provenance_ranges",
+    "negative_edge_samples",
+    "wasserstein_drift",
+    "benford_digit_audit",
+    "cdc_feed_apply",
+    "weighted_price_quantiles",
+    "mktsegment_entropy",
+    "mix_allocation_exact",
+    "hybrid_retrieval_rerank",
+    "tombstone_delete_census",
+    "grouping_sets_agg",
+    "merge_upsert_scd1",
+    "job_rules_canonicalization",
+    "array_vector_ops",
+    "sql_api_not_in_subquery",
+    "dedup_simhash_pairs",
+    "incremental_antijoin_nullsafe",
+    "catalog_job_pipeline",
+    "graph_triangle_census",
+    "ann_pq_adc_topk",
+    "bm25_topk_retrieval",
+    "scd2_state_history",
+    "semantic_decontaminate",
+    "bloom_pruned_join",
+    "stratified_sample_exact",
+    "epoch_shuffle_order",
+    "embedding_quantize_int8",
+    "corr_regression_stats",
+    "interval_overlap_join",
+    "graph_pagerank_topk",
+    "chunk_sliding_window",
+    "outlier_mad_census",
+    "funnel_conversion",
+    "locf_gap_fill",
+    "rank_functions_suite",
+    "zorder_locality",
+    "unpivot_melt",
+    "dedupe_latest_window",
+    "groupby_max_dedup",
+    "lookup_fold_broadcast",
 ]
 
 
@@ -240,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(quality.QUERIES)
     q.update(staged.STAGED_QUERIES)  # registered r8 (VERDICT r7 #1)
     q.update(staged_r9.STAGED_QUERIES)  # registered r9 (VERDICT r8 #1)
+    q.update(staged_r10.STAGED_QUERIES)  # registered r10 (VERDICT r9 #1)
     return _window_order(q)
 
 
@@ -257,4 +276,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(quality.ORACLES)
     o.update(staged.STAGED_ORACLES)  # registered r8 (VERDICT r7 #1)
     o.update(staged_r9.STAGED_ORACLES)  # registered r9 (VERDICT r8 #1)
+    o.update(staged_r10.STAGED_ORACLES)  # registered r10 (VERDICT r9 #1)
     return _window_order(o)

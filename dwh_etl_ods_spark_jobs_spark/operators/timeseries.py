@@ -351,6 +351,13 @@ def gap_fill_interpolate(
     Observation days reproduce their value exactly (``is_obs = 1``).
     ``day_col``/``value_col`` must be integers (epoch days / cents).
 
+    PRECONDITION: at most one observation per ``(key, day)`` — dedupe
+    upstream (``dedupe_latest``) if the feed can repeat a day. A
+    duplicate day produces a zero-length segment; both engines now DROP
+    it (Spark emits an empty gap range exactly like DuckDB's
+    ``range(d0, d0)``) rather than letting ``F.sequence``'s automatic
+    negative step fabricate a spurious ``d0 - 1`` row.
+
     Scale: per-key lead window (bounded by a key's observation count) +
     one explode of each gap's day range — the same shape as the LOCF
     fill; multi-year gaps would want the month-spine chunked explode
@@ -370,10 +377,17 @@ def gap_fill_interpolate(
             Window.partitionBy(*key_cols).orderBy("_d0")
         ))
     )
-    days = F.when(
-        F.col("_d1").isNotNull(),
-        F.sequence(F.col("_d0"), F.col("_d1") - 1),
-    ).otherwise(F.array(F.col("_d0")))
+    # _d1 <= _d0 only on contract-violating duplicate (key, day) rows:
+    # emit an EMPTY range (DuckDB range() semantics) — never let
+    # F.sequence auto-step backwards into a phantom d0-1 day.
+    days = (
+        F.when(F.col("_d1").isNull(), F.array(F.col("_d0")))
+        .when(
+            F.col("_d1") > F.col("_d0"),
+            F.sequence(F.col("_d0"), F.col("_d1") - 1),
+        )
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    )
     out = (
         seg.withColumn("day", F.explode(days))
         .withColumn("_num", (F.col("_v1") - F.col("_v0")) * (F.col("day") - F.col("_d0")))

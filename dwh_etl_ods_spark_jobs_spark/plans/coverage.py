@@ -968,7 +968,10 @@ def _sql_bivariate_stats() -> str:
 
 
 QUERIES["asof_join_latest"] = q_asof_join
-QUERIES["sessionize_gap"] = q_sessionize
+# r10 retired: gap-sessionize ⊂ session_path_trigrams' sessionize stage
+# (VERDICT r9 #1 candidate (f)); still oracle-gated by
+# tests/test_retired_surfaces.py.
+RETIRED_QUERIES["sessionize_gap"] = q_sessionize
 RETIRED_QUERIES["tumbling_daily_rollup"] = q_tumbling
 QUERIES["retention_cohorts"] = q_retention
 ORACLES["retention_cohorts"] = SQL_RETENTION
@@ -1004,7 +1007,7 @@ ORACLES["tombstone_delete_census"] = SQL_TOMBSTONE_CENSUS
 QUERIES["grouping_sets_agg"] = q_grouping_sets
 ORACLES["grouping_sets_agg"] = SQL_GROUPING_SETS
 ORACLES["asof_join_latest"] = SQL_ASOF_JOIN
-ORACLES["sessionize_gap"] = SQL_SESSIONIZE
+RETIRED_ORACLES["sessionize_gap"] = SQL_SESSIONIZE
 RETIRED_ORACLES["tumbling_daily_rollup"] = SQL_TUMBLING
 
 

@@ -865,16 +865,11 @@ FROM documents,
 
 
 QUERIES = {
-    "text_stats_tokens": q_text_stats,
     "text_pii_redaction": q_text_redact_pii,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_cc_survivors": q_dedup_cc,
-    "text_filter_pipeline": q_filter_pipeline,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "ann_pq_adc_topk": q_ann_pq,
     "embedding_quantize_int8": q_quantize_int8,
     "multimodal_decode_meta": q_multimodal_meta,
@@ -882,16 +877,11 @@ QUERIES = {
 }
 
 ORACLES = {
-    "text_stats_tokens": SQL_TEXT_STATS,
     "text_pii_redaction": SQL_TEXT_REDACT,
-    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_cc_survivors": SQL_DEDUP_CC,
-    "text_filter_pipeline": SQL_FILTER_PIPELINE,
-    "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
-    "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
     "ann_pq_adc_topk": SQL_ANN_PQ,
     "embedding_quantize_int8": SQL_QUANTIZE_INT8,
     "multimodal_decode_meta": SQL_MULTIMODAL_META,
@@ -912,6 +902,12 @@ RETIRED_QUERIES = {
     "text_fingerprint": q_text_fingerprint,    # ⊂ text_filter_pipeline (fingerprint stage)
     "dedup_exact_hash": q_dedup_exact,         # ⊂ text_filter_pipeline (min-doc_id survivor stage)
     "ann_cosine_topk": q_ann_bruteforce,       # exact-cosine top-k survives in hard_negative_mining + hybrid_retrieval_rerank
+    # ---- r10 consolidation (VERDICT r9 #1; candidates listed in plans/staged_r10.py) ----
+    "text_stats_tokens": q_text_stats,         # ⊂ corpus_prep_pipeline (token/len stats stage)
+    "text_filter_pipeline": q_filter_pipeline, # ⊂ corpus_prep_pipeline (langid+quality+fingerprint+exact-dedup gates)
+    "dedup_ngram_jaccard": q_dedup_jaccard,    # ⊂ dedup_blocking_quality (runs it as TRUTH side) + dedup_prefix_filter_jaccard (same semantics, scale path)
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,  # ⊂ ann_recall_eval (runs brute-force truth + bucketed candidates end-to-end)
+    "ann_ivf_nprobe2": q_ann_ivf_nprobe2,      # ⊂ ann_recall_eval (IVF candidate list is its approximate side)
 }
 RETIRED_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
@@ -923,4 +919,9 @@ RETIRED_ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
+    "text_stats_tokens": SQL_TEXT_STATS,
+    "text_filter_pipeline": SQL_FILTER_PIPELINE,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
+    "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
 }

@@ -447,7 +447,6 @@ QUERIES = {
     "pii_hash_sha256": q_pii_hash,
     "star_join_agg": q_star_join,
     "month_spine": q_month_spine,
-    "full_outer_coalesce": q_full_outer_coalesce,
     "union_date_repair": q_union_date_repair,
     "pricing_summary": q_pricing_summary,
     "art_outcomes_asof": q_art_outcomes,
@@ -464,9 +463,19 @@ ORACLES = {
     "pii_hash_sha256": SQL_PII_HASH,
     "star_join_agg": SQL_STAR_JOIN,
     "month_spine": SQL_MONTH_SPINE,
-    "full_outer_coalesce": SQL_FULL_OUTER_COALESCE,
     "union_date_repair": SQL_UNION_DATE_REPAIR,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "art_outcomes_asof": SQL_ART_OUTCOMES,
     "art_outcomes_monthly": SQL_ART_OUTCOMES_MONTHLY,
+}
+
+# Battery consolidation (VERDICT r9 #1): full-outer-join + per-side
+# coalesce is the merge core that cdc_feed_apply exercises end-to-end;
+# retired from the driver battery, still DuckDB-verified by
+# tests/test_retired_surfaces.py (candidate (e) in plans/staged_r10.py).
+RETIRED_QUERIES = {
+    "full_outer_coalesce": q_full_outer_coalesce,  # ⊂ cdc_feed_apply's merge stage
+}
+RETIRED_ORACLES = {
+    "full_outer_coalesce": SQL_FULL_OUTER_COALESCE,
 }

@@ -531,8 +531,12 @@ ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
 
 STAGED_QUERIES["tpch_q3_priority"] = q_tpch_q3
 STAGED_ORACLES["tpch_q3_priority"] = SQL_TPCH_Q3
-STAGED_QUERIES["tpch_q5_local_volume"] = q_tpch_q5
-STAGED_ORACLES["tpch_q5_local_volume"] = SQL_TPCH_Q5
+# r10 retired: Q5 duplicates Q3's broadcast-dims join-agg plan shape
+# (VERDICT r9 #1 candidate (b)); still oracle-gated by
+# tests/test_retired_surfaces.py and broadcast-pinned by
+# tests/test_staged_surfaces.py.
+RETIRED_QUERIES["tpch_q5_local_volume"] = q_tpch_q5
+RETIRED_ORACLES["tpch_q5_local_volume"] = SQL_TPCH_Q5
 # r9 retired: Q10 is the same join-agg-topk plan shape as tpch_q3_priority
 # (VERDICT r8 #2); still oracle-gated by tests/test_retired_surfaces.py.
 RETIRED_QUERIES["tpch_q10_returns"] = q_tpch_q10
@@ -778,8 +782,11 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
 FROM idle GROUP BY c_nationkey
 """
 
-STAGED_QUERIES["tpch_q14_promo_share"] = q_tpch_q14
-STAGED_ORACLES["tpch_q14_promo_share"] = SQL_TPCH_Q14
+# r10 retired: Q14's conditional-share-over-filtered-join duplicates Q19's
+# disjunctive-filter plan shape (VERDICT r9 #1 candidate (b)); still
+# oracle-gated by tests/test_retired_surfaces.py.
+RETIRED_QUERIES["tpch_q14_promo_share"] = q_tpch_q14
+RETIRED_ORACLES["tpch_q14_promo_share"] = SQL_TPCH_Q14
 STAGED_QUERIES["tpch_q19_disjunctive"] = q_tpch_q19
 STAGED_ORACLES["tpch_q19_disjunctive"] = SQL_TPCH_Q19
 STAGED_QUERIES["tpch_q22_idle_rich"] = q_tpch_q22

@@ -40,9 +40,14 @@ STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
 
 # Battery consolidation slots (empty until an r10 retirement earns one).
-# r10 retirement CANDIDATES (battery 120 -> 147 at registration; target
-# ≤ ~125 with zero coverage loss — retired entries stay oracle-gated by
-# tests/test_retired_surfaces.py): (a) single-parameter ANN variants
+# r10 retirement EXECUTED at registration: battery 120 + 28 - 9 = 139;
+# all nine candidates below were retired into their defining modules'
+# RETIRED_QUERIES (pipeline: text_stats_tokens, text_filter_pipeline,
+# dedup_ngram_jaccard, ann_lsh_multiprobe, ann_ivf_nprobe2; staged:
+# tpch_q5_local_volume, tpch_q14_promo_share; showcase:
+# full_outer_coalesce; coverage: sessionize_gap) — zero coverage loss,
+# every one still oracle-gated by tests/test_retired_surfaces.py.
+# Original candidate rationale: (a) single-parameter ANN variants
 # whose physiology ann_recall_eval now exercises end-to-end
 # (ann_lsh_multiprobe, ann_ivf_nprobe2 — the recall eval RUNS both the
 # brute-force truth and the IVF candidate list); (b) TPC-H shapes whose
@@ -1049,11 +1054,15 @@ STAGED_ORACLES["kmeans_step_exact"] = _sql_kmeans_step()
 
 
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair completeness of the MinHash/LSH banding against the exact
-    ngram-Jaccard truth at the same 0.5 threshold — the record-linkage
-    evaluation as a standing query (the ann_recall_eval twin for the
-    dedup family): a banding config whose recall drifts on a corpus
-    refresh fails the gate, not a notebook."""
+    """Pair completeness of the MinHash/LSH banding (banded for
+    Jaccard≥0.5 on w=3 shingles) against the exact ngram-Jaccard truth
+    at Jaccard≥0.8 on w=5 shingles — a deliberately STRICTER truth set
+    than the banding's tuning point, so completeness measures whether
+    the loose banding still recovers every tight near-dup pair (ADVICE
+    r9: the two sides intentionally differ in threshold and shingle
+    width). The record-linkage evaluation as a standing query (the
+    ann_recall_eval twin for the dedup family): a banding config whose
+    recall drifts on a corpus refresh fails the gate, not a notebook."""
     from dwh_etl_ods_spark_jobs_spark.dedup import blocking_quality_eval
     from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
         q_dedup_jaccard,

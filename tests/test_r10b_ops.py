@@ -110,6 +110,41 @@ def test_gap_fill_lerp_boundaries(spark):
     assert len(out) == 6
 
 
+def test_gap_fill_lerp_duplicate_day_drops_zero_length_segment(spark):
+    """ADVICE r9 (medium): a contract-violating duplicate (key, day) row
+    must NOT let F.sequence auto-step backwards into a phantom d0-1 day
+    with a NULL value — both engines drop the zero-length segment."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        gap_fill_interpolate,
+        gap_fill_interpolate_sql,
+    )
+
+    # duplicate day carries the SAME value so the tie-order between the
+    # two day-10 rows (unspecified in both engines) cannot change output
+    rows = [("a", 10, 100), ("a", 10, 100), ("a", 12, 60)]
+    obs = spark.createDataFrame(rows, "k string, d long, v long")
+    got = sorted(
+        (r.k, r.day, r.value, r.is_obs)
+        for r in gap_fill_interpolate(obs, ["k"], "d", "v").collect()
+    )
+    # no day 9, no NULL values; days 10/11/12 present exactly once each
+    # except the duplicated obs day 10 (one row per surviving segment)
+    assert all(day >= 10 for _, day, _, _ in got)
+    assert all(v is not None for _, _, v, _ in got)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(k VARCHAR, d BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gap_fill_interpolate_sql("src", ["k"], "d", "v")
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_mutual_information_identities(spark):
     from dwh_etl_ods_spark_jobs_spark.operators.stats import mutual_information
 

@@ -1,11 +1,14 @@
 """Oracle parity for battery-retired queries.
 
-Round-7 consolidation (VERDICT r6 #7) removed parameterization-subsumed
-entries from the driver battery; each still runs here against its DuckDB
-oracle at sf0.001 so the operator surface it exercised (df.rollup/df.cube,
-multi-DISTINCT Expand, the string-function suite, tumbling rollup, global
-sort+limit, single-probe LSH / nprobe=1 IVF, simhash signature stage,
-degree histogram, corpus top tokens) keeps a correctness gate.
+Battery consolidation (VERDICT r6 #7, widened r8/r9/r10) removed
+parameterization-subsumed entries from the driver battery; each still runs
+here against its DuckDB oracle at sf0.001 so the operator surface it
+exercised (df.rollup/df.cube, multi-DISTINCT Expand, the string-function
+suite, tumbling rollup, global sort+limit, single-probe LSH / nprobe=1
+IVF, simhash signature stage, degree histogram, corpus top tokens; r10:
+text stats/filter pipeline, exact n-gram Jaccard, multiprobe-LSH and
+nprobe=2-IVF ANN, TPC-H Q5/Q14 shapes, full-outer coalesce, gap
+sessionize) keeps a correctness gate.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (
     curation,
     graph,
     pipeline,
+    showcase,
     sketches,
     staged,
 )
@@ -31,7 +35,7 @@ TABLES = [
 
 RETIRED = [
     (mod, name)
-    for mod in (coverage, pipeline, graph, curation, sketches, staged)
+    for mod in (coverage, pipeline, graph, curation, sketches, staged, showcase)
     for name in mod.RETIRED_QUERIES
 ]
 

@@ -47,14 +47,17 @@ def test_staged_r10_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r10_names_not_yet_in_battery():
-    """r10 move is an ADD: no collision with live battery names (flip to
-    a registered-and-gated assert at r10 registration, as r9 did)."""
+def test_staged_r10_names_registered_and_gated():
+    """r10 registration executed (VERDICT r9 #1): every staged_r10 entry is
+    live in the battery AND inside the driver's 50-slot gate window."""
     import __spark_entry__ as entry_mod
 
-    live = set(entry_mod.queries())
-    clash = live & set(staged_r10.STAGED_QUERIES)
-    assert not clash, f"staged_r10 names already registered: {sorted(clash)}"
+    live = list(entry_mod.queries())
+    missing = set(staged_r10.STAGED_QUERIES) - set(live)
+    assert not missing, f"staged_r10 names not registered: {sorted(missing)}"
+    window = set(live[:50])
+    outside = set(staged_r10.STAGED_QUERIES) - window
+    assert not outside, f"staged_r10 names outside the gate window: {sorted(outside)}"
 
 
 def test_staged_r10_oracle_keys_align():

@@ -54,12 +54,18 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 #   _TAIL = first the 38 surviving r8-hard-gate-verified entries
 #           (rotation-due r11) + json_extract, then the 50 r9-gated
 #           entries (fresh).
-# r11 COMMITMENT: _HEAD = the staged_r11 entries (never gated; S of them)
-# + the FIRST (50 - S) of the 39 rotation-due _TAIL entries below
-# (hll_set_algebra .. corpus_prep_pipeline, then json_extract); the
-# rotation-due overflow plus everything else outside the window gets the
-# committed tools/check_oracle.py --log-sweep run (tools/sweep_log.json)
-# — the freshness test enforces this.
+# r11 COMMITMENT (exact arithmetic, enforced by the freshness test):
+# plans/staged_r11.py holds 11 entries (auc_price_returns,
+# calibration_price_returns, dedup_weighted_jaccard,
+# minhash_estimate_eval, ohlc_daily_value, nearest_click_join,
+# fd_violation_census, embedding_distance_histogram,
+# bootstrap_order_value_ci, graph_bfs_reach, hll_error_eval), so
+# _HEAD_r11 = those 11 + ALL 39 rotation-due _TAIL entries below
+# (hll_set_algebra .. corpus_prep_pipeline, then json_extract) = 50
+# exactly — zero rotation-due overflow. Everything else outside the
+# window gets the committed tools/check_oracle.py --log-sweep run
+# (tools/sweep_log.json). Battery 139 + 11 = 150 at registration unless
+# r11 retirements land.
 _HEAD = [
     # ---- 28 newly registered staged_r10 entries (first driver gating) ----
     "decayed_segment_value",

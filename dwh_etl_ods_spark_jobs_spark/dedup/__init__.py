@@ -1466,3 +1466,214 @@ SELECT n_cand, n_true, n_found,
        CAST(n_found * 1000000 // n_true AS BIGINT) AS pair_completeness_ppm{rr}
 FROM counts
 """
+
+
+# --- IDF-weighted Jaccard near-dup (r11) ---
+
+WJ_DF_MAX = 1000       # shingles hotter than this leave the similarity domain
+WJ_IDF_PPM = 1_000_000
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold_ppm: int, w: int = SHINGLE_W, df_max: int = WJ_DF_MAX,
+) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs: shared boilerplate counts
+    for little, shared RARE content for a lot::
+
+        J_w(A,B) = Σ_{t∈A∩B} idf_t  /  Σ_{t∈A∪B} idf_t
+
+    with ``idf_t = round(ln(N/df_t)·10⁶)`` fixed per shingle (ONE float
+    ``ln`` rounded to integer micro-units — the PMI discipline, so the
+    fold is exact and engine-portable). ``jw_ppm = inter·10⁶ div
+    (W_A + W_B − inter)``. The unweighted Jaccard treats a stop-shingle
+    and a rare quote identically; the weighted form is what content-
+    aware dedup actually wants.
+
+    Domain semantics (identical in the oracle): shingles with
+    ``df > df_max`` are excluded from the similarity domain ENTIRELY
+    (numerator and denominator) — they are the near-zero-idf stopword
+    band, and each would contribute C(df,2) join rows. df=1 shingles
+    stay in the denominators but are provably never joined (they cannot
+    be shared), so the join runs only on 2 ≤ df ≤ df_max postings.
+
+    Scale: posting-list equi-join on 60-bit keys with a hard per-key
+    fan-in bound (df_max), one pair aggregation (map-side combinable),
+    doc totals attach un-hinted (AQE broadcasts when they fit). The
+    N-row count attaches to the vocabulary via a constant-key broadcast
+    — no collect.
+    """
+    posting = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+        .localCheckpoint(eager=False)  # df-counts + weighted postings
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    n_docs = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+        .withColumn("_one", one)
+    )
+    vocab = (
+        posting.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .filter(F.col("_df") <= df_max)
+        .withColumn("_one", one)
+        .join(F.broadcast(n_docs), "_one")
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(F.col("_nd").cast("double") / F.col("_df").cast("double"))
+                * F.lit(float(WJ_IDF_PPM))
+            ).cast("long"),
+        )
+        .select("sh_h", "_df", "idf")
+    )
+    weighted = posting.join(vocab, "sh_h").localCheckpoint(eager=False)
+    totals = weighted.groupBy("doc_id").agg(
+        F.sum("idf").cast("long").alias("w_tot")
+    )
+    joinable = weighted.filter(F.col("_df") >= 2)
+    inter = (
+        joinable.alias("p1")
+        .join(joinable.alias("p2"), on="sh_h")
+        .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .groupBy(
+            F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("p1.idf")).cast("long").alias("w_inter"))
+    )
+    a = totals.select(F.col("doc_id").alias("id_a"), F.col("w_tot").alias("wa"))
+    b = totals.select(F.col("doc_id").alias("id_b"), F.col("w_tot").alias("wb"))
+    return (
+        inter.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jw_ppm",
+            F.expr(
+                f"CAST(w_inter * {WJ_IDF_PPM} div (wa + wb - w_inter) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jw_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jw_ppm")
+    )
+
+
+def weighted_jaccard_pairs_sql(
+    src: str, text_expr: str, id_expr: str,
+    threshold_ppm: int, w: int = SHINGLE_W, df_max: int = WJ_DF_MAX,
+) -> str:
+    """DuckDB rendering of :func:`weighted_jaccard_pairs` — same md5
+    shingle keys, same rounded micro-idf, same df-band domain."""
+    return f"""
+WITH p0 AS (
+  SELECT {id_expr} AS doc_id, unnest({shingles_sql(text_expr, w)}) AS shingle
+  FROM {src}
+),
+posting AS (
+  SELECT doc_id, {md5_long_sql('shingle')} AS sh_h FROM p0
+),
+vocab AS (
+  SELECT sh_h, CAST(count(*) AS BIGINT) AS df,
+         CAST(round(ln((SELECT CAST(count(*) AS DOUBLE) FROM {src})
+                       / CAST(count(*) AS DOUBLE)) * {WJ_IDF_PPM})
+              AS BIGINT) AS idf
+  FROM posting GROUP BY sh_h
+  HAVING count(*) <= {df_max}
+),
+weighted AS (
+  SELECT p.doc_id, p.sh_h, v.df, v.idf
+  FROM posting p JOIN vocab v USING (sh_h)
+),
+totals AS (
+  SELECT doc_id, CAST(sum(idf) AS BIGINT) AS w_tot
+  FROM weighted GROUP BY doc_id
+),
+inter AS (
+  SELECT p1.doc_id AS id_a, p2.doc_id AS id_b,
+         CAST(sum(p1.idf) AS BIGINT) AS w_inter
+  FROM weighted p1 JOIN weighted p2 ON p1.sh_h = p2.sh_h
+   AND p1.doc_id < p2.doc_id
+  WHERE p1.df >= 2 AND p2.df >= 2
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.w_inter * {WJ_IDF_PPM}
+            // (a.w_tot + b.w_tot - i.w_inter) AS BIGINT) AS jw_ppm
+FROM inter i
+JOIN totals a ON a.doc_id = i.id_a
+JOIN totals b ON b.doc_id = i.id_b
+WHERE i.w_inter * {WJ_IDF_PPM} // (a.w_tot + b.w_tot - i.w_inter)
+      >= {threshold_ppm}
+"""
+
+
+def minhash_estimate_eval(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float, k: int = MINHASH_K, bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+) -> DataFrame:
+    """Sketch-error evaluation for MinHash (the dedup twin of
+    ann_recall_eval's recall number): over the banding's candidate
+    pairs, compare the signature-agreement Jaccard ESTIMATE to the
+    exact shingle Jaccard::
+
+        (n_pairs, mean_abs_err_ppm, max_abs_err_ppm)
+
+    Error in exact ppm (estimate and truth both rationals folded at
+    ppm). A k too small for the corpus's similarity profile shows up
+    as a rising mean error on refresh — the monitoring hook for the
+    sketch-parameter choice.
+
+    Scale: candidate generation is the banded posting join
+    (:func:`minhash_lsh_pairs`); the exact side re-scores ONLY the
+    candidate pairs through the posting intersection (semi-join down to
+    candidate docs first), never all pairs.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, threshold, k, bands).select(
+        "id_a", "id_b",
+        F.round(F.col("est_jaccard") * WJ_IDF_PPM).cast("long").alias("est_ppm"),
+    )
+    docs_in_play = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    posting = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .join(docs_in_play, "doc_id", "left_semi")
+        .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        posting.alias("p1")
+        .join(posting.alias("p2"), on="sh_h")
+        .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .groupBy(
+            F.col("p1.doc_id").alias("id_a"), F.col("p2.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn(
+            "true_ppm",
+            F.expr(f"CAST(c * {WJ_IDF_PPM} div (na + nb - c) AS BIGINT)"),
+        )
+        .withColumn("err", F.abs(F.col("est_ppm") - F.col("true_ppm")))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(err) div count(1) AS BIGINT)").alias("mean_abs_err_ppm"),
+        F.max("err").cast("long").alias("max_abs_err_ppm"),
+    )

@@ -499,3 +499,73 @@ def label_propagation_sql(edges_cte: str, rounds: int = 3) -> str:
         )
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT node, label FROM lp{rounds}"
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Multi-source BFS: exact minimum hop distance (≤ ``max_hops``)
+    from ANY source node, the frontier-expansion formulation::
+
+        (node, hops)
+
+    Distance-0 rows are the sources themselves; unreached nodes are
+    absent (left to the caller — an unreached census is one anti-join).
+    Input: symmetrized ``(src, dst)`` edges (as the other iterative ops
+    expect) and a 1-column ``(node)`` sources frame.
+
+    Scale: per hop, ONE equi-join of the CURRENT FRONTIER against the
+    edge list (frontier-sized, not graph-sized), one anti-join to drop
+    already-settled nodes, one distinct; lineage truncates per round via
+    localCheckpoint. A fixed hop budget bounds the rounds exactly like
+    k_core's peel budget — BFS beyond a few hops on a power-law graph is
+    the whole graph anyway.
+    """
+    settled = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return settled
+
+
+def bfs_hops_sql(edges_cte: str, sources_cte: str, max_hops: int = 4) -> str:
+    """DuckDB rendering of :func:`bfs_hops` — the same frontier rounds
+    UNROLLED as materialized CTEs (the label_propagation_sql idiom; a
+    recursive CTE would re-derive reached nodes per iteration instead of
+    anti-joining the settled set)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_cte})",
+        f"s0 AS MATERIALIZED (SELECT DISTINCT CAST(node AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS hops FROM ({sources_cte}))",
+        "f0 AS MATERIALIZED (SELECT node FROM s0)",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"n{h} AS MATERIALIZED ("
+            f"SELECT DISTINCT CAST(e.dst AS BIGINT) AS node,"
+            f" CAST({h} AS BIGINT) AS hops "
+            f"FROM e0 e JOIN f{h - 1} f ON e.src = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM s{h - 1} s WHERE s.node = e.dst))"
+        )
+        ctes.append(
+            f"s{h} AS MATERIALIZED ("
+            f"SELECT node, hops FROM s{h - 1} UNION ALL "
+            f"SELECT node, hops FROM n{h})"
+        )
+        ctes.append(f"f{h} AS MATERIALIZED (SELECT node FROM n{h})")
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT node, hops FROM s{max_hops}"

@@ -534,3 +534,79 @@ SELECT diversity,
        CAST(diversity < {l_min} AS INT) AS at_risk
 FROM classes GROUP BY diversity
 """
+
+
+def fd_violations(
+    df: DataFrame, fds: list[tuple[list[str], str]]
+) -> DataFrame:
+    """Functional-dependency violation census: for each candidate FD
+    ``LHS → rhs``, how badly the data breaks it::
+
+        (fd, n_groups, n_violating_groups, n_violating_rows, max_distinct_rhs)
+
+    A group (distinct LHS value) VIOLATES when it maps to >1 distinct
+    rhs (NULL counts as a value — two rows (a, NULL) and (a, 1) violate,
+    the data-profiling convention). The discovery primitive behind key
+    inference, denormalization checks, and "is this column derivable"
+    questions a catalog migration asks of every table.
+
+    Scale: one groupBy per FD — LHS-keyed count-distinct aggregations,
+    map-side combinable; the per-FD results union into a ≤len(fds)-row
+    frame. Candidate FDs are a declared list (the pairwise-all-columns
+    search is a different, quadratic tool).
+    """
+    outs = []
+    for lhs, rhs in fds:
+        name = ",".join(lhs) + "->" + rhs
+        g = (
+            df.groupBy(*[F.col(c) for c in lhs])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.size(F.collect_set(F.coalesce(F.col(rhs).cast("string"), F.lit("\x00NULL"))))
+                .cast("long")
+                .alias("_d"),
+            )
+        )
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("_d") > 1).cast("long")).cast("long").alias(
+                    "n_violating_groups"
+                ),
+                F.sum(F.when(F.col("_d") > 1, F.col("_n")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("n_violating_rows"),
+                F.max("_d").cast("long").alias("max_distinct_rhs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fd_violations_sql(
+    table_expr: str, fds: list[tuple[list[str], str]]
+) -> str:
+    """DuckDB rendering of :func:`fd_violations` (same NULL-as-value
+    convention via the same sentinel coalesce)."""
+    parts = []
+    for lhs, rhs in fds:
+        name = ",".join(lhs) + "->" + rhs
+        k = ", ".join(lhs)
+        parts.append(f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN _d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN _d > 1 THEN _n ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(max(_d) AS BIGINT) AS max_distinct_rhs
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS _n,
+         CAST(count(DISTINCT coalesce(CAST({rhs} AS VARCHAR), chr(1) || 'NULL'))
+              AS BIGINT) AS _d
+  FROM {table_expr} GROUP BY {k}
+)""")
+    return "\nUNION ALL\n".join(parts)

@@ -23,7 +23,7 @@ values with 5 orders of magnitude to spare.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -956,4 +956,141 @@ SELECT {g}, n, k, lo_val, hi_val,
        mid_sum AS trim_sum,
        CAST(n - 2 * k AS BIGINT) AS n_mid
 FROM agg
+"""
+
+
+# --- deterministic Poisson bootstrap (r11) ---------------------------------
+
+# Poisson(1) CDF thresholds scaled to 2^60 (the md5_long range), exact
+# integer literals computed once in Python — both engines compare the
+# same 60-bit hash to the same constants, so every replicate weight is
+# reproducible and engine-identical. P(X > 6) ≈ 1e-4 truncates to 6.
+BOOT_POISSON_CDF_2_60 = [
+    424136118829305344,    # P(X <= 0)
+    848272237658610688,    # P(X <= 1)
+    1060340297073263360,   # P(X <= 2)
+    1131029650211480960,   # P(X <= 3)
+    1148701988496035328,   # P(X <= 4)
+    1152236456152946176,   # P(X <= 5)
+]
+BOOT_LO_IDX_PPM = 50_000   # 5th percentile
+BOOT_HI_IDX_PPM = 950_000  # 95th percentile
+
+
+def _boot_weight_expr(u: "Column") -> "Column":
+    w = F.lit(6).cast("long")
+    for k in reversed(range(len(BOOT_POISSON_CDF_2_60))):
+        w = F.when(u < F.lit(BOOT_POISSON_CDF_2_60[k]), F.lit(k).cast("long")).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame, id_col: str, value_col: str, n_replicates: int = 40
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the mean
+    of a NON-NEGATIVE integer column (the floored means use truncating
+    div — shift negatives upstream or add the pmod adjustment)::
+
+        (n_replicates, mean_lo, mean_hi, mean_all)
+
+    The scale-out bootstrap: resampling-with-replacement is
+    irreproducible and needs the row count up front, but for large n the
+    multinomial row weights converge to independent Poisson(1) — so each
+    row gets, per replicate b, the weight ``F⁻¹_Poisson(u)`` where ``u =
+    md5(id:b)`` (inverse-CDF against fixed integer thresholds — no
+    rand(), same weights every run and in the oracle). Replicate means
+    are floored integer divs; the CI is the exact 5th/95th percentile
+    pick (index ``floor(p·B)``) over the B-row replicate frame.
+
+    Scale: the explode multiplies the scan by B (the honest cost of a
+    B-fold bootstrap) but the shuffle carries only B partial-sum rows —
+    per-replicate sums combine map-side. B is a literal; the replicate
+    frame is bounded, so its sort is a ≤B-row window.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b")
+    u = md5_long(
+        F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("_b").cast("string"))
+    )
+    rep = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .select("_id", "_v", b)
+        .withColumn("_w", _boot_weight_expr(u))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).cast("long").alias("_s"),
+            F.sum("_w").cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_mean", F.expr("CAST(_s div _n AS BIGINT)"))
+    )
+    w = Window.orderBy("_mean", "_b")  # B rows — bounded
+    ranked = rep.withColumn("_rk", F.row_number().over(w) - 1).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    lo_idx = F.expr(f"CAST(_cnt * {BOOT_LO_IDX_PPM} div 1000000 AS BIGINT)")
+    hi_idx = F.expr(f"CAST(_cnt * {BOOT_HI_IDX_PPM} div 1000000 AS BIGINT)")
+    grand = df.agg(
+        F.expr(
+            f"CAST(sum(CAST({value_col} AS BIGINT))"
+            f" div count(1) AS BIGINT)"
+        ).alias("mean_all")
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    picks = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min(F.when(F.col("_rk") == lo_idx, F.col("_mean"))).cast("long").alias("mean_lo"),
+        F.min(F.when(F.col("_rk") == hi_idx, F.col("_mean"))).cast("long").alias("mean_hi"),
+    )
+    return picks.withColumn("_one", one).join(
+        F.broadcast(grand.withColumn("_one", one)), "_one"
+    ).select("n_replicates", "mean_lo", "mean_hi", "mean_all")
+
+
+def poisson_bootstrap_ci_sql(
+    table_expr: str, id_expr: str, value_expr: str, n_replicates: int = 40
+) -> str:
+    """DuckDB rendering of :func:`poisson_bootstrap_ci` — same hash
+    weights, same floored means, same percentile index pick."""
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    u = md5_long_sql(f"CAST({id_expr} AS VARCHAR) || ':' || CAST(_b AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_CDF_2_60)
+    )
+    return f"""
+WITH rep AS (
+  SELECT _b,
+         CAST(sum(_w * CAST({value_expr} AS BIGINT)) AS BIGINT) AS _s,
+         CAST(sum(_w) AS BIGINT) AS _n
+  FROM (
+    SELECT t.*, u._b,
+           CAST(CASE {cases} ELSE 6 END AS BIGINT) AS _w
+    FROM {table_expr} t, unnest(range(0, {n_replicates})) AS u(_b)
+  )
+  GROUP BY _b HAVING sum(_w) > 0
+),
+ranked AS (
+  SELECT _s // _n AS _mean,
+         row_number() OVER (ORDER BY _s // _n, _b) - 1 AS _rk,
+         count(*) OVER () AS _cnt
+  FROM rep
+),
+grand AS (
+  SELECT CAST(sum(CAST({value_expr} AS BIGINT)) // count(*) AS BIGINT)
+           AS mean_all
+  FROM {table_expr}
+)
+SELECT CAST(max(_cnt) AS BIGINT) AS n_replicates,
+       CAST(min(CASE WHEN _rk = _cnt * {BOOT_LO_IDX_PPM} // 1000000
+                     THEN _mean END) AS BIGINT) AS mean_lo,
+       CAST(min(CASE WHEN _rk = _cnt * {BOOT_HI_IDX_PPM} // 1000000
+                     THEN _mean END) AS BIGINT) AS mean_hi,
+       (SELECT mean_all FROM grand) AS mean_all
+FROM ranked
 """

@@ -524,3 +524,228 @@ SELECT {k}, n_obs, span, vw_sum,
             AS BIGINT) AS twap
 FROM agg
 """
+
+
+def ohlc_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Ordered-endpoint aggregation (OHLC downsampling) per key::
+
+        (key..., n, open_v, high_v, low_v, close_v)
+
+    ``open_v``/``close_v`` are the value at the FIRST/LAST position
+    under ``ORDER BY (order_col, tiebreak_col)`` — computed as
+    ``min_by``/``max_by`` over the composite struct key, i.e. ONE
+    aggregation with map-side partials, never a per-key ordered window
+    (the window form funnels each key through a sort; the endpoint
+    aggregation is a constant-size fold per partition). ``tiebreak_col``
+    must make the composite order total, or the endpoints are
+    non-deterministic. ``order_col``/``tiebreak_col``/``value_col``
+    must be integral (epoch ms / ids / cents).
+
+    The DuckDB rendering encodes the composite order key as a single
+    HUGEINT (``order·2⁶⁴ + tiebreak``) because ``arg_min`` takes one
+    scalar — same total order, same endpoints. Requires both order
+    components non-negative and the tiebreak < 2⁶³.
+    """
+    okey = F.struct(
+        F.col(order_col).cast("long"), F.col(tiebreak_col).cast("long")
+    )
+    v = F.col(value_col).cast("long")
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by(v, okey).cast("long").alias("open_v"),
+        F.max(v).cast("long").alias("high_v"),
+        F.min(v).cast("long").alias("low_v"),
+        F.max_by(v, okey).cast("long").alias("close_v"),
+    )
+
+
+def ohlc_agg_sql(
+    table_expr: str,
+    key_exprs: list[str],
+    order_expr: str,
+    tiebreak_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB rendering of :func:`ohlc_agg` (HUGEINT-encoded composite
+    order key — see the operator docstring)."""
+    k = ", ".join(key_exprs)
+    okey = (
+        f"CAST({order_expr} AS HUGEINT) * 18446744073709551616"
+        f" + CAST({tiebreak_expr} AS BIGINT)"
+    )
+    return f"""
+SELECT {k}, CAST(count(*) AS BIGINT) AS n,
+       CAST(arg_min(CAST({value_expr} AS BIGINT), {okey}) AS BIGINT) AS open_v,
+       CAST(max(CAST({value_expr} AS BIGINT)) AS BIGINT) AS high_v,
+       CAST(min(CAST({value_expr} AS BIGINT)) AS BIGINT) AS low_v,
+       CAST(arg_max(CAST({value_expr} AS BIGINT), {okey}) AS BIGINT) AS close_v
+FROM {table_expr}
+GROUP BY {k}
+"""
+
+
+def nearest_event_join(
+    needles: DataFrame,
+    hay: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    tolerance: int,
+) -> DataFrame:
+    """Nearest-in-time join within ``±tolerance``: for every needle row,
+    the single hay row of the same key minimizing ``|Δts|`` (tie → the
+    EARLIER hay event), or NULLs when none lands in the window::
+
+        (key..., needle_id, needle_ts, matched_id, dist)
+
+    The as-of join answers "latest at-or-before"; monitoring/attribution
+    regularly needs "closest, either side" — this is that, built as the
+    union-window composition: tag both streams, ONE per-key ordered
+    window finds the previous and next hay timestamps around each
+    needle (``last/first IGNORE NULLS``), then the winner is picked by
+    exact integer comparison (backward wins ties: ``prev_dist <=
+    next_dist``). ``ts_col`` must be integral (epoch ms) and the
+    ``(ts, id)`` pair unique per key.
+
+    Scale: one shuffle on the key, per-key sorted windows (bounded by
+    the key's row count — the sessionize/as-of physiology), no
+    range-explosion and no self-join on an inequality.
+    """
+    n = needles.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(id_col).cast("long").alias("_nid"),
+        F.lit(None).cast("long").alias("_hid"),
+        F.lit(1).alias("_is_needle"),
+    )
+    h = hay.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.lit(None).cast("long").alias("_nid"),
+        F.col(id_col).cast("long").alias("_hid"),
+        F.lit(0).alias("_is_needle"),
+    )
+    u = n.unionByName(h)
+    # needles sort AFTER hay at equal ts (_is_needle desc? no: asc puts
+    # hay (0) first) so an exactly-simultaneous hay event is "previous"
+    # — dist 0, matched backward, both engines identically.
+    w = Window.partitionBy(*key_cols).orderBy("_ts", "_is_needle", "_hid")
+    prev_struct = F.last(
+        F.when(
+            F.col("_is_needle") == 0,
+            F.struct(F.col("_ts").alias("t"), F.col("_hid").alias("i")),
+        ),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    nxt_struct = F.first(
+        F.when(
+            F.col("_is_needle") == 0,
+            F.struct(F.col("_ts").alias("t"), F.col("_hid").alias("i")),
+        ),
+        ignorenulls=True,
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    scored = (
+        u.withColumn("_prev", prev_struct)
+        .withColumn("_next", nxt_struct)
+        .filter(F.col("_is_needle") == 1)
+        .withColumn(
+            "_pd",
+            F.when(
+                F.col("_prev").isNotNull(), F.col("_ts") - F.col("_prev.t")
+            ),
+        )
+        .withColumn(
+            "_nd",
+            F.when(
+                F.col("_next").isNotNull(), F.col("_next.t") - F.col("_ts")
+            ),
+        )
+    )
+    take_prev = F.col("_pd").isNotNull() & (F.col("_pd") <= tolerance) & (
+        F.col("_nd").isNull()
+        | (F.col("_pd") <= F.col("_nd"))
+        | (F.col("_nd") > tolerance)
+    )
+    take_next = (
+        ~F.coalesce(take_prev, F.lit(False))
+        & F.col("_nd").isNotNull()
+        & (F.col("_nd") <= tolerance)
+    )
+    return scored.select(
+        *key_cols,
+        F.col("_nid").alias("needle_id"),
+        F.col("_ts").alias("needle_ts"),
+        F.when(take_prev, F.col("_prev.i"))
+        .when(take_next, F.col("_next.i"))
+        .cast("long")
+        .alias("matched_id"),
+        F.when(take_prev, F.col("_pd"))
+        .when(take_next, F.col("_nd"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def nearest_event_join_sql(
+    needles_sql: str,
+    hay_sql: str,
+    key_exprs: list[str],
+    tolerance: int,
+) -> str:
+    """DuckDB rendering of :func:`nearest_event_join`. Both inputs must
+    project ``(key..., ts, id)``; same union-window composition, same
+    backward-wins-ties pick."""
+    k = ", ".join(key_exprs)
+    return f"""
+WITH needles AS ({needles_sql}),
+hay AS ({hay_sql}),
+u AS (
+  SELECT {k}, CAST(ts AS BIGINT) AS ts, CAST(id AS BIGINT) AS nid,
+         CAST(NULL AS BIGINT) AS hid, 1 AS is_needle FROM needles
+  UNION ALL
+  SELECT {k}, CAST(ts AS BIGINT) AS ts, CAST(NULL AS BIGINT) AS nid,
+         CAST(id AS BIGINT) AS hid, 0 AS is_needle FROM hay
+),
+scored AS (
+  SELECT {k}, ts, nid, is_needle,
+         last_value(CASE WHEN is_needle = 0 THEN ts END IGNORE NULLS)
+           OVER w_prev AS prev_t,
+         last_value(CASE WHEN is_needle = 0 THEN hid END IGNORE NULLS)
+           OVER w_prev AS prev_i,
+         first_value(CASE WHEN is_needle = 0 THEN ts END IGNORE NULLS)
+           OVER w_next AS next_t,
+         first_value(CASE WHEN is_needle = 0 THEN hid END IGNORE NULLS)
+           OVER w_next AS next_i
+  FROM u
+  WINDOW
+    w_prev AS (PARTITION BY {k} ORDER BY ts, is_needle, hid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY {k} ORDER BY ts, is_needle, hid
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+picked AS (
+  SELECT {k}, nid, ts, prev_i, next_i,
+         ts - prev_t AS pd, next_t - ts AS nd
+  FROM scored WHERE is_needle = 1
+)
+SELECT {k}, nid AS needle_id, ts AS needle_ts,
+       CAST(CASE
+         WHEN pd IS NOT NULL AND pd <= {tolerance}
+              AND (nd IS NULL OR pd <= nd OR nd > {tolerance})
+           THEN prev_i
+         WHEN nd IS NOT NULL AND nd <= {tolerance}
+           THEN next_i
+       END AS BIGINT) AS matched_id,
+       CAST(CASE
+         WHEN pd IS NOT NULL AND pd <= {tolerance}
+              AND (nd IS NULL OR pd <= nd OR nd > {tolerance}) THEN pd
+         WHEN nd IS NOT NULL AND nd <= {tolerance} THEN nd
+       END AS BIGINT) AS dist
+FROM picked
+"""

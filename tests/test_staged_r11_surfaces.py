@@ -60,3 +60,64 @@ def test_staged_r11_names_not_yet_in_battery():
 
 def test_staged_r11_oracle_keys_align():
     assert set(staged_r11.STAGED_QUERIES) == set(staged_r11.STAGED_ORACLES)
+
+
+def test_auc_and_calibration_use_range_partitioning(spark, sf_dir):
+    """The AUC/calibration queries rank via the range-repartition
+    decomposition.  The range exchange itself sits BEHIND the
+    localCheckpoint lineage cut (it shows as ``Scan ExistingRDD`` in the
+    final plan — same physiology as operators/rank.py), so the pin
+    asserts the visible invariants: the checkpoint boundary exists, the
+    prefix-sum Window over the data frame is partitioned by the range
+    id ``_pid`` (never an unpartitioned Window over the data), the
+    offsets frame attaches via broadcast, and nothing degenerates to a
+    cartesian/nested-loop join."""
+    for name in ("auc_price_returns", "calibration_price_returns"):
+        plan = (
+            staged_r11.STAGED_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Scan ExistingRDD" in plan, name  # checkpointed range frame
+        assert "windowspecdefinition(_pid" in plan, name  # bounded prefix
+        assert "BroadcastHashJoin" in plan, name  # offsets broadcast
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pair_distance_histogram_broadcasts_count_anchor(spark, sf_dir):
+    """The bucket self-join is a broadcast HASH join on the bucket key;
+    the global-count anchor attaches as a one-row IdentityBroadcastMode
+    broadcast (Spark's scalar-attach shape — a nested-loop against a
+    single-row build side is O(n), not a pair blowup).  Every
+    BroadcastNestedLoopJoin in the plan must be one of those one-row
+    anchors, and nothing may degenerate to a CartesianProduct."""
+    plan = (
+        staged_r11.STAGED_QUERIES["embedding_distance_histogram"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # each nested-loop is a 1-row scalar anchor, never a data-side loop
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+
+
+def test_ohlc_is_single_aggregation_no_window(spark, sf_dir):
+    """ohlc must stay ONE hash aggregation with map-side partials —
+    no Window (the per-key sorted-window formulation it replaces) and
+    no sort before the aggregate."""
+    plan = (
+        staged_r11.STAGED_QUERIES["ohlc_daily_value"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only Sort allowed is the final presentation ORDER BY
+    assert "Window" not in body
+    assert "partial_min" in body or "partial" in body  # map-side combine

@@ -66,6 +66,16 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # window gets the committed tools/check_oracle.py --log-sweep run
 # (tools/sweep_log.json). Battery 139 + 11 = 150 at registration unless
 # r11 retirements land.
+# r12 COMMITMENT (one round ahead, same discipline): plans/staged_r12.py
+# holds 9 entries (intra_doc_repetition, pr_threshold_sweep,
+# ndcg_bm25_eval, cohens_kappa_agreement, corr_matrix_onepass,
+# cms_join_size_estimate, edit1_name_linkage, zipf_alpha_by_source,
+# quantile_band_coverage). After the r11 rotation the r12 rotation-due
+# block is the 50 r10-gated entries (this _HEAD: 28 staged_r10 + 22
+# r7-remainder), so _HEAD_r12 = 9 staged_r12 + the FIRST 41 of them;
+# the 9 overflow (tail of the r7-remainder block) get the committed
+# logged sweep. Battery 150 + 9 = 159 at r12 registration unless
+# retirements land.
 _HEAD = [
     # ---- 28 newly registered staged_r10 entries (first driver gating) ----
     "decayed_segment_value",

@@ -1677,3 +1677,135 @@ def minhash_estimate_eval(
         F.expr("CAST(sum(err) div count(1) AS BIGINT)").alias("mean_abs_err_ppm"),
         F.max("err").cast("long").alias("max_abs_err_ppm"),
     )
+
+
+# --- deletion-neighborhood edit-distance-1 linkage ---------------------------
+
+
+def _del1_keys(name: Column) -> Column:
+    """``{s} ∪ {s minus char i}`` — the FastSS deletion neighborhood for
+    edit distance 1 (substitution at i ⇒ both sides share del(i);
+    insert/delete ⇒ the shorter string IS a deletion variant of the
+    longer).  |keys| = len+1 per string; pure expression arithmetic."""
+    dels = F.when(
+        F.length(name) >= 1,  # sequence(1, 0) would auto-step DOWN
+        F.transform(
+            F.sequence(F.lit(1), F.length(name)),
+            lambda i: F.concat(
+                F.substring(name, F.lit(1), i - 1),
+                F.substring(name, i + 1, F.length(name)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(F.array(name), dels))
+
+
+def edit1_linkage_census(
+    df: DataFrame, name_col: str, max_len: int = 64
+) -> DataFrame:
+    """Edit-distance-≤1 record-linkage census over a string column,
+    WITHOUT a cross join::
+
+        (n_records, n_names, dup_name_groups,
+         ed0_record_pairs, ed1_name_pairs, ed1_record_pairs)
+
+    Physiology (the scale path): the join runs over DISTINCT names with
+    multiplicities — identical records collapse BEFORE the pair stage,
+    so a million copies of one name cost one row, and duplicate-pair
+    counts come from multiplicity arithmetic (``C(m,2)`` within a name,
+    ``m_a·m_b`` across), never from joining records.  Candidates come
+    from the FastSS deletion-neighborhood equi-join (``len+1`` posting
+    keys per name, edit-distance-1 complete by the deletion lemma) and
+    are verified with the built-in ``levenshtein`` — exact, no banding
+    miss.  Names longer than ``max_len`` are dropped (posting fan-out
+    bound; census-visible via n_names vs n_records).
+    """
+    names = (
+        df.select(F.col(name_col).alias("_name"))
+        .filter(F.col("_name").isNotNull() & (F.length("_name") <= max_len))
+        .groupBy("_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    )
+    posting = names.select(
+        "_name", "_m", F.explode(_del1_keys(F.col("_name"))).alias("_k")
+    )
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), "_k")
+        .filter(F.col("a._name") < F.col("b._name"))
+        .select(
+            F.col("a._name").alias("_na"),
+            F.col("b._name").alias("_nb"),
+            F.col("a._m").alias("_ma"),
+            F.col("b._m").alias("_mb"),
+        )
+        .distinct()
+        .filter(F.levenshtein(F.col("_na"), F.col("_nb")) <= 1)
+    )
+    pair_stats = cand.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias(
+            "ed1_name_pairs"
+        ),
+        F.coalesce(F.sum(F.col("_ma") * F.col("_mb")), F.lit(0))
+        .cast("long")
+        .alias("ed1_record_pairs"),
+    )
+    name_stats = names.agg(
+        F.sum("_m").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_names"),
+        F.sum(F.when(F.col("_m") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_name_groups"),
+        F.sum(F.expr("(_m * (_m - 1)) div 2"))
+        .cast("long")
+        .alias("ed0_record_pairs"),
+    )
+    return name_stats.join(F.broadcast(pair_stats)).select(
+        "n_records",
+        "n_names",
+        "dup_name_groups",
+        "ed0_record_pairs",
+        "ed1_name_pairs",
+        "ed1_record_pairs",
+    )
+
+
+def edit1_linkage_census_sql(
+    table_expr: str, name_expr: str, max_len: int = 64
+) -> str:
+    """DuckDB rendering of :func:`edit1_linkage_census`.  The oracle
+    verifies pairs by brute force over distinct names (length-difference
+    prefilter + levenshtein) — deliberately a DIFFERENT algorithm from
+    the deletion-neighborhood join, so parity also proves the FastSS
+    candidate set is complete at this radius."""
+    return f"""
+WITH names AS (
+  SELECT {name_expr} AS name, CAST(count(*) AS BIGINT) AS m
+  FROM {table_expr}
+  WHERE {name_expr} IS NOT NULL AND length({name_expr}) <= {max_len}
+  GROUP BY 1
+),
+cand AS (
+  SELECT a.m AS ma, b.m AS mb
+  FROM names a JOIN names b
+    ON a.name < b.name
+   AND abs(length(a.name) - length(b.name)) <= 1
+   AND levenshtein(a.name, b.name) <= 1
+),
+pair_stats AS (
+  SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS ed1_name_pairs,
+         CAST(coalesce(sum(ma * mb), 0) AS BIGINT) AS ed1_record_pairs
+  FROM cand
+),
+name_stats AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_records,
+         CAST(count(*) AS BIGINT) AS n_names,
+         CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_name_groups,
+         CAST(sum(m * (m - 1) // 2) AS BIGINT) AS ed0_record_pairs
+  FROM names
+)
+SELECT n_records, n_names, dup_name_groups, ed0_record_pairs,
+       ed1_name_pairs, ed1_record_pairs
+FROM name_stats, pair_stats
+"""

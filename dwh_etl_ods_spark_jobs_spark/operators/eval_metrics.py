@@ -189,3 +189,421 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
        CAST(max(s) AS BIGINT) AS score_hi
 FROM src GROUP BY bin
 """
+
+
+# --- precision/recall/F1 threshold sweep -----------------------------------
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_cols: Sequence[str],
+    label_col: str,
+    n_bins: int = 10,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Precision/recall/F1 at every equal-frequency score-decile
+    threshold, one pass::
+
+        (bin, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)
+
+    Row ``bin`` = the operating point "predict positive when the score
+    falls in bin ``bin`` or above".  The bin assignment is the SAME
+    range-decomposed exact rank as :func:`calibration_bins`; the sweep
+    itself is a cumulative fold over the n_bins-row summary (a bounded
+    unpartitioned window — never over the data).  Everything integral:
+    ``f1_ppm = 2·P·R div (P+R)`` in ppm.
+
+    ``score_cols`` must total-order (unique tie-break last).
+    """
+    bins = calibration_bins(
+        df, score_cols, label_col, n_bins=n_bins, n_ranges=n_ranges
+    ).select("bin", "n", "n_pos")
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # n_bins rows — bounded
+    cum = bins.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("_pred"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.sum(F.col("n_pos")).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("_allpos"),
+    )
+    prec = F.expr(f"CAST(tp * {PPM} div _pred AS BIGINT)")
+    rec = F.expr(f"CAST(tp * {PPM} div _allpos AS BIGINT)")
+    return (
+        cum.withColumn("fp", (F.col("_pred") - F.col("tp")).cast("long"))
+        .withColumn("fn", (F.col("_allpos") - F.col("tp")).cast("long"))
+        .withColumn("precision_ppm", prec)
+        .withColumn("recall_ppm", rec)
+        .withColumn(
+            "f1_ppm",
+            F.expr(
+                "CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0"
+                " ELSE 2 * precision_ppm * recall_ppm"
+                " div (precision_ppm + recall_ppm) END AS BIGINT)"
+            ),
+        )
+        .select(
+            "bin", "tp", "fp", "fn", "precision_ppm", "recall_ppm", "f1_ppm"
+        )
+    )
+
+
+def pr_threshold_sweep_sql(
+    table_expr: str,
+    score_exprs: Sequence[str],
+    label_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB rendering of :func:`pr_threshold_sweep`."""
+    bins = calibration_bins_sql(
+        table_expr, score_exprs, label_expr, n_bins=n_bins
+    )
+    return f"""
+WITH bins AS ({bins}),
+cum AS (
+  SELECT bin,
+         CAST(sum(n) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS pred,
+         CAST(sum(n_pos) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS allpos
+  FROM bins
+)
+SELECT bin, tp,
+       CAST(pred - tp AS BIGINT) AS fp,
+       CAST(allpos - tp AS BIGINT) AS fn,
+       CAST(tp * {PPM} // pred AS BIGINT) AS precision_ppm,
+       CAST(tp * {PPM} // allpos AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN tp * {PPM} // pred + tp * {PPM} // allpos = 0 THEN 0
+            ELSE 2 * (tp * {PPM} // pred) * (tp * {PPM} // allpos)
+                 // (tp * {PPM} // pred + tp * {PPM} // allpos) END
+            AS BIGINT) AS f1_ppm
+FROM cum
+"""
+
+
+# --- Cohen's kappa ----------------------------------------------------------
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Inter-annotator agreement between two categorical label columns::
+
+        (n, po_ppm, pe_ppm, kappa_ppm)
+
+    ``po`` = observed agreement, ``pe`` = chance agreement from the two
+    marginal distributions, ``kappa = (po − pe) / (1 − pe)``.  The
+    marginals are ppm-quantized BEFORE the chance product (``pe_ppm =
+    Σ_k pa_ppm·pb_ppm div PPM``) so every intermediate stays inside
+    BIGINT at ANY row count — the unquantized ``Σ na·nb · PPM`` form
+    overflows past ~3·10⁶ rows.  One data pass (the confusion-matrix
+    groupBy); everything after runs on the bounded labels² frame.
+    """
+    cm = df.groupBy(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = cm.agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    ma = cm.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_c").cast("long").alias("_na")
+    )
+    mb = cm.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_c").cast("long").alias("_nb")
+    )
+    m = ma.join(mb, "_k", "full_outer").select(
+        F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+        F.coalesce(F.col("_nb"), F.lit(0)).alias("_nb"),
+    )
+    # bounded labels-frame × 1-row totals — scalar anchor broadcast
+    pe = (
+        m.join(F.broadcast(tot))
+        .select(
+            F.expr(f"CAST(_na * {PPM} div n AS BIGINT)").alias("_pa"),
+            F.expr(f"CAST(_nb * {PPM} div n AS BIGINT)").alias("_pb"),
+        )
+        .agg(
+            F.expr(f"CAST(sum(_pa * _pb) div {PPM} AS BIGINT)").alias(
+                "pe_ppm"
+            )
+        )
+    )
+    return (
+        tot.join(F.broadcast(pe))
+        .withColumn("po_ppm", F.expr(f"CAST(_agree * {PPM} div n AS BIGINT)"))
+        .withColumn(
+            "kappa_ppm",
+            F.expr(
+                f"CAST((po_ppm - pe_ppm) * {PPM}"
+                f" div ({PPM} - pe_ppm) AS BIGINT)"
+            ),
+        )
+        .select("n", "po_ppm", "pe_ppm", "kappa_ppm")
+    )
+
+
+def cohens_kappa_sql(table_expr: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB rendering of :func:`cohens_kappa` — same ppm-quantized
+    marginals, same integer folds."""
+    return f"""
+WITH cm AS (
+  SELECT CAST({a_expr} AS VARCHAR) AS a, CAST({b_expr} AS VARCHAR) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table_expr} GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cm
+),
+ma AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS na FROM cm GROUP BY 1),
+mb AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS nb FROM cm GROUP BY 1),
+m AS (
+  SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM ma FULL OUTER JOIN mb USING (k)
+),
+pe AS (
+  SELECT CAST(sum((na * {PPM} // n) * (nb * {PPM} // n)) // {PPM}
+              AS BIGINT) AS pe_ppm
+  FROM m, tot
+)
+SELECT n,
+       CAST(agree * {PPM} // n AS BIGINT) AS po_ppm,
+       pe_ppm,
+       CAST((agree * {PPM} // n - pe_ppm) * {PPM}
+            // ({PPM} - pe_ppm) AS BIGINT) AS kappa_ppm
+FROM tot, pe
+"""
+
+
+# --- NDCG (rerank form) -----------------------------------------------------
+
+#: Integer micro-weights 10⁶/log₂(position+1) for positions 1..20 —
+#: identical literals on both engines, so DCG is an exact-integer fold.
+NDCG_L_MICRO = [
+    round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, 21)
+]
+
+
+def ndcg_rerank(
+    runs: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query NDCG@k of a retrieved list against graded relevance,
+    rerank form: the ideal is the best permutation OF THE RETRIEVED
+    list (the rerank-evaluation convention — no global relevance rank
+    needed)::
+
+        (<query_col>, n_run, dcg_micro, idcg_micro, ndcg_ppm)
+
+    Positions weight by the fixed integer micro-table
+    :data:`NDCG_L_MICRO` (``10⁶/log₂(pos+1)``), so DCG/IDCG are exact
+    integer sums and the ratio is exact ppm.  Both windows partition by
+    query over ≤k rows — bounded.  Queries with zero total relevance
+    emit ``ndcg_ppm = 0``.
+    """
+    ltab = F.array(*[F.lit(v) for v in NDCG_L_MICRO[:k]])
+    run_w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ideal_w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    rel = F.col(rel_col).cast("long")
+    ranked = (
+        runs.withColumn("_rr", F.row_number().over(run_w))
+        .withColumn("_ri", F.row_number().over(ideal_w))
+        .filter((F.col("_rr") <= k) | (F.col("_ri") <= k))
+    )
+    gains = ranked.select(
+        F.col(query_col),
+        F.when(F.col("_rr") <= k, rel * F.element_at(ltab, F.col("_rr")))
+        .otherwise(0)
+        .cast("long")
+        .alias("_g"),
+        F.when(F.col("_ri") <= k, rel * F.element_at(ltab, F.col("_ri")))
+        .otherwise(0)
+        .cast("long")
+        .alias("_ig"),
+        F.when(F.col("_rr") <= k, 1).otherwise(0).alias("_inrun"),
+    )
+    return (
+        gains.groupBy(query_col)
+        .agg(
+            F.sum("_inrun").cast("long").alias("n_run"),
+            F.sum("_g").cast("long").alias("dcg_micro"),
+            F.sum("_ig").cast("long").alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.expr(
+                f"CAST(CASE WHEN idcg_micro = 0 THEN 0"
+                f" ELSE dcg_micro * {PPM} div idcg_micro END AS BIGINT)"
+            ),
+        )
+    )
+
+
+def ndcg_rerank_sql(
+    table_expr: str,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> str:
+    """DuckDB rendering of :func:`ndcg_rerank` (1-based list indexing
+    over the same micro-weight literals)."""
+    lits = ", ".join(str(v) for v in NDCG_L_MICRO[:k])
+    return f"""
+WITH ranked AS (
+  SELECT {query_col} AS q, CAST({rel_col} AS BIGINT) AS rel,
+         row_number() OVER (PARTITION BY {query_col}
+             ORDER BY {score_col} DESC, {id_col}) AS rr,
+         row_number() OVER (PARTITION BY {query_col}
+             ORDER BY {rel_col} DESC, {id_col}) AS ri
+  FROM {table_expr}
+),
+gains AS (
+  SELECT q,
+         CASE WHEN rr <= {k} THEN rel * ([{lits}])[rr] ELSE 0 END AS g,
+         CASE WHEN ri <= {k} THEN rel * ([{lits}])[ri] ELSE 0 END AS ig,
+         CASE WHEN rr <= {k} THEN 1 ELSE 0 END AS inrun
+  FROM ranked WHERE rr <= {k} OR ri <= {k}
+)
+SELECT q AS {query_col},
+       CAST(sum(inrun) AS BIGINT) AS n_run,
+       CAST(sum(g) AS BIGINT) AS dcg_micro,
+       CAST(sum(ig) AS BIGINT) AS idcg_micro,
+       CAST(CASE WHEN sum(ig) = 0 THEN 0
+            ELSE sum(g) * {PPM} // sum(ig) END AS BIGINT) AS ndcg_ppm
+FROM gains GROUP BY q
+"""
+
+
+# --- quantile-band coverage -------------------------------------------------
+
+
+def quantile_coverage_eval(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    lo: tuple[int, int] = (1, 10),
+    hi: tuple[int, int] = (9, 10),
+) -> DataFrame:
+    """Empirical coverage of a per-group quantile band — fit the
+    ``[q_lo, q_hi]`` band with the exact grouped weighted quantile, then
+    measure the fraction of rows actually inside it::
+
+        (group..., n, band_lo, band_hi, n_inside, coverage_ppm)
+
+    This is the conformal-style sanity check for every per-segment
+    "normal range" a monitoring pipeline publishes: a q10–q90 band
+    should cover ≈ 800 000 ppm; a group far off signals a skewed or
+    discrete-valued segment whose band is lying.  The band frame is
+    bounded (one row per group), so it attaches back via broadcast —
+    the data is scanned twice (fit + eval), shuffled once each.
+
+    ``value_cols``: quantile ordering columns, unique tie-break last;
+    ``value_cols[0]`` is the measured value.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile,
+    )
+
+    qs = df.transform(
+        lambda d: grouped_weighted_quantile(
+            list(group_cols), list(value_cols), "_w", [lo, hi]
+        )(d.withColumn("_w", F.lit(1)))
+    )
+    v0 = value_cols[0]
+    bands = qs.groupBy(*group_cols).agg(
+        F.min(
+            F.when(
+                (F.col("q_num") == lo[0]) & (F.col("q_den") == lo[1]),
+                F.col(v0),
+            )
+        ).cast("long").alias("band_lo"),
+        F.min(
+            F.when(
+                (F.col("q_num") == hi[0]) & (F.col("q_den") == hi[1]),
+                F.col(v0),
+            )
+        ).cast("long").alias("band_hi"),
+    )
+    val = F.col(v0).cast("long")
+    return (
+        df.join(F.broadcast(bands), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("band_lo").alias("band_lo"),
+            F.min("band_hi").alias("band_hi"),
+            F.sum(
+                F.when(
+                    (val >= F.col("band_lo")) & (val <= F.col("band_hi")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_inside"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr(f"CAST(n_inside * {PPM} div n AS BIGINT)"),
+        )
+    )
+
+
+def quantile_coverage_eval_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    value_cols: Sequence[str],
+    lo: tuple[int, int] = (1, 10),
+    hi: tuple[int, int] = (9, 10),
+) -> str:
+    """DuckDB rendering of :func:`quantile_coverage_eval` (wraps the
+    grouped-weighted-quantile rendering with weight 1)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile_sql,
+    )
+
+    g = ", ".join(group_exprs)
+    v0 = value_cols[0]
+    inner = grouped_weighted_quantile_sql(
+        f"(SELECT *, 1 AS _w FROM {table_expr})",
+        list(group_exprs),
+        list(value_cols),
+        "_w",
+        [lo, hi],
+    )
+    return f"""
+WITH qs AS ({inner}),
+bands AS (
+  SELECT {g},
+         CAST(min(CASE WHEN q_num = {lo[0]} AND q_den = {lo[1]}
+                  THEN {v0} END) AS BIGINT) AS band_lo,
+         CAST(min(CASE WHEN q_num = {hi[0]} AND q_den = {hi[1]}
+                  THEN {v0} END) AS BIGINT) AS band_hi
+  FROM qs GROUP BY {g}
+)
+SELECT {g}, CAST(count(*) AS BIGINT) AS n, min(band_lo) AS band_lo,
+       min(band_hi) AS band_hi,
+       CAST(sum(CASE WHEN CAST({v0} AS BIGINT) BETWEEN band_lo AND band_hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(sum(CASE WHEN CAST({v0} AS BIGINT) BETWEEN band_lo AND band_hi
+                THEN 1 ELSE 0 END) * {PPM} // count(*) AS BIGINT)
+         AS coverage_ppm
+FROM {table_expr} JOIN bands USING ({g})
+GROUP BY {g}
+"""

@@ -1094,3 +1094,180 @@ SELECT CAST(max(_cnt) AS BIGINT) AS n_replicates,
        (SELECT mean_all FROM grand) AS mean_all
 FROM ranked
 """
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All pairwise Pearson correlations of integer-valued columns in
+    ONE aggregation pass::
+
+        (col_a, col_b, n, corr_6)    -- k·(k−1)/2 rows, a < b
+
+    Spark's built-in ``corr`` is a float accumulator whose partial-merge
+    order perturbs low bits; this fold carries exact decimal(38,0)
+    moment sums (Σx, Σx², Σxy per pair — same envelope argument as
+    :func:`bivariate_stats`) through ONE map-side-combinable aggregate,
+    then divides once per pair and rounds to 6 decimals.  The pair
+    fan-out happens on the SINGLE result row (a k²-literal projection),
+    not on the data — one pass over n rows regardless of k.
+
+    Columns must already be integral (cents/ppm-quantize first).
+    """
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(dec(a) * dec(b)).alias(f"_sp_{a}_{b}"))
+    one = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("_n").cast("decimal(38,0)")
+            num = (n * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast(
+                "double"
+            )
+            da = (n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast(
+                "double"
+            )
+            db = (n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast(
+                "double"
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("corr_6"),
+                )
+            )
+    return one.select(
+        F.explode(F.array(*pairs)).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "_p.n", "_p.corr_6")
+
+
+def corr_matrix_sql(table_expr: str, cols: list[str]) -> str:
+    """DuckDB rendering of :func:`corr_matrix` — same HUGEINT moment
+    sums, one aggregate subquery, one UNION'd pick per pair."""
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST({c} AS HUGEINT)) AS s_{c}")
+        sums.append(f"sum(CAST({c} AS HUGEINT) * CAST({c} AS HUGEINT)) AS ss_{c}")
+    picks = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)) AS sp_{a}_{b}"
+            )
+            picks.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" round(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6)"
+                f" AS corr_6 FROM m"
+            )
+    body = "\nUNION ALL\n".join(picks)
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM {table_expr})\n{body}"
+
+
+def zipf_alpha(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    head_k: int = 128,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Zipf exponent per group from a ``(group..., term, count)`` vocab
+    frame: OLS slope of ln(count) on ln(rank) over the top ``head_k``
+    terms (Zipf's law fits the head; the tail bends and would bias
+    alpha)::
+
+        (group..., n_points, alpha_6)
+
+    ``alpha_6 = −slope`` rounded to 6 decimals.  Rank-within-group via
+    the range-decomposed :func:`operators.rank.global_rank` over
+    ``(group..., −count, term)`` minus a per-group broadcast offset —
+    never a per-group sorted window over the vocabulary.  The log
+    points quantize to exact micro-units before summation, so the OLS
+    moment sums are exact integers and only the final division is
+    float.
+
+    ``df`` must have one row per (group, term) with a positive integer
+    ``count_col``; the term column must be last in ``df.columns``.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
+
+    term_col = df.columns[-1]
+    keyed = df.select(
+        *group_cols,
+        F.col(count_col).cast("long").alias("_cnt"),
+        (-F.col(count_col).cast("long")).alias("_neg"),
+        F.col(term_col).alias("_term"),
+    )
+    ranked = keyed.transform(
+        global_rank([*group_cols, "_neg", "_term"], out_col="_gr", n_ranges=n_ranges)
+    )
+    base = ranked.groupBy(*group_cols).agg(F.min("_gr").alias("_base"))
+    head = (
+        ranked.join(F.broadcast(base), group_cols)
+        .withColumn("_rk", (F.col("_gr") - F.col("_base") + 1).cast("long"))
+        .filter(F.col("_rk") <= head_k)
+    )
+    x = F.round(F.log(F.col("_rk").cast("double")) * 1_000_000, 0).cast("long")
+    y = F.round(F.log(F.col("_cnt").cast("double")) * 1_000_000, 0).cast("long")
+    pts = head.select(*group_cols, x.alias("_x"), y.alias("_y"))
+    agg = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x").cast("decimal(38,0)")).alias("_sxx"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y").cast("decimal(38,0)")).alias("_sxy"),
+    )
+    n = F.col("n_points").cast("decimal(38,0)")
+    num = (n * F.col("_sxy") - F.col("_sx").cast("decimal(38,0)") * F.col("_sy").cast("decimal(38,0)")).cast("double")
+    den = (n * F.col("_sxx") - F.col("_sx").cast("decimal(38,0)") * F.col("_sx").cast("decimal(38,0)")).cast("double")
+    return agg.select(
+        *group_cols,
+        "n_points",
+        F.round(-(num / den), 6).alias("alpha_6"),
+    )
+
+
+def zipf_alpha_sql(
+    table_expr: str,
+    group_exprs: list[str],
+    term_expr: str,
+    count_expr: str,
+    head_k: int = 128,
+) -> str:
+    """DuckDB rendering of :func:`zipf_alpha` (per-group row_number —
+    the single-node collapse of the grouped range rank)."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH vocab AS (
+  SELECT {g}, {term_expr} AS term, CAST({count_expr} AS BIGINT) AS cnt
+  FROM {table_expr}
+),
+head AS (
+  SELECT {g}, cnt,
+         row_number() OVER (PARTITION BY {g} ORDER BY -cnt, term) AS rk
+  FROM vocab QUALIFY rk <= {head_k}
+),
+pts AS (
+  SELECT {g},
+         CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS y
+  FROM head
+),
+m AS (
+  SELECT {g}, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY {g}
+)
+SELECT {g}, CAST(n AS BIGINT) AS n_points,
+       round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha_6
+FROM m
+"""

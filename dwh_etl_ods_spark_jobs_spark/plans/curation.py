@@ -600,15 +600,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25(k: int = BM25_TOPK) -> str:
+def _sql_bm25(k: int = BM25_TOPK, terms: list[str] | None = None) -> str:
     """DuckDB BM25 rendering; ``k`` is the candidate depth (LIMIT) so
     composing queries (hybrid rerank) can thread their own depth instead
-    of relying on the module constant (VERDICT r8 #6)."""
+    of relying on the module constant (VERDICT r8 #6); ``terms``
+    overrides the query-term set (defaults to BM25_TERMS) so eval
+    queries (staged_r12 NDCG) can render multiple query arms."""
     k1, b = C.BM25_K1, C.BM25_B
     arms = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, dl, '{t}' AS term,"
         f" CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf FROM base"
-        for t in BM25_TERMS
+        for t in (BM25_TERMS if terms is None else terms)
     )
     idf = (
         "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)"

@@ -1147,3 +1147,98 @@ SELECT t_old AS n_old, t_new AS n_new, n_buckets,
 FROM cum, t
 GROUP BY t_old, t_new, n_buckets
 """
+
+
+def countmin_join_size(
+    left: DataFrame, right: DataFrame, key_col: str
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches — the
+    AGMS/CM inner-product estimator ``|A ⋈ B| ≈ min_r Σ_c cntA(r,c)·
+    cntB(r,c)``, next to the exact answer and its error::
+
+        (exact_size, est_size, err_ppm)    -- one row
+
+    The estimator never expands the join: each side folds to its
+    DEPTH×WIDTH grid (map-side combinable), the sketch⋈sketch product
+    touches ≤ DEPTH·WIDTH cells, and ``est ≥ exact`` by construction
+    (hash collisions only add).  This is the planner-side primitive for
+    sizing a shuffle BEFORE running it; the exact side here exists to
+    grade the sketch (same eval pattern as ``hll_error_eval``).
+
+    Exact side: per-key counts on each side (the same pre-aggregates a
+    real pipeline already has), equi-joined on the key — Σ fA·fB, never
+    a row-level join.
+    """
+    ca = countmin_counts(left, key_col)
+    cb = countmin_counts(right, key_col)
+    est = (
+        ca.join(cb.withColumnRenamed("cnt", "_cb"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("_cb")).cast("long").alias("_ip"))
+        .agg(F.min("_ip").cast("long").alias("est_size"))
+    )
+    fa = left.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_fa")
+    )
+    fb = right.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_fb")
+    )
+    exact = fa.join(fb, "_k").agg(
+        F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0))
+        .cast("long")
+        .alias("exact_size")
+    )
+    return (
+        exact.join(F.broadcast(est))
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "CAST(CASE WHEN exact_size = 0 THEN 0"
+                " ELSE (est_size - exact_size) * 1000000 div exact_size END"
+                " AS BIGINT)"
+            ),
+        )
+        .select("exact_size", "est_size", "err_ppm")
+    )
+
+
+def countmin_join_size_sql(
+    left_expr: str, right_expr: str, key_expr: str
+) -> str:
+    """DuckDB rendering of :func:`countmin_join_size` — same seeded
+    cells via :func:`countmin_col_sql`, same min-of-inner-products."""
+    col = countmin_col_sql(key_expr)
+    return f"""
+WITH ca AS (
+  SELECT r, {col} AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM {left_expr}, {CM_ROWS_SQL} GROUP BY 1, 2
+),
+cb AS (
+  SELECT r, {col} AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM {right_expr}, {CM_ROWS_SQL} GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
+    SELECT ca.r, sum(ca.cnt * cb.cnt) AS ip
+    FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
+    GROUP BY 1
+  )
+),
+fa AS (
+  SELECT {key_expr} AS k, CAST(count(*) AS BIGINT) AS f
+  FROM {left_expr} GROUP BY 1
+),
+fb AS (
+  SELECT {key_expr} AS k, CAST(count(*) AS BIGINT) AS f
+  FROM {right_expr} GROUP BY 1
+),
+exact AS (
+  SELECT CAST(coalesce(sum(fa.f * fb.f), 0) AS BIGINT) AS exact_size
+  FROM fa JOIN fb USING (k)
+)
+SELECT exact_size, est_size,
+       CAST(CASE WHEN exact_size = 0 THEN 0
+            ELSE (est_size - exact_size) * 1000000 // exact_size END
+            AS BIGINT) AS err_ppm
+FROM exact, est
+"""

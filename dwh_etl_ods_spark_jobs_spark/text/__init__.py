@@ -387,3 +387,53 @@ FROM {table},
      unnest(range(0, (length({text_expr}) + {stride - 1}) // {stride})) AS t(i)
 WHERE length({text_expr}) >= 1
 """
+
+
+# --- intra-document repetition (duplicate n-gram fraction) ------------------
+
+DUP_NGRAM_N = 3
+
+
+def dup_ngram_ppm(text_col: Column, n: int = DUP_NGRAM_N) -> Column:
+    """Fraction (ppm) of duplicate word ``n``-grams WITHIN a document —
+    the Gopher/MassiveText repetition rule (a doc that keeps repeating
+    the same trigrams is boilerplate/spam, whatever its other quality
+    features say).  ``(total − distinct)·10⁶ div total`` over the
+    doc's own n-gram multiset; docs shorter than ``n`` tokens score 0.
+    Complements :func:`curation.repetition_signals` (dup WORD fraction +
+    top-bigram mode, which needs an explode for the mode): at n ≥ 3 the
+    duplicate fraction is computable as a per-row expression, so this
+    rule — the one that catches longer boilerplate loops — costs a scan.
+    Pure expression arithmetic over the materialized token array (the
+    r9 lesson: tokenize ONCE) — no explode, no Python."""
+    toks = tokens(text_col)
+    total = (F.size(toks) - F.lit(n - 1)).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    dup = total - F.size(F.array_distinct(grams)).cast("long")
+    # floor(a/b) in double is exact here: a ≤ 10¹² stays under 2⁵³, and a
+    # non-integral quotient sits ≥ 1/total ≥ 10⁻⁶ below the next integer —
+    # far outside double rounding error (no named columns, so no `div`)
+    return (
+        F.when(total >= 1, F.floor(dup * F.lit(1_000_000) / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def dup_ngram_ppm_sql(expr: str, n: int = DUP_NGRAM_N) -> str:
+    """DuckDB rendering of :func:`dup_ngram_ppm` (1-based list index)."""
+    toks = tokens_sql(expr)
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"(WITH t_(t) AS (SELECT {toks})"
+        f" SELECT CASE WHEN len(t) >= {n} THEN"
+        f" (len(t) - {n - 1}"
+        f"  - len(list_distinct(list_transform(range(1, len(t) - {n - 2}),"
+        f" i -> {gram})))) * 1000000 // (len(t) - {n - 1})"
+        f" ELSE 0 END FROM t_)"
+    )

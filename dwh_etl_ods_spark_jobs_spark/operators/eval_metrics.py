@@ -308,6 +308,16 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col(a_col).cast("string").alias("_a"),
         F.col(b_col).cast("string").alias("_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    return cohens_kappa_from_cm(cm)
+
+
+def cohens_kappa_from_cm(cm: DataFrame) -> DataFrame:
+    """Kappa from an ALREADY-AGGREGATED confusion matrix ``(_a, _b,
+    _c)`` — the mergeable-state form: a streaming
+    ``groupBy(a, b).count`` snapshot (bounded labels² state) or any
+    union of per-shard matrices feeds the same fold, so agreement can
+    be MONITORED without re-reading rows (same state-not-rows binding
+    as the drift monitors)."""
     tot = cm.agg(
         F.sum("_c").cast("long").alias("n"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))

@@ -695,3 +695,54 @@ def streaming_token_counts(stream: DataFrame, text_col: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.curation import token_counts
 
     return stream.transform(lambda df: token_counts(df, text_col))
+
+
+def streaming_confusion_counts(
+    stream: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Continuously-maintained confusion matrix over a labeled stream —
+    the agreement-monitor feeder: state is bounded at labels² count
+    rows regardless of flow.  Run in update/complete mode; a snapshot
+    is BIT-IDENTICAL to the batch confusion groupBy over the same rows
+    (plain integer counts on deterministic keys), so
+    ``operators.eval_metrics.cohens_kappa_from_cm`` folds live
+    inter-annotator agreement without rereading any row — the same
+    state-not-rows binding as the drift monitors."""
+    from pyspark.sql import functions as F
+
+    return stream.groupBy(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+
+
+def streaming_band_coverage(
+    stream: DataFrame,
+    bands: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Live coverage of a BATCH-FITTED quantile band over a value
+    stream: stream-static broadcast join onto the bounded ``(group...,
+    band_lo, band_hi)`` frame (the exact grouped-weighted-quantile fit
+    from ``operators.eval_metrics.quantile_coverage_eval``'s batch
+    side), then a per-group (n, n_inside) count aggregation — bounded
+    state, coverage_ppm derivable from any snapshot.  This is the
+    production split of the band eval: fit offline where the exact
+    rank decomposition is affordable, monitor online where only
+    counters are."""
+    from pyspark.sql import functions as F
+
+    val = F.col(value_col).cast("long")
+    return (
+        stream.join(F.broadcast(bands), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (val >= F.col("band_lo")) & (val <= F.col("band_hi")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_inside"),
+        )
+    )

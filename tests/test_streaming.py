@@ -1196,3 +1196,106 @@ def test_streaming_snapshot_feeds_ks_drift(spark, workdir):
     expect = SK.hdr_ks_from_hists(ref, batch_hist).collect()[0]
     assert tuple(got) == tuple(expect)
     assert got.ks_ppm > 0  # the shifted stream HAS drifted
+
+
+def test_streaming_confusion_counts_feed_cohens_kappa(spark, workdir):
+    """Agreement monitoring without rereading rows (r12 eval binding):
+    a LIVE streaming confusion-matrix snapshot through
+    cohens_kappa_from_cm equals the batch cohens_kappa over the same
+    rows — bit-identical, across micro-batch boundaries."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        cohens_kappa,
+        cohens_kappa_from_cm,
+    )
+
+    src = os.path.join(workdir, "landing_kappa")
+    schema = "a string, b string"
+    labels = ["x", "y", "z"]
+    rows1 = [
+        (labels[i % 3], labels[i % 3 if i % 4 else (i + 1) % 3])
+        for i in range(120)
+    ]
+    rows2 = [
+        (labels[i % 3], labels[(i + (0 if i % 5 else 1)) % 3])
+        for i in range(80)
+    ]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_confusion_counts(stream, "a", "b")
+        .writeStream.format("memory")
+        .queryName("kappa_cm")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_kappa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = cohens_kappa_from_cm(spark.table("kappa_cm")).collect()[0]
+    expect = cohens_kappa(spark.read.parquet(src), "a", "b").collect()[0]
+    assert tuple(got) == tuple(expect)
+    assert got.n == 200 and 0 < got.kappa_ppm < 1_000_000
+
+
+def test_streaming_band_coverage_matches_batch_eval(spark, workdir):
+    """The production split of the band eval: band fitted OFFLINE by the
+    exact grouped quantile, coverage monitored ONLINE by a stream-static
+    broadcast join + counters — the snapshot's coverage equals the batch
+    quantile_coverage_eval over the same rows."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        quantile_coverage_eval,
+    )
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile,
+    )
+
+    src = os.path.join(workdir, "landing_band")
+    schema = "g string, v long, tie long"
+    rows1 = [("a" if i % 2 else "b", (i * 37) % 1000, i) for i in range(300)]
+    rows2 = [
+        ("a" if i % 2 else "b", (i * 91) % 1000, 1000 + i) for i in range(200)
+    ]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    batch = spark.read.parquet(src)
+    qs = grouped_weighted_quantile(["g"], ["v", "tie"], "_w", [(1, 10), (9, 10)])(
+        batch.withColumn("_w", F.lit(1))
+    )
+    bands = qs.groupBy("g").agg(
+        F.min(F.when((F.col("q_num") == 1), F.col("v"))).cast("long").alias(
+            "band_lo"
+        ),
+        F.min(F.when((F.col("q_num") == 9), F.col("v"))).cast("long").alias(
+            "band_hi"
+        ),
+    )
+
+    stream = ST.file_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_band_coverage(stream, bands, ["g"], "v")
+        .writeStream.format("memory")
+        .queryName("band_cov")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_band"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    live = {
+        r.g: (r.n, r.n_inside) for r in spark.table("band_cov").collect()
+    }
+    expect = {
+        r.g: (r.n, r.n_inside)
+        for r in quantile_coverage_eval(batch, ["g"], ["v", "tie"]).collect()
+    }
+    assert live == expect
+    assert set(live) == {"a", "b"}

@@ -650,3 +650,70 @@ base AS (
 SELECT {sel}, rf.{out_col}
 FROM base b JOIN ref_ranked rf ON b.idx = rf.rr
 """
+
+
+def salted_grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact top-``k`` rows per group by ``(value desc, id asc)`` —
+    skew-safe::
+
+        (group..., <value_col>, <id_col>, rank)
+
+    The naive ``row_number() OVER (PARTITION BY group)`` puts every row
+    of a hot group through ONE task; this runs two bounded phases
+    instead: a pre-rank partitioned by ``(group, salt)`` (salt =
+    ``md5(id) % n_salts``, deterministic — never ``rand()``) keeps k
+    rows per salt, then the final rank runs over ≤ k·n_salts rows per
+    group.  Correct because a group's true top-k is contained in the
+    union of its per-salt top-ks (each true top-k row is top-k within
+    its own salt a fortiori).  Identical output to the single-window
+    form — the oracle IS that form.
+
+    Interplay with Catalyst: Spark ≥3.5 plans a ``row_number ≤ k``
+    filter as ``WindowGroupLimit`` (partial per-mapper top-k below the
+    shuffle), which already removes most of the naive form's skew pain
+    ON SPARK.  The salted phase keeps the per-partition bound explicit
+    (k·n_salts rows per group regardless of optimizer version or
+    engine) — plan-pinned so both shapes coexist.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    order = [F.col(value_col).desc(), F.col(id_col).asc()]
+    salt = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, value_col, id_col, F.col("rank").cast("long"))
+    )
+
+
+def salted_grouped_topk_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    value_expr: str,
+    id_expr: str,
+    k: int,
+) -> str:
+    """DuckDB rendering of :func:`salted_grouped_topk` — deliberately
+    the SINGLE-window form (the semantic definition), so parity also
+    proves the two-phase salted decomposition loses no row."""
+    g = ", ".join(group_exprs)
+    return f"""
+SELECT {g}, {value_expr}, {id_expr}, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT {g}, {value_expr}, {id_expr},
+         row_number() OVER (PARTITION BY {g}
+             ORDER BY {value_expr} DESC, {id_expr} ASC) AS rank
+  FROM {table_expr}
+) WHERE rank <= {k}
+"""

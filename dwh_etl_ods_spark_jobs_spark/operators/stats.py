@@ -1271,3 +1271,76 @@ SELECT {g}, CAST(n AS BIGINT) AS n_points,
                / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha_6
 FROM m
 """
+
+
+def ucb_arm_scores(
+    df: DataFrame, arm_col: str, reward_col: str
+) -> DataFrame:
+    """UCB1 scores per experiment arm — the explore/exploit monitor for
+    any deterministic A/B/n rollout (data-mixture weights, sampler
+    variants, labeling strategies)::
+
+        (arm, n, mean_reward_6, bonus_6, ucb_6)
+
+    ``reward_col`` must be an integer reward in [0, scale]; rewards are
+    normalized by the GLOBAL max so the exploration bonus
+    ``sqrt(2·ln N / n)`` and the exploitation term share the UCB1 unit
+    interval.  One grouped pass; the (N, max) anchor is a one-row
+    broadcast.  Floats appear only in the final ln/sqrt/divide over
+    exact integer sums, rounded to 6 decimals (the bivariate_stats
+    discipline).
+    """
+    arms = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(reward_col).cast("long")).alias("_sum"),
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("_big_n"))
+    scale = df.agg(
+        F.max(F.col(reward_col).cast("long")).alias("_scale")
+    )
+    mean_norm = F.col("_sum").cast("double") / (
+        F.col("n").cast("double") * F.col("_scale").cast("double")
+    )
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("_big_n").cast("double"))
+        / F.col("n").cast("double")
+    )
+    return (
+        arms.join(F.broadcast(tot))
+        .join(F.broadcast(scale))
+        .select(
+            "arm",
+            "n",
+            F.round(mean_norm, 6).alias("mean_reward_6"),
+            F.round(bonus, 6).alias("bonus_6"),
+            F.round(mean_norm + bonus, 6).alias("ucb_6"),
+        )
+    )
+
+
+def ucb_arm_scores_sql(
+    table_expr: str, arm_expr: str, reward_expr: str
+) -> str:
+    """DuckDB rendering of :func:`ucb_arm_scores`."""
+    return f"""
+WITH arms AS (
+  SELECT {arm_expr} AS arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({reward_expr} AS BIGINT)) AS BIGINT) AS s
+  FROM {table_expr} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms),
+scale AS (
+  SELECT CAST(max(CAST({reward_expr} AS BIGINT)) AS BIGINT) AS mx
+  FROM {table_expr}
+)
+SELECT arm, n,
+       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE)), 6)
+         AS mean_reward_6,
+       round(sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+         AS bonus_6,
+       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE))
+             + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+         AS ucb_6
+FROM arms, tot, scale
+"""

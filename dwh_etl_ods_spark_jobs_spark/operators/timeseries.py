@@ -749,3 +749,70 @@ SELECT {k}, nid AS needle_id, ts AS needle_ts,
        END AS BIGINT) AS dist
 FROM picked
 """
+
+
+def growth_accounting(
+    df: DataFrame, user_col: str, day_col: str
+) -> DataFrame:
+    """Daily growth accounting over an activity log::
+
+        (day, active, new, returning, cumulative)
+
+    ``new`` = users whose FIRST-ever activity is this day, ``returning``
+    = active − new, ``cumulative`` = running distinct-user count — the
+    standard DAU decomposition, computed without any distinct-over-
+    window: per-user first day is one groupBy(user), daily actives one
+    groupBy(user, day)→(day), and the running sum is a window over the
+    BOUNDED day frame.  Days with no activity emit no row (spine-join
+    downstream if a dense calendar is needed).
+
+    Scale: two user-keyed shuffles + one bounded-frame window; no state
+    proportional to users×days.
+    """
+    user = F.col(user_col)
+    day = F.col(day_col)
+    active = (
+        df.select(user.alias("_u"), day.alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    first = (
+        df.groupBy(user.alias("_u"))
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first, "day", "left")
+        .select(
+            "day",
+            "active",
+            F.coalesce(F.col("new"), F.lit(0)).cast("long").alias("new"),
+        )
+        .withColumn("returning", (F.col("active") - F.col("new")).cast("long"))
+        .withColumn("cumulative", F.sum("new").over(w).cast("long"))
+    )
+
+
+def growth_accounting_sql(table_expr: str, user_expr: str, day_expr: str) -> str:
+    """DuckDB rendering of :func:`growth_accounting`."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT {user_expr} AS u, {day_expr} AS day FROM {table_expr}
+),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS active FROM act GROUP BY 1),
+firsts AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new FROM (
+    SELECT u, min(day) AS day FROM act GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT d.day, d.active,
+       CAST(coalesce(f.new, 0) AS BIGINT) AS new,
+       CAST(d.active - coalesce(f.new, 0) AS BIGINT) AS returning,
+       CAST(sum(coalesce(f.new, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative
+FROM daily d LEFT JOIN firsts f USING (day)
+"""

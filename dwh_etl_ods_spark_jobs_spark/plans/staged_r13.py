@@ -1,0 +1,260 @@
+"""r13-STAGED battery queries: operators landed in round 10, held OUT of
+``__spark_entry__`` until the r13 window rotation (the staged →
+parity-pinned → probed → registered lifecycle; see the committed window
+plans in ``__spark_entry__.py``).
+
+Wave theme: the operational-infrastructure layer — stable sharding
+(rendezvous assignment + resize-churn census), skew-safe grouped top-k,
+Merkle-style bandwidth-efficient reconciliation, UCB experiment
+monitoring, and DAU growth accounting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLES: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- rendezvous resize churn ------------------------------------------------
+
+RV_OLD = [f"shard{i}" for i in range(7)]
+RV_NEW = RV_OLD + ["shard7"]
+
+
+def q_rendezvous_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customer keys move when the shard ring grows 7 → 8?
+    Rendezvous hashing bounds this at ≈ 1/8 of keys (vs ~7/8 under
+    modulo sharding) — measured here BEFORE any stateful store resize
+    (operators/sharding.rendezvous_churn; pure per-row expression +
+    one scalar fold)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_churn,
+    )
+
+    return rendezvous_churn(
+        _t(spark, sf_dir, "customer"), "c_custkey", RV_OLD, RV_NEW
+    )
+
+
+def _sql_rendezvous_churn() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_churn_sql,
+    )
+
+    return rendezvous_churn_sql("customer", "c_custkey", RV_OLD, RV_NEW)
+
+
+STAGED_QUERIES["rendezvous_shard_churn"] = q_rendezvous_churn
+STAGED_ORACLES["rendezvous_shard_churn"] = _sql_rendezvous_churn()
+
+
+# --- skew-safe grouped top-k ------------------------------------------------
+
+TOPK_K = 5
+
+
+def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events by value per event type — 5 hot groups, each holding
+    a fifth of the table: exactly where a naive per-group window funnels
+    everything through 5 tasks.  The salted two-phase decomposition
+    keeps every window partition bounded
+    (operators/rank.salted_grouped_topk; oracle = the single-window
+    semantic form, so parity proves no row is lost)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        salted_grouped_topk,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    return salted_grouped_topk(
+        ev, ["event_type"], "cents", "eid", TOPK_K
+    ).orderBy("event_type", "rank")
+
+
+def _sql_salted_topk() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        salted_grouped_topk_sql,
+    )
+
+    return (
+        "SELECT * FROM ("
+        + salted_grouped_topk_sql(
+            "(SELECT event_type,"
+            " CAST(round(value * 100, 0) AS BIGINT) AS cents,"
+            " CAST(event_id AS BIGINT) AS eid FROM events) t",
+            ["event_type"],
+            "cents",
+            "eid",
+            TOPK_K,
+        )
+        + ") ORDER BY event_type, rank"
+    )
+
+
+STAGED_QUERIES["salted_topk_per_type"] = q_salted_topk
+STAGED_ORACLES["salted_topk_per_type"] = _sql_salted_topk()
+
+
+# --- Merkle bucket reconciliation -------------------------------------------
+
+MRD_BUCKETS = 64
+# deterministic synthetic drift: ~0.05% of keys dropped, ~0.1% modified
+# (sparse — the regime the digest pre-filter exists for)
+MRD_DROP_MOD, MRD_EDIT_MOD = 1999, 1009
+
+
+def _orders_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % MRD_DROP_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % MRD_EDIT_MOD == 0,
+            F.col("o_totalprice") + 1.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+
+_MRD_VALS = ["o_totalprice", "o_orderstatus", "o_orderdate"]
+
+
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE do two order snapshots differ?  Per-bucket digest compare
+    first, row diffs only inside disagreeing buckets — the anti-entropy
+    reconciliation that ships digest frames instead of tables
+    (operators/reconcile.merkle_range_diff; the oracle diffs the full
+    table directly, so parity proves the digest pre-filter drops no
+    bucket)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff,
+    )
+
+    return merkle_range_diff(
+        _t(spark, sf_dir, "orders"),
+        _orders_new(spark, sf_dir),
+        "o_orderkey",
+        _MRD_VALS,
+        n_buckets=MRD_BUCKETS,
+    ).orderBy("bucket")
+
+
+def _sql_merkle_diff() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff_sql,
+    )
+
+    new_cte = (
+        "SELECT * REPLACE (CASE WHEN o_orderkey % "
+        f"{MRD_EDIT_MOD} = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END"
+        " AS o_totalprice) FROM orders WHERE o_orderkey % "
+        f"{MRD_DROP_MOD} <> 0"
+    )
+    return (
+        "SELECT * FROM ("
+        + merkle_range_diff_sql(
+            "SELECT * FROM orders",
+            new_cte,
+            "o_orderkey",
+            _MRD_VALS,
+            n_buckets=MRD_BUCKETS,
+        )
+        + ") ORDER BY bucket"
+    )
+
+
+STAGED_QUERIES["merkle_bucket_diff"] = q_merkle_diff
+STAGED_ORACLES["merkle_bucket_diff"] = _sql_merkle_diff()
+
+
+# --- UCB arm monitoring -----------------------------------------------------
+
+
+def q_ucb_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 explore/exploit scores treating each event type as an
+    experiment arm with value-cents reward — the standing monitor for
+    any deterministic A/B/n rollout (operators/stats.ucb_arm_scores;
+    one grouped pass + one-row anchors)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import ucb_arm_scores
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return ucb_arm_scores(ev, "event_type", "cents").orderBy("arm")
+
+
+def _sql_ucb_arms() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        ucb_arm_scores_sql,
+    )
+
+    return (
+        "SELECT * FROM ("
+        + ucb_arm_scores_sql(
+            "(SELECT event_type,"
+            " CAST(round(value * 100, 0) AS BIGINT) AS cents"
+            " FROM events) t",
+            "event_type",
+            "cents",
+        )
+        + ") ORDER BY arm"
+    )
+
+
+STAGED_QUERIES["ucb_event_arms"] = q_ucb_arms
+STAGED_ORACLES["ucb_event_arms"] = _sql_ucb_arms()
+
+
+# --- growth accounting ------------------------------------------------------
+
+
+def q_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active/new/returning/cumulative user decomposition of the
+    event log — the DAU growth-accounting standard, computed with two
+    user-keyed shuffles and a bounded day-frame window, never a
+    distinct-over-window (operators/timeseries.growth_accounting)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        growth_accounting,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").cast("date").alias("day"))
+    return growth_accounting(ev, "user_id", "day").orderBy("day")
+
+
+def _sql_growth() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        growth_accounting_sql,
+    )
+
+    return (
+        "SELECT * FROM ("
+        + growth_accounting_sql(
+            "(SELECT user_id, CAST(ts AS DATE) AS day FROM events"
+            " WHERE user_id IS NOT NULL AND ts IS NOT NULL) t",
+            "user_id",
+            "day",
+        )
+        + ") ORDER BY day"
+    )
+
+
+STAGED_QUERIES["user_growth_accounting"] = q_growth
+STAGED_ORACLES["user_growth_accounting"] = _sql_growth()

@@ -1,0 +1,196 @@
+"""Unit/property tests for the r13-wave operators on hand-built frames
+(the staged_r13 surface tests cover engine parity; these pin semantics
+the oracle comparison cannot see — churn bounds, salt-phase containment,
+digest-prefilter behavior, UCB monotonicity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- rendezvous -------------------------------------------------------------
+
+
+def test_rendezvous_assign_is_stable_and_complete(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    shards = ["a", "b", "c", "d"]
+    out = rendezvous_assign(df, "k", shards).collect()
+    by_shard: dict[str, int] = {}
+    for r in out:
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + 1
+    assert set(by_shard) == set(shards)  # every shard gets keys
+    # roughly uniform: no shard more than 2x the fair share
+    assert max(by_shard.values()) < 2 * 2000 / len(shards)
+    # deterministic: second run identical
+    out2 = rendezvous_assign(df, "k", shards).collect()
+    assert {r.k: r.shard for r in out} == {r.k: r.shard for r in out2}
+
+
+def test_rendezvous_churn_grow_by_one_moves_about_one_nth(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_churn,
+    )
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    old = [f"s{i}" for i in range(7)]
+    row = rendezvous_churn(df, "k", old, old + ["s7"]).collect()[0]
+    # theory: 1/8 = 125000 ppm; allow generous sampling slack
+    assert 80_000 <= row.moved_ppm <= 170_000
+    # removing no shard and adding none moves nothing
+    row = rendezvous_churn(df, "k", old, list(old)).collect()[0]
+    assert row.n_moved == 0 and row.moved_ppm == 0
+
+
+def test_rendezvous_only_movers_go_to_the_new_shard(spark):
+    """The defining rendezvous property: growing the ring only moves
+    keys INTO the new shard — no key moves between surviving shards."""
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    old = ["a", "b", "c"]
+    o = {r.k: r.shard for r in rendezvous_assign(df, "k", old).collect()}
+    n = {
+        r.k: r.shard
+        for r in rendezvous_assign(df, "k", old + ["d"]).collect()
+    }
+    for k, s_new in n.items():
+        if o[k] != s_new:
+            assert s_new == "d", f"key {k} moved {o[k]} -> {s_new}, not to d"
+
+
+def test_rendezvous_rejects_too_many_shards(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        rendezvous_assign(df, "k", [f"s{i}" for i in range(17)])
+
+
+# --- salted grouped top-k ---------------------------------------------------
+
+
+def test_salted_topk_equals_single_window_form(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        salted_grouped_topk,
+    )
+    from pyspark.sql import Window
+
+    rows = [(f"g{i % 3}", (i * 37) % 500, i) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r.g, r.rank): (r.v, r.id)
+        for r in salted_grouped_topk(df, ["g"], "v", "id", 7).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    expect = {
+        (r.g, r.rank): (r.v, r.id)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_salted_topk_group_smaller_than_k(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        salted_grouped_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 9, 2), ("h", 1, 3)], "g string, v long, id long"
+    )
+    out = salted_grouped_topk(df, ["g"], "v", "id", 10).collect()
+    assert len(out) == 3  # emits what exists, never pads
+
+
+# --- merkle range diff ------------------------------------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long")
+
+
+def test_merkle_diff_classifies_added_removed_changed(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff,
+    )
+
+    old = _mk(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, "w", 40)])
+    new = _mk(spark, [(1, "x", 10), (2, "y", 99), (4, "w", 40), (5, "v", 50)])
+    out = merkle_range_diff(old, new, "k", ["a", "b"], n_buckets=4).collect()
+    tot = {
+        "added": sum(r.n_added for r in out),
+        "removed": sum(r.n_removed for r in out),
+        "changed": sum(r.n_changed for r in out),
+    }
+    assert tot == {"added": 1, "removed": 1, "changed": 1}
+
+
+def test_merkle_diff_identical_tables_emit_nothing(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff,
+    )
+
+    t = _mk(spark, [(i, f"s{i}", i * 10) for i in range(50)])
+    assert merkle_range_diff(t, t, "k", ["a", "b"], n_buckets=8).count() == 0
+
+
+def test_merkle_diff_null_values_distinguished(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff,
+    )
+
+    old = _mk(spark, [(1, None, 10)])
+    new = _mk(spark, [(1, "None", 10)])
+    out = merkle_range_diff(old, new, "k", ["a", "b"], n_buckets=2).collect()
+    assert sum(r.n_changed for r in out) == 1  # NULL != 'None' (ADVICE r7)
+
+
+# --- UCB --------------------------------------------------------------------
+
+
+def test_ucb_bonus_shrinks_with_pulls_and_bounds_mean(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import ucb_arm_scores
+
+    rows = [("few", 100)] * 5 + [("many", 100)] * 500
+    df = spark.createDataFrame(rows, "arm string, r long")
+    out = {r.arm: r for r in ucb_arm_scores(df, "arm", "r").collect()}
+    assert out["few"].bonus_6 > out["many"].bonus_6  # less explored
+    # both arms always hit max reward -> normalized mean exactly 1.0
+    assert out["few"].mean_reward_6 == 1.0 == out["many"].mean_reward_6
+    for r in out.values():
+        assert r.ucb_6 == round(r.mean_reward_6 + r.bonus_6, 6)
+
+
+# --- growth accounting ------------------------------------------------------
+
+
+def test_growth_accounting_hand_timeline(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        growth_accounting,
+    )
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1)), (2, d(2024, 1, 1)),
+        (1, d(2024, 1, 2)), (3, d(2024, 1, 2)), (3, d(2024, 1, 2)),
+        (2, d(2024, 1, 4)),
+    ]
+    df = spark.createDataFrame(rows, "u long, day date")
+    out = {str(r.day): r for r in growth_accounting(df, "u", "day").collect()}
+    assert (out["2024-01-01"].active, out["2024-01-01"].new) == (2, 2)
+    assert (out["2024-01-02"].active, out["2024-01-02"].new) == (2, 1)
+    assert out["2024-01-02"].returning == 1
+    assert "2024-01-03" not in out  # silent day emits no row
+    assert (out["2024-01-04"].active, out["2024-01-04"].new) == (1, 0)
+    assert out["2024-01-04"].cumulative == 3

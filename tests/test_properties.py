@@ -470,3 +470,127 @@ def test_weighted_quantile_matches_python(spark, data, num_den):
             expect = (v, i)
             break
     assert (got[0].v, got[0].i) == expect
+
+
+# --- r13-wave properties ----------------------------------------------------
+
+name_strat = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=4), min_size=1, max_size=14
+)
+
+
+@given(names=name_strat)
+@SET
+def test_edit1_linkage_census_equals_brute_force(spark, names):
+    """For ANY name pool over a tiny alphabet (maximally dense deletion
+    buckets — the adversarial case for FastSS), the deletion-
+    neighborhood census equals per-pair brute force at radius 1."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import edit1_linkage_census
+
+    def lev_le1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        return any(b[:i] + b[i + 1 :] == a for i in range(lb))
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = edit1_linkage_census(df, "name").collect()[0]
+    uniq = sorted(set(names))
+    from collections import Counter
+
+    cnt = Counter(names)
+    exp_pairs = [
+        (x, y)
+        for i, x in enumerate(uniq)
+        for y in uniq[i + 1 :]
+        if lev_le1(x, y)
+    ]
+    assert out.ed1_name_pairs == len(exp_pairs)
+    assert out.ed1_record_pairs == sum(cnt[x] * cnt[y] for x, y in exp_pairs)
+    assert out.ed0_record_pairs == sum(
+        m * (m - 1) // 2 for m in cnt.values()
+    )
+
+
+topk_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 10**6)),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[2],
+)
+
+
+@given(data=topk_rows, k=st.integers(1, 6), n_salts=st.integers(1, 8))
+@SET
+def test_salted_topk_equals_plain_window_for_any_salt_count(
+    spark, data, k, n_salts
+):
+    from pyspark.sql import Window
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        salted_grouped_topk,
+    )
+
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g int, v long, id long")
+    got = {
+        (r.g, r.rank, r.v, r.id)
+        for r in salted_grouped_topk(
+            df, ["g"], "v", "id", k, n_salts=n_salts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    expect = {
+        (r.g, r.rank, r.v, r.id)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    assert got == expect
+
+
+merkle_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 3)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old=merkle_rows, new=merkle_rows, n_buckets=st.integers(1, 8))
+@SET
+def test_merkle_diff_totals_equal_set_algebra(spark, old, new, n_buckets):
+    """For ANY pair of keyed tables, the merkle diff's total
+    added/removed/changed equals plain set algebra on the key/value
+    pairs — for any bucket count (including 1, where the pre-filter
+    degenerates to a full diff)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        merkle_range_diff,
+    )
+
+    def mk(rows):
+        if rows:
+            return spark.createDataFrame(rows, "k long, a long")
+        return spark.range(0).select(
+            F.col("id").alias("k"), F.col("id").alias("a")
+        )
+
+    out = merkle_range_diff(
+        mk(old), mk(new), "k", ["a"], n_buckets=n_buckets
+    ).collect()
+    do, dn = dict(old), dict(new)
+    exp_added = len(set(dn) - set(do))
+    exp_removed = len(set(do) - set(dn))
+    exp_changed = sum(
+        1 for k in set(do) & set(dn) if do[k] != dn[k]
+    )
+    assert sum(r.n_added for r in out) == exp_added
+    assert sum(r.n_removed for r in out) == exp_removed
+    assert sum(r.n_changed for r in out) == exp_changed

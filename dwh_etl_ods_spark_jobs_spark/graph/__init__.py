@@ -569,3 +569,64 @@ def bfs_hops_sql(edges_cte: str, sources_cte: str, max_hops: int = 4) -> str:
         ctes.append(f"f{h} AS MATERIALIZED (SELECT node FROM n{h})")
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT node, hops FROM s{max_hops}"
+
+
+def copurchase_projection(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Bipartite basket→item co-occurrence projection: the weighted
+    item-item edge list behind "bought/viewed together" and
+    co-engagement graphs::
+
+        (item_a, item_b, support)    item_a < item_b, support ≥ min_support
+
+    One equi self-join on the basket key — fan-out is C(basket_size, 2),
+    so the operator is for NATURALLY BOUNDED baskets (orders, sessions,
+    documents×entities; the synthetic orders top out at 17 items).  For
+    heavy-tailed baskets, cap upstream (top-m items per basket) — the
+    same guard the shingle posting joins use.  The top-k cut is
+    orderBy+limit = TakeOrderedAndProject (partitions ship local top-k
+    only).  Output edges feed the existing graph operators (k-core,
+    label propagation, PageRank) directly.
+    """
+    a = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    ).distinct()
+    b = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    ).distinct()
+    return (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "item_a", "item_b")
+        .limit(top_k)
+    )
+
+
+def copurchase_projection_sql(
+    table_expr: str,
+    basket_expr: str,
+    item_expr: str,
+    min_support: int = 2,
+    top_k: int = 50,
+) -> str:
+    """DuckDB rendering of :func:`copurchase_projection`."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {basket_expr} AS b, {item_expr} AS item FROM {table_expr}
+)
+SELECT a.item AS item_a, c.item AS item_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM base a JOIN base c ON a.b = c.b AND a.item < c.item
+GROUP BY 1, 2
+HAVING count(*) >= {min_support}
+ORDER BY support DESC, item_a, item_b
+LIMIT {top_k}
+"""

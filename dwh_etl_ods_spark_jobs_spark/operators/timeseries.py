@@ -816,3 +816,94 @@ SELECT d.day, d.active,
          AS cumulative
 FROM daily d LEFT JOIN firsts f USING (day)
 """
+
+
+def acf_lags(
+    df: DataFrame, t_col: str, value_col: str, max_lag: int = 7
+) -> DataFrame:
+    """Exact autocorrelation of an already-aggregated series at lags
+    1..``max_lag``::
+
+        (lag, n, acf_6)
+
+    acf(k) = Pearson corr of (x_t, x_{t−k}) over the overlapping span —
+    the seasonality probe that tells you WHICH period the weekday
+    operators should use.  Intended for BOUNDED series frames (a daily
+    rollup — the unpartitioned lag window is over that bounded frame,
+    never the raw events; the caller owns the pre-aggregation).  One
+    window computes every lag column, one explode reshapes to (lag, x,
+    y), exact decimal moment sums per lag, one float division rounded
+    to 6 (the bivariate_stats discipline).
+    """
+    w = Window.orderBy(t_col)  # bounded series frame — documented
+    x = F.col(value_col).cast("long")
+    lagged = df.select(
+        x.alias("_x"),
+        *[F.lag(x, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_l{k}").alias("y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.lag", "_p.x", "_p.y").filter(F.col("y").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("_sx"),
+        F.sum(dec(F.col("y"))).alias("_sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("_sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("_syy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("_sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    dx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    dy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return agg.select(
+        F.col("lag").cast("long"),
+        "n",
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("acf_6"),
+    )
+
+
+def acf_lags_sql(
+    table_expr: str, t_expr: str, value_expr: str, max_lag: int = 7
+) -> str:
+    """DuckDB rendering of :func:`acf_lags` — same HUGEINT moments."""
+    lag_cols = ", ".join(
+        f"lag(CAST({value_expr} AS BIGINT), {k}) OVER (ORDER BY {t_expr})"
+        f" AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag, x, l{k} AS y FROM lagged WHERE l{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH lagged AS (
+  SELECT CAST({value_expr} AS BIGINT) AS x, {lag_cols} FROM {table_expr}
+),
+pairs AS ({arms}),
+m AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf_6
+FROM m
+"""

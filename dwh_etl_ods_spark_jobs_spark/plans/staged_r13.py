@@ -258,3 +258,83 @@ def _sql_growth() -> str:
 
 STAGED_QUERIES["user_growth_accounting"] = q_growth
 STAGED_ORACLES["user_growth_accounting"] = _sql_growth()
+
+
+# --- co-purchase projection --------------------------------------------------
+
+COP_MIN_SUPPORT = 2
+COP_TOP_K = 50
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 'bought together' part pairs by order co-occurrence — the
+    bipartite basket→item projection whose edge list feeds the graph
+    operators (graph.copurchase_projection; one bounded-fan-out equi
+    self-join on the order key, top-k via TakeOrdered)."""
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_projection(
+        li, "l_orderkey", "l_partkey",
+        min_support=COP_MIN_SUPPORT, top_k=COP_TOP_K,
+    )
+
+
+def _sql_copurchase() -> str:
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection_sql
+
+    return copurchase_projection_sql(
+        "lineitem", "l_orderkey", "l_partkey",
+        min_support=COP_MIN_SUPPORT, top_k=COP_TOP_K,
+    )
+
+
+STAGED_QUERIES["copurchase_pairs"] = q_copurchase
+STAGED_ORACLES["copurchase_pairs"] = _sql_copurchase()
+
+
+# --- daily-revenue autocorrelation ------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event revenue at lags 1..7 — the
+    which-period-is-it seasonality probe behind the weekday operators
+    (operators/timeseries.acf_lags over the BOUNDED 30-day rollup;
+    exact moment sums, one rounded division per lag)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import acf_lags
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    daily = (
+        read_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    return acf_lags(daily, "day", "cents", max_lag=ACF_MAX_LAG).orderBy("lag")
+
+
+def _sql_acf() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import acf_lags_sql
+
+    return (
+        "SELECT * FROM ("
+        + acf_lags_sql(
+            "(SELECT CAST(ts AS DATE) AS day,"
+            " sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents"
+            " FROM events WHERE ts IS NOT NULL GROUP BY 1) t",
+            "day",
+            "cents",
+            max_lag=ACF_MAX_LAG,
+        )
+        + ") ORDER BY lag"
+    )
+
+
+STAGED_QUERIES["daily_revenue_acf"] = q_acf
+STAGED_ORACLES["daily_revenue_acf"] = _sql_acf()

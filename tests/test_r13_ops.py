@@ -194,3 +194,65 @@ def test_growth_accounting_hand_timeline(spark):
     assert "2024-01-03" not in out  # silent day emits no row
     assert (out["2024-01-04"].active, out["2024-01-04"].new) == (1, 0)
     assert out["2024-01-04"].cumulative == 3
+
+
+# --- co-purchase projection -------------------------------------------------
+
+
+def test_copurchase_projection_hand_baskets(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"), (4, "d"),
+        (5, "a"), (5, "a"),  # duplicate item in basket counts once
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r.item_a, r.item_b): r.support
+        for r in copurchase_projection(
+            df, "basket", "item", min_support=1, top_k=10
+        ).collect()
+    }
+    assert out[("a", "b")] == 3
+    assert out[("a", "c")] == 1 and out[("b", "c")] == 1
+    assert out[("c", "d")] == 1
+    assert ("a", "a") not in out  # self-pairs excluded, dup item once
+
+
+def test_copurchase_min_support_and_topk(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
+
+    rows = [(b, i) for b in range(6) for i in ("x", "y")] + [(9, "p"), (9, "q")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = copurchase_projection(
+        df, "basket", "item", min_support=2, top_k=10
+    ).collect()
+    assert [(r.item_a, r.item_b, r.support) for r in out] == [("x", "y", 6)]
+
+
+# --- ACF --------------------------------------------------------------------
+
+
+def test_acf_perfect_period_two(spark):
+    """An alternating series has acf(1) = -1 and acf(2) = +1 exactly."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import acf_lags
+
+    rows = [(t, 10 if t % 2 == 0 else 20) for t in range(40)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    out = {r.lag: r for r in acf_lags(df, "t", "v", max_lag=3).collect()}
+    assert out[1].acf_6 == -1.0
+    assert out[2].acf_6 == 1.0
+    assert out[1].n == 39 and out[2].n == 38  # overlap spans
+    assert out[3].acf_6 == -1.0
+
+
+def test_acf_linear_trend_is_near_one(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import acf_lags
+
+    rows = [(t, 100 + 7 * t) for t in range(30)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    out = {r.lag: r.acf_6 for r in acf_lags(df, "t", "v", max_lag=2).collect()}
+    assert out[1] > 0.99 and out[2] > 0.98  # trend dominates

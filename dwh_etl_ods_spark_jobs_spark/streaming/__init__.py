@@ -746,3 +746,52 @@ def streaming_band_coverage(
             ).cast("long").alias("n_inside"),
         )
     )
+
+
+def growth_accounting_sink(
+    stream: DataFrame,
+    user_col: str,
+    day_col: str,
+    activity_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming DAU growth accounting, exact: maintain the DISTINCT
+    ``(user, day)`` activity state per micro-batch (anti-join append —
+    the ``incremental_sink`` discipline, so replays add nothing), and
+    read the growth table off the state with the batch operator::
+
+        growth_accounting(spark.read.parquet(activity_path), ...)
+
+    The state is the distinct activity matrix — the true information
+    content of an exact new/returning decomposition (any smaller state
+    either approximates or forgets out-of-order days; stream==batch
+    bit-equality is pinned in pytest, including first-seen days arriving
+    late).  For retention-window deployments, prune state older than the
+    window after each batch — the decomposition for days inside the
+    window stays exact.
+    """
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs = batch.select(
+            F.col(user_col).alias("u"), F.col(day_col).alias("day")
+        ).dropDuplicates(["u", "day"])
+        if _hadoop_path_exists(spark, activity_path):
+            try:
+                prev = spark.read.parquet(activity_path)
+                pairs = pairs.join(prev, ["u", "day"], "left_anti")
+            except AnalysisException as e:
+                msg = f"{_error_condition(e)} {e}"
+                if (
+                    "UNABLE_TO_INFER_SCHEMA" not in msg
+                    and "PATH_NOT_FOUND" not in msg
+                ):
+                    raise
+        pairs.write.mode("append").parquet(activity_path)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1299,3 +1299,61 @@ def test_streaming_band_coverage_matches_batch_eval(spark, workdir):
     }
     assert live == expect
     assert set(live) == {"a", "b"}
+
+
+def test_growth_accounting_sink_matches_batch_and_replays_clean(spark, workdir):
+    """Streaming DAU state == batch growth accounting bit-for-bit —
+    including a user whose FIRST activity arrives in a later micro-batch
+    with an EARLIER day (out-of-order first-seen), and a replayed batch
+    adds nothing."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        growth_accounting,
+    )
+
+    d = dt.date
+    src = os.path.join(workdir, "landing_growth")
+    schema = "u long, day date"
+    batch1 = [(1, d(2024, 1, 2)), (2, d(2024, 1, 2)), (1, d(2024, 1, 3))]
+    batch2 = [
+        (3, d(2024, 1, 3)),
+        (2, d(2024, 1, 1)),  # out-of-order: user 2's true first day
+        (1, d(2024, 1, 2)),  # duplicate across batches
+    ]
+    _write_source_files(spark, src, batch1, schema)
+    _write_source_files(spark, src, batch2, schema)
+
+    activity = os.path.join(workdir, "activity_state")
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = ST.growth_accounting_sink(
+        stream, "u", "day", activity, os.path.join(workdir, "ckpt_growth")
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        tuple(r)
+        for r in growth_accounting(
+            spark.read.parquet(activity), "u", "day"
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in growth_accounting(
+            spark.read.parquet(src), "u", "day"
+        ).collect()
+    )
+    assert got == expect
+    # user 2's first day correctly moved to Jan 1 despite arriving late
+    by_day = {str(r[0]): r for r in got}
+    assert by_day["2024-01-01"][2] == 1  # new on Jan 1
+
+    # replay the whole source through a FRESH checkpoint: state unchanged
+    n_before = spark.read.parquet(activity).count()
+    q = ST.growth_accounting_sink(
+        stream, "u", "day", activity, os.path.join(workdir, "ckpt_growth2")
+    )
+    ST.run_to_completion(q)
+    assert spark.read.parquet(activity).count() == n_before

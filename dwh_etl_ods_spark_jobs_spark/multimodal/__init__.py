@@ -316,6 +316,7 @@ MAGIC_SIGNATURES = [
     ("png", "89504E470D0A1A0A"),
     ("jpeg", "FFD8FF"),
     ("gif", "474946383"),          # GIF87a / GIF89a share this prefix
+    ("bmp", "424D"),               # "BM" (BITMAPFILEHEADER)
     ("pdf", "25504446"),
     ("zip", "504B0304"),
     ("gzip", "1F8B"),
@@ -356,4 +357,69 @@ def type_census(payloads: DataFrame, bin_col: str = "payload") -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("_len").cast("long").alias("total_bytes"),
         )
+    )
+
+
+def _be32(bin_col: Column, off: int) -> Column:
+    """Big-endian uint32 at 1-based byte offset ``off`` — hex+conv, pure
+    expression."""
+    return F.conv(F.hex(F.substring(bin_col, off, 4)), 16, 10).cast("long")
+
+
+def _le(bin_col: Column, off: int, nbytes: int) -> Column:
+    """Little-endian unsigned int of ``nbytes`` at 1-based ``off`` —
+    per-byte hex+conv recombination (Spark has no reverse-bytes for
+    binary), still scan-side."""
+    total = F.lit(0).cast("long")
+    for i in range(nbytes):
+        b = F.conv(F.hex(F.substring(bin_col, off + i, 1)), 16, 10).cast("long")
+        total = total + b * F.lit(256 ** i)
+    return total
+
+
+def parse_media_header(bin_col: Column) -> Column:
+    """REAL container-header field extraction as a pure scan-side
+    expression — no codec library, no Python boundary::
+
+        struct(media_type, width, height, sample_rate, channels)
+
+    - PNG: width/height are the big-endian uint32s at bytes 17-20 /
+      21-24 (8-byte signature + IHDR length + type);
+    - BMP: width/height are little-endian int32s at offsets 19 / 23
+      (BITMAPINFOHEADER);
+    - WAV: channels (LE uint16 @ 23) and sample_rate (LE uint32 @ 25)
+      from the canonical fmt chunk;
+    - anything else (or a payload shorter than its header): type from
+      :func:`sniff_type`, NULL fields.
+
+    This is the part of "decode" that needs no codec: every field is
+    fixed-offset byte arithmetic, so it runs inside whole-stage codegen
+    at any corpus size.  Pixel decoding stays behind the declared
+    :func:`decode_image_real` stub (no image lib in this container);
+    header truth is pytest-pinned against ``struct``-packed REAL
+    headers.
+    """
+    t = sniff_type(bin_col)
+    blen = F.length(bin_col)
+    png_ok = (t == "png") & (blen >= 24)
+    bmp_ok = (t == "bmp") & (blen >= 26)
+    wav_ok = (t == "wav") & (blen >= 28)
+    width = (
+        F.when(png_ok, _be32(bin_col, 17))
+        .when(bmp_ok, _le(bin_col, 19, 4))
+        .cast("long")
+    )
+    height = (
+        F.when(png_ok, _be32(bin_col, 21))
+        .when(bmp_ok, _le(bin_col, 23, 4))
+        .cast("long")
+    )
+    rate = F.when(wav_ok, _le(bin_col, 25, 4)).cast("long")
+    chans = F.when(wav_ok, _le(bin_col, 23, 2)).cast("long")
+    return F.struct(
+        t.alias("media_type"),
+        width.alias("width"),
+        height.alias("height"),
+        rate.alias("sample_rate"),
+        chans.alias("channels"),
     )

@@ -401,3 +401,73 @@ def test_r10b_plans_have_no_single_partition_exchange(spark, sf_dir):
     plan_gr = gr._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan_gr
     assert "BroadcastExchange" in plan_gr
+
+
+def test_parse_media_header_real_headers(spark):
+    """REAL container headers, struct-packed by the TEST (the
+    independent truth), parsed by pure Spark byte expressions — the
+    codec-free half of decode that works on any real corpus."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.multimodal import parse_media_header
+
+    # genuine PNG: signature + IHDR chunk (len, type, w, h, ...)
+    png = (
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 1920, 1080)
+        + bytes([8, 6, 0, 0, 0])
+    )
+    # genuine BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER start
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 1000, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 640, -480, 1, 24)  # top-down: h<0
+    )
+    # genuine WAV: RIFF/WAVE + canonical fmt chunk
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    rows = [(1, png), (2, bmp), (3, wav), (4, b"%PDF-1.7"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", parse_media_header(F.col("payload")).alias("h")
+        ).collect()
+    }
+    assert got[1].media_type == "png"
+    assert (got[1].width, got[1].height) == (1920, 1080)
+    assert got[1].sample_rate is None and got[1].channels is None
+    assert got[2].media_type == "bmp"
+    # little-endian unsigned read of the packed int32s: width positive,
+    # top-down height reads as the two's-complement raw value
+    assert got[2].width == 640
+    assert got[2].height == struct.unpack("<I", struct.pack("<i", -480))[0]
+    assert got[3].media_type == "wav"
+    assert (got[3].sample_rate, got[3].channels) == (44100, 2)
+    assert got[3].width is None and got[3].height is None
+    assert got[4].media_type == "pdf"
+    assert got[4].width is None
+    assert got[5].media_type == "unknown"
+
+
+def test_parse_media_header_truncated_payloads_yield_nulls(spark):
+    """A payload with a valid magic but a short header must NOT read
+    garbage fields — type still sniffs, every field NULL."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.multimodal import parse_media_header
+
+    short_png = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"IH"
+    df = spark.createDataFrame([(1, short_png)], "doc_id long, payload binary")
+    h = df.select(parse_media_header(F.col("payload")).alias("h")).collect()[0].h
+    assert h.media_type == "png"
+    assert h.width is None and h.height is None

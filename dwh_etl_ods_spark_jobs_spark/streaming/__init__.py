@@ -795,3 +795,38 @@ def growth_accounting_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_windows(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` aggregate —
+    the native counterpart of :func:`stateful_sessionize` (which remains
+    the escape hatch for dynamic gaps / custom emission)::
+
+        (key..., session_start, session_end, n_events)
+
+    Spark merges events whose ``[ts, ts+gap)`` windows overlap, evicting
+    closed-session state at the watermark — bounded per-key state, JVM
+    native, no Python boundary.  Boundary convention: an event exactly
+    ``gap`` after its predecessor starts a NEW session here (window end
+    exclusive) but continues the session in the batch
+    :func:`operators.timeseries.sessionize` (strict ``>`` test) — the
+    equality pytest pins both the match away from the boundary and this
+    documented divergence at it.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1357,3 +1357,63 @@ def test_growth_accounting_sink_matches_batch_and_replays_clean(spark, workdir):
     )
     ST.run_to_completion(q)
     assert spark.read.parquet(activity).count() == n_before
+
+
+def test_native_session_window_matches_batch_sessionize(spark, workdir):
+    """The built-in session_window streaming aggregation groups events
+    into the SAME sessions as the batch window-pass sessionize (away
+    from the exact-gap boundary), across micro-batch splits."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: (t0 + dt.timedelta(seconds=sec))  # noqa: E731
+    gap_s = 60
+    rows1 = [
+        (1, s(0)), (1, s(30)), (1, s(50)),       # session A (3 events)
+        (2, s(10)),                               # session C starts
+    ]
+    rows2 = [
+        (1, s(200)), (1, s(230)),                 # session B (2 events)
+        (2, s(45)), (2, s(300)),                  # C grows; session D
+    ]
+    src = os.path.join(workdir, "landing_sess")
+    schema = "u long, ts timestamp"
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_session_windows(stream, ["u"], "ts", gap=f"{gap_s} seconds")
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    live = {
+        (r.u, r.session_start): r.n_events
+        for r in spark.table("native_sessions").collect()
+    }
+    batch = sessionize(
+        spark.read.parquet(src), ["u"], "ts", gap_micros=gap_s * 1_000_000
+    )
+    expect = {
+        (r.u, r.session_start): r.n
+        for r in batch.groupBy(
+            "u", "session_seq"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert live == expect
+    assert live[(1, t0)] == 3  # the split-across-batches session merged

@@ -88,9 +88,12 @@ def auc_mann_whitney(
         F.sum("_np").cast("long").alias("n_pos"),
         F.sum("_nn").cast("long").alias("n_neg"),
         F.count(F.lit(1)).cast("long").alias("n_scores"),
+        # single-class input leaves AUC 0/0-undefined: explicit NULL on
+        # BOTH engines (Spark ANSI `div 0` throws; DuckDB `// 0` nulls)
         F.expr(
-            f"CAST((sum(_r2) - sum(_np) * (sum(_np) + 1)) * {PPM}"
-            " div (2 * sum(_np) * sum(_nn)) AS BIGINT)"
+            f"CAST(CASE WHEN sum(_np) = 0 OR sum(_nn) = 0 THEN NULL"
+            f" ELSE (sum(_r2) - sum(_np) * (sum(_np) + 1)) * {PPM}"
+            " div (2 * sum(_np) * sum(_nn)) END AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -116,8 +119,9 @@ pre AS (
 SELECT CAST(sum(np) AS BIGINT) AS n_pos,
        CAST(sum(nn) AS BIGINT) AS n_neg,
        CAST(count(*) AS BIGINT) AS n_scores,
-       CAST((sum(np * (2 * b + np + nn + 1)) - sum(np) * (sum(np) + 1))
-            * {PPM} // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+       CAST(CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+            ELSE (sum(np * (2 * b + np + nn + 1)) - sum(np) * (sum(np) + 1))
+                 * {PPM} // (2 * sum(np) * sum(nn)) END AS BIGINT) AS auc_ppm
 FROM pre
 """
 
@@ -232,7 +236,12 @@ def pr_threshold_sweep(
         ).cast("long").alias("_allpos"),
     )
     prec = F.expr(f"CAST(tp * {PPM} div _pred AS BIGINT)")
-    rec = F.expr(f"CAST(tp * {PPM} div _allpos AS BIGINT)")
+    # zero positives anywhere -> recall undefined: explicit NULL (Spark
+    # ANSI `div 0` throws; DuckDB `// 0` nulls — unified)
+    rec = F.expr(
+        f"CAST(CASE WHEN _allpos = 0 THEN NULL"
+        f" ELSE tp * {PPM} div _allpos END AS BIGINT)"
+    )
     return (
         cum.withColumn("fp", (F.col("_pred") - F.col("tp")).cast("long"))
         .withColumn("fn", (F.col("_allpos") - F.col("tp")).cast("long"))
@@ -352,9 +361,13 @@ def cohens_kappa_from_cm(cm: DataFrame) -> DataFrame:
         .withColumn("po_ppm", F.expr(f"CAST(_agree * {PPM} div n AS BIGINT)"))
         .withColumn(
             "kappa_ppm",
+            # pe == 1 (single shared label) leaves kappa 0/0-undefined:
+            # explicit NULL on BOTH engines (Spark ANSI `div 0` THROWS,
+            # DuckDB `// 0` nulls — the guard unifies them)
             F.expr(
-                f"CAST((po_ppm - pe_ppm) * {PPM}"
-                f" div ({PPM} - pe_ppm) AS BIGINT)"
+                f"CAST(CASE WHEN pe_ppm = {PPM} THEN NULL"
+                f" ELSE (po_ppm - pe_ppm) * {PPM}"
+                f" div ({PPM} - pe_ppm) END AS BIGINT)"
             ),
         )
         .select("n", "po_ppm", "pe_ppm", "kappa_ppm")
@@ -389,8 +402,9 @@ pe AS (
 SELECT n,
        CAST(agree * {PPM} // n AS BIGINT) AS po_ppm,
        pe_ppm,
-       CAST((agree * {PPM} // n - pe_ppm) * {PPM}
-            // ({PPM} - pe_ppm) AS BIGINT) AS kappa_ppm
+       CAST(CASE WHEN pe_ppm = {PPM} THEN NULL
+            ELSE (agree * {PPM} // n - pe_ppm) * {PPM}
+                 // ({PPM} - pe_ppm) END AS BIGINT) AS kappa_ppm
 FROM tot, pe
 """
 

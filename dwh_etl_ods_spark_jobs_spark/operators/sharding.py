@@ -94,7 +94,12 @@ def rendezvous_churn(
         .alias("n_moved"),
     ).withColumn(
         "moved_ppm",
-        F.expr("CAST(n_moved * 1000000 div n_keys AS BIGINT)"),
+        # empty input -> 0/0: explicit 0 on both engines (Spark ANSI
+        # `div 0` throws; DuckDB `// 0` nulls)
+        F.expr(
+            "CAST(CASE WHEN n_keys = 0 THEN 0"
+            " ELSE n_moved * 1000000 div n_keys END AS BIGINT)"
+        ),
     )
 
 
@@ -114,7 +119,8 @@ WITH assigned AS (
 SELECT CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
          AS n_moved,
-       CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) * 1000000
-            // count(*) AS BIGINT) AS moved_ppm
+       CAST(CASE WHEN count(*) = 0 THEN 0
+            ELSE sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) * 1000000
+                 // count(*) END AS BIGINT) AS moved_ppm
 FROM assigned
 """

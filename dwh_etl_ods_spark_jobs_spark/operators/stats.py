@@ -1139,7 +1139,13 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
                     F.col("_n").cast("long").alias("n"),
-                    F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("corr_6"),
+                    # constant column -> zero variance -> undefined:
+                    # explicit NULL (DuckDB double/0 nulls; Spark would
+                    # emit NaN/Inf — unified)
+                    F.when(
+                        (da > 0) & (db > 0),
+                        F.round(num / (F.sqrt(da) * F.sqrt(db)), 6),
+                    ).alias("corr_6"),
                 )
             )
     return one.select(
@@ -1163,10 +1169,12 @@ def corr_matrix_sql(table_expr: str, cols: list[str]) -> str:
             picks.append(
                 f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
                 f" CAST(n AS BIGINT) AS n,"
+                f" CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0"
+                f" AND n * ss_{b} - s_{b} * s_{b} > 0 THEN"
                 f" round(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
                 f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
                 f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6)"
-                f" AS corr_6 FROM m"
+                f" END AS corr_6 FROM m"
             )
     body = "\nUNION ALL\n".join(picks)
     return f"WITH m AS (SELECT {', '.join(sums)} FROM {table_expr})\n{body}"
@@ -1231,7 +1239,9 @@ def zipf_alpha(
     return agg.select(
         *group_cols,
         "n_points",
-        F.round(-(num / den), 6).alias("alpha_6"),
+        # a 1-point head (or all-equal ranks) has no slope: explicit
+        # NULL on both engines
+        F.when(den != 0, F.round(-(num / den), 6)).alias("alpha_6"),
     )
 
 
@@ -1267,8 +1277,9 @@ m AS (
   FROM pts GROUP BY {g}
 )
 SELECT {g}, CAST(n AS BIGINT) AS n_points,
-       round(-(CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha_6
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+            round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)), 6) END AS alpha_6
 FROM m
 """
 
@@ -1298,8 +1309,12 @@ def ucb_arm_scores(
     scale = df.agg(
         F.max(F.col(reward_col).cast("long")).alias("_scale")
     )
-    mean_norm = F.col("_sum").cast("double") / (
-        F.col("n").cast("double") * F.col("_scale").cast("double")
+    # an all-zero reward column has no UCB1 unit interval: the guard
+    # nulls the mean/ucb instead of Spark's NaN (DuckDB double/0 nulls)
+    mean_norm = F.when(
+        F.col("_scale") > 0,
+        F.col("_sum").cast("double")
+        / (F.col("n").cast("double") * F.col("_scale").cast("double")),
     )
     bonus = F.sqrt(
         F.lit(2.0)
@@ -1335,12 +1350,14 @@ scale AS (
   FROM {table_expr}
 )
 SELECT arm, n,
-       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE)), 6)
+       CASE WHEN mx > 0 THEN round(CAST(s AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE)), 6) END
          AS mean_reward_6,
        round(sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
          AS bonus_6,
-       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE))
-             + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
-         AS ucb_6
+       CASE WHEN mx > 0 THEN round(CAST(s AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(mx AS DOUBLE))
+            + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+         END AS ucb_6
 FROM arms, tot, scale
 """

@@ -871,7 +871,12 @@ def acf_lags(
     return agg.select(
         F.col("lag").cast("long"),
         "n",
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("acf_6"),
+        # a constant (or single-point) overlap span has no correlation:
+        # explicit NULL on both engines (DuckDB double/0 nulls; Spark
+        # would emit NaN/Inf)
+        F.when(
+            (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+        ).alias("acf_6"),
     )
 
 
@@ -902,8 +907,10 @@ m AS (
   FROM pairs GROUP BY 1
 )
 SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf_6
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS acf_6
 FROM m
 """

@@ -290,3 +290,15 @@ def test_quantile_coverage_uniform_band(spark):
     assert out.band_lo == 10 and out.band_hi == 90
     assert out.n == 100 and out.n_inside == 81
     assert out.coverage_ppm == 810_000
+
+
+def test_cohens_kappa_degenerate_single_label_is_null(spark):
+    """Both raters emitting one identical label: po = pe = 1 and kappa is
+    0/0 — both engines return NULL (Spark `div 0` == DuckDB `// 0`), so
+    the degenerate case is consistent, not divergent."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 9, "a string, b string")
+    out = cohens_kappa(df, "a", "b").collect()[0]
+    assert out.po_ppm == 1_000_000 and out.pe_ppm == 1_000_000
+    assert out.kappa_ppm is None

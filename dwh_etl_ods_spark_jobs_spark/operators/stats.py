@@ -1303,17 +1303,28 @@ def ucb_arm_scores(
     """
     arms = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col(reward_col).cast("long")).alias("_sum"),
+        F.sum(F.col(reward_col).cast("long")).alias("reward_sum"),
+        F.max(F.col(reward_col).cast("long")).alias("reward_max"),
     )
-    tot = arms.agg(F.sum("n").cast("long").alias("_big_n"))
-    scale = df.agg(
-        F.max(F.col(reward_col).cast("long")).alias("_scale")
+    return ucb_from_arm_state(arms)
+
+
+def ucb_from_arm_state(arms: DataFrame) -> DataFrame:
+    """UCB1 from ALREADY-AGGREGATED per-arm counters ``(arm, n,
+    reward_sum, reward_max)`` — the mergeable-state form: a streaming
+    ``groupBy(arm)`` snapshot (bounded arms-count state; count/sum/max
+    are all combiners) or any union of per-shard counters feeds the
+    same fold, so the explore/exploit monitor never rereads reward rows
+    (the cohens_kappa_from_cm binding, applied to bandits)."""
+    tot = arms.agg(
+        F.sum("n").cast("long").alias("_big_n"),
+        F.max("reward_max").cast("long").alias("_scale"),
     )
     # an all-zero reward column has no UCB1 unit interval: the guard
     # nulls the mean/ucb instead of Spark's NaN (DuckDB double/0 nulls)
     mean_norm = F.when(
         F.col("_scale") > 0,
-        F.col("_sum").cast("double")
+        F.col("reward_sum").cast("double")
         / (F.col("n").cast("double") * F.col("_scale").cast("double")),
     )
     bonus = F.sqrt(
@@ -1323,7 +1334,6 @@ def ucb_arm_scores(
     )
     return (
         arms.join(F.broadcast(tot))
-        .join(F.broadcast(scale))
         .select(
             "arm",
             "n",

@@ -1417,3 +1417,49 @@ def test_native_session_window_matches_batch_sessionize(spark, workdir):
     }
     assert live == expect
     assert live[(1, t0)] == 3  # the split-across-batches session merged
+
+
+def test_streaming_arm_counters_feed_ucb(spark, workdir):
+    """Bandit monitoring without rereading rows: a LIVE streaming
+    per-arm counter snapshot (count/sum/max — all mergeable) through
+    ucb_from_arm_state equals the batch ucb_arm_scores over the same
+    rows, across micro-batch boundaries."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        ucb_arm_scores,
+        ucb_from_arm_state,
+    )
+
+    src = os.path.join(workdir, "landing_ucb")
+    schema = "arm string, r long"
+    rows1 = [("a", (i * 7) % 100) for i in range(60)] + [("b", 50)] * 5
+    rows2 = [("b", (i * 13) % 90) for i in range(40)] + [("c", 99)] * 3
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("r").cast("long")).alias("reward_sum"),
+            F.max(F.col("r").cast("long")).alias("reward_max"),
+        )
+        .writeStream.format("memory")
+        .queryName("ucb_arms")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_ucb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        tuple(r) for r in ucb_from_arm_state(spark.table("ucb_arms")).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in ucb_arm_scores(spark.read.parquet(src), "arm", "r").collect()
+    )
+    assert got == expect and len(got) == 3

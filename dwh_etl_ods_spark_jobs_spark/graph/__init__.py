@@ -582,24 +582,31 @@ def copurchase_projection(
     item-item edge list behind "bought/viewed together" and
     co-engagement graphs::
 
-        (item_a, item_b, support)    item_a < item_b, support ≥ min_support
+        (item_a, item_b, support, lift_ppm)   item_a < item_b,
+                                               support ≥ min_support
+
+    ``lift_ppm = support·n_baskets·10⁶ div (cnt_a·cnt_b)`` — the
+    association strength relative to independence (10⁶ = independent;
+    co-occurrence of two universally-bought items is support without
+    signal, which raw support alone cannot see).  Exact integers.
 
     One equi self-join on the basket key — fan-out is C(basket_size, 2),
     so the operator is for NATURALLY BOUNDED baskets (orders, sessions,
     documents×entities; the synthetic orders top out at 17 items).  For
     heavy-tailed baskets, cap upstream (top-m items per basket) — the
-    same guard the shingle posting joins use.  The top-k cut is
-    orderBy+limit = TakeOrderedAndProject (partitions ship local top-k
-    only).  Output edges feed the existing graph operators (k-core,
-    label propagation, PageRank) directly.
+    same guard the shingle posting joins use.  The top-k cut (by
+    support) is orderBy+limit = TakeOrderedAndProject (partitions ship
+    local top-k only); lift annotates AFTER the cut, so the item-count
+    joins touch ≤ 2·top_k rows on the pair side.  Output edges feed the
+    existing graph operators (k-core, label propagation, PageRank)
+    directly.
     """
-    a = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
-    ).distinct()
-    b = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
-    ).distinct()
-    return (
+    base = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_item")
+    ).distinct().localCheckpoint(eager=False)  # pairs + counts + anchor
+    a = base.select("_b", F.col("_item").alias("item_a"))
+    b = base.select("_b", F.col("_item").alias("item_b"))
+    pairs = (
         a.join(b, "_b")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
@@ -607,6 +614,33 @@ def copurchase_projection(
         .filter(F.col("support") >= min_support)
         .orderBy(F.desc("support"), "item_a", "item_b")
         .limit(top_k)
+    )
+    counts = base.groupBy("_item").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    n_baskets = base.select("_b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    return (
+        pairs.join(
+            counts.withColumnRenamed("_item", "item_a").withColumnRenamed(
+                "_cnt", "_ca"
+            ),
+            "item_a",
+        )
+        .join(
+            counts.withColumnRenamed("_item", "item_b").withColumnRenamed(
+                "_cnt", "_cb"
+            ),
+            "item_b",
+        )
+        .join(F.broadcast(n_baskets))
+        .withColumn(
+            "lift_ppm",
+            F.expr("CAST(support * _nb * 1000000 div (_ca * _cb) AS BIGINT)"),
+        )
+        .select("item_a", "item_b", "support", "lift_ppm")
+        .orderBy(F.desc("support"), "item_a", "item_b")
     )
 
 
@@ -621,12 +655,24 @@ def copurchase_projection_sql(
     return f"""
 WITH base AS (
   SELECT DISTINCT {basket_expr} AS b, {item_expr} AS item FROM {table_expr}
-)
-SELECT a.item AS item_a, c.item AS item_b,
-       CAST(count(*) AS BIGINT) AS support
-FROM base a JOIN base c ON a.b = c.b AND a.item < c.item
-GROUP BY 1, 2
-HAVING count(*) >= {min_support}
+),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM base a JOIN base c ON a.b = c.b AND a.item < c.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_support}
+  ORDER BY support DESC, item_a, item_b
+  LIMIT {top_k}
+),
+counts AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM base)
+SELECT p.item_a, p.item_b, p.support,
+       CAST(p.support * nb.n_baskets * 1000000
+            // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN counts ca ON ca.item = p.item_a
+JOIN counts cb ON cb.item = p.item_b
+CROSS JOIN nb
 ORDER BY support DESC, item_a, item_b
-LIMIT {top_k}
 """

@@ -631,3 +631,70 @@ SELECT {g}, CAST(count(*) AS BIGINT) AS n, min(band_lo) AS band_lo,
 FROM {table_expr} JOIN bands USING ({g})
 GROUP BY {g}
 """
+
+
+# --- pinball (quantile) loss ------------------------------------------------
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    actual_col: str,
+    pred_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Pinball (quantile) loss of a per-group quantile prediction —
+    THE proper scoring rule for quantile forecasts (coverage says how
+    often the band holds; pinball says how GOOD the quantile estimate
+    is, penalizing over/under-prediction asymmetrically at q)::
+
+        (group..., q_num, q_den, n, mean_pinball_milli)
+
+    ``loss = q·(y−ŷ)`` when ``y ≥ ŷ`` else ``(q−1)·(y−ŷ)`` — carried as
+    the exact integer ``max(q_num·err, (q_num−q_den)·err)`` and divided
+    once at the end (``·1000 div (q_den·n)``), so the fold is pure
+    BIGINT arithmetic on any engine.  One grouped pass.
+    """
+    err = F.col(actual_col).cast("long") - F.col(pred_col).cast("long")
+    contrib = F.greatest(
+        F.lit(q_num) * err, F.lit(q_num - q_den) * err
+    ).cast("long")
+    return (
+        df.select(*group_cols, contrib.alias("_pl"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_pl").alias("_sum"),
+        )
+        .select(
+            *group_cols,
+            F.lit(q_num).cast("long").alias("q_num"),
+            F.lit(q_den).cast("long").alias("q_den"),
+            "n",
+            F.expr(
+                f"CAST(_sum * 1000 div ({q_den} * n) AS BIGINT)"
+            ).alias("mean_pinball_milli"),
+        )
+    )
+
+
+def pinball_loss_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    actual_expr: str,
+    pred_expr: str,
+    q_num: int,
+    q_den: int,
+) -> str:
+    """DuckDB rendering of :func:`pinball_loss`."""
+    g = ", ".join(group_exprs)
+    err = f"(CAST({actual_expr} AS BIGINT) - CAST({pred_expr} AS BIGINT))"
+    return f"""
+SELECT {g}, CAST({q_num} AS BIGINT) AS q_num, CAST({q_den} AS BIGINT) AS q_den,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(greatest({q_num} * {err}, ({q_num} - {q_den}) * {err}))
+            * 1000 // ({q_den} * count(*)) AS BIGINT) AS mean_pinball_milli
+FROM {table_expr}
+GROUP BY {g}
+"""

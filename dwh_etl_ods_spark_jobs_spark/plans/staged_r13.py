@@ -338,3 +338,93 @@ def _sql_acf() -> str:
 
 STAGED_QUERIES["daily_revenue_acf"] = q_acf
 STAGED_ORACLES["daily_revenue_acf"] = _sql_acf()
+
+
+# --- pinball loss of the published band --------------------------------------
+
+
+def q_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How GOOD are each event type's q10/q90 band edges as quantile
+    forecasts?  The pinball-loss companion to quantile_band_coverage
+    (coverage says how often the band holds; pinball is the proper
+    scoring rule that also penalizes a too-wide band).  Band fitted by
+    the exact grouped weighted quantile, then one grouped loss pass per
+    edge (operators/eval_metrics.pinball_loss — pure BIGINT fold)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pinball_loss,
+    )
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    qs = grouped_weighted_quantile(
+        ["event_type"], ["cents", "eid"], "_w", [(1, 10), (9, 10)]
+    )(ev.withColumn("_w", F.lit(1)))
+    bands = qs.groupBy("event_type").agg(
+        F.min(F.when(F.col("q_num") == 1, F.col("cents")))
+        .cast("long")
+        .alias("band_lo"),
+        F.min(F.when(F.col("q_num") == 9, F.col("cents")))
+        .cast("long")
+        .alias("band_hi"),
+    )
+    scored = ev.join(F.broadcast(bands), "event_type")
+    lo = pinball_loss(scored, ["event_type"], "cents", "band_lo", 1, 10)
+    hi = pinball_loss(scored, ["event_type"], "cents", "band_hi", 9, 10)
+    return lo.unionByName(hi).orderBy("event_type", "q_num")
+
+
+def _sql_pinball() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pinball_loss_sql,
+    )
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        grouped_weighted_quantile_sql,
+    )
+
+    src = (
+        "(SELECT event_type,"
+        " CAST(round(value * 100, 0) AS BIGINT) AS cents,"
+        " CAST(event_id AS BIGINT) AS eid FROM events)"
+    )
+    gwq = grouped_weighted_quantile_sql(
+        f"(SELECT *, 1 AS _w FROM {src})",
+        ["event_type"],
+        ["cents", "eid"],
+        "_w",
+        [(1, 10), (9, 10)],
+    )
+    arms = []
+    for q_num, edge in ((1, "band_lo"), (9, "band_hi")):
+        arms.append(
+            pinball_loss_sql(
+                f"(SELECT s.event_type, s.cents, b.{edge} AS pred"
+                f" FROM {src} s JOIN bands b USING (event_type)) t{q_num}",
+                ["event_type"],
+                "cents",
+                "pred",
+                q_num,
+                10,
+            ).strip()
+        )
+    body = "\nUNION ALL\n".join(f"({a})" for a in arms)
+    return f"""
+WITH qs AS ({gwq}),
+bands AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN q_num = 1 THEN cents END) AS BIGINT) AS band_lo,
+         CAST(min(CASE WHEN q_num = 9 THEN cents END) AS BIGINT) AS band_hi
+  FROM qs GROUP BY event_type
+)
+SELECT * FROM ({body}) ORDER BY event_type, q_num
+"""
+
+
+STAGED_QUERIES["pinball_band_loss"] = q_pinball
+STAGED_ORACLES["pinball_band_loss"] = _sql_pinball()

@@ -256,3 +256,54 @@ def test_acf_linear_trend_is_near_one(spark):
     df = spark.createDataFrame(rows, "t long, v long")
     out = {r.lag: r.acf_6 for r in acf_lags(df, "t", "v", max_lag=2).collect()}
     assert out[1] > 0.99 and out[2] > 0.98  # trend dominates
+
+
+def test_copurchase_lift_flags_independence(spark):
+    """Lift separates association from popularity: a pair that co-occurs
+    exactly as often as independence predicts reads ~10⁶ ppm; a pair
+    that ALWAYS co-occurs reads n_baskets/cnt× higher."""
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
+
+    # 4 baskets; x,y always together (2 of 4); p in all 4, q in 2 with p
+    rows = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+        (1, "p"), (2, "p"), (3, "p"), (4, "p"),
+        (3, "q"), (4, "q"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r.item_a, r.item_b): r.lift_ppm
+        for r in copurchase_projection(
+            df, "basket", "item", min_support=1, top_k=10
+        ).collect()
+    }
+    # x,y: support 2, cnt 2 each, 4 baskets -> 2*4/(2*2) = 2.0
+    assert out[("x", "y")] == 2_000_000
+    # p,q: support 2, cnt_p 4, cnt_q 2 -> 2*4/(4*2) = 1.0 (independent)
+    assert out[("p", "q")] == 1_000_000
+
+
+# --- pinball loss -----------------------------------------------------------
+
+
+def test_pinball_loss_hand_values_and_asymmetry(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pinball_loss,
+    )
+
+    # actual 0..9, predict constant 5
+    rows = [("g", v, 5) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, y long, p long")
+    # q=0.9: sum = 0.9*sum(err+) + 0.1*sum(-err-) over err=y-5
+    # err+: 1+2+3+4=10 ; err-: 1+2+3+4+5=15
+    # mean = (0.9*10 + 0.1*15)/10 = 1.05 -> 1050 milli
+    out = pinball_loss(df, ["g"], "y", "p", 9, 10).collect()[0]
+    assert out.mean_pinball_milli == 1050
+    # q=0.1 flips the asymmetry: (0.1*10 + 0.9*15)/10 = 1.45
+    out = pinball_loss(df, ["g"], "y", "p", 1, 10).collect()[0]
+    assert out.mean_pinball_milli == 1450
+    # a perfect prediction scores 0
+    perfect = spark.createDataFrame(
+        [("g", 7, 7)] * 3, "g string, y long, p long"
+    )
+    assert pinball_loss(perfect, ["g"], "y", "p", 9, 10).collect()[0].mean_pinball_milli == 0

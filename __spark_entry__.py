@@ -77,10 +77,11 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # logged sweep. Battery 150 + 9 = 159 at r12 registration unless
 # retirements land.
 # r13 SEED (no window arithmetic committed yet — the r12 rotation must
-# land first): plans/staged_r13.py holds 8 further parity-pinned
+# land first): plans/staged_r13.py holds 9 further parity-pinned
 # entries (rendezvous_shard_churn, salted_topk_per_type,
 # merkle_bucket_diff, ucb_event_arms, user_growth_accounting,
-# copurchase_pairs, daily_revenue_acf, pinball_band_loss).
+# copurchase_pairs, daily_revenue_acf, pinball_band_loss,
+# personalized_pagerank_topk).
 _HEAD = [
     # ---- 28 newly registered staged_r10 entries (first driver gating) ----
     "decayed_segment_value",

@@ -676,3 +676,104 @@ JOIN counts cb ON cb.item = p.item_b
 CROSS JOIN nb
 ORDER BY support DESC, item_a, item_b
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Exact-integer PERSONALIZED PageRank: the restart mass returns to
+    the ``seeds`` set instead of spreading uniformly, so ranks measure
+    proximity/influence RELATIVE TO the seed cohort — the standard
+    recommendation / related-entities primitive (random walk with
+    restart).  Same contract as :func:`pagerank` (every node needs
+    out-degree ≥ 1; ``seeds`` is a 1-column ``node`` frame, members
+    outside the node universe are ignored)::
+
+        (node, rank_micro)    seeds start at 10⁶, others at 0
+
+    Per iteration: ``rank = is_seed·(100−d)%·10⁶ + d%·Σ_src(rank_src
+    div outdeg_src)`` — the one-line change from uniform PageRank, so
+    the physiology (degree-annotated checkpointed edges, LEFT-join rank
+    rebuild over all nodes, periodic lineage truncation) carries over
+    verbatim.  The seed flag rides the nodes frame, computed once.
+    """
+    base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        deg.select(F.col("src").alias("node"))
+        .join(
+            seeds.select(F.col("node")).distinct().withColumn(
+                "_is_seed", F.lit(1)
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed")
+        )
+        .localCheckpoint(eager=False)  # rejoined every iteration
+    )
+    ranks = nodes.select(
+        "node",
+        (F.col("_is_seed") * F.lit(PR_MICRO)).cast("long").alias("rank_micro"),
+    )
+    for i in range(iterations):
+        contrib = (
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sc"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("_is_seed") * F.lit(base)
+                + F.expr(
+                    f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
+                )
+            ).cast("long").alias("rank_micro"),
+        )
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_cte: str, seeds_cte: str, iterations: int = 3
+) -> str:
+    """DuckDB rendering of :func:`personalized_pagerank` — the same
+    iterations unrolled as chained CTEs (the :func:`pagerank_sql`
+    idiom).  ``seeds_cte`` selects a ``node`` column."""
+    base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
+    parts = [
+        f"edges AS ({edges_cte})",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_cte}))",
+        "nodes AS (SELECT d.src AS node,"
+        " CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed"
+        " FROM deg d LEFT JOIN seeds s ON s.node = d.src)",
+        f"r0 AS (SELECT node, CAST(is_seed * {PR_MICRO} AS BIGINT)"
+        " AS rank_micro FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS ("
+            f"SELECT n.node, CAST(n.is_seed * {base}"
+            f" + ({PR_DAMP_PCT} * coalesce(c.sc, 0)) // 100 AS BIGINT)"
+            " AS rank_micro "
+            "FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS node, sum(r.rank_micro // d.deg) AS sc "
+            f"FROM edges e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src "
+            "GROUP BY e.dst) c USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, rank_micro FROM r{iterations}"
+    )

@@ -428,3 +428,54 @@ SELECT * FROM ({body}) ORDER BY event_type, q_num
 
 STAGED_QUERIES["pinball_band_loss"] = q_pinball
 STAGED_ORACLES["pinball_band_loss"] = _sql_pinball()
+
+
+# --- personalized PageRank ---------------------------------------------------
+
+PPR_SEED_MOD = 128
+PPR_ITERS = 3
+PPR_TOP_K = 25
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart influence of the deterministic seed
+    cohort (node % 128 == 0 — the BFS census's seed set) over the
+    supplier↔customer graph: top-25 nodes by personalized rank — the
+    related-entities / recommendation primitive
+    (graph.personalized_pagerank; uniform PageRank's exact physiology
+    with the restart mass pinned to the seeds)."""
+    from dwh_etl_ods_spark_jobs_spark.graph import personalized_pagerank
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _sc_edges
+
+    edges = _sc_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % PPR_SEED_MOD == 0)
+        .distinct()
+    )
+    return (
+        personalized_pagerank(edges, seeds, iterations=PPR_ITERS)
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(PPR_TOP_K)
+    )
+
+
+def _sql_ppr() -> str:
+    from dwh_etl_ods_spark_jobs_spark.graph import personalized_pagerank_sql
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _SC_EDGES_SQL
+
+    seeds = (
+        f"SELECT DISTINCT src AS node FROM ({_SC_EDGES_SQL})"
+        f" WHERE src % {PPR_SEED_MOD} = 0"
+    )
+    inner = personalized_pagerank_sql(
+        _SC_EDGES_SQL, seeds, iterations=PPR_ITERS
+    )
+    return (
+        f"SELECT * FROM ({inner})"
+        f" ORDER BY rank_micro DESC, node LIMIT {PPR_TOP_K}"
+    )
+
+
+STAGED_QUERIES["personalized_pagerank_topk"] = q_ppr
+STAGED_ORACLES["personalized_pagerank_topk"] = _sql_ppr()

@@ -307,3 +307,46 @@ def test_pinball_loss_hand_values_and_asymmetry(spark):
         [("g", 7, 7)] * 3, "g string, y long, p long"
     )
     assert pinball_loss(perfect, ["g"], "y", "p", 9, 10).collect()[0].mean_pinball_milli == 0
+
+
+# --- personalized PageRank --------------------------------------------------
+
+
+def test_ppr_all_seeds_equals_uniform_pagerank(spark):
+    """Seeding EVERY node degenerates personalized PageRank to the
+    uniform one — bit-identical ranks (same constants, same folds)."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    base = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(40)], "src long, dst long"
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = edges.select(F.col("src").alias("node")).distinct()
+    ppr = {r.node: r.rank_micro for r in personalized_pagerank(edges, seeds).collect()}
+    pr = {r.node: r.rank_micro for r in pagerank(edges).collect()}
+    assert ppr == pr
+
+
+def test_ppr_concentrates_rank_near_seeds(spark):
+    """On two disconnected cliques with seeds only in one, ALL rank mass
+    stays in the seeded component; the other reads exactly 0."""
+    from dwh_etl_ods_spark_jobs_spark.graph import personalized_pagerank
+
+    def clique(nodes):
+        return [
+            (a, b) for a in nodes for b in nodes if a != b
+        ]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3]) + clique([10, 11, 12]), "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.rank_micro for r in personalized_pagerank(edges, seeds).collect()}
+    assert out[10] == out[11] == out[12] == 0
+    assert out[1] > 0 and out[2] > 0 and out[3] > 0
+    assert out[1] > out[2] == out[3]  # restart mass pins the seed on top

@@ -1564,8 +1564,14 @@ def weighted_jaccard_pairs(
         .join(b, "id_b")
         .withColumn(
             "jw_ppm",
+            # wa + wb - w_inter == 0 iff every shared shingle has idf 0
+            # (df == n_docs on a <= df_max corpus): similarity undefined
+            # -> NULL on BOTH engines (Spark ANSI `div 0` would throw,
+            # DuckDB `// 0` nulls); the threshold filter then drops it.
             F.expr(
-                f"CAST(w_inter * {WJ_IDF_PPM} div (wa + wb - w_inter) AS BIGINT)"
+                f"CAST(CASE WHEN (wa + wb - w_inter) = 0 THEN NULL"
+                f" ELSE w_inter * {WJ_IDF_PPM} div (wa + wb - w_inter) END"
+                f" AS BIGINT)"
             ),
         )
         .filter(F.col("jw_ppm") >= threshold_ppm)
@@ -1612,12 +1618,14 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-       CAST(i.w_inter * {WJ_IDF_PPM}
-            // (a.w_tot + b.w_tot - i.w_inter) AS BIGINT) AS jw_ppm
+       CAST(CASE WHEN (a.w_tot + b.w_tot - i.w_inter) = 0 THEN NULL
+            ELSE i.w_inter * {WJ_IDF_PPM}
+                 // (a.w_tot + b.w_tot - i.w_inter) END AS BIGINT) AS jw_ppm
 FROM inter i
 JOIN totals a ON a.doc_id = i.id_a
 JOIN totals b ON b.doc_id = i.id_b
-WHERE i.w_inter * {WJ_IDF_PPM} // (a.w_tot + b.w_tot - i.w_inter)
+WHERE CASE WHEN (a.w_tot + b.w_tot - i.w_inter) = 0 THEN NULL
+      ELSE i.w_inter * {WJ_IDF_PPM} // (a.w_tot + b.w_tot - i.w_inter) END
       >= {threshold_ppm}
 """
 
@@ -1683,10 +1691,16 @@ def minhash_estimate_eval(
         )
         .withColumn("err", F.abs(F.col("est_ppm") - F.col("true_ppm")))
     )
+    # Zero banding candidates is a well-defined snapshot (a perfectly
+    # dissimilar corpus): explicit 0-error, matching the degenerate-
+    # input guard convention elsewhere, not a NULL-div-0 fold.
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.expr("CAST(sum(err) div count(1) AS BIGINT)").alias("mean_abs_err_ppm"),
-        F.max("err").cast("long").alias("max_abs_err_ppm"),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 0"
+            " ELSE sum(err) div count(1) END AS BIGINT)"
+        ).alias("mean_abs_err_ppm"),
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("max_abs_err_ppm"),
     )
 
 

@@ -409,9 +409,18 @@ def parse_media_header(bin_col: Column) -> Column:
         .when(bmp_ok, _le(bin_col, 19, 4))
         .cast("long")
     )
+    # BMP biHeight is a SIGNED int32 (negative = top-down row order):
+    # sign-extend the unsigned LE decode and report abs() — the pixel
+    # height — matching what any real decoder returns for both
+    # orientations.
+    bmp_h_raw = _le(bin_col, 23, 4)
+    bmp_h = F.abs(
+        F.when(bmp_h_raw > F.lit(2147483647), bmp_h_raw - F.lit(4294967296))
+        .otherwise(bmp_h_raw)
+    )
     height = (
         F.when(png_ok, _be32(bin_col, 21))
-        .when(bmp_ok, _le(bin_col, 23, 4))
+        .when(bmp_ok, bmp_h)
         .cast("long")
     )
     rate = F.when(wav_ok, _le(bin_col, 25, 4)).cast("long")

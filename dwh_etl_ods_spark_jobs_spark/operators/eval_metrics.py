@@ -437,8 +437,16 @@ def ndcg_rerank(
     :data:`NDCG_L_MICRO` (``10⁶/log₂(pos+1)``), so DCG/IDCG are exact
     integer sums and the ratio is exact ppm.  Both windows partition by
     query over ≤k rows — bounded.  Queries with zero total relevance
-    emit ``ndcg_ppm = 0``.
+    emit ``ndcg_ppm = 0``.  ``k`` is bounded by the micro-table length
+    (a larger k would index past the weight array — ANSI throw on
+    Spark, silent NULL gains on DuckDB): extend :data:`NDCG_L_MICRO`
+    to raise the ceiling.
     """
+    if k > len(NDCG_L_MICRO):
+        raise ValueError(
+            f"ndcg_rerank: k={k} exceeds the NDCG_L_MICRO weight table "
+            f"({len(NDCG_L_MICRO)} positions); extend the table to rank deeper"
+        )
     ltab = F.array(*[F.lit(v) for v in NDCG_L_MICRO[:k]])
     run_w = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc(), F.col(id_col)
@@ -490,7 +498,12 @@ def ndcg_rerank_sql(
     k: int = 10,
 ) -> str:
     """DuckDB rendering of :func:`ndcg_rerank` (1-based list indexing
-    over the same micro-weight literals)."""
+    over the same micro-weight literals; same k ceiling)."""
+    if k > len(NDCG_L_MICRO):
+        raise ValueError(
+            f"ndcg_rerank_sql: k={k} exceeds the NDCG_L_MICRO weight table "
+            f"({len(NDCG_L_MICRO)} positions); extend the table to rank deeper"
+        )
     lits = ", ".join(str(v) for v in NDCG_L_MICRO[:k])
     return f"""
 WITH ranked AS (

@@ -215,9 +215,11 @@ scored AS (
   JOIN sizes b ON b.doc_id = cand.id_b
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(abs(est_ppm - true_ppm)) // count(*) AS BIGINT)
+       CAST(CASE WHEN count(*) = 0 THEN 0
+            ELSE sum(abs(est_ppm - true_ppm)) // count(*) END AS BIGINT)
          AS mean_abs_err_ppm,
-       CAST(max(abs(est_ppm - true_ppm)) AS BIGINT) AS max_abs_err_ppm
+       CAST(coalesce(max(abs(est_ppm - true_ppm)), 0) AS BIGINT)
+         AS max_abs_err_ppm
 FROM scored
 """
 

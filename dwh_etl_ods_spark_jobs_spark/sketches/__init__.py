@@ -1171,11 +1171,24 @@ def countmin_join_size(
     """
     ca = countmin_counts(left, key_col)
     cb = countmin_counts(right, key_col)
-    est = (
+    # A CM row whose cells never collide across the two sketches has
+    # inner product 0 (absent cells count 0); left-join the products
+    # against the full DEPTH-row frame so those rows still vote in the
+    # min — with disjoint key sets est_size is 0, not NULL.
+    prod = (
         ca.join(cb.withColumnRenamed("cnt", "_cb"), ["r", "c"])
         .groupBy("r")
         .agg(F.sum(F.col("cnt") * F.col("_cb")).cast("long").alias("_ip"))
-        .agg(F.min("_ip").cast("long").alias("est_size"))
+    )
+    est = (
+        ca.select("r")
+        .distinct()
+        .join(prod, "r", "left")
+        .agg(
+            F.coalesce(F.min(F.coalesce(F.col("_ip"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("est_size")
+        )
     )
     fa = left.groupBy(F.col(key_col).alias("_k")).agg(
         F.count(F.lit(1)).cast("long").alias("_fa")
@@ -1218,11 +1231,13 @@ cb AS (
   FROM {right_expr}, {CM_ROWS_SQL} GROUP BY 1, 2
 ),
 est AS (
-  SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
+  SELECT CAST(coalesce(min(coalesce(p.ip, 0)), 0) AS BIGINT) AS est_size
+  FROM (SELECT DISTINCT r FROM ca) rf
+  LEFT JOIN (
     SELECT ca.r, sum(ca.cnt * cb.cnt) AS ip
     FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
     GROUP BY 1
-  )
+  ) p ON p.r = rf.r
 ),
 fa AS (
   SELECT {key_expr} AS k, CAST(count(*) AS BIGINT) AS f

@@ -447,10 +447,10 @@ def test_parse_media_header_real_headers(spark):
     assert (got[1].width, got[1].height) == (1920, 1080)
     assert got[1].sample_rate is None and got[1].channels is None
     assert got[2].media_type == "bmp"
-    # little-endian unsigned read of the packed int32s: width positive,
-    # top-down height reads as the two's-complement raw value
+    # biHeight is SIGNED: a top-down BMP stores -480 and must report
+    # the pixel height 480, not the two's-complement raw 2^32-480
     assert got[2].width == 640
-    assert got[2].height == struct.unpack("<I", struct.pack("<i", -480))[0]
+    assert got[2].height == 480
     assert got[3].media_type == "wav"
     assert (got[3].sample_rate, got[3].channels) == (44100, 2)
     assert got[3].width is None and got[3].height is None

@@ -180,3 +180,79 @@ def test_pair_distance_histogram_layout_invariant(spark, sf_dir):
     )
     assert a == b
     assert sum(n for _, n in a) > 0
+
+
+# --- r11 ADVICE regression pins ----------------------------------------------
+
+
+def test_weighted_jaccard_all_zero_idf_pair_is_dropped_not_div0(spark):
+    """Corpus of exactly 2 identical docs: every shared shingle has
+    df == n_docs, so idf == 0 and wa + wb - w_inter == 0 — Spark 4
+    ANSI `div 0` used to THROW here while the DuckDB oracle nulled.
+    The guard makes both engines emit NULL, which the threshold
+    filter then drops."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = weighted_jaccard_pairs(docs, "text", "doc_id", threshold_ppm=1).collect()
+    assert got == []  # degenerate pair: similarity undefined, no throw
+
+
+def test_weighted_jaccard_all_zero_idf_oracle_agrees(spark, sf_dir):
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import weighted_jaccard_pairs_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW twins AS SELECT * FROM (VALUES"
+        " (1, 'alpha beta gamma delta epsilon zeta eta'),"
+        " (2, 'alpha beta gamma delta epsilon zeta eta'))"
+        " t(doc_id, text)"
+    )
+    sql = weighted_jaccard_pairs_sql("twins", "text", "doc_id", threshold_ppm=1)
+    assert con.execute(sql).df().empty
+
+
+def test_minhash_estimate_eval_zero_candidates_explicit(spark):
+    """No banding candidates (fully dissimilar corpus at a high
+    threshold) must emit (0, 0, 0) — explicit values, not the
+    NULL-div-0 fold."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import minhash_estimate_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "red orange yellow green blue indigo violet pink"),
+        ],
+        "doc_id long, text string",
+    )
+    r = minhash_estimate_eval(docs, "text", "doc_id", threshold=0.95).collect()[0]
+    assert (r.n_pairs, r.mean_abs_err_ppm, r.max_abs_err_ppm) == (0, 0, 0)
+
+
+def test_ndcg_rerank_rejects_k_past_weight_table(spark):
+    import pytest as _pytest
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        NDCG_L_MICRO,
+        ndcg_rerank,
+        ndcg_rerank_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("q1", 1, 0.9, 2)], "q string, id long, score double, rel long"
+    )
+    with _pytest.raises(ValueError, match="NDCG_L_MICRO"):
+        ndcg_rerank(df, "q", "id", "score", "rel", k=len(NDCG_L_MICRO) + 1)
+    with _pytest.raises(ValueError, match="NDCG_L_MICRO"):
+        ndcg_rerank_sql("t", "q", "id", "score", "rel", k=len(NDCG_L_MICRO) + 1)
+    # the full table is still a legal k
+    assert ndcg_rerank(df, "q", "id", "score", "rel", k=len(NDCG_L_MICRO))

@@ -184,6 +184,26 @@ def test_countmin_join_size_empty_intersection(spark):
     right = spark.createDataFrame([(3,), (4,)], "k long")
     out = countmin_join_size(left, right, "k").collect()[0]
     assert out.exact_size == 0 and out.err_ppm == 0
+    # a CM row with no overlapping cells contributes ip=0 to the min:
+    # est_size is a real number (>= 0), never NULL
+    assert out.est_size is not None and out.est_size >= 0
+
+
+def test_countmin_join_size_disjoint_collision_free_is_zero(spark):
+    """With key sets whose CM cells happen not to collide on some row,
+    the min-of-inner-products must see that row's 0 — est_size == 0
+    exactly (the pre-fix inner join dropped the row and returned the
+    min of the OVERLAPPING rows only, overstating)."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import countmin_join_size
+
+    left = spark.createDataFrame([(10,)], "k long")
+    right = spark.createDataFrame([(20,)], "k long")
+    out = countmin_join_size(left, right, "k").collect()[0]
+    assert out.exact_size == 0
+    # single-key sides: any row where h_r(10) != h_r(20) has ip 0;
+    # with 4 independent rows a full 4-row collision is vanishingly
+    # unlikely, and the estimator must then report exactly 0
+    assert out.est_size == 0
 
 
 # --- edit-distance-1 linkage ------------------------------------------------

@@ -30,6 +30,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     staged,
     staged_r9,
     staged_r10,
+    staged_r11,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -39,51 +40,144 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r10 WINDOW PLAN (executes the r9 commitment, VERDICT r9 #1; battery
-# consolidated 120 + 28 staged_r10 - 9 retired = 139 — the 9 retirement
-# candidates from plans/staged_r10.py:42-58 (text_stats_tokens,
-# text_filter_pipeline, dedup_ngram_jaccard, ann_lsh_multiprobe,
-# ann_ivf_nprobe2, tpch_q5_local_volume, tpch_q14_promo_share,
-# full_outer_coalesce, sessionize_gap) moved to per-module
-# RETIRED_QUERIES, oracle-gated by tests/test_retired_surfaces.py):
-#   _HEAD = 28 newly registered plans/staged_r10.py entries (never gated)
-#         + 22 rotation-due r7-remainder entries (the committed "first 22"
-#           — after the 7 in-block retirements the rotation-due block is
-#           23 entries, so the only overflow is json_extract, covered by
-#           the committed r10 tools/check_oracle.py --log-sweep run).
-#   _TAIL = first the 38 surviving r8-hard-gate-verified entries
-#           (rotation-due r11) + json_extract, then the 50 r9-gated
-#           entries (fresh).
-# r11 COMMITMENT (exact arithmetic, enforced by the freshness test):
-# plans/staged_r11.py holds 11 entries (auc_price_returns,
-# calibration_price_returns, dedup_weighted_jaccard,
-# minhash_estimate_eval, ohlc_daily_value, nearest_click_join,
-# fd_violation_census, embedding_distance_histogram,
-# bootstrap_order_value_ci, graph_bfs_reach, hll_error_eval), so
-# _HEAD_r11 = those 11 + ALL 39 rotation-due _TAIL entries below
-# (hll_set_algebra .. corpus_prep_pipeline, then json_extract) = 50
-# exactly — zero rotation-due overflow. Everything else outside the
-# window gets the committed tools/check_oracle.py --log-sweep run
-# (tools/sweep_log.json). Battery 139 + 11 = 150 at registration unless
-# r11 retirements land.
-# r12 COMMITMENT (one round ahead, same discipline): plans/staged_r12.py
-# holds 9 entries (intra_doc_repetition, pr_threshold_sweep,
-# ndcg_bm25_eval, cohens_kappa_agreement, corr_matrix_onepass,
-# cms_join_size_estimate, edit1_name_linkage, zipf_alpha_by_source,
-# quantile_band_coverage). After the r11 rotation the r12 rotation-due
-# block is the 50 r10-gated entries (this _HEAD: 28 staged_r10 + 22
-# r7-remainder), so _HEAD_r12 = 9 staged_r12 + the FIRST 41 of them;
-# the 9 overflow (tail of the r7-remainder block) get the committed
-# logged sweep. Battery 150 + 9 = 159 at r12 registration unless
-# retirements land.
+# r11 WINDOW PLAN (executes the r10 commitment, VERDICT r10 #1, PAIRED
+# with the one-in/one-out consolidation of VERDICT r10 #2; battery
+# 139 + 11 staged_r11 - 10 retired = 140. The 10 retirements, each
+# moved to its module's RETIRED_QUERIES and pytest-oracle-gated by
+# tests/test_retired_surfaces.py:
+#   dedup_minhash_lsh, dedup_embedding_cosine        (pipeline.py)
+#   bpe_train_merges, chi2_lang_source,
+#   hopping_hll_distinct, tpch_q17_small_qty         (staged.py)
+#   locf_gap_fill                                    (coverage.py)
+#   outlier_mad_census                               (quality.py)
+#   wasserstein_drift, weighted_price_quantiles      (staged_r9.py)
+# Window arithmetic after retirement:
+#   _HEAD = 11 newly registered plans/staged_r11.py entries (never gated)
+#         + 35 surviving rotation-due entries (the r8-gated block of 39
+#           minus its 4 in-block retirements)
+#         + 4 promoted next-due entries (head of the r9-gated block:
+#           quantile_binning_census, target_encoding_priority,
+#           key_skew_diagnostics, json_malformed_census) = 50 exactly.
+#   _TAIL = first the 42 r9-gated remainder (50 - 4 promoted - 4
+#           retired; rotation-due r12), then the 48 surviving r10-gated
+#           entries (50 - 2 retired; rotation-due r13).
+# r12 COMMITMENT (re-derived against the post-retirement battery,
+# VERDICT r10 #3): plans/staged_r12.py holds 9 entries
+# (intra_doc_repetition, pr_threshold_sweep, ndcg_bm25_eval,
+# cohens_kappa_agreement, corr_matrix_onepass, cms_join_size_estimate,
+# edit1_name_linkage, zipf_alpha_by_source, quantile_band_coverage).
+# After the r11 rotation the r12 rotation-due block is the 42 r9-gated
+# remainder (hard-gated r9, oldest), so _HEAD_r12 = 9 staged_r12 + the
+# FIRST 41 of those 42; the single overflow (lookup_fold_broadcast)
+# gets the committed logged sweep. Battery 140 + 9 = 149 at r12
+# registration unless further retirements land.
 # r13 SEED (no window arithmetic committed yet — the r12 rotation must
 # land first): plans/staged_r13.py holds 9 further parity-pinned
 # entries (rendezvous_shard_churn, salted_topk_per_type,
 # merkle_bucket_diff, ucb_event_arms, user_growth_accounting,
-# copurchase_pairs, daily_revenue_acf, pinball_band_loss,
+# copurchase_lift_pairs, daily_revenue_acf, pinball_band_loss,
 # personalized_pagerank_topk).
 _HEAD = [
-    # ---- 28 newly registered staged_r10 entries (first driver gating) ----
+    # ---- 11 newly registered staged_r11 entries (first driver gating) ----
+    "auc_price_returns",
+    "calibration_price_returns",
+    "dedup_weighted_jaccard",
+    "minhash_estimate_eval",
+    "ohlc_daily_value",
+    "nearest_click_join",
+    "fd_violation_census",
+    "embedding_distance_histogram",
+    "bootstrap_order_value_ci",
+    "graph_bfs_reach",
+    "hll_error_eval",
+    # ---- 35 rotation-due (r8-gated block survivors, last gated r8) ----
+    "hll_set_algebra",
+    "hdr_percentile_calibrate",
+    "bpe_token_counts",
+    "dedup_incremental_lsh",
+    "k_anonymity_census",
+    "snapshot_diff_orders",
+    "fk_orphan_census",
+    "encoding_artifact_census",
+    "hard_negative_mining",
+    "tpch_q3_priority",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich",
+    "session_path_trigrams",
+    "scd2_temporal_join",
+    "quarantine_reason_census",
+    "backfill_chunked_delta",
+    "range_sorted_checksum",
+    "dq_expectations",
+    "job_source_filters",
+    "text_repetition_gopher",
+    "decontaminate_ngram_overlap",
+    "cross_source_leakage",
+    "semantic_dedup_clusters",
+    "substring_span_census",
+    "tfidf_top_terms",
+    "bigram_lm_logprob",
+    "boilerplate_para_removal",
+    "retention_cohorts",
+    "countmin_heavy_hitters",
+    "table_profile_sweep",
+    "incremental_state_merge",
+    "mix_temperature_weights",
+    "corpus_prep_pipeline",
+    "json_extract",
+    # ---- 4 promoted next-due (head of the r9-gated block) ----
+    "quantile_binning_census",
+    "target_encoding_priority",
+    "key_skew_diagnostics",
+    "json_malformed_census",
+]
+_TAIL = [
+    # ---- r9-hard-gate-verified remainder: rotation-due FIRST in r12 ----
+    "temporal_split_embargo",
+    "attribution_touchpoints",
+    "rfm_quintile_features",
+    "cusum_changepoint_flags",
+    "golden_record_mode",
+    "token_pmi_topk",
+    "file_provenance_ranges",
+    "negative_edge_samples",
+    "benford_digit_audit",
+    "cdc_feed_apply",
+    "mktsegment_entropy",
+    "mix_allocation_exact",
+    "hybrid_retrieval_rerank",
+    "tombstone_delete_census",
+    "grouping_sets_agg",
+    "merge_upsert_scd1",
+    "job_rules_canonicalization",
+    "array_vector_ops",
+    "sql_api_not_in_subquery",
+    "dedup_simhash_pairs",
+    "incremental_antijoin_nullsafe",
+    "catalog_job_pipeline",
+    "graph_triangle_census",
+    "ann_pq_adc_topk",
+    "bm25_topk_retrieval",
+    "scd2_state_history",
+    "semantic_decontaminate",
+    "bloom_pruned_join",
+    "stratified_sample_exact",
+    "epoch_shuffle_order",
+    "embedding_quantize_int8",
+    "corr_regression_stats",
+    "interval_overlap_join",
+    "graph_pagerank_topk",
+    "chunk_sliding_window",
+    "funnel_conversion",
+    "rank_functions_suite",
+    "zorder_locality",
+    "unpivot_melt",
+    "dedupe_latest_window",
+    "groupby_max_dedup",
+    "lookup_fold_broadcast",
+    # ---- r10-hard-gate-verified survivors (CORRECTNESS_r10 green),
+    # ---- rotation-due r13 ----
     "decayed_segment_value",
     "sorted_neighborhood_linkage",
     "embedding_jl_projection",
@@ -112,7 +206,6 @@ _HEAD = [
     "feature_mi_ranking",
     "cluster_aware_split",
     "quantile_normalize_views",
-    # ---- 22 rotation-due (r7-block remainder, last swept r9) ----
     "clean_date_clamp_range_sentinel",
     "clean_value_canonicalization",
     "pii_hash_sha256",
@@ -120,8 +213,6 @@ _HEAD = [
     "art_outcomes_asof",
     "art_outcomes_monthly",
     "text_pii_redaction",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_cc_survivors",
     "tsql_scalar_functions",
     "set_ops_except_intersect",
@@ -135,100 +226,6 @@ _HEAD = [
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
-]
-_TAIL = [
-    # ---- r8-hard-gate-verified block: rotation-due FIRST in r11 ----
-    "hll_set_algebra",
-    "hdr_percentile_calibrate",
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "dedup_incremental_lsh",
-    "k_anonymity_census",
-    "snapshot_diff_orders",
-    "fk_orphan_census",
-    "encoding_artifact_census",
-    "chi2_lang_source",
-    "hard_negative_mining",
-    "hopping_hll_distinct",
-    "tpch_q3_priority",
-    "tpch_q17_small_qty",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich",
-    "session_path_trigrams",
-    "scd2_temporal_join",
-    "quarantine_reason_census",
-    "backfill_chunked_delta",
-    "range_sorted_checksum",
-    "dq_expectations",
-    "job_source_filters",
-    "text_repetition_gopher",
-    "decontaminate_ngram_overlap",
-    "cross_source_leakage",
-    "semantic_dedup_clusters",
-    "substring_span_census",
-    "tfidf_top_terms",
-    "bigram_lm_logprob",
-    "boilerplate_para_removal",
-    "retention_cohorts",
-    "countmin_heavy_hitters",
-    "table_profile_sweep",
-    "incremental_state_merge",
-    "mix_temperature_weights",
-    "corpus_prep_pipeline",
-    # ---- r10 rotation-due overflow (committed r10 logged sweep) ----
-    "json_extract",
-    # ---- r9-hard-gate-verified (CORRECTNESS_r09 green), freshest ----
-    "quantile_binning_census",
-    "target_encoding_priority",
-    "key_skew_diagnostics",
-    "json_malformed_census",
-    "temporal_split_embargo",
-    "attribution_touchpoints",
-    "rfm_quintile_features",
-    "cusum_changepoint_flags",
-    "golden_record_mode",
-    "token_pmi_topk",
-    "file_provenance_ranges",
-    "negative_edge_samples",
-    "wasserstein_drift",
-    "benford_digit_audit",
-    "cdc_feed_apply",
-    "weighted_price_quantiles",
-    "mktsegment_entropy",
-    "mix_allocation_exact",
-    "hybrid_retrieval_rerank",
-    "tombstone_delete_census",
-    "grouping_sets_agg",
-    "merge_upsert_scd1",
-    "job_rules_canonicalization",
-    "array_vector_ops",
-    "sql_api_not_in_subquery",
-    "dedup_simhash_pairs",
-    "incremental_antijoin_nullsafe",
-    "catalog_job_pipeline",
-    "graph_triangle_census",
-    "ann_pq_adc_topk",
-    "bm25_topk_retrieval",
-    "scd2_state_history",
-    "semantic_decontaminate",
-    "bloom_pruned_join",
-    "stratified_sample_exact",
-    "epoch_shuffle_order",
-    "embedding_quantize_int8",
-    "corr_regression_stats",
-    "interval_overlap_join",
-    "graph_pagerank_topk",
-    "chunk_sliding_window",
-    "outlier_mad_census",
-    "funnel_conversion",
-    "locf_gap_fill",
-    "rank_functions_suite",
-    "zorder_locality",
-    "unpivot_melt",
-    "dedupe_latest_window",
-    "groupby_max_dedup",
-    "lookup_fold_broadcast",
 ]
 
 
@@ -281,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(staged.STAGED_QUERIES)  # registered r8 (VERDICT r7 #1)
     q.update(staged_r9.STAGED_QUERIES)  # registered r9 (VERDICT r8 #1)
     q.update(staged_r10.STAGED_QUERIES)  # registered r10 (VERDICT r9 #1)
+    q.update(staged_r11.STAGED_QUERIES)  # registered r11 (VERDICT r10 #1)
     return _window_order(q)
 
 
@@ -299,4 +297,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(staged.STAGED_ORACLES)  # registered r8 (VERDICT r7 #1)
     o.update(staged_r9.STAGED_ORACLES)  # registered r9 (VERDICT r8 #1)
     o.update(staged_r10.STAGED_ORACLES)  # registered r10 (VERDICT r9 #1)
+    o.update(staged_r11.STAGED_ORACLES)  # registered r11 (VERDICT r10 #1)
     return _window_order(o)

@@ -990,8 +990,10 @@ RETIRED_ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITIONS
 # r9 retired: co-occurrence pair join ⊂ token_pmi_topk (same posting-list equi-join, plus PMI)
 RETIRED_QUERIES["copurchase_pairs"] = q_copurchase
 RETIRED_ORACLES["copurchase_pairs"] = SQL_COPURCHASE
-QUERIES["locf_gap_fill"] = q_locf_gap_fill
-ORACLES["locf_gap_fill"] = SQL_LOCF_GAP_FILL
+# r11 consolidation: LOCF ⊂ gap_fill_lerp_daily — same per-key day-spine
+# + segment-fill physiology; lerp is the strictly richer fill rule.
+RETIRED_QUERIES["locf_gap_fill"] = q_locf_gap_fill
+RETIRED_ORACLES["locf_gap_fill"] = SQL_LOCF_GAP_FILL
 QUERIES["rank_functions_suite"] = q_rank_functions
 ORACLES["rank_functions_suite"] = SQL_RANK_FUNCTIONS
 QUERIES["incremental_state_merge"] = q_state_merge

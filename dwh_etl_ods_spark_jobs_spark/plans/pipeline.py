@@ -866,9 +866,7 @@ FROM documents,
 
 QUERIES = {
     "text_pii_redaction": q_text_redact_pii,
-    "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_cc_survivors": q_dedup_cc,
     "ann_pq_adc_topk": q_ann_pq,
     "embedding_quantize_int8": q_quantize_int8,
@@ -878,9 +876,7 @@ QUERIES = {
 
 ORACLES = {
     "text_pii_redaction": SQL_TEXT_REDACT,
-    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
-    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_cc_survivors": SQL_DEDUP_CC,
     "ann_pq_adc_topk": SQL_ANN_PQ,
     "embedding_quantize_int8": SQL_QUANTIZE_INT8,
@@ -908,6 +904,9 @@ RETIRED_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,    # ⊂ dedup_blocking_quality (runs it as TRUTH side) + dedup_prefix_filter_jaccard (same semantics, scale path)
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,  # ⊂ ann_recall_eval (runs brute-force truth + bucketed candidates end-to-end)
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,      # ⊂ ann_recall_eval (IVF candidate list is its approximate side)
+    # ---- r11 consolidation (VERDICT r10 #2: one-in/one-out with the staged_r11 registration) ----
+    "dedup_minhash_lsh": q_dedup_minhash,      # ⊂ dedup_blocking_quality (runs it as CANDIDATE side) + minhash_estimate_eval (banding is its candidate generator)
+    "dedup_embedding_cosine": q_dedup_embedding,  # ⊂ semantic_dedup_clusters (embedding_neardup_pairs is its pair stage) + semantic_decontaminate
 }
 RETIRED_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
@@ -924,4 +923,6 @@ RETIRED_ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
     "ann_ivf_nprobe2": SQL_ANN_IVF_NPROBE2,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
 }

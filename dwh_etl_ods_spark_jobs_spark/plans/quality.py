@@ -127,10 +127,14 @@ SQL_OUTLIER_MAD = robust_outlier_census_sql("events", ["event_type"], "value", k
 QUERIES = {
     "dq_expectations": q_dq_expectations,
     "chunk_sliding_window": q_chunk_sliding,
-    "outlier_mad_census": q_outlier_mad,
 }
 ORACLES = {
     "dq_expectations": SQL_DQ_EXPECTATIONS,
     "chunk_sliding_window": SQL_CHUNK_SLIDING,
-    "outlier_mad_census": SQL_OUTLIER_MAD,
 }
+
+# r11 consolidation (VERDICT r10 #2): the global robust_outlier_census is
+# parameterization-subsumed by seasonal_weekday_outliers (same operator
+# grouped by weekday); still DuckDB-verified by tests/test_retired_surfaces.py.
+RETIRED_QUERIES = {"outlier_mad_census": q_outlier_mad}
+RETIRED_ORACLES = {"outlier_mad_census": SQL_OUTLIER_MAD}

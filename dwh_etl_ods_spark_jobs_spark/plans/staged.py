@@ -254,33 +254,40 @@ SQL_CHI2_LANG_SOURCE = chi2_association_sql("documents", "lang", "source")
 STAGED_QUERIES = {
     "hll_set_algebra": q_hll_set_algebra,
     "hdr_percentile_calibrate": q_hdr_calibrate,
-    "bpe_train_merges": q_bpe_train,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_incremental_lsh": q_incremental_dedup,
     "k_anonymity_census": q_k_anonymity,
     "snapshot_diff_orders": q_snapshot_diff,
     "fk_orphan_census": q_fk_orphans,
     "encoding_artifact_census": q_encoding_artifacts,
-    "chi2_lang_source": q_chi2_lang_source,
 }
 
 STAGED_ORACLES = {
     "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
     "hdr_percentile_calibrate": SQL_HDR_CALIBRATE,
-    "bpe_train_merges": SQL_BPE_TRAIN,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_incremental_lsh": SQL_INCREMENTAL_DEDUP,
     "k_anonymity_census": SQL_K_ANONYMITY,
     "snapshot_diff_orders": SQL_SNAPSHOT_DIFF,
     "fk_orphan_census": SQL_FK_ORPHANS,
     "encoding_artifact_census": SQL_ENCODING_ARTIFACTS,
-    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
 }
 
 # Battery consolidation (VERDICT r8 #2): entries retired from the driver
 # battery but still DuckDB-verified by tests/test_retired_surfaces.py.
-RETIRED_QUERIES: dict = {}
-RETIRED_ORACLES: dict = {}
+# r11 consolidation (VERDICT r10 #2, one-in/one-out with staged_r11):
+#   bpe_train_merges  ⊂ bpe_token_counts (the encode query trains the
+#     same merges first — train+encode is the fuller pipeline)
+#   chi2_lang_source  ⊂ mutual_info_lang_source + feature_mi_ranking
+#     (same (lang, source) contingency-grid physiology, MI-graded)
+RETIRED_QUERIES: dict = {
+    "bpe_train_merges": q_bpe_train,
+    "chi2_lang_source": q_chi2_lang_source,
+}
+RETIRED_ORACLES: dict = {
+    "bpe_train_merges": SQL_BPE_TRAIN,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+}
 
 
 # --- similarity: hard-negative mining ---
@@ -384,8 +391,11 @@ SQL_HOPPING_HLL = SK.hll_distinct_sql(
     "user_id",
 )
 
-STAGED_QUERIES["hopping_hll_distinct"] = q_hopping_hll_distinct
-STAGED_ORACLES["hopping_hll_distinct"] = SQL_HOPPING_HLL
+# r11 consolidation: hopping_hll_distinct ⊂ hll_error_eval (the HLL fold
+# is graded there against the exact distinct) + the retired
+# hopping_window_agg (the hopping-frame explode physiology, coverage.py).
+RETIRED_QUERIES["hopping_hll_distinct"] = q_hopping_hll_distinct
+RETIRED_ORACLES["hopping_hll_distinct"] = SQL_HOPPING_HLL
 
 
 # --- classic TPC-H analytics (Q3 / Q5 / Q10 shapes over the test tables) ---
@@ -638,8 +648,11 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20
 """
 
-STAGED_QUERIES["tpch_q17_small_qty"] = q_tpch_q17
-STAGED_ORACLES["tpch_q17_small_qty"] = SQL_TPCH_Q17
+# r11 consolidation: Q17 (avg-threshold agg-subquery ⋈ lineitem) shares
+# Q18's plan shape (agg-subquery gate joined back to the fact) — the
+# duplicate-shape rule that already retired Q5/Q14.
+RETIRED_QUERIES["tpch_q17_small_qty"] = q_tpch_q17
+RETIRED_ORACLES["tpch_q17_small_qty"] = SQL_TPCH_Q17
 STAGED_QUERIES["tpch_q18_big_orders"] = q_tpch_q18
 STAGED_ORACLES["tpch_q18_big_orders"] = SQL_TPCH_Q18
 

@@ -38,6 +38,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
 
+# Battery consolidation slots (r11, VERDICT r10 #2) — entries retired from
+# the driver battery, still DuckDB-verified by tests/test_retired_surfaces.py.
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLES: dict = {}
+
 
 # --- equal-frequency quantile binning (feature prep) ---
 
@@ -506,8 +511,11 @@ def _sql_wasserstein() -> str:
 
 
 SQL_WASSERSTEIN = _sql_wasserstein()
-STAGED_QUERIES["wasserstein_drift"] = q_wasserstein
-STAGED_ORACLES["wasserstein_drift"] = SQL_WASSERSTEIN
+# r11 consolidation: W1 (CDF area) rides the same bucketed cumulative-
+# distribution fold as ks_drift_stat (CDF sup) — one numeric-drift probe
+# stays in the battery, the other keeps its pytest oracle gate.
+RETIRED_QUERIES["wasserstein_drift"] = q_wasserstein
+RETIRED_ORACLES["wasserstein_drift"] = SQL_WASSERSTEIN
 
 
 # --- Benford first-digit audit over order amounts ---
@@ -659,8 +667,10 @@ def _sql_weighted_quantile() -> str:
 
 
 SQL_WEIGHTED_QUANTILE = _sql_weighted_quantile()
-STAGED_QUERIES["weighted_price_quantiles"] = q_weighted_quantile
-STAGED_ORACLES["weighted_price_quantiles"] = SQL_WEIGHTED_QUANTILE
+# r11 consolidation: ungrouped weighted quantiles ⊂ grouped_weighted_quantiles
+# (same rank decomposition, group-key parameterization).
+RETIRED_QUERIES["weighted_price_quantiles"] = q_weighted_quantile
+RETIRED_ORACLES["weighted_price_quantiles"] = SQL_WEIGHTED_QUANTILE
 
 
 # --- categorical entropy (class-balance monitor) ---

@@ -8,7 +8,10 @@ suite, tumbling rollup, global sort+limit, single-probe LSH / nprobe=1
 IVF, simhash signature stage, degree histogram, corpus top tokens; r10:
 text stats/filter pipeline, exact n-gram Jaccard, multiprobe-LSH and
 nprobe=2-IVF ANN, TPC-H Q5/Q14 shapes, full-outer coalesce, gap
-sessionize) keeps a correctness gate.
+sessionize; r11: minhash-LSH raw pairs, embedding-cosine raw pairs,
+BPE train-only, hopping HLL, chi2 contingency, TPC-H Q17, LOCF gap
+fill, global MAD census, W1 drift, ungrouped weighted quantiles)
+keeps a correctness gate.
 """
 
 from __future__ import annotations
@@ -23,9 +26,12 @@ from dwh_etl_ods_spark_jobs_spark.plans import (
     curation,
     graph,
     pipeline,
+    quality,
     showcase,
     sketches,
     staged,
+    staged_r9,
+    staged_r10,
 )
 
 TABLES = [
@@ -35,7 +41,10 @@ TABLES = [
 
 RETIRED = [
     (mod, name)
-    for mod in (coverage, pipeline, graph, curation, sketches, staged, showcase)
+    for mod in (
+        coverage, pipeline, graph, curation, sketches, staged, showcase,
+        quality, staged_r9, staged_r10,
+    )
     for name in mod.RETIRED_QUERIES
 ]
 

@@ -577,6 +577,7 @@ def copurchase_projection(
     item_col: str,
     min_support: int = 2,
     top_k: int = 50,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Bipartite basket→item co-occurrence projection: the weighted
     item-item edge list behind "bought/viewed together" and
@@ -593,17 +594,33 @@ def copurchase_projection(
     One equi self-join on the basket key — fan-out is C(basket_size, 2),
     so the operator is for NATURALLY BOUNDED baskets (orders, sessions,
     documents×entities; the synthetic orders top out at 17 items).  For
-    heavy-tailed baskets, cap upstream (top-m items per basket) — the
-    same guard the shingle posting joins use.  The top-k cut (by
-    support) is orderBy+limit = TakeOrderedAndProject (partitions ship
-    local top-k only); lift annotates AFTER the cut, so the item-count
-    joins touch ≤ 2·top_k rows on the pair side.  Output edges feed the
-    existing graph operators (k-core, label propagation, PageRank)
-    directly.
+    heavy-tailed baskets pass ``max_basket``: each basket is cut to its
+    first ``m`` items (deterministic item order) BEFORE the pair join,
+    so one pathological basket (a bot session with 10⁵ items) costs
+    C(m, 2) pairs, not C(10⁵, 2) — the in-operator hot-key cap the
+    shingle posting joins use.  The cut defines the effective basket:
+    item counts, n_baskets, and lift all see the capped contents, so
+    the output stays internally consistent.  The per-basket cut itself
+    is a row_number window partitioned by basket — linear in basket
+    size, never quadratic.  The top-k cut (by support) is
+    orderBy+limit = TakeOrderedAndProject (partitions ship local top-k
+    only); lift annotates AFTER the cut, so the item-count joins touch
+    ≤ 2·top_k rows on the pair side.  Output edges feed the existing
+    graph operators (k-core, label propagation, PageRank) directly.
     """
     base = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_item")
-    ).distinct().localCheckpoint(eager=False)  # pairs + counts + anchor
+    ).distinct()
+    if max_basket is not None:
+        from pyspark.sql import Window
+
+        cut = Window.partitionBy("_b").orderBy("_item")
+        base = (
+            base.withColumn("_rn", F.row_number().over(cut))
+            .filter(F.col("_rn") <= max_basket)
+            .drop("_rn")
+        )
+    base = base.localCheckpoint(eager=False)  # pairs + counts + anchor
     a = base.select("_b", F.col("_item").alias("item_a"))
     b = base.select("_b", F.col("_item").alias("item_b"))
     pairs = (
@@ -650,11 +667,26 @@ def copurchase_projection_sql(
     item_expr: str,
     min_support: int = 2,
     top_k: int = 50,
+    max_basket: int | None = None,
 ) -> str:
-    """DuckDB rendering of :func:`copurchase_projection`."""
+    """DuckDB rendering of :func:`copurchase_projection` (same optional
+    per-basket first-m cut)."""
+    if max_basket is None:
+        base_cte = (
+            f"SELECT DISTINCT {basket_expr} AS b, {item_expr} AS item"
+            f" FROM {table_expr}"
+        )
+    else:
+        base_cte = f"""
+  SELECT b, item FROM (
+    SELECT b, item, row_number() OVER (PARTITION BY b ORDER BY item) AS rn
+    FROM (SELECT DISTINCT {basket_expr} AS b, {item_expr} AS item
+          FROM {table_expr})
+  ) WHERE rn <= {max_basket}
+"""
     return f"""
 WITH base AS (
-  SELECT DISTINCT {basket_expr} AS b, {item_expr} AS item FROM {table_expr}
+  {base_cte}
 ),
 pairs AS (
   SELECT a.item AS item_a, c.item AS item_b,

@@ -261,22 +261,31 @@ STAGED_ORACLES["user_growth_accounting"] = _sql_growth()
 
 
 # --- co-purchase projection --------------------------------------------------
+# Registered as copurchase_lift_pairs: "copurchase_pairs" is a RETIRED
+# name (plans/coverage.py — the unweighted co-occurrence census this
+# lift-annotated projection subsumes) and retired names must stay out of
+# the battery (tests/test_retired_surfaces.py).
 
 COP_MIN_SUPPORT = 2
 COP_TOP_K = 50
+COP_MAX_BASKET = 16  # in-operator heavy-tail cap (VERDICT r10 #4);
+# the synthetic orders top out at 17 items so the cap is LIVE in the
+# parity check (one 17-item basket loses its last item on both engines).
 
 
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 'bought together' part pairs by order co-occurrence — the
     bipartite basket→item projection whose edge list feeds the graph
     operators (graph.copurchase_projection; one bounded-fan-out equi
-    self-join on the order key, top-k via TakeOrdered)."""
+    self-join on the order key, per-basket first-m cap, top-k via
+    TakeOrdered)."""
     from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return copurchase_projection(
         li, "l_orderkey", "l_partkey",
         min_support=COP_MIN_SUPPORT, top_k=COP_TOP_K,
+        max_basket=COP_MAX_BASKET,
     )
 
 
@@ -286,11 +295,12 @@ def _sql_copurchase() -> str:
     return copurchase_projection_sql(
         "lineitem", "l_orderkey", "l_partkey",
         min_support=COP_MIN_SUPPORT, top_k=COP_TOP_K,
+        max_basket=COP_MAX_BASKET,
     )
 
 
-STAGED_QUERIES["copurchase_pairs"] = q_copurchase
-STAGED_ORACLES["copurchase_pairs"] = _sql_copurchase()
+STAGED_QUERIES["copurchase_lift_pairs"] = q_copurchase
+STAGED_ORACLES["copurchase_lift_pairs"] = _sql_copurchase()
 
 
 # --- daily-revenue autocorrelation ------------------------------------------

@@ -222,6 +222,48 @@ def test_copurchase_projection_hand_baskets(spark):
     assert ("a", "a") not in out  # self-pairs excluded, dup item once
 
 
+def test_copurchase_max_basket_caps_heavy_tail(spark):
+    """A pathological basket (bot session) must contribute C(m, 2)
+    pairs under max_basket=m, not C(n, 2) — the in-operator hot-key
+    cap (VERDICT r10 #4). The cut is the first m items in item order,
+    identical on both engines."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        copurchase_projection,
+        copurchase_projection_sql,
+    )
+
+    bot = [(99, f"i{k:03d}") for k in range(40)]  # one 40-item basket
+    normal = [(1, "i000"), (1, "i001"), (2, "i000"), (2, "i001")]
+    df = spark.createDataFrame(bot + normal, "basket long, item string")
+    out = copurchase_projection(
+        df, "basket", "item", min_support=1, top_k=1000, max_basket=5
+    ).collect()
+    # capped basket: C(5,2)=10 pairs among i000..i004; the two normal
+    # baskets only add support to (i000, i001)
+    assert len(out) == 10
+    sup = {(r.item_a, r.item_b): r.support for r in out}
+    assert sup[("i000", "i001")] == 3  # bot (capped) + 2 normal baskets
+    assert all(a < "i005" and b < "i005" for a, b in sup)
+    # DuckDB oracle renders the same cap
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW bk AS SELECT * FROM (VALUES "
+        + ", ".join(f"({b}, '{i}')" for b, i in bot + normal)
+        + ") t(basket, item)"
+    )
+    sql = copurchase_projection_sql(
+        "bk", "basket", "item", min_support=1, top_k=1000, max_basket=5
+    )
+    oracle = {
+        (a, b): (s, l)
+        for a, b, s, l in con.execute(sql).fetchall()
+    }
+    got = {(r.item_a, r.item_b): (r.support, r.lift_ppm) for r in out}
+    assert got == oracle
+
+
 def test_copurchase_min_support_and_topk(spark):
     from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
 

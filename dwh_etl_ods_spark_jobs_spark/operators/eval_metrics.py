@@ -52,6 +52,36 @@ def auc_mann_whitney(
         F.sum(lbl).alias("_np"),
         F.sum(F.lit(1) - lbl).alias("_nn"),
     )
+    return auc_from_score_counts(g, "_s", "_np", "_nn", n_ranges=n_ranges)
+
+
+def auc_from_score_counts(
+    counts: DataFrame,
+    score_col: str = "score",
+    pos_col: str = "n_pos",
+    neg_col: str = "n_neg",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC from per-distinct-score class counts
+    ``(score, n_pos, n_neg)`` — the MERGEABLE-STATE form of
+    :func:`auc_mann_whitney` (which delegates here after its groupBy).
+
+    The per-score count grid is a plain integer aggregation on
+    deterministic keys, so it is exactly what a streaming
+    ``groupBy(score)`` maintains (``streaming.streaming_score_counts``)
+    and what two shards' AUC states merge into by adding cells: feed
+    any snapshot here and the result is BIT-IDENTICAL to the batch AUC
+    over the same rows (pytest-pinned stream==batch).
+
+    Scale: the prefix-sum runs on the distinct-score frame via range
+    repartition + bounded offsets windows — never a single-partition
+    ORDER BY.
+    """
+    g = counts.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(pos_col).cast("long").alias("_np"),
+        F.col(neg_col).cast("long").alias("_nn"),
+    )
     ranged = (
         g.repartitionByRange(n_ranges, F.col("_s"))
         .withColumn("_pid", F.spark_partition_id())

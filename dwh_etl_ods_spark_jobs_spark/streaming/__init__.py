@@ -716,6 +716,36 @@ def streaming_confusion_counts(
     ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
 
 
+def streaming_score_counts(
+    stream: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Continuously-maintained per-distinct-score class counts over a
+    scored stream — the ROC-AUC feeder (r11 eval binding): state is
+    bounded at O(distinct scores) count rows regardless of flow.  Run
+    in update/complete mode; a snapshot is BIT-IDENTICAL to the batch
+    ``groupBy(score)`` the AUC starts from (plain integer counts on
+    deterministic keys — micro-batch boundaries cannot perturb it), so
+    ``operators.eval_metrics.auc_from_score_counts`` folds a live exact
+    tie-corrected AUC without rereading any row.  Two shards' states
+    merge by adding cells — the same state-not-rows binding as the
+    drift/agreement monitors.
+
+    (Equal-frequency ``calibration_bins`` deliberately has NO such
+    binding: a bin boundary can split a tied score group by its
+    row-level tie-break, which bounded per-score state cannot retain —
+    see COVERAGE.md.)
+    """
+    from pyspark.sql import functions as F
+
+    lbl = F.col(label_col).cast("long")
+    return stream.groupBy(
+        F.col(score_col).cast("long").alias("score")
+    ).agg(
+        F.sum(lbl).cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - lbl).cast("long").alias("n_neg"),
+    )
+
+
 def streaming_band_coverage(
     stream: DataFrame,
     bands: DataFrame,

@@ -26,7 +26,13 @@ import sys
 
 def _series(artifact: dict) -> dict[str, float]:
     qmin = artifact.get("queries_min")
-    base = qmin if qmin else artifact.get("queries", {})
+    base = (
+        qmin
+        if qmin
+        # raw tools/catalog_bench.py artifacts carry per_job_sec — lets a
+        # fresh catalog run compare straight against BASELINE_CATALOG.json
+        else artifact.get("queries") or artifact.get("per_job_sec") or {}
+    )
     return {k: v for k, v in base.items() if isinstance(v, (int, float)) and v >= 0}
 
 

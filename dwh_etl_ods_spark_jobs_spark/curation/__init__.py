@@ -1597,3 +1597,237 @@ SELECT w1, w2, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_hits
 FROM m GROUP BY 1, 2
 """
+
+
+# --- Pareto frontier (multi-objective curation cut) ---------------------------
+
+
+def pareto_frontier_2d(
+    df: DataFrame, score_col: str, cost_col: str
+) -> DataFrame:
+    """2-D Pareto frontier of a (maximize score, minimize cost) corpus —
+    the multi-objective curation cut (quality vs token budget: a doc is
+    worth keeping only if nothing scores at least as high for at most
+    its cost)::
+
+        (score, frontier_cost, n_at_point, n_dominated_at_score)
+
+    One frontier row per DISTINCT score value that survives: a score
+    survives iff its minimum cost is strictly below every
+    higher-scoring value's minimum cost (ties in score: only the
+    min-cost rows are non-dominated; ``n_at_point`` counts rows AT the
+    frontier point, ``n_dominated_at_score`` the same-score rows it
+    dominates).
+
+    Scale: ONE (score → min cost, counts) aggregation collapses the
+    corpus to the distinct-score frame, and the running-min scan is a
+    window over THAT frame — bounded by the score quantization (a
+    quality score is ppm-grained: ≤ ~10⁶ rows) regardless of corpus
+    size, the sketch-bucket bounded-frame contract.
+    """
+    src = df.select(
+        F.col(score_col).cast("long").alias("score"),
+        F.col(cost_col).cast("long").alias("_cost"),
+    ).localCheckpoint(eager=False)  # per-score + at-point read it twice
+    per_score = src.groupBy("score").agg(
+        F.min("_cost").alias("_min_cost"),
+        F.count(F.lit(1)).cast("long").alias("_n_rows"),
+    )
+    at_point = src.groupBy("score", "_cost").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_at_cost")
+    )
+    merged = (
+        per_score.alias("_p")
+        .join(
+            at_point.alias("_a"),
+            (F.col("_p.score") == F.col("_a.score"))
+            & (F.col("_p._min_cost") == F.col("_a._cost")),
+        )
+        .select(
+            F.col("_p.score").alias("score"),
+            F.col("_p._min_cost").alias("_min_cost"),
+            F.col("_a._n_at_cost").alias("_n_at_cost"),
+            F.col("_p._n_rows").alias("_n_rows"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"))  # distinct-score frame — bounded
+    run_min_above = F.min("_min_cost").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        merged.withColumn("_above", run_min_above)
+        .filter(F.col("_above").isNull() | (F.col("_min_cost") < F.col("_above")))
+        .select(
+            "score",
+            F.col("_min_cost").cast("long").alias("frontier_cost"),
+            F.col("_n_at_cost").cast("long").alias("n_at_point"),
+            (F.col("_n_rows") - F.col("_n_at_cost"))
+            .cast("long")
+            .alias("n_dominated_at_score"),
+        )
+    )
+
+
+def pareto_frontier_2d_sql(
+    table_expr: str, score_expr: str, cost_expr: str
+) -> str:
+    """DuckDB rendering of :func:`pareto_frontier_2d` — same grouped
+    collapse, same strict running-min rule."""
+    return f"""
+WITH src AS (
+  SELECT CAST({score_expr} AS BIGINT) AS score,
+         CAST({cost_expr} AS BIGINT) AS cost
+  FROM {table_expr}
+),
+per_score AS (
+  SELECT score, CAST(min(cost) AS BIGINT) AS min_cost,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM src GROUP BY 1
+),
+at_point AS (
+  SELECT score, cost, CAST(count(*) AS BIGINT) AS n_at_cost
+  FROM src GROUP BY 1, 2
+),
+merged AS (
+  SELECT p.score, p.min_cost, a.n_at_cost, p.n_rows,
+         min(p.min_cost) OVER (ORDER BY p.score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above
+  FROM per_score p
+  JOIN at_point a ON a.score = p.score AND a.cost = p.min_cost
+)
+SELECT score, CAST(min_cost AS BIGINT) AS frontier_cost,
+       CAST(n_at_cost AS BIGINT) AS n_at_point,
+       CAST(n_rows - n_at_cost AS BIGINT) AS n_dominated_at_score
+FROM merged
+WHERE above IS NULL OR min_cost < above
+"""
+
+
+# --- n-gram novelty vs a reference corpus --------------------------------------
+
+
+def ngram_novelty_census(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 3,
+    n_deciles: int = 10,
+) -> DataFrame:
+    """How much NEW information does an incoming corpus slice carry
+    against the reference corpus? Per new doc, the fraction of its
+    DISTINCT w-shingles absent from the reference's shingle vocabulary
+    (``novelty_ppm``), folded to a decile census (the refresh-triage
+    report: a slice whose mass sits in low deciles is re-crawl/dup
+    noise; decontamination flags OVERLAP with eval sets, this scores
+    FRESHNESS against what is already owned)::
+
+        (novelty_decile, n_docs, total_shingles, novel_shingles)
+
+    ``novelty_decile = novelty_ppm·n_deciles div (10⁶ + 1)`` (0..n-1;
+    the +1 puts exactly-10⁶ in the top decile). Docs shorter than one
+    shingle emit novelty 0 (nothing to claim).
+
+    Scale: both sides collapse to DISTINCT md5-hashed shingle postings;
+    the membership probe is ONE left join posting⋈ref-vocab on the
+    uniform 60-bit key (ref vocab deduplicated — each shingle once, no
+    fan-out), then a per-doc fold and the bounded decile census. No
+    pair join anywhere.
+    """
+    from dwh_etl_ods_spark_jobs_spark import text as TX
+    from dwh_etl_ods_spark_jobs_spark.dedup import shingles_of
+
+    def posting(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_doc"),
+                TX.tokens(F.col(text_col)).alias("_toks"),
+            )
+            .select("_doc", F.explode(shingles_of(F.col("_toks"), w)).alias("_sh"))
+            .select("_doc", TX.md5_long(F.col("_sh")).alias("_h"))
+            .distinct()
+        )
+    ref_vocab = posting(ref_docs).select("_h").distinct().withColumn(
+        "_seen", F.lit(1)
+    )
+    scored = (
+        posting(new_docs)
+        .join(ref_vocab, "_h", "left")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_sh"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_novel"),
+        )
+        .withColumn(
+            "_nov_ppm",
+            F.expr("CAST(_n_novel * 1000000 div _n_sh AS BIGINT)"),
+        )
+    )
+    # docs with no shingle at all never reach the posting — count them
+    # into decile 0 via a left join from the doc frame
+    all_docs = new_docs.select(F.col(id_col).alias("_doc"))
+    full = all_docs.join(scored, "_doc", "left").select(
+        F.coalesce(F.col("_n_sh"), F.lit(0)).alias("_n_sh"),
+        F.coalesce(F.col("_n_novel"), F.lit(0)).alias("_n_novel"),
+        F.coalesce(F.col("_nov_ppm"), F.lit(0)).alias("_nov_ppm"),
+    )
+    return (
+        full.groupBy(
+            F.expr(
+                f"CAST(_nov_ppm * {n_deciles} div 1000001 AS BIGINT)"
+            ).alias("novelty_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n_sh").cast("long").alias("total_shingles"),
+            F.sum("_n_novel").cast("long").alias("novel_shingles"),
+        )
+    )
+
+
+def ngram_novelty_census_sql(
+    new_expr: str,
+    ref_expr: str,
+    text_expr: str,
+    id_expr: str,
+    w: int = 3,
+    n_deciles: int = 10,
+) -> str:
+    """DuckDB rendering of :func:`ngram_novelty_census` — same hashed
+    shingle domain, same decile formula."""
+    from dwh_etl_ods_spark_jobs_spark import dedup as D
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    def posting(src: str) -> str:
+        return f"""
+  SELECT DISTINCT {id_expr} AS doc, {md5_long_sql('sh')} AS h
+  FROM (
+    SELECT {id_expr}, unnest({D.shingles_sql(text_expr, w)}) AS sh
+    FROM {src}
+  )"""
+
+    return f"""
+WITH newp AS ({posting(new_expr)}),
+refv AS (SELECT DISTINCT h FROM ({posting(ref_expr)})),
+scored AS (
+  SELECT n.doc, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM newp n LEFT JOIN refv r ON n.h = r.h
+  GROUP BY 1
+),
+full_docs AS (
+  SELECT coalesce(s.n_sh, 0) AS n_sh, coalesce(s.n_novel, 0) AS n_novel,
+         coalesce(s.n_novel * 1000000 // s.n_sh, 0) AS nov_ppm
+  FROM (SELECT {id_expr} AS doc FROM {new_expr}) d
+  LEFT JOIN scored s ON s.doc = d.doc
+)
+SELECT CAST(nov_ppm * {n_deciles} // 1000001 AS BIGINT) AS novelty_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+       CAST(sum(n_novel) AS BIGINT) AS novel_shingles
+FROM full_docs
+GROUP BY 1
+"""

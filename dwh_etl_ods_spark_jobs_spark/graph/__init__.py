@@ -809,3 +809,119 @@ def personalized_pagerank_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, rank_micro FROM r{iterations}"
     )
+
+
+# --- Adamic-Adar link prediction ----------------------------------------------
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    top_k: int = 50,
+    max_center_degree: int = 64,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an UNDIRECTED edge list ``(u, v)``
+    with ``u < v`` and no duplicates: the top-k NON-adjacent pairs by
+    ``AA(u, w) = Σ_{v ∈ N(u) ∩ N(w)} 1/ln(deg(v))`` — the classic
+    common-neighbor recommender ("people/items you may know"), rare
+    mutual friends weighted above celebrity hubs::
+
+        (node_a, node_b, common_neighbors, aa_micro)   node_a < node_b
+
+    Weights are integer micro-units ``round(10⁶/ln(deg_v))`` fixed per
+    center (single IEEE ln on an exact integer count, rounded BEFORE
+    the sum — the PMI discipline), so AA sums are exact integers.
+
+    DOMAIN SEMANTICS (both engines): wedge centers need ``2 ≤ deg ≤
+    max_center_degree``. deg=1 centers have no wedge; centers hotter
+    than the cap leave the scoring domain ENTIRELY — each would emit
+    C(deg, 2) wedges for the LOWEST per-neighbor weight in the graph
+    (1/ln(deg) → 0), the same cost/signal trade the hot-shingle and
+    df_max caps make. The cap bounds the wedge self-join's per-key
+    fan-out at C(cap, 2).
+
+    Scale: degree count + capped per-center wedge join + one pair
+    aggregation (map-side combinable) + edge anti-join + TakeOrdered
+    top-k. No uncapped key anywhere.
+    """
+    edges = edges.localCheckpoint(eager=False)  # degrees + adj + anti-join
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    centers = deg.filter(
+        (F.col("_d") >= 2) & (F.col("_d") <= max_center_degree)
+    ).withColumn(
+        "_w",
+        F.round(F.lit(1000000.0) / F.log(F.col("_d").cast("double")))
+        .cast("long"),
+    )
+    adj = (
+        edges.select(F.col("u").alias("_c"), F.col("v").alias("_n"))
+        .unionAll(edges.select(F.col("v").alias("_c"), F.col("u").alias("_n")))
+        .join(
+            centers.select(F.col("node").alias("_c"), "_w"), "_c"
+        )
+        .localCheckpoint(eager=False)  # both wedge arms
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    pairs = (
+        a1.join(a2, (F.col("a1._c") == F.col("a2._c")) & (F.col("a1._n") < F.col("a2._n")))
+        .groupBy(
+            F.col("a1._n").alias("node_a"), F.col("a2._n").alias("node_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.col("a1._w")).cast("long").alias("aa_micro"),
+        )
+    )
+    non_adjacent = pairs.join(
+        edges.select(
+            F.col("u").alias("node_a"), F.col("v").alias("node_b")
+        ),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    return non_adjacent.orderBy(
+        F.desc("aa_micro"), "node_a", "node_b"
+    ).limit(top_k).select("node_a", "node_b", "common_neighbors", "aa_micro")
+
+
+def adamic_adar_topk_sql(
+    edges_cte: str, top_k: int = 50, max_center_degree: int = 64
+) -> str:
+    """DuckDB rendering of :func:`adamic_adar_topk` — same center
+    domain, same rounded micro weights. ``edges_cte`` must select
+    ``(u, v)`` with ``u < v``, deduplicated."""
+    return f"""
+WITH e AS ({edges_cte}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+centers AS (
+  SELECT node, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+  FROM deg WHERE d >= 2 AND d <= {max_center_degree}
+),
+adj AS (
+  SELECT c._n AS n, c._c AS ctr, centers.w FROM (
+    SELECT u AS _c, v AS _n FROM e UNION ALL SELECT v, u FROM e
+  ) c JOIN centers ON centers.node = c._c
+),
+pairs AS (
+  SELECT a1.n AS node_a, a2.n AS node_b,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(a1.w) AS BIGINT) AS aa_micro
+  FROM adj a1 JOIN adj a2 ON a1.ctr = a2.ctr AND a1.n < a2.n
+  GROUP BY 1, 2
+)
+SELECT p.node_a, p.node_b, p.common_neighbors, p.aa_micro
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM e WHERE e.u = p.node_a AND e.v = p.node_b
+)
+ORDER BY aa_micro DESC, node_a, node_b
+LIMIT {top_k}
+"""

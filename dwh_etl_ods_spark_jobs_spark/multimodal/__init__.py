@@ -432,3 +432,62 @@ def parse_media_header(bin_col: Column) -> Column:
         rate.alias("sample_rate"),
         chans.alias("channels"),
     )
+
+
+def pcm_silence_segments(
+    payloads: DataFrame,
+    window_samples: int = 256,
+    silence_energy_per_sample: int = 1000,
+) -> DataFrame:
+    """Silence/activity segmentation of raw int16 PCM payloads — the
+    codec-free VAD/silence-trim stage (which spans of an audio doc are
+    worth keeping, where to cut training clips)::
+
+        (doc_id, is_active, seg_start_win, seg_end_win,
+         n_windows, total_energy)
+
+    Composes :func:`pcm_window_energy` with NON-overlapping windows
+    (hop == window — overlap would double-count boundaries), classifies
+    each window by exact integer mean energy per sample
+    (``energy > thresh·n_samples`` → active; the multiply keeps it pure
+    BIGINT), then folds adjacent same-class windows into segments with
+    the gaps-and-islands run id (``win_idx − row_number`` per
+    (doc, class) — the ``sessionize`` idiom). Deterministic and
+    partitioning-independent end-to-end.
+
+    Scale: the only Python boundary is the existing Arrow-batched PCM
+    decode; the run windows partition by doc_id and are bounded by the
+    payload's own window count (fan-out = bytes/(2·window), linear).
+    """
+    from pyspark.sql import Window as W
+
+    en = pcm_window_energy(
+        payloads, window_samples=window_samples, hop=window_samples
+    ).withColumn(
+        "_active",
+        (
+            F.col("energy")
+            > F.lit(int(silence_energy_per_sample)) * F.col("n_samples")
+        ).cast("int"),
+    )
+    w = W.partitionBy("doc_id", "_active").orderBy("win_idx")
+    runs = en.withColumn(
+        "_run", F.col("win_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "_active", "_run")
+        .agg(
+            F.min("win_idx").cast("long").alias("seg_start_win"),
+            F.max("win_idx").cast("long").alias("seg_end_win"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .select(
+            "doc_id",
+            F.col("_active").cast("int").alias("is_active"),
+            "seg_start_win",
+            "seg_end_win",
+            "n_windows",
+            "total_energy",
+        )
+    )

@@ -41,6 +41,14 @@ __all__ = [
     "rfm_quintiles_sql",
     "cusum_flags",
     "cusum_flags_sql",
+    "gini_concentration",
+    "gini_concentration_sql",
+    "woe_iv_screen",
+    "woe_iv_screen_sql",
+    "cuped_adjusted_readout",
+    "cuped_adjusted_readout_sql",
+    "theil_sen_trend",
+    "theil_sen_trend_sql",
 ]
 
 
@@ -1370,4 +1378,428 @@ SELECT arm, n,
             + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
          END AS ucb_6
 FROM arms, tot, scale
+"""
+
+
+# --- Gini concentration (exact, rank-decomposed) ------------------------------
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value per group — the
+    concentration/inequality census (how skewed is revenue across
+    customers, token mass across sources, traffic across keys)::
+
+        (group..., n, total_value, gini_ppm)
+
+    ``gini = Σ_i (2·r_i + 1 − n)·x_i / (n·Σx)`` with ``r_i`` the 0-based
+    within-group rank of ``x_i`` ascending — pure integer arithmetic,
+    ``gini_ppm`` exact. Tied values need a unique ``tiebreak_cols``
+    order for the rank itself, but the SUM is tie-order invariant
+    (equal x ⇒ the block's coefficient sum depends only on the block's
+    position), so any tie-break gives the same Gini.
+
+    Degenerate guard: ``n·Σx = 0`` (empty or all-zero group) → NULL on
+    both engines. Precondition: values ≥ 0 (standard Gini domain).
+
+    Scale: the rank is :func:`operators.rank.grouped_global_rank`
+    (range-repartition + bounded offsets — never a per-group
+    single-task sort), then ONE map-side-combinable fold. The rank-sum
+    and the final ppm ratio run in decimal(38,0)/HUGEINT (``2n·Σx·10⁶``
+    blows through BIGINT at ~10⁷ cents-rows per group — sf0.01 already
+    overflowed the first BIGINT draft), which holds ~10³⁸: no practical
+    row bound.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import grouped_global_rank
+
+    x = F.col(value_col).cast("long")
+    ranked = df.select(
+        *[F.col(c) for c in group_cols],
+        x.alias("_x"),
+        *[F.col(c) for c in tiebreak_cols],
+    ).transform(
+        grouped_global_rank(
+            group_cols, ["_x", *tiebreak_cols], out_col="_r", n_ranges=n_ranges
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("total_value"),
+        F.sum((dec(F.lit(2) * F.col("_r") + F.lit(1))) * dec(F.col("_x")))
+        .alias("_s1"),
+    )
+    nt = dec(F.col("n")) * dec(F.col("total_value"))
+    return agg.select(
+        *group_cols,
+        "n",
+        "total_value",
+        F.when(
+            nt == F.lit(0).cast("decimal(38,0)"), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                "CAST((_s1 - CAST(n AS DECIMAL(38,0))"
+                " * CAST(total_value AS DECIMAL(38,0))) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0))"
+                " * CAST(total_value AS DECIMAL(38,0))) AS BIGINT)"
+            )
+        )
+        .alias("gini_ppm"),
+    )
+
+
+def gini_concentration_sql(
+    table_expr: str,
+    group_exprs: list[str],
+    value_expr: str,
+    tiebreak_exprs: list[str],
+) -> str:
+    """DuckDB rendering of :func:`gini_concentration` — plain
+    partitioned row_number (the oracle side need not scale), same
+    integer fold."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    tb = ", ".join(tiebreak_exprs)
+    return f"""
+WITH ranked AS (
+  SELECT {gsel}CAST({value_expr} AS BIGINT) AS x,
+         row_number() OVER ({part}ORDER BY CAST({value_expr} AS BIGINT), {tb})
+           - 1 AS r
+  FROM {table_expr}
+),
+agg AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS total_value,
+         sum((2 * CAST(r AS HUGEINT) + 1) * x) AS s1
+  FROM ranked {gby}
+)
+SELECT {gsel}n, total_value,
+       CAST(CASE WHEN n * total_value = 0 THEN NULL
+            ELSE (s1 - CAST(n AS HUGEINT) * total_value) * 1000000
+                 // (CAST(n AS HUGEINT) * total_value) END
+            AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+# --- weight-of-evidence / information value feature screen --------------------
+
+
+def woe_iv_screen(
+    df: DataFrame, bucket_col: str, label_col: str
+) -> DataFrame:
+    """Weight-of-evidence and information-value screen of a bucketed
+    feature against a binary label — the classic feature-selection /
+    drift primitive (a bucket whose WOE flips sign between refreshes
+    is a shifting segment; total IV ranks features)::
+
+        (bucket, n_good, n_bad, woe_micro, iv_micro)
+
+    ``woe = ln((n_good_b/G)/(n_bad_b/B))`` in integer micro-nats,
+    ``iv_b = (n_good_b/G − n_bad_b/B)·woe_b`` in integer micro-units —
+    each bucket's terms a FIXED sequence of single IEEE ops on exact
+    integer counts, rounded per bucket BEFORE any sum (the
+    entropy/PMI float discipline). ``label = 1`` is the "bad"/event
+    class. Zero-cell buckets (no goods or no bads) have undefined WOE:
+    explicit NULL on both engines — the standard screening convention
+    (merge or smooth upstream). Total IV = sum of non-NULL iv_micro.
+
+    Scale: one (bucket) count pass + constant-key broadcast of the two
+    class totals — map-side combinable, no window.
+    """
+    lbl = F.col(label_col).cast("long")
+    counts = (
+        df.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.sum(F.lit(1) - lbl).cast("long").alias("n_good"),
+            F.sum(lbl).cast("long").alias("n_bad"),
+        )
+        .withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
+    )
+    totals = counts.groupBy("_one").agg(
+        F.sum("n_good").cast("long").alias("_g"),
+        F.sum("n_bad").cast("long").alias("_b"),
+    )
+    j = counts.join(F.broadcast(totals), "_one")
+    dg = F.col("n_good").cast("double") / F.col("_g").cast("double")
+    db = F.col("n_bad").cast("double") / F.col("_b").cast("double")
+    woe_d = F.log(
+        (F.col("n_good").cast("double") * F.col("_b").cast("double"))
+        / (F.col("n_bad").cast("double") * F.col("_g").cast("double"))
+    )
+    defined = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    return j.select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.when(defined, F.round(woe_d * F.lit(1000000.0)).cast("long"))
+        .alias("woe_micro"),
+        F.when(defined, F.round((dg - db) * woe_d * F.lit(1000000.0)).cast("long"))
+        .alias("iv_micro"),
+    )
+
+
+def woe_iv_screen_sql(
+    table_expr: str, bucket_expr: str, label_expr: str
+) -> str:
+    """DuckDB rendering of :func:`woe_iv_screen` — same fixed IEEE op
+    sequence on the same exact counts, same per-bucket rounding."""
+    return f"""
+WITH counts AS (
+  SELECT {bucket_expr} AS bucket,
+         CAST(sum(1 - CAST({label_expr} AS BIGINT)) AS BIGINT) AS n_good,
+         CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS n_bad
+  FROM {table_expr} GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS g, CAST(sum(n_bad) AS BIGINT) AS b
+  FROM counts
+)
+SELECT bucket, n_good, n_bad,
+       CASE WHEN n_good > 0 AND n_bad > 0 THEN
+         CAST(round(ln((CAST(n_good AS DOUBLE) * CAST(b AS DOUBLE))
+                       / (CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS woe_micro,
+       CASE WHEN n_good > 0 AND n_bad > 0 THEN
+         CAST(round((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE)
+                     - CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))
+                    * ln((CAST(n_good AS DOUBLE) * CAST(b AS DOUBLE))
+                         / (CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS iv_micro
+FROM counts, tot
+"""
+
+
+# --- CUPED variance-reduced experiment readout --------------------------------
+
+
+def cuped_adjusted_readout(
+    df: DataFrame, variant_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """CUPED experiment readout (Deng et al., WSDM 2013): per-variant
+    metric means adjusted by a pre-experiment covariate, plus the
+    variance-reduction factor the covariate buys::
+
+        (variant, n, mean_y_micro, adj_mean_y_micro, rho2_ppm)
+
+    ``θ = cov(X, Y)/var(X)`` pooled over ALL rows (the standard shared-θ
+    form — per-variant θ re-introduces bias), and per variant
+    ``adj_mean = ȳ_v − θ·(x̄_v − x̄)``. ``rho2_ppm`` is the pooled
+    squared correlation = the fraction of metric variance CUPED removes
+    (same value on every output row). Integer inputs (cents/counts);
+    moment sums exact decimal(38,0)/HUGEINT; the closed forms are a
+    FIXED sequence of IEEE ops on those exact integers (the
+    bivariate_stats discipline), means reported in rounded micro-units.
+
+    Degenerate guard: ``var(X) = 0`` → θ undefined → adjusted mean
+    falls back to the raw mean and ``rho2_ppm`` is NULL, both engines.
+
+    Scale: ONE map-side-combinable global moment pass + one per-variant
+    pass — no window, no join wider than the variant frame.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    glob = (
+        df.agg(
+            F.count(F.lit(1)).cast("long").alias("_gn"),
+            F.sum(x).alias("_gsx"),
+            F.sum(y).alias("_gsy"),
+            F.sum(dec(x) * dec(x)).alias("_gsxx"),
+            F.sum(dec(x) * dec(y)).alias("_gsxy"),
+            F.sum(dec(y) * dec(y)).alias("_gsyy"),
+        )
+        .withColumn("_one", one)
+    )
+    per = (
+        df.groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).cast("long").alias("_sx"),
+            F.sum(y).cast("long").alias("_sy"),
+        )
+        .withColumn("_one", one)
+    )
+    j = per.join(F.broadcast(glob), "_one")
+    gn = dec(F.col("_gn"))
+    varx_num = (gn * F.col("_gsxx") - dec(F.col("_gsx")) * dec(F.col("_gsx"))).cast("double")
+    vary_num = (gn * F.col("_gsyy") - dec(F.col("_gsy")) * dec(F.col("_gsy"))).cast("double")
+    cov_num = (gn * F.col("_gsxy") - dec(F.col("_gsx")) * dec(F.col("_gsy"))).cast("double")
+    theta = cov_num / varx_num  # same n-scaling cancels
+    mean_y = F.col("_sy").cast("double") / F.col("n").cast("double")
+    mean_x = F.col("_sx").cast("double") / F.col("n").cast("double")
+    gmean_x = F.col("_gsx").cast("double") / F.col("_gn").cast("double")
+    adj = mean_y - theta * (mean_x - gmean_x)
+    degenerate = varx_num == F.lit(0.0)
+    rho2 = (cov_num * cov_num) / (varx_num * vary_num)
+    return j.select(
+        "variant",
+        "n",
+        F.round(mean_y * F.lit(1000000.0)).cast("long").alias("mean_y_micro"),
+        F.when(degenerate, F.round(mean_y * F.lit(1000000.0)).cast("long"))
+        .otherwise(F.round(adj * F.lit(1000000.0)).cast("long"))
+        .alias("adj_mean_y_micro"),
+        F.when(~degenerate & (vary_num > 0), F.round(rho2 * F.lit(1000000.0)).cast("long"))
+        .alias("rho2_ppm"),
+    )
+
+
+def cuped_adjusted_readout_sql(
+    table_expr: str, variant_expr: str, x_expr: str, y_expr: str
+) -> str:
+    """DuckDB rendering of :func:`cuped_adjusted_readout` — HUGEINT
+    moments, same fixed IEEE sequence."""
+    return f"""
+WITH src AS (
+  SELECT {variant_expr} AS variant,
+         CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y
+  FROM {table_expr}
+),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(x) AS HUGEINT) AS gsx, CAST(sum(y) AS HUGEINT) AS gsy,
+         sum(CAST(x AS HUGEINT) * x) AS gsxx,
+         sum(CAST(x AS HUGEINT) * y) AS gsxy,
+         sum(CAST(y AS HUGEINT) * y) AS gsyy
+  FROM src
+),
+per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM src GROUP BY 1
+),
+forms AS (
+  SELECT variant, n, sx, sy, gn, gsx,
+         CAST(CAST(gn AS HUGEINT) * gsxx - gsx * gsx AS DOUBLE) AS varx_num,
+         CAST(CAST(gn AS HUGEINT) * gsyy - gsy * gsy AS DOUBLE) AS vary_num,
+         CAST(CAST(gn AS HUGEINT) * gsxy - gsx * gsy AS DOUBLE) AS cov_num
+  FROM per, gstats
+)
+SELECT variant, n,
+       CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS mean_y_micro,
+       CAST(round(CASE WHEN varx_num = 0
+            THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (cov_num / varx_num)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) END
+            * 1000000.0) AS BIGINT) AS adj_mean_y_micro,
+       CASE WHEN varx_num <> 0 AND vary_num > 0 THEN
+         CAST(round((cov_num * cov_num) / (varx_num * vary_num) * 1000000.0)
+              AS BIGINT) END AS rho2_ppm
+FROM forms
+"""
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the LOWER MEDIAN of all
+    pairwise slopes of an already-aggregated series — the
+    outlier-immune alternative to the OLS slope (one corrupt day moves
+    OLS, not the median slope)::
+
+        (group..., n_points, n_pairs, slope_ppm)
+
+    ``slope_ppm = (y_j − y_i)·10⁶ div (t_j − t_i)`` per pair — exact
+    integers (both engines truncate integer division toward zero, so
+    negative slopes agree); the median is the LOWER median (the
+    rank-⌈c/2⌉ pair under (slope, t_i, t_j) order), never an
+    interpolated midpoint — engine-identical by construction.
+
+    Intended for BOUNDED series frames (a daily/weekly rollup — the
+    caller owns the pre-aggregation, same contract as ``acf_lags``):
+    the pair join is C(days, 2) per group on the ROLLUP, never the raw
+    events, and the per-group rank window runs over that bounded pair
+    frame. Groups with < 2 points emit no row.
+    """
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).withColumn(
+        # bounded: one count per group over the ROLLUP frame
+        "_np", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    a, b = base.alias("_a"), base.alias("_b")
+    cond = F.col("_a._t") < F.col("_b._t")
+    for g in group_cols:
+        cond = F.col(f"_a.{g}").eqNullSafe(F.col(f"_b.{g}")) & cond
+    pairs = a.join(b, cond).select(
+        *[F.col(f"_a.{g}") for g in group_cols],
+        F.col("_a._np").alias("_npts"),
+        F.col("_a._t").alias("_t1"),
+        F.col("_b._t").alias("_t2"),
+        F.expr(
+            "CAST((_b._v - _a._v) * 1000000 div (_b._t - _a._t) AS BIGINT)"
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_slope", "_t1", "_t2")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    return ranked.filter(
+        F.col("_rn") == F.expr("(_cnt + 1) div 2")
+    ).select(
+        *group_cols,
+        F.col("_npts").cast("long").alias("n_points"),
+        F.col("_cnt").cast("long").alias("n_pairs"),
+        F.col("_slope").alias("slope_ppm"),
+    )
+
+
+def theil_sen_trend_sql(
+    table_expr: str,
+    group_exprs: list[str],
+    t_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB rendering of :func:`theil_sen_trend` — same pair frame,
+    same lower-median pick."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    part_win = f"({part.strip()})" if g else "()"
+    on_g = " AND ".join(
+        f"a.{e} IS NOT DISTINCT FROM b.{e}" for e in group_exprs
+    )
+    on_clause = f"{on_g} AND " if on_g else ""
+    ga = ", ".join(f"a.{e} AS {e}" for e in group_exprs)
+    gasel = f"{ga}, " if ga else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({t_expr} AS BIGINT) AS t, CAST({value_expr} AS BIGINT) AS v,
+         count(*) OVER {part_win} AS np
+  FROM {table_expr}
+),
+pairs AS (
+  SELECT {gasel}a.np AS npts, a.t AS t1, b.t AS t2,
+         CAST((b.v - a.v) * 1000000 // (b.t - a.t) AS BIGINT) AS slope
+  FROM base a JOIN base b ON {on_clause}a.t < b.t
+),
+ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY slope, t1, t2) AS rn,
+         count(*) OVER {part_win} AS cnt
+  FROM pairs
+)
+SELECT {gsel}CAST(npts AS BIGINT) AS n_points,
+       CAST(cnt AS BIGINT) AS n_pairs,
+       slope AS slope_ppm
+FROM ranked WHERE rn = (cnt + 1) // 2
 """

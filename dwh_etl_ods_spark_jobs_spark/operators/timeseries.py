@@ -914,3 +914,139 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
        END AS acf_6
 FROM m
 """
+
+
+# --- Kaplan-Meier survival / churn curve --------------------------------------
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per cohort with right-censoring —
+    the churn/retention-duration estimator (how long do users stay,
+    accounting for the ones still active)::
+
+        (group..., t, n_at_risk, n_events, n_censored,
+         cum_log_surv_micro)
+
+    Input: ONE ROW PER SUBJECT — integer ``duration_col`` (time
+    observed) and ``event_col`` (1 = the event happened at that time,
+    0 = right-censored there). The curve is carried in LOG space as
+    exact integers: per step ``term_t = round(ln((n_t − d_t)/n_t)·10⁶)``
+    (a single IEEE ln on exact integer counts, rounded BEFORE the
+    cumulative sum — the PMI/entropy float discipline; survival itself
+    is ``exp(cum/10⁶)``, left to the consumer so no engine ever folds
+    floats). Steps with ``d_t = 0`` contribute 0. An absorbing step
+    (``d_t = n_t``: everyone at risk dies) makes survival exactly 0 —
+    log-survival is NULL from that step onward, explicit on both
+    engines.
+
+    Scale: one (group, t) count pass (map-side combinable), then all
+    windows run over the bounded distinct-duration frame per group
+    (day-grained durations — the ``acf_lags`` bounded-frame contract;
+    the caller owns the duration quantization).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ev = F.col(event_col).cast("long")
+    per_t = df.groupBy(
+        *gcols, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(ev).cast("long").alias("n_events"),
+        F.sum(F.lit(1) - ev).cast("long").alias("n_censored"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("t")  # bounded t frame
+    before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ).cast("long")
+    risked = per_t.withColumn("n_at_risk", total - before)
+    term = F.when(F.col("n_events") == 0, F.lit(0)).when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )  # d == n_at_risk -> NULL (absorbing)
+    stepped = risked.withColumn("_term", term).withColumn(
+        "_absorbed",
+        F.max(
+            F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return stepped.select(
+        *gcols,
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.col("_absorbed") == 0,
+            F.sum("_term").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .cast("long")
+        .alias("cum_log_surv_micro"),
+    )
+
+
+def kaplan_meier_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    duration_expr: str,
+    event_expr: str,
+) -> str:
+    """DuckDB rendering of :func:`kaplan_meier` — same per-step rounded
+    micro-nat terms, same absorbing-step NULL."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    # positional GROUP BY: the alias `t` must never collide with a
+    # table named t in table_expr
+    gby = "GROUP BY " + ", ".join(
+        str(i + 1) for i in range(len(group_exprs) + 1)
+    )
+    return f"""
+WITH per_t AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST(sum(CAST({event_expr} AS BIGINT)) AS BIGINT) AS n_events,
+         CAST(sum(1 - CAST({event_expr} AS BIGINT)) AS BIGINT) AS n_censored
+  FROM {table_expr} {gby}
+),
+risked AS (
+  SELECT *,
+         CAST(sum(n_events + n_censored) OVER ({part})
+              - coalesce(sum(n_events + n_censored) OVER ({part}ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM per_t
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN n_events = 0 THEN 0
+              WHEN n_events < n_at_risk THEN
+                CAST(round(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) END AS term,
+         max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+           OVER ({part}ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS absorbed
+  FROM risked
+)
+SELECT {gsel}t, n_at_risk, n_events, n_censored,
+       CASE WHEN absorbed = 0 THEN
+         CAST(sum(term) OVER ({part}ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       END AS cum_log_surv_micro
+FROM stepped
+"""

@@ -1,0 +1,402 @@
+"""r14-STAGED battery queries: operators landed in round 11 with query +
+DuckDB oracle fully wired, held OUT of ``__spark_entry__`` until the r14
+window rotation (the staged -> parity-pinned -> probed -> registered
+lifecycle; see the committed window plans in ``__spark_entry__.py``).
+
+Wave theme: the decision layer OVER the pipeline's measurements —
+inequality/concentration (Gini), feature screening (WOE/IV), experiment
+readouts (CUPED), robust trends (Theil-Sen), retention survival
+(Kaplan-Meier), multi-objective curation cuts (Pareto frontier),
+corpus freshness (n-gram novelty), and link prediction (Adamic-Adar).
+
+Until registration, ``tests/test_staged_r14_surfaces.py`` runs the exact
+driver-gate comparison (sorted-column value equality + scalar-output
+rule) on every entry at sf0.001 and sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+
+# Battery consolidation slots (empty until an r14 retirement earns one).
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLES: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_PRICE_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_VALUE_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+# --- Gini concentration of order value per market segment --------------------
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is order revenue within each market segment? —
+    exact Gini per segment (operators/stats.gini_concentration; the
+    rank is the range-decomposed grouped_global_rank, never a per-group
+    single-task sort)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(_PRICE_CENTS).alias("cents"),
+    )
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "cents", "o_orderkey")
+    return gini_concentration(
+        base, ["c_mktsegment"], "cents", ["o_orderkey"]
+    ).orderBy("c_mktsegment")
+
+
+def _sql_gini() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        gini_concentration_sql,
+    )
+
+    base = f"""
+(SELECT c.c_mktsegment, {_PRICE_CENTS} AS cents, o.o_orderkey
+ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) b
+"""
+    return (
+        gini_concentration_sql(base, ["c_mktsegment"], "cents", ["o_orderkey"])
+        + " ORDER BY c_mktsegment"
+    )
+
+
+STAGED_QUERIES["revenue_gini_by_segment"] = q_gini
+STAGED_ORACLES["revenue_gini_by_segment"] = _sql_gini()
+
+
+# --- WOE / IV screen of order priority against delinquent accounts -----------
+
+
+def q_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order priority separate delinquent (negative-balance)
+    customers? WOE per priority bucket + per-bucket IV, micro-nats
+    (operators/stats.woe_iv_screen; one count pass + constant-key
+    broadcast totals)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import woe_iv_screen
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") < 0).cast("long").alias("bad")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(F.col("o_orderpriority").alias("bucket"), "bad")
+    return woe_iv_screen(base, "bucket", "bad").orderBy("bucket")
+
+
+def _sql_woe() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import woe_iv_screen_sql
+
+    base = """
+(SELECT o.o_orderpriority AS bucket,
+        CAST(c.c_acctbal < 0 AS BIGINT) AS bad
+ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) b
+"""
+    return woe_iv_screen_sql(base, "bucket", "bad") + " ORDER BY bucket"
+
+
+STAGED_QUERIES["woe_iv_priority_screen"] = q_woe
+STAGED_ORACLES["woe_iv_priority_screen"] = _sql_woe()
+
+
+# --- CUPED experiment readout over event value --------------------------------
+
+CUPED_SPLIT = "2024-01-15"  # pre-period X < split <= experiment period Y
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-reduced A/B readout: per-user pre-period revenue (X)
+    adjusts experiment-period revenue (Y), variant = user_id parity —
+    the CUPED primitive every experimentation platform runs
+    (operators/stats.cuped_adjusted_readout; one per-user fold, exact
+    decimal moments, fixed IEEE closed forms)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        cuped_adjusted_readout,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    per_user = ev.groupBy(F.col("user_id")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") < F.lit(CUPED_SPLIT).cast("date"),
+                    F.expr(_VALUE_CENTS),
+                )
+            ),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") >= F.lit(CUPED_SPLIT).cast("date"),
+                    F.expr(_VALUE_CENTS),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        F.expr("CAST(pmod(user_id, 2) AS STRING)").alias("variant"), "x", "y"
+    )
+    return cuped_adjusted_readout(per_user, "variant", "x", "y").orderBy(
+        "variant"
+    )
+
+
+def _sql_cuped() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        cuped_adjusted_readout_sql,
+    )
+
+    base = f"""
+(SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+        coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT}'
+                 THEN {_VALUE_CENTS} END), 0) AS x,
+        coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT}'
+                 THEN {_VALUE_CENTS} END), 0) AS y
+ FROM events WHERE ts IS NOT NULL
+ GROUP BY user_id) u
+"""
+    return cuped_adjusted_readout_sql(base, "variant", "x", "y") + " ORDER BY variant"
+
+
+STAGED_QUERIES["cuped_event_value"] = q_cuped
+STAGED_ORACLES["cuped_event_value"] = _sql_cuped()
+
+
+# --- Theil-Sen robust daily-revenue trend -------------------------------------
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type revenue trend: the lower-median pairwise slope of
+    the daily rollup — one corrupt day cannot move it, unlike the OLS
+    slope (operators/stats.theil_sen_trend; C(days,2) pair frame on the
+    ROLLUP only, the acf_lags bounded-frame contract)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import theil_sen_trend
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.expr(_VALUE_CENTS)).cast("long").alias("rev"))
+    return theil_sen_trend(daily, ["event_type"], "day", "rev").orderBy(
+        "event_type"
+    )
+
+
+def _sql_theil_sen() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import theil_sen_trend_sql
+
+    base = f"""
+(SELECT event_type,
+        CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+          AS day,
+        CAST(sum({_VALUE_CENTS}) AS BIGINT) AS rev
+ FROM events WHERE ts IS NOT NULL
+ GROUP BY 1, 2) d
+"""
+    return (
+        theil_sen_trend_sql(base, ["event_type"], "day", "rev")
+        + " ORDER BY event_type"
+    )
+
+
+STAGED_QUERIES["theil_sen_daily_trend"] = q_theil_sen
+STAGED_ORACLES["theil_sen_daily_trend"] = _sql_theil_sen()
+
+
+# --- Kaplan-Meier user retention curve ----------------------------------------
+
+KM_CHURN_GAP_DAYS = 7  # inactive this long before the horizon = churned
+
+
+def q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User retention as a Kaplan-Meier curve with right-censoring:
+    duration = days between a user's first and last event; users still
+    active within KM_CHURN_GAP_DAYS of the data horizon are CENSORED,
+    not churned — the estimator every retention dashboard needs once
+    "still here" stops meaning "retained forever"
+    (operators/timeseries.kaplan_meier; log-survival in exact integer
+    micro-nats)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import kaplan_meier
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    per_user = days.groupBy("user_id").agg(
+        F.min("day").alias("_first"), F.max("day").alias("_last")
+    )
+    horizon = days.agg(F.max("day").alias("_maxd")).withColumn(
+        "_one", F.pmod(F.hash(F.lit(1)), F.lit(1))
+    )
+    subjects = (
+        per_user.withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
+        .join(F.broadcast(horizon), "_one")
+        .select(
+            (F.col("_last") - F.col("_first")).alias("duration"),
+            (F.col("_last") < F.col("_maxd") - F.lit(KM_CHURN_GAP_DAYS))
+            .cast("long")
+            .alias("event"),
+        )
+    )
+    return kaplan_meier(subjects, [], "duration", "event").orderBy("t")
+
+
+def _sql_km() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        kaplan_meier_sql,
+    )
+
+    base = f"""
+(SELECT CAST(max(d) - min(d) AS BIGINT) AS duration,
+        CAST(max(d) < (SELECT max(date_diff('day', DATE '2024-01-01',
+                                            CAST(ts AS DATE)))
+                       FROM events WHERE ts IS NOT NULL)
+             - {KM_CHURN_GAP_DAYS} AS BIGINT) AS event
+ FROM (SELECT user_id,
+              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+       FROM events WHERE ts IS NOT NULL)
+ GROUP BY user_id) s
+"""
+    return kaplan_meier_sql(base, [], "duration", "event") + " ORDER BY t"
+
+
+STAGED_QUERIES["km_user_retention"] = q_km
+STAGED_ORACLES["km_user_retention"] = _sql_km()
+
+
+# --- Pareto frontier: document quality vs token cost ---------------------------
+
+
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-objective curation cut: which (quality, token-cost)
+    points dominate the corpus — keep a doc only if nothing scores at
+    least as high for at most its cost
+    (curation.pareto_frontier_2d; corpus collapses to the distinct-
+    score frame before any window)."""
+    from dwh_etl_ods_spark_jobs_spark import text as TX
+    from dwh_etl_ods_spark_jobs_spark.curation import pareto_frontier_2d
+
+    docs = _t(spark, sf_dir, "documents").select(
+        # quality_score is a 6-dp double in [0,1]: quantize to exact ppm
+        # BEFORE the frontier (double->BIGINT casts round in DuckDB but
+        # truncate in Spark — never hand the cast a raw double)
+        F.round(TX.quality_score(F.col("text")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("q"),
+        TX.token_count(F.col("text")).alias("cost"),
+    )
+    return pareto_frontier_2d(docs, "q", "cost").orderBy(F.desc("score"))
+
+
+def _sql_pareto() -> str:
+    from dwh_etl_ods_spark_jobs_spark import text as TX
+    from dwh_etl_ods_spark_jobs_spark.curation import pareto_frontier_2d_sql
+
+    base = f"""
+(SELECT CAST(round(({TX.quality_score_sql('text')}) * 1000000) AS BIGINT) AS q,
+        CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS cost
+ FROM documents) d
+"""
+    return pareto_frontier_2d_sql(base, "q", "cost") + " ORDER BY score DESC"
+
+
+STAGED_QUERIES["pareto_quality_cost"] = q_pareto
+STAGED_ORACLES["pareto_quality_cost"] = _sql_pareto()
+
+
+# --- n-gram novelty of one source slice vs the rest ----------------------------
+
+NOVELTY_NEW_SOURCE = "src0"
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness triage for a corpus refresh: per-doc fraction of
+    w-shingles unseen in the REST of the corpus, folded to a decile
+    census (curation.ngram_novelty_census; both sides collapse to
+    distinct hashed postings — one membership join, no pair join)."""
+    from dwh_etl_ods_spark_jobs_spark.curation import ngram_novelty_census
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == NOVELTY_NEW_SOURCE)
+    ref = docs.filter(F.col("source") != NOVELTY_NEW_SOURCE)
+    return ngram_novelty_census(new, ref, "text", "doc_id").orderBy(
+        "novelty_decile"
+    )
+
+
+def _sql_novelty() -> str:
+    from dwh_etl_ods_spark_jobs_spark.curation import ngram_novelty_census_sql
+
+    return (
+        ngram_novelty_census_sql(
+            f"(SELECT * FROM documents WHERE source = '{NOVELTY_NEW_SOURCE}') n",
+            f"(SELECT * FROM documents WHERE source <> '{NOVELTY_NEW_SOURCE}') r",
+            "text",
+            "doc_id",
+        )
+        + " ORDER BY novelty_decile"
+    )
+
+
+STAGED_QUERIES["ngram_novelty_census"] = q_novelty
+STAGED_ORACLES["ngram_novelty_census"] = _sql_novelty()
+
+
+# --- Adamic-Adar link prediction on the co-purchase graph ----------------------
+
+AA_TOP_K = 50
+AA_MAX_CENTER_DEG = 64
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Parts likely to be bought together NEXT": top-50 non-adjacent
+    part pairs by Adamic-Adar over the co-purchase graph — rare mutual
+    co-purchases outweigh hub parts (graph.adamic_adar_topk; wedge
+    fan-out bounded by the center-degree cap, the triangle-census
+    edge derivation reused verbatim)."""
+    from dwh_etl_ods_spark_jobs_spark.graph import adamic_adar_topk
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _copurchase_edges
+
+    return adamic_adar_topk(
+        _copurchase_edges(spark, sf_dir),
+        top_k=AA_TOP_K,
+        max_center_degree=AA_MAX_CENTER_DEG,
+    )
+
+
+def _sql_adamic_adar() -> str:
+    from dwh_etl_ods_spark_jobs_spark.graph import adamic_adar_topk_sql
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _COPURCHASE_EDGES_SQL
+
+    return adamic_adar_topk_sql(
+        _COPURCHASE_EDGES_SQL, AA_TOP_K, AA_MAX_CENTER_DEG
+    )
+
+
+STAGED_QUERIES["adamic_adar_parts"] = q_adamic_adar
+STAGED_ORACLES["adamic_adar_parts"] = _sql_adamic_adar()

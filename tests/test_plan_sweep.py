@@ -16,12 +16,17 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from dwh_etl_ods_spark_jobs_spark.plans import staged_r11, staged_r12, staged_r13
+from dwh_etl_ods_spark_jobs_spark.plans import (
+    staged_r11,
+    staged_r12,
+    staged_r13,
+    staged_r14,
+)
 
 
 def _all_queries():
     qs = dict(entry_mod.queries())
-    for mod in (staged_r11, staged_r12, staged_r13):
+    for mod in (staged_r11, staged_r12, staged_r13, staged_r14):
         for name, fn in mod.STAGED_QUERIES.items():
             qs[f"staged:{name}"] = fn
     return qs

@@ -1,0 +1,298 @@
+"""Unit tests for the r14 operator wave: Gini, WOE/IV, CUPED,
+Theil-Sen, Kaplan-Meier, Pareto frontier, n-gram novelty, Adamic-Adar,
+PCM silence segmentation — hand-checked values, degenerate guards, and
+brute-force cross-checks (oracle parity lives in
+tests/test_staged_r14_surfaces.py)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- Gini ---------------------------------------------------------------------
+
+
+def test_gini_uniform_is_zero_and_extreme_is_high(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
+
+    rows = (
+        [("u", i, 10) for i in range(20)]  # uniform -> 0
+        + [("e", i, 0) for i in range(19)]
+        + [("e", 99, 1000)]  # one holder -> (n-1)/n
+    )
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = {
+        r.g: r for r in gini_concentration(df, ["g"], "x", ["id"]).collect()
+    }
+    assert out["u"].gini_ppm == 0
+    assert out["e"].gini_ppm == 950_000  # (n-1)/n = 19/20
+    assert out["e"].n == 20 and out["e"].total_value == 1000
+
+
+def test_gini_all_zero_group_is_null(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
+
+    df = spark.createDataFrame(
+        [("z", 1, 0), ("z", 2, 0)], "g string, id long, x long"
+    )
+    assert gini_concentration(df, ["g"], "x", ["id"]).collect()[0].gini_ppm is None
+
+
+def test_gini_partitioning_invariant(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
+
+    rows = [("a", i, (i * 37) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    a = gini_concentration(df, ["g"], "x", ["id"]).collect()[0].gini_ppm
+    b = gini_concentration(
+        df.repartition(13), ["g"], "x", ["id"]
+    ).collect()[0].gini_ppm
+    assert a == b
+
+
+# --- WOE / IV -----------------------------------------------------------------
+
+
+def test_woe_iv_hand_values_and_zero_cell_guard(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import woe_iv_screen
+
+    # bucket A: 30 good / 10 bad; bucket B: 10 good / 30 bad;
+    # bucket Z: 5 good / 0 bad (zero cell -> NULL)
+    rows = (
+        [("A", 0)] * 30 + [("A", 1)] * 10
+        + [("B", 0)] * 10 + [("B", 1)] * 30
+        + [("Z", 0)] * 5
+    )
+    df = spark.createDataFrame(rows, "b string, y long")
+    out = {r.bucket: r for r in woe_iv_screen(df, "b", "y").collect()}
+    G, B = 45, 40
+    woe_a = round(math.log((30 / G) / (10 / B)) * 1e6)
+    assert out["A"].woe_micro == woe_a
+    assert out["A"].iv_micro == round(
+        (30 / G - 10 / B) * math.log((30 / G) / (10 / B)) * 1e6
+    )
+    assert out["B"].woe_micro < 0  # bad-heavy bucket
+    assert out["Z"].woe_micro is None and out["Z"].iv_micro is None
+
+
+# --- CUPED --------------------------------------------------------------------
+
+
+def test_cuped_theta_one_identity_and_lift(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        cuped_adjusted_readout,
+    )
+
+    # Properly randomized: consecutive (A, B) pairs share the same x
+    # (covariate independent of assignment), y = x + 5 for A. Then
+    # theta == 1 exactly, the adjustment centers both variants on the
+    # global x mean, and the adjusted diff equals the true +5 lift.
+    rows = [
+        ("A" if i % 2 == 0 else "B",
+         ((i // 2) * 13) % 50,
+         ((i // 2) * 13) % 50 + (5 if i % 2 == 0 else 0))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "v string, x long, y long")
+    out = {r.variant: r for r in cuped_adjusted_readout(df, "v", "x", "y").collect()}
+    adj_diff = (out["A"].adj_mean_y_micro - out["B"].adj_mean_y_micro) / 1e6
+    assert abs(adj_diff - 5.0) < 1e-9
+    # adjusted == raw here (x balanced across variants): the adjustment
+    # must not INVENT a shift when there is nothing to correct
+    assert out["A"].adj_mean_y_micro == out["A"].mean_y_micro
+    assert out["A"].rho2_ppm > 900_000  # x explains almost all variance
+
+
+def test_cuped_zero_variance_covariate_falls_back_to_raw_mean(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        cuped_adjusted_readout,
+    )
+
+    rows = [("A", 7, 10), ("A", 7, 20), ("B", 7, 30), ("B", 7, 40)]
+    df = spark.createDataFrame(rows, "v string, x long, y long")
+    out = {r.variant: r for r in cuped_adjusted_readout(df, "v", "x", "y").collect()}
+    assert out["A"].adj_mean_y_micro == out["A"].mean_y_micro == 15_000_000
+    assert out["A"].rho2_ppm is None
+
+
+# --- Theil-Sen ----------------------------------------------------------------
+
+
+def test_theil_sen_immune_to_single_outlier(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import theil_sen_trend
+
+    rows = [("s", t, 100 + 7 * t + (5000 if t == 13 else 0)) for t in range(30)]
+    rows += [("d", t, 1000 - 3 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {r.g: r for r in theil_sen_trend(df, ["g"], "t", "v").collect()}
+    assert out["s"].slope_ppm == 7_000_000  # outlier at t=13 ignored
+    assert out["d"].slope_ppm == -3_000_000  # negative slopes engine-safe
+    assert out["s"].n_points == 30 and out["s"].n_pairs == 435
+
+
+def test_theil_sen_single_point_group_emits_nothing(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import theil_sen_trend
+
+    df = spark.createDataFrame([("solo", 1, 10)], "g string, t long, v long")
+    assert theil_sen_trend(df, ["g"], "t", "v").collect() == []
+
+
+# --- Kaplan-Meier -------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_curve_with_censoring(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import kaplan_meier
+
+    rows = [
+        ("c", 1, 1), ("c", 2, 1), ("c", 2, 0), ("c", 3, 1),
+        ("c", 4, 0), ("c", 5, 1), ("c", 6, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, dur long, ev long")
+    out = {r.t: r for r in kaplan_meier(df, ["g"], "dur", "ev").collect()}
+    assert out[1].n_at_risk == 7 and out[1].n_events == 1
+    assert out[1].cum_log_surv_micro == round(math.log(6 / 7) * 1e6)
+    # t=2: one event + one censor among 6 at risk; censor does NOT enter
+    # the hazard, only shrinks the next risk set
+    t2 = round(math.log(6 / 7) * 1e6) + round(math.log(5 / 6) * 1e6)
+    assert out[2].cum_log_surv_micro == t2
+    assert out[3].n_at_risk == 4
+    # t=4 is censor-only: survival unchanged
+    assert out[4].cum_log_surv_micro == out[3].cum_log_surv_micro
+
+
+def test_kaplan_meier_absorbing_step_nulls_log_survival(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import kaplan_meier
+
+    rows = [("z", 2, 1), ("z", 5, 1), ("z", 5, 1)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev long")
+    out = {r.t: r for r in kaplan_meier(df, ["g"], "dur", "ev").collect()}
+    assert out[2].cum_log_surv_micro == round(math.log(2 / 3) * 1e6)
+    assert out[5].cum_log_surv_micro is None  # survival exactly 0
+
+
+# --- Pareto frontier ----------------------------------------------------------
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    from dwh_etl_ods_spark_jobs_spark.curation import pareto_frontier_2d
+
+    rows = [(i, (i * 7) % 50, (i * 13) % 100 + 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, q long, c long")
+    got = sorted(
+        (r.score, r.frontier_cost)
+        for r in pareto_frontier_2d(df, "q", "c").collect()
+    )
+    pts = [(q, c) for _, q, c in rows]
+
+    def dominated(q, c):
+        return any(
+            q2 >= q and c2 <= c and (q2 > q or c2 < c) for q2, c2 in pts
+        )
+
+    brute = sorted(
+        {
+            (q, min(c2 for q2, c2 in pts if q2 == q))
+            for q, c in pts
+            if not dominated(q, min(c2 for q2, c2 in pts if q2 == q))
+        }
+    )
+    assert got == brute
+    # frontier invariant: better quality costs strictly more — sorted by
+    # score ascending, frontier_cost strictly increases
+    costs = [c for _, c in got]
+    assert all(a < b for a, b in zip(costs, costs[1:]))
+
+
+# --- n-gram novelty -----------------------------------------------------------
+
+
+def test_ngram_novelty_extremes(spark):
+    from dwh_etl_ods_spark_jobs_spark.curation import ngram_novelty_census
+
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # fully seen -> decile 0
+            (2, "one two three four five six"),     # fully novel -> top decile
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.novelty_decile: r
+        for r in ngram_novelty_census(new, ref, "text", "doc_id").collect()
+    }
+    assert out[0].n_docs == 1 and out[0].novel_shingles == 0
+    assert out[9].n_docs == 1 and out[9].novel_shingles == out[9].total_shingles
+
+
+# --- Adamic-Adar --------------------------------------------------------------
+
+
+def test_adamic_adar_hand_graph_and_center_cap(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import adamic_adar_topk
+
+    # hub 0 — deg 5, over the cap of 4 -> contributes nothing;
+    # node 6 — deg 2 -> wedge (3,4) with weight 1e6/ln(2);
+    # (1,2) are adjacent -> excluded even as a candidate
+    base = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (3, 6), (4, 6)]
+    df = spark.createDataFrame(base, "u long, v long")
+    out = {
+        (r.node_a, r.node_b): r
+        for r in adamic_adar_topk(df, top_k=10, max_center_degree=4).collect()
+    }
+    w2 = round(1e6 / math.log(2))
+    assert out[(3, 4)].aa_micro == w2 and out[(3, 4)].common_neighbors == 1
+    assert out[(0, 6)].aa_micro == 2 * w2  # centers 3 and 4, both deg 2
+    assert (1, 2) not in out
+
+
+def test_adamic_adar_isolated_and_deg1_centers_contribute_nothing(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import adamic_adar_topk
+
+    # path 1-2-3: center 2 has deg 2 -> (1,3); leaves have deg 1
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    out = adamic_adar_topk(df, top_k=10).collect()
+    assert [(r.node_a, r.node_b) for r in out] == [(1, 3)]
+
+
+# --- PCM silence segmentation ---------------------------------------------------
+
+
+def _pcm(vals):
+    return struct.pack(f"<{len(vals)}h", *vals)
+
+
+def test_pcm_silence_segments_runs_and_energy(spark):
+    from dwh_etl_ods_spark_jobs_spark.multimodal import pcm_silence_segments
+
+    loud, quiet = [3000, -3000, 2500, -2500], [1, -1, 2, 0]
+    payload = _pcm(loud + quiet + quiet + loud)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = sorted(
+        (r.is_active, r.seg_start_win, r.seg_end_win, r.n_windows)
+        for r in pcm_silence_segments(
+            df, window_samples=4, silence_energy_per_sample=100
+        ).collect()
+    )
+    assert out == [(0, 1, 2, 2), (1, 0, 0, 1), (1, 3, 3, 1)]
+
+
+def test_pcm_silence_segments_partitioning_invariant(spark):
+    from dwh_etl_ods_spark_jobs_spark.multimodal import pcm_silence_segments
+
+    docs = [
+        (i, _pcm([(3000 if (i + w) % 3 else 1) for w in range(64)]))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, payload binary")
+    a = sorted(map(tuple, pcm_silence_segments(df, 8, 100).collect()))
+    b = sorted(map(tuple, pcm_silence_segments(df.repartition(7), 8, 100).collect()))
+    assert a == b and len(a) > 0

@@ -44,6 +44,7 @@ __all__ = [
     "gini_concentration",
     "gini_concentration_sql",
     "woe_iv_screen",
+    "woe_iv_from_counts",
     "woe_iv_screen_sql",
     "cuped_adjusted_readout",
     "cuped_adjusted_readout_sql",
@@ -1516,14 +1517,22 @@ def woe_iv_screen(
     class totals — map-side combinable, no window.
     """
     lbl = F.col(label_col).cast("long")
-    counts = (
-        df.groupBy(F.col(bucket_col).alias("bucket"))
-        .agg(
-            F.sum(F.lit(1) - lbl).cast("long").alias("n_good"),
-            F.sum(lbl).cast("long").alias("n_bad"),
-        )
-        .withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
+    counts = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.lit(1) - lbl).cast("long").alias("n_good"),
+        F.sum(lbl).cast("long").alias("n_bad"),
     )
+    return woe_iv_from_counts(counts)
+
+
+def woe_iv_from_counts(counts: DataFrame) -> DataFrame:
+    """WOE/IV from a per-bucket ``(bucket, n_good, n_bad)`` count grid —
+    the MERGEABLE-STATE form of :func:`woe_iv_screen` (which delegates
+    here after its groupBy). The grid is plain integer counts on
+    deterministic keys: exactly what a streaming groupBy maintains
+    (``streaming.streaming_bucket_label_counts``) and what shards merge
+    by cell addition — a snapshot through here is bit-identical to the
+    batch screen over the same rows (pytest-pinned stream==batch)."""
+    counts = counts.withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
     totals = counts.groupBy("_one").agg(
         F.sum("n_good").cast("long").alias("_g"),
         F.sum("n_bad").cast("long").alias("_b"),

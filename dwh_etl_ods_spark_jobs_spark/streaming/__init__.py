@@ -746,6 +746,28 @@ def streaming_score_counts(
     )
 
 
+def streaming_bucket_label_counts(
+    stream: DataFrame, bucket_col: str, label_col: str
+) -> DataFrame:
+    """Continuously-maintained per-bucket binary-label counts over a
+    feature stream — the WOE/IV feeder (r14 eval binding): state is
+    bounded at O(buckets) count rows regardless of flow.  Run in
+    update/complete mode; a snapshot is BIT-IDENTICAL to the batch
+    ``groupBy(bucket)`` the screen starts from (plain integer counts on
+    deterministic keys), so ``operators.stats.woe_iv_from_counts``
+    folds a live feature-drift screen (a bucket whose WOE flips sign
+    between snapshots is a shifting segment) without rereading any row.
+    Shards merge by cell addition — the same state-not-rows binding as
+    the AUC/kappa/drift monitors."""
+    from pyspark.sql import functions as F
+
+    lbl = F.col(label_col).cast("long")
+    return stream.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.lit(1) - lbl).cast("long").alias("n_good"),
+        F.sum(lbl).cast("long").alias("n_bad"),
+    )
+
+
 def streaming_band_coverage(
     stream: DataFrame,
     bands: DataFrame,

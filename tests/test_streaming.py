@@ -1285,6 +1285,49 @@ def test_streaming_score_counts_feed_auc(spark, workdir):
     assert got.auc_ppm is not None
 
 
+def test_streaming_bucket_counts_feed_woe_iv(spark, workdir):
+    """Feature-screen monitoring without rereading rows (r14 eval
+    binding): a LIVE streaming per-bucket label-count snapshot through
+    woe_iv_from_counts equals the batch woe_iv_screen over the same
+    rows — bit-identical, across micro-batch boundaries, including a
+    zero-cell bucket (NULL WOE on both paths)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        woe_iv_from_counts,
+        woe_iv_screen,
+    )
+
+    src = os.path.join(workdir, "landing_woe")
+    schema = "b string, y long"
+    rows1 = [("A", 0)] * 20 + [("A", 1)] * 5 + [("B", 0)] * 5 + [("B", 1)] * 15
+    rows2 = [("A", 1)] * 5 + [("B", 0)] * 5 + [("Z", 0)] * 7  # Z: zero bads
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_bucket_label_counts(stream, "b", "y")
+        .writeStream.format("memory")
+        .queryName("woe_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_woe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(tuple, woe_iv_from_counts(spark.table("woe_counts")).collect())
+    )
+    expect = sorted(
+        map(tuple, woe_iv_screen(spark.read.parquet(src), "b", "y").collect())
+    )
+    assert got == expect
+    z = [r for r in got if r[0] == "Z"][0]
+    assert z[3] is None and z[4] is None  # zero-cell guard held live
+
+
 def test_streaming_band_coverage_matches_batch_eval(spark, workdir):
     """The production split of the band eval: band fitted OFFLINE by the
     exact grouped quantile, coverage monitored ONLINE by a stream-static

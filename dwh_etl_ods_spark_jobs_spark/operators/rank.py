@@ -717,3 +717,90 @@ SELECT {g}, {value_expr}, {id_expr}, CAST(rank AS BIGINT) AS rank FROM (
   FROM {table_expr}
 ) WHERE rank <= {k}
 """
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis A-ES reservoir (each row's inclusion
+    probability proportional to its weight, no row twice), fully
+    deterministic::
+
+        (group..., aes_key_micro, <id_col>, rank)
+
+    Per row, ``u = (md5(seed:id) + 1)/(2⁶⁰ + 1)`` (seed-keyed md5,
+    NEVER ``rand()`` — re-run with the same seed → bit-identical
+    sample, new seed → fresh draws) and the A-ES order key is
+    ``u^(1/w)``, carried monotonically as ``round(ln(u)/w · 10⁶)``
+    (one IEEE ln + one division on exact integers — the PMI float
+    discipline; micro-quantization ties break by id, documented).
+    Rows with ``weight ≤ 0`` or NULL leave the draw domain.
+
+    Scale: the key is a scan-side expression; the per-group top-k is
+    :func:`salted_grouped_topk` (two bounded phases — no hot-group
+    single-task window). The SQL oracle is the naive single-window
+    form over the same keys.
+    """
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long
+
+    h = md5_long(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**60 + 1))
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1000000.0)
+    ).cast("long")
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            *[F.col(c) for c in group_cols],
+            key.alias("aes_key_micro"),
+            F.col(id_col),
+        )
+    )
+    return salted_grouped_topk(
+        base, list(group_cols), "aes_key_micro", id_col, k, n_salts=n_salts
+    )
+
+
+def weighted_reservoir_sample_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    id_expr: str,
+    weight_expr: str,
+    k: int,
+    seed: str,
+) -> str:
+    """DuckDB rendering of :func:`weighted_reservoir_sample` — the naive
+    single-window form over the same md5-derived keys."""
+    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
+
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    h = md5_long_sql(f"concat_ws(':', '{seed}', CAST({id_expr} AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT {gsel}
+         CAST(round(ln((CAST({h} AS DOUBLE) + 1.0) / {float(2**60 + 1)!r})
+                    / CAST({weight_expr} AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS aes_key_micro,
+         {id_expr} AS id_out
+  FROM {table_expr}
+  WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY aes_key_micro DESC, id_out)
+           AS rank
+  FROM keyed
+)
+SELECT {gsel}aes_key_micro, id_out AS {id_expr}, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -1812,3 +1812,99 @@ SELECT {gsel}CAST(npts AS BIGINT) AS n_points,
        slope AS slope_ppm
 FROM ranked WHERE rn = (cnt + 1) // 2
 """
+
+
+# --- sample-ratio-mismatch (SRM) goodness-of-fit check ------------------------
+
+
+def srm_check(
+    df: DataFrame,
+    experiment_col: str,
+    variant_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """Sample-ratio-mismatch check per experiment — the first gate every
+    A/B readout must pass (a randomizer bug shows up as assignment
+    counts drifting from the designed EQUAL split long before any
+    metric moves)::
+
+        (experiment, n, n_variants, chi2_micro, srm_flag)
+
+    Goodness-of-fit chi² against the equal k-way split over the
+    OBSERVED variants, kept exact until one final integer division:
+    ``chi2 = Σ(obs·k − n)² / (k·n)`` (algebraically equal to
+    ``Σ(obs − n/k)²/(n/k)``), numerator summed in decimal(38,0),
+    ``chi2_micro`` the truncated micro-units quotient — identical on
+    both engines with no per-term float. ``srm_flag = chi2_micro >
+    threshold_micro`` (pass the chi² critical value for k−1 df at your
+    alpha; 0.001 is the industry SRM convention). A DESIGNED arm with
+    ZERO assignments is invisible to the observed-variant split —
+    detecting it needs the design table joined upstream (documented
+    limitation, standard for this check).
+
+    Scale: one (experiment, variant) count + one per-experiment fold —
+    both map-side combinable; single-variant experiments emit chi2 0
+    (nothing to mismatch against itself).
+    """
+    counts = df.groupBy(
+        F.col(experiment_col).alias("experiment"),
+        F.col(variant_col).alias("_v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_obs"))
+    per = counts.groupBy("experiment").agg(
+        F.sum("_obs").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("_obs") * F.col("n_variants") - F.col("n"))
+    num = (
+        counts.join(per, "experiment")  # same key — AQE reuses the layout
+        .groupBy("experiment", "n", "n_variants")
+        .agg(F.sum(dev * dev).alias("_sq"))
+    )
+    return num.select(
+        "experiment",
+        "n",
+        "n_variants",
+        F.expr(
+            "CAST(_sq * 1000000 div (CAST(n_variants AS DECIMAL(38,0))"
+            " * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).withColumn(
+        "srm_flag",
+        (F.col("chi2_micro") > F.lit(int(threshold_micro))).cast("int"),
+    )
+
+
+def srm_check_sql(
+    table_expr: str,
+    experiment_expr: str,
+    variant_expr: str,
+    threshold_micro: int,
+) -> str:
+    """DuckDB rendering of :func:`srm_check` — same exact-integer
+    numerator, same single truncated division."""
+    return f"""
+WITH counts AS (
+  SELECT {experiment_expr} AS experiment, {variant_expr} AS v,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM {table_expr} GROUP BY 1, 2
+),
+per AS (
+  SELECT experiment, CAST(sum(obs) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM counts GROUP BY 1
+),
+num AS (
+  SELECT c.experiment,
+         sum(CAST(c.obs * p.k - p.n AS HUGEINT)
+             * CAST(c.obs * p.k - p.n AS HUGEINT)) AS sq
+  FROM counts c JOIN per p USING (experiment)
+  GROUP BY 1
+)
+SELECT p.experiment, p.n, p.k AS n_variants,
+       CAST(num.sq * 1000000 // (CAST(p.k AS HUGEINT) * p.n) AS BIGINT)
+         AS chi2_micro,
+       CAST(CAST(num.sq * 1000000 // (CAST(p.k AS HUGEINT) * p.n) AS BIGINT)
+            > {int(threshold_micro)} AS INT) AS srm_flag
+FROM per p JOIN num USING (experiment)
+"""

@@ -400,3 +400,81 @@ def _sql_adamic_adar() -> str:
 
 STAGED_QUERIES["adamic_adar_parts"] = q_adamic_adar
 STAGED_ORACLES["adamic_adar_parts"] = _sql_adamic_adar()
+
+
+# --- sample-ratio-mismatch over event-type "experiments" -----------------------
+
+SRM_THRESHOLD_MICRO = 10_830_000  # chi2 critical, 1 df, alpha = 0.001
+
+
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-hygiene gate: per event-type "experiment", does the
+    user-parity assignment hold its designed 50/50 split? Exact-integer
+    chi2 with one truncated division (operators/stats.srm_check; the
+    check every A/B readout runs BEFORE reading any metric)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import srm_check
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.expr("CAST(pmod(user_id, 2) AS STRING)").alias("arm")
+    )
+    return srm_check(
+        ev, "event_type", "arm", threshold_micro=SRM_THRESHOLD_MICRO
+    ).orderBy("experiment")
+
+
+def _sql_srm() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import srm_check_sql
+
+    return (
+        srm_check_sql(
+            "(SELECT event_type, CAST(user_id % 2 AS VARCHAR) AS arm"
+            " FROM events) e",
+            "event_type",
+            "arm",
+            SRM_THRESHOLD_MICRO,
+        )
+        + " ORDER BY experiment"
+    )
+
+
+STAGED_QUERIES["srm_assignment_check"] = q_srm
+STAGED_ORACLES["srm_assignment_check"] = _sql_srm()
+
+
+# --- A-ES weighted reservoir sample ---------------------------------------------
+
+WRS_K, WRS_SEED = 3, "r14"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 3 parts per
+    brand, inclusion probability proportional to size — the
+    Efraimidis-Spirakis reservoir with seed-keyed md5 draws (re-run →
+    bit-identical sample; operators/rank.weighted_reservoir_sample,
+    skew-safe two-phase top-k underneath)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample,
+    )
+
+    parts = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size")
+    return weighted_reservoir_sample(
+        parts, ["p_brand"], "p_partkey", "p_size", WRS_K, seed=WRS_SEED
+    ).orderBy("p_brand", "rank")
+
+
+def _sql_weighted_sample() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample_sql,
+    )
+
+    return (
+        weighted_reservoir_sample_sql(
+            "part", ["p_brand"], "p_partkey", "p_size", WRS_K, WRS_SEED
+        )
+        + " ORDER BY p_brand, rank"
+    )
+
+
+STAGED_QUERIES["weighted_sample_parts"] = q_weighted_sample
+STAGED_ORACLES["weighted_sample_parts"] = _sql_weighted_sample()

@@ -296,3 +296,67 @@ def test_pcm_silence_segments_partitioning_invariant(spark):
     a = sorted(map(tuple, pcm_silence_segments(df, 8, 100).collect()))
     b = sorted(map(tuple, pcm_silence_segments(df.repartition(7), 8, 100).collect()))
     assert a == b and len(a) > 0
+
+
+# --- SRM check ------------------------------------------------------------------
+
+
+def test_srm_hand_values_and_flag(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import srm_check
+
+    rows = (
+        [("e1", "a")] * 100 + [("e1", "b")] * 100   # perfect split
+        + [("e2", "a")] * 130 + [("e2", "b")] * 70  # chi2 = 18 exactly
+        + [("e3", "x")] * 50                         # single arm
+    )
+    df = spark.createDataFrame(rows, "e string, v string")
+    out = {r.experiment: r for r in srm_check(df, "e", "v", 10_830_000).collect()}
+    assert out["e1"].chi2_micro == 0 and out["e1"].srm_flag == 0
+    # chi2 = ((130-100)^2 + (70-100)^2)/100 = 18
+    assert out["e2"].chi2_micro == 18_000_000 and out["e2"].srm_flag == 1
+    assert out["e3"].chi2_micro == 0  # nothing to mismatch against itself
+
+
+# --- A-ES weighted reservoir ------------------------------------------------------
+
+
+def test_weighted_reservoir_determinism_and_domain(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [("g", i, (i * 7) % 20 + 1) for i in range(200)]
+    rows += [("g", 998, 0), ("g", 999, None)]  # out of the draw domain
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    a = sorted(map(tuple, weighted_reservoir_sample(df, ["g"], "id", "w", 5, "s1").collect()))
+    b = sorted(map(tuple, weighted_reservoir_sample(df, ["g"], "id", "w", 5, "s1").collect()))
+    c = sorted(map(tuple, weighted_reservoir_sample(df, ["g"], "id", "w", 5, "s2").collect()))
+    assert a == b and a != c  # seed-keyed, never rand()
+    assert len(a) == 5
+    assert not any(r[2] in (998, 999) for r in a)
+
+
+def test_weighted_reservoir_weight_dominance(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample,
+    )
+
+    # one row with overwhelming weight must always be sampled: its A-ES
+    # key ln(u)/w ~ 0 beats every weight-1 key with probability
+    # 1 - ~1e-9; with this fixed seed the property is deterministic
+    rows = [("g", i, 1) for i in range(100)] + [("g", 777, 10**9)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    out = weighted_reservoir_sample(df, ["g"], "id", "w", 3, "seed").collect()
+    assert any(r.id == 777 for r in out)
+
+
+def test_weighted_reservoir_partitioning_invariant(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [("g%d" % (i % 4), i, (i * 13) % 9 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    a = sorted(map(tuple, weighted_reservoir_sample(df, ["g"], "id", "w", 4, "z").collect()))
+    b = sorted(map(tuple, weighted_reservoir_sample(df.repartition(11), ["g"], "id", "w", 4, "z").collect()))
+    assert a == b and len(a) == 16

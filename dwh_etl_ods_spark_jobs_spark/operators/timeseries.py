@@ -1050,3 +1050,232 @@ SELECT {gsel}t, n_at_risk, n_events, n_censored,
        END AS cum_log_surv_micro
 FROM stepped
 """
+
+
+# --- Markov removal-effect attribution ------------------------------------------
+
+MARKOV_START, MARKOV_CONV, MARKOV_NULL = "_START_", "_CONV_", "_NULL_"
+
+
+def markov_removal_attribution(
+    transitions: DataFrame,
+    iterations: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the
+    model-based complement to first/last/linear credits
+    (:func:`attribution_credits`): how much conversion probability
+    disappears when each channel is removed from the journey graph::
+
+        (channel, base_conv_ppm, removed_conv_ppm,
+         removal_effect_ppm, attribution_ppm)
+
+    Input: ONE ROW PER OBSERVED TRANSITION ``(src, dst)`` over the
+    journey states — channels plus the reserved ``_START_`` /
+    ``_CONV_`` / ``_NULL_`` markers (the caller derives these from its
+    sessions; every path must begin at ``_START_`` and end in one of
+    the absorbers). The operator folds counts to ppm transition
+    probabilities (``cnt·10⁶ div row_total``), then runs ``iterations``
+    synchronous value-iteration steps of the absorption probability
+    ``x(s) = Σ_dst p(s,dst)·x(dst)`` with ``x(_CONV_)=10⁶``,
+    ``x(_NULL_)=0`` — pure integer arithmetic, one truncation per
+    (scenario, state) per step, bit-identical on both engines. Removing
+    channel c = forcing ``x(c)=0`` (every visit to c becomes a null-out
+    — the standard removal-effect construction). All scenarios (BASE +
+    one per channel) iterate TOGETHER as one (scenario, state) frame.
+    ``attribution_ppm`` shares the base conversion mass by normalized
+    positive removal effects (largest-remainder NOT needed — ppm
+    truncation is the documented convention).
+
+    Scale: the journey graph is BOUNDED (channels², typically ≤ 10⁴
+    cells) regardless of session volume — the heavy lifting is the
+    transition-count fold, which is one map-side-combinable groupBy on
+    the raw transitions; everything after runs on (scenarios × states)
+    rows with a broadcast transition matrix, lineage checkpointed every
+    ``checkpoint_every`` iterations (the pagerank discipline).
+    """
+    counts = (
+        transitions.groupBy(
+            F.col("src").cast("string").alias("_s"),
+            F.col("dst").cast("string").alias("_d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = counts.groupBy("_s").agg(F.sum("_c").cast("long").alias("_t"))
+    probs = (
+        counts.join(totals, "_s")
+        .select(
+            "_s",
+            "_d",
+            F.expr("CAST(_c * 1000000 div _t AS BIGINT)").alias("_p"),
+        )
+        .localCheckpoint(eager=False)  # joined every iteration
+    )
+    channels = (
+        probs.select(F.col("_s").alias("ch"))
+        .union(probs.select(F.col("_d")))
+        .distinct()
+        .filter(~F.col("ch").isin(MARKOV_START, MARKOV_CONV, MARKOV_NULL))
+    )
+    base_row = probs.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.lit("_BASE_").alias("_sc")
+    )  # agg -> exactly one row even on an empty graph
+    scenarios = (
+        channels.select(F.col("ch").alias("_sc"))
+        .union(base_row)
+        .localCheckpoint(eager=False)
+    )
+    states = (
+        probs.select(F.col("_s").alias("_st"))
+        .union(probs.select(F.col("_d")))
+        .distinct()
+    )
+    # x0: absorbers fixed, everything else 0 (value iteration from below
+    # — monotone nondecreasing, so truncation per step never oscillates)
+    x = scenarios.crossJoin(states).select(
+        "_sc",
+        "_st",
+        F.when(F.col("_st") == MARKOV_CONV, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_x"),
+    )
+    # NOTE: scenarios × states is the BOUNDED journey frame (channels+3)²
+    # — this crossJoin is the deliberate tiny-frame expansion, same class
+    # as the CM-rows explode, not a data-side cartesian.
+    for i in range(iterations):
+        contrib = (
+            probs.join(
+                x.select(
+                    "_sc", F.col("_st").alias("_d"), F.col("_x").alias("_xd")
+                ),
+                "_d",
+            )
+            .withColumn(
+                "_xd",
+                F.when(F.col("_d") == F.col("_sc"), F.lit(0)).otherwise(
+                    F.col("_xd")
+                ),
+            )
+            .groupBy("_sc", F.col("_s").alias("_st"))
+            .agg(
+                F.expr("CAST(sum(_p * _xd) div 1000000 AS BIGINT)").alias("_nx")
+            )
+        )
+        x = (
+            scenarios.crossJoin(states)
+            .join(contrib, ["_sc", "_st"], "left")
+            .select(
+                "_sc",
+                "_st",
+                F.when(F.col("_st") == MARKOV_CONV, F.lit(1000000))
+                .when(F.col("_st") == MARKOV_NULL, F.lit(0))
+                .when(F.col("_st") == F.col("_sc"), F.lit(0))
+                .otherwise(F.coalesce(F.col("_nx"), F.lit(0)))
+                .cast("long")
+                .alias("_x"),
+            )
+        )
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=False)
+    start = x.filter(F.col("_st") == MARKOV_START).select(
+        "_sc", F.col("_x").alias("_conv")
+    )
+    base = start.filter(F.col("_sc") == "_BASE_").select(
+        F.col("_conv").alias("_base")
+    )
+    effects = (
+        start.filter(F.col("_sc") != "_BASE_")
+        .join(F.broadcast(base))
+        .select(
+            F.col("_sc").alias("channel"),
+            F.col("_base").alias("base_conv_ppm"),
+            F.col("_conv").alias("removed_conv_ppm"),
+            F.greatest(F.col("_base") - F.col("_conv"), F.lit(0))
+            .cast("long")
+            .alias("removal_effect_ppm"),
+        )
+    )
+    tot_eff = effects.agg(
+        F.sum("removal_effect_ppm").cast("long").alias("_te")
+    )
+    return (
+        effects.join(F.broadcast(tot_eff))
+        .withColumn(
+            "attribution_ppm",
+            F.expr(
+                "CAST(CASE WHEN _te = 0 THEN NULL"
+                " ELSE removal_effect_ppm * 1000000 div _te END AS BIGINT)"
+            ),
+        )
+        .select(
+            "channel",
+            "base_conv_ppm",
+            "removed_conv_ppm",
+            "removal_effect_ppm",
+            "attribution_ppm",
+        )
+    )
+
+
+def markov_removal_attribution_sql(
+    transitions_expr: str, iterations: int = 20
+) -> str:
+    """DuckDB rendering of :func:`markov_removal_attribution` — the same
+    unrolled integer value-iteration (materialized CTE per step, the
+    bfs/pagerank oracle idiom). ``transitions_expr`` must select
+    ``(src, dst)``."""
+    ctes = [
+        f"""trans AS MATERIALIZED (
+  SELECT CAST(src AS VARCHAR) AS s, CAST(dst AS VARCHAR) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {transitions_expr} GROUP BY 1, 2)""",
+        """tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS t FROM trans GROUP BY 1)""",
+        """probs AS MATERIALIZED (
+  SELECT trans.s, trans.d, CAST(trans.c * 1000000 // tot.t AS BIGINT) AS p
+  FROM trans JOIN tot USING (s))""",
+        """states AS MATERIALIZED (
+  SELECT s AS st FROM probs UNION SELECT d FROM probs)""",
+        """scen AS MATERIALIZED (
+  SELECT st AS sc FROM states
+  WHERE st NOT IN ('_START_', '_CONV_', '_NULL_')
+  UNION ALL SELECT '_BASE_')""",
+        """x0 AS MATERIALIZED (
+  SELECT sc, st,
+         CAST(CASE WHEN st = '_CONV_' THEN 1000000 ELSE 0 END AS BIGINT) AS x
+  FROM scen, states)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""x{i} AS MATERIALIZED (
+  SELECT g.sc, g.st,
+         CAST(CASE WHEN g.st = '_CONV_' THEN 1000000
+              WHEN g.st = '_NULL_' THEN 0
+              WHEN g.st = g.sc THEN 0
+              ELSE coalesce(c.nx, 0) END AS BIGINT) AS x
+  FROM (SELECT sc, st FROM scen, states) g
+  LEFT JOIN (
+    SELECT x.sc, p.s AS st,
+           CAST(sum(p.p * CASE WHEN p.d = x.sc THEN 0 ELSE x.x END)
+                // 1000000 AS BIGINT) AS nx
+    FROM probs p JOIN x{i - 1} x ON x.st = p.d
+    GROUP BY 1, 2
+  ) c ON c.sc = g.sc AND c.st = g.st)""")
+    ctes.append(f"""start AS (
+  SELECT sc, x FROM x{iterations} WHERE st = '_START_')""")
+    ctes.append("""base AS (SELECT x AS b FROM start WHERE sc = '_BASE_')""")
+    ctes.append("""eff AS (
+  SELECT sc AS channel, CAST(b AS BIGINT) AS base_conv_ppm,
+         CAST(x AS BIGINT) AS removed_conv_ppm,
+         CAST(greatest(b - x, 0) AS BIGINT) AS removal_effect_ppm
+  FROM start, base WHERE sc <> '_BASE_')""")
+    ctes.append(
+        """te AS (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS t FROM eff)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT channel, base_conv_ppm, removed_conv_ppm, removal_effect_ppm,
+       CAST(CASE WHEN te.t = 0 THEN NULL
+            ELSE removal_effect_ppm * 1000000 // te.t END AS BIGINT)
+         AS attribution_ppm
+FROM eff, te
+"""

@@ -478,3 +478,121 @@ def _sql_weighted_sample() -> str:
 
 STAGED_QUERIES["weighted_sample_parts"] = q_weighted_sample
 STAGED_ORACLES["weighted_sample_parts"] = _sql_weighted_sample()
+
+
+# --- Markov removal-effect attribution over user-day journeys -------------------
+
+MK_ITERS = 15
+
+
+def q_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven attribution: which event channels actually CARRY
+    conversion probability, by Markov removal effect — the model-based
+    answer first/last/linear clicks can't give (a channel that only
+    appears alongside others gets credit exactly proportional to what
+    disappears when it is removed). Journeys = user-day sessions,
+    channels = non-purchase event types ordered by (ts, event_id),
+    conversion = the session contains a purchase
+    (operators/timeseries.markov_removal_attribution; the value
+    iteration runs on the bounded channels² frame)."""
+    from pyspark.sql import Window
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        MARKOV_CONV,
+        MARKOV_NULL,
+        MARKOV_START,
+        markov_removal_attribution,
+    )
+    from dwh_etl_ods_spark_jobs_spark.plans.showcase import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "day")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    path = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    steps = (
+        path.withColumn("_nxt", F.lead("event_type").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .join(conv, ["user_id", "day"], "left")
+    )
+    mid = steps.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.col("_nxt"),
+            F.when(F.col("_conv") == 1, F.lit(MARKOV_CONV)).otherwise(
+                F.lit(MARKOV_NULL)
+            ),
+        ).alias("dst"),
+    )
+    starts = steps.filter(F.col("_rn") == 1).select(
+        F.lit(MARKOV_START).alias("src"), F.col("event_type").alias("dst")
+    )
+    # purchase-only sessions: the journey is START -> CONV directly
+    direct = (
+        conv.join(
+            path.select("user_id", "day").distinct(),
+            ["user_id", "day"],
+            "left_anti",
+        ).select(
+            F.lit(MARKOV_START).alias("src"), F.lit(MARKOV_CONV).alias("dst")
+        )
+    )
+    trans = mid.unionByName(starts).unionByName(direct)
+    return markov_removal_attribution(trans, iterations=MK_ITERS).orderBy(
+        "channel"
+    )
+
+
+def _sql_markov_attr() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        markov_removal_attribution_sql,
+    )
+
+    trans = """(
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+conv AS (
+  SELECT DISTINCT user_id, day FROM ev WHERE event_type = 'purchase'
+),
+steps AS (
+  SELECT e.user_id, e.day, e.event_type,
+         lead(e.event_type) OVER w AS nxt,
+         row_number() OVER w AS rn,
+         (c.user_id IS NOT NULL) AS is_conv
+  FROM ev e LEFT JOIN conv c ON c.user_id = e.user_id AND c.day = e.day
+  WHERE e.event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY e.user_id, e.day ORDER BY e.ts, e.event_id)
+)
+SELECT event_type AS src,
+       coalesce(nxt, CASE WHEN is_conv THEN '_CONV_' ELSE '_NULL_' END) AS dst
+FROM steps
+UNION ALL
+SELECT '_START_', event_type FROM steps WHERE rn = 1
+UNION ALL
+SELECT '_START_', '_CONV_'
+FROM conv c
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev e
+  WHERE e.user_id = c.user_id AND e.day = c.day
+    AND e.event_type <> 'purchase'
+)
+) tr"""
+    return (
+        markov_removal_attribution_sql(trans, MK_ITERS) + " ORDER BY channel"
+    )
+
+
+STAGED_QUERIES["markov_attribution_channels"] = q_markov_attr
+STAGED_ORACLES["markov_attribution_channels"] = _sql_markov_attr()

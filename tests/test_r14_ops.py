@@ -360,3 +360,47 @@ def test_weighted_reservoir_partitioning_invariant(spark):
     a = sorted(map(tuple, weighted_reservoir_sample(df, ["g"], "id", "w", 4, "z").collect()))
     b = sorted(map(tuple, weighted_reservoir_sample(df.repartition(11), ["g"], "id", "w", 4, "z").collect()))
     assert a == b and len(a) == 16
+
+
+# --- Markov removal-effect attribution -------------------------------------------
+
+
+def test_markov_attribution_hand_journeys(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        markov_removal_attribution,
+    )
+
+    # journeys: S->a->C x3, S->a->b->C x1, S->b->N x2, S->b->C x1, S->c->N x2
+    paths = (
+        [["a", "_CONV_"]] * 3
+        + [["a", "b", "_CONV_"]]
+        + [["b", "_NULL_"]] * 2
+        + [["b", "_CONV_"]]
+        + [["c", "_NULL_"]] * 2
+    )
+    rows = []
+    for p in paths:
+        seq = ["_START_"] + p
+        rows += list(zip(seq, seq[1:]))
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = {r.channel: r for r in markov_removal_attribution(df, 12).collect()}
+    # base P(conv) = 4/9*7/8 + 3/9*1/2 = 5/9 -> 555555 ppm truncated
+    assert out["a"].base_conv_ppm == 555_555
+    # remove a: only S->b (1/3)*1/2 = 1/6; remove b: 4/9*3/4 = 1/3
+    assert out["a"].removed_conv_ppm == 166_666
+    assert out["b"].removed_conv_ppm == 333_333
+    assert out["c"].removal_effect_ppm == 0 and out["c"].attribution_ppm == 0
+    # attribution shares the removal mass
+    assert out["a"].attribution_ppm > out["b"].attribution_ppm > 0
+
+
+def test_markov_attribution_no_conversions_all_null(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        markov_removal_attribution,
+    )
+
+    rows = [("_START_", "a"), ("a", "_NULL_"), ("_START_", "b"), ("b", "_NULL_")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = markov_removal_attribution(df, 8).collect()
+    assert all(r.base_conv_ppm == 0 and r.removal_effect_ppm == 0 for r in out)
+    assert all(r.attribution_ppm is None for r in out)  # 0/0 -> explicit NULL

@@ -49,15 +49,17 @@ def test_staged_r10_query_matches_duckdb(spark, sf_dir, name):
 
 def test_staged_r10_names_registered_and_gated():
     """r10 registration executed (VERDICT r9 #1): every staged_r10 entry is
-    live in the battery AND inside the driver's 50-slot gate window."""
+    live in the battery, bound to the same callable/SQL. (The one-time
+    in-window assertion applied only to the r10 gating round — all 28 got
+    green CORRECTNESS_r10 rows; the r11 rotation moved the survivors to
+    _TAIL, as the rotation contract requires — same shape as the r9
+    test's post-rotation form.)"""
     import __spark_entry__ as entry_mod
 
-    live = list(entry_mod.queries())
-    missing = set(staged_r10.STAGED_QUERIES) - set(live)
-    assert not missing, f"staged_r10 names not registered: {sorted(missing)}"
-    window = set(live[:50])
-    outside = set(staged_r10.STAGED_QUERIES) - window
-    assert not outside, f"staged_r10 names outside the gate window: {sorted(outside)}"
+    live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
+    for name, fn in staged_r10.STAGED_QUERIES.items():
+        assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
+        assert live_o.get(name) == staged_r10.STAGED_ORACLES[name], name
 
 
 def test_staged_r10_oracle_keys_align():

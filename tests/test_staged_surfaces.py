@@ -93,17 +93,21 @@ def test_tpch_staged_plans_broadcast_dims(spark, sf_dir):
 )
 def test_staged_results_invariant_under_repartition(spark, sf_dir, name, monkeypatch):
     """Physical layout must never leak into results: the same staged query
-    over inputs forced through a 7-way repartition hashes identically."""
+    over inputs forced through a 7-way repartition hashes identically.
+    (Battery-retired members of the list keep the property via their
+    RETIRED_QUERIES binding — retirement removes the driver slot, not
+    the invariant.)"""
     import dwh_etl_ods_spark_jobs_spark.plans.staged as staged_mod
 
-    base = staged_mod.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    q = {**staged_mod.RETIRED_QUERIES, **staged_mod.STAGED_QUERIES}[name]
+    base = q(spark, sf_dir).toPandas()
 
     orig_t = staged_mod._t
     monkeypatch.setattr(
         staged_mod, "_t",
         lambda spark_, sf, tbl: orig_t(spark_, sf, tbl).repartition(7),
     )
-    shuffled = staged_mod.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    shuffled = q(spark, sf_dir).toPandas()
 
     key = sorted(base.columns)
     b = base[key].sort_values(key, na_position="first").reset_index(drop=True)
@@ -115,9 +119,12 @@ def test_tpch_self_join_scans_lineitem_once(spark, sf_dir):
     """Q17/Q18 join lineitem to an aggregate of itself; the fact table must
     be scanned at most once per query (Q17: shared slice localCheckpointed;
     Q18: the agg is the only lineitem reference) — VERDICT r7 #4."""
+    # Q17 is battery-retired (r11) but keeps the plan property through
+    # its RETIRED_QUERIES binding.
+    both = {**staged.RETIRED_QUERIES, **staged.STAGED_QUERIES}
     for name in ("tpch_q17_small_qty", "tpch_q18_big_orders"):
         plan = (
-            staged.STAGED_QUERIES[name](spark, sf_dir)
+            both[name](spark, sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

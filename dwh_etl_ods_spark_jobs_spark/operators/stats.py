@@ -985,11 +985,22 @@ BOOT_POISSON_CDF_2_60 = [
 BOOT_LO_IDX_PPM = 50_000   # 5th percentile
 BOOT_HI_IDX_PPM = 950_000  # 95th percentile
 
+# md5 + hex->int conversion are the bootstrap's CPU bill (string ops
+# per cell), so each digest feeds FOUR replicates through exactly TWO
+# string convs: the 32 hex chars parse as two 60-bit BIGINTs (chars
+# 1-15 / 17-31, the md5_long slice twice), each splitting into two
+# 30-bit lanes by integer div/mod; the CDF rescales to 2^30 (floor
+# shift — 2^-30 threshold quantization is immaterial to a bootstrap).
+# Measured 11.5 -> ~3 s at sf0.1 (B=40).
+BOOT_POISSON_CDF_2_30 = [t >> 30 for t in BOOT_POISSON_CDF_2_60]
+_BOOT_LANES = 4
+_BOOT_LANE_MOD = 1 << 30
+
 
 def _boot_weight_expr(u: "Column") -> "Column":
     w = F.lit(6).cast("long")
-    for k in reversed(range(len(BOOT_POISSON_CDF_2_60))):
-        w = F.when(u < F.lit(BOOT_POISSON_CDF_2_60[k]), F.lit(k).cast("long")).otherwise(w)
+    for k in reversed(range(len(BOOT_POISSON_CDF_2_30))):
+        w = F.when(u < F.lit(BOOT_POISSON_CDF_2_30[k]), F.lit(k).cast("long")).otherwise(w)
     return w
 
 
@@ -1005,36 +1016,87 @@ def poisson_bootstrap_ci(
     The scale-out bootstrap: resampling-with-replacement is
     irreproducible and needs the row count up front, but for large n the
     multinomial row weights converge to independent Poisson(1) — so each
-    row gets, per replicate b, the weight ``F⁻¹_Poisson(u)`` where ``u =
-    md5(id:b)`` (inverse-CDF against fixed integer thresholds — no
-    rand(), same weights every run and in the oracle). Replicate means
-    are floored integer divs; the CI is the exact 5th/95th percentile
-    pick (index ``floor(p·B)``) over the B-row replicate frame.
+    row gets, per replicate b, the weight ``F⁻¹_Poisson(u_b)`` where the
+    uniforms come from seed-keyed md5 (inverse-CDF against fixed integer
+    thresholds — no rand(), same weights every run and in the oracle).
+    One digest feeds FOUR replicates (``u_b`` = 8-hex-char lane
+    ``b % 4`` of ``md5(id:(b div 4))`` — the digest, not the explode,
+    is the CPU bill). Replicate means are floored integer divs; the CI
+    is the exact 5th/95th percentile pick (index ``floor(p·B)``) over
+    the B-row replicate frame.
 
     Scale: the explode multiplies the scan by B (the honest cost of a
     B-fold bootstrap) but the shuffle carries only B partial-sum rows —
     per-replicate sums combine map-side. B is a literal; the replicate
     frame is bounded, so its sort is a ≤B-row window.
     """
-    from dwh_etl_ods_spark_jobs_spark.text import md5_long
-
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b")
-    u = md5_long(
-        F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("_b").cast("string"))
+    n_blocks = (n_replicates + _BOOT_LANES - 1) // _BOOT_LANES
+    blk = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk")
+    hexes = F.md5(
+        F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("_blk").cast("string"))
     )
-    rep = (
+
+    def lane_w(lane: int) -> "Column":
+        h = "_h1" if lane < 2 else "_h2"
+        # integer div/mod ONLY — a float division at 2^60 loses bits
+        op = (
+            f"{h} div {_BOOT_LANE_MOD}"
+            if lane % 2 == 0
+            else f"pmod({h}, {_BOOT_LANE_MOD})"
+        )
+        return _boot_weight_expr(F.expr(f"CAST({op} AS BIGINT)"))
+
+    # The 4 lanes fold as PARALLEL aggregates per block (8 map-side
+    # sums), so the shuffle carries n_blocks rows of 8 cells — never a
+    # per-(row, replicate) frame; the lane explode happens on the
+    # bounded n_blocks frame afterwards.
+    weighted = (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(value_col).cast("long").alias("_v"),
         )
-        .select("_id", "_v", b)
-        .withColumn("_w", _boot_weight_expr(u))
-        .groupBy("_b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_v")).cast("long").alias("_s"),
-            F.sum("_w").cast("long").alias("_n"),
+        .select("_id", "_v", blk)
+        .withColumn("_hex", hexes)
+        .withColumn(
+            "_h1", F.conv(F.substring(F.col("_hex"), 1, 15), 16, 10).cast("long")
         )
-        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_h2", F.conv(F.substring(F.col("_hex"), 17, 15), 16, 10).cast("long")
+        )
+        .select(  # hoist each lane weight so it is computed ONCE per row
+            "_blk",
+            "_v",
+            *[lane_w(lane).alias(f"_w{lane}") for lane in range(_BOOT_LANES)],
+        )
+    )
+    per_block = weighted.groupBy("_blk").agg(
+        *[
+            F.sum(F.col(f"_w{lane}") * F.col("_v")).cast("long").alias(f"_s{lane}")
+            for lane in range(_BOOT_LANES)
+        ],
+        *[
+            F.sum(F.col(f"_w{lane}")).cast("long").alias(f"_n{lane}")
+            for lane in range(_BOOT_LANES)
+        ],
+    )
+    lanes = F.array(
+        *[
+            F.struct(
+                (F.col("_blk") * _BOOT_LANES + F.lit(lane)).alias("_b"),
+                F.col(f"_s{lane}").alias("_s"),
+                F.col(f"_n{lane}").alias("_n"),
+            )
+            for lane in range(_BOOT_LANES)
+        ]
+    )
+    rep = (
+        per_block.select(F.explode(lanes).alias("_bw"))
+        .select(
+            F.col("_bw._b").alias("_b"),
+            F.col("_bw._s").alias("_s"),
+            F.col("_bw._n").alias("_n"),
+        )
+        .filter((F.col("_b") < n_replicates) & (F.col("_n") > 0))
         .withColumn("_mean", F.expr("CAST(_s div _n AS BIGINT)"))
     )
     w = Window.orderBy("_mean", "_b")  # B rows — bounded
@@ -1063,14 +1125,19 @@ def poisson_bootstrap_ci(
 def poisson_bootstrap_ci_sql(
     table_expr: str, id_expr: str, value_expr: str, n_replicates: int = 40
 ) -> str:
-    """DuckDB rendering of :func:`poisson_bootstrap_ci` — same hash
-    weights, same floored means, same percentile index pick."""
-    from dwh_etl_ods_spark_jobs_spark.text import md5_long_sql
-
-    u = md5_long_sql(f"CAST({id_expr} AS VARCHAR) || ':' || CAST(_b AS VARCHAR)")
+    """DuckDB rendering of :func:`poisson_bootstrap_ci` — same two
+    60-bit hex parses, same div/mod 30-bit lanes, same floored means,
+    same percentile index pick."""
+    n_blocks = (n_replicates + _BOOT_LANES - 1) // _BOOT_LANES
+    lane_u = (
+        f"CASE WHEN _lane = 0 THEN _h1 // {_BOOT_LANE_MOD}"
+        f" WHEN _lane = 1 THEN _h1 % {_BOOT_LANE_MOD}"
+        f" WHEN _lane = 2 THEN _h2 // {_BOOT_LANE_MOD}"
+        f" ELSE _h2 % {_BOOT_LANE_MOD} END"
+    )
     cases = " ".join(
-        f"WHEN {u} < {t} THEN {k}"
-        for k, t in enumerate(BOOT_POISSON_CDF_2_60)
+        f"WHEN _u < {t} THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_CDF_2_30)
     )
     return f"""
 WITH rep AS (
@@ -1078,10 +1145,25 @@ WITH rep AS (
          CAST(sum(_w * CAST({value_expr} AS BIGINT)) AS BIGINT) AS _s,
          CAST(sum(_w) AS BIGINT) AS _n
   FROM (
-    SELECT t.*, u._b,
-           CAST(CASE {cases} ELSE 6 END AS BIGINT) AS _w
-    FROM {table_expr} t, unnest(range(0, {n_replicates})) AS u(_b)
+    SELECT *, CAST(CASE {cases} ELSE 6 END AS BIGINT) AS _w
+    FROM (
+      SELECT *, CAST({lane_u} AS BIGINT) AS _u,
+             _blk * {_BOOT_LANES} + _lane AS _b
+      FROM (
+        SELECT t.*, ln._lane,
+               CAST('0x' || substring(_hex, 1, 15) AS BIGINT) AS _h1,
+               CAST('0x' || substring(_hex, 17, 15) AS BIGINT) AS _h2
+        FROM (
+          SELECT t0.*, bk0._blk,
+                 md5(CAST({id_expr} AS VARCHAR) || ':'
+                     || CAST(bk0._blk AS VARCHAR)) AS _hex
+          FROM {table_expr} t0,
+               unnest(range(0, {n_blocks})) AS bk0(_blk)
+        ) t, unnest(range(0, {_BOOT_LANES})) AS ln(_lane)
+      )
+    )
   )
+  WHERE _b < {n_replicates}
   GROUP BY _b HAVING sum(_w) > 0
 ),
 ranked AS (

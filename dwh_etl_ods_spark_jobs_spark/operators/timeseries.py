@@ -957,6 +957,24 @@ def kaplan_meier(
         F.sum(ev).cast("long").alias("n_events"),
         F.sum(F.lit(1) - ev).cast("long").alias("n_censored"),
     )
+    return kaplan_meier_from_counts(per_t, group_cols)
+
+
+def kaplan_meier_from_counts(
+    per_t: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Kaplan-Meier curve from a per-duration count grid ``(group...,
+    t, n_events, n_censored)`` — the MERGEABLE-STATE form of
+    :func:`kaplan_meier` (which delegates here after its groupBy).
+
+    The grid is plain integer counts on deterministic keys: exactly
+    what a streaming groupBy over COMPLETED subjects maintains
+    (``streaming.streaming_duration_counts``) and what shards merge by
+    cell addition — a snapshot through here is bit-identical to the
+    batch curve over the same subjects (pytest-pinned stream==batch).
+    All windows run over the bounded distinct-duration frame.
+    """
+    gcols = [F.col(c) for c in group_cols]
     w = Window.partitionBy(*group_cols).orderBy("t")  # bounded t frame
     before = F.coalesce(
         F.sum(F.col("n_events") + F.col("n_censored")).over(

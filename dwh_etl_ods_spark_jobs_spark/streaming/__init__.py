@@ -768,6 +768,36 @@ def streaming_bucket_label_counts(
     )
 
 
+def streaming_duration_counts(
+    stream: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Continuously-maintained per-duration event/censor counts over a
+    stream of COMPLETED subjects — the Kaplan-Meier feeder (r14 eval
+    binding): state is bounded at O(distinct durations [× cohorts])
+    count rows regardless of flow.  Run in update/complete mode; a
+    snapshot is BIT-IDENTICAL to the batch ``groupBy(t)`` the curve
+    starts from, so ``operators.timeseries.kaplan_meier_from_counts``
+    folds a live retention/survival curve without rereading any row.
+    Shards merge by cell addition — the same state-not-rows binding as
+    the AUC/WOE/kappa/drift monitors.  (A subject's censor/event row
+    enters the stream when its observation completes; re-classifying a
+    previously-censored subject is an upstream retraction concern, the
+    standard survival-stream contract.)"""
+    from pyspark.sql import functions as F
+
+    ev = F.col(event_col).cast("long")
+    g = [F.col(c) for c in (group_cols or [])]
+    return stream.groupBy(
+        *g, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(ev).cast("long").alias("n_events"),
+        F.sum(F.lit(1) - ev).cast("long").alias("n_censored"),
+    )
+
+
 def streaming_band_coverage(
     stream: DataFrame,
     bands: DataFrame,

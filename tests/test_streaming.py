@@ -1328,6 +1328,47 @@ def test_streaming_bucket_counts_feed_woe_iv(spark, workdir):
     assert z[3] is None and z[4] is None  # zero-cell guard held live
 
 
+def test_streaming_duration_counts_feed_kaplan_meier(spark, workdir):
+    """Survival monitoring without rereading rows (r14 eval binding): a
+    LIVE streaming per-duration count snapshot through
+    kaplan_meier_from_counts equals the batch kaplan_meier over the same
+    completed subjects — bit-identical, across micro-batch boundaries,
+    censoring included."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        kaplan_meier,
+        kaplan_meier_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_km")
+    schema = "dur long, ev long"
+    rows1 = [(d % 9 + 1, 1 if d % 3 else 0) for d in range(80)]
+    rows2 = [(d % 12 + 1, 1 if d % 4 else 0) for d in range(60)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_duration_counts(stream, "dur", "ev")
+        .writeStream.format("memory")
+        .queryName("km_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_km"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(tuple, kaplan_meier_from_counts(spark.table("km_counts")).collect())
+    )
+    expect = sorted(
+        map(tuple, kaplan_meier(spark.read.parquet(src), [], "dur", "ev").collect())
+    )
+    assert got == expect and len(got) == 12
+
+
 def test_streaming_band_coverage_matches_batch_eval(spark, workdir):
     """The production split of the band eval: band fitted OFFLINE by the
     exact grouped quantile, coverage monitored ONLINE by a stream-static

@@ -1148,9 +1148,20 @@ def markov_removal_attribution(
         .union(probs.select(F.col("_d")))
         .distinct()
     )
+    # scenarios × states is the BOUNDED journey frame (channels+3)² —
+    # expanded via the constant-key broadcast equi-join idiom (the CM-rows
+    # discipline), never a data-side cartesian.
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    sc1 = scenarios.withColumn("_one", one)
+    st1 = states.withColumn("_one", one).localCheckpoint(eager=False)
+    grid = (
+        sc1.join(F.broadcast(st1), "_one")
+        .select("_sc", "_st")
+        .localCheckpoint(eager=False)  # rebuilt every iteration otherwise
+    )
     # x0: absorbers fixed, everything else 0 (value iteration from below
     # — monotone nondecreasing, so truncation per step never oscillates)
-    x = scenarios.crossJoin(states).select(
+    x = grid.select(
         "_sc",
         "_st",
         F.when(F.col("_st") == MARKOV_CONV, F.lit(1000000))
@@ -1158,9 +1169,6 @@ def markov_removal_attribution(
         .cast("long")
         .alias("_x"),
     )
-    # NOTE: scenarios × states is the BOUNDED journey frame (channels+3)²
-    # — this crossJoin is the deliberate tiny-frame expansion, same class
-    # as the CM-rows explode, not a data-side cartesian.
     for i in range(iterations):
         contrib = (
             probs.join(
@@ -1181,7 +1189,7 @@ def markov_removal_attribution(
             )
         )
         x = (
-            scenarios.crossJoin(states)
+            grid
             .join(contrib, ["_sc", "_st"], "left")
             .select(
                 "_sc",

@@ -1990,3 +1990,91 @@ SELECT p.experiment, p.n, p.k AS n_variants,
             > {int(threshold_micro)} AS INT) AS srm_flag
 FROM per p JOIN num USING (experiment)
 """
+
+
+# --- leave-one-group-out influence (data valuation) ---------------------------
+
+
+def loo_group_influence(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Leave-one-group-out influence of every group on the global mean —
+    the cheap exact member of the data-valuation family (Shapley's
+    one-coalition cousin): which source/segment, if dropped, moves the
+    corpus metric most, computed in ONE pass from the closed form
+    instead of |groups| re-runs::
+
+        (group..., n_g, sum_g, mean_all_micro, mean_without_micro,
+         influence_micro)
+
+    ``mean_without = (S − S_g)/(N − n_g)`` and ``influence =
+    mean_without − mean_all`` (positive = the group DRAGS the metric
+    down; dropping it raises the mean). All three means are truncated
+    integer micro-units from decimal(38,0)/HUGEINT products — exact and
+    engine-identical, no float. A group that IS the whole input has no
+    leave-out complement: explicit NULLs.
+
+    Scale: one grouped sum + a constant-key broadcast of the global
+    totals — map-side combinable, no window, no second scan.
+    """
+    x = F.col(value_col).cast("long")
+    gcols = [F.col(c) for c in group_cols]
+    per = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(x).cast("long").alias("sum_g"),
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(x).cast("long").alias("_s"),
+    ).withColumn("_one", one)
+    j = per.withColumn("_one", one).join(F.broadcast(tot), "_one")
+    dec = "DECIMAL(38,0)"
+    mean_all = F.expr(
+        f"CAST(CAST(_s AS {dec}) * 1000000 div CAST(_n AS {dec}) AS BIGINT)"
+    )
+    mean_wo = F.expr(
+        f"CAST(CASE WHEN _n = n_g THEN NULL"
+        f" ELSE CAST(_s - sum_g AS {dec}) * 1000000"
+        f" div CAST(_n - n_g AS {dec}) END AS BIGINT)"
+    )
+    return j.select(
+        *gcols,
+        "n_g",
+        "sum_g",
+        mean_all.alias("mean_all_micro"),
+        mean_wo.alias("mean_without_micro"),
+        (mean_wo - mean_all).cast("long").alias("influence_micro"),
+    )
+
+
+def loo_group_influence_sql(
+    table_expr: str, group_exprs: list[str], value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`loo_group_influence` — same HUGEINT
+    products, same truncated micro means."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH per AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST({value_expr} AS BIGINT)) AS BIGINT) AS sum_g
+  FROM {table_expr} {gby}
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({value_expr} AS BIGINT)) AS BIGINT) AS s
+  FROM {table_expr}
+)
+SELECT {gsel}n_g, sum_g,
+       CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_all_micro,
+       CAST(CASE WHEN n = n_g THEN NULL
+            ELSE CAST(s - sum_g AS HUGEINT) * 1000000 // (n - n_g) END
+            AS BIGINT) AS mean_without_micro,
+       CAST(CASE WHEN n = n_g THEN NULL
+            ELSE CAST(s - sum_g AS HUGEINT) * 1000000 // (n - n_g)
+                 - CAST(s AS HUGEINT) * 1000000 // n END
+            AS BIGINT) AS influence_micro
+FROM per, tot
+"""

@@ -601,3 +601,45 @@ WHERE NOT EXISTS (
 
 STAGED_QUERIES["markov_attribution_channels"] = q_markov_attr
 STAGED_ORACLES["markov_attribution_channels"] = _sql_markov_attr()
+
+
+# --- leave-one-source-out influence on corpus quality ---------------------------
+
+
+def q_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation for the corpus mix: which SOURCE, if dropped,
+    moves mean document quality most — the exact one-pass
+    leave-one-group-out closed form (operators/stats.loo_group_influence;
+    positive influence = the source drags quality down). The triage
+    report a mixing/refresh decision starts from."""
+    from dwh_etl_ods_spark_jobs_spark import text as TX
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        loo_group_influence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.round(TX.quality_score(F.col("text")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    return loo_group_influence(docs, ["source"], "q_ppm").orderBy("source")
+
+
+def _sql_loo_influence() -> str:
+    from dwh_etl_ods_spark_jobs_spark import text as TX
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        loo_group_influence_sql,
+    )
+
+    base = f"""
+(SELECT source,
+        CAST(round(({TX.quality_score_sql('text')}) * 1000000) AS BIGINT)
+          AS q_ppm
+ FROM documents) d
+"""
+    return loo_group_influence_sql(base, ["source"], "q_ppm") + " ORDER BY source"
+
+
+STAGED_QUERIES["loo_source_influence"] = q_loo_influence
+STAGED_ORACLES["loo_source_influence"] = _sql_loo_influence()

@@ -404,3 +404,26 @@ def test_markov_attribution_no_conversions_all_null(spark):
     out = markov_removal_attribution(df, 8).collect()
     assert all(r.base_conv_ppm == 0 and r.removal_effect_ppm == 0 for r in out)
     assert all(r.attribution_ppm is None for r in out)  # 0/0 -> explicit NULL
+
+
+# --- leave-one-group-out influence -------------------------------------------
+
+
+def test_loo_influence_hand_values_and_whole_input_guard(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        loo_group_influence,
+    )
+
+    # groups: a = {10, 20}, b = {70}; mean_all = 100/3
+    rows = [("a", 10), ("a", 20), ("b", 70)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in loo_group_influence(df, ["g"], "v").collect()}
+    assert out["a"].mean_all_micro == 33_333_333
+    assert out["a"].mean_without_micro == 70_000_000  # only b remains
+    assert out["a"].influence_micro == 36_666_667  # dropping a RAISES mean
+    assert out["b"].mean_without_micro == 15_000_000
+    assert out["b"].influence_micro == 15_000_000 - 33_333_333
+    # single-group input: no leave-out complement
+    solo = spark.createDataFrame([("x", 5), ("x", 7)], "g string, v long")
+    r = loo_group_influence(solo, ["g"], "v").collect()[0]
+    assert r.mean_without_micro is None and r.influence_micro is None

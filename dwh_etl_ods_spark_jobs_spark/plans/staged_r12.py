@@ -16,6 +16,20 @@ sweep and rerank-NDCG companions to r11's AUC/calibration, Cohen's
 kappa, the one-pass correlation matrix, sketch-based join-size
 estimation, FastSS edit-distance-1 linkage, Zipf exponent fitting, and
 quantile-band coverage evaluation.
+
+r12 one-in/one-out retirement CANDIDATES (the r11-session shortlist for
+the registration round to confirm, VERDICT r10 #2 discipline — each
+would move to its module's RETIRED_QUERIES with the pytest oracle gate):
+  bm25_topk_retrieval      ⊂ ndcg_bm25_eval (the eval RUNS the BM25
+                             retrieval as its run lists — the
+                             ann_recall_eval pattern)
+  corr_regression_stats    mostly ⊂ corr_matrix_onepass (pairwise corr;
+                             slope/stderr also live in zipf_alpha's OLS
+                             physiology) — confirm no unique surface
+  text_repetition_gopher   vs intra_doc_repetition: overlapping
+                             intra-doc duplicate-mass signals; keep the
+                             one with the wider rule set, retire the
+                             other
 """
 
 from __future__ import annotations

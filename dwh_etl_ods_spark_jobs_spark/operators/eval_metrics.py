@@ -741,3 +741,145 @@ SELECT {g}, CAST({q_num} AS BIGINT) AS q_num, CAST({q_den} AS BIGINT) AS q_den,
 FROM {table_expr}
 GROUP BY {g}
 """
+
+
+# --- split-conformal prediction interval + validity -----------------------------
+
+
+def conformal_interval_eval(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha_ppm: int,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; the
+    distribution-free UQ primitive) with its validity check::
+
+        (n_cal, k_rank, qhat, n_test, n_covered, coverage_ppm,
+         target_ppm)
+
+    ``qhat`` is the ``k = ⌈(n_cal+1)·(1−α)⌉``-th smallest calibration
+    nonconformity score — the finite-sample-corrected quantile whose
+    interval ``score ≤ qhat`` covers a fresh exchangeable point with
+    probability ≥ 1−α. Both the rank pick and the ceil run as exact
+    integers (``k = ((n+1)·(10⁶−α_ppm) + 10⁶ − 1) div 10⁶``); the k-th
+    order-statistic VALUE is tie-order invariant, so the ``id_col``
+    tie-break only serves the rank's determinism. When ``k > n_cal``
+    the guarantee needs an infinite interval: ``qhat`` NULL, every test
+    point covered (standard small-calibration degeneracy, explicit on
+    both engines).
+
+    Scale: the rank pick is :func:`operators.rank.global_rank`
+    (range-decomposed — never a single-partition sort); k is computed
+    FROM the attached total, so no driver round-trip; the coverage side
+    is one broadcast of the single qhat row.
+    """
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
+
+    ranked = cal.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(id_col).alias("_tb"),
+    ).transform(
+        global_rank(["_s", "_tb"], out_col="_r", n_ranges=n_ranges,
+                    with_total="_n")
+    )
+    k_expr = F.expr(
+        f"CAST(((_n + 1) * (1000000 - {int(alpha_ppm)}) + 999999)"
+        f" div 1000000 AS BIGINT)"
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    # exactly one row: the k-th smallest (rank k-1) — or the n_cal/k
+    # bookkeeping row with NULL qhat when k > n (agg keeps it one-row)
+    qhat = (
+        ranked.withColumn("_k", k_expr)
+        .agg(
+            F.max("_n").cast("long").alias("n_cal"),
+            F.max("_k").cast("long").alias("k_rank"),
+            F.max(
+                F.when(F.col("_r") == F.col("_k") - 1, F.col("_s"))
+            ).cast("long").alias("qhat"),
+        )
+        .withColumn(
+            "qhat",
+            F.when(F.col("k_rank") <= F.col("n_cal"), F.col("qhat")),
+        )
+        .withColumn("_one", one)
+    )
+    cov = (
+        test.select(F.col(score_col).cast("long").alias("_ts"))
+        .withColumn("_one", one)
+        .join(F.broadcast(qhat), "_one")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("k_rank").alias("k_rank"),
+            F.max("qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("qhat").isNull() | (F.col("_ts") <= F.col("qhat")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "n_cal",
+        "k_rank",
+        "qhat",
+        "n_test",
+        "n_covered",
+        F.expr(
+            "CAST(CASE WHEN n_test = 0 THEN NULL"
+            " ELSE n_covered * 1000000 div n_test END AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.lit(1000000 - int(alpha_ppm)).cast("long").alias("target_ppm"),
+    )
+
+
+def conformal_interval_eval_sql(
+    cal_expr: str,
+    test_expr: str,
+    score_expr: str,
+    id_expr: str,
+    alpha_ppm: int,
+) -> str:
+    """DuckDB rendering of :func:`conformal_interval_eval` — same exact
+    ceil rank, same order-statistic pick, same infinite-interval
+    degeneracy."""
+    return f"""
+WITH ranked AS (
+  SELECT CAST({score_expr} AS BIGINT) AS s,
+         row_number() OVER (ORDER BY CAST({score_expr} AS BIGINT),
+                            {id_expr}) - 1 AS r,
+         count(*) OVER () AS n
+  FROM {cal_expr}
+),
+q AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_cal,
+         CAST(max(((n + 1) * (1000000 - {int(alpha_ppm)}) + 999999)
+                  // 1000000) AS BIGINT) AS k_rank,
+         CAST(max(CASE WHEN r = ((n + 1) * (1000000 - {int(alpha_ppm)})
+                                 + 999999) // 1000000 - 1
+                  THEN s END) AS BIGINT) AS qhat_raw
+  FROM ranked
+),
+q2 AS (
+  SELECT n_cal, k_rank,
+         CASE WHEN k_rank <= n_cal THEN qhat_raw END AS qhat
+  FROM q
+),
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN q2.qhat IS NULL
+                       OR CAST({score_expr} AS BIGINT) <= q2.qhat
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM {test_expr}, q2
+)
+SELECT q2.n_cal, q2.k_rank, q2.qhat, cov.n_test, cov.n_covered,
+       CAST(CASE WHEN cov.n_test = 0 THEN NULL
+            ELSE cov.n_covered * 1000000 // cov.n_test END AS BIGINT)
+         AS coverage_ppm,
+       CAST({1000000 - int(alpha_ppm)} AS BIGINT) AS target_ppm
+FROM q2, cov
+"""

@@ -2078,3 +2078,139 @@ SELECT {gsel}n_g, sum_g,
             AS BIGINT) AS influence_micro
 FROM per, tot
 """
+
+
+# --- standardized mean difference (covariate balance) --------------------------
+
+
+def smd_balance_check(
+    df: DataFrame,
+    arm_col: str,
+    covariate_cols: list[str],
+    flag_threshold_micro: int = 100_000,
+) -> DataFrame:
+    """Covariate balance between two arms as the standardized mean
+    difference — the diagnostic every observational comparison (and
+    every A/B sanity pass) runs before trusting an effect estimate::
+
+        (covariate, arm_a, arm_b, n_a, n_b, smd_micro, imbalance_flag)
+
+    ``SMD = (x̄_a − x̄_b)/√((s²_a + s²_b)/2)`` per covariate, the usual
+    |SMD| > 0.1 rule as the flag (threshold in micro-units). Arms pair
+    off as ``arm_a < arm_b`` (two arms → one row per covariate; k arms
+    → every pair, the standard multi-arm balance table), so sign is
+    deterministic. Moments are exact decimal(38,0)/HUGEINT sums; the
+    closed form is a FIXED IEEE op sequence rounded to micro per
+    covariate (the bivariate_stats discipline). Zero pooled variance →
+    NULL SMD, flag 0 (identical constants are balanced).
+
+    Scale: covariates melt into ONE (covariate, arm) grouped moment
+    pass — map-side combinable, row count independent of the covariate
+    count in the shuffle.
+    """
+    melted = df.select(
+        F.col(arm_col).cast("string").alias("_arm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_cov"),
+                        F.col(c).cast("long").alias("_x"),
+                    )
+                    for c in covariate_cols
+                ]
+            )
+        ).alias("_cx"),
+    ).select("_arm", F.col("_cx._cov").alias("_cov"), F.col("_cx._x").alias("_x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = melted.groupBy("_cov", "_arm").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
+    )
+    a = m.alias("_a")
+    b = m.alias("_b")
+    j = a.join(
+        b,
+        (F.col("_a._cov") == F.col("_b._cov"))
+        & (F.col("_a._arm") < F.col("_b._arm")),
+    )
+    # sample variance via the exact moment form: (n·Σx² − (Σx)²)/(n·(n−1))
+    def var_num(side: str):
+        return (
+            dec(F.col(f"_{side}._n")) * F.col(f"_{side}._sxx")
+            - dec(F.col(f"_{side}._sx")) * dec(F.col(f"_{side}._sx"))
+        ).cast("double") / (
+            F.col(f"_{side}._n").cast("double")
+            * (F.col(f"_{side}._n") - F.lit(1)).cast("double")
+        )
+
+    mean = lambda side: (  # noqa: E731
+        F.col(f"_{side}._sx").cast("double") / F.col(f"_{side}._n").cast("double")
+    )
+    pooled = F.sqrt((var_num("a") + var_num("b")) / F.lit(2.0))
+    smd = F.round((mean("a") - mean("b")) / pooled * F.lit(1000000.0)).cast("long")
+    out = j.select(
+        F.col("_a._cov").alias("covariate"),
+        F.col("_a._arm").alias("arm_a"),
+        F.col("_b._arm").alias("arm_b"),
+        F.col("_a._n").alias("n_a"),
+        F.col("_b._n").alias("n_b"),
+        F.when(pooled > 0, smd).alias("smd_micro"),
+    ).withColumn(
+        "imbalance_flag",
+        F.when(
+            F.abs(F.coalesce(F.col("smd_micro"), F.lit(0)))
+            > F.lit(int(flag_threshold_micro)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    return out
+
+
+def smd_balance_check_sql(
+    table_expr: str,
+    arm_expr: str,
+    covariate_exprs: list[str],
+    flag_threshold_micro: int = 100_000,
+) -> str:
+    """DuckDB rendering of :func:`smd_balance_check` — same melt, same
+    HUGEINT moments, same fixed IEEE sequence."""
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({arm_expr} AS VARCHAR) AS arm, '{c}' AS cov,"
+        f" CAST({c} AS BIGINT) AS x FROM {table_expr}"
+        for c in covariate_exprs
+    )
+    return f"""
+WITH melted AS ({arms}),
+m AS (
+  SELECT cov, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM melted GROUP BY 1, 2
+),
+j AS (
+  SELECT a.cov, a.arm AS arm_a, b.arm AS arm_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST(CAST(a.n AS HUGEINT) * a.sxx - CAST(a.sx AS HUGEINT) * a.sx
+              AS DOUBLE) / (CAST(a.n AS DOUBLE) * (a.n - 1)) AS var_a,
+         CAST(CAST(b.n AS HUGEINT) * b.sxx - CAST(b.sx AS HUGEINT) * b.sx
+              AS DOUBLE) / (CAST(b.n AS DOUBLE) * (b.n - 1)) AS var_b,
+         CAST(a.sx AS DOUBLE) / a.n AS mean_a,
+         CAST(b.sx AS DOUBLE) / b.n AS mean_b
+  FROM m a JOIN m b ON a.cov = b.cov AND a.arm < b.arm
+)
+SELECT cov AS covariate, arm_a, arm_b, n_a, n_b,
+       CASE WHEN sqrt((var_a + var_b) / 2.0) > 0 THEN
+         CAST(round((mean_a - mean_b) / sqrt((var_a + var_b) / 2.0)
+                    * 1000000.0) AS BIGINT) END AS smd_micro,
+       CAST(CASE WHEN abs(coalesce(
+              CASE WHEN sqrt((var_a + var_b) / 2.0) > 0 THEN
+                CAST(round((mean_a - mean_b) / sqrt((var_a + var_b) / 2.0)
+                           * 1000000.0) AS BIGINT) END, 0))
+            > {int(flag_threshold_micro)} THEN 1 ELSE 0 END AS INT)
+         AS imbalance_flag
+FROM j
+"""

@@ -643,3 +643,124 @@ def _sql_loo_influence() -> str:
 
 STAGED_QUERIES["loo_source_influence"] = q_loo_influence
 STAGED_ORACLES["loo_source_influence"] = _sql_loo_influence()
+
+
+# --- split-conformal interval over order-value residuals -------------------------
+
+CONF_ALPHA_PPM = 100_000  # 90% target coverage
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free uncertainty: calibrate the 90% conformal bound
+    for |order value − segment mean| on odd order keys, check its
+    finite-sample coverage guarantee on even keys
+    (operators/eval_metrics.conformal_interval_eval; the quantile rank
+    is exact and data-derived — no driver round-trip)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        conformal_interval_eval,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.expr(_PRICE_CENTS).alias("cents"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    seg_mean = orders.groupBy("c_mktsegment").agg(
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("_pred")
+    )
+    scored = orders.join(F.broadcast(seg_mean), "c_mktsegment").select(
+        "o_orderkey",
+        F.abs(F.col("cents") - F.col("_pred")).alias("score"),
+    )
+    cal = scored.filter(F.col("o_orderkey") % 2 == 1)
+    tst = scored.filter(F.col("o_orderkey") % 2 == 0)
+    return conformal_interval_eval(
+        cal, tst, "score", "o_orderkey", alpha_ppm=CONF_ALPHA_PPM
+    )
+
+
+def _sql_conformal() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        conformal_interval_eval_sql,
+    )
+
+    scored = f"""
+(SELECT o.o_orderkey,
+        abs({_PRICE_CENTS} - sm.pred) AS score
+ FROM orders o
+ JOIN customer c ON o.o_custkey = c.c_custkey
+ JOIN (
+   SELECT c2.c_mktsegment,
+          CAST(sum({_PRICE_CENTS.replace('o_totalprice', 'o2.o_totalprice')})
+               // count(*) AS BIGINT) AS pred
+   FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+   GROUP BY 1
+ ) sm ON sm.c_mktsegment = c.c_mktsegment)"""
+    return conformal_interval_eval_sql(
+        f"(SELECT * FROM {scored} s WHERE o_orderkey % 2 = 1) calv",
+        f"(SELECT * FROM {scored} s WHERE o_orderkey % 2 = 0) tstv",
+        "score",
+        "o_orderkey",
+        CONF_ALPHA_PPM,
+    )
+
+
+STAGED_QUERIES["conformal_order_value"] = q_conformal
+STAGED_ORACLES["conformal_order_value"] = _sql_conformal()
+
+
+# --- covariate balance (SMD) between assignment arms -----------------------------
+
+
+def q_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-analysis covariate balance for the user-parity assignment:
+    standardized mean differences of account balance and order count
+    between arms — the |SMD| > 0.1 screen that must pass BEFORE any
+    effect readout (operators/stats.smd_balance_check; covariates melt
+    into one grouped moment pass)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import smd_balance_check
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("acct_cents"),
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    base = (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"], "left")
+        .select(
+            F.expr("CAST(pmod(c_custkey, 2) AS STRING)").alias("arm"),
+            "acct_cents",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+    return smd_balance_check(
+        base, "arm", ["acct_cents", "n_orders"]
+    ).orderBy("covariate")
+
+
+def _sql_smd() -> str:
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        smd_balance_check_sql,
+    )
+
+    base = """
+(SELECT CAST(c.c_custkey % 2 AS VARCHAR) AS arm,
+        CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
+        coalesce(o.n_orders, 0) AS n_orders
+ FROM customer c
+ LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1) o ON o.o_custkey = c.c_custkey) b
+"""
+    return (
+        smd_balance_check_sql(base, "arm", ["acct_cents", "n_orders"])
+        + " ORDER BY covariate"
+    )
+
+
+STAGED_QUERIES["smd_balance_arms"] = q_smd
+STAGED_ORACLES["smd_balance_arms"] = _sql_smd()

@@ -427,3 +427,68 @@ def test_loo_influence_hand_values_and_whole_input_guard(spark):
     solo = spark.createDataFrame([("x", 5), ("x", 7)], "g string, v long")
     r = loo_group_influence(solo, ["g"], "v").collect()[0]
     assert r.mean_without_micro is None and r.influence_micro is None
+
+
+# --- conformal interval ---------------------------------------------------------
+
+
+def test_conformal_exact_rank_and_coverage(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        conformal_interval_eval,
+    )
+
+    cal = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, s long")
+    tst = spark.createDataFrame(
+        [(i + 1000, s) for i, s in enumerate([5, 50, 91, 92, 200, 30])],
+        "id long, s long",
+    )
+    r = conformal_interval_eval(cal, tst, "s", "id", alpha_ppm=100_000).collect()[0]
+    # k = ceil(101 * 0.9) = 91 -> qhat = 91st smallest = 91
+    assert (r.n_cal, r.k_rank, r.qhat) == (100, 91, 91)
+    assert (r.n_test, r.n_covered) == (6, 4)  # 5, 50, 91, 30 covered
+    assert r.coverage_ppm == 666_666 and r.target_ppm == 900_000
+
+
+def test_conformal_small_calibration_gives_infinite_interval(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        conformal_interval_eval,
+    )
+
+    cal = spark.createDataFrame([(1, 10), (2, 20)], "id long, s long")
+    tst = spark.createDataFrame([(9, 999)], "id long, s long")
+    r = conformal_interval_eval(cal, tst, "s", "id", alpha_ppm=10_000).collect()[0]
+    # k = ceil(3 * 0.99) = 3 > n_cal = 2: the guarantee needs +inf
+    assert r.qhat is None and r.n_covered == 1 and r.coverage_ppm == 1_000_000
+
+
+# --- SMD balance ---------------------------------------------------------------
+
+
+def test_smd_hand_shift_and_constant_covariate(spark):
+    import math as _m
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import smd_balance_check
+
+    rows = [("A", (i * 13) % 50, 7) for i in range(100)]
+    rows += [("B", (i * 13) % 50 + 10, 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "arm string, x long, z long")
+    out = {r.covariate: r for r in smd_balance_check(df, "arm", ["x", "z"]).collect()}
+    # identical distributions shifted by exactly -10 for arm A
+    xs = [(i * 13) % 50 for i in range(100)]
+    mean = sum(xs) / len(xs)
+    var = sum((v - mean) ** 2 for v in xs) / (len(xs) - 1)
+    expect = round(-10 / _m.sqrt(var) * 1e6)
+    assert out["x"].smd_micro == expect and out["x"].imbalance_flag == 1
+    # constant covariate: zero pooled variance -> NULL, unflagged
+    assert out["z"].smd_micro is None and out["z"].imbalance_flag == 0
+
+
+def test_smd_multi_arm_pairs(spark):
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import smd_balance_check
+
+    rows = [(a, v) for a in ("A", "B", "C") for v in range(10)]
+    df = spark.createDataFrame(rows, "arm string, x long")
+    out = smd_balance_check(df, "arm", ["x"]).collect()
+    pairs = sorted((r.arm_a, r.arm_b) for r in out)
+    assert pairs == [("A", "B"), ("A", "C"), ("B", "C")]
+    assert all(r.smd_micro == 0 for r in out)  # identical arms balance

@@ -77,12 +77,13 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # merkle_bucket_diff, ucb_event_arms, user_growth_accounting,
 # copurchase_lift_pairs, daily_revenue_acf, pinball_band_loss,
 # personalized_pagerank_topk).
-# r14 SEED: plans/staged_r14.py holds 14 further parity-pinned entries
+# r14 SEED: plans/staged_r14.py holds 15 further parity-pinned entries
 # (revenue_gini_by_segment, woe_iv_priority_screen, cuped_event_value,
 # theil_sen_daily_trend, km_user_retention, pareto_quality_cost,
 # ngram_novelty_census, adamic_adar_parts, srm_assignment_check,
 # weighted_sample_parts, markov_attribution_channels,
-# loo_source_influence, conformal_order_value, smd_balance_arms),
+# loo_source_influence, conformal_order_value, smd_balance_arms,
+# rec_list_quality_eval),
 # probed (SCALING.md §r14 + addendum) and benched
 # (bench_r14_staged_local.json).
 _HEAD = [

@@ -764,3 +764,50 @@ def _sql_smd() -> str:
 
 STAGED_QUERIES["smd_balance_arms"] = q_smd
 STAGED_ORACLES["smd_balance_arms"] = _sql_smd()
+
+
+# --- beyond-accuracy recommendation-list eval ------------------------------------
+
+
+def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender eval over the exact-cosine top-5
+    lists: intra-list diversity, catalog coverage, and exposure Gini in
+    one row — the three numbers that catch a relevance-perfect but
+    monocultural recommender (similarity.rec_list_eval; bounded k²
+    pair stage, full-catalog exposure Gini via the rank decomposition)."""
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        _emb,
+        q_ann_bruteforce,
+    )
+    from dwh_etl_ods_spark_jobs_spark.similarity import rec_list_eval
+
+    runs = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    catalog = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return rec_list_eval(
+        runs, catalog, "query_id", "neighbor_id", "vec_id", "v"
+    )
+
+
+def _sql_rec_eval() -> str:
+    from dwh_etl_ods_spark_jobs_spark.plans.pipeline import (
+        EMB_DIM,
+        SQL_ANN_BRUTEFORCE,
+    )
+    from dwh_etl_ods_spark_jobs_spark.similarity import rec_list_eval_sql
+
+    return rec_list_eval_sql(
+        SQL_ANN_BRUTEFORCE,
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings",
+        "query_id",
+        "neighbor_id",
+        "vec_id",
+        "v",
+        EMB_DIM,
+    )
+
+
+STAGED_QUERIES["rec_list_quality_eval"] = q_rec_eval
+STAGED_ORACLES["rec_list_quality_eval"] = _sql_rec_eval()

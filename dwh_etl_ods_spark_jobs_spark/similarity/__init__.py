@@ -997,3 +997,174 @@ SELECT (dist_sq >> greatest(length(bin(dist_sq)) - {QH_SIG_BITS}, 0))
        CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 """
+
+
+def rec_list_eval(
+    runs: DataFrame,
+    catalog: DataFrame,
+    query_col: str,
+    item_col: str,
+    cat_id_col: str,
+    cat_vec_col: str,
+) -> DataFrame:
+    """Recommendation-list quality beyond relevance — the three standard
+    beyond-accuracy numbers every recommender eval reports, in one row::
+
+        (n_queries, n_rec_rows, n_items_recommended, catalog_n,
+         coverage_ppm, mean_ild_ppm, exposure_gini_ppm)
+
+    - ``mean_ild_ppm``: intra-list diversity — per query the mean
+      pairwise cosine DISTANCE (``10⁶ − cos_ppm``) within its ≤k list
+      (C(k,2) pairs, bounded), averaged over queries with ≥ 2 items;
+      all-same lists score 0, orthogonal lists 10⁶.
+    - ``coverage_ppm``: catalog coverage — distinct recommended items /
+      catalog size.
+    - ``exposure_gini_ppm``: exposure concentration over the FULL
+      catalog (never-recommended items count as zero exposure), via
+      :func:`operators.stats.gini_concentration` — 0 = perfectly even
+      exposure, →10⁶ = a popularity monoculture.
+
+    Cosines follow the house float discipline (``round(cos, 6)`` then
+    exact ppm integers — the ann/dedup parity form); every mean is a
+    truncated integer division.
+
+    Scale: the pair stage self-joins ≤k-row lists per query (bounded
+    fan-out, the mutual-kNN shape); vectors attach via two equi-joins
+    on the item key; exposure is one grouped count + the
+    rank-decomposed Gini. No uncapped key anywhere.
+    """
+    from dwh_etl_ods_spark_jobs_spark.dedup import cosine
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
+
+    r = runs.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    ).localCheckpoint(eager=False)  # pairs + exposure + counts
+    cat = catalog.select(
+        F.col(cat_id_col).alias("_ci"), F.col(cat_vec_col).alias("_cv")
+    ).localCheckpoint(eager=False)  # two vector joins + universe + count
+    a, b = r.alias("_a"), r.alias("_b")
+    pairs = (
+        a.join(b, (F.col("_a._q") == F.col("_b._q")) & (F.col("_a._i") < F.col("_b._i")))
+        .select(F.col("_a._q").alias("_q"), F.col("_a._i").alias("_ia"), F.col("_b._i").alias("_ib"))
+        .join(cat.select(F.col("_ci").alias("_ia"), F.col("_cv").alias("_va")), "_ia")
+        .join(cat.select(F.col("_ci").alias("_ib"), F.col("_cv").alias("_vb")), "_ib")
+        .withColumn(
+            "_dist_ppm",
+            F.lit(1000000)
+            - F.round(F.round(cosine(F.col("_va"), F.col("_vb")), 6) * F.lit(1000000.0)).cast("long"),
+        )
+    )
+    per_q = pairs.groupBy("_q").agg(
+        F.expr("CAST(sum(_dist_ppm) div count(1) AS BIGINT)").alias("_ild")
+    )
+    ild = per_q.agg(
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN NULL"
+            " ELSE sum(_ild) div count(1) END AS BIGINT)"
+        ).alias("mean_ild_ppm")
+    )
+    exposure = (
+        cat.select(F.col("_ci").alias("_i"))
+        .join(r.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_cnt")), "_i", "left")
+        .select("_i", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt"))
+        .withColumn("_g", F.lit(1))
+    )
+    gini = gini_concentration(exposure, ["_g"], "_cnt", ["_i"]).select(
+        F.col("gini_ppm").alias("exposure_gini_ppm")
+    )
+    counts = r.agg(
+        F.countDistinct("_q").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_rec_rows"),
+        F.countDistinct("_i").cast("long").alias("n_items_recommended"),
+    )
+    cat_n = cat.agg(F.count(F.lit(1)).cast("long").alias("catalog_n"))
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    out = (
+        counts.withColumn("_one", one)
+        .join(F.broadcast(cat_n.withColumn("_one", one)), "_one")
+        .join(F.broadcast(ild.withColumn("_one", one)), "_one")
+        .join(F.broadcast(gini.withColumn("_one", one)), "_one")
+    )
+    return out.select(
+        "n_queries",
+        "n_rec_rows",
+        "n_items_recommended",
+        "catalog_n",
+        F.expr(
+            "CAST(n_items_recommended * 1000000 div catalog_n AS BIGINT)"
+        ).alias("coverage_ppm"),
+        "mean_ild_ppm",
+        "exposure_gini_ppm",
+    )
+
+
+def rec_list_eval_sql(
+    runs_sql: str,
+    catalog_sql: str,
+    query_col: str,
+    item_col: str,
+    cat_id_col: str,
+    cat_vec_col: str,
+    dim: int,
+) -> str:
+    """DuckDB rendering of :func:`rec_list_eval` — same rounded-cosine
+    ppm distances, same truncated means, same full-catalog Gini."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import cosine_sql
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        gini_concentration_sql,
+    )
+
+    cos = cosine_sql("ca.v", "cb.v", dim)
+    gini_inner = gini_concentration_sql(
+        """(SELECT 1 AS g, i, cnt FROM (
+  SELECT cat.i, coalesce(e.cnt, 0) AS cnt
+  FROM (SELECT id AS i FROM catv) cat
+  LEFT JOIN (SELECT item AS i, CAST(count(*) AS BIGINT) AS cnt
+             FROM runsv GROUP BY 1) e ON e.i = cat.i
+)) ge""",
+        ["g"],
+        "cnt",
+        ["i"],
+    )
+    return f"""
+WITH runsv AS (
+  SELECT {query_col} AS q, {item_col} AS item FROM ({runs_sql}) rsrc
+),
+catv AS (
+  SELECT {cat_id_col} AS id, {cat_vec_col} AS v FROM ({catalog_sql}) csrc
+),
+pairs AS (
+  SELECT a.q,
+         1000000 - CAST(round(round({cos}, 6) * 1000000.0) AS BIGINT)
+           AS dist_ppm
+  FROM runsv a
+  JOIN runsv b ON a.q = b.q AND a.item < b.item
+  JOIN catv ca ON ca.id = a.item
+  JOIN catv cb ON cb.id = b.item
+),
+per_q AS (
+  SELECT q, CAST(sum(dist_ppm) // count(*) AS BIGINT) AS ild
+  FROM pairs GROUP BY 1
+),
+ild AS (
+  SELECT CAST(CASE WHEN count(*) = 0 THEN NULL
+              ELSE sum(ild) // count(*) END AS BIGINT) AS mean_ild_ppm
+  FROM per_q
+),
+gini AS (
+  SELECT gini_ppm AS exposure_gini_ppm FROM ({gini_inner}) gv
+),
+counts AS (
+  SELECT CAST(count(DISTINCT q) AS BIGINT) AS n_queries,
+         CAST(count(*) AS BIGINT) AS n_rec_rows,
+         CAST(count(DISTINCT item) AS BIGINT) AS n_items_recommended
+  FROM runsv
+),
+catn AS (SELECT CAST(count(*) AS BIGINT) AS catalog_n FROM catv)
+SELECT counts.n_queries, counts.n_rec_rows, counts.n_items_recommended,
+       catn.catalog_n,
+       CAST(counts.n_items_recommended * 1000000 // catn.catalog_n
+            AS BIGINT) AS coverage_ppm,
+       ild.mean_ild_ppm, gini.exposure_gini_ppm
+FROM counts, catn, ild, gini
+"""

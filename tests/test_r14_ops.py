@@ -492,3 +492,42 @@ def test_smd_multi_arm_pairs(spark):
     pairs = sorted((r.arm_a, r.arm_b) for r in out)
     assert pairs == [("A", "B"), ("A", "C"), ("B", "C")]
     assert all(r.smd_micro == 0 for r in out)  # identical arms balance
+
+
+# --- recommendation-list quality eval --------------------------------------------
+
+
+def test_rec_list_eval_hand_lists(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import rec_list_eval
+
+    vecs = {
+        1: [1.0, 0.0], 2: [0.0, 1.0], 3: [1.0, 0.0],
+        4: [0.7071, 0.7071], 5: [1.0, 0.0], 6: [0.0, 1.0],
+    }
+    runs = [(10, 1), (10, 2), (10, 3), (20, 4), (20, 5), (30, 6)]
+    rdf = spark.createDataFrame(runs, "q long, item long")
+    cdf = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "id long, v array<double>"
+    )
+    r = rec_list_eval(rdf, cdf, "q", "item", "id", "v").collect()[0]
+    # q10 pair distances: (1,2)=1e6, (1,3)=0, (2,3)=1e6 -> ild 666666;
+    # q20: cos(.7071) -> ~292893; q30 single item joins no pair
+    assert r.n_queries == 3 and r.n_rec_rows == 6
+    assert r.coverage_ppm == 1_000_000  # every catalog item recommended
+    assert r.mean_ild_ppm == (666_666 + 292_893) // 2
+    assert r.exposure_gini_ppm == 0  # every item exposed exactly once
+
+
+def test_rec_list_eval_monoculture_flags(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import rec_list_eval
+
+    # every query gets the SAME two identical-vector items out of a
+    # 6-item catalog: diversity 0, coverage 2/6, high exposure gini
+    vecs = [(i, [1.0, 0.0]) for i in range(1, 7)]
+    runs = [(q, i) for q in range(5) for i in (1, 2)]
+    rdf = spark.createDataFrame(runs, "q long, item long")
+    cdf = spark.createDataFrame(vecs, "id long, v array<double>")
+    r = rec_list_eval(rdf, cdf, "q", "item", "id", "v").collect()[0]
+    assert r.mean_ild_ppm == 0
+    assert r.coverage_ppm == 333_333
+    assert r.exposure_gini_ppm > 600_000  # exposure concentrated on 2 of 6

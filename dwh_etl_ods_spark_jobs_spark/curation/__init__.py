@@ -1831,3 +1831,148 @@ SELECT CAST(nov_ppm * {n_deciles} // 1000001 AS BIGINT) AS novelty_decile,
 FROM full_docs
 GROUP BY 1
 """
+
+
+def density_ratio_weights(
+    source: DataFrame,
+    target: DataFrame,
+    bin_col: str,
+    w_max_ppm: int = 10_000_000,
+) -> DataFrame:
+    """Covariate-shift reweighting of a SOURCE corpus toward a TARGET
+    distribution by binned density ratio — the importance-sampling
+    primitive behind "make the crawl look like the curated mix"
+    (Shimodaira 2000; the binned estimator is the classifier-free
+    special case of density-ratio estimation)::
+
+        (bin, n_source, n_target, weight_ppm, ess_ppm)
+
+    Per bin ``w_b = (n_tgt_b / N_tgt) / (n_src_b / N_src)`` in integer
+    ppm (one fixed IEEE sequence on exact counts, rounded per bin),
+    CLIPPED at ``w_max_ppm`` (unclipped tails let a handful of rare-bin
+    documents dominate the resampled corpus — the standard truncated
+    importance weighting). Bins present only in TARGET are dropped
+    (nothing in source to up-weight — the support-mismatch census is
+    the caller's decontamination report); bins only in SOURCE get
+    weight 0. ``ess_ppm`` = Kish effective-sample-size fraction
+    ``(Σ n_b w_b)² / (N_src · Σ n_b w_b²)`` (same value on every row):
+    how much of the source corpus SURVIVES the reweighting — the
+    one-number health check (ppm; exact decimal products on the ppm
+    weights, ONE final IEEE division).
+
+    Scale: two grouped count passes + a bin-keyed join + constant-key
+    broadcast totals; output is the bounded bin frame. No window.
+    """
+    src = source.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    tgt = target.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_target")
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    j = (
+        src.join(tgt, "bin", "left")
+        .withColumn("n_target", F.coalesce(F.col("n_target"), F.lit(0)).cast("long"))
+        .withColumn("_one", one)
+    )
+    totals = j.groupBy("_one").agg(
+        F.sum("n_source").cast("long").alias("_ns"),
+        F.sum("n_target").cast("long").alias("_nt"),
+    )
+    j = j.join(F.broadcast(totals), "_one")
+    w_raw = F.round(
+        (F.col("n_target").cast("double") * F.col("_ns").cast("double"))
+        / (F.col("_nt").cast("double") * F.col("n_source").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    binned = j.select(
+        "bin",
+        "n_source",
+        "n_target",
+        F.when(F.col("_nt") == 0, F.lit(None).cast("long"))
+        .when(F.col("n_target") == 0, F.lit(0).cast("long"))
+        .otherwise(F.least(w_raw, F.lit(int(w_max_ppm)).cast("long")))
+        .alias("weight_ppm"),
+        F.col("_ns"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ess = (
+        binned.groupBy("_ns")
+        .agg(
+            F.sum(dec(F.col("n_source")) * dec(F.col("weight_ppm"))).alias("_sw"),
+            F.sum(
+                dec(F.col("n_source"))
+                * dec(F.col("weight_ppm"))
+                * dec(F.col("weight_ppm"))
+            ).alias("_sww"),
+        )
+        .select(
+            F.lit(0).alias("_k"),
+            F.when(
+                F.col("_sww").cast("double") > F.lit(0.0),
+                F.round(
+                    F.col("_sw").cast("double")
+                    * F.col("_sw").cast("double")
+                    / (F.col("_ns").cast("double") * F.col("_sww").cast("double"))
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("ess_ppm"),
+        )
+    )
+    return (
+        binned.withColumn("_k", F.lit(0))
+        .join(F.broadcast(ess), "_k")
+        .select("bin", "n_source", "n_target", "weight_ppm", "ess_ppm")
+    )
+
+
+def density_ratio_weights_sql(
+    source_table: str,
+    target_table: str,
+    bin_expr: str,
+    w_max_ppm: int = 10_000_000,
+) -> str:
+    """DuckDB rendering of :func:`density_ratio_weights` — same per-bin
+    rounded ppm weights, same exact HUGEINT ESS products."""
+    return f"""
+WITH src AS (
+  SELECT {bin_expr} AS bin, CAST(count(*) AS BIGINT) AS n_source
+  FROM {source_table} GROUP BY 1
+),
+tgt AS (
+  SELECT {bin_expr} AS bin, CAST(count(*) AS BIGINT) AS n_target
+  FROM {target_table} GROUP BY 1
+),
+j AS (
+  SELECT s.bin, s.n_source, coalesce(t.n_target, 0) AS n_target
+  FROM src s LEFT JOIN tgt t ON s.bin = t.bin
+),
+tot AS (
+  SELECT CAST(sum(n_source) AS BIGINT) AS ns,
+         CAST(sum(n_target) AS BIGINT) AS nt FROM j
+),
+binned AS (
+  SELECT bin, n_source, n_target,
+         CASE WHEN nt = 0 THEN NULL
+              WHEN n_target = 0 THEN 0
+              ELSE least(CAST(round(CAST(n_target AS DOUBLE) * CAST(ns AS DOUBLE)
+                              / (CAST(nt AS DOUBLE) * CAST(n_source AS DOUBLE))
+                              * 1000000.0) AS BIGINT),
+                         CAST({int(w_max_ppm)} AS BIGINT)) END AS weight_ppm,
+         ns
+  FROM j, tot
+),
+ess AS (
+  SELECT CASE WHEN CAST(sum(CAST(n_source AS HUGEINT) * weight_ppm * weight_ppm)
+                    AS DOUBLE) > 0.0 THEN
+    CAST(round(CAST(sum(CAST(n_source AS HUGEINT) * weight_ppm) AS DOUBLE)
+               * CAST(sum(CAST(n_source AS HUGEINT) * weight_ppm) AS DOUBLE)
+               / (CAST(max(ns) AS DOUBLE)
+                  * CAST(sum(CAST(n_source AS HUGEINT) * weight_ppm * weight_ppm)
+                         AS DOUBLE))
+               * 1000000.0) AS BIGINT) END AS ess_ppm
+  FROM binned
+)
+SELECT bin, n_source, n_target, weight_ppm, ess_ppm
+FROM binned, ess
+"""

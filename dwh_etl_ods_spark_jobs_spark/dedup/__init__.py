@@ -1834,3 +1834,182 @@ SELECT n_records, n_names, dup_name_groups, ed0_record_pairs,
        ed1_name_pairs, ed1_record_pairs
 FROM name_stats, pair_stats
 """
+
+
+def fellegi_sunter_scores(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    fields: list[tuple[str, str]],
+    m_ppm: int = 900_000,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scores over blocked
+    candidate pairs (JASA 64 (1969): the decision-theoretic weights
+    behind every production matcher — Splink, dedupe.io, OYS linkage)::
+
+        (id_a, id_b, n_agree, score_micro)
+
+    Per field f the AGREEMENT weight is ``log2(m_f/u_f)`` and the
+    disagreement weight ``log2((1−m_f)/(1−u_f))``, where ``u_f`` — the
+    chance two RANDOM records agree — is estimated exactly from the
+    field's value-frequency table as ``Σ_v n_v² / N_f²`` (the standard
+    frequency-based u; rarer values ⇒ smaller u ⇒ stronger evidence),
+    and ``m_f`` (agreement probability among TRUE matches) is the
+    caller's prior, one shared ``m_ppm`` here (the classic 0.9 default;
+    per-field EM fitting is an offline concern). Weights are micro-bits
+    rounded ONCE per field from exact count ratios (fixed IEEE ln/div
+    sequence), so the pair score is a plain integer sum. Field rules:
+    both values non-NULL and equal → agree weight; both non-NULL and
+    different → disagree weight; either NULL → 0 (no evidence).
+    Degenerate guards, explicit NULL weight on both engines: a
+    single-valued field (u = 1 → disagreement impossible) and an
+    all-NULL field (N_f = 0).
+
+    ``score_micro`` NULL-propagates if any contributing weight is NULL
+    — callers drop degenerate fields rather than score on them.
+
+    Scale: one frequency fold per field (map-side combinable, weight
+    frame is ONE row broadcast to the pairs), candidate pairs from the
+    block-key self-join (the sorted_neighborhood contract: the caller
+    owns block sizing; hot blocks are quadratic in output and need a
+    tighter key). No window, no cross join.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        *[F.col(c).cast("string").alias(f"_f_{n}") for n, c in fields],
+    ).localCheckpoint(eager=False)  # scanned once per field + twice for pairs
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m_d = F.lit(m_ppm / 1_000_000.0)
+    weights = None
+    for name, _ in fields:
+        col = F.col(f"_f_{name}")
+        freq = (
+            base.where(col.isNotNull())
+            .groupBy(col.alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_n_v"))
+        )
+        wf = freq.agg(
+            F.sum("_n_v").cast("long").alias("_nf"),
+            F.sum(dec(F.col("_n_v")) * dec(F.col("_n_v"))).alias("_s2"),
+        ).select(
+            F.lit(0).alias("_one"),
+            F.when(
+                F.col("_nf") > 0,
+                F.round(
+                    F.log(
+                        m_d
+                        * (dec(F.col("_nf")) * dec(F.col("_nf"))).cast("double")
+                        / F.col("_s2").cast("double")
+                    )
+                    / F.log(F.lit(2.0))
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias(f"w_agree_{name}"),
+            F.when(
+                (dec(F.col("_nf")) * dec(F.col("_nf")) - F.col("_s2")).cast("double")
+                > F.lit(0.0),
+                F.round(
+                    F.log(
+                        (F.lit(1.0) - m_d)
+                        * (dec(F.col("_nf")) * dec(F.col("_nf"))).cast("double")
+                        / (dec(F.col("_nf")) * dec(F.col("_nf")) - F.col("_s2")).cast(
+                            "double"
+                        )
+                    )
+                    / F.log(F.lit(2.0))
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias(f"w_disagree_{name}"),
+        )
+        weights = wf if weights is None else weights.join(wf, "_one")
+    a, b = base.alias("_a"), base.alias("_b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("_a._blk") == F.col("_b._blk"))
+            & (F.col("_a._id") < F.col("_b._id")),
+        )
+        .withColumn("_one", one)
+        .join(F.broadcast(weights), "_one")
+    )
+    contribs, agrees = [], []
+    for name, _ in fields:
+        fa, fb = F.col(f"_a._f_{name}"), F.col(f"_b._f_{name}")
+        both = fa.isNotNull() & fb.isNotNull()
+        agree = both & (fa == fb)
+        contribs.append(
+            F.when(agree, F.col(f"w_agree_{name}"))
+            .when(both, F.col(f"w_disagree_{name}"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        agrees.append(agree.cast("long"))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    n_agree = agrees[0]
+    for g in agrees[1:]:
+        n_agree = n_agree + g
+    return pairs.select(
+        F.col("_a._id").alias("id_a"),
+        F.col("_b._id").alias("id_b"),
+        n_agree.cast("long").alias("n_agree"),
+        total.cast("long").alias("score_micro"),
+    )
+
+
+def fellegi_sunter_scores_sql(
+    table_expr: str,
+    id_expr: str,
+    block_expr: str,
+    fields: list[tuple[str, str]],
+    m_ppm: int = 900_000,
+) -> str:
+    """DuckDB rendering of :func:`fellegi_sunter_scores` — same exact
+    frequency-based u, same fixed ln/log2 sequence, same NULL rules."""
+    m = m_ppm / 1_000_000.0
+    base_cols = ", ".join(
+        f"CAST({c} AS VARCHAR) AS f_{n}" for n, c in fields
+    )
+    w_ctes = []
+    for n, _ in fields:
+        w_ctes.append(f"""
+w_{n} AS (
+  SELECT CASE WHEN nf > 0 THEN
+           CAST(round(ln({m} * CAST(CAST(nf AS HUGEINT) * nf AS DOUBLE) / CAST(s2 AS DOUBLE))
+                      / ln(2.0) * 1000000.0) AS BIGINT) END AS w_agree_{n},
+         CASE WHEN CAST(CAST(nf AS HUGEINT) * nf - s2 AS DOUBLE) > 0.0 THEN
+           CAST(round(ln((1.0 - {m}) * CAST(CAST(nf AS HUGEINT) * nf AS DOUBLE)
+                         / CAST(CAST(nf AS HUGEINT) * nf - s2 AS DOUBLE))
+                      / ln(2.0) * 1000000.0) AS BIGINT) END AS w_disagree_{n}
+  FROM (
+    SELECT CAST(coalesce(sum(n_v), 0) AS BIGINT) AS nf,
+           coalesce(sum(CAST(n_v AS HUGEINT) * n_v), 0) AS s2
+    FROM (SELECT f_{n}, CAST(count(*) AS BIGINT) AS n_v
+          FROM base WHERE f_{n} IS NOT NULL GROUP BY f_{n})
+  )
+)""")
+    contribs = " + ".join(
+        f"""CASE WHEN a.f_{n} IS NOT NULL AND b.f_{n} IS NOT NULL
+                 THEN CASE WHEN a.f_{n} = b.f_{n} THEN w_agree_{n}
+                           ELSE w_disagree_{n} END
+                 ELSE 0 END"""
+        for n, _ in fields
+    )
+    agrees = " + ".join(
+        f"CASE WHEN a.f_{n} IS NOT NULL AND b.f_{n} IS NOT NULL "
+        f"AND a.f_{n} = b.f_{n} THEN 1 ELSE 0 END"
+        for n, _ in fields
+    )
+    w_join = ", ".join(f"w_{n}" for n, _ in fields)
+    return f"""
+WITH base AS (
+  SELECT CAST({id_expr} AS BIGINT) AS id, {block_expr} AS blk, {base_cols}
+  FROM {table_expr}
+),{",".join(w_ctes)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST({agrees} AS BIGINT) AS n_agree,
+       CAST({contribs} AS BIGINT) AS score_micro
+FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id, {w_join}
+"""

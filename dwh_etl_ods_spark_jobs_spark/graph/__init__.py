@@ -925,3 +925,102 @@ WHERE NOT EXISTS (
 ORDER BY aa_micro DESC, node_a, node_b
 LIMIT {top_k}
 """
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity coefficient of an UNDIRECTED simple graph
+    ``(u, v)``, ``u < v`` — Newman's r (PRL 89, 208701 (2002)): the
+    Pearson correlation of endpoint degrees over directed edge stubs.
+    One row::
+
+        (n_edges, n_nodes, r_ppm)
+
+    Positive r = hubs attach to hubs (social cores); negative =
+    hub-and-spoke (infrastructure, retail bipartite projections) — the
+    one-number summary of whether a celebrity-key mitigation (salting,
+    degree caps) will be load-bearing on this graph.
+
+    Each undirected edge contributes both stubs (du, dv) and (dv, du),
+    so the moment sums fold in ONE pass over edges: M = 2m, Σx = Σ(du+dv),
+    Σxx = Σ(du²+dv²), Σxy = 2·Σ(du·dv) — exact decimal(38,0) integers,
+    then the closed Pearson form as a FIXED IEEE sequence rounded to
+    ppm (the bivariate_stats discipline; x and y marginals coincide so
+    only two variance numerators appear). Degenerate guard: a regular
+    graph (zero degree variance) → r undefined → explicit NULL, both
+    engines.
+
+    Scale: degree count + two degree joins (the triangle_census
+    physiology, uniform node keys) + one map-side-combinable moment
+    fold — no window, no self-join.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    ek = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("_d", "_du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("_d", "_dv")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    moms = ek.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum(F.col("_du") + F.col("_dv")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(
+            dec(F.col("_du")) * dec(F.col("_du"))
+            + dec(F.col("_dv")) * dec(F.col("_dv"))
+        ).alias("_sxx"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * dec(F.col("_du")) * dec(F.col("_dv")))
+        .alias("_sxy"),
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    j = moms.withColumn("_one", one).join(
+        F.broadcast(n_nodes.withColumn("_one", one)), "_one"
+    )
+    big_m = F.lit(2).cast("decimal(38,0)") * dec(F.col("_m"))
+    cov_num = (big_m * F.col("_sxy") - F.col("_sx") * F.col("_sx")).cast("double")
+    var_num = (big_m * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    return j.select(
+        F.col("_m").alias("n_edges"),
+        F.col("_nn").alias("n_nodes"),
+        F.when(
+            var_num > F.lit(0.0),
+            F.round(cov_num / var_num * F.lit(1000000.0)).cast("long"),
+        ).alias("r_ppm"),
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB rendering of :func:`degree_assortativity` — HUGEINT moment
+    sums, the same closed form and ppm rounding."""
+    return f"""
+WITH edges AS ({edges_cte}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+ek AS (
+  SELECT du.d AS dd_u, dv.d AS dd_v
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+moms AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dd_u + dd_v) AS HUGEINT) AS sx,
+         sum(CAST(dd_u AS HUGEINT) * dd_u + CAST(dd_v AS HUGEINT) * dd_v) AS sxx,
+         sum(2 * CAST(dd_u AS HUGEINT) * dd_v) AS sxy
+  FROM ek
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT m AS n_edges, n_nodes,
+       CASE WHEN CAST(2 * CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0.0
+       THEN CAST(round(CAST(2 * CAST(m AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+                       / CAST(2 * CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                       * 1000000.0) AS BIGINT) END AS r_ppm
+FROM moms, nn
+"""

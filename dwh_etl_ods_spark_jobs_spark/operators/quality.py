@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -610,3 +610,194 @@ FROM (
   FROM {table_expr} GROUP BY {k}
 )""")
     return "\nUNION ALL\n".join(parts)
+
+
+def t_closeness_census(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_max_ppm: int,
+) -> DataFrame:
+    """Privacy-risk audit one level past l-diversity: a class can hold
+    many distinct sensitive values (l-diverse) yet still leak if its
+    sensitive DISTRIBUTION differs sharply from the table's —
+    t-closeness (Li et al., ICDE 2007) bounds the Earth-Mover's
+    Distance between each quasi-identifier class's sensitive
+    distribution and the global one. Census by EMD decile::
+
+        (emd_decile, n_classes, n_rows, n_at_risk)
+
+    ``sensitive_col`` must be an ORDERED INTEGER ordinal over a BOUNDED
+    domain (banded salary, severity grade, priority rank — the caller
+    owns the banding; the bounded-domain contract is ``acf_lags``-style
+    and is what makes the value grid a broadcastable frame). For the
+    ordered EMD over V distinct values with unit adjacent-step ground
+    distance normalized by the diameter::
+
+        EMD = (1/(V-1)) · Σ_{i=1..V-1} |cumP_i − cumQ_i|
+
+    computed EXACTLY in integers as ``Σ |cumC_i·N − cumG_i·n|`` (class
+    cum-count × table total vs global cum-count × class size,
+    decimal(38,0) products), with ONE final IEEE division by
+    ``n·N·(V−1)`` rounded to ppm. ``emd_decile = emd_ppm div 100000``;
+    ``n_at_risk`` counts classes with ``emd_ppm > t_max_ppm``. V = 1
+    (single global sensitive value) → EMD exactly 0 on both engines.
+    NULL sensitive rows are excluded (the l-diversity convention).
+
+    Scale: one (quasi, value) count pass + one V-row global value frame
+    joined onto the class grid by CONSTANT-KEY BROADCAST (the Markov
+    scenario-grid pattern — a hash join on a literal key, never a
+    nested-loop), then per-class windows over the bounded V-row frame.
+    Output is a ≤11-row census.
+    """
+    sens = F.col(sensitive_col).cast("long")
+    rows = df.where(sens.isNotNull()).select(
+        *[F.col(c) for c in quasi_cols], sens.alias("_v")
+    )
+    cell = rows.groupBy(*quasi_cols, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    vw = Window.orderBy("_v")  # bounded V-row frame (global value grid)
+    values = (
+        rows.groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_g"))
+        .withColumn("_cum_g", F.sum("_g").over(
+            vw.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"))
+        .withColumn("_rn", F.row_number().over(vw).cast("long"))
+        .withColumn("_one", one)
+    )
+    n_total = values.groupBy("_one").agg(
+        F.sum("_g").cast("long").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_vv"),
+    )
+    values = values.join(F.broadcast(n_total), "_one")
+    classes = cell.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("_n")
+    ).withColumn("_one", one)
+    # dense (class x value) grid: constant-key BROADCAST HASH join of the
+    # bounded V-row value frame onto the class frame, then the sparse
+    # class-value counts fill in by left join
+    grid = (
+        classes.join(F.broadcast(values.select(
+            "_one", "_v", "_cum_g", "_rn", "_nn", "_vv"
+        )), "_one")
+        .join(cell, [*quasi_cols, "_v"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)).cast("long"))
+    )
+    cw = Window.partitionBy(*quasi_cols).orderBy("_v")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum_c = F.sum("_c").over(
+        cw.rowsBetween(Window.unboundedPreceding, 0)
+    ).cast("long")
+    term = F.when(
+        F.col("_rn") < F.col("_vv"),
+        F.abs(dec(cum_c) * dec(F.col("_nn")) - dec(F.col("_cum_g")) * dec(F.col("_n"))),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    per_class = (
+        grid.withColumn("_term", term)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("_n").alias("_n"),
+            F.max("_nn").alias("_nn"),
+            F.max("_vv").alias("_vv"),
+            F.sum("_term").alias("_num"),
+        )
+        .select(
+            F.col("_n"),
+            F.when(F.col("_vv") > 1,
+                F.round(
+                    F.col("_num").cast("double")
+                    / (
+                        F.col("_n").cast("double")
+                        * F.col("_nn").cast("double")
+                        * (F.col("_vv") - F.lit(1)).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("_emd_ppm"),
+        )
+    )
+    return (
+        per_class.groupBy(
+            (F.col("_emd_ppm") / F.lit(100000)).cast("long").alias("emd_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum((F.col("_emd_ppm") > t_max_ppm).cast("long"))
+            .cast("long")
+            .alias("n_at_risk"),
+        )
+    )
+
+
+def t_closeness_census_sql(
+    table: str, quasi_cols: list[str], sensitive_expr: str, t_max_ppm: int
+) -> str:
+    """DuckDB rendering of :func:`t_closeness_census` — same exact
+    integer prefix products (HUGEINT), same single rounded division."""
+    q = ", ".join(quasi_cols)
+    qc = ", ".join(f"c.{c}" for c in quasi_cols)
+    return f"""
+WITH rows_f AS (
+  SELECT {q}, CAST({sensitive_expr} AS BIGINT) AS v
+  FROM {table} WHERE {sensitive_expr} IS NOT NULL
+),
+cell AS (
+  SELECT {q}, v, CAST(count(*) AS BIGINT) AS c
+  FROM rows_f GROUP BY {q}, v
+),
+vals AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(count(*)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g,
+         CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
+  FROM rows_f GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv
+  FROM vals
+),
+classes AS (
+  SELECT {q}, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY {q}
+),
+grid AS (
+  SELECT g.*, coalesce(ce.c, 0) AS c
+  FROM (SELECT {qc}, c.n, va.v, va.cum_g, va.rn, t.nn, t.vv
+        FROM classes c, vals va, tot t) g
+  LEFT JOIN cell ce ON {" AND ".join(f"ce.{x} = g.{x}" for x in quasi_cols)}
+                    AND ce.v = g.v
+),
+cumed AS (
+  SELECT *, CAST(sum(c) OVER (PARTITION BY {q} ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS HUGEINT) AS cum_c
+  FROM grid
+),
+per_class AS (
+  SELECT {q}, max(n) AS n, max(nn) AS nn, max(vv) AS vv,
+         sum(CASE WHEN rn < vv THEN
+               abs(cum_c * nn - CAST(cum_g AS HUGEINT) * n)
+             ELSE 0 END) AS num
+  FROM cumed GROUP BY {q}
+),
+scored AS (
+  SELECT n,
+         CASE WHEN vv > 1 THEN
+           CAST(round(CAST(num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+                         * CAST(vv - 1 AS DOUBLE))
+                      * 1000000.0) AS BIGINT)
+         ELSE 0 END AS emd_ppm
+  FROM per_class
+)
+SELECT CAST(emd_ppm // 100000 AS BIGINT) AS emd_decile,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN emd_ppm > {t_max_ppm} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk
+FROM scored GROUP BY 1
+"""

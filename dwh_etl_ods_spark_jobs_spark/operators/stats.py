@@ -2214,3 +2214,153 @@ SELECT cov AS covariate, arm_a, arm_b, n_a, n_b,
          AS imbalance_flag
 FROM j
 """
+
+
+def transition_entropy(
+    df: DataFrame, group_cols: list[str], src_col: str, dst_col: str
+) -> DataFrame:
+    """Conditional next-state entropy of an observed transition stream
+    per group — "how predictable is the next event given the current
+    one" (the first-order Markov predictability readout; 0 = fully
+    deterministic flows, ln(k) = next step independent of the current
+    state)::
+
+        (group..., n_transitions, n_src_states,
+         cond_entropy_micro, marginal_entropy_micro)
+
+    ``cond = H(dst|src) = Σ_{s,t} −(n_st/N)·ln(n_st/n_s)`` and
+    ``marginal = H(dst)`` — their difference is the information the
+    current state carries about the next (the MI form of the sequence).
+    Each term is a FIXED sequence of single IEEE ops on exact integer
+    counts, rounded to micro-nats BEFORE the sum (the
+    categorical_entropy float discipline). Rows with NULL ``src`` or
+    ``dst`` are excluded (sequence heads/tails — the caller's lag
+    window emits them as NULL); group keys may be NULL (null-safe
+    joins, the ADVICE-r8 convention).
+
+    Scale: one (group, src, dst) count pass, then every further fold
+    and join runs on the count grid (bounded by the state-pair domain),
+    never the raw stream. Map-side combinable throughout; no window.
+    """
+    if not group_cols:
+        # the grid joins key on the group tuple; an empty tuple would be
+        # a constant-key join of DATA-sized frames (a plan-sweep
+        # violation) — band the stream upstream instead
+        raise ValueError("transition_entropy requires >=1 group column")
+    rows = df.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in group_cols],
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_t"),
+    )
+    st = rows.groupBy(*group_cols, "_s", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_st")
+    ).localCheckpoint(eager=False)  # feeds three derived grids
+    s = st.groupBy(*group_cols, "_s").agg(
+        F.sum("_n_st").cast("long").alias("_n_s")
+    )
+    t = st.groupBy(*group_cols, "_t").agg(
+        F.sum("_n_st").cast("long").alias("_n_t")
+    )
+    tot = st.groupBy(*group_cols).agg(
+        F.sum("_n_st").cast("long").alias("_n"),
+        F.count_distinct(F.col("_s")).cast("long").alias("n_src_states"),
+    )
+
+    def _gjoin(left, right, extra: list[str]):
+        la, ra = left.alias("_l"), right.alias("_r")
+        cond = None
+        for g in group_cols:
+            eq = F.col(f"_l.{g}").eqNullSafe(F.col(f"_r.{g}"))
+            cond = eq if cond is None else (cond & eq)
+        for e in extra:
+            eq = F.col(f"_l.{e}") == F.col(f"_r.{e}")
+            cond = eq if cond is None else (cond & eq)
+        keep = [F.col(f"_l.{c}") for c in left.columns] + [
+            F.col(f"_r.{c}")
+            for c in right.columns
+            if c not in left.columns
+        ]
+        return la.join(ra, cond).select(*keep)
+
+    grid = _gjoin(_gjoin(st, s, ["_s"]), tot, [])
+    p_n = F.col("_n_st").cast("double") / F.col("_n").cast("double")
+    cterm = F.round(
+        -(p_n * F.log(F.col("_n_st").cast("double") / F.col("_n_s").cast("double")))
+        * F.lit(1000000.0)
+    ).cast("long")
+    cond_h = grid.withColumn("_term", cterm).groupBy(*group_cols).agg(
+        F.max("_n").alias("n_transitions"),
+        F.max("n_src_states").alias("n_src_states"),
+        F.sum("_term").cast("long").alias("cond_entropy_micro"),
+    )
+    mgrid = _gjoin(t, tot, [])
+    q = F.col("_n_t").cast("double") / F.col("_n").cast("double")
+    mterm = F.round(-(q * F.log(q)) * F.lit(1000000.0)).cast("long")
+    marg_h = mgrid.withColumn("_mterm", mterm).groupBy(*group_cols).agg(
+        F.sum("_mterm").cast("long").alias("marginal_entropy_micro")
+    )
+    return _gjoin(cond_h, marg_h, [])
+
+
+def transition_entropy_sql(
+    table_expr: str, group_exprs: list[str], src_expr: str, dst_expr: str
+) -> str:
+    """DuckDB rendering of :func:`transition_entropy` — same count
+    grids, same per-term micro-nat rounding, null-safe group joins."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    gpre = lambda a: (", ".join(f"{a}.{c}" for c in group_exprs) + ", ") if g else ""  # noqa: E731,E501
+    on = lambda a, b: (  # noqa: E731
+        " AND ".join(f"{a}.{c} IS NOT DISTINCT FROM {b}.{c}" for c in group_exprs)
+        or "TRUE"
+    )
+    return f"""
+WITH rows_f AS (
+  SELECT {gsel}{src_expr} AS s, {dst_expr} AS t
+  FROM {table_expr}
+  WHERE {src_expr} IS NOT NULL AND {dst_expr} IS NOT NULL
+),
+st AS (
+  SELECT {gsel}s, t, CAST(count(*) AS BIGINT) AS n_st
+  FROM rows_f GROUP BY {gsel}s, t
+),
+sc AS (
+  SELECT {gsel}s, CAST(sum(n_st) AS BIGINT) AS n_s
+  FROM st GROUP BY {gsel}s
+),
+tc AS (
+  SELECT {gsel}t, CAST(sum(n_st) AS BIGINT) AS n_t
+  FROM st GROUP BY {gsel}t
+),
+tot AS (
+  SELECT {gsel}CAST(sum(n_st) AS BIGINT) AS n,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_src_states
+  FROM st {("GROUP BY " + g) if g else ""}
+),
+cond_h AS (
+  SELECT {gpre("st")}max(tot.n) AS n_transitions,
+         max(tot.n_src_states) AS n_src_states,
+         CAST(sum(CAST(round(-(CAST(st.n_st AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(st.n_st AS DOUBLE) / CAST(sc.n_s AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS cond_entropy_micro
+  FROM st
+  JOIN sc ON {on("st", "sc")} AND st.s = sc.s
+  JOIN tot ON {on("st", "tot")}
+  {("GROUP BY " + ", ".join(f"st.{c}" for c in group_exprs)) if g else ""}
+),
+marg_h AS (
+  SELECT {gpre("tc")}CAST(sum(CAST(round(
+           -(CAST(tc.n_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           * ln(CAST(tc.n_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           * 1000000.0) AS BIGINT)) AS BIGINT) AS marginal_entropy_micro
+  FROM tc JOIN tot ON {on("tc", "tot")}
+  {("GROUP BY " + ", ".join(f"tc.{c}" for c in group_exprs)) if g else ""}
+)
+SELECT * FROM (
+  SELECT {gpre("cond_h")}cond_h.n_transitions, cond_h.n_src_states,
+         cond_h.cond_entropy_micro, marg_h.marginal_entropy_micro
+  FROM cond_h JOIN marg_h ON {on("cond_h", "marg_h")}
+) _te_out
+"""

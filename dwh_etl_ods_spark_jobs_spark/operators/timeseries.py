@@ -1070,6 +1070,133 @@ FROM stepped
 """
 
 
+def nelson_aalen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve per cohort with
+    right-censoring — the additive companion of :func:`kaplan_meier`
+    (H(t) = Σ_{t_i<=t} d_i/n_i; preferred when comparing hazards across
+    cohorts or feeding a hazard-ratio readout, because sums of rates
+    are better behaved than products of survival fractions)::
+
+        (group..., t, n_at_risk, n_events, n_censored,
+         cum_hazard_micro)
+
+    Same input contract as Kaplan-Meier: ONE ROW PER SUBJECT, integer
+    ``duration_col``, ``event_col`` 1 = event at that time / 0 =
+    right-censored there. The curve is exact integers: per step
+    ``term_t = round((d_t/n_t)·10⁶)`` (a single IEEE division on exact
+    integer counts, rounded BEFORE the cumulative sum — the same float
+    discipline as KM's log-survival terms). Unlike KM there is no
+    absorbing singularity: ``d_t = n_t`` just contributes the full
+    1.0 = 10⁶ micro step, so the curve is total.
+
+    Scale: identical physiology to :func:`kaplan_meier_from_counts` —
+    one (group, t) count pass, then windows over the bounded
+    distinct-duration frame per group (day-grained durations; the
+    caller owns the quantization).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ev = F.col(event_col).cast("long")
+    per_t = df.groupBy(
+        *gcols, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(ev).cast("long").alias("n_events"),
+        F.sum(F.lit(1) - ev).cast("long").alias("n_censored"),
+    )
+    return nelson_aalen_from_counts(per_t, group_cols)
+
+
+def nelson_aalen_from_counts(
+    per_t: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Nelson-Aalen curve from a per-duration count grid ``(group...,
+    t, n_events, n_censored)`` — the MERGEABLE-STATE form of
+    :func:`nelson_aalen` (delegates like
+    :func:`kaplan_meier_from_counts`, and feeds from the SAME streaming
+    grid ``streaming.streaming_duration_counts``: one maintained count
+    state serves both survival readouts, pytest-pinned stream==batch).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*group_cols).orderBy("t")  # bounded t frame
+    before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ).cast("long")
+    risked = per_t.withColumn("n_at_risk", total - before)
+    term = F.when(F.col("n_events") == 0, F.lit(0)).otherwise(
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("n_at_risk").cast("double")
+            * F.lit(1000000.0)
+        ).cast("long")
+    )
+    return risked.withColumn("_term", term).select(
+        *gcols,
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.sum("_term")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_hazard_micro"),
+    )
+
+
+def nelson_aalen_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    duration_expr: str,
+    event_expr: str,
+) -> str:
+    """DuckDB rendering of :func:`nelson_aalen` — same per-step rounded
+    micro terms, same cumulative integer sum."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gby = "GROUP BY " + ", ".join(
+        str(i + 1) for i in range(len(group_exprs) + 1)
+    )
+    return f"""
+WITH per_t AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST(sum(CAST({event_expr} AS BIGINT)) AS BIGINT) AS n_events,
+         CAST(sum(1 - CAST({event_expr} AS BIGINT)) AS BIGINT) AS n_censored
+  FROM {table_expr} {gby}
+),
+risked AS (
+  SELECT *,
+         CAST(sum(n_events + n_censored) OVER ({part})
+              - coalesce(sum(n_events + n_censored) OVER ({part}ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM per_t
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN n_events = 0 THEN 0
+              ELSE CAST(round(CAST(n_events AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE) * 1000000.0)
+                        AS BIGINT) END AS term
+  FROM risked
+)
+SELECT {gsel}t, n_at_risk, n_events, n_censored,
+       CAST(sum(term) OVER ({part}ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_micro
+FROM stepped
+"""
+
+
 # --- Markov removal-effect attribution ------------------------------------------
 
 MARKOV_START, MARKOV_CONV, MARKOV_NULL = "_START_", "_CONV_", "_NULL_"
@@ -1304,4 +1431,163 @@ SELECT channel, base_conv_ppm, removed_conv_ppm, removal_effect_ppm,
             ELSE removal_effect_ppm * 1000000 // te.t END AS BIGINT)
          AS attribution_ppm
 FROM eff, te
+"""
+
+
+# Gaussian N(0,1) quartile breakpoints — the canonical SAX alphabet-4
+# cut points (Lin/Keogh/Lonardi/Chiu, DMKD 2007, Table 3).
+_SAX_B1, _SAX_B2, _SAX_B3 = -0.6744897501960817, 0.0, 0.6744897501960817
+
+
+def sax_motif_census(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    word_len: int = 3,
+) -> DataFrame:
+    """SAX symbolic-motif census over per-key series — discretize each
+    (z-normalized) series into the 4-letter SAX alphabet, slide a
+    ``word_len`` window, and count motif words across keys (Lin et al.,
+    DMKD 2007: the shape vocabulary behind motif discovery / anomaly
+    flagging — "spike-then-recover" is a WORD you can GROUP BY)::
+
+        (word, n_occurrences, n_keys)
+
+    The input is a per-key ROLLED-UP series ``(key..., t, value)`` with
+    one row per (key, t) — day grains in practice (the ``acf_lags``
+    bounded-frame contract; the caller owns the rollup). Values fold to
+    cents; per-key mean/variance come from exact integer moments, the
+    z-score and the three N(0,1) quartile breakpoints are ONE fixed
+    IEEE sequence (``sd = sqrt(var_num)/n`` literally, both engines, so
+    the comparisons see bit-identical doubles). A constant series
+    (zero variance) reads symbol 'c' everywhere (z = 0 by convention).
+    Words at the series tail (fewer than ``word_len`` steps left) are
+    skipped on both engines.
+
+    Output is bounded: ≤ 4^word_len distinct words.
+
+    Scale: one (key) moment fold + per-key lead windows over the
+    bounded rolled-up frame + one word count — no self-join; the motif
+    census is a uniform-key groupBy.
+    """
+    a = int(word_len)
+    cents = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    rows = df.select(
+        *[F.col(c) for c in key_cols],
+        F.col(t_col).cast("long").alias("_t"),
+        cents.alias("_v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moms = rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").cast("long").alias("_sx"),
+        F.sum(dec(F.col("_v")) * dec(F.col("_v"))).alias("_sxx"),
+    )
+    r_al, m_al = rows.alias("_r"), moms.alias("_m")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_r.{k}").eqNullSafe(F.col(f"_m.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = r_al.join(m_al, cond).select(
+        *[F.col(f"_r.{k}") for k in key_cols],
+        F.col("_r._t"),
+        F.col("_r._v"),
+        F.col("_m._n"),
+        F.col("_m._sx"),
+        F.col("_m._sxx"),
+    )
+    var_num = (
+        dec(F.col("_n")) * F.col("_sxx") - dec(F.col("_sx")) * dec(F.col("_sx"))
+    )
+    n_d = F.col("_n").cast("double")
+    sd = F.sqrt(var_num.cast("double")) / n_d
+    z = (F.col("_v").cast("double") - F.col("_sx").cast("double") / n_d) / sd
+    sym = (
+        F.when(var_num == F.lit(0).cast("decimal(38,0)"), F.lit("c"))
+        .when(z < F.lit(_SAX_B1), F.lit("a"))
+        .when(z < F.lit(_SAX_B2), F.lit("b"))
+        .when(z < F.lit(_SAX_B3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_t")  # bounded rollup frame
+    symed = j.withColumn("_sym", sym)
+    word_parts = [F.col("_sym")] + [
+        F.lead("_sym", i).over(w) for i in range(1, a)
+    ]
+    complete = word_parts[0].isNotNull()
+    for p in word_parts[1:]:
+        complete = complete & p.isNotNull()
+    worded = symed.select(
+        *[F.col(k) for k in key_cols],
+        F.when(complete, F.concat(*word_parts)).alias("_word"),
+    ).where(F.col("_word").isNotNull())
+    return worded.groupBy(F.col("_word").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct(F.struct(*[F.col(k) for k in key_cols]))
+        .cast("long")
+        .alias("n_keys"),
+    )
+
+
+def sax_motif_census_sql(
+    table_expr: str,
+    key_exprs: Sequence[str],
+    t_expr: str,
+    value_expr: str,
+    word_len: int = 3,
+) -> str:
+    """DuckDB rendering of :func:`sax_motif_census` — same exact
+    moments, same literal sd/z sequence, same breakpoint CASE order."""
+    a = int(word_len)
+    k = ", ".join(key_exprs)
+    on = " AND ".join(
+        f"r.{c} IS NOT DISTINCT FROM m.{c}" for c in key_exprs
+    )
+    kr = ", ".join(f"r.{c}" for c in key_exprs)
+    leads = ", ".join(
+        f"lead(sym, {i}) OVER (PARTITION BY {k} ORDER BY t) AS s{i}"
+        for i in range(1, a)
+    )
+    not_null = " AND ".join([f"s{i} IS NOT NULL" for i in range(1, a)]) or "TRUE"
+    word = " || ".join(["sym"] + [f"s{i}" for i in range(1, a)])
+    return f"""
+WITH rows_f AS (
+  SELECT {k}, CAST({t_expr} AS BIGINT) AS t,
+         CAST(round(CAST({value_expr} AS DOUBLE) * 100.0) AS BIGINT) AS v
+  FROM {table_expr}
+),
+moms AS (
+  SELECT {k}, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         sum(CAST(v AS HUGEINT) * v) AS sxx
+  FROM rows_f GROUP BY {k}
+),
+symed AS (
+  SELECT {kr}, r.t,
+         CASE WHEN CAST(m.n AS HUGEINT) * m.sxx
+                   - CAST(m.sx AS HUGEINT) * m.sx = 0 THEN 'c'
+              WHEN (CAST(r.v AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(CAST(m.n AS HUGEINT) * m.sxx
+                                - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < {_SAX_B1} THEN 'a'
+              WHEN (CAST(r.v AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(CAST(m.n AS HUGEINT) * m.sxx
+                                - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < {_SAX_B2} THEN 'b'
+              WHEN (CAST(r.v AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(CAST(m.n AS HUGEINT) * m.sxx
+                                - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < {_SAX_B3} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM rows_f r JOIN moms m ON {on}
+),
+worded AS (
+  SELECT {k}, {word} AS word
+  FROM (SELECT {k}, sym, {leads} FROM symed)
+  WHERE {not_null}
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT row({k})) AS BIGINT) AS n_keys
+FROM worded GROUP BY word
 """

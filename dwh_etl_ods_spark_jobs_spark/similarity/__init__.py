@@ -1168,3 +1168,156 @@ SELECT counts.n_queries, counts.n_rec_rows, counts.n_items_recommended,
        ild.mean_ild_ppm, gini.exposure_gini_ppm
 FROM counts, catn, ild, gini
 """
+
+
+def _int_l2sq(vec_a: Column, vec_b: Column) -> Column:
+    """Exact INTEGER squared L2 between two int-code arrays (the
+    quantize_embeddings codes): a BIGINT fold, no floats anywhere."""
+    return F.aggregate(
+        F.zip_with(
+            vec_a,
+            vec_b,
+            lambda x, y: (x.cast("long") - y.cast("long"))
+            * (x.cast("long") - y.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_greedy_select(
+    df: DataFrame, id_col: str, code_col: str, k: int
+) -> DataFrame:
+    """Greedy k-center (max-min / farthest-point-first) selection over
+    quantized embedding codes — the coreset picker behind diverse
+    training-sample selection and active-learning batch choice (Gonzalez
+    1985 2-approximation; Sener & Savarese, ICLR'18, for the coreset
+    framing). Each round adds the point FARTHEST from everything chosen
+    so far, so k points cover the corpus with the smallest radius
+    achievable within 2x of optimal::
+
+        (sel_round, doc_id, radius2)
+
+    ``radius2`` is the pick's exact INTEGER squared L2 distance to the
+    previously selected set (monotonically non-increasing — the
+    coverage-radius curve; NULL for the round-0 seed). Codes are
+    ``quantize_embeddings`` int arrays; distances are pure BIGINT folds
+    — no floats, both engines bit-identical. Seed = minimum id
+    (deterministic; farthest-first keeps its bound from any seed); ties
+    break toward the smaller id. Points at distance 0 from a chosen
+    center (exact duplicates, including the centers themselves) are
+    never picked again — coverage there is already perfect. Contract:
+    ``k`` ≤ number of distinct points.
+
+    Scale: k rounds, each ONE constant-key broadcast of the single new
+    center + a map-side min-distance update + one argmax fold
+    (``max(struct(dist, -id))`` — no window, no sort); the running
+    frame localCheckpoints per round (the iterative-graph lineage
+    discipline). Never a pairwise join: O(k·n) distance evaluations
+    total, the textbook bound.
+    """
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    state = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(code_col).alias("_q"),
+        )
+        .withColumn("_one", one)
+        .localCheckpoint(eager=False)
+    )
+    seed = state.groupBy("_one").agg(F.min("_id").alias("_cid"))
+    picks = [
+        seed.select(
+            "_one",
+            F.lit(0).cast("long").alias("sel_round"),
+            F.col("_cid"),
+            F.lit(None).cast("long").alias("radius2"),
+        )
+    ]
+    cur = state.withColumn("_mind", F.lit(None).cast("long"))
+    for r in range(1, int(k)):
+        center = state.join(
+            F.broadcast(picks[-1].select(F.col("_one").alias("_co"), "_cid")),
+            F.col("_id") == F.col("_cid"),
+        ).select("_co", F.col("_q").alias("_cq"))
+        cur = (
+            cur.join(F.broadcast(center), F.col("_one") == F.col("_co"))
+            .select(
+                "_one",
+                "_id",
+                "_q",
+                F.least(
+                    F.coalesce(F.col("_mind"), F.lit(2**62).cast("long")),
+                    _int_l2sq(F.col("_q"), F.col("_cq")),
+                ).alias("_mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            cur.where(F.col("_mind") > 0)
+            .groupBy("_one")
+            .agg(
+                F.max(
+                    F.struct(F.col("_mind"), (-F.col("_id")).alias("_ni"))
+                ).alias("_m")
+            )
+            .select(
+                "_one",
+                F.lit(r).cast("long").alias("sel_round"),
+                (-F.col("_m._ni")).alias("_cid"),
+                F.col("_m._mind").alias("radius2"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("sel_round"),
+        F.col("_cid").cast("long").alias("doc_id"),
+        F.col("radius2").cast("long").alias("radius2"),
+    )
+
+
+def kcenter_greedy_select_sql(
+    points_cte: str, id_expr: str, code_expr: str, k: int
+) -> str:
+    """DuckDB rendering of :func:`kcenter_greedy_select` — the k rounds
+    unrolled as CTE pairs (min-distance update, then argmax pick), same
+    BIGINT fold, same smaller-id tie-break, same mind>0 exclusion."""
+
+    def d2(a: str, b: str) -> str:
+        diff = f"(CAST({a}.q[j] AS BIGINT) - CAST({b}.q[j] AS BIGINT))"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}.q) + 1), j -> {diff} * {diff})), "
+            f"(x, y) -> x + y)"
+        )
+
+    ctes = [
+        f"pts AS (SELECT CAST({id_expr} AS BIGINT) AS id, {code_expr} AS q "
+        f"FROM {points_cte})",
+        "s0 AS (SELECT min(id) AS cid FROM pts)",
+    ]
+    outs = [
+        "SELECT CAST(0 AS BIGINT) AS sel_round, cid AS doc_id, "
+        "CAST(NULL AS BIGINT) AS radius2 FROM s0"
+    ]
+    prev_m, prev_sel = None, "s0"
+    for r in range(1, int(k)):
+        base = "pts" if prev_m is None else prev_m
+        mind_src = "CAST(NULL AS BIGINT)" if prev_m is None else "b.mind"
+        ctes.append(
+            f"m{r} AS (SELECT b.id, b.q, "
+            f"least(coalesce({mind_src}, CAST(4611686018427387904 AS BIGINT)), "
+            f"{d2('b', 'c')}) AS mind "
+            f"FROM {base} b, "
+            f"(SELECT p.q FROM pts p JOIN {prev_sel} ps ON p.id = ps.cid) c)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT CAST({r} AS BIGINT) AS sel_round, id AS cid, "
+            f"mind AS radius2 FROM m{r} WHERE mind > 0 "
+            f"ORDER BY mind DESC, id ASC LIMIT 1)"
+        )
+        outs.append(f"SELECT sel_round, cid AS doc_id, radius2 FROM s{r}")
+        prev_m, prev_sel = f"m{r}", f"s{r}"
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)

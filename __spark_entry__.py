@@ -86,6 +86,12 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # rec_list_quality_eval),
 # probed (SCALING.md §r14 + addendum) and benched
 # (bench_r14_staged_local.json).
+# r15 SEED: plans/staged_r15.py holds 9 further parity-pinned entries
+# (user_hazard_cohorts, t_closeness_priority, copurchase_assortativity,
+# corpus_density_ratio, event_transition_entropy, customer_geo_pairs,
+# daily_value_sax_motifs, customer_linkage_scores,
+# embedding_kcenter_coreset), probed (SCALING.md §r15) and benched
+# (bench_r15_staged_local.json).
 _HEAD = [
     # ---- 11 newly registered staged_r11 entries (first driver gating) ----
     "auc_price_returns",

@@ -1869,6 +1869,20 @@ def density_ratio_weights(
     tgt = target.groupBy(F.col(bin_col).alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_target")
     )
+    return density_ratio_from_counts(src, tgt, w_max_ppm)
+
+
+def density_ratio_from_counts(
+    src: DataFrame, tgt: DataFrame, w_max_ppm: int = 10_000_000
+) -> DataFrame:
+    """Weights + ESS from per-bin count grids ``(bin, n_source)`` /
+    ``(bin, n_target)`` — the MERGEABLE-STATE form of
+    :func:`density_ratio_weights` (which delegates here after its two
+    groupBys). Both grids are plain integer counts on deterministic
+    keys: exactly what streaming groupBys maintain and what shards
+    merge by cell addition, so a live source stream can be reweighted
+    against a FROZEN target mix from counters alone (pytest-pinned
+    stream==batch)."""
     one = F.pmod(F.hash(F.lit(1)), F.lit(1))
     j = (
         src.join(tgt, "bin", "left")

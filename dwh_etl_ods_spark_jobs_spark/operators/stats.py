@@ -2256,7 +2256,22 @@ def transition_entropy(
     )
     st = rows.groupBy(*group_cols, "_s", "_t").agg(
         F.count(F.lit(1)).cast("long").alias("_n_st")
-    ).localCheckpoint(eager=False)  # feeds three derived grids
+    )
+    return transition_entropy_from_counts(st, group_cols)
+
+
+def transition_entropy_from_counts(
+    st: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Entropies from a ``(group..., _s, _t, _n_st)`` transition count
+    grid — the MERGEABLE-STATE form of :func:`transition_entropy`
+    (which delegates here after its groupBy). The grid is plain integer
+    counts on deterministic keys: exactly what a streaming groupBy
+    maintains (``streaming.streaming_transition_counts``) and what
+    shards merge by cell addition — a snapshot through here is
+    bit-identical to the batch readout over the same transitions
+    (pytest-pinned stream==batch)."""
+    st = st.localCheckpoint(eager=False)  # feeds three derived grids
     s = st.groupBy(*group_cols, "_s").agg(
         F.sum("_n_st").cast("long").alias("_n_s")
     )

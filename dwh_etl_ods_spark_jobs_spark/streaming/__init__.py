@@ -912,3 +912,53 @@ def streaming_session_windows(
             "n_events",
         )
     )
+
+
+def streaming_transition_counts(
+    stream: DataFrame,
+    group_cols: list[str],
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Continuously-maintained per-(group, src, dst) transition counts
+    over an event-transition stream — the conditional-entropy feeder
+    (r15 eval binding): state is bounded at O(state-pair domain [x
+    groups]) count rows regardless of flow. Run in update/complete
+    mode; a snapshot through
+    ``operators.stats.transition_entropy_from_counts`` is BIT-IDENTICAL
+    to the batch readout over the same transitions (pytest-pinned),
+    so "how predictable is the next event" becomes a live dashboard
+    number. Shards merge by cell addition. NULL src/dst rows (sequence
+    heads/tails from the upstream lag) are excluded here, matching the
+    batch operator's entry filter; the upstream sessionizer owns
+    emitting one (prev, cur) row per arrival."""
+    from pyspark.sql import functions as F
+
+    g = [F.col(c) for c in group_cols]
+    return (
+        stream.where(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .groupBy(
+            *g,
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_st"))
+    )
+
+
+def streaming_bin_counts(
+    stream: DataFrame, bin_col: str, count_alias: str
+) -> DataFrame:
+    """Continuously-maintained per-bin row counts — the density-ratio
+    feeder (r15 binding): a live SOURCE stream's bin counters snapshot
+    into ``curation.density_ratio_from_counts`` against a FROZEN target
+    count grid, giving live covariate-shift weights + ESS without
+    rereading any row. ``count_alias`` names the count column for the
+    consumer's side ("n_source" / "n_target")."""
+    from pyspark.sql import functions as F
+
+    return stream.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias(count_alias)
+    )

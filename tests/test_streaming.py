@@ -1590,3 +1590,159 @@ def test_streaming_arm_counters_feed_ucb(spark, workdir):
         for r in ucb_arm_scores(spark.read.parquet(src), "arm", "r").collect()
     )
     assert got == expect and len(got) == 3
+
+
+def test_streaming_transition_counts_feed_entropy(spark, workdir):
+    """Live next-event predictability (r15 eval binding): a streaming
+    per-(group, src, dst) count snapshot through
+    transition_entropy_from_counts equals the batch transition_entropy
+    over the same transitions — bit-identical across micro-batch
+    boundaries, NULL heads/tails excluded on both paths."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        transition_entropy,
+        transition_entropy_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_trans")
+    schema = "g string, s string, t string"
+    rows1 = [
+        ("d", "a", ["b", "c", "b"][i % 3]) for i in range(30)
+    ] + [("d", "b", "a")] * 10 + [("n", "a", None)] * 5
+    rows2 = [("n", "x", "y")] * 8 + [("n", "y", ["x", "y"][i % 2]) for i in range(12)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_transition_counts(stream, ["g"], "s", "t")
+        .writeStream.format("memory")
+        .queryName("trans_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            transition_entropy_from_counts(
+                spark.table("trans_counts"), ["g"]
+            ).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            transition_entropy(
+                spark.read.parquet(src), ["g"], "s", "t"
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) == 2
+
+
+def test_streaming_bin_counts_feed_density_ratio(spark, workdir):
+    """Live covariate-shift weights (r15 binding): a live SOURCE
+    stream's bin counters against a FROZEN target count grid through
+    density_ratio_from_counts equal the batch density_ratio_weights
+    over the same rows — weights AND ESS bit-identical."""
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        density_ratio_from_counts,
+        density_ratio_weights,
+    )
+
+    src = os.path.join(workdir, "landing_bins")
+    schema = "bin string"
+    rows1 = [(b,) for b in ["en"] * 30 + ["de"] * 10 + ["fr"] * 5]
+    rows2 = [(b,) for b in ["en"] * 10 + ["de"] * 20 + ["zz"] * 3]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+    target = spark.createDataFrame(
+        [("en", 10), ("de", 30), ("fr", 10), ("tgt_only", 7)],
+        "bin string, n_target long",
+    )
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_bin_counts(stream, "bin", "n_source")
+        .writeStream.format("memory")
+        .queryName("bin_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_bins"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            density_ratio_from_counts(
+                spark.table("bin_counts"), target
+            ).collect(),
+        )
+    )
+    # batch path: rebuild the SAME target multiset as rows
+    tgt_rows = spark.createDataFrame(
+        [(b,) for b, n in [("en", 10), ("de", 30), ("fr", 10), ("tgt_only", 7)]
+         for _ in range(n)],
+        "bin string",
+    )
+    expect = sorted(
+        map(
+            tuple,
+            density_ratio_weights(
+                spark.read.parquet(src), tgt_rows, "bin"
+            ).collect(),
+        )
+    )
+    assert got == expect
+    assert {r[0] for r in got} == {"en", "de", "fr", "zz"}  # zz src-only
+
+
+def test_streaming_duration_counts_feed_nelson_aalen(spark, workdir):
+    """The SAME maintained duration-count state that feeds Kaplan-Meier
+    also feeds the Nelson-Aalen hazard (r15 binding) — one streaming
+    grid, two survival readouts, both bit-identical to batch."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        nelson_aalen,
+        nelson_aalen_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_na")
+    schema = "dur long, ev long"
+    rows1 = [(d % 9 + 1, 1 if d % 3 else 0) for d in range(80)]
+    rows2 = [(d % 12 + 1, 1 if d % 4 else 0) for d in range(60)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_duration_counts(stream, "dur", "ev")
+        .writeStream.format("memory")
+        .queryName("na_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_na"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(tuple, nelson_aalen_from_counts(spark.table("na_counts")).collect())
+    )
+    expect = sorted(
+        map(
+            tuple,
+            nelson_aalen(spark.read.parquet(src), [], "dur", "ev").collect(),
+        )
+    )
+    assert got == expect and len(got) == 12

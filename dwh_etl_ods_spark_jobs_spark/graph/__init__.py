@@ -437,6 +437,12 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     lineage truncates per round via localCheckpoint exactly like the
     other iterative graph ops.
     """
+    # The edge frame is scanned once for the node set and once PER ROUND
+    # for the neighbor join (rounds+2 references total): localCheckpoint
+    # it once (the triangle_census discipline) so an expensive
+    # caller-side edge derivation — the battery's is a join + distinct +
+    # symmetrizing union — runs once, not rounds+2 times.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

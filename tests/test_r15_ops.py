@@ -366,3 +366,18 @@ def test_kcenter_radius_curve_non_increasing(spark):
     )
     radii = [r.radius2 for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_exhaustion_degrades_gracefully(spark):
+    """k larger than the distinct-point count: once every point sits at
+    distance 0 from a chosen center, later rounds pick nothing — the
+    output simply stops short of k rows (documented contract: k <=
+    distinct points; no crash, no duplicate picks)."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import kcenter_greedy_select
+
+    pts = [(0, [0]), (1, [0]), (2, [7])]
+    df = spark.createDataFrame(pts, "id long, q array<int>")
+    rows = kcenter_greedy_select(df, "id", "q", 10).collect()
+    ids = [r.doc_id for r in rows]
+    assert sorted(ids) == [0, 2]  # seed + the one distinct remaining
+    assert len(ids) == len(set(ids))

@@ -1990,3 +1990,85 @@ ess AS (
 SELECT bin, n_source, n_target, weight_ppm, ess_ppm
 FROM binned, ess
 """
+
+
+def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Vocabulary-richness / unseen-mass estimate of a corpus — "how
+    much vocabulary have we NOT crawled yet", the coverage question a
+    corpus-growth decision asks before buying more data. One row::
+
+        (n_tokens, vocab_size, f1, f2, chao1_est, unseen_mass_ppm)
+
+    ``f1``/``f2`` = tokens seen exactly once/twice (the
+    frequency-of-frequencies tail). ``chao1_est`` = Chao1 lower-bound
+    richness ``V + f1²/(2·f2)`` (Chao 1984) — how many types the corpus
+    plus its unseen tail holds at minimum; ``f2 = 0`` → explicit NULL
+    (the bias-corrected variant is a caller choice, documented out).
+    ``unseen_mass_ppm`` = Good-Turing missing mass ``f1/N`` (Good 1953)
+    in EXACT integer ppm (``f1·10⁶ div N``) — the probability the next
+    token drawn is a brand-new type. Chao1 rounds ONE IEEE division on
+    exact integer counts.
+
+    Scale: rides :func:`token_counts` (one explode + count shuffle);
+    the frequency-of-frequencies fold and the final row are bounded.
+    """
+    counts = token_counts(df, text_col)
+    fof = counts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("_v")
+    )
+    agg = fof.agg(
+        F.sum(F.col("c") * F.col("_v")).cast("long").alias("n_tokens"),
+        F.sum("_v").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab_size",
+        "f1",
+        "f2",
+        F.when(
+            F.col("f2") > 0,
+            F.col("vocab_size")
+            + F.round(
+                F.col("f1").cast("double")
+                * F.col("f1").cast("double")
+                / (F.lit(2.0) * F.col("f2").cast("double"))
+            ).cast("long"),
+        ).alias("chao1_est"),
+        F.expr("f1 * 1000000L div n_tokens").alias("unseen_mass_ppm"),
+    )
+
+
+def vocab_richness_sql(table_expr: str, text_expr: str) -> str:
+    """DuckDB rendering of :func:`vocab_richness` — same count grids,
+    same single rounded division, same integer ppm mass."""
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split({text_expr}, ' ')) AS token
+        FROM {table_expr})
+  GROUP BY token
+),
+fof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS v FROM counts GROUP BY c
+),
+agg AS (
+  SELECT CAST(sum(c * v) AS BIGINT) AS n_tokens,
+         CAST(sum(v) AS BIGINT) AS vocab_size,
+         CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS f2
+  FROM fof
+)
+SELECT n_tokens, vocab_size, f1, f2,
+       CASE WHEN f2 > 0 THEN
+         vocab_size + CAST(round(CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                                 / (2.0 * CAST(f2 AS DOUBLE))) AS BIGINT)
+       END AS chao1_est,
+       CAST(f1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_ppm
+FROM agg
+"""

@@ -883,3 +883,144 @@ SELECT q2.n_cal, q2.k_rank, q2.qhat, cov.n_test, cov.n_covered,
        CAST({1000000 - int(alpha_ppm)} AS BIGINT) AS target_ppm
 FROM q2, cov
 """
+
+
+def isotonic_calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against binary labels over
+    equal-WIDTH score bins — the monotone recalibration map behind
+    "turn my classifier's score into a probability" (Zadrozny & Elkan,
+    KDD'02; the binned form is what a 100-TB pipeline actually fits)::
+
+        (bin, n, n_pos, rate_ppm, iso_rate_ppm)
+
+    Instead of the sequential pool-adjacent-violators sweep, the fit
+    uses PAV's CLOSED minimax form (Robertson/Wright/Dykstra 1988,
+    Thm 1.4.4): ``iso_b = max_{j<=b} min_{k>=b} rate(j..k)`` with
+    ``rate(j..k)`` the pooled positive rate over bins j..k from exact
+    integer prefix sums — a bounded B³/6-row relational expansion
+    (B = n_bins ≤ ~30), NOT an iterative driver loop; every frame after
+    the one count pass is bounded by the bin domain. Empty bins simply
+    don't appear (isotonic over the observed ordered bins). Pooled
+    rates are single IEEE divisions on exact integers — bit-identical
+    both engines — and only the SELECTED rate rounds to ppm.
+
+    ``score_col`` is integer ppm in [0, 10⁶]; bin = ``score·B div
+    (10⁶+1)``. Scale: one (bin) count shuffle over the rows; the
+    prefix/pair/triple frames ride constant-key broadcasts of the
+    bounded bin frame (the Markov scenario-grid pattern).
+    """
+    b_lit = int(n_bins)
+    lbl = F.col(label_col).cast("long")
+    binned = df.groupBy(
+        F.expr(
+            f"CAST({score_col} AS BIGINT) * {b_lit} div 1000001"
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(lbl).cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bin")  # bounded bin frame (<= n_bins rows)
+    pre = binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_cn"),
+        F.sum("n_pos").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_cp"),
+    ).withColumn("_one", F.pmod(F.hash(F.lit(1)), F.lit(1)))
+    pre = pre.localCheckpoint(eager=False)  # three bounded branches
+    lo = pre.select(
+        F.col("_one"),
+        F.col("bin").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_cn_jm1"),
+        (F.col("_cp") - F.col("n_pos")).alias("_cp_jm1"),
+    )
+    hi = pre.select(
+        F.col("_one").alias("_o2"),
+        F.col("bin").alias("_k"),
+        F.col("_cn").alias("_cn_k"),
+        F.col("_cp").alias("_cp_k"),
+    )
+    pairs = lo.join(
+        F.broadcast(hi), (F.col("_one") == F.col("_o2")) & (F.col("_j") <= F.col("_k"))
+    ).select(
+        "_one",
+        "_j",
+        "_k",
+        (
+            (F.col("_cp_k") - F.col("_cp_jm1")).cast("double")
+            / (F.col("_cn_k") - F.col("_cn_jm1")).cast("double")
+        ).alias("_rate"),
+    )
+    mids = pre.select(F.col("_one").alias("_o3"), F.col("bin").alias("_b"))
+    triple = pairs.join(
+        F.broadcast(mids),
+        (F.col("_one") == F.col("_o3"))
+        & (F.col("_j") <= F.col("_b"))
+        & (F.col("_b") <= F.col("_k")),
+    )
+    inner_min = triple.groupBy("_b", "_j").agg(F.min("_rate").alias("_m"))
+    iso = inner_min.groupBy("_b").agg(
+        F.round(F.max("_m") * F.lit(1000000.0)).cast("long").alias("iso_rate_ppm")
+    )
+    return (
+        binned.join(iso, binned["bin"] == iso["_b"])
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000L div n").alias("rate_ppm"),
+            "iso_rate_ppm",
+        )
+    )
+
+
+def isotonic_calibration_bins_sql(
+    table_expr: str, score_expr: str, label_expr: str, n_bins: int = 10
+) -> str:
+    """DuckDB rendering of :func:`isotonic_calibration_bins` — same
+    prefix sums, same bounded minimax expansion, same single-division
+    rates and final ppm rounding."""
+    b = int(n_bins)
+    return f"""
+WITH binned AS (
+  SELECT CAST({score_expr} AS BIGINT) * {b} // 1000001 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS n_pos
+  FROM {table_expr} GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cn,
+         CAST(sum(n_pos) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cp
+  FROM binned
+),
+pairs AS (
+  SELECT l.bin AS j, h.bin AS k,
+         CAST(h.cp - (l.cp - l.n_pos) AS DOUBLE)
+         / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS rate
+  FROM pre l JOIN pre h ON l.bin <= h.bin
+),
+triple AS (
+  SELECT m.bin AS b, p.j, min(p.rate) AS mrate
+  FROM pairs p JOIN pre m ON p.j <= m.bin AND m.bin <= p.k
+  GROUP BY m.bin, p.j
+),
+iso AS (
+  SELECT b, CAST(round(max(mrate) * 1000000.0) AS BIGINT) AS iso_rate_ppm
+  FROM triple GROUP BY b
+)
+SELECT bi.bin, bi.n, bi.n_pos,
+       CAST(bi.n_pos * 1000000 // bi.n AS BIGINT) AS rate_ppm,
+       iso.iso_rate_ppm
+FROM binned bi JOIN iso ON bi.bin = iso.b
+"""

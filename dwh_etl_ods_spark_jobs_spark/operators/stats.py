@@ -2379,3 +2379,230 @@ SELECT * FROM (
   FROM cond_h JOIN marg_h ON {on("cond_h", "marg_h")}
 ) _te_out
 """
+
+
+def stratified_ate(
+    df: DataFrame, bin_col: str, treat_col: str, y_col: str
+) -> DataFrame:
+    """Stratified average-treatment-effect readout over observational
+    data — subclassification on a binned confounder (Cochran 1968;
+    the bin-propensity special case of IPW): within each stratum the
+    treated/control means difference, overall the stratum-size-weighted
+    average over COMMON-SUPPORT strata only::
+
+        (bin, n_treated, n_control, diff_micro, supported,
+         n_supported_units, ate_micro)
+
+    ``y`` folds to cents; per-bin means are single IEEE divisions on
+    exact integer sums, ``diff_micro`` (micro-currency) rounds per bin
+    BEFORE the overall fold, and ``ate_micro = Σ(diff_micro·n_bin) div
+    N_supported`` is pure integer arithmetic after that (the Theil-Sen
+    `div` convention — both engines truncate toward zero). A stratum
+    missing either arm (``supported = 0``) is EXCLUDED from the ATE and
+    reported — off-support strata are the analyst's overlap warning,
+    not silently imputable. All-unsupported data → NULL ate. The
+    ``ate_micro``/``n_supported_units`` columns repeat on every row
+    (the density_ratio_weights convention: per-bin diagnostics + the
+    one-number readout in a single frame).
+
+    Scale: ONE (bin) grouped pass over the rows + a bounded-bin fold +
+    constant-key broadcast back. No window, no join wider than the bin
+    frame.
+    """
+    t = F.col(treat_col).cast("long")
+    y = F.round(F.col(y_col).cast("double") * F.lit(100.0)).cast("long")
+    per = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(t).cast("long").alias("n_treated"),
+        F.sum(F.lit(1) - t).cast("long").alias("n_control"),
+        F.sum(t * y).cast("long").alias("_s1"),
+        F.sum((F.lit(1) - t) * y).cast("long").alias("_s0"),
+    )
+    supported = (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    diff = F.when(
+        supported,
+        F.round(
+            (
+                F.col("_s1").cast("double") / F.col("n_treated").cast("double")
+                - F.col("_s0").cast("double") / F.col("n_control").cast("double")
+            )
+            * F.lit(10000.0)  # cents -> micro-currency
+        ).cast("long"),
+    )
+    binned = per.select(
+        "bin",
+        "n_treated",
+        "n_control",
+        diff.alias("diff_micro"),
+        supported.cast("int").alias("supported"),
+    )
+    glob = binned.agg(
+        F.sum(
+            F.when(
+                F.col("supported") == 1,
+                (F.col("n_treated") + F.col("n_control")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_supported_units"),
+        F.sum(
+            F.when(
+                F.col("supported") == 1,
+                F.col("diff_micro")
+                * (F.col("n_treated") + F.col("n_control")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_num"),
+    ).select(
+        F.lit(0).alias("_k"),
+        "n_supported_units",
+        F.when(
+            F.col("n_supported_units") > 0,
+            F.expr("_num div n_supported_units"),
+        ).alias("ate_micro"),
+    )
+    return (
+        binned.withColumn("_k", F.lit(0))
+        .join(F.broadcast(glob), "_k")
+        .select(
+            "bin",
+            "n_treated",
+            "n_control",
+            "diff_micro",
+            "supported",
+            "n_supported_units",
+            "ate_micro",
+        )
+    )
+
+
+def stratified_ate_sql(
+    table_expr: str, bin_expr: str, treat_expr: str, y_expr: str
+) -> str:
+    """DuckDB rendering of :func:`stratified_ate` — same per-bin
+    rounded diffs, same integer weighted fold and `//` readout."""
+    return f"""
+WITH per AS (
+  SELECT {bin_expr} AS bin,
+         CAST(sum(CAST({treat_expr} AS BIGINT)) AS BIGINT) AS n_treated,
+         CAST(sum(1 - CAST({treat_expr} AS BIGINT)) AS BIGINT) AS n_control,
+         CAST(sum(CAST({treat_expr} AS BIGINT)
+                  * CAST(round(CAST({y_expr} AS DOUBLE) * 100.0) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(sum((1 - CAST({treat_expr} AS BIGINT))
+                  * CAST(round(CAST({y_expr} AS DOUBLE) * 100.0) AS BIGINT))
+              AS BIGINT) AS s0
+  FROM {table_expr} GROUP BY 1
+),
+binned AS (
+  SELECT bin, n_treated, n_control,
+         CASE WHEN n_treated > 0 AND n_control > 0 THEN
+           CAST(round((CAST(s1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n_control AS DOUBLE))
+                      * 10000.0) AS BIGINT) END AS diff_micro,
+         CAST(n_treated > 0 AND n_control > 0 AS INT) AS supported
+  FROM per
+),
+gtot AS (
+  SELECT CAST(sum(CASE WHEN supported = 1 THEN n_treated + n_control
+                       ELSE 0 END) AS BIGINT) AS n_supported_units,
+         CAST(sum(CASE WHEN supported = 1 THEN
+                    diff_micro * (n_treated + n_control) ELSE 0 END)
+              AS BIGINT) AS num
+  FROM binned
+)
+SELECT bin, n_treated, n_control, diff_micro, supported,
+       n_supported_units,
+       CASE WHEN n_supported_units > 0 THEN
+         CAST(num // n_supported_units AS BIGINT) END AS ate_micro
+FROM binned, gtot
+"""
+
+
+def dispersion_index(
+    df: DataFrame, group_cols: list[str], count_col: str
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio / Fano factor) of a
+    per-period count series, per group — the burstiness one-number: a
+    Poisson-stable process reads ~1, campaign/bot/batch-driven traffic
+    reads >>1, a quota-capped feed reads <1. The triage stat every
+    volume-anomaly dashboard starts from::
+
+        (group..., n_periods, total_count, fano_ppm, overdispersed)
+
+    Population variance over the PROVIDED periods from exact integer
+    moments (``var_num = n·Σc² − (Σc)²``, decimal(38,0));
+    ``fano = var/mean = var_num / (n·Σc)`` as ONE IEEE division rounded
+    to ppm; ``overdispersed = fano_ppm > 10⁶``. All-zero series (mean
+    0) → explicit NULL. The caller owns spine completion — zero-count
+    periods only enter the variance if their rows exist (compose with
+    the month/day spine operator upstream).
+
+    Scale: one map-side-combinable moment fold per group. No window.
+    """
+    c = F.col(count_col).cast("long")
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    agg = df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.sum(c).cast("long").alias("total_count"),
+        F.sum(dec(c) * dec(c)).alias("_sxx"),
+    )
+    var_num = (
+        dec(F.col("n_periods")) * F.col("_sxx")
+        - dec(F.col("total_count")) * dec(F.col("total_count"))
+    )
+    fano = F.when(
+        F.col("total_count") > 0,
+        F.round(
+            var_num.cast("double")
+            / (
+                F.col("n_periods").cast("double")
+                * F.col("total_count").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return agg.select(
+        *[F.col(g) for g in group_cols],
+        "n_periods",
+        "total_count",
+        fano.alias("fano_ppm"),
+        F.when(fano.isNotNull(), (fano > 1_000_000).cast("int")).alias(
+            "overdispersed"
+        ),
+    )
+
+
+def dispersion_index_sql(
+    table_expr: str, group_exprs: list[str], count_expr: str
+) -> str:
+    """DuckDB rendering of :func:`dispersion_index` — HUGEINT moments,
+    same single rounded division."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH agg AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_periods,
+         CAST(sum(CAST({count_expr} AS BIGINT)) AS BIGINT) AS total_count,
+         sum(CAST(CAST({count_expr} AS BIGINT) AS HUGEINT)
+             * CAST({count_expr} AS BIGINT)) AS sxx
+  FROM {table_expr} {gby}
+)
+SELECT {gsel}n_periods, total_count,
+       CASE WHEN total_count > 0 THEN
+         CAST(round(CAST(CAST(n_periods AS HUGEINT) * sxx
+                         - CAST(total_count AS HUGEINT) * total_count
+                         AS DOUBLE)
+                    / (CAST(n_periods AS DOUBLE) * CAST(total_count AS DOUBLE))
+                    * 1000000.0) AS BIGINT) END AS fano_ppm,
+       CASE WHEN total_count > 0 THEN
+         CAST(CAST(round(CAST(CAST(n_periods AS HUGEINT) * sxx
+                              - CAST(total_count AS HUGEINT) * total_count
+                              AS DOUBLE)
+                         / (CAST(n_periods AS DOUBLE)
+                            * CAST(total_count AS DOUBLE))
+                         * 1000000.0) AS BIGINT) > 1000000 AS INT) END
+         AS overdispersed
+FROM agg
+"""

@@ -1321,3 +1321,199 @@ def kcenter_greedy_select_sql(
         outs.append(f"SELECT sel_round, cid AS doc_id, radius2 FROM s{r}")
         prev_m, prev_sel = f"m{r}", f"s{r}"
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rel_col: str,
+    code_col: str,
+    k: int,
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank of per-query candidate lists
+    (Carbonell & Goldstein, SIGIR'98) — the standard diversity pass
+    between retrieval and a RAG context window: greedily pick the
+    candidate with the best blend of relevance and DISTANCE from what's
+    already picked::
+
+        (query, sel_round, doc, mmr_score)
+
+    With quantized codes and similarity = −L2², the MMR objective
+    ``λ·rel − (1−λ)·max_sim(d, selected)`` becomes the pure-BIGINT
+    ``score = λ_ppm·rel_micro + (10⁶−λ_ppm)·min_dist²(d, selected)`` —
+    no floats anywhere, ties to the smaller doc id. Round 0 picks the
+    most relevant candidate per query (its score carries the relevance
+    term only, the MMR convention). A doc is picked at most once
+    (explicit selected-flag, so exact-duplicate candidates are still
+    eligible — unlike k-center, MMR may legitimately pick a duplicate
+    if relevance dominates).
+
+    Contract: candidate lists are CALLER-BOUNDED (≤ m per query — the
+    retrieval top-m), as in every rerank op here; ``k`` ≤ m.
+
+    Scale: ALL queries advance in parallel — each of the k rounds is
+    one equi-join of the candidate frame with the per-query pick frame
+    (uniform query keys, one row per query) + one argmax fold. No
+    window, no per-query loop, no cross join; O(k·Σm) distance
+    evaluations.
+    """
+    lam = int(lambda_ppm)
+    inv = 1_000_000 - lam
+    state = cands.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).cast("long").alias("_d"),
+        F.col(rel_col).cast("long").alias("_rel"),
+        F.col(code_col).alias("_v"),
+        F.lit(None).cast("long").alias("_mind"),
+        F.lit(0).alias("_sel"),
+    ).localCheckpoint(eager=False)
+    picks = []
+    pick0 = (
+        state.groupBy("_q")
+        .agg(F.max(F.struct(F.col("_rel"), (-F.col("_d")).alias("_nd"))).alias("_m"))
+        .select(
+            "_q",
+            F.lit(0).cast("long").alias("sel_round"),
+            (-F.col("_m._nd")).alias("_pick"),
+            (F.col("_m._rel") * F.lit(lam)).cast("long").alias("mmr_score"),
+        )
+    )
+    picks.append(pick0)
+    cur = state
+    for r in range(1, int(k)):
+        prev0 = picks[-1].select(
+            F.col("_q").alias("_pq0"), F.col("_pick").alias("_p0")
+        )
+        center = cur.join(
+            prev0,
+            (F.col("_q") == F.col("_pq0")) & (F.col("_d") == F.col("_p0")),
+        ).select(F.col("_q").alias("_cq"), F.col("_v").alias("_cv"))
+        prev_mark = picks[-1].select(
+            F.col("_q").alias("_pq"), F.col("_pick").alias("_p")
+        )
+        cur = (
+            cur.join(center, F.col("_q") == F.col("_cq"))
+            .join(
+                prev_mark,
+                (F.col("_q") == F.col("_pq")) & (F.col("_d") == F.col("_p")),
+                "left",
+            )
+            .select(
+                "_q",
+                "_d",
+                "_rel",
+                "_v",
+                F.least(
+                    F.coalesce(F.col("_mind"), F.lit(2**62).cast("long")),
+                    _int_l2sq(F.col("_v"), F.col("_cv")),
+                ).alias("_mind"),
+                F.greatest(
+                    F.col("_sel"), F.col("_p").isNotNull().cast("int")
+                ).alias("_sel"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        score = (
+            F.col("_rel") * F.lit(lam) + F.col("_mind") * F.lit(inv)
+        ).cast("long")
+        picks.append(
+            cur.where(F.col("_sel") == 0)
+            .groupBy("_q")
+            .agg(
+                F.max(
+                    F.struct(score.alias("_s"), (-F.col("_d")).alias("_nd"))
+                ).alias("_m")
+            )
+            .select(
+                "_q",
+                F.lit(r).cast("long").alias("sel_round"),
+                (-F.col("_m._nd")).alias("_pick"),
+                F.col("_m._s").alias("mmr_score"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("_q").alias("query"),
+        "sel_round",
+        F.col("_pick").alias("doc"),
+        "mmr_score",
+    )
+
+
+def mmr_rerank_sql(
+    cands_cte: str,
+    query_expr: str,
+    doc_expr: str,
+    rel_expr: str,
+    code_expr: str,
+    k: int,
+    lambda_ppm: int = 700_000,
+) -> str:
+    """DuckDB rendering of :func:`mmr_rerank` — k unrolled CTE rounds,
+    same BIGINT blend, same smaller-doc tie-break, per-query argmax via
+    a window rank."""
+    lam = int(lambda_ppm)
+    inv = 1_000_000 - lam
+
+    def d2(a: str, b: str) -> str:
+        diff = f"(CAST({a}.v[j] AS BIGINT) - CAST({b}.cv[j] AS BIGINT))"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}.v) + 1), j -> {diff} * {diff})), "
+            f"(x, y) -> x + y)"
+        )
+
+    ctes = [
+        f"cand AS (SELECT {query_expr} AS q, CAST({doc_expr} AS BIGINT) AS d, "
+        f"CAST({rel_expr} AS BIGINT) AS rel, {code_expr} AS v FROM {cands_cte})",
+        f"""p0 AS (
+  SELECT q, CAST(0 AS BIGINT) AS sel_round, d AS pick,
+         CAST(rel * {lam} AS BIGINT) AS mmr_score
+  FROM (SELECT q, d, rel,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY rel DESC, d ASC) AS rn
+        FROM cand) WHERE rn = 1
+)""",
+    ]
+    outs = ["SELECT q, sel_round, pick, mmr_score FROM p0"]
+    prev_m, sel_union = None, "SELECT q, pick FROM p0"
+    for r in range(1, int(k)):
+        base = "cand" if prev_m is None else f"m{r - 1}"
+        mind_src = "CAST(NULL AS BIGINT)" if prev_m is None else "b.mind"
+        ctes.append(
+            f"""m{r} AS (
+  SELECT b.q, b.d, b.rel, b.v,
+         least(coalesce({mind_src}, CAST(4611686018427387904 AS BIGINT)),
+               {d2("b", "c")}) AS mind
+  FROM {base} b JOIN (
+    SELECT ca.q AS cq, ca.v AS cv
+    FROM cand ca JOIN p{r - 1} pk ON ca.q = pk.q AND ca.d = pk.pick
+  ) c ON b.q = c.cq
+)"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+  SELECT q, CAST({r} AS BIGINT) AS sel_round, d AS pick,
+         CAST(rel * {lam} + mind * {inv} AS BIGINT) AS mmr_score
+  FROM (SELECT m.q, m.d, m.rel, m.mind,
+               row_number() OVER (PARTITION BY m.q
+                  ORDER BY m.rel * {lam} + m.mind * {inv} DESC, m.d ASC) AS rn
+        FROM m{r} m
+        WHERE NOT EXISTS (SELECT 1 FROM ({sel_union}) s
+                          WHERE s.q = m.q AND s.pick = m.d))
+  WHERE rn = 1
+)"""
+        )
+        outs.append(f"SELECT q, sel_round, pick, mmr_score FROM p{r}")
+        sel_union = sel_union + f" UNION ALL SELECT q, pick FROM p{r}"
+        prev_m = f"m{r}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT q AS query, sel_round, "
+        "pick AS doc, mmr_score FROM (\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\n) _mmr_all"
+    )

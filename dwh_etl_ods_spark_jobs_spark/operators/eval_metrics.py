@@ -921,6 +921,18 @@ def isotonic_calibration_bins(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(lbl).cast("long").alias("n_pos"),
     )
+    return isotonic_from_counts(binned)
+
+
+def isotonic_from_counts(binned: DataFrame) -> DataFrame:
+    """Isotonic fit from a ``(bin, n, n_pos)`` count grid — the
+    MERGEABLE-STATE form of :func:`isotonic_calibration_bins` (which
+    delegates here after its groupBy). The grid is exactly what a
+    streaming per-bucket label counter maintains
+    (``streaming.streaming_bucket_label_counts``: ``n = n_good +
+    n_bad``, ``n_pos = n_bad``) and what shards merge by cell addition
+    — so ONE maintained count state serves both the WOE/IV screen and
+    a live recalibration map (pytest-pinned stream==batch)."""
     w = Window.orderBy("bin")  # bounded bin frame (<= n_bins rows)
     pre = binned.select(
         "bin",

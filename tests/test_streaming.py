@@ -1746,3 +1746,57 @@ def test_streaming_duration_counts_feed_nelson_aalen(spark, workdir):
         )
     )
     assert got == expect and len(got) == 12
+
+
+def test_streaming_bucket_counts_feed_isotonic(spark, workdir):
+    """One maintained per-bucket label-count state, TWO readouts: the
+    same streaming grid that feeds the WOE/IV screen recalibrates a
+    score via the isotonic fit (r16 binding) — snapshot through
+    isotonic_from_counts equals the batch isotonic_calibration_bins
+    over the same rows, bit-identical."""
+    from pyspark.sql import functions as F
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        isotonic_calibration_bins,
+        isotonic_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_iso")
+    schema = "score long, lbl long"
+    rows1 = [((i * 2003) % 1000001, 1 if (i % 7) < 3 else 0) for i in range(150)]
+    rows2 = [((i * 104729) % 1000001, i % 2) for i in range(120)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    # the bucket key IS the isotonic bin: score*B div 1e6+1
+    bucketed = stream.withColumn(
+        "bucket", F.expr("CAST(score AS BIGINT) * 10 div 1000001")
+    )
+    q = (
+        ST.streaming_bucket_label_counts(bucketed, "bucket", "lbl")
+        .writeStream.format("memory")
+        .queryName("iso_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_iso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    grid = spark.table("iso_counts").select(
+        F.col("bucket").alias("bin"),
+        (F.col("n_good") + F.col("n_bad")).cast("long").alias("n"),
+        F.col("n_bad").cast("long").alias("n_pos"),
+    )
+    got = sorted(map(tuple, isotonic_from_counts(grid).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            isotonic_calibration_bins(
+                spark.read.parquet(src), "score", "lbl", 10
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) == 10

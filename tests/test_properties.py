@@ -594,3 +594,90 @@ def test_merkle_diff_totals_equal_set_algebra(spark, old, new, n_buckets):
     assert sum(r.n_added for r in out) == exp_added
     assert sum(r.n_removed for r in out) == exp_removed
     assert sum(r.n_changed for r in out) == exp_changed
+
+
+# --- r15/r16: spatial grid join and greedy selections --------------------------
+
+_pt = st.tuples(
+    st.integers(min_value=-30, max_value=30),
+    st.integers(min_value=-30, max_value=30),
+)
+_pts = st.lists(_pt, min_size=0, max_size=30)
+_radius = st.integers(min_value=1, max_value=12)
+
+
+@given(pts=_pts, radius=_radius)
+@SET
+def test_grid_radius_pairs_equals_bruteforce_for_any_points(spark, pts, radius):
+    """The grid join must find EXACTLY the brute-force pair set — for
+    any point cloud (duplicates, negatives, collinear) and any radius:
+    no pair missed across cell borders, none double-discovered."""
+    from dwh_etl_ods_spark_jobs_spark.operators.spatial import (
+        grid_radius_pairs,
+    )
+
+    data = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = (
+        spark.createDataFrame(data, "id long, x long, y long")
+        if data
+        else spark.range(0).selectExpr(
+            "id", "CAST(NULL AS LONG) x", "CAST(NULL AS LONG) y"
+        )
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_radius_pairs(df, "id", "x", "y", radius).collect()
+    }
+    expect = set()
+    for ia, (xa, ya) in enumerate(data and [(x, y) for _, x, y in data] or []):
+        for ib in range(ia + 1, len(data)):
+            xb, yb = data[ib][1], data[ib][2]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= radius * radius:
+                expect.add((ia, ib, d2))
+    assert got == expect
+
+
+_codes = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=2, max_size=2),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(codes=_codes, k=st.integers(min_value=1, max_value=5))
+@SET
+def test_kcenter_equals_greedy_reference_for_any_codes(spark, codes, k):
+    """The distributed farthest-point rounds must reproduce the exact
+    sequential greedy (same seed, same smaller-id tie-break, duplicates
+    never re-picked) for any code set."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import kcenter_greedy_select
+
+    data = [(i, c) for i, c in enumerate(codes)]
+    df = spark.createDataFrame(data, "id long, q array<int>")
+    got = [
+        (r.sel_round, r.doc_id, r.radius2)
+        for r in sorted(
+            kcenter_greedy_select(df, "id", "q", k).collect(),
+            key=lambda r: r.sel_round,
+        )
+    ]
+    # sequential reference
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sel = [0]
+    expect = [(0, 0, None)]
+    mind = {i: None for i, _ in data}
+    for rnd in range(1, k):
+        c = codes[sel[-1]]
+        for i, ci in data:
+            d = d2(ci, c)
+            mind[i] = d if mind[i] is None else min(mind[i], d)
+        cand = [(m, -i) for i, m in mind.items() if m and m > 0]
+        if not cand:
+            break
+        m, ni = max(cand)
+        sel.append(-ni)
+        expect.append((rnd, -ni, m))
+    assert got == expect

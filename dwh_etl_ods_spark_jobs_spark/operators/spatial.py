@@ -18,8 +18,8 @@ Scale: the explode is a bounded x9 map-side fan-out on one side only;
 the join keys are uniform grid cells when points are spread. The
 adversarial shape is a DENSE CELL (all points in one bucket -> that
 cell's pairs are quadratic, which is irreducible: the OUTPUT is
-quadratic there). The ``max_pairs_per_cell_hint`` contract mirrors the
-hot-shingle cap: size ``radius`` so cells hold O(100) points at the
+quadratic there). The cell-sizing contract mirrors the
+hot-shingle cap discipline: size ``radius`` so cells hold O(100) points at the
 target density, and pre-aggregate coincident points upstream.
 """
 

@@ -1361,7 +1361,10 @@ def mmr_rerank(
     """
     lam = int(lambda_ppm)
     inv = 1_000_000 - lam
-    state = cands.select(
+    # NULL-relevance candidates are excluded up front on BOTH engines:
+    # a NULL inside the argmax struct would hit engine-specific null
+    # ordering — the caller scores every candidate or it isn't one
+    state = cands.where(F.col(rel_col).isNotNull()).select(
         F.col(query_col).alias("_q"),
         F.col(doc_col).cast("long").alias("_d"),
         F.col(rel_col).cast("long").alias("_rel"),
@@ -1469,7 +1472,8 @@ def mmr_rerank_sql(
 
     ctes = [
         f"cand AS (SELECT {query_expr} AS q, CAST({doc_expr} AS BIGINT) AS d, "
-        f"CAST({rel_expr} AS BIGINT) AS rel, {code_expr} AS v FROM {cands_cte})",
+        f"CAST({rel_expr} AS BIGINT) AS rel, {code_expr} AS v FROM {cands_cte} "
+        f"WHERE {rel_expr} IS NOT NULL)",
         f"""p0 AS (
   SELECT q, CAST(0 AS BIGINT) AS sel_round, d AS pick,
          CAST(rel * {lam} AS BIGINT) AS mmr_score

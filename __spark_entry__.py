@@ -92,9 +92,10 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # daily_value_sax_motifs, customer_linkage_scores,
 # embedding_kcenter_coreset), probed (SCALING.md §r15) and benched
 # (bench_r15_staged_local.json).
-# r16 SEED: plans/staged_r16.py holds 5 further parity-pinned entries
+# r16 SEED: plans/staged_r16.py holds 7 further parity-pinned entries
 # (corpus_vocab_richness, priority_order_ate, event_burstiness,
-# length_isotonic_calibration, cluster_mmr_rerank), probed
+# length_isotonic_calibration, cluster_mmr_rerank,
+# copurchase_modularity, embedding_label_silhouette), probed
 # (SCALING.md §r16) and benched (bench_r16_staged_local.json).
 _HEAD = [
     # ---- 11 newly registered staged_r11 entries (first driver gating) ----

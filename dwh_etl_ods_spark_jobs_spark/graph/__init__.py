@@ -1030,3 +1030,146 @@ SELECT m AS n_edges, n_nodes,
                        * 1000000.0) AS BIGINT) END AS r_ppm
 FROM moms, nn
 """
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman-Girvan modularity of a community assignment over an
+    UNDIRECTED simple graph ``(u, v)``, ``u < v`` — the quality score
+    that tells you whether a label_propagation / CC partition actually
+    found structure (Q ≈ 0: no better than random; ≥ ~0.3: real
+    communities)::
+
+        (label, n_nodes, intra_edges, degree_sum, modularity_ppm)
+
+    ``labels`` is ``(node, label)`` (label_propagation's output shape).
+    ``Q = Σ_c (L_c/m − (D_c/2m)²)`` folds EXACTLY as
+    ``(4m·ΣL_c − ΣD_c²) / (4m²)`` on decimal(38,0) integers with ONE
+    final IEEE division rounded to ppm — the same value on every row
+    (the density_ratio convention: per-community diagnostics + the
+    one-number readout in a single frame). Unlabeled endpoints
+    contribute degree to no community and intra-edges only if BOTH
+    endpoints share a label (standard partial-cover semantics — the
+    caller labels every node for classic Q). Empty edge set → NULL.
+
+    Scale: one degree count + two label joins on uniform node keys
+    (the triangle_census physiology) + bounded per-community folds +
+    one constant-key broadcast of the two scalars. No window.
+    """
+    edges = edges.localCheckpoint(eager=False)  # degree + both end joins
+    labels = labels.select(
+        F.col("node").alias("_n"), F.col("label").alias("label")
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("_n"))
+        .unionAll(edges.select(F.col("v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    comm = (
+        deg.join(labels, "_n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("_d").cast("long").alias("degree_sum"),
+        )
+    )
+    eu = edges.join(
+        labels.select(F.col("_n").alias("u"), F.col("label").alias("_lu")), "u"
+    )
+    ev = eu.join(
+        labels.select(F.col("_n").alias("v"), F.col("label").alias("_lv")), "v"
+    )
+    intra = (
+        ev.where(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    per = comm.join(intra, "label", "left").withColumn(
+        "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    m_tot = edges.agg(F.count(F.lit(1)).cast("long").alias("_m")).withColumn(
+        "_one", one
+    )
+    sums = per.agg(
+        F.sum("intra_edges").cast("long").alias("_sl"),
+        F.sum(dec(F.col("degree_sum")) * dec(F.col("degree_sum"))).alias("_sd2"),
+    ).withColumn("_one", one)
+    q = (
+        m_tot.join(F.broadcast(sums), "_one")
+        .select(
+            "_one",
+            F.when(
+                F.col("_m") > 0,
+                F.round(
+                    (
+                        F.lit(4).cast("decimal(38,0)")
+                        * dec(F.col("_m"))
+                        * dec(F.col("_sl"))
+                        - F.col("_sd2")
+                    ).cast("double")
+                    / (
+                        F.lit(4.0)
+                        * F.col("_m").cast("double")
+                        * F.col("_m").cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("modularity_ppm"),
+        )
+    )
+    return (
+        per.withColumn("_one", one)
+        .join(F.broadcast(q), "_one")
+        .select(
+            "label", "n_nodes", "intra_edges", "degree_sum", "modularity_ppm"
+        )
+    )
+
+
+def community_modularity_sql(edges_cte: str, labels_cte: str) -> str:
+    """DuckDB rendering of :func:`community_modularity` — HUGEINT
+    folds, the same single rounded division."""
+    return f"""
+WITH edges AS ({edges_cte}),
+lab AS ({labels_cte}),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY n
+),
+comm AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.d) AS BIGINT) AS degree_sum
+  FROM deg JOIN lab l ON deg.n = l.node GROUP BY l.label
+),
+intra AS (
+  SELECT lu.label, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM edges e
+  JOIN lab lu ON e.u = lu.node
+  JOIN lab lv ON e.v = lv.node
+  WHERE lu.label = lv.label
+  GROUP BY lu.label
+),
+per AS (
+  SELECT c.label, c.n_nodes, coalesce(i.intra_edges, 0) AS intra_edges,
+         c.degree_sum
+  FROM comm c LEFT JOIN intra i ON c.label = i.label
+),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+sums AS (
+  SELECT CAST(sum(intra_edges) AS BIGINT) AS sl,
+         sum(CAST(degree_sum AS HUGEINT) * degree_sum) AS sd2
+  FROM per
+),
+q AS (
+  SELECT CASE WHEN m > 0 THEN
+    CAST(round(CAST(4 * CAST(m AS HUGEINT) * sl - sd2 AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+               * 1000000.0) AS BIGINT) END AS modularity_ppm
+  FROM mt, sums
+)
+SELECT label, n_nodes, intra_edges, degree_sum, modularity_ppm
+FROM per, q
+"""

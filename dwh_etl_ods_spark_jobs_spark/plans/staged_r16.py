@@ -268,3 +268,111 @@ def _sql_mmr() -> str:
 
 STAGED_QUERIES["cluster_mmr_rerank"] = q_mmr
 STAGED_ORACLES["cluster_mmr_rerank"] = _sql_mmr()
+
+
+# --- Modularity of the co-purchase LPA communities ------------------------------
+
+MOD_LPA_ROUNDS = 2
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did label propagation actually find structure in the co-purchase
+    graph? Newman-Girvan modularity of the 2-round LPA partition —
+    per-community diagnostics + the one-number Q
+    (graph.community_modularity; exact decimal folds, ONE rounded
+    division)."""
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import _copurchase_edges
+
+    cop = _copurchase_edges(spark, sf_dir)
+    sym = cop.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        cop.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = G.label_propagation(sym, rounds=MOD_LPA_ROUNDS)
+    return G.community_modularity(cop, labels).orderBy("label")
+
+
+def _sql_modularity() -> str:
+    from dwh_etl_ods_spark_jobs_spark import graph as G
+    from dwh_etl_ods_spark_jobs_spark.plans.graph import (
+        _COPURCHASE_EDGES_SQL,
+    )
+
+    sym = (
+        f"SELECT u AS src, v AS dst FROM ({_COPURCHASE_EDGES_SQL}) _e1 "
+        f"UNION ALL SELECT v AS src, u AS dst FROM ({_COPURCHASE_EDGES_SQL}) _e2"
+    )
+    labels = G.label_propagation_sql(sym, rounds=MOD_LPA_ROUNDS)
+    return (
+        G.community_modularity_sql(_COPURCHASE_EDGES_SQL, labels)
+        + " ORDER BY label"
+    )
+
+
+STAGED_QUERIES["copurchase_modularity"] = q_modularity
+STAGED_ORACLES["copurchase_modularity"] = _sql_modularity()
+
+
+# --- Simplified silhouette of the embedding labels vs per-label anchors ---------
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How separated are the embedding clusters? Simplified silhouette
+    of every vector against the per-label anchor points (each label's
+    min-id member as its center — the medoid-anchor form; the centroid
+    form plugs kmeans_step output into the same operator)
+    (similarity.simplified_silhouette; one bounded-centroid broadcast,
+    exact BIGINT distances, fixed sqrt sequence)."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import (
+        quantize_embeddings,
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = quantize_embeddings(emb, "vec_id", "embedding").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    anchor = q.groupBy("label").agg(F.min("vec_id").alias("_aid"))
+    cen = (
+        anchor.join(
+            q.select(F.col("vec_id").alias("_aid"), F.col("q").alias("_q0")),
+            "_aid",
+        )
+        .select(F.col("label").cast("long").alias("cid"), F.col("_q0").alias("q"))
+    )
+    return simplified_silhouette(q, cen, "vec_id", "q").orderBy("cid")
+
+
+def _sql_silhouette() -> str:
+    from dwh_etl_ods_spark_jobs_spark.similarity import (
+        quantize_embeddings_sql,
+        simplified_silhouette_sql,
+    )
+
+    qz = quantize_embeddings_sql(
+        "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) e0",
+        "vec_id",
+        "embedding",
+    )
+    pts = f"""
+(WITH qz AS ({qz})
+ SELECT qz.vec_id, qz.q AS v, e.label
+ FROM qz JOIN embeddings e ON qz.vec_id = e.vec_id) p0
+"""
+    cen = f"""
+(WITH qz AS ({qz}),
+ ql AS (SELECT qz.vec_id, qz.q, e.label
+        FROM qz JOIN embeddings e ON qz.vec_id = e.vec_id),
+ anchor AS (SELECT label, min(vec_id) AS aid FROM ql GROUP BY label)
+ SELECT CAST(a.label AS BIGINT) AS cid, ql.q
+ FROM anchor a JOIN ql ON ql.vec_id = a.aid) c0
+"""
+    return (
+        simplified_silhouette_sql(pts, cen, "vec_id", "v") + " ORDER BY cid"
+    )
+
+
+STAGED_QUERIES["embedding_label_silhouette"] = q_silhouette
+STAGED_ORACLES["embedding_label_silhouette"] = _sql_silhouette()

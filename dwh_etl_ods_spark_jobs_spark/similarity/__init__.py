@@ -1521,3 +1521,140 @@ def mmr_rerank_sql(
         + "\nUNION ALL\n".join(outs)
         + "\n) _mmr_all"
     )
+
+
+def simplified_silhouette(
+    points: DataFrame, centroids: DataFrame, id_col: str, code_col: str
+) -> DataFrame:
+    """Simplified silhouette of a centroid clustering over quantized
+    codes — the cluster-quality eval that closes the k-means loop
+    (Hruschka et al. 2004: distances to CENTROIDS instead of all
+    pairwise, which is what makes silhouette computable at corpus
+    scale)::
+
+        (cid, n_points, mean_silhouette_ppm, overall_silhouette_ppm)
+
+    Per point: ``a = dist(point, nearest centroid)``, ``b = dist(point,
+    second-nearest)``, ``s = (b − a)/b`` (b ≥ a always, so the classic
+    max(a,b) denominator IS b). Distances are sqrt of exact BIGINT
+    squared distances — one fixed IEEE sqrt/div sequence per point,
+    rounded to ppm BEFORE the per-cluster mean (integer ``sum div n``).
+    ``b = 0`` (duplicate centroids on top of the point) → s = 0,
+    explicit both engines. Assignment ties break to the smaller cid.
+    ``overall`` is the unweighted mean over points (integer div),
+    repeated per row (the density_ratio convention).
+
+    Scale: ONE broadcast of the bounded centroid frame against the
+    point scan; the per-point rank window partitions on the point id
+    over exactly k rows (uniform keys, bounded frame). No self-join.
+    """
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    cen = centroids.select(
+        F.col("cid").cast("long").alias("_cid"), F.col("q").alias("_cq")
+    ).withColumn("_one", one)
+    # constant-key BROADCAST HASH join (the Markov scenario-grid
+    # pattern) — never an unconditioned nested loop
+    pair = (
+        points.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(code_col).alias("_v"),
+        )
+        .withColumn("_one", one)
+        .join(F.broadcast(cen), "_one")
+    )
+    d2 = _int_l2sq(F.col("_v"), F.col("_cq"))
+    w = Window.partitionBy("_id").orderBy("_d2", "_cid")  # k-row frame
+    ranked = pair.select("_id", "_cid", d2.alias("_d2")).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    per_point = ranked.where(F.col("_rn") <= 2).groupBy("_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_cid"))).alias("cid"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_d2"))).alias("_a2"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_d2"))).alias("_b2"),
+    )
+    s_ppm = F.when(
+        F.coalesce(F.col("_b2"), F.lit(0)) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.round(
+            (F.sqrt(F.col("_b2").cast("double")) - F.sqrt(F.col("_a2").cast("double")))
+            / F.sqrt(F.col("_b2").cast("double"))
+            * F.lit(1000000.0)
+        ).cast("long")
+    )
+    scored = per_point.select("cid", s_ppm.alias("_s")).localCheckpoint(
+        eager=False
+    )  # cluster fold + overall fold
+    per_c = scored.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("_s").cast("long").alias("_ss"),
+    )
+    overall = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_s").cast("long").alias("_st"),
+    ).select(
+        F.lit(0).alias("_k"),
+        F.expr("_st div _n").alias("overall_silhouette_ppm"),
+    )
+    return (
+        per_c.withColumn("_k", F.lit(0))
+        .join(F.broadcast(overall), "_k")
+        .select(
+            "cid",
+            "n_points",
+            F.expr("_ss div n_points").alias("mean_silhouette_ppm"),
+            "overall_silhouette_ppm",
+        )
+    )
+
+
+def simplified_silhouette_sql(
+    points_cte: str, centroids_cte: str, id_expr: str, code_expr: str
+) -> str:
+    """DuckDB rendering of :func:`simplified_silhouette` — same rank
+    pick, same fixed sqrt/div sequence, same integer means."""
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(p.v) + 1), "
+        "j -> (CAST(p.v[j] AS BIGINT) - CAST(c.cq[j] AS BIGINT))"
+        " * (CAST(p.v[j] AS BIGINT) - CAST(c.cq[j] AS BIGINT)))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH pts AS (SELECT CAST({id_expr} AS BIGINT) AS id, {code_expr} AS v
+             FROM {points_cte}),
+cen AS (SELECT CAST(cid AS BIGINT) AS cid, q AS cq FROM {centroids_cte}),
+ranked AS (
+  SELECT p.id, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY p.id
+                            ORDER BY {d2}, c.cid) AS rn
+  FROM pts p, cen c
+),
+per_point AS (
+  SELECT id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         max(CASE WHEN rn = 2 THEN d2 END) AS b2
+  FROM ranked WHERE rn <= 2 GROUP BY id
+),
+scored AS (
+  SELECT cid,
+         CASE WHEN coalesce(b2, 0) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+                               - sqrt(CAST(a2 AS DOUBLE)))
+                              / sqrt(CAST(b2 AS DOUBLE))
+                              * 1000000.0) AS BIGINT) END AS s
+  FROM per_point
+),
+per_c AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(s) AS BIGINT) AS ss
+  FROM scored GROUP BY cid
+),
+overall AS (
+  SELECT CAST(sum(s) // count(*) AS BIGINT) AS overall_silhouette_ppm
+  FROM scored
+)
+SELECT cid, n_points, CAST(ss // n_points AS BIGINT) AS mean_silhouette_ppm,
+       overall_silhouette_ppm
+FROM per_c, overall
+"""

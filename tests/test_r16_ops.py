@@ -189,3 +189,64 @@ def test_mmr_parallel_queries_and_tie_break(spark):
         picks = {r.sel_round: r.doc for r in out if r.query == q}
         assert picks[0] == 10  # relevance tie -> smaller doc id
         assert picks[1] == 12  # then the far point
+
+
+# --- Community modularity -------------------------------------------------------
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import community_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "u long, v long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)], "node long, label long"
+    )
+    rows = {r.label: r for r in community_modularity(edges, labels).collect()}
+    # classic two-triangles-plus-bridge: Q = 70/196
+    assert rows[1].modularity_ppm == 357143
+    assert rows[1].intra_edges == 3 and rows[1].degree_sum == 7
+    assert rows[4].intra_edges == 3 and rows[4].degree_sum == 7
+
+
+def test_modularity_single_community_is_zero(spark):
+    from dwh_etl_ods_spark_jobs_spark.graph import community_modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "node long, label long"
+    )
+    r = community_modularity(edges, labels).collect()[0]
+    # everything in one community: L/m = 1, (D/2m)^2 = 1 -> Q = 0
+    assert r.modularity_ppm == 0
+
+
+# --- Simplified silhouette ------------------------------------------------------
+
+
+def test_silhouette_hand_values(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import simplified_silhouette
+
+    pts = spark.createDataFrame(
+        [(0, [0]), (1, [1]), (10, [10]), (11, [11])], "id long, q array<int>"
+    )
+    cen = spark.createDataFrame([(0, [0]), (1, [10])], "cid long, q array<int>")
+    rows = {r.cid: r for r in simplified_silhouette(pts, cen, "id", "q").collect()}
+    # cluster 0: s(0)=1.0, s(1)=(9-1)/9 -> mean (1000000+888889) div 2
+    assert rows[0].mean_silhouette_ppm == 944444
+    # cluster 1: s(10)=1.0, s(11)=(11-1)/11 -> 909091
+    assert rows[1].mean_silhouette_ppm == 954545
+    assert rows[0].overall_silhouette_ppm == (1000000 + 888889 + 1000000 + 909091) // 4
+
+
+def test_silhouette_duplicate_centroids_zero(spark):
+    from dwh_etl_ods_spark_jobs_spark.similarity import simplified_silhouette
+
+    pts = spark.createDataFrame([(0, [5]), (1, [5])], "id long, q array<int>")
+    cen = spark.createDataFrame([(0, [5]), (1, [5])], "cid long, q array<int>")
+    rows = simplified_silhouette(pts, cen, "id", "q").collect()
+    # both centroids on top of the points: b = 0 -> s = 0, assigned to cid 0
+    assert len(rows) == 1 and rows[0].cid == 0
+    assert rows[0].mean_silhouette_ppm == 0 and rows[0].n_points == 2

@@ -284,7 +284,10 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark import graph as G
     from dwh_etl_ods_spark_jobs_spark.plans.graph import _copurchase_edges
 
-    cop = _copurchase_edges(spark, sf_dir)
+    # the co-purchase derivation (lineitem self-join + support filter)
+    # feeds the symmetrized LPA input twice AND the modularity edge set:
+    # checkpoint it once (the LPA/triangle discipline)
+    cop = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     sym = cop.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         cop.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )

@@ -2012,7 +2012,16 @@ def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
     Scale: rides :func:`token_counts` (one explode + count shuffle);
     the frequency-of-frequencies fold and the final row are bounded.
     """
-    counts = token_counts(df, text_col)
+    return vocab_richness_from_counts(token_counts(df, text_col))
+
+
+def vocab_richness_from_counts(counts: DataFrame) -> DataFrame:
+    """Richness estimates from a ``(token, c)`` unigram count grid —
+    the MERGEABLE-STATE form of :func:`vocab_richness` (which delegates
+    here). The grid is exactly what ``streaming.streaming_token_counts``
+    maintains for KL drift — so ONE maintained vocabulary state answers
+    both "is the mix drifting" and "how much vocabulary is unseen"
+    (pytest-pinned stream==batch)."""
     fof = counts.groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("_v")
     )

@@ -1800,3 +1800,49 @@ def test_streaming_bucket_counts_feed_isotonic(spark, workdir):
         )
     )
     assert got == expect and len(got) == 10
+
+
+def test_streaming_token_counts_feed_vocab_richness(spark, workdir):
+    """The SAME maintained unigram state that feeds KL drift also
+    answers the corpus-coverage question (r16 binding): a streaming
+    token-count snapshot through vocab_richness_from_counts equals the
+    batch vocab_richness over the same documents, bit-identical."""
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        vocab_richness,
+        vocab_richness_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_vocab")
+    schema = "text string"
+    rows1 = [("alpha beta gamma alpha",), ("beta delta",)]
+    rows2 = [("epsilon zeta beta",), ("alpha theta theta",)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_token_counts(stream, "text")
+        .writeStream.format("memory")
+        .queryName("vocab_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_vocab"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            vocab_richness_from_counts(spark.table("vocab_counts")).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            vocab_richness(spark.read.parquet(src), "text").collect(),
+        )
+    )
+    assert got == expect and len(got) == 1

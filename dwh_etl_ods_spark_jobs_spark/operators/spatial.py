@@ -37,6 +37,7 @@ def grid_radius_pairs(
     x_col: str,
     y_col: str,
     radius: int,
+    max_per_cell: int | None = None,
 ) -> DataFrame:
     """All unordered point pairs within EUCLIDEAN distance ``radius``::
 
@@ -48,11 +49,21 @@ def grid_radius_pairs(
     pair appears exactly once (the relative-cell offset of a pair is
     unique, so the 3x3 replication can never double-count).
 
+    ``max_per_cell`` is the in-operator hot-key cap (the hot-shingle /
+    copurchase-basket discipline): when set, points in cells holding
+    MORE than ``max_per_cell`` points leave the pair domain entirely —
+    STATED SEMANTICS, not an approximation flag. A single pathological
+    cell (every scraper bot geocoded to (0, 0)) is C(n_cell, 2) pairs
+    from one key; the cap bounds that to zero output and linear work
+    while the organically-spread points are untouched. Excluded-cell
+    census is one groupBy for the caller.
+
     Scale: cell width = ``radius`` means candidates live in adjacent
     cells ONLY; the left side replicates x9 by a literal inline array
     (map-side, no shuffle), both sides then shuffle ONCE on the uniform
     (cx, cy) grid key and the verify filter runs inside the join. The
-    dense-cell contract is documented at module level.
+    dense-cell contract is documented at module level; the cap above
+    makes it enforceable in-operator.
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
@@ -64,7 +75,16 @@ def grid_radius_pairs(
         # floor division keeps negative coordinates on the right cell
         F.floor(x / F.lit(r)).cast("long").alias("_cx"),
         F.floor(y / F.lit(r)).cast("long").alias("_cy"),
-    ).localCheckpoint(eager=False)  # both join sides read the cells
+    )
+    if max_per_cell is not None:
+        hot = (
+            pts.groupBy("_cx", "_cy")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > int(max_per_cell))
+            .select("_cx", "_cy")
+        )
+        pts = pts.join(hot, ["_cx", "_cy"], "left_anti")
+    pts = pts.localCheckpoint(eager=False)  # both join sides read the cells
     offsets = F.expr(
         "array(" + ", ".join(
             f"named_struct('dx', {dx}L, 'dy', {dy}L)"
@@ -108,23 +128,37 @@ def grid_radius_pairs_sql(
     x_expr: str,
     y_expr: str,
     radius: int,
+    max_per_cell: int | None = None,
 ) -> str:
     """DuckDB rendering of :func:`grid_radius_pairs` — same grid, same
-    single-discovery offset join, pure integer arithmetic.
+    single-discovery offset join, same hot-cell exclusion, pure integer
+    arithmetic.
 
     DuckDB's integer ``/`` is float division, so the cell index uses
     explicit ``floor(CAST ... / r)`` to match Spark's ``floor(x / r)``
     on negatives (both engines: floor of the true quotient).
     """
     r = int(radius)
+    cap_cte = (
+        f"""pts AS (
+  SELECT p0.* FROM pts0 p0
+  LEFT JOIN (SELECT cx, cy FROM pts0 GROUP BY cx, cy
+             HAVING count(*) > {int(max_per_cell)}) h
+    ON p0.cx = h.cx AND p0.cy = h.cy
+  WHERE h.cx IS NULL
+),"""
+        if max_per_cell is not None
+        else "pts AS (SELECT * FROM pts0),"
+    )
     return f"""
-WITH pts AS (
+WITH pts0 AS (
   SELECT CAST({id_expr} AS BIGINT) AS id,
          CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y,
          CAST(floor(CAST({x_expr} AS DOUBLE) / {r}.0) AS BIGINT) AS cx,
          CAST(floor(CAST({y_expr} AS DOUBLE) / {r}.0) AS BIGINT) AS cy
   FROM {points_cte}
 ),
+{cap_cte}
 lhs AS (
   SELECT p.id AS id_a, p.x AS xa, p.y AS ya,
          p.cx + o.dx AS jx, p.cy + o.dy AS jy

@@ -381,3 +381,23 @@ def test_kcenter_exhaustion_degrades_gracefully(spark):
     ids = [r.doc_id for r in rows]
     assert sorted(ids) == [0, 2]  # seed + the one distinct remaining
     assert len(ids) == len(set(ids))
+
+
+def test_grid_radius_pairs_hot_cell_cap(spark):
+    """The in-operator dense-cell cap: a pathological all-one-cell
+    blob leaves the pair domain entirely (stated semantics), while
+    spread points are untouched — and the capped result equals brute
+    force over the SURVIVING points."""
+    from dwh_etl_ods_spark_jobs_spark.operators.spatial import (
+        grid_radius_pairs,
+    )
+
+    blob = [(i, 2, 3) for i in range(50)]  # 50 coincident points
+    ring = [(100 + i, 20 + 7 * i, 20) for i in range(6)]
+    df = spark.createDataFrame(blob + ring, "id long, x long, y long")
+    rows = grid_radius_pairs(df, "id", "x", "y", 7, max_per_cell=10).collect()
+    got = {(r.id_a, r.id_b, r.dist2) for r in rows}
+    assert got == _brute_pairs(ring, 7)  # blob gone, ring intact
+    # uncapped: the blob contributes C(50,2) coincident pairs
+    full = grid_radius_pairs(df, "id", "x", "y", 7).count()
+    assert full == len(got) + 50 * 49 // 2

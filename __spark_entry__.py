@@ -97,6 +97,10 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # length_isotonic_calibration, cluster_mmr_rerank,
 # copurchase_modularity, embedding_label_silhouette), probed
 # (SCALING.md §r16) and benched (bench_r16_staged_local.json).
+# r17 SEED: plans/staged_r17.py holds 4 further parity-pinned entries
+# (daily_value_mann_kendall, weekly_seasonality_mase,
+# machinery_did_1998, doc_feature_stump_screen), physiology-noted
+# (SCALING.md §r17) and benched (bench_r17_staged_local.json).
 _HEAD = [
     # ---- 11 newly registered staged_r11 entries (first driver gating) ----
     "auc_price_returns",

@@ -1036,3 +1036,139 @@ SELECT bi.bin, bi.n, bi.n_pos,
        iso.iso_rate_ppm
 FROM binned bi JOIN iso ON bi.bin = iso.b
 """
+
+
+def stump_split_gain(
+    df: DataFrame, feature_col: str, bin_col: str, label_col: str
+) -> DataFrame:
+    """Best single-split (decision-stump) Gini gain per feature — the
+    CART-style screen "which feature, cut where, separates the label
+    best" (Breiman et al. 1984), the step beyond WOE/IV's per-bucket
+    view because it commits to an actionable threshold::
+
+        (feature, n, n_pos, best_split_bin, best_gain_ppm)
+
+    Input is the UNPIVOTED ``(feature, bin, label)`` grid (the caller
+    bins each feature to an ordered integer — the isotonic/WOE
+    convention). For every candidate split "left = bins ≤ b": ``gain =
+    Gini(parent) − w_L·Gini(L) − w_R·Gini(R)`` from exact integer
+    prefix counts, ONE fixed IEEE sequence per candidate rounded to
+    ppm; the best split is ``max(struct(gain, −bin))`` (ties to the
+    smaller bin). Features with a single observed bin have no
+    candidate and emit no row (a constant feature has no split).
+
+    Scale: one (feature, bin) count pass; prefix sums and the argmax
+    run on the bounded per-feature bin frame. No join wider than the
+    bin grid, no window over raw rows.
+    """
+    lbl = F.col(label_col).cast("long")
+    binned = df.groupBy(
+        F.col(feature_col).alias("feature"),
+        F.col(bin_col).cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(lbl).cast("long").alias("_p"),
+    )
+    w = Window.partitionBy("feature").orderBy("bin")  # bounded bin frame
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = binned.select(
+        "feature",
+        "bin",
+        F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_cn"),
+        F.sum("_p").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_cp"),
+        F.sum("_n").over(full).cast("long").alias("_N"),
+        F.sum("_p").over(full).cast("long").alias("_P"),
+    )
+    cand = pre.where(F.col("_cn") < F.col("_N"))  # split must leave a right side
+
+    def gini(p: Column, n: Column) -> Column:
+        q = p.cast("double") / n.cast("double")
+        return F.lit(1.0) - q * q - (F.lit(1.0) - q) * (F.lit(1.0) - q)
+
+    n_d = F.col("_N").cast("double")
+    gain = (
+        gini(F.col("_P"), F.col("_N"))
+        - (F.col("_cn").cast("double") / n_d) * gini(F.col("_cp"), F.col("_cn"))
+        - ((F.col("_N") - F.col("_cn")).cast("double") / n_d)
+        * gini(F.col("_P") - F.col("_cp"), F.col("_N") - F.col("_cn"))
+    )
+    scored = cand.select(
+        "feature",
+        "_N",
+        "_P",
+        "bin",
+        F.round(gain * F.lit(1000000.0)).cast("long").alias("_gain_ppm"),
+    )
+    return (
+        scored.groupBy("feature")
+        .agg(
+            F.max("_N").alias("n"),
+            F.max("_P").alias("n_pos"),
+            F.max(
+                F.struct(F.col("_gain_ppm"), (-F.col("bin")).alias("_nb"))
+            ).alias("_m"),
+        )
+        .select(
+            "feature",
+            "n",
+            "n_pos",
+            (-F.col("_m._nb")).cast("long").alias("best_split_bin"),
+            F.col("_m._gain_ppm").alias("best_gain_ppm"),
+        )
+    )
+
+
+def stump_split_gain_sql(
+    table_expr: str, feature_expr: str, bin_expr: str, label_expr: str
+) -> str:
+    """DuckDB rendering of :func:`stump_split_gain` — same prefix
+    grid, same fixed Gini sequence, same smaller-bin tie-break."""
+    return f"""
+WITH binned AS (
+  SELECT {feature_expr} AS feature, CAST({bin_expr} AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS p
+  FROM {table_expr} GROUP BY 1, 2
+),
+pre AS (
+  SELECT feature, bin,
+         CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(sum(p) OVER (PARTITION BY feature ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+         CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pp
+  FROM binned
+),
+scored AS (
+  SELECT feature, nn, pp, bin,
+         CAST(round((
+           (1.0 - (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                - (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)))
+           - (CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+             * (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                      * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                    - (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                      * (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)))
+           - (CAST(nn - cn AS DOUBLE) / CAST(nn AS DOUBLE))
+             * (1.0 - (CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE))
+                      * (CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE))
+                    - (1.0 - CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE))
+                      * (1.0 - CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE)))
+         ) * 1000000.0) AS BIGINT) AS gain_ppm
+  FROM pre WHERE cn < nn
+)
+SELECT feature, nn AS n, pp AS n_pos,
+       CAST(bin AS BIGINT) AS best_split_bin,
+       CAST(gain_ppm AS BIGINT) AS best_gain_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY feature
+                                   ORDER BY gain_ppm DESC, bin ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""

@@ -2606,3 +2606,256 @@ SELECT {gsel}n_periods, total_count,
          AS overdispersed
 FROM agg
 """
+
+
+def mann_kendall_trend(
+    df: DataFrame, group_cols: list[str], t_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Kendall trend TEST per group — the significance companion
+    of :func:`theil_sen_trend` (that one answers "how steep", this one
+    "is it real"): the rank-based S statistic with the tie-corrected
+    variance and its z-score (Mann 1945; Kendall 1975)::
+
+        (group..., n_points, s_stat, var_s_x18, z_ppm)
+
+    ``S = Σ_{i<j} sign(v_j − v_i)`` over the pairwise frame (exact
+    integer), ``var_s_x18 = n(n−1)(2n+5) − Σ_g g(g−1)(2g+5)`` over
+    value-tie groups (the EXACT 18·Var(S) integer — no division ever
+    happens on it), and the continuity-corrected
+    ``z = (S ∓ 1)/sqrt(var_s_x18/18)`` as ONE fixed IEEE
+    sqrt/div sequence rounded to ppm (S = 0 → z = 0; var = 0, the
+    all-tied series → explicit NULL z). |z| > 1.96e6 ppm is the usual
+    5% call.
+
+    Same BOUNDED-series contract as Theil-Sen: the pair join is
+    C(points, 2) per group on the ROLLUP frame (day/week grains — the
+    caller owns the pre-aggregation). Groups with < 2 points emit no
+    row.
+    """
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).localCheckpoint(eager=False)  # pair join (x2) + tie census + count
+
+    def _gjoin(l, r):
+        cond = None
+        for g in group_cols:
+            eq = F.col(f"_l.{g}").eqNullSafe(F.col(f"_r.{g}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    la, ra = base.alias("_l"), base.alias("_r")
+    pair_cond = _gjoin(la, ra)
+    pair_cond = (
+        (F.col("_l._t") < F.col("_r._t"))
+        if pair_cond is None
+        else (pair_cond & (F.col("_l._t") < F.col("_r._t")))
+    )
+    s_stat = (
+        la.join(ra, pair_cond)
+        .select(
+            *[F.col(f"_l.{g}") for g in group_cols],
+            F.signum((F.col("_r._v") - F.col("_l._v")).cast("double"))
+            .cast("long")
+            .alias("_sgn"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("_sgn").cast("long").alias("s_stat"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        base.groupBy(*group_cols, "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_g"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_ngroups"),
+            F.sum(
+                dec(F.col("_g"))
+                * dec(F.col("_g") - 1)
+                * dec(F.lit(2) * F.col("_g") + 5)
+            ).alias("_tie_term"),
+            F.sum("_g").cast("long").alias("n_points"),
+        )
+    )
+    t_al, s_al = ties.alias("_l"), s_stat.alias("_r")
+    cond = _gjoin(t_al, s_al)
+    joined = t_al.join(s_al, cond) if cond is not None else t_al.join(s_al)
+    n = F.col("_l.n_points")
+    var18 = (
+        dec(n) * dec(n - 1) * dec(F.lit(2) * n + 5) - F.col("_l._tie_term")
+    )
+    s = F.col("_r.s_stat")
+    z_num = F.when(s > 0, (s - 1).cast("double")).when(
+        s < 0, (s + 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    z = F.when(var18.cast("double") > F.lit(0.0),
+        F.round(
+            z_num
+            / F.sqrt(var18.cast("double") / F.lit(18.0))
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return joined.where(n > 1).select(
+        *[F.col(f"_l.{g}") for g in group_cols],
+        n.alias("n_points"),
+        s.alias("s_stat"),
+        var18.cast("long").alias("var_s_x18"),
+        z.alias("z_ppm"),
+    )
+
+
+def mann_kendall_trend_sql(
+    table_expr: str, group_exprs: list[str], t_expr: str, value_expr: str
+) -> str:
+    """DuckDB rendering of :func:`mann_kendall_trend` — same pair
+    frame, same exact 18·Var integer, same continuity-corrected z."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    on = lambda a, b: (  # noqa: E731
+        " AND ".join(f"{a}.{c} IS NOT DISTINCT FROM {b}.{c}" for c in group_exprs)
+        or "TRUE"
+    )
+    gpre = lambda a: (", ".join(f"{a}.{c}" for c in group_exprs) + ", ") if g else ""  # noqa: E731,E501
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({t_expr} AS BIGINT) AS t, CAST({value_expr} AS BIGINT) AS v
+  FROM {table_expr}
+),
+s AS (
+  SELECT {gpre("a")}CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM base a JOIN base b ON {on("a", "b")} AND a.t < b.t
+  {("GROUP BY " + ", ".join(f"a.{c}" for c in group_exprs)) if g else ""}
+),
+ties AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS ngroups,
+         sum(CAST(gsz AS HUGEINT) * (gsz - 1) * (2 * gsz + 5)) AS tie_term,
+         CAST(sum(gsz) AS BIGINT) AS n_points
+  FROM (SELECT {gsel}v, CAST(count(*) AS BIGINT) AS gsz
+        FROM base GROUP BY {gsel}v)
+  {("GROUP BY " + g) if g else ""}
+)
+SELECT * FROM (
+  SELECT {gpre("t2")}t2.n_points, s.s_stat,
+         CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
+              * (2 * t2.n_points + 5) - t2.tie_term AS BIGINT) AS var_s_x18,
+         CASE WHEN CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
+                        * (2 * t2.n_points + 5) - t2.tie_term AS DOUBLE) > 0.0
+         THEN CAST(round(
+           (CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                 WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                 ELSE 0.0 END)
+           / sqrt(CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
+                       * (2 * t2.n_points + 5) - t2.tie_term AS DOUBLE) / 18.0)
+           * 1000000.0) AS BIGINT) END AS z_ppm
+  FROM ties t2 JOIN s ON {on("t2", "s")}
+  WHERE t2.n_points > 1
+) _mk_out
+"""
+
+
+def diff_in_diff(
+    df: DataFrame, treat_col: str, period_col: str, y_col: str
+) -> DataFrame:
+    """Difference-in-differences readout over a 2x2 (treated x
+    pre/post) design — the parallel-trends causal workhorse (Card &
+    Krueger 1994 canonically): how much MORE did the treated group move
+    than the control group?::
+
+        (treated, period, n, mean_micro, did_micro)
+
+    Four cell means from exact integer cents sums (one IEEE division
+    each), ``did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)`` as the
+    SAME fixed double sequence on both engines, rounded ONCE to
+    micro-currency and repeated on every row (the density_ratio
+    convention). Any missing cell (no treated-pre rows, say) → explicit
+    NULL did — a 2x2 with an empty cell is a different design, not a
+    zero. ``treat_col``/``period_col`` are 0/1.
+
+    Scale: ONE grouped pass to the 4-cell frame; everything after is
+    constant-size. No window, no join wider than 4 rows.
+    """
+    t = F.col(treat_col).cast("long")
+    p = F.col(period_col).cast("long")
+    cents = F.round(F.col(y_col).cast("double") * F.lit(100.0)).cast("long")
+    cells = df.groupBy(t.alias("treated"), p.alias("period")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("_s"),
+    )
+    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
+    mean_d = F.col("_s").cast("double") / F.col("n").cast("double")
+
+    def cell_mean(tv: int, pv: int) -> Column:
+        return F.max(
+            F.when(
+                (F.col("treated") == tv) & (F.col("period") == pv), mean_d
+            )
+        )
+
+    did = (
+        cells.groupBy()
+        .agg(
+            cell_mean(1, 1).alias("_m11"),
+            cell_mean(1, 0).alias("_m10"),
+            cell_mean(0, 1).alias("_m01"),
+            cell_mean(0, 0).alias("_m00"),
+        )
+        .select(
+            F.lit(0).alias("_k"),
+            F.round(
+                (
+                    (F.col("_m11") - F.col("_m10"))
+                    - (F.col("_m01") - F.col("_m00"))
+                )
+                * F.lit(10000.0)  # cents -> micro-currency
+            )
+            .cast("long")
+            .alias("did_micro"),
+        )
+    )
+    return (
+        cells.withColumn("_k", F.lit(0))
+        .join(F.broadcast(did), "_k")
+        .select(
+            "treated",
+            "period",
+            "n",
+            F.round(mean_d * F.lit(10000.0)).cast("long").alias("mean_micro"),
+            "did_micro",
+        )
+    )
+
+
+def diff_in_diff_sql(
+    table_expr: str, treat_expr: str, period_expr: str, y_expr: str
+) -> str:
+    """DuckDB rendering of :func:`diff_in_diff` — same 4-cell means,
+    same fixed double sequence, one rounding."""
+    return f"""
+WITH cells AS (
+  SELECT CAST({treat_expr} AS BIGINT) AS treated,
+         CAST({period_expr} AS BIGINT) AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(CAST({y_expr} AS DOUBLE) * 100.0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM {table_expr} GROUP BY 1, 2
+),
+did AS (
+  SELECT CAST(round(
+    ((max(CASE WHEN treated = 1 AND period = 1
+               THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+      - max(CASE WHEN treated = 1 AND period = 0
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END))
+     - (max(CASE WHEN treated = 0 AND period = 1
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+        - max(CASE WHEN treated = 0 AND period = 0
+                   THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)))
+    * 10000.0) AS BIGINT) AS did_micro
+  FROM cells
+)
+SELECT treated, period, n,
+       CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0) AS BIGINT)
+         AS mean_micro,
+       did_micro
+FROM cells, did
+"""

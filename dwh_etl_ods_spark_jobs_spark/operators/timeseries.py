@@ -1591,3 +1591,98 @@ SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT row({k})) AS BIGINT) AS n_keys
 FROM worded GROUP BY word
 """
+
+
+def mase_backtest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per series — MASE, the
+    scale-free forecast-accuracy standard (Hyndman & Koehler 2006):
+    does knowing the weekly pattern beat "tomorrow = today"?::
+
+        (group..., n_scored, sae_seasonal, sae_naive, mase_ppm)
+
+    Over the CONSECUTIVE positions of each rolled-up series (ordered by
+    ``t``), every point with both a lag-1 and a lag-``season``
+    predecessor scores two absolute errors: the seasonal-naive forecast
+    ``v[i−season]`` and the naive ``v[i−1]``. ``mase_ppm =
+    sae_seasonal·10⁶ div sae_naive`` — pure integer cents arithmetic
+    end-to-end (< 10⁶ means the seasonal pattern carries real signal);
+    a perfectly naive-predictable series (``sae_naive = 0``) → explicit
+    NULL. Lags are POSITIONAL (the forecasting convention); gaps in
+    ``t`` are the caller's spine-completion concern, as everywhere in
+    this module.
+
+    Scale: one per-key lag window over the bounded rollup frame + one
+    grouped fold. No join, no pair frame.
+    """
+    cents = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy("_t")
+    lagged = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(t_col).cast("long").alias("_t"),
+        cents.alias("_v"),
+    ).select(
+        *[F.col(c) for c in group_cols],
+        "_v",
+        F.lag("_v", 1).over(w).alias("_l1"),
+        F.lag("_v", int(season)).over(w).alias("_ls"),
+    )
+    scored = lagged.where(F.col("_l1").isNotNull() & F.col("_ls").isNotNull())
+    agg = scored.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("_v") - F.col("_ls"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("_v") - F.col("_l1"))).cast("long").alias("sae_naive"),
+    )
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "n_scored",
+        "sae_seasonal",
+        "sae_naive",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.expr("sae_seasonal * 1000000L div sae_naive"),
+        ).alias("mase_ppm"),
+    )
+
+
+def mase_backtest_sql(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    t_expr: str,
+    value_expr: str,
+    season: int = 7,
+) -> str:
+    """DuckDB rendering of :func:`mase_backtest` — same positional
+    lags, same integer SAE sums and `div` readout."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH lagged AS (
+  SELECT {gsel}
+         CAST(round(CAST({value_expr} AS DOUBLE) * 100.0) AS BIGINT) AS v,
+         lag(CAST(round(CAST({value_expr} AS DOUBLE) * 100.0) AS BIGINT), 1)
+           OVER ({part}ORDER BY CAST({t_expr} AS BIGINT)) AS l1,
+         lag(CAST(round(CAST({value_expr} AS DOUBLE) * 100.0) AS BIGINT),
+             {int(season)})
+           OVER ({part}ORDER BY CAST({t_expr} AS BIGINT)) AS ls
+  FROM {table_expr}
+),
+agg AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(abs(v - ls)) AS BIGINT) AS sae_seasonal,
+         CAST(sum(abs(v - l1)) AS BIGINT) AS sae_naive
+  FROM lagged WHERE l1 IS NOT NULL AND ls IS NOT NULL
+  {gby}
+)
+SELECT {gsel}n_scored, sae_seasonal, sae_naive,
+       CASE WHEN sae_naive > 0 THEN
+         CAST(sae_seasonal * 1000000 // sae_naive AS BIGINT) END AS mase_ppm
+FROM agg
+"""

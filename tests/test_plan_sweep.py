@@ -23,12 +23,13 @@ from dwh_etl_ods_spark_jobs_spark.plans import (
     staged_r14,
     staged_r15,
     staged_r16,
+    staged_r17,
 )
 
 
 def _all_queries():
     qs = dict(entry_mod.queries())
-    for mod in (staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16):
+    for mod in (staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17):
         for name, fn in mod.STAGED_QUERIES.items():
             qs[f"staged:{name}"] = fn
     return qs

@@ -1,0 +1,70 @@
+"""Oracle parity for the r17-STAGED battery queries (plans/staged_r17.py)
+— the exact driver-gate comparison + scalar-output rule, so r17
+registration is pure wiring (same contract as
+tests/test_staged_r13_surfaces.py)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from dwh_etl_ods_spark_jobs_spark.plans import staged_r17
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(staged_r17.STAGED_QUERIES))
+def test_staged_r17_query_matches_duckdb(spark, sf_dir, name):
+    con = _connect(sf_dir)
+    sdf = staged_r17.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    ddf = con.execute(staged_r17.STAGED_ORACLES[name]).df()
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in ddf.columns]
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} != {len(ddf)}"
+    ddf.columns = list(sdf.columns)
+    for c in sdf.columns:
+        assert not sdf[c].map(
+            lambda v: isinstance(v, (list, tuple, dict))
+            or type(v).__name__ == "ndarray"
+        ).any(), f"{name}.{c}: non-scalar output cell (driver gate would crash)"
+    key = list(sdf.columns)
+    s = sdf.sort_values(key, na_position="first").reset_index(drop=True)
+    d = ddf.sort_values(key, na_position="first").reset_index(drop=True)
+    s = s.astype(d.dtypes.to_dict())
+    assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
+
+
+def test_staged_r17_names_not_yet_in_battery():
+    import __spark_entry__ as entry_mod
+
+    live = set(entry_mod.queries())
+    clash = live & set(staged_r17.STAGED_QUERIES)
+    assert not clash, f"staged_r17 names already registered: {sorted(clash)}"
+
+
+def test_staged_r17_oracle_keys_align():
+    assert set(staged_r17.STAGED_QUERIES) == set(staged_r17.STAGED_ORACLES)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        staged_r17.STAGED_QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+

@@ -1069,6 +1069,17 @@ def stump_split_gain(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum(lbl).cast("long").alias("_p"),
     )
+    return stump_from_counts(binned)
+
+
+def stump_from_counts(binned: DataFrame) -> DataFrame:
+    """Best-split screen from a ``(feature, bin, _n, _p)`` count grid —
+    the MERGEABLE-STATE form of :func:`stump_split_gain` (which
+    delegates here after its groupBy). The grid is the per-bucket label
+    counters a streaming groupBy maintains (compose
+    ``streaming.streaming_bucket_label_counts`` per feature: ``_n =
+    n_good + n_bad``, ``_p = n_bad``), so the live threshold screen
+    runs from counters alone (pytest-pinned stream==batch)."""
     w = Window.partitionBy("feature").orderBy("bin")  # bounded bin frame
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pre = binned.select(

@@ -1846,3 +1846,58 @@ def test_streaming_token_counts_feed_vocab_richness(spark, workdir):
         )
     )
     assert got == expect and len(got) == 1
+
+
+def test_streaming_bucket_counts_feed_stump_screen(spark, workdir):
+    """A third readout from the SAME per-bucket label-count state
+    (after WOE/IV and isotonic, r17 binding): the decision-stump best
+    split from streaming counters equals the batch screen over the
+    same rows, bit-identical."""
+    from pyspark.sql import functions as F
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        stump_from_counts,
+        stump_split_gain,
+    )
+
+    src = os.path.join(workdir, "landing_stump")
+    schema = "f string, b long, l long"
+    rows1 = [("len", i % 5, 1 if i % 5 >= 3 else 0) for i in range(90)]
+    rows2 = [("len", i % 6, i % 2) for i in range(60)] + [
+        ("toks", i % 4, 1 if i % 4 == 3 else 0) for i in range(40)
+    ]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    bucketed = stream.withColumn(
+        "bucket", F.concat_ws(":", F.col("f"), F.col("b").cast("string"))
+    )
+    q = (
+        ST.streaming_bucket_label_counts(bucketed, "bucket", "l")
+        .writeStream.format("memory")
+        .queryName("stump_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_stump"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    grid = spark.table("stump_counts").select(
+        F.split(F.col("bucket"), ":")[0].alias("feature"),
+        F.split(F.col("bucket"), ":")[1].cast("long").alias("bin"),
+        (F.col("n_good") + F.col("n_bad")).cast("long").alias("_n"),
+        F.col("n_bad").cast("long").alias("_p"),
+    )
+    got = sorted(map(tuple, stump_from_counts(grid).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            stump_split_gain(
+                spark.read.parquet(src), "f", "b", "l"
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) == 2

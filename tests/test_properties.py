@@ -681,3 +681,97 @@ def test_kcenter_equals_greedy_reference_for_any_codes(spark, codes, k):
         sel.append(-ni)
         expect.append((rnd, -ni, m))
     assert got == expect
+
+
+_mmr_rel = st.integers(min_value=0, max_value=50)
+_mmr_code = st.lists(st.integers(min_value=-4, max_value=4), min_size=2, max_size=2)
+_mmr_cands = st.lists(st.tuples(_mmr_rel, _mmr_code), min_size=1, max_size=8)
+
+
+@given(cands=_mmr_cands, k=st.integers(min_value=1, max_value=4))
+@SET
+def test_mmr_equals_sequential_reference(spark, cands, k):
+    """The parallel MMR rounds must reproduce the exact sequential
+    greedy (lambda blend, smaller-doc tie-break, no re-picks) for any
+    candidate list."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import mmr_rerank
+
+    data = [("q", i, rel, code) for i, (rel, code) in enumerate(cands)]
+    df = spark.createDataFrame(data, "q string, d long, rel long, v array<int>")
+    got = [
+        (r.sel_round, r.doc, r.mmr_score)
+        for r in sorted(
+            mmr_rerank(df, "q", "d", "rel", "v", k).collect(),
+            key=lambda r: r.sel_round,
+        )
+    ]
+    # sequential reference
+    lam, inv = 700_000, 300_000
+    rels = {i: rel for i, (rel, _) in enumerate(cands)}
+    codes = {i: c for i, (_, c) in enumerate(cands)}
+    sel = max(rels, key=lambda i: (rels[i], -i))
+    expect = [(0, sel, rels[sel] * lam)]
+    mind = {}
+    chosen = {sel}
+    for rnd in range(1, k):
+        c = codes[expect[-1][1]]
+        for i in rels:
+            d = sum((a - b) ** 2 for a, b in zip(codes[i], c))
+            mind[i] = d if i not in mind else min(mind[i], d)
+        rest = [i for i in rels if i not in chosen]
+        if not rest:
+            break
+        best = max(rest, key=lambda i: (rels[i] * lam + mind[i] * inv, -i))
+        expect.append((rnd, best, rels[best] * lam + mind[best] * inv))
+        chosen.add(best)
+    assert got == expect
+
+
+_mk_series = st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12)
+
+
+@given(vals=_mk_series)
+@SET
+def test_mann_kendall_equals_bruteforce(spark, vals):
+    """S, the exact 18-Var integer, and z must match a direct Python
+    evaluation of the Mann-Kendall definitions for any series (ties,
+    constants, short series included)."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        mann_kendall_trend,
+    )
+
+    data = [("g", t, v) for t, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(data, "g string, t long, v long")
+        if data
+        else spark.range(0).selectExpr(
+            "CAST('g' AS STRING) g", "id t", "id v"
+        )
+    )
+    rows = mann_kendall_trend(df, ["g"], "t", "v").collect()
+    n = len(vals)
+    if n < 2:
+        assert rows == []
+        return
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(vals)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        g * (g - 1) * (2 * g + 5) for g in ties.values()
+    )
+    r = rows[0]
+    assert (r.s_stat, r.var_s_x18) == (s, var18)
+    if var18 == 0:
+        assert r.z_ppm is None
+    elif s == 0:
+        assert r.z_ppm == 0
+    else:
+        zn = s - 1 if s > 0 else s + 1
+        assert r.z_ppm == round(zn / math.sqrt(var18 / 18.0) * 1_000_000)

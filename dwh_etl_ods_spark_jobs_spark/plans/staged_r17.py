@@ -9,6 +9,31 @@ decision-stump split screen.
 
 Until registration, ``tests/test_staged_r17_surfaces.py`` runs the
 exact driver-gate comparison on every entry at sf0.001 and sf0.01.
+
+One-in/one-out retirement CANDIDATES created by the r15-r17 waves (for
+the registration rounds to confirm, extending the r12 shortlist in
+plans/staged_r12.py — each retirement moves to its module's
+RETIRED_QUERIES with the pytest oracle gate):
+  calibration_price_returns  vs length_isotonic_calibration at r16
+                             registration: the isotonic readout
+                             carries the per-bin reliability table AND
+                             the monotone fit — same bin physiology,
+                             strictly wider surface.
+  km_user_retention (r14)    vs user_hazard_cohorts at r15
+                             registration: same count grid, proven
+                             identical risk sets
+                             (test_nelson_aalen_matches_km_risk_sets);
+                             keep ONE in the battery, the other stays
+                             pytest-oracle-gated.
+  theil_sen_daily_trend (r14) vs daily_value_mann_kendall at r17
+                             registration: same bounded pair frame;
+                             slope and significance are different
+                             readouts — keep both UNLESS the battery
+                             needs the slot (the MK tie census is the
+                             superset physiology).
+  seasonal_weekday_outliers  vs weekly_seasonality_mase: overlapping
+                             weekly-pattern surfaces; the MASE readout
+                             is the decision-grade one.
 """
 
 from __future__ import annotations

@@ -932,7 +932,15 @@ def isotonic_from_counts(binned: DataFrame) -> DataFrame:
     (``streaming.streaming_bucket_label_counts``: ``n = n_good +
     n_bad``, ``n_pos = n_bad``) and what shards merge by cell addition
     — so ONE maintained count state serves both the WOE/IV screen and
-    a live recalibration map (pytest-pinned stream==batch)."""
+    a live recalibration map (pytest-pinned stream==batch).
+
+    NON-NULL-BIN CONTRACT: a NULL bin (NULL score upstream) has no
+    place on the ordered bin axis — Spark windows sort NULLs first
+    while the DuckDB oracle's ORDER BY sorts them last, so a NULL bin
+    would silently skew the prefix sums differently per engine. NULL
+    bins are dropped HERE, identically on both engines (the SQL
+    renderers carry the same filter)."""
+    binned = binned.where(F.col("bin").isNotNull())
     w = Window.orderBy("bin")  # bounded bin frame (<= n_bins rows)
     pre = binned.select(
         "bin",
@@ -1004,7 +1012,7 @@ WITH binned AS (
   SELECT CAST({score_expr} AS BIGINT) * {b} // 1000001 AS bin,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS n_pos
-  FROM {table_expr} GROUP BY 1
+  FROM {table_expr} WHERE ({score_expr}) IS NOT NULL GROUP BY 1
 ),
 pre AS (
   SELECT bin, n, n_pos,
@@ -1079,7 +1087,14 @@ def stump_from_counts(binned: DataFrame) -> DataFrame:
     counters a streaming groupBy maintains (compose
     ``streaming.streaming_bucket_label_counts`` per feature: ``_n =
     n_good + n_bad``, ``_p = n_bad``), so the live threshold screen
-    runs from counters alone (pytest-pinned stream==batch)."""
+    runs from counters alone (pytest-pinned stream==batch).
+
+    NON-NULL-BIN CONTRACT: NULL bins (NULL feature value upstream)
+    are dropped here on both engines — Spark sorts NULL bins first,
+    DuckDB last, so a NULL bin would silently diverge the prefix
+    counts and the candidate-split set (the isotonic_from_counts
+    contract; the SQL renderer carries the same filter)."""
+    binned = binned.where(F.col("bin").isNotNull())
     w = Window.partitionBy("feature").orderBy("bin")  # bounded bin frame
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pre = binned.select(
@@ -1143,7 +1158,7 @@ WITH binned AS (
   SELECT {feature_expr} AS feature, CAST({bin_expr} AS BIGINT) AS bin,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS p
-  FROM {table_expr} GROUP BY 1, 2
+  FROM {table_expr} WHERE ({bin_expr}) IS NOT NULL GROUP BY 1, 2
 ),
 pre AS (
   SELECT feature, bin,

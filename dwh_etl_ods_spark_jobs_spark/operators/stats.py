@@ -1930,16 +1930,37 @@ def srm_check(
     """
     counts = df.groupBy(
         F.col(experiment_col).alias("experiment"),
-        F.col(variant_col).alias("_v"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("_obs"))
-    per = counts.groupBy("experiment").agg(
+        F.col(variant_col).alias("variant"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    return srm_from_counts(counts, threshold_micro)
+
+
+def srm_from_counts(counts: DataFrame, threshold_micro: int) -> DataFrame:
+    """SRM check from an ``(experiment, variant, n_obs)`` count grid —
+    the MERGEABLE-STATE form of :func:`srm_check` (which delegates here
+    after its groupBy). The grid is exactly what a streaming
+    per-assignment counter maintains
+    (``streaming.streaming_assignment_counts``) and what shards merge
+    by cell addition — so the randomizer health gate runs LIVE from
+    counters alone, no assignment-log re-read (pytest-pinned
+    stream==batch, the WOE/IV / isotonic / stump / transition-entropy
+    precedent)."""
+    # explicit column projection so the grid may be a shared view (the
+    # streaming memory-sink snapshot) without self-join attribute clashes
+    cells = counts.select(
+        F.col("experiment").alias("_e"),
+        F.col("n_obs").cast("long").alias("_obs"),
+    )
+    per = cells.groupBy(F.col("_e").alias("experiment")).agg(
         F.sum("_obs").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_variants"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dev = dec(F.col("_obs") * F.col("n_variants") - F.col("n"))
     num = (
-        counts.join(per, "experiment")  # same key — AQE reuses the layout
+        cells.join(  # same key — AQE reuses the layout
+            per, F.col("_e") == F.col("experiment")
+        )
         .groupBy("experiment", "n", "n_variants")
         .agg(F.sum(dev * dev).alias("_sq"))
     )
@@ -2630,7 +2651,11 @@ def mann_kendall_trend(
     Same BOUNDED-series contract as Theil-Sen: the pair join is
     C(points, 2) per group on the ROLLUP frame (day/week grains — the
     caller owns the pre-aggregation). Groups with < 2 points emit no
-    row.
+    row. Pairs at the SAME t are not comparable and contribute nothing
+    to S (the strict ``t_i < t_j`` frame); a group whose rows all share
+    one t therefore has zero comparable pairs and emits S = 0 (the tie
+    census still sees its v ties, so var/z follow from there) — the S
+    frame is LEFT-joined with a 0 default, never inner-joined.
     """
     base = df.select(
         *[F.col(c) for c in group_cols],
@@ -2678,14 +2703,21 @@ def mann_kendall_trend(
             F.sum("_g").cast("long").alias("n_points"),
         )
     )
-    t_al, s_al = ties.alias("_l"), s_stat.alias("_r")
-    cond = _gjoin(t_al, s_al)
-    joined = t_al.join(s_al, cond) if cond is not None else t_al.join(s_al)
+    # LEFT join: a group with no strictly-t-ordered pair (all rows on
+    # one t) has zero comparable pairs -> S = 0, not a dropped group.
+    if group_cols:
+        t_al, s_al = ties.alias("_l"), s_stat.alias("_r")
+        joined = t_al.join(s_al, _gjoin(t_al, s_al), "left")
+    else:
+        one = F.pmod(F.hash(F.lit(1)), F.lit(1))  # constant-key 1x1 join
+        t_al = ties.withColumn("_one", one).alias("_l")
+        s_al = s_stat.withColumn("_one", one).alias("_r")
+        joined = t_al.join(F.broadcast(s_al), "_one", "left")
     n = F.col("_l.n_points")
     var18 = (
         dec(n) * dec(n - 1) * dec(F.lit(2) * n + 5) - F.col("_l._tie_term")
     )
-    s = F.col("_r.s_stat")
+    s = F.coalesce(F.col("_r.s_stat"), F.lit(0).cast("long"))
     z_num = F.when(s > 0, (s - 1).cast("double")).when(
         s < 0, (s + 1).cast("double")
     ).otherwise(F.lit(0.0))
@@ -2736,7 +2768,8 @@ ties AS (
   {("GROUP BY " + g) if g else ""}
 )
 SELECT * FROM (
-  SELECT {gpre("t2")}t2.n_points, s.s_stat,
+  SELECT {gpre("t2")}t2.n_points,
+         CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
          CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
               * (2 * t2.n_points + 5) - t2.tie_term AS BIGINT) AS var_s_x18,
          CASE WHEN CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
@@ -2748,7 +2781,7 @@ SELECT * FROM (
            / sqrt(CAST(CAST(t2.n_points AS HUGEINT) * (t2.n_points - 1)
                        * (2 * t2.n_points + 5) - t2.tie_term AS DOUBLE) / 18.0)
            * 1000000.0) AS BIGINT) END AS z_ppm
-  FROM ties t2 JOIN s ON {on("t2", "s")}
+  FROM ties t2 LEFT JOIN s ON {on("t2", "s")}
   WHERE t2.n_points > 1
 ) _mk_out
 """
@@ -2782,7 +2815,6 @@ def diff_in_diff(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents).cast("long").alias("_s"),
     )
-    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
     mean_d = F.col("_s").cast("double") / F.col("n").cast("double")
 
     def cell_mean(tv: int, pv: int) -> Column:

@@ -1524,7 +1524,12 @@ def mmr_rerank_sql(
 
 
 def simplified_silhouette(
-    points: DataFrame, centroids: DataFrame, id_col: str, code_col: str
+    points: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    code_col: str,
+    cid_col: str = "cid",
+    centroid_code_col: str = "q",
 ) -> DataFrame:
     """Simplified silhouette of a centroid clustering over quantized
     codes — the cluster-quality eval that closes the k-means loop
@@ -1544,13 +1549,18 @@ def simplified_silhouette(
     ``overall`` is the unweighted mean over points (integer div),
     repeated per row (the density_ratio convention).
 
+    The centroid frame's columns are ``cid_col`` (cluster id, default
+    ``cid``) and ``centroid_code_col`` (quantized code array, default
+    ``q``) — parameterized like the point frame's id/code columns.
+
     Scale: ONE broadcast of the bounded centroid frame against the
     point scan; the per-point rank window partitions on the point id
     over exactly k rows (uniform keys, bounded frame). No self-join.
     """
     one = F.pmod(F.hash(F.lit(1)), F.lit(1))
     cen = centroids.select(
-        F.col("cid").cast("long").alias("_cid"), F.col("q").alias("_cq")
+        F.col(cid_col).cast("long").alias("_cid"),
+        F.col(centroid_code_col).alias("_cq"),
     ).withColumn("_one", one)
     # constant-key BROADCAST HASH join (the Markov scenario-grid
     # pattern) — never an unconditioned nested loop

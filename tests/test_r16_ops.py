@@ -250,3 +250,60 @@ def test_silhouette_duplicate_centroids_zero(spark):
     # both centroids on top of the points: b = 0 -> s = 0, assigned to cid 0
     assert len(rows) == 1 and rows[0].cid == 0
     assert rows[0].mean_silhouette_ppm == 0 and rows[0].n_points == 2
+
+
+def test_silhouette_custom_centroid_columns(spark):
+    """ADVICE r11 fix: the centroid frame's columns are parameterized
+    (cid_col/centroid_code_col), not hardcoded to cid/q."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import simplified_silhouette
+
+    pts = spark.createDataFrame(
+        [(0, [0]), (1, [1]), (10, [10]), (11, [11])], "id long, q array<int>"
+    )
+    cen = spark.createDataFrame(
+        [(0, [0]), (1, [10])], "cluster long, center array<int>"
+    )
+    rows = {
+        r.cid: r
+        for r in simplified_silhouette(
+            pts, cen, "id", "q", cid_col="cluster", centroid_code_col="center"
+        ).collect()
+    }
+    assert rows[0].mean_silhouette_ppm == 944444
+    assert rows[1].mean_silhouette_ppm == 954545
+
+
+def test_isotonic_null_score_bins_dropped_both_engines(spark):
+    """ADVICE r11 fix: NULL bins (NULL score) are filtered at operator
+    entry on BOTH engines — Spark windows sort NULLs first, DuckDB's
+    ORDER BY sorts them last, so a surviving NULL bin would silently
+    skew the prefix sums differently per engine."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        isotonic_calibration_bins,
+        isotonic_calibration_bins_sql,
+    )
+
+    rows = []
+    for b, pos in [(0, 4), (1, 24), (2, 8)]:
+        for i in range(40):
+            rows.append((b * 333334 + 1000 + i, 1 if i < pos else 0))
+    rows += [(None, 1), (None, 0), (None, 0)]  # unscored rows
+    df = spark.createDataFrame(rows, "score long, lbl long")
+    got = sorted(
+        map(tuple, isotonic_calibration_bins(df, "score", "lbl", 3).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (score BIGINT, lbl BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                isotonic_calibration_bins_sql("t", "score", "lbl", 3)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) == 3 and all(r[0] is not None for r in got)

@@ -132,3 +132,79 @@ def test_stump_prefers_more_separating_cut(spark):
     df = spark.createDataFrame(rows, "f string, b long, l long")
     r = stump_split_gain(df, "f", "b", "l").collect()[0]
     assert r.best_split_bin == 1
+
+
+def test_mann_kendall_same_t_group_emits_s_zero(spark):
+    """ADVICE r11 fix: a group whose rows all share one t has zero
+    comparable pairs (the strict t_i < t_j frame) and emits S = 0 via
+    the LEFT-joined S frame — not a silently dropped row."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        mann_kendall_trend,
+        mann_kendall_trend_sql,
+    )
+
+    rows = [
+        ("same_t", 1, 5),
+        ("same_t", 1, 9),
+        ("mix", 1, 1),
+        ("mix", 1, 2),
+        ("mix", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {r.g: r for r in mann_kendall_trend(df, ["g"], "t", "v").collect()}
+    # same_t: 2 points, no comparable pair -> S = 0; v's distinct so
+    # var_s_x18 = 2*1*9 = 18, z = 0
+    assert out["same_t"].n_points == 2
+    assert out["same_t"].s_stat == 0
+    assert out["same_t"].var_s_x18 == 18
+    assert out["same_t"].z_ppm == 0
+    # mix: duplicate-t pair (1,1)-(1,2) excluded; two comparable pairs
+    assert out["mix"].s_stat == 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: r
+        for r in con.execute(
+            mann_kendall_trend_sql("t", ["g"], "t", "v")
+        ).fetchall()
+    }
+    for g in ("same_t", "mix"):
+        assert (
+            out[g].n_points,
+            out[g].s_stat,
+            out[g].var_s_x18,
+            out[g].z_ppm,
+        ) == want[g][1:]
+
+
+def test_stump_null_bins_dropped_both_engines(spark):
+    """ADVICE r11 fix: NULL bins are filtered at stump entry on both
+    engines (NULL-first vs NULL-last window sort order would otherwise
+    diverge the prefix counts and candidate splits)."""
+    import duckdb
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (  # noqa: F401
+        mann_kendall_trend,
+    )
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        stump_split_gain,
+        stump_split_gain_sql,
+    )
+
+    rows = []
+    for b, pos in [(0, 0), (1, 1), (2, 9)]:
+        rows += [("f", b, 1)] * pos + [("f", b, 0)] * (10 - pos)
+    rows += [("f", None, 1), ("f", None, 0)]  # NULL-binned rows
+    df = spark.createDataFrame(rows, "f string, b long, l long")
+    got = stump_split_gain(df, "f", "b", "l").collect()[0]
+    assert got.best_split_bin == 1
+    assert got.n == 30  # the two NULL-bin rows are excluded from counts
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (f VARCHAR, b BIGINT, l BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(stump_split_gain_sql("t", "f", "b", "l")).fetchall()[0]
+    assert (got.feature, got.n, got.n_pos, got.best_split_bin,
+            got.best_gain_ppm) == want

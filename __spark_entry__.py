@@ -31,6 +31,8 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     staged_r9,
     staged_r10,
     staged_r11,
+    staged_r12,
+    staged_r13,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -40,46 +42,49 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r11 WINDOW PLAN (executes the r10 commitment, VERDICT r10 #1, PAIRED
-# with the one-in/one-out consolidation of VERDICT r10 #2; battery
-# 139 + 11 staged_r11 - 10 retired = 140. The 10 retirements, each
-# moved to its module's RETIRED_QUERIES and pytest-oracle-gated by
+# r12 WINDOW PLAN (executes the r11 commitment as the DOUBLE wave
+# VERDICT r11 #1 calls for — "register staged_r13 too if the
+# post-retirement window arithmetic allows" — to start draining the
+# staged backlog; battery 140 + 9 staged_r12 + 9 staged_r13 - 3
+# retired = 155; staged backlog 53 -> 35, further -1 via the
+# km_user_retention pre-registration retirement = 34. The retirements
+# (staged_r12.py + staged_r17.py shortlists), each moved to its
+# module's RETIRED_QUERIES and pytest-oracle-gated by
 # tests/test_retired_surfaces.py:
-#   dedup_minhash_lsh, dedup_embedding_cosine        (pipeline.py)
-#   bpe_train_merges, chi2_lang_source,
-#   hopping_hll_distinct, tpch_q17_small_qty         (staged.py)
-#   locf_gap_fill                                    (coverage.py)
-#   outlier_mad_census                               (quality.py)
-#   wasserstein_drift, weighted_price_quantiles      (staged_r9.py)
+#   bm25_topk_retrieval      ⊂ ndcg_bm25_eval          (curation.py)
+#   text_repetition_gopher   vs intra_doc_repetition   (curation.py)
+#   corr_regression_stats    ⊂ corr_matrix_onepass +
+#                              zipf_alpha's grouped OLS (coverage.py)
+#   km_user_retention        vs user_hazard_cohorts — retired from the
+#                            STAGED pool pre-registration (identical
+#                            risk sets, test_r15_ops.py)  (staged_r14.py)
 # Window arithmetic after retirement:
-#   _HEAD = 11 newly registered plans/staged_r11.py entries (never gated)
-#         + 35 surviving rotation-due entries (the r8-gated block of 39
-#           minus its 4 in-block retirements)
-#         + 4 promoted next-due entries (head of the r9-gated block:
-#           quantile_binning_census, target_encoding_priority,
-#           key_skew_diagnostics, json_malformed_census) = 50 exactly.
-#   _TAIL = first the 42 r9-gated remainder (50 - 4 promoted - 4
-#           retired; rotation-due r12), then the 48 surviving r10-gated
-#           entries (50 - 2 retired; rotation-due r13).
-# r12 COMMITMENT (re-derived against the post-retirement battery,
-# VERDICT r10 #3): plans/staged_r12.py holds 9 entries
-# (intra_doc_repetition, pr_threshold_sweep, ndcg_bm25_eval,
-# cohens_kappa_agreement, corr_matrix_onepass, cms_join_size_estimate,
-# edit1_name_linkage, zipf_alpha_by_source, quantile_band_coverage).
-# After the r11 rotation the r12 rotation-due block is the 42 r9-gated
-# remainder (hard-gated r9, oldest), so _HEAD_r12 = 9 staged_r12 + the
-# FIRST 41 of those 42; the single overflow (lookup_fold_broadcast)
-# gets the committed logged sweep. Battery 140 + 9 = 149 at r12
-# registration unless further retirements land.
-# r13 SEED (no window arithmetic committed yet — the r12 rotation must
-# land first): plans/staged_r13.py holds 9 further parity-pinned
-# entries (rendezvous_shard_churn, salted_topk_per_type,
-# merkle_bucket_diff, ucb_event_arms, user_growth_accounting,
-# copurchase_lift_pairs, daily_revenue_acf, pinball_band_loss,
-# personalized_pagerank_topk).
-# r14 SEED: plans/staged_r14.py holds 15 further parity-pinned entries
+#   _HEAD = 9 staged_r12 + 9 staged_r13 (never gated)
+#         + the FIRST 32 of the 40 surviving r9-gated remainder (42
+#           committed at r11 minus the 2 in-block retirements
+#           bm25_topk_retrieval / corr_regression_stats) = 50 exactly.
+#   The committed single-wave plan had 1 overflow; the double wave
+#   trades 8 rotation-due overflow entries (chunk_sliding_window,
+#   funnel_conversion, rank_functions_suite, zorder_locality,
+#   unpivot_melt, dedupe_latest_window, groupby_max_dedup,
+#   lookup_fold_broadcast) for 9 more backlog registrations — each
+#   overflow entry is covered by the committed full-battery
+#   tools/check_oracle.py --log-sweep run (tools/sweep_log.json,
+#   round 12) and rotates FIRST into the r13 head.
+#   _TAIL = first those 8 r9-remainder overflow entries (rotation-due
+#           r13), then the 48 surviving r10-gated entries (rotation-due
+#           r13), then the 49 r11-hard-gated survivors (the r11 window
+#           minus the retired text_repetition_gopher).
+# r13 COMMITMENT (VERDICT r11 #2: registrations must outpace stagings;
+# zero new waves were produced in r12): register the 14 surviving
+# staged_r14 entries, so _HEAD_r13 = 14 staged_r14 + the 8 r9-remainder
+# overflow + the FIRST 28 of the 48 r10-gated block = 50; the 20-entry
+# r10-block overflow gets a logged sweep and rotates first at r14.
+# Confirm at registration the shortlisted theil_sen_daily_trend /
+# daily_value_mann_kendall consolidation (staged_r17.py:13-37).
+# r14 SEED: plans/staged_r14.py holds 14 surviving parity-pinned entries
 # (revenue_gini_by_segment, woe_iv_priority_screen, cuped_event_value,
-# theil_sen_daily_trend, km_user_retention, pareto_quality_cost,
+# theil_sen_daily_trend, pareto_quality_cost,
 # ngram_novelty_census, adamic_adar_parts, srm_assignment_check,
 # weighted_sample_parts, markov_attribution_channels,
 # loo_source_influence, conformal_order_value, smd_balance_arms,
@@ -102,62 +107,28 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # machinery_did_1998, doc_feature_stump_screen), physiology-noted
 # (SCALING.md §r17) and benched (bench_r17_staged_local.json).
 _HEAD = [
-    # ---- 11 newly registered staged_r11 entries (first driver gating) ----
-    "auc_price_returns",
-    "calibration_price_returns",
-    "dedup_weighted_jaccard",
-    "minhash_estimate_eval",
-    "ohlc_daily_value",
-    "nearest_click_join",
-    "fd_violation_census",
-    "embedding_distance_histogram",
-    "bootstrap_order_value_ci",
-    "graph_bfs_reach",
-    "hll_error_eval",
-    # ---- 35 rotation-due (r8-gated block survivors, last gated r8) ----
-    "hll_set_algebra",
-    "hdr_percentile_calibrate",
-    "bpe_token_counts",
-    "dedup_incremental_lsh",
-    "k_anonymity_census",
-    "snapshot_diff_orders",
-    "fk_orphan_census",
-    "encoding_artifact_census",
-    "hard_negative_mining",
-    "tpch_q3_priority",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich",
-    "session_path_trigrams",
-    "scd2_temporal_join",
-    "quarantine_reason_census",
-    "backfill_chunked_delta",
-    "range_sorted_checksum",
-    "dq_expectations",
-    "job_source_filters",
-    "text_repetition_gopher",
-    "decontaminate_ngram_overlap",
-    "cross_source_leakage",
-    "semantic_dedup_clusters",
-    "substring_span_census",
-    "tfidf_top_terms",
-    "bigram_lm_logprob",
-    "boilerplate_para_removal",
-    "retention_cohorts",
-    "countmin_heavy_hitters",
-    "table_profile_sweep",
-    "incremental_state_merge",
-    "mix_temperature_weights",
-    "corpus_prep_pipeline",
-    "json_extract",
-    # ---- 4 promoted next-due (head of the r9-gated block) ----
-    "quantile_binning_census",
-    "target_encoding_priority",
-    "key_skew_diagnostics",
-    "json_malformed_census",
-]
-_TAIL = [
-    # ---- r9-hard-gate-verified remainder: rotation-due FIRST in r12 ----
+    # ---- 9 newly registered staged_r12 entries (first driver gating) ----
+    "intra_doc_repetition",
+    "pr_threshold_sweep",
+    "ndcg_bm25_eval",
+    "cohens_kappa_agreement",
+    "corr_matrix_onepass",
+    "cms_join_size_estimate",
+    "edit1_name_linkage",
+    "zipf_alpha_by_source",
+    "quantile_band_coverage",
+    # ---- 9 newly registered staged_r13 entries (first driver gating) ----
+    "rendezvous_shard_churn",
+    "salted_topk_per_type",
+    "merkle_bucket_diff",
+    "ucb_event_arms",
+    "user_growth_accounting",
+    "copurchase_lift_pairs",
+    "daily_revenue_acf",
+    "pinball_band_loss",
+    "personalized_pagerank_topk",
+    # ---- first 32 of the 40 surviving r9-gated remainder (last hard-
+    # ---- gated r9, sweep-covered r11) ----
     "temporal_split_embargo",
     "attribution_touchpoints",
     "rfm_quintile_features",
@@ -182,16 +153,18 @@ _TAIL = [
     "catalog_job_pipeline",
     "graph_triangle_census",
     "ann_pq_adc_topk",
-    "bm25_topk_retrieval",
     "scd2_state_history",
     "semantic_decontaminate",
     "bloom_pruned_join",
     "stratified_sample_exact",
     "epoch_shuffle_order",
     "embedding_quantize_int8",
-    "corr_regression_stats",
     "interval_overlap_join",
     "graph_pagerank_topk",
+]
+_TAIL = [
+    # ---- 8 r9-remainder overflow (double-wave trade; sweep-covered
+    # ---- round 12, rotation-due FIRST in r13) ----
     "chunk_sliding_window",
     "funnel_conversion",
     "rank_functions_suite",
@@ -250,6 +223,57 @@ _TAIL = [
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
+    # ---- r11-hard-gate-verified survivors (CORRECTNESS_r11 green),
+    # ---- rotation-due r14 ----
+    "auc_price_returns",
+    "calibration_price_returns",
+    "dedup_weighted_jaccard",
+    "minhash_estimate_eval",
+    "ohlc_daily_value",
+    "nearest_click_join",
+    "fd_violation_census",
+    "embedding_distance_histogram",
+    "bootstrap_order_value_ci",
+    "graph_bfs_reach",
+    "hll_error_eval",
+    "hll_set_algebra",
+    "hdr_percentile_calibrate",
+    "bpe_token_counts",
+    "dedup_incremental_lsh",
+    "k_anonymity_census",
+    "snapshot_diff_orders",
+    "fk_orphan_census",
+    "encoding_artifact_census",
+    "hard_negative_mining",
+    "tpch_q3_priority",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich",
+    "session_path_trigrams",
+    "scd2_temporal_join",
+    "quarantine_reason_census",
+    "backfill_chunked_delta",
+    "range_sorted_checksum",
+    "dq_expectations",
+    "job_source_filters",
+    "decontaminate_ngram_overlap",
+    "cross_source_leakage",
+    "semantic_dedup_clusters",
+    "substring_span_census",
+    "tfidf_top_terms",
+    "bigram_lm_logprob",
+    "boilerplate_para_removal",
+    "retention_cohorts",
+    "countmin_heavy_hitters",
+    "table_profile_sweep",
+    "incremental_state_merge",
+    "mix_temperature_weights",
+    "corpus_prep_pipeline",
+    "json_extract",
+    "quantile_binning_census",
+    "target_encoding_priority",
+    "key_skew_diagnostics",
+    "json_malformed_census",
 ]
 
 
@@ -303,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(staged_r9.STAGED_QUERIES)  # registered r9 (VERDICT r8 #1)
     q.update(staged_r10.STAGED_QUERIES)  # registered r10 (VERDICT r9 #1)
     q.update(staged_r11.STAGED_QUERIES)  # registered r11 (VERDICT r10 #1)
+    q.update(staged_r12.STAGED_QUERIES)  # registered r12 (VERDICT r11 #1)
+    q.update(staged_r13.STAGED_QUERIES)  # registered r12 double wave (VERDICT r11 #1)
     return _window_order(q)
 
 
@@ -322,4 +348,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(staged_r9.STAGED_ORACLES)  # registered r9 (VERDICT r8 #1)
     o.update(staged_r10.STAGED_ORACLES)  # registered r10 (VERDICT r9 #1)
     o.update(staged_r11.STAGED_ORACLES)  # registered r11 (VERDICT r10 #1)
+    o.update(staged_r12.STAGED_ORACLES)  # registered r12 (VERDICT r11 #1)
+    o.update(staged_r13.STAGED_ORACLES)  # registered r12 double wave (VERDICT r11 #1)
     return _window_order(o)

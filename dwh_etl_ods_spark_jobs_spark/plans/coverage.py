@@ -639,8 +639,11 @@ def q_tombstone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for name, frame in [("events", ev), ("customer", cust)]:
         # one pass per table: flag membership, aggregate both counts
+        # no forced broadcast: the tombstone list is a 1/MOD slice of an
+        # SF-proportional key set (AQE broadcasts it at bench scale; at
+        # corpus scale the bloom-pruned path above is the fast lane)
         flagged = frame.join(
-            F.broadcast(tombstones.withColumn("_t", F.lit(1))), "user_id", "left"
+            tombstones.withColumn("_t", F.lit(1)), "user_id", "left"
         )
         parts.append(
             flagged.agg(
@@ -975,8 +978,12 @@ RETIRED_QUERIES["sessionize_gap"] = q_sessionize
 RETIRED_QUERIES["tumbling_daily_rollup"] = q_tumbling
 QUERIES["retention_cohorts"] = q_retention
 ORACLES["retention_cohorts"] = SQL_RETENTION
-QUERIES["corr_regression_stats"] = q_bivariate_stats
-ORACLES["corr_regression_stats"] = _sql_bivariate_stats()
+# r12 retired (staged_r12.py shortlist, VERDICT r11 #1): the grouped
+# Pearson corr ⊂ corr_matrix_onepass (same exact-moment physiology over
+# every measure pair) and the OLS slope/stderr ⊂ zipf_alpha_by_source's
+# grouped OLS; still oracle-gated by tests/test_retired_surfaces.py.
+RETIRED_QUERIES["corr_regression_stats"] = q_bivariate_stats
+RETIRED_ORACLES["corr_regression_stats"] = _sql_bivariate_stats()
 QUERIES["funnel_conversion"] = q_funnel
 ORACLES["funnel_conversion"] = _sql_funnel()
 # r9 retired: rolling_window_revenue ⊂ window_frames (same rows/range frames)

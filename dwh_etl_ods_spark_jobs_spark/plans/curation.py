@@ -853,7 +853,6 @@ SQL_STRATIFIED_SAMPLE = C.stratified_sample_exact_sql(
 
 
 QUERIES = {
-    "text_repetition_gopher": q_repetition,
     "stratified_sample_exact": q_stratified_sample,
     "decontaminate_ngram_overlap": q_decontaminate,
     "cross_source_leakage": q_leakage,
@@ -863,13 +862,11 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "bigram_lm_logprob": q_bigram_lm,
     "boilerplate_para_removal": q_boilerplate,
-    "bm25_topk_retrieval": q_bm25,
     "semantic_decontaminate": q_semantic_decon,
     "mix_temperature_weights": q_mix_temperature,
     "corpus_prep_pipeline": q_corpus_prep,
 }
 ORACLES = {
-    "text_repetition_gopher": SQL_REPETITION,
     "stratified_sample_exact": SQL_STRATIFIED_SAMPLE,
     "decontaminate_ngram_overlap": SQL_DECONTAMINATE,
     "cross_source_leakage": SQL_LEAKAGE,
@@ -879,7 +876,6 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF,
     "bigram_lm_logprob": SQL_BIGRAM_LM,
     "boilerplate_para_removal": SQL_BOILERPLATE,
-    "bm25_topk_retrieval": _sql_bm25(),
     "semantic_decontaminate": _sql_semantic_decon(),
     "mix_temperature_weights": SQL_MIX_TEMPERATURE,
     "corpus_prep_pipeline": _sql_corpus_prep(),
@@ -894,10 +890,15 @@ RETIRED_QUERIES = {
     "split_assignment": q_assign_split,                # ⊂ corpus_prep_pipeline stage 2
     "shard_pack_tokens": q_shard_pack,                 # ⊂ corpus_prep_pipeline stage 3
     "sample_mix_weighted": q_sample_mix,  # ⊂ mix_temperature_weights (weights) + stratified_sample_exact (exact-k draw)
+    # r12 registration (staged_r12.py shortlist, VERDICT r11 #1):
+    "bm25_topk_retrieval": q_bm25,  # ⊂ ndcg_bm25_eval (the eval RUNS bm25_topk as its run lists)
+    "text_repetition_gopher": q_repetition,  # vs intra_doc_repetition: trigram dup-mass screen enters the battery; the word/bigram signals (explode physiology) stay gated here
 }
 RETIRED_ORACLES = {
     "quality_classifier_score": SQL_QUALITY_CLASSIFIER,
     "split_assignment": SQL_ASSIGN_SPLIT,
     "shard_pack_tokens": SQL_SHARD_PACK,
     "sample_mix_weighted": SQL_SAMPLE_MIX,
+    "bm25_topk_retrieval": _sql_bm25(),
+    "text_repetition_gopher": SQL_REPETITION,
 }

@@ -54,7 +54,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PRICE_CENTS).alias("cents"),
     )
     base = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).select("c_mktsegment", "cents", "o_orderkey")
     return gini_concentration(
         base, ["c_mktsegment"], "cents", ["o_orderkey"]
@@ -95,7 +95,7 @@ def q_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     base = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).select(F.col("o_orderpriority").alias("bucket"), "bad")
     return woe_iv_screen(base, "bucket", "bad").orderBy("bucket")
 
@@ -285,8 +285,15 @@ def _sql_km() -> str:
     return kaplan_meier_sql(base, [], "duration", "event") + " ORDER BY t"
 
 
-STAGED_QUERIES["km_user_retention"] = q_km
-STAGED_ORACLES["km_user_retention"] = _sql_km()
+# r12 pre-registration retirement (staged_r17.py shortlist, VERDICT r11
+# #1/#2): same count grid as user_hazard_cohorts (staged_r15) with proven
+# identical risk sets (tests/test_r15_ops.py::
+# test_nelson_aalen_matches_km_risk_sets) — the Nelson-Aalen hazard
+# cohorts carry the wider surface into the battery; the KM readout stays
+# oracle-gated here (tests/test_retired_surfaces.py), shrinking the
+# never-hard-gated staged tail instead of growing the battery.
+RETIRED_QUERIES["km_user_retention"] = q_km
+RETIRED_ORACLES["km_user_retention"] = _sql_km()
 
 
 # --- Pareto frontier: document quality vs token cost ---------------------------
@@ -664,7 +671,7 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", F.expr(_PRICE_CENTS).alias("cents"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     seg_mean = orders.groupBy("c_mktsegment").agg(
         F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("_pred")

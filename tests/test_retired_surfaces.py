@@ -10,7 +10,9 @@ text stats/filter pipeline, exact n-gram Jaccard, multiprobe-LSH and
 nprobe=2-IVF ANN, TPC-H Q5/Q14 shapes, full-outer coalesce, gap
 sessionize; r11: minhash-LSH raw pairs, embedding-cosine raw pairs,
 BPE train-only, hopping HLL, chi2 contingency, TPC-H Q17, LOCF gap
-fill, global MAD census, W1 drift, ungrouped weighted quantiles)
+fill, global MAD census, W1 drift, ungrouped weighted quantiles; r12:
+BM25 top-k retrieval, the word/bigram Gopher repetition signals, the
+grouped corr/OLS bivariate suite, the Kaplan-Meier retention readout)
 keeps a correctness gate.
 """
 
@@ -32,6 +34,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (
     staged,
     staged_r9,
     staged_r10,
+    staged_r14,
 )
 
 TABLES = [
@@ -43,7 +46,7 @@ RETIRED = [
     (mod, name)
     for mod in (
         coverage, pipeline, graph, curation, sketches, staged, showcase,
-        quality, staged_r9, staged_r10,
+        quality, staged_r9, staged_r10, staged_r14,
     )
     for name in mod.RETIRED_QUERIES
 ]

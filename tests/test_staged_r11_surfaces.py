@@ -48,20 +48,17 @@ def test_staged_r11_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r11_names_registered_and_gated():
-    """r11 registration executed (VERDICT r10 #1): every staged_r11 entry
-    is live in the battery, bound to the same callable/SQL, AND inside
-    the driver's 50-slot gate window (the one-time in-window assertion
-    for the r11 gating round — relax to registered-only after the r12
-    rotation, as the r9/r10 tests did)."""
+def test_staged_r11_names_registered():
+    """r11 registration executed (VERDICT r10 #1); the one-time in-window
+    assertion was relaxed to registered-only after the r12 rotation (the
+    r11 entries hold CORRECTNESS_r11 green rows and now rotate through
+    the tail like the r9/r10 blocks)."""
     import __spark_entry__ as entry_mod
 
     live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
-    window = set(list(live_q)[:50])
     for name, fn in staged_r11.STAGED_QUERIES.items():
         assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
         assert live_o.get(name) == staged_r11.STAGED_ORACLES[name], name
-        assert name in window, f"{name}: outside the r11 gate window"
 
 
 def test_staged_r11_oracle_keys_align():

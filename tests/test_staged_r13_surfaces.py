@@ -48,12 +48,19 @@ def test_staged_r13_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r13_names_not_yet_in_battery():
+def test_staged_r13_names_registered_and_gated():
+    """r12 DOUBLE-wave registration (VERDICT r11 #1): staged_r13 entered
+    the battery alongside staged_r12; every entry is bound to the same
+    callable/SQL and inside the 50-slot gate window (one-time in-window
+    assertion — relax to registered-only after the r13 rotation)."""
     import __spark_entry__ as entry_mod
 
-    live = set(entry_mod.queries())
-    clash = live & set(staged_r13.STAGED_QUERIES)
-    assert not clash, f"staged_r13 names already registered: {sorted(clash)}"
+    live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
+    window = set(list(live_q)[:50])
+    for name, fn in staged_r13.STAGED_QUERIES.items():
+        assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
+        assert live_o.get(name) == staged_r13.STAGED_ORACLES[name], name
+        assert name in window, f"{name}: outside the r12 gate window"
 
 
 def test_staged_r13_oracle_keys_align():

@@ -429,7 +429,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", _rev_col())
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -476,8 +476,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .groupBy("n_name")
@@ -516,7 +516,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum("rev_c4").alias("revenue_c4"))
@@ -572,7 +572,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (the referenced->=2x discipline; plan-pinned by
     # tests/test_staged_surfaces.py::test_tpch_self_join_scans_lineitem_once)
     lib = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_partkey", "qty_c", "rev_c4")
         .localCheckpoint(eager=False)
     )
@@ -628,7 +628,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty_c")
         .orderBy(F.desc("sum_qty_c"), F.asc("o_orderkey"))
         .limit(20)
@@ -669,7 +669,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_type").startswith("PROMO").cast("int").alias("is_promo")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("ship_month")
         .agg(
             F.sum(F.expr("CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END")).alias("promo_c4"),
@@ -712,7 +712,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qty_c"),
         _rev_col(),
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     qc = F.col("qty_c")
     cond = (
         ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)

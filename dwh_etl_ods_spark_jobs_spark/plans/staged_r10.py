@@ -92,7 +92,7 @@ def q_decayed_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("_one", one)
         .join(F.broadcast(anchor), "_one")
         .withColumn("age_days", F.datediff(F.col("_anchor"), F.col("d")))
-        .join(F.broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
     )
     return aged.transform(
         decay_halving_agg(
@@ -1160,7 +1160,7 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     base = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li_w, orders["o_orderkey"] == li_w["l_orderkey"])
         .select("c_mktsegment", "cents", "o_orderkey", "w")
     )

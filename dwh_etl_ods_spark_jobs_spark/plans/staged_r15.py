@@ -133,7 +133,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("prio"),
     )
     base = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).select("c_mktsegment", "c_nationkey", "prio")
     return t_closeness_census(
         base, ["c_mktsegment", "c_nationkey"], "prio", TC_T_MAX_PPM

@@ -72,7 +72,7 @@ def q_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     base = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).select(F.col("c_mktsegment").alias("seg"), "hi", "o_totalprice")
     return stratified_ate(base, "seg", "hi", "o_totalprice").orderBy("bin")
 

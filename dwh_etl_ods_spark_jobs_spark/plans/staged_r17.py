@@ -183,7 +183,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     base = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).select(
         (F.col("c_mktsegment") == DID_SEGMENT).cast("long").alias("tr"),
         (F.col("o_orderdate") >= F.lit(DID_SPLIT).cast("timestamp"))

@@ -50,3 +50,48 @@ def test_plan_respects_scale_invariants(spark, sf_dir, name):
     )
     for bad in ("rand(", "randn(", "uuid()"):
         assert bad not in plan, f"{name}: nondeterministic {bad} in plan"
+
+
+def test_no_forced_broadcast_of_sf_proportional_tables():
+    """VERDICT r11 #3 (What's wrong #3), enforced mechanically: a forced
+    ``F.broadcast`` hint in the plan layer is only allowed on frames
+    with a BOUNDED contract — one-row anchors/totals, the month spine,
+    the 25-row nation dim, per-event-type band frames, per-segment mean
+    frames, a single query vector. TPC-H customer/supplier/part/orders/
+    lineitem scale linearly with SF, so a forced hint on them exceeds
+    any broadcast budget at 100x (it fails loudly, but the right plan is
+    to let AQE decide — which still broadcasts at bench scale with zero
+    perf cost). New hint targets must be added here WITH their bound."""
+    import os
+    import re
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dwh_etl_ods_spark_jobs_spark",
+        "plans",
+    )
+    allowed = {
+        "anchor",    # one-row global max-date anchor (staged_r10)
+        "bands",     # per-event-type quantile bands, <= |event_type| rows (staged_r13)
+        "horizon",   # one-row data-horizon frame (staged_r14/r15)
+        "nat",       # nation dim: fixed 25 rows at every SF (staged)
+        "qv",        # single query embedding vector, one row (staged_r9)
+        "seg_mean",  # per-mktsegment means, 5 rows (staged_r14)
+        "spine",     # bounded month spine (art_outcomes)
+        "stats",     # one-row global stats fold (staged)
+        "total",     # one-row corpus total (curation)
+    }
+    hits: dict[str, set[str]] = {}
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(plans_dir, fname)) as fh:
+            for ident in pat.findall(fh.read()):
+                hits.setdefault(ident, set()).add(fname)
+    offenders = {k: sorted(v) for k, v in hits.items() if k not in allowed}
+    assert not offenders, (
+        f"forced F.broadcast on non-allowlisted frames: {offenders} — if the "
+        "frame is bounded by contract, add it to the allowlist with its "
+        "bound; if it scales with SF, drop the hint and let AQE decide"
+    )

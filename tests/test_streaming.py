@@ -1901,3 +1901,60 @@ def test_streaming_bucket_counts_feed_stump_screen(spark, workdir):
         )
     )
     assert got == expect and len(got) == 2
+
+
+def test_streaming_assignment_counts_feed_srm(spark, workdir):
+    """Live randomizer health gate (r14 eval binding, VERDICT r11 #5): a
+    streaming per-(experiment, variant) count snapshot through
+    srm_from_counts equals the batch srm_check over the same exposure
+    rows — chi2 and flag bit-identical across micro-batch boundaries."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        srm_check,
+        srm_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_assign")
+    schema = "exp string, variant string"
+    # exp_ok: near-equal 3-way split; exp_bad: 2-way split badly skewed
+    rows1 = [("exp_ok", ["a", "b", "c"][i % 3]) for i in range(60)] + [
+        ("exp_bad", "t") for _ in range(40)
+    ]
+    rows2 = [("exp_bad", "c") for _ in range(10)] + [
+        ("exp_ok", ["a", "b", "c"][i % 3]) for i in range(21)
+    ]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_assignment_counts(stream, "exp", "variant")
+        .writeStream.format("memory")
+        .queryName("assign_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_assign"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    thr = 13_816_000  # chi2 crit 0.001 at 2 df, micro-units
+    got = sorted(
+        map(
+            tuple,
+            srm_from_counts(spark.table("assign_counts"), thr).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            srm_check(
+                spark.read.parquet(src), "exp", "variant", thr
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) == 2
+    by_exp = {r[0]: r for r in got}
+    assert by_exp["exp_bad"][4] == 1  # 40/10 split: flagged
+    assert by_exp["exp_ok"][4] == 0

@@ -968,6 +968,28 @@ def streaming_assignment_counts(
     ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
 
 
+def streaming_period_counts(
+    stream: DataFrame, group_cols: list[str], period_col: str
+) -> DataFrame:
+    """Continuously-maintained per-(group, period) event counts — the
+    burstiness feeder (r12 extension of the r14/r15 eval-binding
+    pattern): state is bounded at O(groups x observed periods) count
+    rows regardless of event volume. Run in update/complete mode; a
+    snapshot fed STRAIGHT into ``operators.stats.dispersion_index``
+    (whose input contract IS a per-period count frame) is BIT-IDENTICAL
+    to the batch Fano readout over the same rows (pytest-pinned), so
+    "did this event type turn bursty" becomes a live dashboard number.
+    Shards merge by cell addition. The caller owns spine completion,
+    same as batch — zero-count periods enter the variance only if an
+    upstream spine emits their rows."""
+    from pyspark.sql import functions as F
+
+    g = [F.col(c) for c in group_cols]
+    return stream.groupBy(
+        *g, F.col(period_col).alias("period")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 def streaming_bin_counts(
     stream: DataFrame, bin_col: str, count_alias: str
 ) -> DataFrame:

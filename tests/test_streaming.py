@@ -1958,3 +1958,58 @@ def test_streaming_assignment_counts_feed_srm(spark, workdir):
     by_exp = {r[0]: r for r in got}
     assert by_exp["exp_bad"][4] == 1  # 40/10 split: flagged
     assert by_exp["exp_ok"][4] == 0
+
+
+def test_streaming_period_counts_feed_dispersion(spark, workdir):
+    """Live burstiness (r12 eval binding): a streaming per-(group,
+    period) count snapshot fed straight into dispersion_index (whose
+    input contract IS a per-period count frame) equals the batch Fano
+    readout over the same rows — bit-identical across micro-batch
+    boundaries, including the bursty flag."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import dispersion_index
+
+    src = os.path.join(workdir, "landing_periods")
+    schema = "g string, day long"
+    # steady: one event per day over 30 days; bursty: 40 events on one
+    # day plus singletons
+    rows1 = [("steady", d) for d in range(30)] + [("bursty", 0)] * 25
+    rows2 = [("bursty", 0)] * 15 + [("bursty", d) for d in range(1, 6)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_period_counts(stream, ["g"], "day")
+        .writeStream.format("memory")
+        .queryName("period_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_periods"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            dispersion_index(
+                spark.table("period_counts"), ["g"], "n"
+            ).collect(),
+        )
+    )
+    batch_rollup = (
+        spark.read.parquet(src)
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    expect = sorted(
+        map(tuple, dispersion_index(batch_rollup, ["g"], "n").collect())
+    )
+    assert got == expect and len(got) == 2
+    by_g = {r[0]: r for r in got}
+    assert by_g["bursty"][4] == 1  # overdispersed
+    assert by_g["steady"][4] == 0  # Fano 0 for the all-ones series

@@ -775,3 +775,80 @@ def test_mann_kendall_equals_bruteforce(spark, vals):
     else:
         zn = s - 1 if s > 0 else s + 1
         assert r.z_ppm == round(zn / math.sqrt(var18 / 18.0) * 1_000_000)
+
+
+lbl = st.integers(min_value=0, max_value=3)
+
+
+@given(pairs=st.lists(st.tuples(lbl, lbl), min_size=1, max_size=30))
+@SET
+def test_cohens_kappa_equals_python_reference(spark, pairs):
+    """kappa_ppm == an independent Python walk of the SAME quantized
+    integer sequence (marginals ppm-quantized before the chance product,
+    truncating division throughout, pe==1 -> NULL) for ANY label pairs —
+    the newly gate-registered agreement readout."""
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        cohens_kappa,
+    )
+
+    PPM = 1_000_000
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    got = cohens_kappa(df, "a", "b").collect()[0]
+
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ca, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    keys = set(ca) | set(cb)
+    po = tdiv(agree * PPM, n)
+    pe = tdiv(
+        sum(tdiv(ca.get(k, 0) * PPM, n) * tdiv(cb.get(k, 0) * PPM, n) for k in keys),
+        PPM,
+    )
+    kappa = None if pe == PPM else tdiv((po - pe) * PPM, PPM - pe)
+    assert (got.n, got.po_ppm, got.pe_ppm, got.kappa_ppm) == (n, po, pe, kappa)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SET
+def test_corr_matrix_matches_numpy(spark, data):
+    """The one-pass exact-moment correlation matrix agrees with numpy's
+    corrcoef to 6 decimals for ANY integer columns, and emits explicit
+    NULL exactly where a column is constant (numpy: NaN) — the newly
+    gate-registered corr_matrix_onepass physiology."""
+    import math
+
+    import numpy as np
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame(data, "x int, y int, z int")
+    got = {
+        (r.col_a, r.col_b): r.corr_6
+        for r in corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    arr = np.array(data, dtype=np.float64)
+    want = np.corrcoef(arr, rowvar=False)
+    for (i, a), (j, b) in [((0, "x"), (1, "y")), ((0, "x"), (2, "z")), ((1, "y"), (2, "z"))]:
+        w = want[i][j]
+        g = got[(a, b)]
+        if math.isnan(w):
+            assert g is None, (a, b, g)
+        else:
+            assert g is not None and abs(g - w) <= 1.5e-6, (a, b, g, w)

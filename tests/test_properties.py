@@ -852,3 +852,86 @@ def test_corr_matrix_matches_numpy(spark, data):
             assert g is None, (a, b, g)
         else:
             assert g is not None and abs(g - w) <= 1.5e-6, (a, b, g, w)
+
+
+@given(
+    rewards=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_ucb_arm_scores_match_python_reference(spark, rewards):
+    """UCB1 per-arm scores equal an independent Python walk (global-max
+    normalization, sqrt(2 ln N / n) bonus, all-zero-reward NULL guard)
+    for ANY arm/reward data — the newly gate-registered bandit monitor."""
+    import math
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import ucb_arm_scores
+
+    df = spark.createDataFrame(rewards, "arm int, r int")
+    got = {r.arm: r for r in ucb_arm_scores(df, "arm", "r").collect()}
+
+    per = defaultdict(lambda: [0, 0])
+    for a, r in rewards:
+        per[a][0] += 1
+        per[a][1] += r
+    big_n = len(rewards)
+    scale = max(r for _, r in rewards)
+    assert set(got) == set(per)
+    for a, (n, s) in per.items():
+        bonus = round(math.sqrt(2.0 * math.log(big_n) / n), 6)
+        assert got[a].n == n
+        assert got[a].bonus_6 == bonus
+        if scale == 0:
+            assert got[a].mean_reward_6 is None and got[a].ucb_6 is None
+        else:
+            mean = s / (n * scale)
+            assert abs(got[a].mean_reward_6 - round(mean, 6)) <= 1e-9
+            assert abs(got[a].ucb_6 - round(mean + math.sqrt(2.0 * math.log(big_n) / n), 6)) <= 1e-9
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_growth_accounting_matches_python_reference(spark, events):
+    """The DAU new/returning/cumulative decomposition equals a Python
+    reference for ANY (user, day) activity log, including replayed
+    duplicates — the newly gate-registered growth readout."""
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        growth_accounting,
+    )
+
+    df = spark.createDataFrame(events, "u int, d int")
+    got = {
+        r.day: (r.active, r.new, r.returning, r.cumulative)
+        for r in growth_accounting(df, "u", "d").collect()
+    }
+
+    first = {}
+    for u, d in events:
+        first[u] = min(first.get(u, d), d)
+    active = defaultdict(set)
+    for u, d in events:
+        active[d].add(u)
+    cum = 0
+    for d in sorted(active):
+        new = sum(1 for u, fd in first.items() if fd == d)
+        cum += new
+        assert got[d] == (len(active[d]), new, len(active[d]) - new, cum), d
+    assert set(got) == set(active)

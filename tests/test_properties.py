@@ -935,3 +935,47 @@ def test_growth_accounting_matches_python_reference(spark, events):
         cum += new
         assert got[d] == (len(active[d]), new, len(active[d]) - new, cum), d
     assert set(got) == set(active)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    q=st.sampled_from([(1, 2), (9, 10), (1, 10), (95, 100)]),
+)
+@SET
+def test_pinball_loss_matches_python_reference(spark, data, q):
+    """mean_pinball_milli equals the exact-integer Python walk
+    (max(q_num·err, (q_num−q_den)·err) fold, one truncating division)
+    for ANY actual/pred pairs and quantile — the newly gate-registered
+    quantile-forecast scoring rule."""
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pinball_loss,
+    )
+
+    q_num, q_den = q
+
+    def tdiv(a: int, b: int) -> int:
+        r = abs(a) // abs(b)
+        return r if (a >= 0) == (b >= 0) else -r
+
+    df = spark.createDataFrame(data, "g int, y int, p int")
+    got = {
+        r.g: (r.n, r.mean_pinball_milli)
+        for r in pinball_loss(df, ["g"], "y", "p", q_num, q_den).collect()
+    }
+    per = defaultdict(list)
+    for g, y, p in data:
+        per[g].append(max(q_num * (y - p), (q_num - q_den) * (y - p)))
+    assert set(got) == set(per)
+    for g, losses in per.items():
+        want = tdiv(sum(losses) * 1000, q_den * len(losses))
+        assert got[g] == (len(losses), want), g

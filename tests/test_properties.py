@@ -979,3 +979,35 @@ def test_pinball_loss_matches_python_reference(spark, data, q):
     for g, losses in per.items():
         want = tdiv(sum(losses) * 1000, q_den * len(losses))
         assert got[g] == (len(losses), want), g
+
+
+@given(
+    left=st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=30),
+    right=st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=30),
+)
+@SET
+def test_cms_join_size_upper_bounds_exact(spark, left, right):
+    """The count-min join-size estimate is an UPPER bound on the exact
+    equi-join cardinality for ANY key multisets (collisions only add),
+    exact_size matches the Python Σ fA·fB, and disjoint key sets
+    estimate down to a non-negative value with exact 0 — the newly
+    gate-registered planner-side sizing primitive."""
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import countmin_join_size
+
+    def _df(vals):
+        if vals:
+            return spark.createDataFrame([(v,) for v in vals], "k int")
+        return spark.range(0).select(F.col("id").cast("int").alias("k"))
+
+    got = countmin_join_size(_df(left), _df(right), "k").collect()[0]
+    ca, cb = Counter(left), Counter(right)
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert got.exact_size == exact
+    assert got.est_size >= exact  # one-sided CM guarantee
+    assert got.est_size >= 0
+    if exact > 0:
+        assert got.err_ppm == (got.est_size - exact) * 1_000_000 // exact
+    else:
+        assert got.err_ppm == 0

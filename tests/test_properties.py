@@ -1011,3 +1011,42 @@ def test_cms_join_size_upper_bounds_exact(spark, left, right):
         assert got.err_ppm == (got.est_size - exact) * 1_000_000 // exact
     else:
         assert got.err_ppm == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c.AB!x ",
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_dup_ngram_ppm_matches_python_reference(spark, texts):
+    """The Gopher duplicate-trigram fraction equals a Python walk of the
+    same tokenize/ngram/distinct sequence (floor to ppm, short docs 0,
+    NULL-safe) for ANY text — the expression behind the newly
+    gate-registered intra_doc_repetition screen."""
+    import re
+
+    from dwh_etl_ods_spark_jobs_spark.text import dup_ngram_ppm
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r.rep
+        for r in df.select(dup_ngram_ppm(F.col("t")).alias("rep")).collect()
+    ]
+
+    def ref(text: str, n: int = 3) -> int:
+        toks = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        total = len(toks) - (n - 1)
+        if total < 1:
+            return 0
+        grams = [" ".join(toks[i : i + n]) for i in range(total)]
+        dup = total - len(set(grams))
+        return dup * 1_000_000 // total
+
+    assert got == [ref(t) for t in texts]

@@ -1012,7 +1012,9 @@ WITH binned AS (
   SELECT CAST({score_expr} AS BIGINT) * {b} // 1000001 AS bin,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST({label_expr} AS BIGINT)) AS BIGINT) AS n_pos
-  FROM {table_expr} WHERE ({score_expr}) IS NOT NULL GROUP BY 1
+  FROM {table_expr}
+  WHERE (CAST({score_expr} AS BIGINT) * {b} // 1000001) IS NOT NULL
+  GROUP BY 1
 ),
 pre AS (
   SELECT bin, n, n_pos,

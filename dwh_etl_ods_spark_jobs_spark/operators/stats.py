@@ -1958,8 +1958,10 @@ def srm_from_counts(counts: DataFrame, threshold_micro: int) -> DataFrame:
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dev = dec(F.col("_obs") * F.col("n_variants") - F.col("n"))
     num = (
-        cells.join(  # same key — AQE reuses the layout
-            per, F.col("_e") == F.col("experiment")
+        cells.alias("c")
+        .join(  # same key — AQE reuses the layout; explicit aliases keep
+            # the self-join lineage robust to future column additions
+            per.alias("p"), F.col("c._e") == F.col("p.experiment")
         )
         .groupBy("experiment", "n", "n_variants")
         .agg(F.sum(dev * dev).alias("_sq"))

@@ -960,8 +960,6 @@ def streaming_assignment_counts(
     the same assignments (pytest-pinned), so the randomizer health
     gate fires DURING the experiment, not at readout time. Shards
     merge by cell addition."""
-    from pyspark.sql import functions as F
-
     return stream.groupBy(
         F.col(experiment_col).alias("experiment"),
         F.col(variant_col).alias("variant"),
@@ -982,8 +980,6 @@ def streaming_period_counts(
     Shards merge by cell addition. The caller owns spine completion,
     same as batch — zero-count periods enter the variance only if an
     upstream spine emits their rows."""
-    from pyspark.sql import functions as F
-
     g = [F.col(c) for c in group_cols]
     return stream.groupBy(
         *g, F.col(period_col).alias("period")

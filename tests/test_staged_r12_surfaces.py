@@ -50,18 +50,16 @@ def test_staged_r12_query_matches_duckdb(spark, sf_dir, name):
 
 def test_staged_r12_names_registered_and_gated():
     """r12 registration executed (VERDICT r11 #1): every staged_r12 entry
-    is live in the battery, bound to the same callable/SQL, AND inside
-    the driver's 50-slot gate window (the one-time in-window assertion
-    for the r12 gating round — relax to registered-only after the r13
-    rotation, as the r9-r11 tests did)."""
+    is live in the battery and bound to the same callable/SQL (the
+    one-time in-window assertion was relaxed to registered-only at the
+    r13 rotation, as the r9-r11 tests did — freshness is now owned by
+    test_entry_contract.py::test_tail_freshness_invariant)."""
     import __spark_entry__ as entry_mod
 
     live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
-    window = set(list(live_q)[:50])
     for name, fn in staged_r12.STAGED_QUERIES.items():
         assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
         assert live_o.get(name) == staged_r12.STAGED_ORACLES[name], name
-        assert name in window, f"{name}: outside the r12 gate window"
 
 
 def test_staged_r12_oracle_keys_align():

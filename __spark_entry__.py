@@ -33,6 +33,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     staged_r11,
     staged_r12,
     staged_r13,
+    staged_r14,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -42,56 +43,43 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r12 WINDOW PLAN (executes the r11 commitment as the DOUBLE wave
-# VERDICT r11 #1 calls for — "register staged_r13 too if the
-# post-retirement window arithmetic allows" — to start draining the
-# staged backlog; battery 140 + 9 staged_r12 + 9 staged_r13 - 3
-# retired = 155; staged backlog 53 -> 35, further -1 via the
-# km_user_retention pre-registration retirement = 34. The retirements
-# (staged_r12.py + staged_r17.py shortlists), each moved to its
-# module's RETIRED_QUERIES and pytest-oracle-gated by
-# tests/test_retired_surfaces.py:
-#   bm25_topk_retrieval      ⊂ ndcg_bm25_eval          (curation.py)
-#   text_repetition_gopher   vs intra_doc_repetition   (curation.py)
-#   corr_regression_stats    ⊂ corr_matrix_onepass +
-#                              zipf_alpha's grouped OLS (coverage.py)
-#   km_user_retention        vs user_hazard_cohorts — retired from the
-#                            STAGED pool pre-registration (identical
-#                            risk sets, test_r15_ops.py)  (staged_r14.py)
-# Window arithmetic after retirement:
-#   _HEAD = 9 staged_r12 + 9 staged_r13 (never gated)
-#         + the FIRST 32 of the 40 surviving r9-gated remainder (42
-#           committed at r11 minus the 2 in-block retirements
-#           bm25_topk_retrieval / corr_regression_stats) = 50 exactly.
-#   The committed single-wave plan had 1 overflow; the double wave
-#   trades 8 rotation-due overflow entries (chunk_sliding_window,
-#   funnel_conversion, rank_functions_suite, zorder_locality,
-#   unpivot_melt, dedupe_latest_window, groupby_max_dedup,
-#   lookup_fold_broadcast) for 9 more backlog registrations — each
-#   overflow entry is covered by the committed full-battery
-#   tools/check_oracle.py --log-sweep run (tools/sweep_log.json,
-#   round 12) and rotates FIRST into the r13 head.
-#   _TAIL = first those 8 r9-remainder overflow entries (rotation-due
-#           r13), then the 48 surviving r10-gated entries (rotation-due
-#           r13), then the 49 r11-hard-gated survivors (the r11 window
-#           minus the retired text_repetition_gopher).
-# r13 COMMITMENT (VERDICT r11 #2: registrations must outpace stagings;
-# zero new waves were produced in r12): register the 14 surviving
-# staged_r14 entries, so _HEAD_r13 = 14 staged_r14 + the 8 r9-remainder
-# overflow + the FIRST 28 of the 48 r10-gated block = 50; the 20-entry
-# r10-block overflow gets a logged sweep and rotates first at r14.
-# Confirm at registration the shortlisted theil_sen_daily_trend /
-# daily_value_mann_kendall consolidation (staged_r17.py:13-37).
-# r14 SEED: plans/staged_r14.py holds 14 surviving parity-pinned entries
-# (revenue_gini_by_segment, woe_iv_priority_screen, cuped_event_value,
-# theil_sen_daily_trend, pareto_quality_cost,
-# ngram_novelty_census, adamic_adar_parts, srm_assignment_check,
-# weighted_sample_parts, markov_attribution_channels,
-# loo_source_influence, conformal_order_value, smd_balance_arms,
-# rec_list_quality_eval),
-# probed (SCALING.md §r14 + addendum) and benched
-# (bench_r14_staged_local.json).
-# r15 SEED: plans/staged_r15.py holds 9 further parity-pinned entries
+# r13 WINDOW PLAN (executes the r12 commitment verbatim — VERDICT r12 #1:
+# register the 14 surviving plans/staged_r14.py entries, rotate the 8
+# r9-remainder overflow entries in FIRST (VERDICT r12 #4 — they are the
+# §2-parity core and have been sweep-only for one round, the maximum
+# acceptable), then the first 28 of the 48 r10-gated block; battery
+# 155 + 14 = 169; staged backlog 34 -> 20).
+# Consolidation decisions confirmed at this registration (the
+# staged_r17.py:13-37 shortlist):
+#   theil_sen_daily_trend vs daily_value_mann_kendall — KEEP BOTH for
+#     now: slope and significance are different decision readouts over
+#     the same bounded pair frame, and the r13 window arithmetic fits
+#     without the slot (14 + 8 + 28 = 50 exactly). Final call re-falls
+#     due at the r17-wave registration (r14 round), where the MK tie
+#     census enters the battery; if the window needs the slot then,
+#     theil_sen_daily_trend retires (MK is the superset physiology).
+#   calibration_price_returns vs length_isotonic_calibration and
+#   seasonal_weekday_outliers vs weekly_seasonality_mase — both due at
+#     the r16/r17-wave registration (r14 round), not this one.
+# Window arithmetic:
+#   _HEAD = 14 staged_r14 (never gated)
+#         + 8 r9-remainder overflow (sweep-covered r12, rotation-due
+#           FIRST per the double-wave trade)
+#         + the FIRST 28 of the 48 surviving r10-gated entries
+#           (rotation-due r13) = 50 exactly.
+#   _TAIL = first the 20-entry r10-block overflow (sweep-logged this
+#           round, rotates FIRST at r14), then the 49 r11-hard-gated
+#           survivors, then the 50 r12-hard-gated entries (CORRECTNESS
+#           _r12 green 50/50, rotation-due r15).
+# r14 COMMITMENT (keeps VERDICT r12 #2's registrations >= stagings
+# discipline; zero new waves were staged in r12 or r13): register the
+# remaining 20 staged entries (9 staged_r15 + 7 staged_r16 + 4
+# staged_r17, minus any of the shortlisted retirements above), so
+# _HEAD_r14 = ~20 staged + the 20 r10-block overflow + the first ~10 of
+# the 49 r11-gated block = 50; the r11-block overflow gets a logged
+# sweep and rotates first at r15. This fully drains the
+# never-hard-gated staged backlog for the first time since r8.
+# r15 SEED: plans/staged_r15.py holds 9 parity-pinned entries
 # (user_hazard_cohorts, t_closeness_priority, copurchase_assortativity,
 # corpus_density_ratio, event_transition_entropy, customer_geo_pairs,
 # daily_value_sax_motifs, customer_linkage_scores,
@@ -107,64 +95,23 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # machinery_did_1998, doc_feature_stump_screen), physiology-noted
 # (SCALING.md §r17) and benched (bench_r17_staged_local.json).
 _HEAD = [
-    # ---- 9 newly registered staged_r12 entries (first driver gating) ----
-    "intra_doc_repetition",
-    "pr_threshold_sweep",
-    "ndcg_bm25_eval",
-    "cohens_kappa_agreement",
-    "corr_matrix_onepass",
-    "cms_join_size_estimate",
-    "edit1_name_linkage",
-    "zipf_alpha_by_source",
-    "quantile_band_coverage",
-    # ---- 9 newly registered staged_r13 entries (first driver gating) ----
-    "rendezvous_shard_churn",
-    "salted_topk_per_type",
-    "merkle_bucket_diff",
-    "ucb_event_arms",
-    "user_growth_accounting",
-    "copurchase_lift_pairs",
-    "daily_revenue_acf",
-    "pinball_band_loss",
-    "personalized_pagerank_topk",
-    # ---- first 32 of the 40 surviving r9-gated remainder (last hard-
-    # ---- gated r9, sweep-covered r11) ----
-    "temporal_split_embargo",
-    "attribution_touchpoints",
-    "rfm_quintile_features",
-    "cusum_changepoint_flags",
-    "golden_record_mode",
-    "token_pmi_topk",
-    "file_provenance_ranges",
-    "negative_edge_samples",
-    "benford_digit_audit",
-    "cdc_feed_apply",
-    "mktsegment_entropy",
-    "mix_allocation_exact",
-    "hybrid_retrieval_rerank",
-    "tombstone_delete_census",
-    "grouping_sets_agg",
-    "merge_upsert_scd1",
-    "job_rules_canonicalization",
-    "array_vector_ops",
-    "sql_api_not_in_subquery",
-    "dedup_simhash_pairs",
-    "incremental_antijoin_nullsafe",
-    "catalog_job_pipeline",
-    "graph_triangle_census",
-    "ann_pq_adc_topk",
-    "scd2_state_history",
-    "semantic_decontaminate",
-    "bloom_pruned_join",
-    "stratified_sample_exact",
-    "epoch_shuffle_order",
-    "embedding_quantize_int8",
-    "interval_overlap_join",
-    "graph_pagerank_topk",
-]
-_TAIL = [
+    # ---- 14 newly registered staged_r14 entries (first driver gating) ----
+    "revenue_gini_by_segment",
+    "woe_iv_priority_screen",
+    "cuped_event_value",
+    "theil_sen_daily_trend",
+    "pareto_quality_cost",
+    "ngram_novelty_census",
+    "adamic_adar_parts",
+    "srm_assignment_check",
+    "weighted_sample_parts",
+    "markov_attribution_channels",
+    "loo_source_influence",
+    "conformal_order_value",
+    "smd_balance_arms",
+    "rec_list_quality_eval",
     # ---- 8 r9-remainder overflow (double-wave trade; sweep-covered
-    # ---- round 12, rotation-due FIRST in r13) ----
+    # ---- r12, rotation-due FIRST this round — VERDICT r12 #4) ----
     "chunk_sliding_window",
     "funnel_conversion",
     "rank_functions_suite",
@@ -173,8 +120,8 @@ _TAIL = [
     "dedupe_latest_window",
     "groupby_max_dedup",
     "lookup_fold_broadcast",
-    # ---- r10-hard-gate-verified survivors (CORRECTNESS_r10 green),
-    # ---- rotation-due r13 ----
+    # ---- first 28 of the 48 surviving r10-gated entries (last
+    # ---- hard-gated r10, sweep-covered r12, rotation-due r13) ----
     "decayed_segment_value",
     "sorted_neighborhood_linkage",
     "embedding_jl_projection",
@@ -203,6 +150,10 @@ _TAIL = [
     "feature_mi_ranking",
     "cluster_aware_split",
     "quantile_normalize_views",
+]
+_TAIL = [
+    # ---- 20-entry r10-block overflow (sweep-logged round 13,
+    # ---- rotation-due FIRST at r14) ----
     "clean_date_clamp_range_sentinel",
     "clean_value_canonicalization",
     "pii_hash_sha256",
@@ -223,8 +174,8 @@ _TAIL = [
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
-    # ---- r11-hard-gate-verified survivors (CORRECTNESS_r11 green),
-    # ---- rotation-due r14 ----
+    # ---- r11-hard-gate-verified survivors (CORRECTNESS_r11 green,
+    # ---- sweep-covered r12/r13), rotation-due r14 ----
     "auc_price_returns",
     "calibration_price_returns",
     "dedup_weighted_jaccard",
@@ -274,6 +225,58 @@ _TAIL = [
     "target_encoding_priority",
     "key_skew_diagnostics",
     "json_malformed_census",
+    # ---- r12-hard-gate-verified entries (CORRECTNESS_r12 green 50/50),
+    # ---- rotation-due r15 ----
+    "intra_doc_repetition",
+    "pr_threshold_sweep",
+    "ndcg_bm25_eval",
+    "cohens_kappa_agreement",
+    "corr_matrix_onepass",
+    "cms_join_size_estimate",
+    "edit1_name_linkage",
+    "zipf_alpha_by_source",
+    "quantile_band_coverage",
+    "rendezvous_shard_churn",
+    "salted_topk_per_type",
+    "merkle_bucket_diff",
+    "ucb_event_arms",
+    "user_growth_accounting",
+    "copurchase_lift_pairs",
+    "daily_revenue_acf",
+    "pinball_band_loss",
+    "personalized_pagerank_topk",
+    "temporal_split_embargo",
+    "attribution_touchpoints",
+    "rfm_quintile_features",
+    "cusum_changepoint_flags",
+    "golden_record_mode",
+    "token_pmi_topk",
+    "file_provenance_ranges",
+    "negative_edge_samples",
+    "benford_digit_audit",
+    "cdc_feed_apply",
+    "mktsegment_entropy",
+    "mix_allocation_exact",
+    "hybrid_retrieval_rerank",
+    "tombstone_delete_census",
+    "grouping_sets_agg",
+    "merge_upsert_scd1",
+    "job_rules_canonicalization",
+    "array_vector_ops",
+    "sql_api_not_in_subquery",
+    "dedup_simhash_pairs",
+    "incremental_antijoin_nullsafe",
+    "catalog_job_pipeline",
+    "graph_triangle_census",
+    "ann_pq_adc_topk",
+    "scd2_state_history",
+    "semantic_decontaminate",
+    "bloom_pruned_join",
+    "stratified_sample_exact",
+    "epoch_shuffle_order",
+    "embedding_quantize_int8",
+    "interval_overlap_join",
+    "graph_pagerank_topk",
 ]
 
 
@@ -329,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(staged_r11.STAGED_QUERIES)  # registered r11 (VERDICT r10 #1)
     q.update(staged_r12.STAGED_QUERIES)  # registered r12 (VERDICT r11 #1)
     q.update(staged_r13.STAGED_QUERIES)  # registered r12 double wave (VERDICT r11 #1)
+    q.update(staged_r14.STAGED_QUERIES)  # registered r13 (VERDICT r12 #1)
     return _window_order(q)
 
 
@@ -350,4 +354,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(staged_r11.STAGED_ORACLES)  # registered r11 (VERDICT r10 #1)
     o.update(staged_r12.STAGED_ORACLES)  # registered r12 (VERDICT r11 #1)
     o.update(staged_r13.STAGED_ORACLES)  # registered r12 double wave (VERDICT r11 #1)
+    o.update(staged_r14.STAGED_ORACLES)  # registered r13 (VERDICT r12 #1)
     return _window_order(o)

@@ -252,6 +252,24 @@ def pr_threshold_sweep(
     bins = calibration_bins(
         df, score_cols, label_col, n_bins=n_bins, n_ranges=n_ranges
     ).select("bin", "n", "n_pos")
+    return pr_sweep_from_counts(bins)
+
+
+def pr_sweep_from_counts(bins: DataFrame) -> DataFrame:
+    """PR/F1 sweep from an ALREADY-AGGREGATED ``(bin, n, n_pos)`` count
+    grid — the MERGEABLE-STATE form of :func:`pr_threshold_sweep`
+    (which delegates here after its rank-decile binning). The grid is
+    exactly what a streaming per-bucket label counter maintains
+    (``streaming.streaming_bucket_label_counts``: ``n = n_good +
+    n_bad``, ``n_pos = n_bad``) and what shards merge by cell addition
+    — so live precision/recall/F1 operating points come from counters
+    alone, no score-log re-read (pytest-pinned stream==batch). One
+    contract difference from the batch battery entry: the live form's
+    bins are FIXED score thresholds (a per-row expression a counter can
+    key on); the batch entry's equal-FREQUENCY rank deciles are
+    snapshot-relative — an exact rank is not incrementally maintainable
+    under inserts, so a decile readout over a stream means re-binning a
+    snapshot, the standard trade documented in COVERAGE.md."""
     w = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )  # n_bins rows — bounded

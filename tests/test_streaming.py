@@ -2013,3 +2013,132 @@ def test_streaming_period_counts_feed_dispersion(spark, workdir):
     by_g = {r[0]: r for r in got}
     assert by_g["bursty"][4] == 1  # overdispersed
     assert by_g["steady"][4] == 0  # Fano 0 for the all-ones series
+
+
+def test_streaming_confusion_counts_feed_kappa(spark, workdir):
+    """Live inter-annotator agreement (r13 eval binding, VERDICT r12
+    #6): a streaming per-(label_a, label_b) confusion-cell snapshot
+    through cohens_kappa_from_cm equals the batch cohens_kappa over the
+    same label-pair rows — po/pe/kappa bit-identical across micro-batch
+    boundaries."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        cohens_kappa,
+        cohens_kappa_from_cm,
+    )
+
+    src = os.path.join(workdir, "landing_kappa")
+    schema = "a string, b string"
+    labels = ["cat", "dog", "bird"]
+    # mostly-agreeing raters with a deterministic disagreement stripe
+    rows1 = [
+        (labels[i % 3], labels[(i % 3) if i % 5 else (i + 1) % 3])
+        for i in range(90)
+    ]
+    rows2 = [
+        (labels[(i * 7) % 3], labels[((i * 7) % 3) if i % 4 else (i + 2) % 3])
+        for i in range(60)
+    ]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_confusion_counts(stream, "a", "b")
+        .writeStream.format("memory")
+        .queryName("kappa_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_kappa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            cohens_kappa_from_cm(spark.table("kappa_cells")).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            cohens_kappa(spark.read.parquet(src), "a", "b").collect(),
+        )
+    )
+    assert got == expect and len(got) == 1
+    n, po_ppm, pe_ppm, kappa_ppm = got[0]
+    assert n == 150 and kappa_ppm > 0  # agreement above chance
+
+
+def test_streaming_bucket_counts_feed_pr_sweep(spark, workdir):
+    """Live precision/recall operating points (r13 eval binding,
+    VERDICT r12 #6): the SAME per-bucket label-count state that feeds
+    WOE/IV, isotonic, and the stump screen snapshots through
+    pr_sweep_from_counts into a live PR/F1 sweep — bit-identical to the
+    batch groupBy over the same scored rows. The live bins are FIXED
+    ppm-score thresholds (a per-row expression a counter can key on);
+    the battery entry's equal-frequency rank deciles are
+    snapshot-relative (an exact rank cannot be maintained
+    incrementally), the trade documented on pr_sweep_from_counts."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pr_sweep_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_pr")
+    schema = "score long, lbl long"
+    # higher scores enriched for positives, so the sweep is non-trivial
+    rows1 = [
+        ((i * 2003) % 1000001, 1 if ((i * 2003) % 1000001) > 600000 and i % 3 else i % 7 == 0)
+        for i in range(140)
+    ]
+    rows1 = [(s, int(l)) for s, l in rows1]
+    rows2 = [((i * 104729) % 1000001, int(i % 2 == 0)) for i in range(110)]
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    bucketed = stream.withColumn(
+        "bucket", F.expr("CAST(score AS BIGINT) * 10 div 1000001")
+    )
+    q = (
+        ST.streaming_bucket_label_counts(bucketed, "bucket", "lbl")
+        .writeStream.format("memory")
+        .queryName("pr_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_pr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    grid = spark.table("pr_counts").select(
+        F.col("bucket").alias("bin"),
+        (F.col("n_good") + F.col("n_bad")).cast("long").alias("n"),
+        F.col("n_bad").cast("long").alias("n_pos"),
+    )
+    got = sorted(map(tuple, pr_sweep_from_counts(grid).collect()))
+    batch_grid = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.expr("CAST(score AS BIGINT) * 10 div 1000001").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("lbl").cast("long")).cast("long").alias("n_pos"),
+        )
+    )
+    expect = sorted(map(tuple, pr_sweep_from_counts(batch_grid).collect()))
+    assert got == expect and len(got) == 10
+    # cumulative-from-the-top invariants: recall monotone nonincreasing
+    # in bin, tp+fn constant at the positive total
+    by_bin = sorted(got)
+    allpos = by_bin[0][1] + by_bin[0][3]
+    assert all(r[1] + r[3] == allpos for r in by_bin)
+    recalls = [r[5] for r in sorted(got, reverse=True)]
+    assert recalls == sorted(recalls)  # rises as threshold drops

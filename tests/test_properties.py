@@ -1050,3 +1050,239 @@ def test_dup_ngram_ppm_matches_python_reference(spark, texts):
         return dup * 1_000_000 // total
 
     assert got == [ref(t) for t in texts]
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_gini_concentration_matches_python(spark, data):
+    """gini_ppm == an independent Python walk of the SAME exact-integer
+    formula (0-based ascending rank under (value, tiebreak), rank-sum
+    fold, one truncated ppm division; n·Σx == 0 -> NULL) for ANY
+    non-negative values — the newly gate-registered concentration
+    census."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    rows = [(g, x, i) for i, (g, x) in enumerate(data)]
+    df = spark.createDataFrame(rows, "g int, x long, id long")
+    got = {
+        r.g: (r.n, r.total_value, r.gini_ppm)
+        for r in gini_concentration(df, ["g"], "x", ["id"]).collect()
+    }
+
+    expect = {}
+    for g in {g for g, _ in data}:
+        vals = sorted(
+            [(x, i) for i, (gg, x) in enumerate(data) if gg == g]
+        )
+        n, total = len(vals), sum(x for x, _ in vals)
+        s1 = sum((2 * r + 1) * x for r, (x, _) in enumerate(vals))
+        gini = None if n * total == 0 else (
+            (s1 - n * total) * 1_000_000 // (n * total)
+        )
+        expect[g] = (n, total, gini)
+    assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-200, 200)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_loo_influence_matches_python(spark, data):
+    """Leave-one-group-out influence == the Python closed form with the
+    same TRUNCATING (toward-zero) micro divisions, including negative
+    values and the whole-input NULL guard — the newly gate-registered
+    data-valuation readout."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        loo_group_influence,
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    df = spark.createDataFrame(data, "g int, v long")
+    got = {
+        r.g: (r.n_g, r.sum_g, r.mean_all_micro, r.mean_without_micro,
+              r.influence_micro)
+        for r in loo_group_influence(df, ["g"], "v").collect()
+    }
+
+    N, S = len(data), sum(v for _, v in data)
+    mean_all = tdiv(S * 1_000_000, N)
+    expect = {}
+    for g in {g for g, _ in data}:
+        vs = [v for gg, v in data if gg == g]
+        n_g, s_g = len(vs), sum(vs)
+        if n_g == N:
+            expect[g] = (n_g, s_g, mean_all, None, None)
+        else:
+            mw = tdiv((S - s_g) * 1_000_000, N - n_g)
+            expect[g] = (n_g, s_g, mean_all, mw, mw - mean_all)
+    assert got == expect
+
+
+@given(
+    arm_a=st.lists(st.integers(0, 1000), min_size=2, max_size=15),
+    arm_b=st.lists(st.integers(0, 1000), min_size=2, max_size=15),
+)
+@SET
+def test_smd_matches_python_reference(spark, arm_a, arm_b):
+    """smd_micro == the same FIXED IEEE op sequence in Python (exact
+    integer moments, float means/variances in identical order, HALF_UP
+    micro rounding; zero pooled variance -> NULL, flag 0) for ANY two
+    arms — the newly gate-registered balance diagnostic."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        smd_balance_check,
+    )
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    rows = [("a", v) for v in arm_a] + [("b", v) for v in arm_b]
+    df = spark.createDataFrame(rows, "arm string, c long")
+    got = smd_balance_check(df, "arm", ["c"]).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def moments(vs):
+        n, sx = len(vs), sum(vs)
+        sxx = sum(v * v for v in vs)
+        var = float(n * sxx - sx * sx) / (float(n) * float(n - 1))
+        return n, sx / n, var
+
+    na, ma, va = moments(arm_a)
+    nb, mb, vb = moments(arm_b)
+    pooled = math.sqrt((va + vb) / 2.0)
+    smd = spark_round((ma - mb) / pooled * 1000000.0) if pooled > 0 else None
+    flag = 1 if abs(smd or 0) > 100_000 else 0
+    assert (r.covariate, r.arm_a, r.arm_b, r.n_a, r.n_b) == (
+        "c", "a", "b", na, nb
+    )
+    assert r.smd_micro == smd and r.imbalance_flag == flag
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_adamic_adar_matches_bruteforce(spark, edges):
+    """Adamic-Adar top-k == a Python brute force over the same wedge
+    domain (centers 2 <= deg <= cap, per-center micro weight rounded
+    BEFORE the sum, adjacent pairs excluded) for ANY small graph — the
+    newly gate-registered link predictor."""
+    import math
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.graph import adamic_adar_topk
+
+    def spark_round(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    cap = 4  # exercise the center cap on 10 nodes
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = [
+        (r.node_a, r.node_b, r.common_neighbors, r.aa_micro)
+        for r in adamic_adar_topk(df, top_k=1000, max_center_degree=cap)
+        .collect()
+    ]
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    acc = defaultdict(lambda: [0, 0])
+    for c, nbrs in adj.items():
+        d = len(nbrs)
+        if not (2 <= d <= cap):
+            continue
+        w = spark_round(1000000.0 / math.log(float(d)))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cell = acc[(ns[i], ns[j])]
+                cell[0] += 1
+                cell[1] += w
+    expect = sorted(
+        (
+            (a, b, cn, aa)
+            for (a, b), (cn, aa) in acc.items()
+            if b not in adj[a]
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 50)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t,
+    ),
+    k=st.integers(1, 4),
+)
+@SET
+def test_weighted_reservoir_matches_python(spark, data, k):
+    """The A-ES reservoir == a sequential Python reference replaying the
+    SAME md5-derived draws (u from the seed-keyed 60-bit hash, key =
+    HALF_UP-rounded ln(u)/w micros, top-k by (key desc, id asc)) for
+    ANY weights — the newly gate-registered sampler; determinism and
+    exactness, not just distribution shape."""
+    import hashlib
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        weighted_reservoir_sample,
+    )
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    rows = [(g, f"id{g}_{w}_{i}", w) for i, (g, w) in enumerate(data)]
+    df = spark.createDataFrame(rows, "g int, id string, w long")
+    got = {
+        (r.g, r.aes_key_micro, r.id, r.rank)
+        for r in weighted_reservoir_sample(
+            df, ["g"], "id", "w", k, seed="pin-seed"
+        ).collect()
+    }
+
+    expect = set()
+    for g in {g for g, _, _ in rows}:
+        keyed = []
+        for gg, rid, w in rows:
+            if gg != g or w <= 0:
+                continue
+            h = int(
+                hashlib.md5(f"pin-seed:{rid}".encode()).hexdigest()[:15], 16
+            )
+            u = (float(h) + 1.0) / float(2**60 + 1)
+            keyed.append((spark_round(math.log(u) / float(w) * 1000000.0),
+                          rid))
+        keyed.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (key, rid) in enumerate(keyed[:k], start=1):
+            expect.add((g, key, rid, rank))
+    assert got == expect

@@ -1286,3 +1286,103 @@ def test_weighted_reservoir_matches_python(spark, data, k):
         for rank, (key, rid) in enumerate(keyed[:k], start=1):
             expect.add((g, key, rid, rank))
     assert got == expect
+
+
+@given(
+    cal=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    test=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    alpha_ppm=st.sampled_from([50_000, 100_000, 200_000, 900_000]),
+)
+@SET
+def test_conformal_matches_python_reference(spark, cal, test, alpha_ppm):
+    """The split-conformal readout == a Python replay of the SAME exact
+    integer arithmetic (ceil rank k = ((n+1)(1e6-a)+999999) div 1e6,
+    k-th order statistic, k > n -> infinite interval covering all,
+    truncated ppm coverage) for ANY calibration/test scores — the newly
+    gate-registered UQ eval."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        conformal_interval_eval,
+    )
+
+    cal_df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(cal)], "s long, id long"
+    )
+    test_df = spark.createDataFrame([(s,) for s in test], "s long")
+    r = conformal_interval_eval(cal_df, test_df, "s", "id", alpha_ppm)
+    got = r.collect()[0]
+
+    n = len(cal)
+    k = ((n + 1) * (1_000_000 - alpha_ppm) + 999_999) // 1_000_000
+    qhat = sorted(cal)[k - 1] if k <= n else None
+    n_cov = sum(1 for s in test if qhat is None or s <= qhat)
+    cov_ppm = n_cov * 1_000_000 // len(test)
+    assert (
+        got.n_cal, got.k_rank, got.qhat, got.n_test, got.n_covered,
+        got.coverage_ppm, got.target_ppm,
+    ) == (n, k, qhat, len(test), n_cov, cov_ppm, 1_000_000 - alpha_ppm)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.integers(0, 500),
+            st.integers(0, 500),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@SET
+def test_cuped_matches_python_reference(spark, data):
+    """The CUPED readout == the same FIXED IEEE op sequence in Python
+    (exact integer moments, pooled theta, per-variant adjusted mean,
+    HALF_UP micro rounding; var(X)=0 -> raw-mean fallback + NULL rho2)
+    for ANY (variant, covariate, metric) rows — the newly
+    gate-registered experiment readout."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        cuped_adjusted_readout,
+    )
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    df = spark.createDataFrame(data, "variant int, x long, y long")
+    got = {
+        r.variant: (r.n, r.mean_y_micro, r.adj_mean_y_micro, r.rho2_ppm)
+        for r in cuped_adjusted_readout(df, "variant", "x", "y").collect()
+    }
+
+    gn = len(data)
+    gsx = sum(x for _, x, _ in data)
+    gsy = sum(y for _, _, y in data)
+    gsxx = sum(x * x for _, x, _ in data)
+    gsxy = sum(x * y for _, x, y in data)
+    gsyy = sum(y * y for _, _, y in data)
+    varx = float(gn * gsxx - gsx * gsx)
+    vary = float(gn * gsyy - gsy * gsy)
+    covn = float(gn * gsxy - gsx * gsy)
+    expect = {}
+    for v in {v for v, _, _ in data}:
+        rows = [(x, y) for vv, x, y in data if vv == v]
+        n = len(rows)
+        mean_y = sum(y for _, y in rows) / n
+        mean_x = sum(x for x, _ in rows) / n
+        if varx == 0.0:
+            adj, rho2 = mean_y, None
+        else:
+            adj = mean_y - (covn / varx) * (mean_x - gsx / gn)
+            rho2 = (
+                spark_round((covn * covn) / (varx * vary) * 1000000.0)
+                if vary > 0 else None
+            )
+        expect[v] = (
+            n,
+            spark_round(mean_y * 1000000.0),
+            spark_round(adj * 1000000.0),
+            rho2,
+        )
+    assert got == expect

@@ -1386,3 +1386,92 @@ def test_cuped_matches_python_reference(spark, data):
             rho2,
         )
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from(["_START_", "A", "B", "C"]),
+            st.sampled_from(["A", "B", "C", "_CONV_", "_NULL_"]),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_markov_attribution_matches_python_value_iteration(spark, edges):
+    """The Markov removal-effect readout == a Python replay of the SAME
+    synchronous integer value iteration (ppm transition fold, x(CONV)
+    pinned, removal = forcing x(c)=0, one truncation per (scenario,
+    state) per step, positive-effect ppm shares) for ANY transition
+    multiset — the newly gate-registered attribution model."""
+    from collections import Counter, defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        markov_removal_attribution,
+    )
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.channel: (
+            r.base_conv_ppm, r.removed_conv_ppm, r.removal_effect_ppm,
+            r.attribution_ppm,
+        )
+        for r in markov_removal_attribution(df).collect()
+    }
+
+    PPM = 1_000_000
+    cnt = Counter(edges)
+    tot = Counter(s for s, _ in edges)
+    p = defaultdict(dict)
+    for (s, d), c in cnt.items():
+        p[s][d] = c * PPM // tot[s]
+    states = {s for s, _ in edges} | {d for _, d in edges}
+    channels = sorted(states - {"_START_", "_CONV_", "_NULL_"})
+    scenarios = channels + ["_BASE_"]
+    x = {
+        sc: {st: (PPM if st == "_CONV_" else 0) for st in states}
+        for sc in scenarios
+    }
+    for _ in range(20):
+        nxt = {}
+        for sc in scenarios:
+            row = {}
+            for stt in states:
+                if stt == "_CONV_":
+                    row[stt] = PPM
+                elif stt == "_NULL_" or stt == sc:
+                    row[stt] = 0
+                else:
+                    acc = sum(
+                        pp * (0 if d == sc else x[sc][d])
+                        for d, pp in p.get(stt, {}).items()
+                    )
+                    row[stt] = acc // PPM
+            nxt[sc] = row
+        x = nxt
+    if "_START_" not in states:
+        assert got == {}
+        return
+    base = x["_BASE_"]["_START_"]
+    effects = {
+        c: max(base - x[c]["_START_"], 0) for c in channels
+    }
+    te = sum(effects.values())
+    expect = {
+        c: (
+            base,
+            x[c]["_START_"],
+            effects[c],
+            None if te == 0 else effects[c] * PPM // te,
+        )
+        for c in channels
+    }
+    assert got == expect

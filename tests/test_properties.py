@@ -1475,3 +1475,158 @@ def test_markov_attribution_matches_python_value_iteration(spark, edges):
         for c in channels
     }
     assert got == expect
+
+
+@given(
+    new_texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    ref_texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@SET
+def test_ngram_novelty_matches_python_reference(spark, new_texts, ref_texts):
+    """The novelty census == a Python replay of the SAME shingle
+    machinery (regex tokens, w-gram slices incl. the short-doc
+    whole-array shingle, per-doc DISTINCT, ref-vocab membership,
+    truncated ppm, decile = ppm*10 div 1e6+1) for ANY corpora — the
+    newly gate-registered freshness triage."""
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.curation import ngram_novelty_census
+
+    W = 3
+
+    def shingles(words):
+        n = len(words)
+        return {
+            " ".join(words[i: i + W])
+            for i in range(max(n - (W - 1), 1))
+        }
+
+    new_rows = [(i, " ".join(ws)) for i, ws in enumerate(new_texts)]
+    ref_rows = [(i, " ".join(ws)) for i, ws in enumerate(ref_texts)]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref_df = (
+        spark.createDataFrame(ref_rows, "doc_id long, text string")
+        if ref_rows
+        else spark.range(0).selectExpr(
+            "id AS doc_id", "CAST(NULL AS STRING) AS text"
+        )
+    )
+    got = {
+        r.novelty_decile: (r.n_docs, r.total_shingles, r.novel_shingles)
+        for r in ngram_novelty_census(
+            new_df, ref_df, "text", "doc_id", w=W
+        ).collect()
+    }
+
+    vocab = set()
+    for ws in ref_texts:
+        vocab |= shingles(ws)
+    census = defaultdict(lambda: [0, 0, 0])
+    for ws in new_texts:
+        sh = shingles(ws)
+        n_sh = len(sh)
+        novel = sum(1 for s in sh if s not in vocab)
+        ppm = novel * 1_000_000 // n_sh
+        dec = ppm * 10 // 1_000_001
+        cell = census[dec]
+        cell[0] += 1
+        cell[1] += n_sh
+        cell[2] += novel
+    assert got == {k: tuple(v) for k, v in census.items()}
+
+
+@given(
+    catalog=st.dictionaries(
+        st.integers(0, 7),
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3),
+                  st.integers(-3, 3)).filter(lambda v: any(v)),
+        min_size=2,
+        max_size=8,
+    ),
+    runs_seed=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t,
+    ),
+)
+@SET
+def test_rec_list_eval_matches_python_reference(spark, catalog, runs_seed):
+    """The beyond-accuracy readout == a Python replay of the SAME
+    integer/IEEE arithmetic (pairwise cosine distance with the fixed
+    fold order and double HALF_UP ppm rounding, truncated per-query and
+    cross-query ILD means, coverage, full-catalog exposure Gini with
+    zero rows for never-recommended items) for ANY runs/catalog — the
+    newly gate-registered recommender eval."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dwh_etl_ods_spark_jobs_spark.similarity import rec_list_eval
+
+    runs = [(q, i) for q, i in runs_seed if i in catalog]
+    if not runs:
+        runs = [(0, sorted(catalog)[0])]
+    cat_rows = [(i, [float(x) for x in v]) for i, v in catalog.items()]
+    runs_df = spark.createDataFrame(runs, "q long, item long")
+    cat_df = spark.createDataFrame(cat_rows, "item long, vec array<double>")
+    got = rec_list_eval(runs_df, cat_df, "q", "item", "item", "vec").collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    def dist_ppm(va, vb):
+        dot = na = nb = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        for x in va:
+            na += x * x
+        for y in vb:
+            nb += y * y
+        c = dot / (math.sqrt(na) * math.sqrt(nb))
+        q6 = float(
+            Decimal(repr(c)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        return 1_000_000 - spark_round(q6 * 1000000.0)
+
+    vec = {i: [float(x) for x in v] for i, v in catalog.items()}
+    per_q = {}
+    for q in {q for q, _ in runs}:
+        items = sorted(i for qq, i in runs if qq == q)
+        dists = [
+            dist_ppm(vec[items[a]], vec[items[b]])
+            for a in range(len(items))
+            for b in range(a + 1, len(items))
+        ]
+        if dists:
+            per_q[q] = sum(dists) // len(dists)
+    mean_ild = sum(per_q.values()) // len(per_q) if per_q else None
+
+    n_queries = len({q for q, _ in runs})
+    n_rows = len(runs)
+    rec_items = {i for _, i in runs}
+    cat_n = len(catalog)
+    coverage = len(rec_items) * 1_000_000 // cat_n
+
+    exposure = {i: sum(1 for _, ri in runs if ri == i) for i in catalog}
+    vals = sorted((cnt, i) for i, cnt in exposure.items())
+    n, total = len(vals), sum(c for c, _ in vals)
+    s1 = sum((2 * rk + 1) * c for rk, (c, _) in enumerate(vals))
+    gini = (
+        None if n * total == 0
+        else (s1 - n * total) * 1_000_000 // (n * total)
+    )
+    assert (
+        r.n_queries, r.n_rec_rows, r.n_items_recommended, r.catalog_n,
+        r.coverage_ppm, r.mean_ild_ppm, r.exposure_gini_ppm,
+    ) == (n_queries, n_rows, len(rec_items), cat_n, coverage, mean_ild, gini)

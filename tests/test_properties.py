@@ -1630,3 +1630,230 @@ def test_rec_list_eval_matches_python_reference(spark, catalog, runs_seed):
         r.n_queries, r.n_rec_rows, r.n_items_recommended, r.catalog_n,
         r.coverage_ppm, r.mean_ild_ppm, r.exposure_gini_ppm,
     ) == (n_queries, n_rows, len(rec_items), cat_n, coverage, mean_ild, gini)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_degree_assortativity_matches_python(spark, edges):
+    """Newman's r == the same exact-integer stub moments + fixed IEEE
+    Pearson closed form in Python (both stubs per edge, zero-variance
+    -> NULL) for ANY simple graph — staged r15, pinned ahead of its
+    registration round."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.graph import degree_assortativity
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    r = degree_assortativity(df).collect()[0]
+
+    from collections import Counter
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(edges)
+    sx = sum(deg[u] + deg[v] for u, v in edges)
+    sxx = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    sxy = sum(2 * deg[u] * deg[v] for u, v in edges)
+    big_m = 2 * m
+    cov_num = float(big_m * sxy - sx * sx)
+    var_num = float(big_m * sxx - sx * sx)
+    r_ppm = (
+        spark_round(cov_num / var_num * 1000000.0) if var_num > 0 else None
+    )
+    assert (r.n_edges, r.n_nodes, r.r_ppm) == (m, len(deg), r_ppm)
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_mase_backtest_matches_python(spark, series):
+    """MASE == a Python walk of the SAME positional-lag scoring (lag-1
+    and lag-season absolute cents errors over t-sorted positions,
+    truncated ppm ratio, sae_naive=0 -> NULL) for ANY series — staged
+    r17, pinned ahead of its registration round."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        mase_backtest,
+    )
+
+    SEASON = 3
+    rows = [(g, t, v) for t, (g, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "g int, t long, v long")
+    got = {
+        r.g: (r.n_scored, r.sae_seasonal, r.sae_naive, r.mase_ppm)
+        for r in mase_backtest(df, ["g"], "t", "v", season=SEASON).collect()
+    }
+
+    expect = {}
+    for g in {g for g, _, _ in rows}:
+        vs = [v * 100 for gg, _, v in sorted(rows) if gg == g]
+        scored = [
+            (abs(vs[i] - vs[i - SEASON]), abs(vs[i] - vs[i - 1]))
+            for i in range(SEASON, len(vs))
+        ]
+        if not scored:
+            continue  # groups with no scorable point emit no row
+        sae_s = sum(s for s, _ in scored)
+        sae_n = sum(n for _, n in scored)
+        mase = sae_s * 1_000_000 // sae_n if sae_n > 0 else None
+        expect[g] = (len(scored), sae_s, sae_n, mase)
+    assert got == expect
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 8), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_nelson_aalen_matches_python(spark, subjects):
+    """The Nelson-Aalen curve == a Python replay of the SAME risk-set
+    arithmetic (per-step HALF_UP micro term d_t/n_t rounded BEFORE the
+    cumulative sum) for ANY censored cohort — staged r15 physiology,
+    pinned ahead of its registration round."""
+    import math
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        nelson_aalen,
+    )
+
+    def spark_round(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    df = spark.createDataFrame(subjects, "g int, dur long, ev int")
+    got = {
+        (r.g, r.t): (r.n_at_risk, r.n_events, r.n_censored,
+                     r.cum_hazard_micro)
+        for r in nelson_aalen(df, ["g"], "dur", "ev").collect()
+    }
+
+    expect = {}
+    for g in {g for g, _, _ in subjects}:
+        grid = defaultdict(lambda: [0, 0])
+        for gg, d, e in subjects:
+            if gg == g:
+                grid[d][0] += e
+                grid[d][1] += 1 - e
+        total = sum(ev + c for ev, c in grid.values())
+        before = 0
+        cum = 0
+        for t in sorted(grid):
+            ev, c = grid[t]
+            n_risk = total - before
+            term = (
+                0 if ev == 0
+                else spark_round(float(ev) / float(n_risk) * 1000000.0)
+            )
+            cum += term
+            expect[(g, t)] = (n_risk, ev, c, cum)
+            before += ev + c
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1),
+                  st.integers(0, 500)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_diff_in_diff_matches_python(spark, rows):
+    """The DiD readout == the same 2x2 cell means + fixed IEEE contrast
+    in Python (exact cents sums, HALF_UP micro rounding, any missing
+    cell -> NULL did) for ANY design occupancy — staged r17, pinned
+    ahead of its registration round."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import diff_in_diff
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    df = spark.createDataFrame(rows, "tr int, per int, y long")
+    got = {
+        (r.treated, r.period): (r.n, r.mean_micro, r.did_micro)
+        for r in diff_in_diff(df, "tr", "per", "y").collect()
+    }
+
+    cells = {}
+    for tv in (0, 1):
+        for pv in (0, 1):
+            ys = [y * 100 for t, p, y in rows if t == tv and p == pv]
+            if ys:
+                cells[(tv, pv)] = (len(ys), sum(ys) / len(ys))
+    if all(k in cells for k in [(1, 1), (1, 0), (0, 1), (0, 0)]):
+        did = spark_round(
+            ((cells[(1, 1)][1] - cells[(1, 0)][1])
+             - (cells[(0, 1)][1] - cells[(0, 0)][1])) * 10000.0
+        )
+    else:
+        did = None
+    expect = {
+        k: (n, spark_round(m * 10000.0), did)
+        for k, (n, m) in cells.items()
+    }
+    assert got == expect
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(1, 6),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_vocab_richness_matches_python(spark, counts):
+    """Chao1 + Good-Turing == the same frequency-of-frequencies fold in
+    Python (one HALF_UP-rounded IEEE division for Chao1, exact integer
+    ppm missing mass, f2=0 -> NULL) for ANY unigram count grid — staged
+    r16, pinned ahead of its registration round."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        vocab_richness_from_counts,
+    )
+
+    def spark_round(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    df = spark.createDataFrame(
+        list(counts.items()), "token string, c long"
+    )
+    r = vocab_richness_from_counts(df).collect()[0]
+
+    n_tokens = sum(counts.values())
+    vocab = len(counts)
+    f1 = sum(1 for c in counts.values() if c == 1)
+    f2 = sum(1 for c in counts.values() if c == 2)
+    chao1 = (
+        vocab + spark_round(float(f1) * float(f1) / (2.0 * float(f2)))
+        if f2 > 0 else None
+    )
+    unseen = f1 * 1_000_000 // n_tokens
+    assert (r.n_tokens, r.vocab_size, r.f1, r.f2, r.chao1_est,
+            r.unseen_mass_ppm) == (n_tokens, vocab, f1, f2, chao1, unseen)

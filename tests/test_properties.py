@@ -1857,3 +1857,126 @@ def test_vocab_richness_matches_python(spark, counts):
     unseen = f1 * 1_000_000 // n_tokens
     assert (r.n_tokens, r.vocab_size, r.f1, r.f2, r.chao1_est,
             r.unseen_mass_ppm) == (n_tokens, vocab, f1, f2, chao1, unseen)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(1, 4)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_t_closeness_matches_python(spark, rows):
+    """The t-closeness census == a Python replay of the SAME exact
+    integer ordered-EMD (dense class x value grid, |cumC*N - cumG*n|
+    prefix terms, ONE HALF_UP ppm division by n*N*(V-1), V=1 -> 0,
+    NULL sensitives excluded) for ANY table — staged r15, pinned ahead
+    of its registration round."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        t_closeness_census,
+    )
+
+    T_MAX = 300_000
+
+    def spark_round(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    df = spark.createDataFrame(rows, "q int, s int")
+    got = {
+        r.emd_decile: (r.n_classes, r.n_rows, r.n_at_risk)
+        for r in t_closeness_census(df, ["q"], "s", T_MAX).collect()
+    }
+
+    nn = [(q, v) for q, v in rows if v is not None]
+    if not nn:
+        assert got == {}
+        return
+    values = sorted({v for _, v in nn})
+    V, N = len(values), len(nn)
+    gcnt = Counter(v for _, v in nn)
+    cum_g = {}
+    acc = 0
+    for v in values:
+        acc += gcnt[v]
+        cum_g[v] = acc
+    census = defaultdict(lambda: [0, 0, 0])
+    for q in {q for q, _ in nn}:
+        ccnt = Counter(v for qq, v in nn if qq == q)
+        n = sum(ccnt.values())
+        if V > 1:
+            num = 0
+            cc = 0
+            for v in values[:-1]:
+                cc += ccnt.get(v, 0)
+                num += abs(cc * N - cum_g[v] * n)
+            emd = spark_round(
+                float(num) / (float(n) * float(N) * float(V - 1))
+                * 1000000.0
+            )
+        else:
+            emd = 0
+        cell = census[emd // 100_000]
+        cell[0] += 1
+        cell[1] += n
+        cell[2] += 1 if emd > T_MAX else 0
+    assert got == {k: tuple(v) for k, v in census.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1),
+                  st.integers(0, 400)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_stratified_ate_matches_python(spark, rows):
+    """The stratified-ATE readout == the same per-bin rounded diffs +
+    truncated integer weighted fold in Python (off-support bins
+    excluded and reported, all-off-support -> NULL) for ANY occupancy —
+    staged r16, pinned ahead of its registration round."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import stratified_ate
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    df = spark.createDataFrame(rows, "bin int, t int, y long")
+    got = {
+        r.bin: (r.n_treated, r.n_control, r.diff_micro, r.supported,
+                r.n_supported_units, r.ate_micro)
+        for r in stratified_ate(df, "bin", "t", "y").collect()
+    }
+
+    per = {}
+    for b in {b for b, _, _ in rows}:
+        tr = [y * 100 for bb, t, y in rows if bb == b and t == 1]
+        co = [y * 100 for bb, t, y in rows if bb == b and t == 0]
+        if tr and co:
+            diff = spark_round(
+                (sum(tr) / len(tr) - sum(co) / len(co)) * 10000.0
+            )
+            per[b] = (len(tr), len(co), diff, 1)
+        else:
+            per[b] = (len(tr), len(co), None, 0)
+    n_sup = sum(nt + nc for nt, nc, _, s in per.values() if s)
+    num = sum(d * (nt + nc) for nt, nc, d, s in per.values() if s)
+    ate = tdiv(num, n_sup) if n_sup > 0 else None
+    expect = {
+        b: (nt, nc, d, s, n_sup, ate) for b, (nt, nc, d, s) in per.items()
+    }
+    assert got == expect

@@ -1205,7 +1205,7 @@ MARKOV_START, MARKOV_CONV, MARKOV_NULL = "_START_", "_CONV_", "_NULL_"
 def markov_removal_attribution(
     transitions: DataFrame,
     iterations: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 25,
 ) -> DataFrame:
     """Data-driven (Markov removal-effect) attribution — the
     model-based complement to first/last/linear credits
@@ -1236,8 +1236,19 @@ def markov_removal_attribution(
     cells) regardless of session volume — the heavy lifting is the
     transition-count fold, which is one map-side-combinable groupBy on
     the raw transitions; everything after runs on (scenarios × states)
-    rows with a broadcast transition matrix, lineage checkpointed every
-    ``checkpoint_every`` iterations (the pagerank discipline).
+    rows with a broadcast transition matrix.
+
+    Lineage: each iteration references ``x`` exactly ONCE, so the plan
+    grows LINEARLY in ``iterations`` — unlike connected-components'
+    min-label fold (two references per round → exponential), which is
+    where the original every-5 checkpoint cadence came from. Measured
+    (r13 session, sf0.1 battery query, min-of-7 per cadence):
+    every-5 = 3.6-5.5 s, every-2 = 3.9 s, every-10 = 4.0 s, NO
+    checkpoints = 2.15 s — the truncation was pure materialization
+    overhead at the default 20 iterations. The default cadence is
+    therefore 25 (checkpoint-free at the standard horizon, still
+    bounding plan depth for long custom horizons); pass a smaller
+    ``checkpoint_every`` only for iteration counts in the hundreds.
     """
     counts = (
         transitions.groupBy(

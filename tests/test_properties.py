@@ -1980,3 +1980,124 @@ def test_stratified_ate_matches_python(spark, rows):
         b: (nt, nc, d, s, n_sup, ate) for b, (nt, nc, d, s) in per.items()
     }
     assert got == expect
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 200)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_sax_motif_census_matches_python(spark, series):
+    """The SAX motif census == a Python replay of the SAME
+    z-discretization (exact integer moments, sd = sqrt(var_num)/n as
+    literal IEEE ops, the N(0,1) quartile breakpoints, constant series
+    -> 'c', tail words skipped) for ANY per-key series — staged r15,
+    pinned ahead of its registration round."""
+    import math
+    from collections import defaultdict
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        sax_motif_census,
+    )
+
+    B1, B2, B3 = -0.6744897501960817, 0.0, 0.6744897501960817
+    W = 3
+    rows = [(g, t, v) for t, (g, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "g int, t long, v long")
+    got = {
+        r.word: (r.n_occurrences, r.n_keys)
+        for r in sax_motif_census(df, ["g"], "t", "v", word_len=W).collect()
+    }
+
+    census = defaultdict(lambda: [0, set()])
+    for g in {g for g, _, _ in rows}:
+        vs = [v * 100 for gg, _, v in sorted(rows) if gg == g]
+        n, sx = len(vs), sum(vs)
+        sxx = sum(v * v for v in vs)
+        var_num = n * sxx - sx * sx
+        syms = []
+        for v in vs:
+            if var_num == 0:
+                syms.append("c")
+                continue
+            sd = math.sqrt(float(var_num)) / float(n)
+            z = (float(v) - float(sx) / float(n)) / sd
+            syms.append("a" if z < B1 else "b" if z < B2
+                        else "c" if z < B3 else "d")
+        for i in range(len(syms) - W + 1):
+            word = "".join(syms[i: i + W])
+            census[word][0] += 1
+            census[word][1].add(g)
+    assert got == {k: (n, len(ks)) for k, (n, ks) in census.items()}
+
+
+@given(
+    src=st.dictionaries(st.integers(0, 5), st.integers(1, 50),
+                        min_size=1, max_size=6),
+    tgt=st.dictionaries(st.integers(0, 7), st.integers(1, 50),
+                        min_size=0, max_size=6),
+)
+@SET
+def test_density_ratio_matches_python(spark, src, tgt):
+    """The density-ratio reweighting == a Python replay of the SAME
+    per-bin arithmetic (target totals summed over SOURCE-matched bins
+    only, HALF_UP ppm weights with the cap, n_target=0 -> weight 0,
+    no target mass anywhere -> NULLs, exact-integer ESS) for ANY count
+    grids — staged r15, pinned ahead of its registration round."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        density_ratio_from_counts,
+    )
+
+    def spark_round(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    CAP = 10_000_000
+    src_df = spark.createDataFrame(
+        list(src.items()), "bin int, n_source long"
+    )
+    tgt_df = (
+        spark.createDataFrame(list(tgt.items()), "bin int, n_target long")
+        if tgt
+        else spark.range(0).selectExpr(
+            "CAST(id AS INT) AS bin", "id AS n_target"
+        )
+    )
+    got = {
+        r.bin: (r.n_source, r.n_target, r.weight_ppm, r.ess_ppm)
+        for r in density_ratio_from_counts(src_df, tgt_df).collect()
+    }
+
+    NS = sum(src.values())
+    NT = sum(tgt.get(b, 0) for b in src)  # source-matched bins only
+    per = {}
+    for b, ns in src.items():
+        nt = tgt.get(b, 0)
+        if NT == 0:
+            w = None
+        elif nt == 0:
+            w = 0
+        else:
+            w = min(
+                spark_round(
+                    float(nt) * float(NS) / (float(NT) * float(ns))
+                    * 1000000.0
+                ),
+                CAP,
+            )
+        per[b] = (ns, nt, w)
+    sw = sum(ns * w for ns, _, w in per.values() if w is not None)
+    sww = sum(ns * w * w for ns, _, w in per.values() if w is not None)
+    has_any = any(w is not None for _, _, w in per.values())
+    ess = (
+        spark_round(
+            float(sw) * float(sw) / (float(NS) * float(sww)) * 1000000.0
+        )
+        if has_any and sww > 0 else None
+    )
+    expect = {b: (ns, nt, w, ess) for b, (ns, nt, w) in per.items()}
+    assert got == expect

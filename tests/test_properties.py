@@ -2101,3 +2101,52 @@ def test_density_ratio_matches_python(spark, src, tgt):
     )
     expect = {b: (ns, nt, w, ess) for b, (ns, nt, w) in per.items()}
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_woe_iv_matches_python(spark, rows):
+    """The WOE/IV screen == the same fixed IEEE op sequence in Python
+    (ln of the exact-count odds ratio, per-bucket HALF_UP micro
+    rounding BEFORE any sum, zero-cell buckets -> NULL) for ANY
+    bucket/label rows — completing the r14 wave's randomized pin
+    coverage."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import woe_iv_screen
+
+    def spark_round(x: float) -> int:
+        return (int(math.floor(x + 0.5)) if x >= 0
+                else -int(math.floor(-x + 0.5)))
+
+    df = spark.createDataFrame(rows, "bucket int, lbl int")
+    got = {
+        r.bucket: (r.n_good, r.n_bad, r.woe_micro, r.iv_micro)
+        for r in woe_iv_screen(df, "bucket", "lbl").collect()
+    }
+
+    G = sum(1 - l for _, l in rows)
+    B = sum(l for _, l in rows)
+    expect = {}
+    for b in {b for b, _ in rows}:
+        ng = sum(1 for bb, l in rows if bb == b and l == 0)
+        nb = sum(1 for bb, l in rows if bb == b and l == 1)
+        if ng > 0 and nb > 0:
+            woe_d = math.log(
+                (float(ng) * float(B)) / (float(nb) * float(G))
+            )
+            woe = spark_round(woe_d * 1000000.0)
+            iv = spark_round(
+                (float(ng) / float(G) - float(nb) / float(B))
+                * woe_d * 1000000.0
+            )
+        else:
+            woe = iv = None
+        expect[b] = (ng, nb, woe, iv)
+    assert got == expect

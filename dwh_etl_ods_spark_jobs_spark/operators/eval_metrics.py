@@ -269,7 +269,15 @@ def pr_sweep_from_counts(bins: DataFrame) -> DataFrame:
     key on); the batch entry's equal-FREQUENCY rank deciles are
     snapshot-relative — an exact rank is not incrementally maintainable
     under inserts, so a decile readout over a stream means re-binning a
-    snapshot, the standard trade documented in COVERAGE.md."""
+    snapshot, the standard trade documented in COVERAGE.md.
+
+    NON-NULL-BIN CONTRACT (same as :func:`isotonic_from_counts`): a
+    NULL bin (NULL score upstream of the counter) has no place on the
+    ordered threshold axis — it would enter the descending cumulative
+    fold at an engine-dependent position and silently skew tp/fp/
+    recall. NULL bins are dropped HERE so every caller (batch decile
+    path, streaming bucket grid, merged shards) gets the same axis."""
+    bins = bins.where(F.col("bin").isNotNull())
     w = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )  # n_bins rows — bounded

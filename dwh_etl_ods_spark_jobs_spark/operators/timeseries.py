@@ -1249,6 +1249,11 @@ def markov_removal_attribution(
     therefore 25 (checkpoint-free at the standard horizon, still
     bounding plan depth for long custom horizons); pass a smaller
     ``checkpoint_every`` only for iteration counts in the hundreds.
+
+    BEHAVIOR CHANGE (r13): the default was ``checkpoint_every=5``
+    through r12. A caller with a long custom horizon (iterations >
+    25) who relied on the old default now truncates lineage later —
+    pass ``checkpoint_every=5`` explicitly to keep the old cadence.
     """
     counts = (
         transitions.groupBy(

@@ -122,6 +122,37 @@ def test_pr_sweep_two_bins_hand_counts(spark):
     assert out[0].precision_ppm == 600_000
 
 
+def test_pr_sweep_from_counts_drops_null_bins(spark):
+    """ADVICE r13 fix: a NULL bucket in the mergeable (bin, n, n_pos)
+    grid (NULL score upstream of a streaming counter) must not enter
+    the descending cumulative fold — its placement under
+    Window.orderBy(bin desc) is engine-dependent and would silently
+    skew tp/fp/recall. The operator drops NULL bins at entry, the same
+    NON-NULL-BIN CONTRACT isotonic_from_counts enforces."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        pr_sweep_from_counts,
+    )
+
+    clean = [(1, 5, 5), (0, 5, 1)]
+    grid = spark.createDataFrame(
+        clean + [(None, 3, 2)], "bin int, n long, n_pos long"
+    )
+    got = sorted(map(tuple, pr_sweep_from_counts(grid).collect()))
+    want = sorted(
+        map(
+            tuple,
+            pr_sweep_from_counts(
+                spark.createDataFrame(clean, "bin int, n long, n_pos long")
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 2 and all(r[0] is not None for r in got)
+    # the NULL bucket's counts are excluded everywhere, including the
+    # all-positives denominator: tp + fn stays at the non-NULL total 6
+    assert all(r[1] + r[3] == 6 for r in got)
+
+
 # --- duplicate n-gram ratio -------------------------------------------------
 
 

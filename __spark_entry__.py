@@ -34,6 +34,9 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
     staged_r12,
     staged_r13,
     staged_r14,
+    staged_r15,
+    staged_r16,
+    staged_r17,
 )
 
 # The driver's CORRECTNESS gate records the FIRST 50 queries() entries;
@@ -43,117 +46,75 @@ from dwh_etl_ods_spark_jobs_spark.plans import (  # noqa: E402
 # query goes unverified two rounds running (pinned by
 # tests/test_entry_contract.py::test_tail_freshness_invariant).
 #
-# r13 WINDOW PLAN (executes the r12 commitment verbatim — VERDICT r12 #1:
-# register the 14 surviving plans/staged_r14.py entries, rotate the 8
-# r9-remainder overflow entries in FIRST (VERDICT r12 #4 — they are the
-# §2-parity core and have been sweep-only for one round, the maximum
-# acceptable), then the first 28 of the 48 r10-gated block; battery
-# 155 + 14 = 169; staged backlog 34 -> 20).
-# Consolidation decisions confirmed at this registration (the
-# staged_r17.py:13-37 shortlist):
-#   theil_sen_daily_trend vs daily_value_mann_kendall — KEEP BOTH for
-#     now: slope and significance are different decision readouts over
-#     the same bounded pair frame, and the r13 window arithmetic fits
-#     without the slot (14 + 8 + 28 = 50 exactly). Final call re-falls
-#     due at the r17-wave registration (r14 round), where the MK tie
-#     census enters the battery; if the window needs the slot then,
-#     theil_sen_daily_trend retires (MK is the superset physiology).
-#   calibration_price_returns vs length_isotonic_calibration and
-#   seasonal_weekday_outliers vs weekly_seasonality_mase — both due at
-#     the r16/r17-wave registration (r14 round), not this one.
+# r14 WINDOW PLAN (executes the r13 commitment — VERDICT r13 #1:
+# register ALL remaining staged entries (9 staged_r15 + 7 staged_r16 +
+# 4 staged_r17 = 20), rotate the 20-entry r10-block overflow in FIRST
+# (it holds the §2-parity core — art_outcomes, month_spine, pii_hash,
+# tsql scalars, clean_*, union_date_repair — sweep-only since r12, two
+# rounds is the maximum acceptable), then the first 10 of the r11-gated
+# block; battery 169 + 20 - 3 retirements = 186; staged backlog
+# 20 -> 0 — the never-hard-gated backlog is DRAINED for the first time
+# since r8).
+# Consolidation decisions CONFIRMED at this registration (VERDICT r13
+# #2 — the staged_r17.py shortlist, one-in/one-out, each retiree moves
+# to its module's RETIRED_QUERIES with the pytest oracle gate in
+# tests/test_retired_surfaces.py):
+#   theil_sen_daily_trend RETIRES (staged_r14.py): daily_value_
+#     mann_kendall enters the battery and runs the superset physiology
+#     over the same bounded daily pair frame (tie census +
+#     significance subsume the pairwise-slope scan).
+#   calibration_price_returns RETIRES (staged_r11.py): length_
+#     isotonic_calibration enters with the same equal-frequency bin
+#     physiology (calibration_bins delegates the binning) PLUS the
+#     monotone PAV fit — strictly wider surface.
+#   seasonal_weekday_outliers RETIRES (staged_r10.py): weekly_
+#     seasonality_mase enters with the decision-grade weekly-pattern
+#     readout (seasonal-naive backtest) over the same daily rollup.
 # Window arithmetic:
-#   _HEAD = 14 staged_r14 (never gated)
-#         + 8 r9-remainder overflow (sweep-covered r12, rotation-due
-#           FIRST per the double-wave trade)
-#         + the FIRST 28 of the 48 surviving r10-gated entries
-#           (rotation-due r13) = 50 exactly.
-#   _TAIL = first the 20-entry r10-block overflow (sweep-logged this
-#           round, rotates FIRST at r14), then the 49 r11-hard-gated
-#           survivors, then the 50 r12-hard-gated entries (CORRECTNESS
-#           _r12 green 50/50, rotation-due r15).
-# r14 COMMITMENT (keeps VERDICT r12 #2's registrations >= stagings
-# discipline; zero new waves were staged in r12 or r13): register the
-# remaining 20 staged entries (9 staged_r15 + 7 staged_r16 + 4
-# staged_r17, minus any of the shortlisted retirements above), so
-# _HEAD_r14 = ~20 staged + the 20 r10-block overflow + the first ~10 of
-# the 49 r11-gated block = 50; the r11-block overflow gets a logged
-# sweep and rotates first at r15. This fully drains the
-# never-hard-gated staged backlog for the first time since r8.
-# r15 SEED: plans/staged_r15.py holds 9 parity-pinned entries
-# (user_hazard_cohorts, t_closeness_priority, copurchase_assortativity,
-# corpus_density_ratio, event_transition_entropy, customer_geo_pairs,
-# daily_value_sax_motifs, customer_linkage_scores,
-# embedding_kcenter_coreset), probed (SCALING.md §r15) and benched
-# (bench_r15_staged_local.json).
-# r16 SEED: plans/staged_r16.py holds 7 further parity-pinned entries
-# (corpus_vocab_richness, priority_order_ate, event_burstiness,
-# length_isotonic_calibration, cluster_mmr_rerank,
-# copurchase_modularity, embedding_label_silhouette), probed
-# (SCALING.md §r16) and benched (bench_r16_staged_local.json).
-# r17 SEED: plans/staged_r17.py holds 4 further parity-pinned entries
-# (daily_value_mann_kendall, weekly_seasonality_mase,
-# machinery_did_1998, doc_feature_stump_screen), physiology-noted
-# (SCALING.md §r17) and benched (bench_r17_staged_local.json).
+#   _HEAD = 20 staged r15-r17 (never gated — drains the backlog)
+#         + 20 r10-block overflow (sweep-covered r13, rotation-due
+#           FIRST)
+#         + the FIRST 10 of the 48 surviving r11-gated entries
+#           (rotation-due r14) = 50 exactly.
+#   _TAIL = first the remaining 38 r11-gated survivors (sweep-logged
+#           this round, rotate FIRST at r15), then the 50 r12-gated
+#           entries (rotation-due r15), then the 48 surviving r13-gated
+#           entries (rotation-due r16).
+# r15 COMMITMENT (the post-drain steady state — COVERAGE.md "Battery
+# steady-state regime"): with the staged backlog at 0 the battery is
+# CAPPED at 186; new entries enter only by the one-in/one-out trade
+# (retirement funds registration) and only through the full staged ->
+# parity-pinned -> probed -> registered lifecycle. The 50-slot gate
+# window becomes a pure rotation: _HEAD_r15 = the 38 r11-block
+# overflow + the first 12 of the 50 r12-gated entries = 50; logged
+# full-battery check_oracle.py sweeps remain the per-round freshness
+# evidence for everything outside the window (the freshness invariant
+# enforces both: sweep-or-gate every round, AND a hard-gate row at
+# least every 5 recorded rounds per entry).
 _HEAD = [
-    # ---- 14 newly registered staged_r14 entries (first driver gating) ----
-    "revenue_gini_by_segment",
-    "woe_iv_priority_screen",
-    "cuped_event_value",
-    "theil_sen_daily_trend",
-    "pareto_quality_cost",
-    "ngram_novelty_census",
-    "adamic_adar_parts",
-    "srm_assignment_check",
-    "weighted_sample_parts",
-    "markov_attribution_channels",
-    "loo_source_influence",
-    "conformal_order_value",
-    "smd_balance_arms",
-    "rec_list_quality_eval",
-    # ---- 8 r9-remainder overflow (double-wave trade; sweep-covered
-    # ---- r12, rotation-due FIRST this round — VERDICT r12 #4) ----
-    "chunk_sliding_window",
-    "funnel_conversion",
-    "rank_functions_suite",
-    "zorder_locality",
-    "unpivot_melt",
-    "dedupe_latest_window",
-    "groupby_max_dedup",
-    "lookup_fold_broadcast",
-    # ---- first 28 of the 48 surviving r10-gated entries (last
-    # ---- hard-gated r10, sweep-covered r12, rotation-due r13) ----
-    "decayed_segment_value",
-    "sorted_neighborhood_linkage",
-    "embedding_jl_projection",
-    "seasonal_weekday_outliers",
-    "tokenizer_fertility_by_lang",
-    "dedup_containment_census",
-    "graph_k_core_census",
-    "ks_drift_stat",
-    "rrf_hybrid_fusion",
-    "l_diversity_census",
-    "dedup_prefix_filter_jaccard",
-    "mutual_info_lang_source",
-    "kl_unigram_drift",
-    "pps_systematic_sample",
-    "winsorized_priority_stats",
-    "gap_fill_lerp_daily",
-    "mutual_knn_pairs",
-    "phrase_match_census",
-    "graph_label_prop_census",
-    "ann_recall_eval",
-    "salted_join_revenue",
-    "kmeans_step_exact",
-    "dedup_blocking_quality",
-    "twap_event_value",
-    "grouped_weighted_quantiles",
-    "feature_mi_ranking",
-    "cluster_aware_split",
-    "quantile_normalize_views",
-]
-_TAIL = [
-    # ---- 20-entry r10-block overflow (sweep-logged round 13,
-    # ---- rotation-due FIRST at r14) ----
+    # ---- 20 staged r15-r17 entries (first driver gating; backlog -> 0) ----
+    "user_hazard_cohorts",
+    "t_closeness_priority",
+    "copurchase_assortativity",
+    "corpus_density_ratio",
+    "event_transition_entropy",
+    "customer_geo_pairs",
+    "daily_value_sax_motifs",
+    "customer_linkage_scores",
+    "embedding_kcenter_coreset",
+    "corpus_vocab_richness",
+    "priority_order_ate",
+    "event_burstiness",
+    "length_isotonic_calibration",
+    "cluster_mmr_rerank",
+    "copurchase_modularity",
+    "embedding_label_silhouette",
+    "daily_value_mann_kendall",
+    "weekly_seasonality_mase",
+    "machinery_did_1998",
+    "doc_feature_stump_screen",
+    # ---- 20-entry r10-block overflow (sweep-logged r13, rotation-due
+    # ---- FIRST this round — VERDICT r13 #1; the §2-parity core) ----
     "clean_date_clamp_range_sentinel",
     "clean_value_canonicalization",
     "pii_hash_sha256",
@@ -174,10 +135,9 @@ _TAIL = [
     "pricing_summary",
     "star_join_agg",
     "pivot_wide_agg",
-    # ---- r11-hard-gate-verified survivors (CORRECTNESS_r11 green,
-    # ---- sweep-covered r12/r13), rotation-due r14 ----
+    # ---- first 10 of the 48 surviving r11-gated entries (last
+    # ---- hard-gated r11, sweep-covered r13, rotation-due r14) ----
     "auc_price_returns",
-    "calibration_price_returns",
     "dedup_weighted_jaccard",
     "minhash_estimate_eval",
     "ohlc_daily_value",
@@ -187,6 +147,10 @@ _TAIL = [
     "bootstrap_order_value_ci",
     "graph_bfs_reach",
     "hll_error_eval",
+]
+_TAIL = [
+    # ---- remaining 38 r11-hard-gate-verified survivors (sweep-logged
+    # ---- round 14, rotation-due FIRST at r15) ----
     "hll_set_algebra",
     "hdr_percentile_calibrate",
     "bpe_token_counts",
@@ -277,6 +241,57 @@ _TAIL = [
     "embedding_quantize_int8",
     "interval_overlap_join",
     "graph_pagerank_topk",
+    # ---- 48 surviving r13-hard-gate-verified entries (CORRECTNESS_r13
+    # ---- green 50/50; theil_sen_daily_trend and
+    # ---- seasonal_weekday_outliers retired r14), rotation-due r16 ----
+    "revenue_gini_by_segment",
+    "woe_iv_priority_screen",
+    "cuped_event_value",
+    "pareto_quality_cost",
+    "ngram_novelty_census",
+    "adamic_adar_parts",
+    "srm_assignment_check",
+    "weighted_sample_parts",
+    "markov_attribution_channels",
+    "loo_source_influence",
+    "conformal_order_value",
+    "smd_balance_arms",
+    "rec_list_quality_eval",
+    "chunk_sliding_window",
+    "funnel_conversion",
+    "rank_functions_suite",
+    "zorder_locality",
+    "unpivot_melt",
+    "dedupe_latest_window",
+    "groupby_max_dedup",
+    "lookup_fold_broadcast",
+    "decayed_segment_value",
+    "sorted_neighborhood_linkage",
+    "embedding_jl_projection",
+    "tokenizer_fertility_by_lang",
+    "dedup_containment_census",
+    "graph_k_core_census",
+    "ks_drift_stat",
+    "rrf_hybrid_fusion",
+    "l_diversity_census",
+    "dedup_prefix_filter_jaccard",
+    "mutual_info_lang_source",
+    "kl_unigram_drift",
+    "pps_systematic_sample",
+    "winsorized_priority_stats",
+    "gap_fill_lerp_daily",
+    "mutual_knn_pairs",
+    "phrase_match_census",
+    "graph_label_prop_census",
+    "ann_recall_eval",
+    "salted_join_revenue",
+    "kmeans_step_exact",
+    "dedup_blocking_quality",
+    "twap_event_value",
+    "grouped_weighted_quantiles",
+    "feature_mi_ranking",
+    "cluster_aware_split",
+    "quantile_normalize_views",
 ]
 
 
@@ -333,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(staged_r12.STAGED_QUERIES)  # registered r12 (VERDICT r11 #1)
     q.update(staged_r13.STAGED_QUERIES)  # registered r12 double wave (VERDICT r11 #1)
     q.update(staged_r14.STAGED_QUERIES)  # registered r13 (VERDICT r12 #1)
+    q.update(staged_r15.STAGED_QUERIES)  # registered r14 (VERDICT r13 #1)
+    q.update(staged_r16.STAGED_QUERIES)  # registered r14 (VERDICT r13 #1)
+    q.update(staged_r17.STAGED_QUERIES)  # registered r14 (VERDICT r13 #1)
     return _window_order(q)
 
 
@@ -355,4 +373,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(staged_r12.STAGED_ORACLES)  # registered r12 (VERDICT r11 #1)
     o.update(staged_r13.STAGED_ORACLES)  # registered r12 double wave (VERDICT r11 #1)
     o.update(staged_r14.STAGED_ORACLES)  # registered r13 (VERDICT r12 #1)
+    o.update(staged_r15.STAGED_ORACLES)  # registered r14 (VERDICT r13 #1)
+    o.update(staged_r16.STAGED_ORACLES)  # registered r14 (VERDICT r13 #1)
+    o.update(staged_r17.STAGED_ORACLES)  # registered r14 (VERDICT r13 #1)
     return _window_order(o)

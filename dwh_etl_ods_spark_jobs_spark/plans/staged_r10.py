@@ -242,8 +242,14 @@ def _sql_seasonal() -> str:
 
 SQL_SEASONAL_WEEKDAY = _sql_seasonal()
 
-STAGED_QUERIES["seasonal_weekday_outliers"] = q_seasonal_weekday_outliers
-STAGED_ORACLES["seasonal_weekday_outliers"] = SQL_SEASONAL_WEEKDAY
+# r14 consolidation retirement (the staged_r17.py shortlist, confirmed
+# at the r17-wave registration per VERDICT r13 #2): weekly_seasonality_
+# mase (staged_r17) carries the decision-grade weekly-pattern readout
+# (seasonal-naive forecast backtest) over the same daily rollup; the
+# weekday median/MAD residual screen stays oracle-gated here
+# (tests/test_retired_surfaces.py), one-in/one-out.
+RETIRED_QUERIES["seasonal_weekday_outliers"] = q_seasonal_weekday_outliers
+RETIRED_ORACLES["seasonal_weekday_outliers"] = SQL_SEASONAL_WEEKDAY
 
 
 # --- tokenizer fertility by language ---

@@ -115,8 +115,14 @@ def _sql_calibration() -> str:
     )
 
 
-STAGED_QUERIES["calibration_price_returns"] = q_calibration
-STAGED_ORACLES["calibration_price_returns"] = _sql_calibration()
+# r14 consolidation retirement (the staged_r17.py shortlist, confirmed
+# at the r16-wave registration per VERDICT r13 #2): length_isotonic_
+# calibration (staged_r16) carries the SAME equal-frequency bin
+# physiology (calibration_bins delegates the binning) PLUS the monotone
+# PAV fit — strictly wider surface; the plain reliability curve stays
+# oracle-gated here (tests/test_retired_surfaces.py), one-in/one-out.
+RETIRED_QUERIES["calibration_price_returns"] = q_calibration
+RETIRED_ORACLES["calibration_price_returns"] = _sql_calibration()
 
 
 # --- IDF-weighted Jaccard near-dup -----------------------------------------

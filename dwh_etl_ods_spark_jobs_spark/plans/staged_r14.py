@@ -220,8 +220,14 @@ def _sql_theil_sen() -> str:
     )
 
 
-STAGED_QUERIES["theil_sen_daily_trend"] = q_theil_sen
-STAGED_ORACLES["theil_sen_daily_trend"] = _sql_theil_sen()
+# r14 consolidation retirement (the staged_r17.py shortlist, confirmed
+# at the r17-wave registration per VERDICT r13 #2): daily_value_mann_
+# kendall (staged_r17) runs the superset physiology over the SAME
+# bounded daily pair frame (the MK tie census + significance readout
+# subsumes the pairwise-slope scan); the Theil-Sen slope readout stays
+# oracle-gated here (tests/test_retired_surfaces.py), one-in/one-out.
+RETIRED_QUERIES["theil_sen_daily_trend"] = q_theil_sen
+RETIRED_ORACLES["theil_sen_daily_trend"] = _sql_theil_sen()
 
 
 # --- Kaplan-Meier user retention curve ----------------------------------------

@@ -104,3 +104,54 @@ def test_tail_freshness_invariant():
         f"current gate window: {stale} — rotate them into _HEAD or record a "
         f"check_oracle.py --log-sweep run"
     )
+
+
+def test_battery_steady_state_regime():
+    """Post-drain steady state (VERDICT r13 #3, COVERAGE.md 'Battery
+    steady-state regime'): with the staged backlog at 0 the battery is
+    CAPPED at 186 entries — a new entry enters only by the one-in/
+    one-out trade (a retirement funds it) — and the 50-slot gate window
+    is a pure rotation: every entry must hold a green HARD-GATE
+    CORRECTNESS row within the last 5 recorded rounds or sit in the
+    current _HEAD (sweeps keep per-round freshness, the gate keeps the
+    independent driver-side audit; 186/50 -> a full rotation every 4
+    rounds, so 5 is one round of slack)."""
+    import glob
+    import json
+    import os
+    import re
+
+    qs = entry_mod.queries()
+    assert len(qs) <= 186, (
+        f"battery grew past the steady-state cap: {len(qs)} > 186 — a new "
+        "entry needs a funding retirement (RETIRED_QUERIES, one-in/one-out)"
+    )
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    last_gate: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rno = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rno)
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last_gate[name] = max(last_gate.get(name, -1), rno)
+    latest = max(rounds)
+    head = set(entry_mod._HEAD)
+    gate_stale = {
+        name: last_gate.get(name)
+        for name in qs
+        if name not in head and last_gate.get(name, -1) < latest - 4
+    }
+    assert not gate_stale, (
+        f"battery entries without a hard-gate CORRECTNESS row since round "
+        f"{latest - 4} and not in the current gate window: {gate_stale} — "
+        "the rotation fell behind; schedule them into _HEAD"
+    )

@@ -12,8 +12,11 @@ sessionize; r11: minhash-LSH raw pairs, embedding-cosine raw pairs,
 BPE train-only, hopping HLL, chi2 contingency, TPC-H Q17, LOCF gap
 fill, global MAD census, W1 drift, ungrouped weighted quantiles; r12:
 BM25 top-k retrieval, the word/bigram Gopher repetition signals, the
-grouped corr/OLS bivariate suite, the Kaplan-Meier retention readout)
-keeps a correctness gate.
+grouped corr/OLS bivariate suite, the Kaplan-Meier retention readout;
+r14: the Theil-Sen slope readout, the plain reliability curve, the
+weekday median/MAD seasonal residual screen — each subsumed by its
+staged_r16/r17 superset entering the battery, the staged_r17.py
+shortlist confirmed per VERDICT r13 #2) keeps a correctness gate.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from dwh_etl_ods_spark_jobs_spark.plans import (
     staged,
     staged_r9,
     staged_r10,
+    staged_r11,
     staged_r14,
 )
 
@@ -46,7 +50,7 @@ RETIRED = [
     (mod, name)
     for mod in (
         coverage, pipeline, graph, curation, sketches, staged, showcase,
-        quality, staged_r9, staged_r10, staged_r14,
+        quality, staged_r9, staged_r10, staged_r11, staged_r14,
     )
     for name in mod.RETIRED_QUERIES
 ]

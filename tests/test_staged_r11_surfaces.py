@@ -75,9 +75,15 @@ def test_auc_and_calibration_use_range_partitioning(spark, sf_dir):
     id ``_pid`` (never an unpartitioned Window over the data), the
     offsets frame attaches via broadcast, and nothing degenerates to a
     cartesian/nested-loop join."""
-    for name in ("auc_price_returns", "calibration_price_returns"):
+    # calibration_price_returns retired r14 (RETIRED_QUERIES) but keeps
+    # its plan-shape pin — the range-rank physiology it exercises is the
+    # shared calibration_bins path.
+    for name, reg in (
+        ("auc_price_returns", staged_r11.STAGED_QUERIES),
+        ("calibration_price_returns", staged_r11.RETIRED_QUERIES),
+    ):
         plan = (
-            staged_r11.STAGED_QUERIES[name](spark, sf_dir)
+            reg[name](spark, sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

@@ -48,22 +48,16 @@ def test_staged_r14_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r14_names_registered_and_gated():
-    """r13 registration executed (VERDICT r12 #1): every staged_r14 entry
-    is live in the battery, bound to the same callable/SQL, AND inside
-    the driver's 50-slot gate window (one-time in-window assertion for
-    the r13 gating round — relax to registered-only after the r14
-    rotation, as the r9-r13 tests did)."""
+def test_staged_r14_names_registered():
+    """r13 registration executed (VERDICT r12 #1); relaxed to
+    registered-only after the r14 rotation moved the wave out of the
+    gate window (it holds green CORRECTNESS_r13 rows)."""
     import __spark_entry__ as entry_mod
 
     live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
-    window = set(list(live_q)[:50])
     for name, fn in staged_r14.STAGED_QUERIES.items():
         assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
         assert live_o.get(name) == staged_r14.STAGED_ORACLES[name], name
-        assert name in window, (
-            f"{name}: outside the r13 gate window (staged_r14)"
-        )
 
 
 def test_staged_r14_oracle_keys_align():

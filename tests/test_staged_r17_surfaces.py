@@ -48,12 +48,22 @@ def test_staged_r17_query_matches_duckdb(spark, sf_dir, name):
     assert s.equals(d), f"{name}: value mismatch\n{s.head()}\n{d.head()}"
 
 
-def test_staged_r17_names_not_yet_in_battery():
+def test_staged_r17_names_registered_and_gated():
+    """r14 registration executed (VERDICT r13 #1): every staged_r17 entry
+    is live in the battery, bound to the same callable/SQL, AND inside
+    the driver's 50-slot gate window (one-time in-window assertion for
+    the r14 gating round — relax to registered-only after the r15
+    rotation, as the r9-r14 tests did)."""
     import __spark_entry__ as entry_mod
 
-    live = set(entry_mod.queries())
-    clash = live & set(staged_r17.STAGED_QUERIES)
-    assert not clash, f"staged_r17 names already registered: {sorted(clash)}"
+    live_q, live_o = entry_mod.queries(), entry_mod.oracle_sql()
+    window = set(list(live_q)[:50])
+    for name, fn in staged_r17.STAGED_QUERIES.items():
+        assert live_q.get(name) is fn, f"{name}: not registered (or rebound)"
+        assert live_o.get(name) == staged_r17.STAGED_ORACLES[name], name
+        assert name in window, (
+            f"{name}: outside the r14 gate window (staged_r17)"
+        )
 
 
 def test_staged_r17_oracle_keys_align():

@@ -2046,10 +2046,23 @@ def loo_group_influence(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum(x).cast("long").alias("sum_g"),
     )
+    return loo_from_counts(per, group_cols)
+
+
+def loo_from_counts(per: DataFrame, group_cols: list[str]) -> DataFrame:
+    """LOO influence from ALREADY-AGGREGATED per-group ``(n_g, sum_g)``
+    counters — the MERGEABLE-STATE form of :func:`loo_group_influence`
+    (which delegates here after its one grouped pass). The counters are
+    exactly what ``streaming.streaming_group_sums`` maintains and what
+    shards merge by cell addition; the global totals FOLD FROM THE
+    STATE (one tiny agg over O(groups) rows), so the live data-
+    valuation readout needs no second pass over the rows
+    (pytest-pinned stream==batch)."""
+    gcols = [F.col(c) for c in group_cols]
     one = F.pmod(F.hash(F.lit(1)), F.lit(1))
-    tot = df.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(x).cast("long").alias("_s"),
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("_n"),
+        F.sum("sum_g").cast("long").alias("_s"),
     ).withColumn("_one", one)
     j = per.withColumn("_one", one).join(F.broadcast(tot), "_one")
     dec = "DECIMAL(38,0)"
@@ -2151,34 +2164,66 @@ def smd_balance_check(
         F.sum("_x").cast("long").alias("_sx"),
         F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
     )
-    a = m.alias("_a")
-    b = m.alias("_b")
+    return smd_from_moments(m, flag_threshold_micro)
+
+
+def smd_from_moments(
+    m: DataFrame, flag_threshold_micro: int = 100_000
+) -> DataFrame:
+    """SMD balance table from an ALREADY-AGGREGATED per-(covariate, arm)
+    exact-moment grid ``(_cov, _arm, _n, _sx, _sxx)`` — the
+    MERGEABLE-STATE form of :func:`smd_balance_check` (which delegates
+    here after its one melted moment pass). The grid is exactly what
+    ``streaming.streaming_arm_covariate_moments`` maintains and what
+    shards merge by cell addition of the three moments, so the balance
+    diagnostic updates DURING enrollment with no exposure-log re-read
+    (pytest-pinned stream==batch). Everything here runs on the bounded
+    covariates x arms frame."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # the b side renames EVERY column: identity self-joins over a
+    # memory-sink/table-backed grid (the streaming snapshot path) defeat
+    # DataFrame-alias disambiguation, but fresh exprIds from a full
+    # rename project never conflict
+    a = m.select(
+        F.col("_cov").alias("_cov_a"),
+        F.col("_arm").alias("_arm_a"),
+        F.col("_n").alias("_n_a"),
+        F.col("_sx").alias("_sx_a"),
+        F.col("_sxx").alias("_sxx_a"),
+    )
+    b = m.select(
+        F.col("_cov").alias("_cov_b"),
+        F.col("_arm").alias("_arm_b"),
+        F.col("_n").alias("_n_b"),
+        F.col("_sx").alias("_sx_b"),
+        F.col("_sxx").alias("_sxx_b"),
+    )
     j = a.join(
         b,
-        (F.col("_a._cov") == F.col("_b._cov"))
-        & (F.col("_a._arm") < F.col("_b._arm")),
+        (F.col("_cov_a") == F.col("_cov_b"))
+        & (F.col("_arm_a") < F.col("_arm_b")),
     )
     # sample variance via the exact moment form: (n·Σx² − (Σx)²)/(n·(n−1))
     def var_num(side: str):
         return (
-            dec(F.col(f"_{side}._n")) * F.col(f"_{side}._sxx")
-            - dec(F.col(f"_{side}._sx")) * dec(F.col(f"_{side}._sx"))
+            dec(F.col(f"_n_{side}")) * F.col(f"_sxx_{side}")
+            - dec(F.col(f"_sx_{side}")) * dec(F.col(f"_sx_{side}"))
         ).cast("double") / (
-            F.col(f"_{side}._n").cast("double")
-            * (F.col(f"_{side}._n") - F.lit(1)).cast("double")
+            F.col(f"_n_{side}").cast("double")
+            * (F.col(f"_n_{side}") - F.lit(1)).cast("double")
         )
 
     mean = lambda side: (  # noqa: E731
-        F.col(f"_{side}._sx").cast("double") / F.col(f"_{side}._n").cast("double")
+        F.col(f"_sx_{side}").cast("double") / F.col(f"_n_{side}").cast("double")
     )
     pooled = F.sqrt((var_num("a") + var_num("b")) / F.lit(2.0))
     smd = F.round((mean("a") - mean("b")) / pooled * F.lit(1000000.0)).cast("long")
     out = j.select(
-        F.col("_a._cov").alias("covariate"),
-        F.col("_a._arm").alias("arm_a"),
-        F.col("_b._arm").alias("arm_b"),
-        F.col("_a._n").alias("n_a"),
-        F.col("_b._n").alias("n_b"),
+        F.col("_cov_a").alias("covariate"),
+        F.col("_arm_a").alias("arm_a"),
+        F.col("_arm_b").alias("arm_b"),
+        F.col("_n_a").alias("n_a"),
+        F.col("_n_b").alias("n_b"),
         F.when(pooled > 0, smd).alias("smd_micro"),
     ).withColumn(
         "imbalance_flag",

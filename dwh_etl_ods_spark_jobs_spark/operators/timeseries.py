@@ -1262,9 +1262,38 @@ def markov_removal_attribution(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    totals = counts.groupBy("_s").agg(F.sum("_c").cast("long").alias("_t"))
+    return markov_attribution_from_counts(
+        counts, iterations=iterations, checkpoint_every=checkpoint_every
+    )
+
+
+def markov_attribution_from_counts(
+    counts: DataFrame,
+    iterations: int = 20,
+    checkpoint_every: int = 25,
+) -> DataFrame:
+    """Removal-effect attribution from an ALREADY-AGGREGATED
+    ``(_s, _d, _c)`` transition-count grid — the MERGEABLE-STATE form
+    of :func:`markov_removal_attribution` (which delegates here after
+    its one data-sized fold). The grid is exactly what
+    ``streaming.streaming_transition_counts`` maintains for the
+    transition-entropy readout (rename ``_t``→``_d``, ``_n_st``→``_c``)
+    and what shards merge by cell addition — so ONE maintained count
+    state serves both "how predictable is the next event" and the live
+    attribution dashboard, no journey-log re-read (pytest-pinned
+    stream==batch). Everything here runs on the bounded
+    (channels+3)² journey grid."""
+    # totals renames its key: it derives from counts, and a caller may
+    # hand in a table-backed projection (the streaming snapshot path)
+    # where identity self-joins defeat alias disambiguation — a fresh
+    # exprId from the rename never conflicts
+    totals = (
+        counts.groupBy("_s")
+        .agg(F.sum("_c").cast("long").alias("_t"))
+        .select(F.col("_s").alias("_ts"), "_t")
+    )
     probs = (
-        counts.join(totals, "_s")
+        counts.join(totals, F.col("_s") == F.col("_ts"))
         .select(
             "_s",
             "_d",

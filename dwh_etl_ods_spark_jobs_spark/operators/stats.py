@@ -2485,6 +2485,20 @@ def stratified_ate(
         F.sum(t * y).cast("long").alias("_s1"),
         F.sum((F.lit(1) - t) * y).cast("long").alias("_s0"),
     )
+    return stratified_ate_from_counts(per)
+
+
+def stratified_ate_from_counts(per: DataFrame) -> DataFrame:
+    """Stratified ATE from an ALREADY-AGGREGATED per-stratum grid
+    ``(bin, n_treated, n_control, _s1, _s0)`` (arm counts + exact cents
+    outcome sums per arm) — the MERGEABLE-STATE form of
+    :func:`stratified_ate` (which delegates here after its one grouped
+    pass). The grid is exactly what
+    ``streaming.streaming_strata_outcome_sums`` maintains and what
+    shards merge by cell addition, so the subclassification effect
+    estimate — including the common-support exclusions — updates live
+    during an observational rollout (pytest-pinned stream==batch).
+    Everything here runs on the bounded strata frame."""
     supported = (F.col("n_treated") > 0) & (F.col("n_control") > 0)
     diff = F.when(
         supported,
@@ -2862,6 +2876,19 @@ def diff_in_diff(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents).cast("long").alias("_s"),
     )
+    return did_from_cells(cells)
+
+
+def did_from_cells(cells: DataFrame) -> DataFrame:
+    """Difference-in-differences from an ALREADY-AGGREGATED 2x2 cell
+    grid ``(treated, period, n, _s)`` (row counts + exact cents sums) —
+    the MERGEABLE-STATE form of :func:`diff_in_diff` (which delegates
+    here after its one grouped pass). The grid is what a per-(treated,
+    period) ``streaming.streaming_group_sums`` counter maintains over a
+    cents-folded outcome stream (rename ``n_g``→``n``, ``sum_g``→``_s``)
+    and what shards merge by cell addition — so the parallel-trends
+    contrast updates live as post-period outcomes arrive (pytest-pinned
+    stream==batch). Everything here is constant-size."""
     mean_d = F.col("_s").cast("double") / F.col("n").cast("double")
 
     def cell_mean(tv: int, pv: int) -> Column:

@@ -958,6 +958,29 @@ def streaming_group_sums(
     )
 
 
+def streaming_strata_outcome_sums(
+    stream: DataFrame, bin_col: str, treat_col: str, y_col: str
+) -> DataFrame:
+    """Continuously-maintained per-stratum arm counts + exact cents
+    outcome sums ``(bin, n_treated, n_control, _s1, _s0)`` over an
+    observational outcome stream — the stratified-ATE feeder (r14 eval
+    binding #2): state is bounded at O(strata) rows regardless of
+    volume. Run in update/complete mode; a snapshot through
+    ``operators.stats.stratified_ate_from_counts`` is BIT-IDENTICAL to
+    the batch :func:`operators.stats.stratified_ate` over the same rows
+    (pytest-pinned) — including the common-support exclusions, so the
+    overlap warning fires as soon as a stratum loses an arm. Shards
+    merge by cell addition of all four accumulators."""
+    t = F.col(treat_col).cast("long")
+    y = F.round(F.col(y_col).cast("double") * F.lit(100.0)).cast("long")
+    return stream.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(t).cast("long").alias("n_treated"),
+        F.sum(F.lit(1) - t).cast("long").alias("n_control"),
+        F.sum(t * y).cast("long").alias("_s1"),
+        F.sum((F.lit(1) - t) * y).cast("long").alias("_s0"),
+    )
+
+
 def streaming_arm_covariate_moments(
     stream: DataFrame, arm_col: str, covariate_cols: list[str]
 ) -> DataFrame:

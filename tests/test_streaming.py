@@ -2304,3 +2304,117 @@ def test_streaming_arm_moments_feed_smd_balance(spark, workdir):
         )
     )
     assert got == expect and len(got) == 2  # one row per covariate
+
+
+def test_streaming_strata_sums_feed_stratified_ate(spark, workdir):
+    """Live observational effect estimate (r14 eval binding #2): the
+    per-stratum arm-count + cents-sum state snapshots through
+    stratified_ate_from_counts into the subclassification ATE readout —
+    bit-identical to the batch stratified_ate over the same rows,
+    INCLUDING the common-support exclusion (the 'lo' stratum below has
+    no control arm and must be reported unsupported on both paths)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        stratified_ate,
+        stratified_ate_from_counts,
+    )
+
+    src = os.path.join(workdir, "landing_ate")
+    schema = "bin string, t long, y double"
+    rows1 = (
+        [("mid", 1, 12.5)] * 8 + [("mid", 0, 10.0)] * 12
+        + [("hi", 1, 30.0)] * 5 + [("lo", 1, 4.0)] * 6
+    )
+    rows2 = [("hi", 0, 26.0)] * 7 + [("mid", 1, 13.0)] * 4
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        ST.streaming_strata_outcome_sums(stream, "bin", "t", "y")
+        .writeStream.format("memory")
+        .queryName("ate_sums")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_ate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    got = sorted(
+        map(
+            tuple,
+            stratified_ate_from_counts(spark.table("ate_sums")).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            stratified_ate(spark.read.parquet(src), "bin", "t", "y").collect(),
+        )
+    )
+    assert got == expect and len(got) == 3
+    by_bin = {r[0]: r for r in got}
+    assert by_bin["lo"][4] == 0  # no control arm: unsupported, reported
+    assert by_bin["mid"][4] == 1 and by_bin["hi"][4] == 1
+
+
+def test_streaming_group_sums_feed_diff_in_diff(spark, workdir):
+    """Live parallel-trends contrast (r14 eval binding #2): the generic
+    per-(treated, period) group-sum counters over a cents-folded
+    outcome stream snapshot through did_from_cells into the DiD
+    readout — bit-identical to the batch diff_in_diff over the same
+    rows. No dedicated state shape needed: the 2x2 grid IS
+    streaming_group_sums on two keys."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        did_from_cells,
+        diff_in_diff,
+    )
+
+    src = os.path.join(workdir, "landing_did")
+    schema = "treated long, period long, y double"
+    rows1 = (
+        [(1, 0, 10.0)] * 10 + [(0, 0, 9.0)] * 12
+        + [(1, 1, 16.0)] * 9
+    )
+    rows2 = [(0, 1, 11.5)] * 11 + [(1, 1, 15.0)] * 3
+    _write_source_files(spark, src, rows1, schema)
+    _write_source_files(spark, src, rows2, schema)
+
+    stream = ST.file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    ).withColumn(
+        "cents", F.round(F.col("y").cast("double") * F.lit(100.0)).cast("long")
+    )
+    q = (
+        ST.streaming_group_sums(stream, ["treated", "period"], "cents")
+        .writeStream.format("memory")
+        .queryName("did_sums")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_did"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ST.run_to_completion(q)
+
+    cells = spark.table("did_sums").select(
+        "treated",
+        "period",
+        F.col("n_g").alias("n"),
+        F.col("sum_g").alias("_s"),
+    )
+    got = sorted(map(tuple, did_from_cells(cells).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            diff_in_diff(
+                spark.read.parquet(src), "treated", "period", "y"
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) == 4
+    # hand DiD: (15.75-10) - (11.5-9) = 3.25 dollars > 0
+    assert got[0][4] > 0 and len({r[4] for r in got}) == 1

@@ -531,3 +531,124 @@ def test_rec_list_eval_monoculture_flags(spark):
     assert r.mean_ild_ppm == 0
     assert r.coverage_ppm == 333_333
     assert r.exposure_gini_ppm > 600_000  # exposure concentrated on 2 of 6
+
+
+def test_mergeable_state_shards_merge_by_cell_addition(spark):
+    """The r14 eval bindings all claim 'shards merge by cell addition'
+    — this pins the CONTRACT, not just stream==batch: two half-corpus
+    state grids, merged by summing every accumulator cell per key,
+    feed the _from_counts readout bit-identically to the whole-corpus
+    batch operator. A future non-linear accumulator (a max, a distinct,
+    a float mean) in any of these states breaks this test."""
+    from pyspark.sql import functions as F
+
+    import dwh_etl_ods_spark_jobs_spark.streaming as ST
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        loo_from_counts,
+        loo_group_influence,
+        smd_balance_check,
+        smd_from_moments,
+        stratified_ate,
+        stratified_ate_from_counts,
+    )
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        markov_attribution_from_counts,
+        markov_removal_attribution,
+    )
+
+    def merged(state_a, state_b, keys):
+        cells = [c for c in state_a.columns if c not in keys]
+        return (
+            state_a.unionAll(state_b)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in cells])
+        )
+
+    rows = [
+        ("web", "A", 1, 0, 10 + i % 7, 100 + 3 * (i % 11)) for i in range(40)
+    ] + [
+        ("app", "B", 0, 1, 20 + i % 5, 90 + 2 * (i % 13)) for i in range(35)
+    ] + [
+        ("feed", "A", 1, 1, 15 + i % 3, 70 + 5 * (i % 4)) for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, arm string, t long, p long, age long, y long"
+    )
+    half_a = df.filter(F.col("age") % 2 == 0)
+    half_b = df.filter(F.col("age") % 2 == 1)
+
+    # loo: (n_g, sum_g) per source
+    got = loo_from_counts(
+        merged(
+            ST.streaming_group_sums(half_a, ["source"], "y"),
+            ST.streaming_group_sums(half_b, ["source"], "y"),
+            ["source"],
+        ),
+        ["source"],
+    )
+    want = loo_group_influence(df, ["source"], "y")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # smd: (_n, _sx, _sxx) per (covariate, arm)
+    got = smd_from_moments(
+        merged(
+            ST.streaming_arm_covariate_moments(half_a, "arm", ["age", "y"]),
+            ST.streaming_arm_covariate_moments(half_b, "arm", ["age", "y"]),
+            ["_cov", "_arm"],
+        )
+    )
+    want = smd_balance_check(df, "arm", ["age", "y"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # stratified ATE: 4 accumulators per stratum
+    got = stratified_ate_from_counts(
+        merged(
+            ST.streaming_strata_outcome_sums(half_a, "source", "t", "y"),
+            ST.streaming_strata_outcome_sums(half_b, "source", "t", "y"),
+            ["bin"],
+        )
+    )
+    want = stratified_ate(df, "source", "t", "y")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # markov: (_c) per (src, dst) transition cell — rows split by index
+    # parity so the SAME cell appears in both shards (true cell
+    # addition, not a disjoint-cell union)
+    base = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") < 30, F.lit("_START_"))
+        .otherwise(
+            F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+        )
+        .alias("src"),
+        F.when(F.col("id") < 30,
+               F.concat(F.lit("c"), (F.col("id") % 3).cast("string")))
+        .when(F.col("id") % 5 == 0, F.lit("_CONV_"))
+        .when(F.col("id") % 5 == 1, F.lit("_NULL_"))
+        .otherwise(
+            F.concat(F.lit("c"), ((F.col("id") * 7 + 1) % 3).cast("string"))
+        )
+        .alias("dst"),
+    )
+    tr = base.select("src", "dst")
+    ta = base.filter(F.col("id") % 2 == 0).select("src", "dst")
+    tb = base.filter(F.col("id") % 2 == 1).select("src", "dst")
+
+    def tcounts(frame):
+        return ST.streaming_transition_counts(frame, [], "src", "dst").select(
+            "_s", F.col("_t").alias("_d"), F.col("_n_st").alias("_c")
+        )
+
+    got = markov_attribution_from_counts(
+        merged(tcounts(ta), tcounts(tb), ["_s", "_d"])
+    )
+    want = markov_removal_attribution(tr)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

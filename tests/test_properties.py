@@ -2150,3 +2150,290 @@ def test_woe_iv_matches_python(spark, rows):
             woe = iv = None
         expect[b] = (ng, nb, woe, iv)
     assert got == expect
+
+
+# --- r14-session pin wave: the newly REGISTERED r15-r17 surfaces that --------
+# --- rode hand-value tests through their gating round -------------------------
+
+
+def _half_up(x: float) -> int:
+    import math
+
+    return (int(math.floor(x + 0.5)) if x >= 0
+            else -int(math.floor(-x + 0.5)))
+
+
+_te_pairs = st.lists(
+    st.tuples(st.sampled_from("abc"), st.sampled_from("abcd")),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=_te_pairs)
+@SET
+def test_transition_entropy_matches_python(spark, pairs):
+    """cond/marginal entropies == the same fixed per-term IEEE sequence
+    in Python (HALF_UP micro-nat rounding BEFORE the sum) for ANY
+    transition multiset — the newly gate-registered predictability
+    readout."""
+    import math
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        transition_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("g", s, t) for s, t in pairs], "g string, s string, t string"
+    )
+    rows = transition_entropy(df, ["g"], "s", "t").collect()
+    n = len(pairs)
+    stc = Counter(pairs)
+    sc = Counter(s for s, _ in pairs)
+    tc = Counter(t for _, t in pairs)
+    cond = sum(
+        _half_up(-(c / n) * math.log(c / sc[s]) * 1000000.0)
+        for (s, _t), c in stc.items()
+    )
+    marg = sum(
+        _half_up(-(c / n) * math.log(c / n) * 1000000.0)
+        for _t, c in tc.items()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r.n_transitions, r.n_src_states,
+        r.cond_entropy_micro, r.marginal_entropy_micro,
+    ) == (n, len(sc), cond, marg)
+
+
+_fano_counts = st.lists(st.integers(0, 20), min_size=1, max_size=20)
+
+
+@given(counts=_fano_counts)
+@SET
+def test_dispersion_index_matches_python(spark, counts):
+    """fano_ppm == the exact-moment Fano factor in Python (integer
+    var_num, ONE HALF_UP-rounded IEEE division; all-zero series ->
+    NULL) for ANY per-period count series."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        dispersion_index,
+    )
+
+    df = spark.createDataFrame(
+        [("g", c) for c in counts], "g string, c long"
+    )
+    r = dispersion_index(df, ["g"], "c").collect()[0]
+    n, s = len(counts), sum(counts)
+    sxx = sum(c * c for c in counts)
+    var_num = n * sxx - s * s
+    fano = (
+        _half_up(float(var_num) / (float(n) * float(s)) * 1000000.0)
+        if s > 0
+        else None
+    )
+    over = None if fano is None else int(fano > 1_000_000)
+    assert (r.n_periods, r.total_count, r.fano_ppm, r.overdispersed) == (
+        n, s, fano, over
+    )
+
+
+_mod_edges = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] < e[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+_mod_labels = st.lists(st.integers(0, 2), min_size=10, max_size=10)
+
+
+@given(edges=_mod_edges, labels=_mod_labels)
+@SET
+def test_community_modularity_matches_python(spark, edges, labels):
+    """Per-community census + the exact (4m·ΣL − ΣD²)/(4m²) Q fold ==
+    a direct Python evaluation for ANY small labeled graph (isolated
+    nodes carry no degree; intra needs BOTH endpoints in the label)."""
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.graph import community_modularity
+
+    edf = spark.createDataFrame(sorted(edges), "u long, v long")
+    ldf = spark.createDataFrame(
+        [(i, labels[i]) for i in range(10)], "node long, label long"
+    )
+    got = {
+        r.label: (r.n_nodes, r.intra_edges, r.degree_sum, r.modularity_ppm)
+        for r in community_modularity(edf, ldf).collect()
+    }
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    per: dict[int, list[int]] = {}
+    for node, d in deg.items():
+        lab = labels[node]
+        e = per.setdefault(lab, [0, 0, 0])
+        e[0] += 1
+        e[2] += d
+    for u, v in edges:
+        if labels[u] == labels[v] and u in deg and v in deg:
+            per[labels[u]][1] += 1
+    m = len(edges)
+    sl = sum(e[1] for e in per.values())
+    sd2 = sum(e[2] * e[2] for e in per.values())
+    q = _half_up((4 * m * sl - sd2) / (4.0 * m * m) * 1000000.0)
+    assert got == {
+        lab: (e[0], e[1], e[2], q) for lab, e in per.items()
+    }
+
+
+_sil_code = st.lists(st.integers(-4, 4), min_size=2, max_size=2)
+_sil_points = st.lists(_sil_code, min_size=1, max_size=12)
+_sil_cents = st.lists(_sil_code, min_size=1, max_size=4)
+
+
+@given(pts=_sil_points, cents=_sil_cents)
+@SET
+def test_simplified_silhouette_matches_python(spark, pts, cents):
+    """Per-cluster and overall silhouette == the same fixed sqrt/div
+    sequence in Python (assignment ties to the smaller cid, b=0 or
+    k=1 -> s=0, HALF_UP ppm before the integer div means) for ANY
+    points/centroids."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.similarity import (
+        simplified_silhouette,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "vec_id long, code array<int>"
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid long, q array<int>"
+    )
+    got = {
+        r.cid: (r.n_points, r.mean_silhouette_ppm, r.overall_silhouette_ppm)
+        for r in simplified_silhouette(pdf, cdf, "vec_id", "code").collect()
+    }
+    per: dict[int, list[int]] = {}
+    all_s = []
+    for p in pts:
+        ranked = sorted(
+            (sum((a - b) ** 2 for a, b in zip(p, c)), cid)
+            for cid, c in enumerate(cents)
+        )
+        a2, cid1 = ranked[0]
+        b2 = ranked[1][0] if len(ranked) >= 2 else None
+        if not b2:  # None or 0
+            s = 0
+        else:
+            s = _half_up(
+                (math.sqrt(b2) - math.sqrt(a2)) / math.sqrt(b2) * 1000000.0
+            )
+        e = per.setdefault(cid1, [0, 0])
+        e[0] += 1
+        e[1] += s
+        all_s.append(s)
+    overall = sum(all_s) // len(all_s)
+    assert got == {
+        cid: (e[0], e[1] // e[0], overall) for cid, e in per.items()
+    }
+
+
+_stump_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 1)), min_size=1, max_size=40
+)
+
+
+@given(rows=_stump_rows)
+@SET
+def test_stump_split_gain_matches_python(spark, rows):
+    """best_split_bin / best_gain_ppm == the same prefix-count Gini
+    sequence in Python (candidates leave a right side, HALF_UP ppm per
+    candidate, argmax ties to the smaller bin, single-bin feature emits
+    no row) for ANY (bin, label) multiset."""
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        stump_split_gain,
+    )
+
+    df = spark.createDataFrame(
+        [("f", b, l) for b, l in rows], "f string, b long, l long"
+    )
+    got = stump_split_gain(df, "f", "b", "l").collect()
+
+    cnt = Counter()
+    pos = Counter()
+    for b, l in rows:
+        cnt[b] += 1
+        pos[b] += l
+    bins = sorted(cnt)
+    N, P = sum(cnt.values()), sum(pos.values())
+
+    def gini(p: int, n: int) -> float:
+        q = p / n
+        return 1.0 - q * q - (1.0 - q) * (1.0 - q)
+
+    best = None
+    cn = cp = 0
+    for b in bins:
+        cn += cnt[b]
+        cp += pos[b]
+        if cn == N:
+            break
+        gain = (
+            gini(P, N)
+            - (cn / N) * gini(cp, cn)
+            - ((N - cn) / N) * gini(P - cp, N - cn)
+        )
+        g = _half_up(gain * 1000000.0)
+        key = (g, -b)
+        if best is None or key > best:
+            best = key
+    if best is None:
+        assert got == []
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert (r.feature, r.n, r.n_pos, r.best_split_bin, r.best_gain_ppm) == (
+            "f", N, P, -best[1], best[0]
+        )
+
+
+_geo_pts = st.lists(
+    st.tuples(st.integers(-15, 15), st.integers(-15, 15)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pts=_geo_pts, radius=st.integers(1, 6))
+@SET
+def test_grid_radius_pairs_matches_bruteforce(spark, pts, radius):
+    """The grid-bucketed radius self-join == the O(n²) Python brute
+    force (exact integer dist², id_a < id_b, each pair exactly once)
+    for ANY point set including negative coordinates and duplicates —
+    the newly gate-registered spatial join."""
+    from dwh_etl_ods_spark_jobs_spark.operators.spatial import (
+        grid_radius_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_radius_pairs(df, "id", "x", "y", radius).collect()
+    )
+    want = sorted(
+        (i, j, (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2)
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+        <= radius * radius
+    )
+    assert got == want

@@ -2437,3 +2437,57 @@ def test_grid_radius_pairs_matches_bruteforce(spark, pts, radius):
         <= radius * radius
     )
     assert got == want
+
+
+_iso_bins = st.lists(
+    st.integers(1, 40).flatmap(
+        lambda n: st.tuples(st.just(n), st.integers(0, n))
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(bins=_iso_bins)
+@SET
+def test_isotonic_minimax_matches_sequential_pav(spark, bins):
+    """The closed minimax PAV form == the classic sequential
+    pool-adjacent-violators sweep in Python (exact integer pooling, ONE
+    HALF_UP ppm rounding of each selected pooled rate) for ANY (n,
+    n_pos) bin grid — generalizing the fixed-sequence r16 pin to
+    hypothesis-randomized grids."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        isotonic_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(b, n, p) for b, (n, p) in enumerate(bins)],
+        "bin long, n long, n_pos long",
+    )
+    got = sorted(isotonic_from_counts(df).collect(), key=lambda r: r.bin)
+
+    stack = []
+    for n, p in bins:
+        stack.append([n, p, 1])
+        while (
+            len(stack) > 1
+            and stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            n2, p2, c2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+            stack[-1][2] += c2
+    iso = []
+    for n, p, c in stack:
+        iso += [_half_up(p / n * 1000000.0)] * c
+
+    assert [r.iso_rate_ppm for r in got] == iso
+    # raw per-bin rate is the truncating integer div (not a rounded
+    # double) — only the SELECTED pooled rate HALF_UP-rounds
+    assert [
+        (r.bin, r.n, r.n_pos, r.rate_ppm) for r in got
+    ] == [
+        (b, n, p, p * 1_000_000 // n) for b, (n, p) in enumerate(bins)
+    ]
+    vals = [r.iso_rate_ppm for r in got]
+    assert vals == sorted(vals)  # monotone by construction

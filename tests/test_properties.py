@@ -2491,3 +2491,74 @@ def test_isotonic_minimax_matches_sequential_pav(spark, bins):
     ]
     vals = [r.iso_rate_ppm for r in got]
     assert vals == sorted(vals)  # monotone by construction
+
+
+_fs_val = st.sampled_from([None, "x", "y", "z"])
+_fs_rows = st.lists(st.tuples(_fs_val, _fs_val), min_size=2, max_size=12)
+
+
+@given(rows=_fs_rows)
+@SET
+def test_fellegi_sunter_matches_python(spark, rows):
+    """Pair scores == the same frequency-exact u estimate + fixed
+    ln/log2 micro-bit weight sequence + NULL-evidence/degenerate-field
+    rules in Python for ANY small record set — the newly
+    gate-registered probabilistic linkage."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import fellegi_sunter_scores
+
+    recs = [(i, i % 2, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(
+        recs, "id long, blk int, fa string, fb string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.n_agree, r.score_micro)
+        for r in fellegi_sunter_scores(
+            df, "id", "blk", [("a", "fa"), ("b", "fb")]
+        ).collect()
+    )
+
+    m = 0.9
+    weights = {}
+    for fi, name in ((2, "a"), (3, "b")):
+        vals = [r[fi] for r in recs if r[fi] is not None]
+        nf = len(vals)
+        s2 = sum(vals.count(v) ** 2 for v in set(vals))
+        wa = (
+            _half_up(
+                math.log(m * float(nf * nf) / float(s2))
+                / math.log(2.0) * 1000000.0
+            )
+            if nf > 0
+            else None
+        )
+        wd = (
+            _half_up(
+                math.log((1.0 - m) * float(nf * nf) / float(nf * nf - s2))
+                / math.log(2.0) * 1000000.0
+            )
+            if nf > 0 and nf * nf - s2 > 0
+            else None
+        )
+        weights[name] = (wa, wd)
+
+    want = []
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if recs[i][1] != recs[j][1]:
+                continue
+            n_agree, score = 0, 0
+            for fi, name in ((2, "a"), (3, "b")):
+                va, vb = recs[i][fi], recs[j][fi]
+                if va is not None and vb is not None:
+                    if va == vb:
+                        n_agree += 1
+                        c = weights[name][0]
+                    else:
+                        c = weights[name][1]
+                else:
+                    c = 0
+                score = None if (score is None or c is None) else score + c
+            want.append((i, j, n_agree, score))
+    assert got == sorted(want)

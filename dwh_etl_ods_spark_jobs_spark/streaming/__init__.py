@@ -993,8 +993,11 @@ def streaming_arm_covariate_moments(
     :func:`operators.stats.smd_balance_check` over the same rows
     (pytest-pinned) — the standardized-mean-difference balance table
     updates DURING enrollment, the same live-health posture as the SRM
-    gate. ``_sxx`` accumulates as decimal(38,0) (exact at any volume);
-    shards merge by cell addition of all three moments."""
+    gate. ``_sxx`` accumulates as decimal(38,0) — exact within the
+    Σx² ≤ 10³⁸ envelope, and Spark fails LOUDLY past it (ANSI
+    NUMERIC_VALUE_OUT_OF_RANGE, never a silent wrap — measured,
+    SCALING.md r14 overflow note; at 10¹² rows that admits |x| up to
+    ~10¹³). Shards merge by cell addition of all three moments."""
     melted = stream.select(
         F.col(arm_col).cast("string").alias("_arm"),
         F.explode(

@@ -652,3 +652,20 @@ def test_mergeable_state_shards_merge_by_cell_addition(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_decimal_moment_overflow_fails_loud(spark):
+    """The exact-moment envelope contract (SCALING.md r14 overflow
+    note): sum(decimal(38,0)) past 1e38 must FAIL LOUDLY (ANSI
+    NUMERIC_VALUE_OUT_OF_RANGE), never return a silent NULL or wrapped
+    value — a future engine default flip to non-ANSI (silent-NULL)
+    semantics breaks every moment operator's exactness story and must
+    be caught here."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = 9 * 10**18
+    df = spark.createDataFrame([(big,), (big,)], "x long")
+    dec = F.col("x").cast("decimal(38,0)")
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        df.agg(F.sum(dec * dec).alias("s")).collect()

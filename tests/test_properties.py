@@ -2562,3 +2562,132 @@ def test_fellegi_sunter_matches_python(spark, rows):
                 score = None if (score is None or c is None) else score + c
             want.append((i, j, n_agree, score))
     assert got == sorted(want)
+
+
+# --- r14-session pin wave, second tranche: older float-sequence battery -------
+# --- entries that had only hand-value/oracle evidence --------------------------
+
+
+def _round6(x: float):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+_zipf_counts = st.lists(st.integers(1, 1000), min_size=1, max_size=20)
+
+
+@given(counts=_zipf_counts)
+@SET
+def test_zipf_alpha_matches_python(spark, counts):
+    """alpha_6 == the same quantized-log OLS in Python (HALF_UP micro
+    log points, exact integer moments, one float division, HALF_UP
+    6-decimal rounding; 1-point head -> NULL) for ANY vocab counts —
+    the range-decomposed rank path included."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import zipf_alpha
+
+    rows = [("g", c, f"t{i:03d}") for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "g string, cnt long, term string")
+    r = zipf_alpha(df, ["g"], "cnt").collect()[0]
+
+    order = sorted(range(len(counts)), key=lambda i: (-counts[i], f"t{i:03d}"))
+    pts = [
+        (
+            _half_up(math.log(rk + 1) * 1_000_000.0),
+            _half_up(math.log(counts[i]) * 1_000_000.0),
+        )
+        for rk, i in enumerate(order)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    want = _round6(-(num / den)) if den != 0 else None
+    assert r.n_points == n
+    assert r.alpha_6 == want
+
+
+_acf_vals = st.lists(st.integers(0, 50), min_size=0, max_size=15)
+
+
+@given(vals=_acf_vals)
+@SET
+def test_acf_lags_matches_python(spark, vals):
+    """acf_6 per lag == the exact-moment Pearson over the overlapping
+    span in Python (constant/degenerate span -> NULL, empty span -> no
+    row) for ANY bounded series."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import acf_lags
+
+    df = (
+        spark.createDataFrame(
+            [(t, v) for t, v in enumerate(vals)], "t long, v long"
+        )
+        if vals
+        else spark.range(0).selectExpr("id t", "id v")
+    )
+    got = {r.lag: (r.n, r.acf_6) for r in acf_lags(df, "t", "v").collect()}
+
+    want = {}
+    for k in range(1, 8):
+        pairs = [(vals[t], vals[t - k]) for t in range(k, len(vals))]
+        if not pairs:
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        num = float(n * sxy - sx * sy)
+        dx = float(n * sxx - sx * sx)
+        dy = float(n * syy - sy * sy)
+        acf = (
+            _round6(num / (math.sqrt(dx) * math.sqrt(dy)))
+            if dx > 0 and dy > 0
+            else None
+        )
+        want[k] = (n, acf)
+    assert got == want
+
+
+_ndcg_docs = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(0, 3)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(docs=_ndcg_docs)
+@SET
+def test_ndcg_rerank_matches_python(spark, docs):
+    """dcg/idcg/ndcg == a direct Python evaluation over the SAME fixed
+    integer micro weight table (run order by (score desc, id), ideal =
+    best permutation of the retrieved list, zero-relevance query ->
+    ndcg 0) for ANY run."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        NDCG_L_MICRO,
+        ndcg_rerank,
+    )
+
+    rows = [("q", i, s, rel) for i, (s, rel) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "q string, id long, score long, rel long")
+    r = ndcg_rerank(df, "q", "id", "score", "rel", k=10).collect()[0]
+
+    k = 10
+    run = sorted(range(len(docs)), key=lambda i: (-docs[i][0], i))[:k]
+    ideal = sorted(range(len(docs)), key=lambda i: (-docs[i][1], i))[:k]
+    dcg = sum(docs[i][1] * NDCG_L_MICRO[p] for p, i in enumerate(run))
+    idcg = sum(docs[i][1] * NDCG_L_MICRO[p] for p, i in enumerate(ideal))
+    ndcg = 0 if idcg == 0 else dcg * 1_000_000 // idcg
+    assert (r.n_run, r.dcg_micro, r.idcg_micro, r.ndcg_ppm) == (
+        len(run), dcg, idcg, ndcg
+    )

@@ -2691,3 +2691,41 @@ def test_ndcg_rerank_matches_python(spark, docs):
     assert (r.n_run, r.dcg_micro, r.idcg_micro, r.ndcg_ppm) == (
         len(run), dcg, idcg, ndcg
     )
+
+
+_twap_samples = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(samples=_twap_samples)
+@SET
+def test_time_weighted_avg_matches_python(spark, samples):
+    """TWAP == the piecewise-constant hold-forward fold in Python
+    (samples ordered by (t, v), sign-safe floored division, span-0 key
+    reports its (t, v)-last value) for ANY irregular sample set
+    including duplicate timestamps and negative values."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in samples], "k string, t long, v long"
+    )
+    r = time_weighted_avg(df, ["k"], "t", "v").collect()[0]
+
+    ordered = sorted(samples)
+    span = ordered[-1][0] - ordered[0][0]
+    vw = sum(
+        ordered[i][1] * (ordered[i + 1][0] - ordered[i][0])
+        for i in range(len(ordered) - 1)
+    )
+    if span == 0:
+        twap = ordered[-1][1]
+    else:
+        twap = (vw - (vw % span)) // span  # pmod == Python % for span>0
+    assert (r.n_obs, r.span, r.vw_sum, r.twap) == (
+        len(samples), span, vw, twap
+    )

@@ -2729,3 +2729,71 @@ def test_time_weighted_avg_matches_python(spark, samples):
     assert (r.n_obs, r.span, r.vw_sum, r.twap) == (
         len(samples), span, vw, twap
     )
+
+
+_mi_pairs = st.lists(
+    st.tuples(st.sampled_from(["a", "b", None]), st.sampled_from(["x", "y", "z", None])),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=_mi_pairs)
+@SET
+def test_mutual_information_matches_python(spark, pairs):
+    """mi_micro == the same per-cell HALF_UP micro-nat term sequence in
+    Python (NULL categories count as categories) for ANY categorical
+    pair multiset — the entropy/PMI float discipline, independently
+    replayed."""
+    import math
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(pairs, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+
+    joint = Counter(pairs)
+    mx = Counter(x for x, _ in pairs)
+    my = Counter(y for _, y in pairs)
+    n = len(pairs)
+    mi = sum(
+        _half_up(
+            (c / n) * math.log((c * n) / (mx[x] * my[y])) * 1000000.0
+        )
+        for (x, y), c in joint.items()
+    )
+    assert (r.n_rows, r.n_cells, r.mi_micro) == (n, len(joint), mi)
+
+
+_kl_texts = st.lists(st.sampled_from("abcd"), min_size=1, max_size=25)
+
+
+@given(toks_p=_kl_texts, toks_q=_kl_texts)
+@SET
+def test_kl_token_drift_matches_python(spark, toks_p, toks_q):
+    """kl_micro == the same add-one-smoothed per-token HALF_UP
+    micro-nat sequence in Python over the UNION vocabulary for ANY two
+    token multisets (tokens private to either side included)."""
+    import math
+    from collections import Counter
+
+    from dwh_etl_ods_spark_jobs_spark.curation import kl_token_drift
+
+    dfp = spark.createDataFrame([(" ".join(toks_p),)], "text string")
+    dfq = spark.createDataFrame([(" ".join(toks_q),)], "text string")
+    r = kl_token_drift(dfp, dfq, "text").collect()[0]
+
+    cp, cq = Counter(toks_p), Counter(toks_q)
+    vocab = set(cp) | set(cq)
+    np_, nq, v = len(toks_p), len(toks_q), len(vocab)
+    kl = 0
+    for t in vocab:
+        p = (cp.get(t, 0) + 1) / (np_ + v)
+        q = (cq.get(t, 0) + 1) / (nq + v)
+        kl += _half_up(p * math.log(p / q) * 1000000.0)
+    assert (r.n_tokens_p, r.n_tokens_q, r.vocab, r.kl_micro) == (
+        np_, nq, v, kl
+    )

@@ -2797,3 +2797,67 @@ def test_kl_token_drift_matches_python(spark, toks_p, toks_q):
     assert (r.n_tokens_p, r.n_tokens_q, r.vocab, r.kl_micro) == (
         np_, nq, v, kl
     )
+
+
+_wj_doc = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=10)
+_wj_docs = st.lists(_wj_doc, min_size=2, max_size=6)
+
+
+@given(docs=_wj_docs)
+@SET
+def test_weighted_jaccard_matches_python(spark, docs):
+    """IDF-weighted Jaccard pairs == a full Python replication of the
+    pipeline (distinct 3-token shingles incl. the short-doc single
+    shingle, HALF_UP micro idf = ln(N/df), df=1 shingles in the
+    denominators but never joined, zero-denominator pairs dropped) for
+    ANY small corpus — the dedup family's float-touching core."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import weighted_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jw_ppm)
+        for r in weighted_jaccard_pairs(
+            df, "text", "doc_id", threshold_ppm=0
+        ).collect()
+    )
+
+    def shingles(toks):
+        w = 3
+        n = len(toks)
+        out = {
+            " ".join(toks[i:i + w])
+            for i in range(max(n - (w - 1), 1))
+        }
+        return out
+
+    sh = [shingles(t) for t in docs]
+    n_docs = len(docs)
+    dfreq = {}
+    for s in sh:
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    idf = {
+        t: _half_up(math.log(n_docs / c) * 1000000.0)
+        for t, c in dfreq.items()
+        if c <= 1000
+    }
+    totals = [sum(idf[t] for t in s if t in idf) for s in sh]
+    want = []
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            shared = {
+                t for t in sh[i] & sh[j] if t in idf and dfreq[t] >= 2
+            }
+            if not shared:
+                continue
+            w_inter = sum(idf[t] for t in shared)
+            denom = totals[i] + totals[j] - w_inter
+            if denom == 0:
+                continue  # NULL similarity -> dropped by the filter
+            want.append((i, j, w_inter * 1_000_000 // denom))
+    assert got == sorted(want)

@@ -89,7 +89,13 @@ def rendezvous_churn(
     )
     return both.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum((F.col("_s_old") != F.col("_s_new")).cast("long"))
+        # coalesce: sum over ZERO rows is NULL on both engines, but an
+        # empty-census "0 keys moved" is a count, not missing data
+        # (caught by the r14 property pin; SQL renderer mirrored)
+        F.coalesce(
+            F.sum((F.col("_s_old") != F.col("_s_new")).cast("long")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_moved"),
     ).withColumn(
@@ -117,8 +123,8 @@ WITH assigned AS (
   SELECT {old}, {new} FROM {table_expr}
 )
 SELECT CAST(count(*) AS BIGINT) AS n_keys,
-       CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_moved,
+       CAST(coalesce(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_moved,
        CAST(CASE WHEN count(*) = 0 THEN 0
             ELSE sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) * 1000000
                  // count(*) END AS BIGINT) AS moved_ppm

@@ -2861,3 +2861,76 @@ def test_weighted_jaccard_matches_python(spark, docs):
                 continue  # NULL similarity -> dropped by the filter
             want.append((i, j, w_inter * 1_000_000 // denom))
     assert got == sorted(want)
+
+
+_wins_rows = st.lists(st.integers(-100, 100), min_size=1, max_size=25)
+
+
+@given(vals=_wins_rows, trim=st.integers(0, 25))
+@SET
+def test_winsorized_stats_matches_python(spark, vals, trim):
+    """winsor/trim sums == the rank-order clamp fold in Python ((value,
+    key) unique tie-break, k = n·trim div 100, lo at rank k+1, hi at
+    rank n−k) for ANY values and trim pct — the range-decomposed rank
+    path, not a window, does the ordering."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = winsorized_stats(df, ["g"], "v", "id", trim_pct=trim).collect()[0]
+
+    ordered = sorted((v, i) for i, v in enumerate(vals))
+    n = len(ordered)
+    k = n * trim // 100
+    lo = ordered[k][0]
+    hi = ordered[n - k - 1][0]
+    mid = sum(v for v, _ in ordered[k:n - k])
+    assert (
+        r.n, r.k, r.lo_val, r.hi_val, r.winsor_sum, r.trim_sum, r.n_mid
+    ) == (n, k, lo, hi, mid + k * (lo + hi), mid, n - 2 * k)
+
+
+_rv_keys = st.lists(st.integers(0, 10**6), min_size=0, max_size=20)
+_rv_shards = st.lists(
+    st.sampled_from(["s0", "s1", "s2", "s3", "s4", "s5"]),
+    min_size=1, max_size=6, unique=True,
+)
+
+
+@given(keys=_rv_keys, old=_rv_shards, new=_rv_shards)
+@SET
+def test_rendezvous_churn_matches_python(spark, keys, old, new):
+    """Shard assignment and resize churn == the encoded-BIGINT
+    highest-random-weight argmax in Python (md5 60-bit weights, the
+    (w>>4)<<4|idx encoding, greatest-wins tie semantics) for ANY keys
+    and shard lists — the routing primitive persisted state depends
+    on."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.operators.sharding import (
+        rendezvous_churn,
+    )
+
+    df = (
+        spark.createDataFrame([(k,) for k in keys], "k long")
+        if keys
+        else spark.range(0).selectExpr("id k")
+    )
+    r = rendezvous_churn(df, "k", old, new).collect()[0]
+
+    def assign(key: int, shards: list[str]) -> str:
+        best = None
+        for i, s in enumerate(shards):
+            w = int(
+                hashlib.md5(f"rv:{s}|{key}".encode()).hexdigest()[:15], 16
+            )
+            enc = (w - w % 16) + i
+            if best is None or enc > best:
+                best = enc
+        return shards[best % 16]
+
+    moved = sum(1 for k in keys if assign(k, old) != assign(k, new))
+    ppm = 0 if not keys else moved * 1_000_000 // len(keys)
+    assert (r.n_keys, r.n_moved, r.moved_ppm) == (len(keys), moved, ppm)

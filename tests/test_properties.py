@@ -2934,3 +2934,83 @@ def test_rendezvous_churn_matches_python(spark, keys, old, new):
     moved = sum(1 for k in keys if assign(k, old) != assign(k, new))
     ppm = 0 if not keys else moved * 1_000_000 // len(keys)
     assert (r.n_keys, r.n_moved, r.moved_ppm) == (len(keys), moved, ppm)
+
+
+_auc_rows = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(0, 1)),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=_auc_rows)
+@SET
+def test_auc_matches_python_midranks(spark, data):
+    """Tie-corrected Mann-Whitney AUC == the explicit midrank rank-sum
+    in Python for ANY scores/labels — heavy ties, single-class (NULL),
+    and negative scores all land on the grouped-identity fold, not a
+    per-row rank."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        auc_mann_whitney,
+    )
+
+    df = spark.createDataFrame(data, "s long, y int")
+    r = auc_mann_whitney(df, "s", "y").collect()[0]
+
+    ordered = sorted(data)
+    n1 = sum(y for _, y in data)
+    n0 = len(data) - n1
+    # midranks: rows i..j (1-based) sharing a score all take (i+j)/2;
+    # carry 2x to stay integral
+    r1_x2 = 0
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+            j += 1
+        mid_x2 = (i + 1) + j  # 2 * (first_rank + last_rank) / 2
+        r1_x2 += mid_x2 * sum(y for _, y in ordered[i:j])
+        i = j
+    want = (
+        None
+        if n1 == 0 or n0 == 0
+        else (r1_x2 - n1 * (n1 + 1)) * 1_000_000 // (2 * n1 * n0)
+    )
+    assert (r.n_pos, r.n_neg, r.n_scores, r.auc_ppm) == (
+        n1, n0, len({s for s, _ in data}), want
+    )
+
+
+_cusum_rows = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-1000, 1000)),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=_cusum_rows, thr=st.integers(0, 2_000_000))
+@SET
+def test_cusum_matches_python_sequential(spark, data, thr):
+    """Page's CUSUM == the sequential Python fold (running sum of
+    cents*n - total over day order, flag on the ppm envelope) for ANY
+    series and threshold — the distributed form's ordered window and
+    broadcast total reproduce the scan exactly."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import cusum_flags
+
+    df = spark.createDataFrame(data, "d int, c long")
+    got = [
+        (r.day, r.cents, r.cusum_scaled, r.flagged)
+        for r in cusum_flags(df, "d", "c", thr).orderBy("day").collect()
+    ]
+
+    daily = {}
+    for d, c in data:
+        daily[d] = daily.get(d, 0) + c
+    days = sorted(daily)
+    total = sum(daily.values())
+    n = len(days)
+    want, run = [], 0
+    for d in days:
+        run += daily[d] * n - total
+        want.append(
+            (d, daily[d], run, int(abs(run) * 1_000_000 > thr * abs(total) * n))
+        )
+    assert got == want

@@ -818,6 +818,88 @@ FROM daily d LEFT JOIN firsts f USING (day)
 """
 
 
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel conversion over an event log::
+
+        (step, step_name, n_users)   -- one row per step, count may be 0
+
+    A user counts at step k if a step-k event occurs STRICTLY after
+    their chosen (earliest-qualifying) step-(k-1) event; the chosen
+    event at step k is the earliest such event, so the match is the
+    greedy left-to-right scan of the user's timeline.
+
+    Scale: each step is one filtered min-aggregation plus an equi-join
+    on the uniform user key — no per-user event collection, no window
+    over the raw stream; the survivor frame shrinks monotonically.
+    """
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+    )
+    prev = (
+        ev.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+    )
+    stages = [prev]
+    for step in steps[1:]:
+        prev = (
+            ev.filter(F.col("_e") == step)
+            .join(prev.select("_u", F.col("_t").alias("_tp")), "_u")
+            .filter(F.col("_ts") > F.col("_tp"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        stages.append(prev)
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        for i, (name, s) in enumerate(zip(steps, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def retention_cohorts(df: DataFrame, user_col: str, month_col: str) -> DataFrame:
+    """Monthly retention cohorts over a (user, activity-month) log::
+
+        (cohort_month, month_offset, n_users)
+
+    ``cohort_month`` is the user's first active month, ``month_offset``
+    the calendar-month distance, ``n_users`` the distinct users from
+    that cohort active at that offset. ``month_col`` must already be a
+    month-truncated DATE (the caller owns the truncation grain).
+
+    Scale: two uniform shuffles — per-user min, then the distinct count
+    on the bounded (cohort, offset) grid; no window over the full fact.
+    """
+    months = df.select(
+        F.col(user_col).alias("_u"), F.col(month_col).alias("_m")
+    ).distinct()
+    cohort = months.groupBy("_u").agg(F.min("_m").alias("_cm"))
+    idx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        months.join(cohort, "_u")
+        .groupBy(
+            F.col("_cm").alias("cohort_month"),
+            (idx(F.col("_m")) - idx(F.col("_cm"))).alias("month_offset"),
+        )
+        .agg(F.countDistinct("_u").alias("n_users"))
+    )
+
+
 def acf_lags(
     df: DataFrame, t_col: str, value_col: str, max_lag: int = 7
 ) -> DataFrame:

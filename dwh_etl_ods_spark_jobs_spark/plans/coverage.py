@@ -11,6 +11,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark import functions as TS
+from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+    funnel_steps,
+    retention_cohorts,
+)
 from dwh_etl_ods_spark_jobs_spark.plans.showcase import _c100, _t
 
 
@@ -383,24 +387,11 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-user counts per months-since-cohort offset. Two uniform
     shuffles (per-user min, then per-(cohort, offset) distinct count) —
     the classic product-analytics rollup, no window over the full fact."""
-    months = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
-        )
-        .distinct()
+    monthly = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
     )
-    cohort = months.groupBy("user_id").agg(F.min("m").alias("cm"))
-    idx = lambda c: F.year(c) * 12 + F.month(c)
-    return (
-        months.join(cohort, "user_id")
-        .groupBy(
-            F.col("cm").alias("cohort_month"),
-            (idx(F.col("m")) - idx(F.col("cm"))).alias("month_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
+    return retention_cohorts(monthly, "user_id", "m")
 
 
 SQL_RETENTION = """
@@ -429,33 +420,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered min-aggregation plus an equi-join on the uniform user key —
     no per-user event collection, no window over the raw stream."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    prev = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_t"))
-    )
-    stages = [prev]
-    for step in FUNNEL_STEPS[1:]:
-        prev = (
-            ev.filter(F.col("event_type") == step)
-            .join(prev.select("user_id", F.col("_t").alias("_tp")), "user_id")
-            .filter(F.col("ts") > F.col("_tp"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("_t"))
-        )
-        stages.append(prev)
-    counts = [
-        s.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).alias("step"),
-            F.lit(name).alias("step_name"),
-            "n_users",
-        )
-        for i, (name, s) in enumerate(zip(FUNNEL_STEPS, stages))
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    return funnel_steps(ev, "user_id", "event_type", "ts", FUNNEL_STEPS)
 
 
 def _sql_funnel() -> str:

@@ -3014,3 +3014,92 @@ def test_cusum_matches_python_sequential(spark, data, thr):
             (d, daily[d], run, int(abs(run) * 1_000_000 > thr * abs(total) * n))
         )
     assert got == want
+
+
+_fun_steps = ["a", "b", "c"]
+_fun_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.sampled_from(["a", "b", "c", "x"]),
+        st.integers(0, 20),
+    ),
+    min_size=0, max_size=30,
+)
+
+
+@given(data=_fun_rows)
+@SET
+def test_funnel_steps_matches_python_greedy(spark, data):
+    """Ordered funnel == the greedy earliest-qualifying scan in Python
+    for ANY event log — ties on ts (strictly-after matters), repeated
+    steps, and users who skip a step all resolve identically."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import funnel_steps
+
+    df = (
+        spark.createDataFrame(data, "u int, e string, ts int")
+        if data
+        else spark.range(0).selectExpr(
+            "CAST(id AS INT) u", "CAST(NULL AS STRING) e", "CAST(id AS INT) ts"
+        )
+    )
+    got = [
+        (r.step, r.step_name, r.n_users)
+        for r in funnel_steps(df, "u", "e", "ts", _fun_steps)
+        .orderBy("step")
+        .collect()
+    ]
+
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, e, ts in data:
+        by_user.setdefault(u, []).append((e, ts))
+    reached = [0] * len(_fun_steps)
+    for evs in by_user.values():
+        t_prev = None
+        for k, step in enumerate(_fun_steps):
+            cand = [
+                ts for e, ts in evs
+                if e == step and (t_prev is None or ts > t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached[k] += 1
+    want = [(k + 1, s, reached[k]) for k, s in enumerate(_fun_steps)]
+    assert got == want
+
+
+_ret_month = st.tuples(st.integers(2020, 2021), st.integers(1, 12))
+_ret_rows = st.lists(
+    st.tuples(st.integers(0, 4), _ret_month), min_size=1, max_size=30
+)
+
+
+@given(data=_ret_rows)
+@SET
+def test_retention_cohorts_matches_python(spark, data):
+    """Cohort retention == the per-user min-month + calendar-offset
+    census in Python for ANY activity log — year boundaries in the
+    month index and duplicate activity months collapse identically."""
+    import datetime
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    rows = [(u, datetime.date(y, m, 1)) for u, (y, m) in data]
+    df = spark.createDataFrame(rows, "u int, m date")
+    got = {
+        (r.cohort_month, r.month_offset): r.n_users
+        for r in retention_cohorts(df, "u", "m").collect()
+    }
+
+    months: dict[int, set[datetime.date]] = {}
+    for u, m in rows:
+        months.setdefault(u, set()).add(m)
+    want: dict[tuple[datetime.date, int], set[int]] = {}
+    for u, ms in months.items():
+        cm = min(ms)
+        for m in ms:
+            off = (m.year * 12 + m.month) - (cm.year * 12 + cm.month)
+            want.setdefault((cm, off), set()).add(u)
+    assert got == {k: len(v) for k, v in want.items()}

@@ -3103,3 +3103,124 @@ def test_retention_cohorts_matches_python(spark, data):
             off = (m.year * 12 + m.month) - (cm.year * 12 + cm.month)
             want.setdefault((cm, off), set()).add(u)
     assert got == {k: len(v) for k, v in want.items()}
+
+
+_dec_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(-10_000, 10_000),
+        st.integers(-50, 400),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=_dec_rows, half=st.integers(1, 30))
+@SET
+def test_decay_halving_matches_python(spark, data, half):
+    """Integer half-life decay == the Python clamp-shift fold for ANY
+    amounts (negative incl.), ages (future-dated incl.), and half-life
+    — floor-division and arithmetic-shift semantics line up exactly."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        decay_halving_agg,
+    )
+
+    df = spark.createDataFrame(data, "g int, cents long, age long")
+    got = {
+        r.g: (r.n_rows, r.raw_cents, r.decayed_cents)
+        for r in df.transform(
+            decay_halving_agg(["g"], F.col("cents"), F.col("age"), half)
+        ).collect()
+    }
+
+    want: dict[int, list[int]] = {}
+    for g, cents, age in data:
+        h = min(max(age // half, 0), 62)
+        acc = want.setdefault(g, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += cents
+        acc[2] += cents >> h
+    assert got == {g: tuple(v) for g, v in want.items()}
+
+
+@st.composite
+def _lerp_series(draw):
+    n_keys = draw(st.integers(1, 3))
+    out = []
+    for k in range(n_keys):
+        days = draw(
+            st.lists(st.integers(0, 40), min_size=1, max_size=6, unique=True)
+        )
+        for d in days:
+            out.append((k, d, draw(st.integers(-1000, 1000))))
+    return out
+
+
+@given(data=_lerp_series())
+@SET
+def test_gap_fill_lerp_matches_python(spark, data):
+    """Linear gap interpolation == the per-segment floored lerp in
+    Python for ANY series (downward slopes, negative values) — the
+    pmod-adjusted div reproduces Python's floor //, day by day."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    df = spark.createDataFrame(data, "k int, d long, v long")
+    got = sorted(
+        (r.k, r.day, r.value, r.is_obs)
+        for r in gap_fill_interpolate(df, ["k"], "d", "v").collect()
+    )
+
+    series: dict[int, dict[int, int]] = {}
+    for k, d, v in data:
+        series.setdefault(k, {})[d] = v
+    want = []
+    for k, obs in series.items():
+        pts = sorted(obs.items())
+        for (d0, v0), (d1, v1) in zip(pts, pts[1:]):
+            for day in range(d0, d1):
+                want.append(
+                    (k, day, v0 + (v1 - v0) * (day - d0) // (d1 - d0),
+                     int(day == d0))
+                )
+        want.append((k, pts[-1][0], pts[-1][1], 1))
+    assert got == sorted(want)
+
+
+@st.composite
+def _ohlc_rows(draw):
+    out = []
+    for g in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(1, 10))
+        orders = draw(
+            st.lists(st.integers(0, 20), min_size=n, max_size=n)
+        )
+        for i, o in enumerate(orders):
+            out.append((g, o, i, draw(st.integers(-1000, 1000))))
+    return out
+
+
+@given(data=_ohlc_rows())
+@SET
+def test_ohlc_endpoints_match_python(spark, data):
+    """OHLC endpoint aggregation == first/last under the composite
+    (order, tiebreak) sort in Python for ANY series — min_by/max_by
+    over the struct key picks the same rows a full sort would."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import ohlc_agg
+
+    df = spark.createDataFrame(data, "g int, o long, t long, v long")
+    got = {
+        r.g: (r.n, r.open_v, r.high_v, r.low_v, r.close_v)
+        for r in ohlc_agg(df, ["g"], "o", "t", "v").collect()
+    }
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for g, o, t, v in data:
+        groups.setdefault(g, []).append((o, t, v))
+    want = {}
+    for g, rows in groups.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        want[g] = (len(rows), rows[0][2], max(vals), min(vals), rows[-1][2])
+    assert got == want

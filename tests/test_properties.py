@@ -3224,3 +3224,120 @@ def test_ohlc_endpoints_match_python(spark, data):
         vals = [v for _, _, v in rows]
         want[g] = (len(rows), rows[0][2], max(vals), min(vals), rows[-1][2])
     assert got == want
+
+
+_bfs_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=0, max_size=25,
+)
+_bfs_srcs = st.lists(st.integers(0, 8), min_size=1, max_size=3)
+
+
+@given(edges=_bfs_edges, srcs=_bfs_srcs, hops=st.integers(1, 4))
+@SET
+def test_bfs_hops_matches_python(spark, edges, srcs, hops):
+    """Frontier BFS == the layered multi-source scan in Python for ANY
+    directed edge list, source set, and hop budget — minimum distances
+    and the absent-unreached contract both replicate."""
+    from dwh_etl_ods_spark_jobs_spark.graph import bfs_hops
+
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.range(0).selectExpr("id src", "id dst")
+    )
+    s = spark.createDataFrame([(x,) for x in srcs], "node long")
+    got = {(r.node, r.hops) for r in bfs_hops(e, s, max_hops=hops).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {x: 0 for x in srcs}
+    frontier = set(srcs)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    assert got == set(dist.items())
+
+
+@st.composite
+def _sym_edges(draw):
+    pairs = draw(
+        st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=0, max_size=20,
+        )
+    )
+    und = {tuple(sorted(p)) for p in pairs}
+    return sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+
+
+@given(edges=_sym_edges(), k=st.integers(1, 4))
+@SET
+def test_k_core_matches_python_peel(spark, edges, k):
+    """Iterative k-core peeling == the sequential delete-recompute loop
+    in Python for ANY symmetric graph and k — survivors and their
+    within-core degrees agree at the fixpoint."""
+    from dwh_etl_ods_spark_jobs_spark.graph import k_core
+
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.range(0).selectExpr("id src", "id dst")
+    )
+    got = {(r.node, r.degree) for r in k_core(e, k).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    core = set(adj)
+    while True:
+        drop = {v for v in core if len(adj[v] & core) < k}
+        if not drop:
+            break
+        core -= drop
+    assert got == {(v, len(adj[v] & core)) for v in core}
+
+
+@given(edges=_sym_edges(), rounds=st.integers(1, 4))
+@SET
+def test_label_propagation_matches_python(spark, edges, rounds):
+    """Deterministic synchronous LPA == the Python round-by-round
+    majority fold (count desc, label asc tie-break) for ANY symmetric
+    graph and round count — the struct-argmax and the explicit sort
+    pick identical labels every round."""
+    from dwh_etl_ods_spark_jobs_spark.graph import label_propagation
+
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.range(0).selectExpr("id src", "id dst")
+    )
+    got = {
+        (r.node, r.label)
+        for r in label_propagation(e, rounds=rounds).collect()
+    }
+
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    labels = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            counts: dict[int, int] = {}
+            for a, b in edges:
+                if a == v:
+                    lbl = labels[b]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+            if counts:
+                new[v] = min(counts, key=lambda l: (-counts[l], l))
+            else:
+                new[v] = labels[v]
+        labels = new
+    assert got == set(labels.items())

@@ -3341,3 +3341,173 @@ def test_label_propagation_matches_python(spark, edges, rounds):
                 new[v] = labels[v]
         labels = new
     assert got == set(labels.items())
+
+
+@st.composite
+def _pps_rows(draw):
+    n = draw(st.integers(1, 20))
+    ws = draw(
+        st.lists(st.integers(0, 50), min_size=n, max_size=n).filter(
+            lambda w: sum(w) > 0
+        )
+    )
+    return [(i, w) for i, w in enumerate(ws)]
+
+
+@given(data=_pps_rows(), n_picks=st.integers(1, 8))
+@SET
+def test_pps_systematic_matches_python(spark, data, n_picks):
+    """Weight-proportional systematic sampling == the Python cumulative
+    stride walk for ANY weights (zeros incl.) and pick count — exactly
+    n picks distribute, heavy rows take multiplicity, zero-weight rows
+    never appear."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import (
+        systematic_weighted_sample,
+    )
+
+    df = spark.createDataFrame(data, "id long, w long")
+    got = {
+        r.id: r.n_picks
+        for r in df.transform(
+            systematic_weighted_sample(["id"], "w", n_picks)
+        ).collect()
+    }
+
+    total = sum(w for _, w in data)
+    want = {}
+    cw = 0
+    for i, w in sorted(data):
+        cw += w
+        p = (cw * n_picks) // total - ((cw - w) * n_picks) // total
+        if p > 0:
+            want[i] = p
+    assert got == want
+    assert sum(want.values()) == n_picks
+
+
+@st.composite
+def _qn_frames(draw):
+    base = draw(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=15)
+    )
+    ref = draw(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=15)
+    )
+    return (
+        [(i, v) for i, v in enumerate(base)],
+        [(i, v) for i, v in enumerate(ref)],
+    )
+
+
+@given(frames=_qn_frames())
+@SET
+def test_quantile_normalize_matches_python(spark, frames):
+    """Quantile normalization == the Python rank-index mapping for ANY
+    base/reference sizes (n != ref_n incl.) — the floored index join
+    lands every row on the same reference value as the explicit sort."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_normalize
+
+    base_rows, ref_rows = frames
+    base = spark.createDataFrame(base_rows, "id long, v long")
+    ref = spark.createDataFrame(ref_rows, "rid long, rv long")
+    got = {
+        r.id: r.norm
+        for r in base.transform(
+            quantile_normalize(["v", "id"], ref, ["rv", "rid"])
+        ).collect()
+    }
+
+    n, rn = len(base_rows), len(ref_rows)
+    ref_sorted = sorted((rv, rid) for rid, rv in ref_rows)
+    want = {}
+    for r, (_, vid) in enumerate(sorted((v, i) for i, v in base_rows)):
+        want[vid] = ref_sorted[r * rn // n][0]
+    assert got == want
+
+
+_te_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1)), min_size=1, max_size=30
+)
+
+
+@given(data=_te_rows, m=st.integers(0, 10))
+@SET
+def test_target_encoding_matches_python(spark, data, m):
+    """m-estimate target encoding == the Python integer-micro formula
+    for ANY categories, labels, and smoothing — the floored global mean
+    and the smoothed blend replicate bit-for-bit."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import target_encoding
+
+    df = spark.createDataFrame(data, "c int, y int")
+    got = {
+        r.category: (r.n, r.sum_y, r.enc_micro)
+        for r in target_encoding(df, "c", F.col("y"), m).collect()
+    }
+
+    per: dict[int, list[int]] = {}
+    for c, y in data:
+        acc = per.setdefault(c, [0, 0])
+        acc[0] += 1
+        acc[1] += y
+    gm = sum(v[1] for v in per.values()) * 1_000_000 // len(data)
+    want = {
+        c: (n, sy, (sy * 1_000_000 + m * gm) // (n + m))
+        for c, (n, sy) in per.items()
+    }
+    assert got == want
+
+
+@st.composite
+def _rfm_rows(draw):
+    n_ent = draw(st.integers(1, 6))
+    out = []
+    for e in range(n_ent):
+        for _ in range(draw(st.integers(1, 4))):
+            out.append(
+                (e, draw(st.integers(0, 60)), draw(st.integers(0, 10_000)))
+            )
+    return out
+
+
+@given(data=_rfm_rows(), n_q=st.integers(2, 5))
+@SET
+def test_rfm_quintiles_match_python(spark, data, n_q):
+    """RFM quantile features == the Python rank-cut build for ANY
+    transaction log and bin count — data-derived anchor, per-entity
+    rollup, and all three equal-frequency cuts replicate exactly."""
+    import datetime
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import rfm_quintiles
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [
+        (e, epoch + datetime.timedelta(days=d), c) for e, d, c in data
+    ]
+    df = spark.createDataFrame(rows, "e int, d date, c long")
+    got = {
+        r.entity: (r.recency_days, r.n_orders, r.cents, r.r_q, r.f_q, r.m_q)
+        for r in rfm_quintiles(df, "e", "d", F.col("c"), n_q=n_q).collect()
+    }
+
+    per: dict[int, list[int]] = {}
+    for e, d, c in data:
+        acc = per.setdefault(e, [0, 0, 0])
+        acc[0] = max(acc[0], d)
+        acc[1] += 1
+        acc[2] += c
+    anchor = max(v[0] for v in per.values())
+    feats = {
+        e: (anchor - last, n, cents) for e, (last, n, cents) in per.items()
+    }
+    n = len(feats)
+
+    def cut(key):
+        order = sorted(feats, key=lambda e: (feats[e][key], e))
+        return {e: r * n_q // n for r, e in enumerate(order)}
+
+    rb, fb, mb = cut(0), cut(1), cut(2)
+    want = {
+        e: (rec, cnt, cents, n_q - rb[e], fb[e] + 1, mb[e] + 1)
+        for e, (rec, cnt, cents) in feats.items()
+    }
+    assert got == want

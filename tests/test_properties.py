@@ -3511,3 +3511,82 @@ def test_rfm_quintiles_match_python(spark, data, n_q):
         for e, (rec, cnt, cents) in feats.items()
     }
     assert got == want
+
+
+_hll_vals = st.lists(st.integers(0, 500), min_size=1, max_size=40)
+
+
+@given(vals=_hll_vals)
+@SET
+def test_hll_register_state_matches_python(spark, vals):
+    """HLL register fold == the Python md5 replication (60-bit hash,
+    low-p register index, bin()-length rank, exact BIGINT term sum) for
+    ANY values; the double estimate agrees to the 3-decimal round (the
+    documented ulp-absorption boundary)."""
+    import math
+
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        HLL_M,
+        HLL_P,
+        _HLL_EMPTY_TERM,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+        _HLL_SCALE_POW,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = df.transform(hll_distinct(["g"], "v")).collect()[0]
+
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        w = h >> HLL_P
+        rho = _HLL_RHO_MAX - (w.bit_length() if w else 0)
+        reg = h % HLL_M
+        regs[reg] = max(regs.get(reg, 0), rho)
+    empty = HLL_M - len(regs)
+    s = sum(1 << (_HLL_SCALE_POW - m) for m in regs.values())
+    s += empty * _HLL_EMPTY_TERM
+    est = _HLL_NUM / float(s)
+    if est <= 2.5 * HLL_M and empty > 0:
+        est = float(HLL_M) * math.log(HLL_M / float(empty))
+    assert r.empty_registers == empty
+    assert abs(r.est_distinct - round(est, 3)) <= 0.001
+
+
+_ben_vals = st.lists(
+    st.one_of(st.none(), st.integers(-100, 10**6)), min_size=1, max_size=40
+).filter(lambda vs: any(v is not None and v > 0 for v in vs))
+
+
+@given(vals=_ben_vals)
+@SET
+def test_benford_audit_matches_python(spark, vals):
+    """Benford first-digit audit == the Python digit census for ANY
+    values — non-positive and NULL rows excluded, integer ppm shares
+    and deviations exact."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        BENFORD_PPM,
+        benford_first_digit_audit,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.digit: (r.n, r.share_ppm, r.benford_ppm, r.dev_ppm)
+        for r in benford_first_digit_audit(df, "v").collect()
+    }
+
+    pos = [v for v in vals if v is not None and v > 0]
+    counts: dict[int, int] = {}
+    for v in pos:
+        d = int(str(v)[0])
+        counts[d] = counts.get(d, 0) + 1
+    t = len(pos)
+    want = {}
+    for d, n in counts.items():
+        share = n * 1_000_000 // t
+        want[d] = (n, share, BENFORD_PPM[d], abs(share - BENFORD_PPM[d]))
+    assert got == want

@@ -3590,3 +3590,115 @@ def test_benford_audit_matches_python(spark, vals):
         share = n * 1_000_000 // t
         want[d] = (n, share, BENFORD_PPM[d], abs(share - BENFORD_PPM[d]))
     assert got == want
+
+
+_hdr_vals = st.lists(
+    st.one_of(
+        st.integers(0, 63),
+        st.integers(0, 10**6),
+        st.integers(0, 2**40),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _hdr_bucket(v: int) -> int:
+    from dwh_etl_ods_spark_jobs_spark.sketches import QH_SIG_BITS
+
+    s = max(v.bit_length() - QH_SIG_BITS, 0)
+    return (v >> s) << s
+
+
+@given(vals=_hdr_vals)
+@SET
+def test_hdr_histogram_quantiles_calibrate_match_python(spark, vals):
+    """HDR sketch pipeline == the Python integer replication for ANY
+    non-negative values across the full 40-bit range: bucket census,
+    ceil-threshold lower quantiles, and the strictly-below percentile
+    calibration are all integer-exact."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        hdr_histogram,
+        hdr_percentile_calibrate,
+        hdr_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    hist = df.transform(hdr_histogram(["g"], "v"))
+    got_hist = {r.bucket_lo: r.n for r in hist.collect()}
+
+    want_hist: dict[int, int] = {}
+    for v in vals:
+        b = _hdr_bucket(v)
+        want_hist[b] = want_hist.get(b, 0) + 1
+    assert got_hist == want_hist
+
+    qs = [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+    got_q = {
+        r.quantile: r.approx_value
+        for r in hdr_quantiles(hist, ["g"], qs).collect()
+    }
+    n = len(vals)
+    buckets = sorted(want_hist)
+    want_q = {}
+    for lbl, num, den in qs:
+        thr = (n * num + den - 1) // den
+        cum = 0
+        for b in buckets:
+            cum += want_hist[b]
+            if cum >= thr:
+                want_q[lbl] = b
+                break
+    assert got_q == want_q
+
+    got_pct = sorted(
+        (r.v, r.pct_micro)
+        for r in hdr_percentile_calibrate(df, ["g"], "v").collect()
+    )
+    want_pct = sorted(
+        (
+            v,
+            sum(c for b, c in want_hist.items() if b < _hdr_bucket(v))
+            * 1_000_000
+            // n,
+        )
+        for v in vals
+    )
+    assert got_pct == want_pct
+
+
+_srm_grids = st.lists(
+    st.lists(st.integers(1, 10**6), min_size=1, max_size=5),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(grids=_srm_grids, thr=st.integers(0, 20_000_000))
+@SET
+def test_srm_from_counts_matches_python(spark, grids, thr):
+    """SRM chi² from an assignment-count grid == the Python exact-integer
+    fold ``Σ(obs·k − n)² · 1e6 div (k·n)`` for ANY counts and threshold
+    (single-variant experiments emit chi2 0, never a division artifact)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import srm_from_counts
+
+    rows = [
+        (f"e{i}", f"v{j}", c)
+        for i, grid in enumerate(grids)
+        for j, c in enumerate(grid)
+    ]
+    counts = spark.createDataFrame(
+        rows, "experiment string, variant string, n_obs long"
+    )
+    got = {
+        r.experiment: (r.n, r.n_variants, r.chi2_micro, r.srm_flag)
+        for r in srm_from_counts(counts, thr).collect()
+    }
+
+    want = {}
+    for i, grid in enumerate(grids):
+        n, k = sum(grid), len(grid)
+        sq = sum((obs * k - n) ** 2 for obs in grid)
+        chi2 = sq * 1_000_000 // (k * n)
+        want[f"e{i}"] = (n, k, chi2, int(chi2 > thr))
+    assert got == want

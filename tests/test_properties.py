@@ -3702,3 +3702,71 @@ def test_srm_from_counts_matches_python(spark, grids, thr):
         chi2 = sq * 1_000_000 // (k * n)
         want[f"e{i}"] = (n, k, chi2, int(chi2 > thr))
     assert got == want
+
+
+_pr_edges = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=25
+)
+
+
+@given(edges=_pr_edges, iters=st.integers(1, 4))
+@SET
+def test_pagerank_matches_python_power_iteration(spark, edges, iters):
+    """Exact-integer PageRank == the Python power iteration for ANY
+    directed multigraph (self-loops and duplicate edges honored, the
+    src-set node universe, BIGINT truncating divisions replayed
+    verbatim) at ANY shallow iteration count."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        PR_DAMP_PCT,
+        PR_MICRO,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.rank_micro for r in pagerank(df, iterations=iters).collect()}
+
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted(deg)
+    base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
+    rank = {n: PR_MICRO for n in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: base + (PR_DAMP_PCT * contrib.get(n, 0)) // 100 for n in nodes
+        }
+    assert got == rank
+
+
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_tri_edges)
+@SET
+def test_triangle_census_matches_bruteforce(spark, raw):
+    """Degree-ordered triangle census == the brute-force triple scan for
+    ANY undirected graph — every triangle found exactly once, per-node
+    participation exact, nodes outside any triangle absent."""
+    from itertools import combinations
+
+    from dwh_etl_ods_spark_jobs_spark.graph import triangle_census
+
+    eset = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    df = spark.createDataFrame(eset, "u int, v int")
+    got = {r.node: r.n_triangles for r in triangle_census(df).collect()}
+
+    es = set(eset)
+    nodes = sorted({n for e in eset for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want

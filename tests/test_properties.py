@@ -3770,3 +3770,95 @@ def test_triangle_census_matches_bruteforce(spark, raw):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+_cm_keys = st.lists(st.text("abcde", min_size=1, max_size=3), min_size=1, max_size=30)
+
+
+@given(keys=_cm_keys, probes=st.lists(st.text("abcdef", min_size=1, max_size=3), min_size=1, max_size=8))
+@SET
+def test_countmin_sketch_matches_python(spark, keys, probes):
+    """Count-min build + probe == the Python md5 replication for ANY key
+    stream: the (r, c) grid is cell-exact, and every probe estimate is
+    the min over its DEPTH cells (missing cell = 0), always ≥ truth."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_counts,
+        countmin_estimate,
+    )
+
+    def cell(r: int, k: str) -> int:
+        return int(hashlib.md5(f"cm{r}:{k}".encode()).hexdigest()[:15], 16) % CM_WIDTH
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sketch = countmin_counts(df, "k")
+    got_grid = {(r.r, r.c): r.cnt for r in sketch.collect()}
+    want_grid: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r in range(CM_DEPTH):
+            want_grid[(r, cell(r, k))] = want_grid.get((r, cell(r, k)), 0) + 1
+    assert got_grid == want_grid
+
+    kdf = spark.createDataFrame([(p,) for p in set(probes)], "k string")
+    got_est = {r.k: r.cm_estimate for r in countmin_estimate(sketch, kdf, "k").collect()}
+    want_est = {
+        p: min(want_grid.get((r, cell(r, p)), 0) for r in range(CM_DEPTH))
+        for p in set(probes)
+    }
+    assert got_est == want_est
+    for p in set(probes):
+        assert got_est[p] >= sum(1 for k in keys if k == p)
+
+
+_boot_rows = st.lists(st.integers(0, 10**6), min_size=1, max_size=30)
+
+
+@given(vals=_boot_rows, n_rep=st.integers(1, 12))
+@SET
+def test_poisson_bootstrap_matches_python(spark, vals, n_rep):
+    """Deterministic Poisson bootstrap == the Python md5-lane replication
+    for ANY values and replicate count: per-replicate weights, floored
+    means, empty-replicate drop, and the exact percentile picks all
+    replay bit-for-bit."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        BOOT_HI_IDX_PPM,
+        BOOT_LO_IDX_PPM,
+        BOOT_POISSON_CDF_2_30,
+        _BOOT_LANE_MOD,
+        _BOOT_LANES,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v long")
+    got = poisson_bootstrap_ci(df, "id", "v", n_replicates=n_rep).collect()[0]
+
+    def weight(u: int) -> int:
+        return next((k for k, t in enumerate(BOOT_POISSON_CDF_2_30) if u < t), 6)
+
+    reps = []
+    for b in range(n_rep):
+        blk, lane = b // _BOOT_LANES, b % _BOOT_LANES
+        s = n = 0
+        for i, v in rows:
+            hx = hashlib.md5(f"{i}:{blk}".encode()).hexdigest()
+            h = int(hx[:15], 16) if lane < 2 else int(hx[16:31], 16)
+            u = h // _BOOT_LANE_MOD if lane % 2 == 0 else h % _BOOT_LANE_MOD
+            w = weight(u)
+            s += w * v
+            n += w
+        if n > 0:
+            reps.append((s // n, b))
+    reps.sort()
+    cnt = len(reps)
+    assert got.n_replicates == cnt
+    if cnt:
+        lo = reps[cnt * BOOT_LO_IDX_PPM // 1_000_000][0]
+        hi = reps[cnt * BOOT_HI_IDX_PPM // 1_000_000][0]
+        assert (got.mean_lo, got.mean_hi) == (lo, hi)
+    assert got.mean_all == sum(vals) // len(vals)

@@ -3862,3 +3862,59 @@ def test_poisson_bootstrap_matches_python(spark, vals, n_rep):
         hi = reps[cnt * BOOT_HI_IDX_PPM // 1_000_000][0]
         assert (got.mean_lo, got.mean_hi) == (lo, hi)
     assert got.mean_all == sum(vals) // len(vals)
+
+
+_drift_vals = st.lists(st.integers(0, 2**20), min_size=1, max_size=30)
+
+
+@given(old=_drift_vals, new=_drift_vals)
+@SET
+def test_hdr_drift_triptych_matches_python(spark, old, new):
+    """TVD, Wasserstein-1, and KS drift over the shared HDR bucketing ==
+    the Python integer replication for ANY two samples: ppm shares,
+    cumulative-CDF gaps weighted by bucket span, and the max CDF gap are
+    all integer-exact."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        hdr_distribution_drift,
+        hdr_ks_drift,
+        hdr_wasserstein_drift,
+    )
+
+    o = spark.createDataFrame([(v,) for v in old], "v long")
+    n = spark.createDataFrame([(v,) for v in new], "v long")
+    tvd = hdr_distribution_drift(o, n, "v").collect()[0]
+    w1 = hdr_wasserstein_drift(o, n, "v").collect()[0]
+    ks = hdr_ks_drift(o, n, "v").collect()[0]
+
+    ho: dict[int, int] = {}
+    hn: dict[int, int] = {}
+    for v in old:
+        ho[_hdr_bucket(v)] = ho.get(_hdr_bucket(v), 0) + 1
+    for v in new:
+        hn[_hdr_bucket(v)] = hn.get(_hdr_bucket(v), 0) + 1
+    buckets = sorted(set(ho) | set(hn))
+    t_o, t_n = len(old), len(new)
+
+    want_tvd = (
+        sum(
+            abs(hn.get(b, 0) * 1_000_000 // t_n - ho.get(b, 0) * 1_000_000 // t_o)
+            for b in buckets
+        )
+        // 2
+    )
+    cum_o = cum_n = 0
+    cdf = []
+    for b in buckets:
+        cum_o += ho.get(b, 0)
+        cum_n += hn.get(b, 0)
+        cdf.append((b, cum_o * 1_000_000 // t_o, cum_n * 1_000_000 // t_n))
+    want_w1 = sum(
+        abs(co - cn) * (cdf[i + 1][0] - b) for i, (b, co, cn) in enumerate(cdf[:-1])
+    )
+    want_ks = max(abs(co - cn) for _, co, cn in cdf)
+
+    for r in (tvd, w1, ks):
+        assert (r.n_old, r.n_new, r.n_buckets) == (t_o, t_n, len(buckets))
+    assert tvd.tvd_ppm == want_tvd
+    assert w1.emd_ppm_units == want_w1
+    assert ks.ks_ppm == want_ks

@@ -3918,3 +3918,105 @@ def test_hdr_drift_triptych_matches_python(spark, old, new):
     assert tvd.tvd_ppm == want_tvd
     assert w1.emd_ppm_units == want_w1
     assert ks.ks_ppm == want_ks
+
+
+_doc_words = st.lists(
+    st.lists(st.text("abc", min_size=1, max_size=2), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _half_up(x: float, scale: int) -> float:
+    # Spark's round(double, n) rounds the SHORTEST-STRING decimal repr
+    # (java BigDecimal.valueOf == Double.toString), not the exact binary
+    # expansion — Decimal(repr(x)) mirrors that; Decimal(x) would tip
+    # half-way cases the other way.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale) if scale else Decimal(1)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@given(docs=_doc_words)
+@SET
+def test_tfidf_top_terms_matches_python(spark, docs):
+    """tf·idf top-k == the Python replication for ANY corpus: postings,
+    document frequency, the single-ln score under Spark's HALF_UP
+    6-decimal round, and the (score desc, term) tie-broken cut."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.curation import tfidf_top_terms
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id, r.term): (r.tf, r.df, r.score, r.rank)
+        for r in df.transform(tfidf_top_terms("id", "text", k=3)).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in rows}
+    tf: dict[tuple[int, str], int] = {}
+    for i, ts in toks.items():
+        for w in ts:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq: dict[str, int] = {}
+    for i, w in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n_docs = len(docs)
+    want = {}
+    for i in toks:
+        scored = sorted(
+            (
+                (-_half_up(c * math.log(n_docs / dfreq[w]), 6), w, c)
+                for (d, w), c in tf.items()
+                if d == i
+            ),
+        )
+        for rank, (neg_s, w, c) in enumerate(scored[:3], start=1):
+            want[(i, w)] = (c, dfreq[w], -neg_s, rank)
+    assert got == want
+
+
+@given(docs=_doc_words)
+@SET
+def test_bigram_lm_score_matches_python(spark, docs):
+    """Corpus-trained bigram LM score == the Python replication for ANY
+    corpus: add-one smoothing over the vocab, per-bigram −ln P rounded
+    to integer micronats BEFORE the sum, and the final 6-decimal mean —
+    short documents report (0, 0.0)."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.curation import bigram_lm_score
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in df.transform(bigram_lm_score("id", "text")).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in rows}
+    uni: dict[str, int] = {}
+    c12: dict[str, int] = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            c12[f"{a} {b}"] = c12.get(f"{a} {b}", 0) + 1
+    vocab = len(uni)
+    nlp = {
+        bg: int(
+            _half_up(-math.log((c + 1) / (uni[bg.split(" ")[0]] + vocab)) * 1e6, 0)
+        )
+        for bg, c in c12.items()
+    }
+    want = {}
+    for i, ts in toks.items():
+        bgs = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        if not bgs:
+            want[i] = (0, 0.0)
+        else:
+            s = sum(nlp[bg] for bg in bgs)
+            want[i] = (len(bgs), _half_up(s / len(bgs) / 1e6, 6))
+    assert got == want

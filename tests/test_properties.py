@@ -4020,3 +4020,125 @@ def test_bigram_lm_score_matches_python(spark, docs):
             s = sum(nlp[bg] for bg in bgs)
             want[i] = (len(bgs), _half_up(s / len(bgs) / 1e6, 6))
     assert got == want
+
+
+@given(docs=_doc_words, max_df=st.one_of(st.none(), st.integers(1, 6)))
+@SET
+def test_token_pmi_matches_python(spark, docs, max_df):
+    """Document-co-occurrence PMI == the Python replication for ANY
+    corpus and DF window: presence-based counts, min_df/max_df vocab
+    gates, and the fixed IEEE ln fold rounded to micro-units."""
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.curation import token_pmi
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.w1, r.w2): (r.n_ab, r.n_a, r.n_b, r.pmi_micro)
+        for r in token_pmi(df, "text", "id", min_df=1, max_df=max_df).collect()
+    }
+
+    doc_toks = [set(t.split(" ")) - {""} for _, t in rows]
+    dfreq: dict[str, int] = {}
+    for ts in doc_toks:
+        for w in ts:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    kept = {
+        w
+        for w, c in dfreq.items()
+        if c >= 1 and (max_df is None or c <= max_df)
+    }
+    n_docs = len(rows)
+    pair_n: dict[tuple[str, str], int] = {}
+    for ts in doc_toks:
+        ws = sorted(ts & kept)
+        for i, a in enumerate(ws):
+            for b in ws[i + 1 :]:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {
+        (a, b): (
+            n_ab,
+            dfreq[a],
+            dfreq[b],
+            int(
+                _half_up(
+                    math.log(
+                        (float(n_ab) * float(n_docs))
+                        / (float(dfreq[a]) * float(dfreq[b]))
+                    )
+                    * 1e6,
+                    0,
+                )
+            ),
+        )
+        for (a, b), n_ab in pair_n.items()
+    }
+    assert got == want
+
+
+@given(edges=_pr_edges, k=st.integers(1, 5), seed=st.text("xyz", min_size=1, max_size=3))
+@SET
+def test_negative_edge_samples_matches_python(spark, edges, k, seed):
+    """Seed-keyed negative sampling == the Python md5 replication for
+    ANY graph, draw count, and seed: the dense destination index, the
+    modular draws, and the self-loop / true-edge drops replay exactly."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.graph import negative_edge_samples
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = sorted(
+        (r.src, r.dst, r.draw)
+        for r in negative_edge_samples(df, "src", "dst", k=k, seed=seed).collect()
+    )
+
+    domain = sorted({d for _, d in edges})
+    true = set(edges)
+    want = []
+    for s in sorted({s for s, _ in edges}):
+        for draw in range(k):
+            h = int(
+                hashlib.md5(f"{seed}:{s}:{draw}".encode()).hexdigest()[:15], 16
+            )
+            d = domain[h % len(domain)]
+            if d != s and (s, d) not in true:
+                want.append((s, d, draw))
+    assert got == sorted(want)
+
+
+@given(edges=_pr_edges, iters=st.integers(1, 4), seed_nodes=st.sets(st.integers(0, 6), min_size=1, max_size=3))
+@SET
+def test_personalized_pagerank_matches_python(spark, edges, iters, seed_nodes):
+    """Exact-integer personalized PageRank == the Python random-walk-
+    with-restart replication for ANY graph and seed cohort — restart
+    mass lands only on seeds, non-universe seeds ignored."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        PR_DAMP_PCT,
+        PR_MICRO,
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    sdf = spark.createDataFrame([(s,) for s in seed_nodes], "node int")
+    got = {
+        r.node: r.rank_micro
+        for r in personalized_pagerank(df, sdf, iterations=iters).collect()
+    }
+
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted(deg)
+    base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
+    is_seed = {n: 1 if n in seed_nodes else 0 for n in nodes}
+    rank = {n: is_seed[n] * PR_MICRO for n in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: is_seed[n] * base + (PR_DAMP_PCT * contrib.get(n, 0)) // 100
+            for n in nodes
+        }
+    assert got == rank

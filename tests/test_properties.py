@@ -4142,3 +4142,75 @@ def test_personalized_pagerank_matches_python(spark, edges, iters, seed_nodes):
             for n in nodes
         }
     assert got == rank
+
+
+_vec3 = st.lists(
+    st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+    min_size=3,
+    max_size=3,
+)
+
+
+@given(vecs=st.lists(_vec3, min_size=1, max_size=10), seed=st.text("pq", min_size=1, max_size=2))
+@SET
+def test_jl_project_matches_python(spark, vecs, seed):
+    """JL ±1 projection == the Python replication for ANY vectors and
+    seed: per-component micro quantization under Spark's HALF_UP round,
+    then the exact signed integer fold per output dim."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import jl_project, jl_signs
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    out_dim = 4
+    got = {
+        r.id: tuple(r[f"p{k}"] for k in range(out_dim))
+        for r in jl_project(df, "id", "vec", in_dim=3, out_dim=out_dim, seed=seed).collect()
+    }
+
+    signs = jl_signs(out_dim, 3, seed)
+    want = {}
+    for i, v in rows:
+        micro = [int(_half_up(x * 1000000.0, 0)) for x in v]
+        want[i] = tuple(
+            sum(s * m for s, m in zip(signs[k], micro)) for k in range(out_dim)
+        )
+    assert got == want
+
+
+@given(
+    pts=st.lists(st.tuples(_vec3, st.integers(0, 3)), min_size=1, max_size=10),
+)
+@SET
+def test_kmeans_step_quantized_matches_python(spark, pts):
+    """One quantized Lloyd iteration == the Python replication for ANY
+    points and labels: floored integer centroid means, exact L2²
+    distances, and nearest-centroid reassignment with ties to the
+    smaller label."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import kmeans_step_quantized
+
+    rows = [(i, [float(x) for x in v], l) for i, (v, l) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>, lbl int")
+    got = {
+        r.id: (r.label, r.new_label, r.dist_sq)
+        for r in kmeans_step_quantized(df, "id", "vec", "lbl", dim=3).collect()
+    }
+
+    q = {i: [int(_half_up(x * 1000.0, 0)) for x in v] for i, v, _ in rows}
+    by_lbl: dict[int, list[int]] = {}
+    for i, _, l in rows:
+        by_lbl.setdefault(l, []).append(i)
+    cents = {
+        l: [
+            sum(q[i][p] for i in ids) // len(ids)
+            for p in range(3)
+        ]
+        for l, ids in by_lbl.items()
+    }
+    want = {}
+    for i, _, l in rows:
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(q[i], cv)), cl)
+            for cl, cv in cents.items()
+        )
+        want[i] = (l, best[1], best[0])
+    assert got == want

@@ -4214,3 +4214,96 @@ def test_kmeans_step_quantized_matches_python(spark, pts):
         )
         want[i] = (l, best[1], best[0])
     assert got == want
+
+
+_dd_texts = st.lists(
+    st.text("ab c.X2", min_size=0, max_size=20), min_size=1, max_size=8
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_shingles(toks: list[str], w: int = 3) -> list[str]:
+    out = []
+    for i in range(max(len(toks) - (w - 1), 1)):
+        s = " ".join(toks[i : i + w])
+        if s not in out:
+            out.append(s)
+    return out
+
+
+@given(texts=_dd_texts)
+@SET
+def test_minhash_signatures_match_python(spark, texts):
+    """MinHash signatures == the Python md5+xor replication for ANY
+    corpus: tokenizer, distinct shingles (including the short-document
+    whole-text shingle), and every per-salt min."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        MINHASH_K,
+        _minhash_salts,
+        minhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.doc_id: list(r.sig) for r in minhash_signatures(df, "text", "id").collect()}
+
+    salts = _minhash_salts(MINHASH_K)
+    want = {}
+    for i, t in rows:
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in _py_shingles(_py_tokens(t))
+        ]
+        want[i] = [min(h ^ s for h in hs) for s in salts]
+    assert got == want
+
+
+@given(texts=_dd_texts)
+@SET
+def test_simhash_signatures_and_pairs_match_python(spark, texts):
+    """Frequency-weighted SimHash == the Python bit-vote replication for
+    ANY corpus (token-less documents absent), and the pigeonhole banded
+    pair join finds EXACTLY the brute-force hamming ≤ 3 pairs."""
+    import hashlib
+    from itertools import combinations
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        SIMHASH_BITS,
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    sigs = simhash_signatures(df, "text", "id")
+    got = {r.doc_id: r.simhash for r in sigs.collect()}
+
+    want = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        if not toks:
+            continue
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in toks]
+        sig = 0
+        for b in range(SIMHASH_BITS):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                sig |= 1 << b
+        want[i] = sig
+    assert got == want
+
+    got_pairs = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sigs).collect()
+    }
+    want_pairs = {
+        (a, b): bin(want[a] ^ want[b]).count("1")
+        for a, b in combinations(sorted(want), 2)
+        if bin(want[a] ^ want[b]).count("1") <= 3
+    }
+    assert got_pairs == want_pairs

@@ -4307,3 +4307,96 @@ def test_simhash_signatures_and_pairs_match_python(spark, texts):
         if bin(want[a] ^ want[b]).count("1") <= 3
     }
     assert got_pairs == want_pairs
+
+
+_pq_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_pq_rows, k=st.integers(1, 5))
+@SET
+def test_k_anonymity_census_matches_python(spark, rows, k):
+    """k-anonymity census == the Python equivalence-class fold for ANY
+    quasi-identifier data (NULLs group as values) and threshold."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import k_anonymity_census
+
+    df = spark.createDataFrame(rows, "q1 int, q2 int, s int")
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.at_risk)
+        for r in k_anonymity_census(df, ["q1", "q2"], k).collect()
+    }
+
+    classes: dict[tuple, int] = {}
+    for q1, q2, _ in rows:
+        classes[(q1, q2)] = classes.get((q1, q2), 0) + 1
+    by_size: dict[int, int] = {}
+    for sz in classes.values():
+        by_size[sz] = by_size.get(sz, 0) + 1
+    want = {
+        sz: (n, sz * n, int(sz < k)) for sz, n in by_size.items()
+    }
+    assert got == want
+
+
+@given(rows=_pq_rows, l_min=st.integers(1, 4))
+@SET
+def test_l_diversity_census_matches_python(spark, rows, l_min):
+    """l-diversity census == the Python fold for ANY data and floor:
+    diversity counts DISTINCT NON-NULL sensitive values per class
+    (all-NULL class = 0), rows roll up by observed diversity."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import l_diversity_census
+
+    df = spark.createDataFrame(rows, "q1 int, q2 int, s int")
+    got = {
+        r.diversity: (r.n_classes, r.n_rows, r.at_risk)
+        for r in l_diversity_census(df, ["q1", "q2"], "s", l_min).collect()
+    }
+
+    cls: dict[tuple, list] = {}
+    for q1, q2, s in rows:
+        cls.setdefault((q1, q2), []).append(s)
+    want: dict[int, tuple] = {}
+    for vals in cls.values():
+        d = len({v for v in vals if v is not None})
+        n_c, n_r, _ = want.get(d, (0, 0, 0))
+        want[d] = (n_c + 1, n_r + len(vals), int(d < l_min))
+    assert got == want
+
+
+@given(rows=_pq_rows)
+@SET
+def test_fd_violations_matches_python(spark, rows):
+    """FD violation census == the Python fold for ANY data: NULL rhs
+    counts as a distinct value, per-group distinct-rhs counts drive the
+    violating-group/row totals and the max fan-out."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(rows, "q1 int, q2 int, s int")
+    fds = [(["q1"], "s"), (["q1", "q2"], "s")]
+    got = {
+        r.fd: (r.n_groups, r.n_violating_groups, r.n_violating_rows, r.max_distinct_rhs)
+        for r in fd_violations(df, fds).collect()
+    }
+
+    want = {}
+    for lhs_idx, name in (((0,), "q1->s"), ((0, 1), "q1,q2->s")):
+        groups: dict[tuple, list] = {}
+        for row in rows:
+            groups.setdefault(tuple(row[i] for i in lhs_idx), []).append(row[2])
+        n_vg = n_vr = 0
+        max_d = 0
+        for vals in groups.values():
+            d = len(set(vals))
+            max_d = max(max_d, d)
+            if d > 1:
+                n_vg += 1
+                n_vr += len(vals)
+        want[name] = (len(groups), n_vg, n_vr, max_d)
+    assert got == want

@@ -4400,3 +4400,104 @@ def test_fd_violations_matches_python(spark, rows):
                 n_vr += len(vals)
         want[name] = (len(groups), n_vg, n_vr, max_d)
     assert got == want
+
+
+_vec4 = st.lists(
+    st.floats(-4, 4, allow_nan=False, allow_infinity=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@given(
+    vecs=st.lists(_vec4, min_size=2, max_size=8),
+    cents=st.lists(_vec4, min_size=1, max_size=4),
+)
+@SET
+def test_pq_encode_and_adc_match_python(spark, vecs, cents):
+    """PQ encode + ADC top-k == the Python replication for ANY vectors
+    and codebook: the left-to-right sub-distance fold rounded to
+    micro-units, the smaller-centroid argmin, the exact integer ADC sum,
+    and the (distance, neighbor) tie-broken cut."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_pq_topk, pq_encode
+
+    vrows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    crows = [(i, [float(x) for x in v]) for i, v in enumerate(cents)]
+    vdf = spark.createDataFrame(vrows, "id int, vec array<double>")
+    cdf = spark.createDataFrame(crows, "id int, vec array<double>")
+    m_sub, width, k = 2, 2, 3
+
+    def pd_micro(v, c, s):
+        acc = 0.0
+        for j in range(s * width, s * width + width):
+            acc = acc + (v[j] - c[j]) * (v[j] - c[j])
+        return int(_half_up(acc * 1000000.0, 0))
+
+    codes = {}
+    for i, v in vrows:
+        for s in range(m_sub):
+            codes[(i, s)] = min(
+                (pd_micro(v, c, s), ci) for ci, c in crows
+            )[1]
+    got_codes = {
+        (r.id, r.sub): r.cent_id
+        for r in pq_encode(vdf, cdf, "id", "vec", dim=4, m_sub=m_sub).collect()
+    }
+    assert got_codes == codes
+
+    got_topk = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micro)
+        for r in ann_pq_topk(
+            vdf, vdf, cdf, "id", "vec", dim=4, k=k, m_sub=m_sub
+        ).collect()
+    }
+    want_topk = {}
+    for qi, qv in vrows:
+        table = {
+            (ci, s): pd_micro(qv, c, s) for ci, c in crows for s in range(m_sub)
+        }
+        scored = sorted(
+            (
+                sum(table[(codes[(ni, s)], s)] for s in range(m_sub)),
+                ni,
+            )
+            for ni, _ in vrows
+            if ni != qi
+        )
+        for rank, (d, ni) in enumerate(scored[:k], start=1):
+            want_topk[(qi, rank)] = (ni, d)
+    assert got_topk == want_topk
+
+
+_rrf_lists = st.lists(
+    st.lists(st.integers(0, 9), min_size=1, max_size=6, unique=True),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(lists=_rrf_lists)
+@SET
+def test_reciprocal_rank_fusion_matches_python(spark, lists):
+    """RRF == the Python integer fold for ANY ranked lists: each list
+    contributes 1e6 div (60 + rank), absent candidates contribute 0,
+    n_lists counts containing lists."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import reciprocal_rank_fusion
+
+    frames = [
+        spark.createDataFrame(
+            [(d, r) for r, d in enumerate(lst, start=1)], "id int, rank int"
+        )
+        for lst in lists
+    ]
+    got = {
+        r.id: (r.n_lists, r.rrf_micro)
+        for r in reciprocal_rank_fusion(frames, "id", "rank").collect()
+    }
+
+    want: dict[int, tuple[int, int]] = {}
+    for lst in lists:
+        for r, d in enumerate(lst, start=1):
+            n, s = want.get(d, (0, 0))
+            want[d] = (n + 1, s + 1_000_000 // (60 + r))
+    assert got == want

@@ -4501,3 +4501,71 @@ def test_reciprocal_rank_fusion_matches_python(spark, lists):
             n, s = want.get(d, (0, 0))
             want[d] = (n + 1, s + 1_000_000 // (60 + r))
     assert got == want
+
+
+@given(docs=_doc_words, max_df=st.integers(1, 3))
+@SET
+def test_drop_boilerplate_paragraphs_matches_python(spark, docs, max_df):
+    """Boilerplate removal == the Python replication for ANY corpus and
+    DF cap: fixed-width chunking, per-occurrence corpus paragraph
+    frequency, and in-order reconstruction ('' when all dropped)."""
+    from dwh_etl_ods_spark_jobs_spark.curation import drop_boilerplate_paragraphs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.n_paras, r.n_dropped, r.clean_text)
+        for r in df.transform(
+            drop_boilerplate_paragraphs("id", "text", para_tokens=2, max_df=max_df)
+        ).collect()
+    }
+
+    paras = {
+        i: [
+            " ".join(t.split(" ")[p : p + 2])
+            for p in range(0, len(t.split(" ")), 2)
+        ]
+        for i, t in rows
+    }
+    freq: dict[str, int] = {}
+    for ps in paras.values():
+        for p in ps:
+            freq[p] = freq.get(p, 0) + 1
+    want = {}
+    for i, ps in paras.items():
+        kept = [p for p in ps if freq[p] <= max_df]
+        want[i] = (len(ps), len(ps) - len(kept), " ".join(kept))
+    assert got == want
+
+
+_ivs = st.lists(
+    st.tuples(st.integers(-10, 15), st.integers(0, 10)), min_size=1, max_size=12
+)
+
+
+@given(left=_ivs, right=_ivs, chunk=st.integers(1, 7))
+@SET
+def test_interval_overlap_join_matches_bruteforce(spark, left, right, chunk):
+    """Chunked interval overlap join == the brute-force pair scan for
+    ANY inclusive integer intervals (negative starts included) and ANY
+    chunk width — each overlapping pair emitted exactly once."""
+    from dwh_etl_ods_spark_jobs_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    lrows = [(i, s, s + w) for i, (s, w) in enumerate(left)]
+    rrows = [(i, s, s + w) for i, (s, w) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "id int, s long, e long")
+    rdf = spark.createDataFrame(rrows, "id int, s long, e long")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(ldf, rdf, "s", "e", chunk=chunk).collect()
+    )
+
+    want = sorted(
+        (ai, bi)
+        for ai, as_, ae in lrows
+        for bi, bs, be in rrows
+        if as_ <= be and bs <= ae
+    )
+    assert got == want

@@ -4569,3 +4569,79 @@ def test_interval_overlap_join_matches_bruteforce(spark, left, right, chunk):
         if as_ <= be and bs <= ae
     )
     assert got == want
+
+
+_skew_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.one_of(st.none(), st.integers(0, 2))),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_skew_rows)
+@SET
+def test_key_skew_profile_matches_python(spark, rows):
+    """Shuffle-skew diagnostic == the Python fold for ANY key data:
+    concat_ws NULL-skipping key render, hottest-key multiple in exact
+    ppm, and the min-string argmax tie-break."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import key_skew_profile
+
+    df = spark.createDataFrame(rows, "k1 int, k2 int")
+    r = key_skew_profile(df, ["k1", "k2"]).collect()[0]
+
+    counts: dict[str, int] = {}
+    for k1, k2 in rows:
+        k = "|".join(str(v) for v in (k1, k2) if v is not None)
+        counts[k] = counts.get(k, 0) + 1
+    n_rows = len(rows)
+    mx = max(counts.values())
+    top = min(k for k, c in counts.items() if c == mx)
+    assert (r.n_rows, r.n_keys, r.max_per_key, r.skew_x_micro, r.top_key) == (
+        n_rows,
+        len(counts),
+        mx,
+        mx * len(counts) * 1_000_000 // n_rows,
+        top,
+    )
+
+
+_sess_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+@given(rows=_sess_rows, gap=st.integers(1, 20))
+@SET
+def test_sessionize_matches_python(spark, rows, gap):
+    """Gap sessionization == the Python sequential replication for ANY
+    event stream and gap: session breaks strictly-greater-than-gap,
+    0-based session and event sequences, (ts, id) tie-break."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import sessionize
+
+    data = [(i, u, t) for i, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, u int, t long").withColumn(
+        "ts", F.timestamp_micros(F.col("t"))
+    )
+    got = {
+        r.id: (r.session_seq, r.event_seq)
+        for r in sessionize(df, ["u"], "ts", gap_micros=gap, tiebreak_cols=["id"]).collect()
+    }
+
+    want = {}
+    by_u: dict[int, list] = {}
+    for i, u, t in data:
+        by_u.setdefault(u, []).append((t, i))
+    for u, evs in by_u.items():
+        evs.sort()
+        sess = -1
+        prev_t = None
+        ev_seq = 0
+        for t, i in evs:
+            if prev_t is None or (t - prev_t) > gap:
+                sess += 1
+                ev_seq = 0
+            else:
+                ev_seq += 1
+            want[i] = (sess, ev_seq)
+            prev_t = t
+    assert got == want

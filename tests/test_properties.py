@@ -4645,3 +4645,110 @@ def test_sessionize_matches_python(spark, rows, gap):
             want[i] = (sess, ev_seq)
             prev_t = t
     assert got == want
+
+
+_hll_sets = st.dictionaries(
+    st.sampled_from(["s1", "s2", "s3"]),
+    st.lists(st.integers(0, 300), min_size=1, max_size=25),
+    min_size=2,
+    max_size=3,
+)
+
+
+@given(sets=_hll_sets)
+@SET
+def test_hll_set_algebra_matches_python(spark, sets):
+    """HLL pairwise set algebra == the Python register replication for
+    ANY set family: shared-register subtraction recovers the exact union
+    register sum, estimates agree to the 3-decimal round, and the
+    Jaccard micro ratio to ±1."""
+    import hashlib
+    import math
+
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        HLL_M,
+        HLL_P,
+        _HLL_EMPTY_TERM,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+        _HLL_SCALE_POW,
+        hll_set_algebra,
+    )
+
+    rows = [(s, v) for s, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = {
+        (r.set_a, r.set_b): r
+        for r in hll_set_algebra(df, "s", "v").collect()
+    }
+
+    def regs_of(vals):
+        regs: dict[int, int] = {}
+        for v in set(vals):
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            w = h >> HLL_P
+            rho = _HLL_RHO_MAX - (w.bit_length() if w else 0)
+            regs[h % HLL_M] = max(regs.get(h % HLL_M, 0), rho)
+        return {r: 1 << (_HLL_SCALE_POW - m) for r, m in regs.items()}
+
+    def est(s, v):
+        e = _HLL_NUM / float(s)
+        if e <= 2.5 * HLL_M and v > 0:
+            return float(HLL_M) * math.log(HLL_M / float(v))
+        return e
+
+    terms = {s: regs_of(vs) for s, vs in sets.items()}
+    names = sorted(terms)
+    want_pairs = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ta, tb = terms[a], terms[b]
+            shared = set(ta) & set(tb)
+            if not shared:
+                continue
+            want_pairs.add((a, b))
+            s_a, s_b = sum(ta.values()), sum(tb.values())
+            hit_a, hit_b, hit_sh = len(ta), len(tb), len(shared)
+            s_max = sum(min(ta[r], tb[r]) for r in shared)
+            s_a_sh = sum(ta[r] for r in shared)
+            s_b_sh = sum(tb[r] for r in shared)
+            v_u = HLL_M - (hit_a + hit_b - hit_sh)
+            s_u = s_max + (s_a - s_a_sh) + (s_b - s_b_sh) + v_u * _HLL_EMPTY_TERM
+            e_a = est(s_a + (HLL_M - hit_a) * _HLL_EMPTY_TERM, HLL_M - hit_a)
+            e_b = est(s_b + (HLL_M - hit_b) * _HLL_EMPTY_TERM, HLL_M - hit_b)
+            e_u = est(s_u, v_u)
+            e_i = max(e_a + e_b - e_u, 0.0)
+            r = got[(a, b)]
+            assert abs(r.est_a - _half_up(e_a, 3)) <= 0.001
+            assert abs(r.est_b - _half_up(e_b, 3)) <= 0.001
+            assert abs(r.est_union - _half_up(e_u, 3)) <= 0.001
+            assert abs(r.est_intersect - _half_up(e_i, 3)) <= 0.001
+            assert abs(r.jaccard_micro - int(_half_up(e_i / e_u * 1e6, 0))) <= 1
+    assert set(got) == want_pairs
+
+
+@given(vecs=st.lists(_vec4, min_size=1, max_size=8))
+@SET
+def test_quantize_embeddings_matches_python(spark, vecs):
+    """Symmetric int8 quantization == the Python replication for ANY
+    vectors: per-vector max-abs fold, HALF_UP codes in [-127, 127], the
+    9-decimal scale, and the all-zero contract."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import quantize_embeddings
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    got = {r.id: (r.scale, list(r.q)) for r in quantize_embeddings(df, "id", "vec").collect()}
+
+    want = {}
+    for i, v in rows:
+        ma = 0.0
+        for x in v:
+            ma = max(ma, abs(x))
+        if ma == 0.0:
+            want[i] = (0.0, [0] * len(v))
+        else:
+            want[i] = (
+                _half_up(ma / 127.0, 9),
+                [int(_half_up(x * 127.0 / ma, 0)) for x in v],
+            )
+    assert got == want

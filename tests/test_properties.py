@@ -4752,3 +4752,102 @@ def test_quantize_embeddings_matches_python(spark, vecs):
                 [int(_half_up(x * 127.0 / ma, 0)) for x in v],
             )
     assert got == want
+
+
+_snap_side = st.dictionaries(
+    st.one_of(st.none(), st.integers(0, 6)),
+    st.one_of(st.none(), st.integers(0, 3)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(old=_snap_side, new=_snap_side)
+@SET
+def test_snapshot_diff_matches_python(spark, old, new):
+    """Snapshot diff == the Python key classification for ANY two
+    versions (NULL keys null-safe-joined, NULL values fingerprinted by
+    the sentinel): added/removed/changed/same exactly."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import snapshot_diff
+
+    schema = "k int, v int"
+    odf = spark.createDataFrame(list(old.items()), schema) if old else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"), F.lit(None).cast("int").alias("v")
+        )
+    )
+    ndf = spark.createDataFrame(list(new.items()), schema) if new else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"), F.lit(None).cast("int").alias("v")
+        )
+    )
+    got = {r.k: r.change for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] == new[k]:
+            want[k] = "same"
+        else:
+            want[k] = "changed"
+    assert got == want
+
+
+@given(
+    child=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=1, max_size=20),
+    parent=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=0, max_size=10),
+)
+@SET
+def test_fk_orphan_census_matches_python(spark, child, parent):
+    """FK orphan census == the Python fold for ANY child/parent keysets:
+    NULL foreign keys are orphans, matching is null-rejecting equality,
+    ppm is the truncated integer ratio."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import fk_orphan_census
+
+    cdf = spark.createDataFrame([(c,) for c in child], "fk int")
+    pdf = spark.createDataFrame([(p,) for p in parent], "pk int") if parent else (
+        spark.range(0).select(F.lit(None).cast("int").alias("pk"))
+    )
+    r = fk_orphan_census(cdf, pdf, [("fk", "pk")]).collect()[0]
+
+    pset = {p for p in parent if p is not None}
+    orphans = sum(1 for c in child if c is None or c not in pset)
+    assert (r.n_child, r.n_orphans, r.orphan_ppm) == (
+        len(child),
+        orphans,
+        orphans * 1_000_000 // len(child),
+    )
+
+
+@given(rows=_pq_rows)
+@SET
+def test_table_checksum_matches_python(spark, rows):
+    """Order-insensitive table checksum == the Python md5 replication
+    for ANY rows: the boundary-safe name-sorted fingerprint, the 60-bit
+    XOR fold, and the mod-2^63 sum fold."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import table_checksum
+
+    df = spark.createDataFrame(rows, "q1 int, q2 int, s int")
+    r = table_checksum(df).collect()[0]
+
+    xor_h = 0
+    sum_h = 0
+    for row in rows:
+        parts = ""
+        for v in row:  # columns q1, q2, s are already name-sorted
+            parts += (
+                hashlib.md5(str(v).encode()).hexdigest()
+                if v is not None
+                else "n" * 32
+            )
+        # md5_long applies its own md5 on top of the fingerprint string
+        fp = hashlib.md5(parts.encode()).hexdigest()
+        h = int(hashlib.md5(fp.encode()).hexdigest()[:15], 16)
+        xor_h ^= h
+        sum_h = (sum_h + h) % (1 << 63)
+    assert (r.n_rows, r.xor_hash, r.sum_hash) == (len(rows), xor_h, sum_h)

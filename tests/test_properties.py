@@ -4851,3 +4851,90 @@ def test_table_checksum_matches_python(spark, rows):
         xor_h ^= h
         sum_h = (sum_h + h) % (1 << 63)
     assert (r.n_rows, r.xor_hash, r.sum_hash) == (len(rows), xor_h, sum_h)
+
+
+_baskets = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 6)), min_size=1, max_size=25
+)
+
+
+@given(rows=_baskets, max_basket=st.one_of(st.none(), st.integers(2, 4)), min_support=st.integers(1, 2))
+@SET
+def test_copurchase_projection_matches_python(spark, rows, max_basket, min_support):
+    """Basket co-occurrence projection == the Python replication for ANY
+    baskets: distinct membership, the deterministic per-basket cut,
+    support floor, (support desc, pair) top-k, and the exact lift ppm."""
+    from dwh_etl_ods_spark_jobs_spark.graph import copurchase_projection
+
+    df = spark.createDataFrame(rows, "b int, item int")
+    top_k = 5
+    got = sorted(
+        (r.item_a, r.item_b, r.support, r.lift_ppm)
+        for r in copurchase_projection(
+            df, "b", "item", min_support=min_support, top_k=top_k,
+            max_basket=max_basket,
+        ).collect()
+    )
+
+    baskets: dict[int, list] = {}
+    for b, it in set(rows):
+        baskets.setdefault(b, []).append(it)
+    if max_basket is not None:
+        baskets = {b: sorted(its)[:max_basket] for b, its in baskets.items()}
+    support: dict[tuple[int, int], int] = {}
+    cnt: dict[int, int] = {}
+    for its in baskets.values():
+        ws = sorted(its)
+        for it in ws:
+            cnt[it] = cnt.get(it, 0) + 1
+        for i, a in enumerate(ws):
+            for b2 in ws[i + 1 :]:
+                support[(a, b2)] = support.get((a, b2), 0) + 1
+    nb = len(baskets)
+    ranked = sorted(
+        ((a, b2, s) for (a, b2), s in support.items() if s >= min_support),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:top_k]
+    want = sorted(
+        (a, b2, s, s * nb * 1_000_000 // (cnt[a] * cnt[b2])) for a, b2, s in ranked
+    )
+    assert got == want
+
+
+@given(
+    vecs=st.lists(_vec3, min_size=1, max_size=12),
+    bucket_size=st.integers(2, 4),
+)
+@SET
+def test_pair_distance_histogram_matches_python(spark, vecs, bucket_size):
+    """Hash-sampled pair distance histogram == the Python replication
+    for ANY vectors and bucket size: md5 bucket assignment, exact
+    quantized L2², and the HDR bucket census."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.similarity import pair_distance_histogram
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    got = {
+        r.bucket_lo: r.n
+        for r in pair_distance_histogram(
+            df, "id", "vec", bucket_size=bucket_size
+        ).collect()
+    }
+
+    q = {i: [int(_half_up(x * 1000.0, 0)) for x in v] for i, v in rows}
+    n = len(rows)
+    nb = max((n + bucket_size - 1) // bucket_size, 1)
+    bkt = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % nb
+        for i, _ in rows
+    }
+    want: dict[int, int] = {}
+    for i, _ in rows:
+        for j, _ in rows:
+            if i < j and bkt[i] == bkt[j]:
+                d = sum((a - b) ** 2 for a, b in zip(q[i], q[j]))
+                hb = _hdr_bucket(d)
+                want[hb] = want.get(hb, 0) + 1
+    assert got == want

@@ -4938,3 +4938,148 @@ def test_pair_distance_histogram_matches_python(spark, vecs, bucket_size):
                 hb = _hdr_bucket(d)
                 want[hb] = want.get(hb, 0) + 1
     assert got == want
+
+
+_nz_vec3 = _vec3.filter(lambda v: any(abs(x) > 0.01 for x in v))
+
+
+def _py_cos(a, b):
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    for x in a:
+        na = na + x * x
+    for y in b:
+        nb = nb + y * y
+    import math
+
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@given(vecs=st.lists(_nz_vec3, min_size=2, max_size=8))
+@SET
+def test_ann_bruteforce_and_hard_negatives_match_python(spark, vecs):
+    """Brute-force cosine top-k and banded hard-negative mining == the
+    Python replication for ANY non-zero vectors: the fixed cosine fold
+    rounded to 6 decimals, self-exclusion, the [floor, ceil) band, and
+    (score desc, neighbor) tie-breaks."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import (
+        ann_bruteforce_topk,
+        hard_negative_mining,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    k = 3
+    got_bf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in ann_bruteforce_topk(df, df, "id", "vec", k=k).collect()
+    }
+    floor_c, ceil_c = -0.3, 0.8
+    got_hn = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in hard_negative_mining(
+            df, df, "id", "vec", k=k, floor_cos=floor_c, ceil_cos=ceil_c
+        ).collect()
+    }
+
+    want_bf, want_hn = {}, {}
+    for qi, qv in rows:
+        scored = sorted(
+            (-_half_up(_py_cos(qv, cv), 6), ni)
+            for ni, cv in rows
+            if ni != qi
+        )
+        for rank, (negc, ni) in enumerate(scored[:k], start=1):
+            want_bf[(qi, rank)] = (ni, -negc)
+        banded = [(c, ni) for c, ni in ((-c, n) for c, n in scored) if floor_c <= c < ceil_c]
+        banded.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, ni) in enumerate(banded[:k], start=1):
+            want_hn[(qi, rank)] = (ni, c)
+    assert got_bf == want_bf
+    assert got_hn == want_hn
+
+
+@given(vecs=st.lists(_nz_vec3, min_size=2, max_size=8), probes=st.integers(0, 4))
+@SET
+def test_ann_lsh_topk_matches_python(spark, vecs, probes):
+    """Hyperplane-LSH top-k == the Python replication for ANY vectors
+    and probe count: the literal plane signatures, Hamming-1 multiprobe
+    bucket set, and in-bucket cosine ranking."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import hyperplanes
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_lsh_topk
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    n_planes, k = 4, 3
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in ann_lsh_topk(
+            df, df, "id", "vec", k=k, dim=3, n_planes=n_planes,
+            hamming_probes=probes,
+        ).collect()
+    }
+
+    planes = hyperplanes(3, n_planes)
+
+    def sig(v):
+        s = 0
+        for p, plane in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(v, plane):
+                acc = acc + x * w
+            if acc > 0:
+                s |= 1 << p
+        return s
+
+    sigs = {i: sig(v) for i, v in rows}
+    want = {}
+    for qi, qv in rows:
+        buckets = {sigs[qi]}
+        for j in range(min(probes, n_planes)):
+            buckets.add(sigs[qi] ^ (1 << j))
+        cands = [
+            (ni, cv) for ni, cv in rows if ni != qi and sigs[ni] in buckets
+        ]
+        scored = sorted(
+            (-_half_up(_py_cos(qv, cv), 6), ni) for ni, cv in cands
+        )
+        for rank, (negc, ni) in enumerate(scored[:k], start=1):
+            want[(qi, rank)] = (ni, -negc)
+    assert got == want
+
+
+_truth_lists = st.dictionaries(
+    st.integers(0, 4), st.sets(st.integers(0, 9), min_size=1, max_size=5),
+    min_size=1, max_size=4,
+)
+
+
+@given(truth=_truth_lists, cand=_truth_lists)
+@SET
+def test_ann_recall_eval_matches_python(spark, truth, cand):
+    """Recall@k eval == the Python fold for ANY truth/candidate lists:
+    per-query hit ratios in exact ppm, missed queries at 0, and the
+    sum/min/perfect roll-up."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_recall_eval
+
+    k = 5
+    tdf = spark.createDataFrame(
+        [(q, n) for q, ns in truth.items() for n in ns],
+        "query_id int, neighbor_id int",
+    )
+    cdf = spark.createDataFrame(
+        [(q, n) for q, ns in cand.items() for n in ns],
+        "query_id int, neighbor_id int",
+    )
+    r = ann_recall_eval(tdf, cdf, k=k).collect()[0]
+
+    per_q = {
+        q: len(ns & cand.get(q, set())) * 1_000_000 // k for q, ns in truth.items()
+    }
+    assert (r.n_queries, r.recall_sum_ppm, r.min_recall_ppm, r.n_perfect) == (
+        len(truth),
+        sum(per_q.values()),
+        min(per_q.values()),
+        sum(1 for v in per_q.values() if v == 1_000_000),
+    )

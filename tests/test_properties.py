@@ -5083,3 +5083,101 @@ def test_ann_recall_eval_matches_python(spark, truth, cand):
         min(per_q.values()),
         sum(1 for v in per_q.values() if v == 1_000_000),
     )
+
+
+_merge_target = st.dictionaries(
+    st.one_of(st.none(), st.integers(0, 6)),
+    st.integers(0, 5),
+    min_size=0,
+    max_size=8,
+)
+_merge_changes = st.dictionaries(
+    st.one_of(st.none(), st.integers(0, 6)),
+    st.tuples(st.integers(0, 5), st.booleans()),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(target=_merge_target, changes=_merge_changes)
+@SET
+def test_merge_upsert_matches_python(spark, target, changes):
+    """ANSI MERGE semantics == the Python replication for ANY target and
+    changeset (NULL keys null-safe matched): replace, insert, delete,
+    delete-of-absent no-op, and untouched-row keep."""
+    from dwh_etl_ods_spark_jobs_spark.operators.merge import merge_upsert
+
+    schema_t = "k int, v int"
+    tdf = spark.createDataFrame(list(target.items()), schema_t) if target else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"), F.lit(None).cast("int").alias("v")
+        )
+    )
+    crows = [(k, v, t) for k, (v, t) in changes.items()]
+    cdf = spark.createDataFrame(crows, "k int, v int, tomb boolean") if crows else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"),
+            F.lit(None).cast("int").alias("v"),
+            F.lit(None).cast("boolean").alias("tomb"),
+        )
+    )
+    got = sorted(
+        ((r.k, r.v) for r in merge_upsert(tdf, cdf, ["k"], tombstone_col="tomb").collect()),
+        key=repr,
+    )
+
+    state = dict(target)
+    for k, (v, tomb) in changes.items():
+        if tomb:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items(), key=repr)
+
+
+_feed_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.sampled_from(["c", "u", "d", "r"])),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(target=_merge_target, feed=_feed_rows)
+@SET
+def test_apply_change_feed_matches_python(spark, target, feed):
+    """CDC feed apply == the Python sequential replay for ANY snapshot
+    and interleaved feed: per-key compaction to the latest change by
+    position, delete ops as tombstones, one-pass merge."""
+    from dwh_etl_ods_spark_jobs_spark.operators.merge import apply_change_feed
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items() if k is not None], "k int, v int"
+    ) if any(k is not None for k in target) else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"), F.lit(None).cast("int").alias("v")
+        )
+    )
+    frows = [(k, v, op, pos) for pos, (k, v, op) in enumerate(feed)]
+    fdf = spark.createDataFrame(frows, "k int, v int, op string, pos long") if frows else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"),
+            F.lit(None).cast("int").alias("v"),
+            F.lit(None).cast("string").alias("op"),
+            F.lit(None).cast("long").alias("pos"),
+        )
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in apply_change_feed(tdf, fdf, ["k"], ["pos"]).collect()
+    )
+
+    state = {k: v for k, v in target.items() if k is not None}
+    latest: dict[int, tuple[int, str]] = {}
+    for k, v, op, pos in frows:
+        latest[k] = (v, op)
+    for k, (v, op) in latest.items():
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items())

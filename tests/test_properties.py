@@ -5181,3 +5181,94 @@ def test_apply_change_feed_matches_python(spark, target, feed):
         else:
             state[k] = v
     assert got == sorted(state.items())
+
+
+_clamp_dates = st.lists(
+    st.one_of(st.none(), st.dates(min_value=__import__("datetime").date(1850, 1, 1), max_value=__import__("datetime").date(2100, 1, 1))),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vals=_clamp_dates, null_sentinel=st.booleans(), offset=st.sampled_from([0, 1]))
+@SET
+def test_date_clamp_matches_python(spark, vals, null_sentinel, offset):
+    """date_clamp == the Python rule for ANY dates, sentinel mode, and
+    year offset: out-of-[lo, hi+offset] goes to the sentinel (or NULL),
+    NULL passes through."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.clean import date_clamp
+
+    lo, hi = dt.date(1900, 1, 1), dt.date(2030, 12, 31)
+    sent = None if null_sentinel else dt.date(1900, 1, 1)
+    rule = date_clamp(
+        "d", lo=lo, hi=hi, sentinel=sent, hi_offset_years=offset
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, d date")
+    got = {r.i: r.d for r in rule(df).collect()}
+
+    hi_eff = dt.date(2030 + offset, 12, 31)
+    want = {}
+    for i, v in enumerate(vals):
+        if v is None:
+            want[i] = None
+        elif v < lo or v > hi_eff:
+            want[i] = sent
+        else:
+            want[i] = v
+    assert got == want
+
+
+_num_strs = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from(["abc", "", "-5", "0", "0.5", "99.9", "100", "100.1", "1540", "-0.0001"]),
+        st.integers(-50, 200).map(str),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vals=_num_strs, bad_at_lo=st.booleans())
+@SET
+def test_range_sentinel_matches_python(spark, vals, bad_at_lo):
+    """range_sentinel == the Python rule for ANY string numerics:
+    try-cast semantics (garbage to NULL), one- and closed-bound modes,
+    and the 999 sentinel."""
+    from dwh_etl_ods_spark_jobs_spark.operators.clean import range_sentinel
+
+    rule = range_sentinel("v", lo=0.0, hi=100.0, sentinel=999.0, cast_to="double", bad_at_lo=bad_at_lo)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v string")
+    got = {r.i: r.v for r in rule(df).collect()}
+
+    want = {}
+    for i, s in enumerate(vals):
+        try:
+            x = float(s) if s is not None else None
+        except ValueError:
+            x = None
+        if x is None:
+            want[i] = None
+        elif (x <= 0.0 if bad_at_lo else x < 0.0) or x > 100.0:
+            want[i] = 999.0
+        else:
+            want[i] = x
+    assert got == want
+
+
+@given(days=st.integers(-3, 40))
+@SET
+def test_day_spine_matches_python(spark, days):
+    """day_spine emits exactly one row per day of [start, end] for ANY
+    range length, and an empty frame for inverted ranges."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.spine import day_spine
+
+    start = dt.date(2020, 2, 25)
+    end = start + dt.timedelta(days=days)
+    got = sorted(r.as_of_date for r in day_spine(spark, start, end).collect())
+    want = [start + dt.timedelta(days=i) for i in range(days + 1)] if days >= 0 else []
+    assert got == want

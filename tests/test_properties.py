@@ -5272,3 +5272,76 @@ def test_day_spine_matches_python(spark, days):
     got = sorted(r.as_of_date for r in day_spine(spark, start, end).collect())
     want = [start + dt.timedelta(days=i) for i in range(days + 1)] if days >= 0 else []
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text("abXy 1.", min_size=0, max_size=30), min_size=1, max_size=6),
+    window=st.integers(1, 8),
+    stride=st.integers(1, 6),
+)
+@SET
+def test_chunk_sliding_matches_python(spark, texts, window, stride):
+    """Sliding-window chunking == the Python replication for ANY texts,
+    window, and stride: exact fan-out, offsets, chunk lengths, and md5
+    chunk hashes; empty documents dropped."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.text import chunk_sliding
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = sorted(
+        (r.id, r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_h)
+        for r in chunk_sliding(df, "text", "id", window=window, stride=stride).collect()
+    )
+
+    want = []
+    for i, t in rows:
+        if len(t) < 1:
+            continue
+        n = (len(t) + stride - 1) // stride
+        for ci in range(n):
+            chunk = t[ci * stride : ci * stride + window]
+            want.append(
+                (
+                    i,
+                    ci,
+                    ci * stride,
+                    len(chunk),
+                    int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16),
+                )
+            )
+    assert got == sorted(want)
+
+
+_strat_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 2)), min_size=1, max_size=25, unique_by=lambda t: t[0]
+)
+
+
+@given(rows=_strat_rows, k=st.integers(1, 4))
+@SET
+def test_stratified_sample_exact_matches_python(spark, rows, k):
+    """Exact-k stratified sampling == the Python md5-order pick for ANY
+    strata and k: exactly min(k, stratum size) rows, chosen by the
+    (md5_long(id), id) total order, identical under the salted two-phase
+    plan."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.curation import stratified_sample_exact
+
+    df = spark.createDataFrame(rows, "id int, strat int")
+    got = sorted(
+        (r.strat, r.id)
+        for r in df.transform(stratified_sample_exact("id", "strat", k=k)).collect()
+    )
+
+    by_s: dict[int, list] = {}
+    for i, s in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        by_s.setdefault(s, []).append((h, i))
+    want = []
+    for s, hs in by_s.items():
+        hs.sort()
+        want.extend((s, i) for _, i in hs[:k])
+    assert got == sorted(want)

@@ -5345,3 +5345,82 @@ def test_stratified_sample_exact_matches_python(spark, rows, k):
         hs.sort()
         want.extend((s, i) for _, i in hs[:k])
     assert got == sorted(want)
+
+
+_alloc_weights = st.dictionaries(
+    st.integers(0, 8), st.integers(1, 100), min_size=1, max_size=8
+)
+
+
+@given(weights=_alloc_weights, budget=st.integers(0, 500))
+@SET
+def test_largest_remainder_allocation_matches_python(spark, weights, budget):
+    """Hare-Niemeyer allocation == the Python replication for ANY
+    weights and budget: floors plus largest-remainder toppers with
+    smaller-key tie-break, summing exactly to the budget."""
+    from dwh_etl_ods_spark_jobs_spark.curation import largest_remainder_allocation
+
+    rows = [(k, w) for k, w in weights.items()]
+    df = spark.createDataFrame(rows, "key int, w long")
+    got = {
+        r.key: (r.weight, r.alloc)
+        for r in largest_remainder_allocation(df, "key", "w", budget).collect()
+    }
+
+    W = sum(weights.values())
+    floors = {k: budget * w // W for k, w in weights.items()}
+    rems = {k: (budget * w) % W for k, w in weights.items()}
+    spare = budget - sum(floors.values())
+    toppers = set(
+        sorted(weights, key=lambda k: (-rems[k], k))[:spare]
+    )
+    want = {
+        k: (w, floors[k] + (1 if k in toppers else 0)) for k, w in weights.items()
+    }
+    assert got == want
+    assert sum(a for _, a in got.values()) == budget
+
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.dates(
+            min_value=__import__("datetime").date(2020, 1, 1),
+            max_value=__import__("datetime").date(2020, 3, 1),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_ts_rows)
+@SET
+def test_temporal_split_census_matches_python(spark, rows):
+    """Temporal split census == the Python fold for ANY entity/date
+    data: train/embargo/test labeling at the boundaries, per-split
+    row/entity counts, and the shared-with-train entity overlap."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.curation import temporal_split_census
+
+    train_end, test_start = "2020-01-20", "2020-02-10"
+    df = spark.createDataFrame(rows, "e int, d date")
+    got = {
+        r.split: (r.n_rows, r.n_entities, r.shared_train_entities)
+        for r in temporal_split_census(df, "d", "e", train_end, test_start).collect()
+    }
+
+    te, ts = dt.date.fromisoformat(train_end), dt.date.fromisoformat(test_start)
+    lab = [
+        (e, "train" if d < te else ("embargo" if d < ts else "test"))
+        for e, d in rows
+    ]
+    train_ents = {e for e, s in lab if s == "train"}
+    want = {}
+    for split in {s for _, s in lab}:
+        ents = {e for e, s in lab if s == split}
+        n_rows = sum(1 for _, s in lab if s == split)
+        shared = 0 if split == "train" else len(ents & train_ents)
+        want[split] = (n_rows, len(ents), shared)
+    assert got == want

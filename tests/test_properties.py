@@ -5424,3 +5424,103 @@ def test_temporal_split_census_matches_python(spark, rows):
         shared = 0 if split == "train" else len(ents & train_ents)
         want[split] = (n_rows, len(ents), shared)
     assert got == want
+
+
+_artifact_text = st.lists(
+    st.sampled_from(["ok", "Ã¼", "â€™", "Â ", " plain ", "Ã¶Ã¤", "â€¦", "x"]),
+    min_size=0,
+    max_size=10,
+).map("".join)
+
+
+@given(texts=st.lists(_artifact_text, min_size=1, max_size=10))
+@SET
+def test_encoding_artifact_stats_matches_python(spark, texts):
+    """Mojibake census == the Python per-literal occurrence counts for
+    ANY text: non-overlapping replace-based counting, exact ppm, empty
+    text at 0."""
+    from dwh_etl_ods_spark_jobs_spark.text.encoding import (
+        ENCODING_ARTIFACTS,
+        encoding_artifact_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    stats = encoding_artifact_stats(F.col("text"))
+    got = {
+        r.id: (r.n_chars, r.n_artifacts, r.artifact_ppm)
+        for r in df.select("id", *[v.alias(k) for k, v in stats.items()]).collect()
+    }
+
+    want = {}
+    for i, t in rows:
+        total = sum(t.count(lit) for lit in ENCODING_ARTIFACTS)
+        ppm = total * 1_000_000 // len(t) if len(t) > 0 else 0
+        want[i] = (len(t), total, ppm)
+    assert got == want
+
+
+_json_cells = st.lists(
+    st.sampled_from(
+        [
+            '{"a": 3, "b": "x"}',
+            '{"a": null}',
+            '{"b": 7}',
+            "not json",
+            "",
+            "[1, 2]",
+            '{"a": -5}',
+            None,
+            '{"a": 12, "c": {"d": 2}}',
+        ]
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(cells=_json_cells)
+@SET
+def test_json_field_audit_matches_python(spark, cells):
+    """JSON parse audit == the Python json.loads replication for ANY mix
+    of valid/malformed/NULL cells: validity, per-path non-null counts,
+    and the numeric salvage sum."""
+    import json
+
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import json_field_audit
+
+    df = spark.createDataFrame([(c,) for c in cells], "j string")
+    r = json_field_audit(
+        df, "j", fields=[("a", "$.a"), ("d", "$.c.d")],
+        numeric_sums=[("a", "$.a")],
+    ).collect()[0]
+
+    n_valid = n_a = n_d = s_a = 0
+    for c in cells:
+        if c is None:
+            continue
+        try:
+            doc = json.loads(c)
+        except ValueError:
+            continue
+        n_valid += 1
+        a = doc.get("a") if isinstance(doc, dict) else None
+        if a is not None:
+            n_a += 1
+            s_a += a
+        d = (
+            doc.get("c", {}).get("d")
+            if isinstance(doc, dict) and isinstance(doc.get("c"), dict)
+            else None
+        )
+        if d is not None:
+            n_d += 1
+    assert (r.n_rows, r.n_valid, r.n_malformed, r.nn_a, r.nn_d, r.sum_a) == (
+        len(cells),
+        n_valid,
+        len(cells) - n_valid,
+        n_a,
+        n_d,
+        s_a,
+    )
+

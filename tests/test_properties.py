@@ -5524,3 +5524,92 @@ def test_json_field_audit_matches_python(spark, cells):
         s_a,
     )
 
+
+
+_cov_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-20, 20)), min_size=1, max_size=25
+)
+
+
+@given(rows=_cov_rows)
+@SET
+def test_quantile_coverage_eval_matches_python(spark, rows):
+    """Quantile band coverage == the Python replication for ANY grouped
+    values: the exact (cum·den ≥ num·total) band endpoints under the
+    (value, tie) order, inclusive membership, and ppm coverage."""
+    from dwh_etl_ods_spark_jobs_spark.operators.eval_metrics import (
+        quantile_coverage_eval,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v int, i int")
+    got = {
+        r.g: (r.n, r.band_lo, r.band_hi, r.n_inside, r.coverage_ppm)
+        for r in quantile_coverage_eval(df, ["g"], ["v", "i"]).collect()
+    }
+
+    want = {}
+    groups: dict[int, list] = {}
+    for g, v, i in data:
+        groups.setdefault(g, []).append((v, i))
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+
+        def q(num, den):
+            cw = 0
+            for v, _ in vs:
+                cw += 1
+                if cw * den >= num * n:
+                    return v
+            return vs[-1][0]
+
+        lo, hi = q(1, 10), q(9, 10)
+        inside = sum(1 for v, _ in vs if lo <= v <= hi)
+        want[g] = (n, lo, hi, inside, inside * 1_000_000 // n)
+    assert got == want
+
+
+_pii_text = st.lists(
+    st.sampled_from(
+        [
+            "hello world",
+            "a.user+x@mail.example.com",
+            "123-45-6789",
+            "10.0.255.1",
+            "+1 (555) 123-4567",
+            "no pii here",
+            "x@y.io",
+            "999.999.999.999",
+            "tail",
+        ]
+    ),
+    min_size=0,
+    max_size=6,
+).map(" ".join)
+
+
+@given(texts=st.lists(_pii_text, min_size=1, max_size=8))
+@SET
+def test_redact_pii_matches_python(spark, texts):
+    """PII redaction == the Python chained re.sub replication for ANY
+    text built from email/ID/IP/phone fragments — identical pattern
+    order and replacement spans."""
+    import re
+
+    from dwh_etl_ods_spark_jobs_spark.text import PII_PATTERNS, redact_pii
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.red
+        for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+
+    want = {}
+    for i, t in rows:
+        out = t
+        for _name, pat, rep in PII_PATTERNS:
+            out = re.sub(pat, rep, out)
+        want[i] = out
+    assert got == want

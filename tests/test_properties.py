@@ -5613,3 +5613,71 @@ def test_redact_pii_matches_python(spark, texts):
             out = re.sub(pat, rep, out)
         want[i] = out
     assert got == want
+
+
+_state_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=1, max_size=25
+)
+
+
+@given(rows=_state_rows, split_at=st.integers(0, 25))
+@SET
+def test_merge_agg_state_equals_recompute(spark, rows, split_at):
+    """Incremental state merge == recomputing the view from the full
+    fact for ANY batch boundary — the mergeable-aggregate contract
+    (sum+sum, min-of-min, max-of-max, count) holds at every split."""
+    from dwh_etl_ods_spark_jobs_spark.operators.incremental import merge_agg_state
+
+    split_at = min(split_at, len(rows))
+    old, new = rows[:split_at], rows[split_at:]
+
+    def agg(part):
+        part_df = spark.createDataFrame(part, "k int, v long") if part else (
+            spark.range(0).select(
+                F.lit(None).cast("int").alias("k"), F.lit(None).cast("long").alias("v")
+            )
+        )
+        return part_df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in merge_agg_state(
+            agg(old), agg(new), ["k"], sum_cols=["s"], min_cols=["mn"],
+            max_cols=["mx"], count_col="n",
+        ).collect()
+    }
+
+    want: dict[int, tuple] = {}
+    for k, v in rows:
+        if k not in want:
+            want[k] = (1, v, v, v)
+        else:
+            n, s, mn, mx = want[k]
+            want[k] = (n + 1, s + v, min(mn, v), max(mx, v))
+    assert merged == want
+
+
+@given(pts=st.lists(st.tuples(st.integers(0, 2**20), st.integers(0, 2**20)), min_size=1, max_size=20))
+@SET
+def test_morton_code_matches_python(spark, pts):
+    """Morton interleave == the Python bit replication for ANY
+    coordinates: low 16 bits of x in even positions, y in odd."""
+    from dwh_etl_ods_spark_jobs_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [r.z for r in df.select(morton_code(F.col("x"), F.col("y")).alias("z")).collect()]
+
+    want = []
+    for x, y in pts:
+        xm, ym = x & 0xFFFF, y & 0xFFFF
+        z = 0
+        for i in range(16):
+            z |= ((xm >> i) & 1) << (2 * i)
+            z |= ((ym >> i) & 1) << (2 * i + 1)
+        want.append(z)
+    assert got == want

@@ -5681,3 +5681,156 @@ def test_morton_code_matches_python(spark, pts):
             z |= ((ym >> i) & 1) << (2 * i + 1)
         want.append(z)
     assert got == want
+
+
+_asof_left = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 2)), st.integers(0, 20)),
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.dictionaries(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)),
+    st.one_of(st.none(), st.integers(0, 9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=_asof_left, right=_asof_right, inner=st.booleans())
+@SET
+def test_asof_join_matches_python(spark, left, right, inner):
+    """ASOF join == the Python latest-at-or-before pick for ANY streams:
+    NULL keys never match, equal timestamps match, NULL as-of values
+    return NULL (never an older non-NULL), inner mode drops misses."""
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import asof_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "i int, k int, lts long")
+    rrows = [(k, t, v) for (k, t), v in right.items()]
+    rdf = spark.createDataFrame(rrows, "k int, rts long, v int") if rrows else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("k"),
+            F.lit(None).cast("long").alias("rts"),
+            F.lit(None).cast("int").alias("v"),
+        )
+    )
+    how = "inner" if inner else "left"
+    got = {
+        r.i: r.v
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts", ["v"], how=how).collect()
+    }
+
+    want = {}
+    for i, k, t in lrows:
+        cands = [
+            (rt, v) for (rk, rt), v in right.items() if k is not None and rk == k and rt <= t
+        ]
+        if cands:
+            want[i] = max(cands)[1]
+        elif not inner:
+            want[i] = None
+    assert got == want
+
+
+@given(texts=st.lists(st.text("abc XY.,9-", min_size=0, max_size=25), min_size=1, max_size=8))
+@SET
+def test_token_counts_match_python(spark, texts):
+    """token_count and the BPE-ish count == the Python replication for
+    ANY text: tokenizer parity, ceil(len/4) word charges, one token per
+    punctuation char."""
+    import math
+    import re
+
+    from dwh_etl_ods_spark_jobs_spark.text import bpe_ish_token_count, token_count
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.tc, r.bc)
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("tc"),
+            bpe_ish_token_count(F.col("text")).alias("bc"),
+        ).collect()
+    }
+
+    want = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        punct = len(re.sub(r"[A-Za-z0-9\s]", "", t))
+        want[i] = (len(toks), sum(math.ceil(len(w) / 4) for w in toks) + punct)
+    assert got == want
+
+
+_langy_text = st.lists(
+    st.sampled_from(
+        ["the", "and", "of", "le", "la", "les", "der", "und", "die",
+         "el", "los", "que", "zebra", "q7", "is", "est", "ist", "es"]
+    ),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(texts=st.lists(_langy_text, min_size=1, max_size=8))
+@SET
+def test_quality_features_and_langid_match_python(spark, texts):
+    """Quality features, the composite score, and stopword-vote langid
+    == the Python replication for ANY text: fixed-order IEEE ratios
+    under the 6-decimal round, strict-majority language vote with the
+    'und' tie/zero rule."""
+    from dwh_etl_ods_spark_jobs_spark.text import (
+        EN_STOPWORDS,
+        LANG_STOPWORDS,
+        langid,
+        quality_features,
+        quality_score,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    feats = quality_features(F.col("text"))
+    got = {
+        r.id: (
+            r.n_chars, r.n_tokens, r.mean_token_len, r.stopword_ratio,
+            r.punct_ratio, r.alpha_ratio, r.score, r.lang,
+        )
+        for r in df.select(
+            "id",
+            *[v.alias(k) for k, v in feats.items()],
+            quality_score(F.col("text")).alias("score"),
+            langid(F.col("text")).alias("lang"),
+        ).collect()
+    }
+
+    import re
+
+    want = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        n_chars, n_toks = len(t), len(toks)
+        st_ratio = _half_up(
+            sum(1 for w in toks if w in EN_STOPWORDS) / max(n_toks, 1), 6
+        )
+        p_ratio = _half_up(
+            len(re.sub(r"[A-Za-z0-9\s]", "", t)) / max(n_chars, 1), 6
+        )
+        a_ratio = _half_up(
+            len(re.sub(r"[^A-Za-z]", "", t)) / max(n_chars, 1), 6
+        )
+        mean_tl = _half_up(sum(len(w) for w in toks) / max(n_toks, 1), 6)
+        score = _half_up(
+            0.4 * min(n_toks / 100.0, 1.0)
+            + 0.4 * min(st_ratio * 5, 1.0)
+            + 0.2 * (1.0 - min(p_ratio * 10, 1.0)),
+            6,
+        )
+        votes = {
+            lg: sum(1 for w in toks if w in words)
+            for lg, words in LANG_STOPWORDS.items()
+        }
+        best = max(votes.values())
+        leaders = [lg for lg, v in votes.items() if v == best]
+        lang = leaders[0] if best > 0 and len(leaders) == 1 else "und"
+        want[i] = (n_chars, n_toks, mean_tl, st_ratio, p_ratio, a_ratio, score, lang)
+    assert got == want

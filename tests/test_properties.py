@@ -5834,3 +5834,108 @@ def test_quality_features_and_langid_match_python(spark, texts):
         lang = leaders[0] if best > 0 and len(leaders) == 1 else "und"
         want[i] = (n_chars, n_toks, mean_tl, st_ratio, p_ratio, a_ratio, score, lang)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-400, 400)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 4),
+)
+@SET
+def test_robust_outlier_census_matches_python(spark, rows, k):
+    """Median/MAD outlier census == the Python exact-halves replication
+    for ANY grouped cents data and k: med_c2/mad_c4 as exact BIGINTs
+    and the pure integer 2|2c−med| > k·mad rule."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import robust_outlier_census
+
+    data = [(g, c / 100.0) for g, c in rows]
+    df = spark.createDataFrame(data, "g int, x double")
+    got = {
+        r.g: (r.n, r.med_c2, r.mad_c4, r.n_outliers)
+        for r in df.transform(robust_outlier_census(["g"], "x", k=k)).collect()
+    }
+
+    def med2(vals):
+        s = sorted(vals)
+        m = len(s) // 2
+        return 2 * s[m] if len(s) % 2 else s[m - 1] + s[m]
+
+    groups: dict[int, list] = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    want = {}
+    for g, cs in groups.items():
+        m2 = med2(cs)
+        abs2 = [abs(2 * c - m2) for c in cs]
+        m4 = med2(abs2)
+        out = sum(1 for a in abs2 if 2 * a > k * m4)
+        want[g] = (len(cs), m2, m4, out)
+    assert got == want
+
+
+_dq_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.one_of(st.none(), st.integers(0, 2))),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_dq_rows, min_ppm=st.sampled_from([500_000, 900_000, 1_000_000]))
+@SET
+def test_dq_expectations_and_quarantine_match_python(spark, rows, min_ppm):
+    """DQ expectations and quarantine routing == the Python replication
+    for ANY data and threshold: NULL predicates fail, NULL-bearing key
+    tuples count as distinct, ppm gates truncate, and quarantined rows
+    carry the declaration-ordered failure list."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        RowCheck,
+        dq_expectations,
+        quarantine_split,
+    )
+
+    checks = [
+        RowCheck("a_nonnull", lambda: F.col("a").isNotNull(), "a IS NOT NULL", min_ppm),
+        RowCheck("a_small", lambda: F.col("a") <= 3, "a <= 3", min_ppm),
+    ]
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import UniqueCheck
+
+    uniq = UniqueCheck("ab_unique", ("a", "b"), min_ppm)
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        r.check_name: (r.n_rows, r.n_ok, r.metric_ppm, r.passed)
+        for r in dq_expectations(df, "t", [*checks, uniq]).collect()
+    }
+
+    n = len(rows)
+    oks = {
+        "a_nonnull": sum(1 for a, _ in rows if a is not None),
+        "a_small": sum(1 for a, _ in rows if a is not None and a <= 3),
+        "ab_unique": len(set(rows)),
+    }
+    want = {
+        name: (n, ok, ok * 1_000_000 // n, int(ok * 1_000_000 // n >= min_ppm))
+        for name, ok in oks.items()
+    }
+    assert got == want
+
+    passed, quar = quarantine_split(df, checks)
+    got_pass = sorted(((r.a, r.b) for r in passed.collect()), key=repr)
+    got_quar = sorted(
+        ((r.a, r.b, r.failed_checks) for r in quar.collect()), key=repr
+    )
+    want_pass, want_quar = [], []
+    for a, b in rows:
+        fails = []
+        if a is None:
+            fails.append("a_nonnull")
+        if not (a is not None and a <= 3):
+            fails.append("a_small")
+        if fails:
+            want_quar.append((a, b, ",".join(fails)))
+        else:
+            want_pass.append((a, b))
+    assert got_pass == sorted(want_pass, key=repr)
+    assert got_quar == sorted(want_quar, key=repr)

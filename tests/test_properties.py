@@ -5939,3 +5939,94 @@ def test_dq_expectations_and_quarantine_match_python(spark, rows, min_ppm):
             want_pass.append((a, b))
     assert got_pass == sorted(want_pass, key=repr)
     assert got_quar == sorted(want_quar, key=repr)
+
+
+@given(
+    vecs=st.lists(_nz_vec3, min_size=2, max_size=8),
+    cents=st.lists(_nz_vec3, min_size=1, max_size=4),
+    nprobe=st.integers(1, 3),
+)
+@SET
+def test_ivf_assign_and_topk_match_python(spark, vecs, cents, nprobe):
+    """IVF coarse assignment and probe-restricted top-k == the Python
+    replication for ANY vectors/codebook/nprobe: max-cosine cells with
+    lowest-id ties, exactly-once pair scoring, rounded-cosine ranking."""
+    from dwh_etl_ods_spark_jobs_spark.similarity import ann_ivf_topk, ivf_assign
+
+    vrows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    crows = [(i, [float(x) for x in v]) for i, v in enumerate(cents)]
+    vdf = spark.createDataFrame(vrows, "id int, vec array<double>")
+    cdf = spark.createDataFrame(crows, "id int, vec array<double>")
+
+    def cells_of(v, n):
+        scored = sorted((-_py_cos(v, c), ci) for ci, c in crows)
+        return [ci for _, ci in scored[:n]]
+
+    got_cells = {
+        (r.id, r.cell)
+        for r in ivf_assign(vdf, cdf, "id", "vec", n_cells=nprobe).collect()
+    }
+    want_cells = {
+        (i, ci) for i, v in vrows for ci in cells_of(v, nprobe)
+    }
+    assert got_cells == want_cells
+
+    k = 3
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in ann_ivf_topk(vdf, vdf, cdf, "id", "vec", k=k, nprobe=nprobe).collect()
+    }
+    cand_cell = {i: cells_of(v, 1)[0] for i, v in vrows}
+    want = {}
+    for qi, qv in vrows:
+        probed = set(cells_of(qv, nprobe))
+        scored = sorted(
+            (-_half_up(_py_cos(qv, cv), 6), ni)
+            for ni, cv in vrows
+            if ni != qi and cand_cell[ni] in probed
+        )
+        for rank, (negc, ni) in enumerate(scored[:k], start=1):
+            want[(qi, rank)] = (ni, -negc)
+    assert got == want
+
+
+@given(texts=st.lists(st.one_of(st.none(), st.text("aB c\t2.", min_size=0, max_size=20)), min_size=1, max_size=10))
+@SET
+def test_fingerprints_match_python(spark, texts):
+    """Exact and min-sampled content fingerprints == the Python
+    replication for ANY text: lowercase/whitespace-collapse
+    normalization (NULL to ''), md5 hex, and the min 60-bit hash over
+    char n-grams with the short-text whole-string gram."""
+    import hashlib
+    import re
+
+    from dwh_etl_ods_spark_jobs_spark.text import (
+        FINGERPRINT_NGRAM,
+        content_fingerprint,
+        exact_fingerprint,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.ef, r.cf)
+        for r in df.select(
+            "id",
+            exact_fingerprint(F.col("text")).alias("ef"),
+            content_fingerprint(F.col("text")).alias("cf"),
+        ).collect()
+    }
+
+    want = {}
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        ef = hashlib.md5(norm.encode()).hexdigest()
+        grams = [
+            norm[p : p + FINGERPRINT_NGRAM]
+            for p in range(max(len(norm) - (FINGERPRINT_NGRAM - 1), 1))
+        ]
+        cf = min(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        )
+        want[i] = (ef, cf)
+    assert got == want

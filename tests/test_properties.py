@@ -3927,7 +3927,7 @@ _doc_words = st.lists(
 )
 
 
-def _half_up(x: float, scale: int) -> float:
+def _round_half_up(x: float, scale: int) -> float:
     # Spark's round(double, n) rounds the SHORTEST-STRING decimal repr
     # (java BigDecimal.valueOf == Double.toString), not the exact binary
     # expansion — Decimal(repr(x)) mirrors that; Decimal(x) would tip
@@ -3968,7 +3968,7 @@ def test_tfidf_top_terms_matches_python(spark, docs):
     for i in toks:
         scored = sorted(
             (
-                (-_half_up(c * math.log(n_docs / dfreq[w]), 6), w, c)
+                (-_round_half_up(c * math.log(n_docs / dfreq[w]), 6), w, c)
                 for (d, w), c in tf.items()
                 if d == i
             ),
@@ -4007,7 +4007,7 @@ def test_bigram_lm_score_matches_python(spark, docs):
     vocab = len(uni)
     nlp = {
         bg: int(
-            _half_up(-math.log((c + 1) / (uni[bg.split(" ")[0]] + vocab)) * 1e6, 0)
+            _round_half_up(-math.log((c + 1) / (uni[bg.split(" ")[0]] + vocab)) * 1e6, 0)
         )
         for bg, c in c12.items()
     }
@@ -4018,7 +4018,7 @@ def test_bigram_lm_score_matches_python(spark, docs):
             want[i] = (0, 0.0)
         else:
             s = sum(nlp[bg] for bg in bgs)
-            want[i] = (len(bgs), _half_up(s / len(bgs) / 1e6, 6))
+            want[i] = (len(bgs), _round_half_up(s / len(bgs) / 1e6, 6))
     assert got == want
 
 
@@ -4062,7 +4062,7 @@ def test_token_pmi_matches_python(spark, docs, max_df):
             dfreq[a],
             dfreq[b],
             int(
-                _half_up(
+                _round_half_up(
                     math.log(
                         (float(n_ab) * float(n_docs))
                         / (float(dfreq[a]) * float(dfreq[b]))
@@ -4170,7 +4170,7 @@ def test_jl_project_matches_python(spark, vecs, seed):
     signs = jl_signs(out_dim, 3, seed)
     want = {}
     for i, v in rows:
-        micro = [int(_half_up(x * 1000000.0, 0)) for x in v]
+        micro = [int(_round_half_up(x * 1000000.0, 0)) for x in v]
         want[i] = tuple(
             sum(s * m for s, m in zip(signs[k], micro)) for k in range(out_dim)
         )
@@ -4195,7 +4195,7 @@ def test_kmeans_step_quantized_matches_python(spark, pts):
         for r in kmeans_step_quantized(df, "id", "vec", "lbl", dim=3).collect()
     }
 
-    q = {i: [int(_half_up(x * 1000.0, 0)) for x in v] for i, v, _ in rows}
+    q = {i: [int(_round_half_up(x * 1000.0, 0)) for x in v] for i, v, _ in rows}
     by_lbl: dict[int, list[int]] = {}
     for i, _, l in rows:
         by_lbl.setdefault(l, []).append(i)
@@ -4431,7 +4431,7 @@ def test_pq_encode_and_adc_match_python(spark, vecs, cents):
         acc = 0.0
         for j in range(s * width, s * width + width):
             acc = acc + (v[j] - c[j]) * (v[j] - c[j])
-        return int(_half_up(acc * 1000000.0, 0))
+        return int(_round_half_up(acc * 1000000.0, 0))
 
     codes = {}
     for i, v in vrows:
@@ -4719,11 +4719,11 @@ def test_hll_set_algebra_matches_python(spark, sets):
             e_u = est(s_u, v_u)
             e_i = max(e_a + e_b - e_u, 0.0)
             r = got[(a, b)]
-            assert abs(r.est_a - _half_up(e_a, 3)) <= 0.001
-            assert abs(r.est_b - _half_up(e_b, 3)) <= 0.001
-            assert abs(r.est_union - _half_up(e_u, 3)) <= 0.001
-            assert abs(r.est_intersect - _half_up(e_i, 3)) <= 0.001
-            assert abs(r.jaccard_micro - int(_half_up(e_i / e_u * 1e6, 0))) <= 1
+            assert abs(r.est_a - _round_half_up(e_a, 3)) <= 0.001
+            assert abs(r.est_b - _round_half_up(e_b, 3)) <= 0.001
+            assert abs(r.est_union - _round_half_up(e_u, 3)) <= 0.001
+            assert abs(r.est_intersect - _round_half_up(e_i, 3)) <= 0.001
+            assert abs(r.jaccard_micro - int(_round_half_up(e_i / e_u * 1e6, 0))) <= 1
     assert set(got) == want_pairs
 
 
@@ -4748,8 +4748,8 @@ def test_quantize_embeddings_matches_python(spark, vecs):
             want[i] = (0.0, [0] * len(v))
         else:
             want[i] = (
-                _half_up(ma / 127.0, 9),
-                [int(_half_up(x * 127.0 / ma, 0)) for x in v],
+                _round_half_up(ma / 127.0, 9),
+                [int(_round_half_up(x * 127.0 / ma, 0)) for x in v],
             )
     assert got == want
 
@@ -4923,7 +4923,7 @@ def test_pair_distance_histogram_matches_python(spark, vecs, bucket_size):
         ).collect()
     }
 
-    q = {i: [int(_half_up(x * 1000.0, 0)) for x in v] for i, v in rows}
+    q = {i: [int(_round_half_up(x * 1000.0, 0)) for x in v] for i, v in rows}
     n = len(rows)
     nb = max((n + bucket_size - 1) // bucket_size, 1)
     bkt = {
@@ -4986,7 +4986,7 @@ def test_ann_bruteforce_and_hard_negatives_match_python(spark, vecs):
     want_bf, want_hn = {}, {}
     for qi, qv in rows:
         scored = sorted(
-            (-_half_up(_py_cos(qv, cv), 6), ni)
+            (-_round_half_up(_py_cos(qv, cv), 6), ni)
             for ni, cv in rows
             if ni != qi
         )
@@ -5042,7 +5042,7 @@ def test_ann_lsh_topk_matches_python(spark, vecs, probes):
             (ni, cv) for ni, cv in rows if ni != qi and sigs[ni] in buckets
         ]
         scored = sorted(
-            (-_half_up(_py_cos(qv, cv), 6), ni) for ni, cv in cands
+            (-_round_half_up(_py_cos(qv, cv), 6), ni) for ni, cv in cands
         )
         for rank, (negc, ni) in enumerate(scored[:k], start=1):
             want[(qi, rank)] = (ni, -negc)
@@ -5809,17 +5809,17 @@ def test_quality_features_and_langid_match_python(spark, texts):
     for i, t in rows:
         toks = _py_tokens(t)
         n_chars, n_toks = len(t), len(toks)
-        st_ratio = _half_up(
+        st_ratio = _round_half_up(
             sum(1 for w in toks if w in EN_STOPWORDS) / max(n_toks, 1), 6
         )
-        p_ratio = _half_up(
+        p_ratio = _round_half_up(
             len(re.sub(r"[A-Za-z0-9\s]", "", t)) / max(n_chars, 1), 6
         )
-        a_ratio = _half_up(
+        a_ratio = _round_half_up(
             len(re.sub(r"[^A-Za-z]", "", t)) / max(n_chars, 1), 6
         )
-        mean_tl = _half_up(sum(len(w) for w in toks) / max(n_toks, 1), 6)
-        score = _half_up(
+        mean_tl = _round_half_up(sum(len(w) for w in toks) / max(n_toks, 1), 6)
+        score = _round_half_up(
             0.4 * min(n_toks / 100.0, 1.0)
             + 0.4 * min(st_ratio * 5, 1.0)
             + 0.2 * (1.0 - min(p_ratio * 10, 1.0)),
@@ -5981,7 +5981,7 @@ def test_ivf_assign_and_topk_match_python(spark, vecs, cents, nprobe):
     for qi, qv in vrows:
         probed = set(cells_of(qv, nprobe))
         scored = sorted(
-            (-_half_up(_py_cos(qv, cv), 6), ni)
+            (-_round_half_up(_py_cos(qv, cv), 6), ni)
             for ni, cv in vrows
             if ni != qi and cand_cell[ni] in probed
         )

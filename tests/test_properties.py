@@ -6030,3 +6030,82 @@ def test_fingerprints_match_python(spark, texts):
         )
         want[i] = (ef, cf)
     assert got == want
+
+
+@given(
+    corpus=_doc_words,
+    bench=_doc_words,
+    n=st.integers(1, 3),
+    min_overlap=st.integers(1, 2),
+)
+@SET
+def test_ngram_decontaminate_matches_python(spark, corpus, bench, n, min_overlap):
+    """Benchmark n-gram decontamination == the Python set replication
+    for ANY corpus/benchmark/width: distinct word n-grams per side,
+    short documents gram-less, the overlap floor, and the IEEE overlap
+    fraction."""
+    from dwh_etl_ods_spark_jobs_spark.curation import ngram_decontaminate
+
+    crows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    brows = [(i, " ".join(ws)) for i, ws in enumerate(bench)]
+    cdf = spark.createDataFrame(crows, "id int, text string")
+    bdf = spark.createDataFrame(brows, "id int, text string")
+    got = {
+        r.id: (r.overlap_ngrams, r.total_ngrams, r.overlap_frac)
+        for r in cdf.transform(
+            ngram_decontaminate(bdf, "id", "text", n=n, min_overlap=min_overlap)
+        ).collect()
+    }
+
+    def grams(text):
+        ts = text.split(" ")
+        if len(ts) < n:
+            return set()
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+    bench_grams = set()
+    for _, t in brows:
+        bench_grams |= grams(t)
+    want = {}
+    for i, t in crows:
+        g = grams(t)
+        if not g:
+            continue
+        ov = len(g & bench_grams)
+        if ov >= min_overlap:
+            want[i] = (ov, len(g), ov / len(g))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["aa bb", "cc dd", "ee", "aa bb cc"]), st.integers(0, 2)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_cross_source_leakage_matches_python(spark, docs):
+    """Cross-source exact-text leakage census == the Python fold for ANY
+    doc/source mix: md5 fingerprint groups, distinct-source floor of 2,
+    and the min-id survivor."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.curation import cross_source_leakage
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string, src int")
+    got = {
+        r.fp: (r.n_sources, r.n_docs, r.first_doc_id)
+        for r in df.transform(cross_source_leakage("id", "text", "src")).collect()
+    }
+
+    groups: dict[str, list] = {}
+    for i, t, s in rows:
+        groups.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append((i, s))
+    want = {}
+    for fp, members in groups.items():
+        srcs = {s for _, s in members}
+        if len(srcs) >= 2:
+            want[fp] = (len(srcs), len(members), min(i for i, _ in members))
+    assert got == want

@@ -6109,3 +6109,72 @@ def test_cross_source_leakage_matches_python(spark, docs):
         if len(srcs) >= 2:
             want[fp] = (len(srcs), len(members), min(i for i, _ in members))
     assert got == want
+
+
+_scd_stream = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.one_of(st.none(), st.integers(0, 3))),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(stream=_scd_stream)
+@SET
+def test_changes_to_scd2_matches_python(spark, stream):
+    """SCD2 interval build == the Python sequential replication for ANY
+    observation stream: NULL-safe change detection, (ts, attr) ordering
+    with NULLs first, gap-free intervals, open current row."""
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import changes_to_scd2
+
+    df = spark.createDataFrame(stream, "k int, ts long, a int")
+    got = sorted(
+        ((r.k, r.a, r.effective_from, r.effective_to, r.is_current)
+         for r in df.transform(changes_to_scd2("k", "ts", ["a"])).collect()),
+        key=repr,
+    )
+
+    by_k: dict[int, list] = {}
+    for k, ts, a in stream:
+        by_k.setdefault(k, []).append((ts, a))
+    want = []
+    for k, obs in by_k.items():
+        obs.sort(key=lambda o: (o[0], o[1] is not None, o[1]))
+        points = []
+        prev = object()
+        first = True
+        for ts, a in obs:
+            if first or not _nullsafe_eq(a, prev):
+                points.append((ts, a))
+            prev = a
+            first = False
+        for i, (ts, a) in enumerate(points):
+            to = points[i + 1][0] if i + 1 < len(points) else None
+            want.append((k, a, ts, to, to is None))
+    assert got == sorted(want, key=repr)
+
+
+def _nullsafe_eq(a, b):
+    return a == b or (a is None and b is None)
+
+
+@given(
+    rows=st.lists(st.integers(-50, 50), min_size=1, max_size=25, unique=True),
+    n_bins=st.integers(1, 6),
+)
+@SET
+def test_quantile_bin_matches_python(spark, rows, n_bins):
+    """Equal-frequency binning == the Python rank*[n_bins]//n rule for
+    ANY unique values and bin count — bins differ by at most one row."""
+    from dwh_etl_ods_spark_jobs_spark.operators.rank import quantile_bin
+
+    df = spark.createDataFrame([(v,) for v in rows], "v int")
+    got = {r.v: r.bin for r in df.transform(quantile_bin(["v"], n_bins, n_ranges=4)).collect()}
+
+    n = len(rows)
+    want = {v: i * n_bins // n for i, v in enumerate(sorted(rows))}
+    assert got == want
+    sizes = {}
+    for b in got.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    if len(sizes) > 1:
+        assert max(sizes.values()) - min(sizes.values()) <= 1

@@ -6178,3 +6178,112 @@ def test_quantile_bin_matches_python(spark, rows, n_bins):
         sizes[b] = sizes.get(b, 0) + 1
     if len(sizes) > 1:
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+_tsql_dates = st.dates(
+    min_value=__import__("datetime").date(1995, 1, 1),
+    max_value=__import__("datetime").date(2035, 12, 31),
+)
+
+
+@given(
+    pairs=st.lists(st.tuples(_tsql_dates, _tsql_dates), min_size=1, max_size=15),
+    n_months=st.integers(-25, 25),
+    n_days=st.integers(-40, 40),
+)
+@SET
+def test_tsql_scalar_suite_matches_python(spark, pairs, n_months, n_days):
+    """The T-SQL scalar shims == Python datetime replications for ANY
+    dates: boundary-crossing DATEDIFF(yy/dd/month), EOMONTH with month
+    offsets, DATEADD month-clamping and day arithmetic, DATEFROMPARTS,
+    and uppercase-hex HASHBYTES."""
+    import calendar
+    import datetime as dt
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.functions import (
+        dateadd_day,
+        dateadd_month,
+        datediff_dd,
+        datediff_month,
+        datediff_yy,
+        datefromparts,
+        eomonth,
+        hashbytes_sha2_256,
+    )
+
+    rows = [(i, s, e) for i, (s, e) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i int, s date, e date")
+    got = {
+        r.i: (r.yy, r.dd, r.mm, r.eom, r.am, r.ad, r.dfp, r.hb)
+        for r in df.select(
+            "i",
+            datediff_yy(F.col("s"), F.col("e")).alias("yy"),
+            datediff_dd(F.col("s"), F.col("e")).alias("dd"),
+            datediff_month(F.col("s"), F.col("e")).alias("mm"),
+            eomonth(F.col("s"), n_months).alias("eom"),
+            dateadd_month(n_months, F.col("s")).alias("am"),
+            dateadd_day(n_days, F.col("s")).alias("ad"),
+            datefromparts(F.year("s"), F.month("s"), F.lit(28)).alias("dfp"),
+            hashbytes_sha2_256(F.col("i")).alias("hb"),
+        ).collect()
+    }
+
+    def add_months(d: dt.date, n: int) -> dt.date:
+        y, m = divmod(d.year * 12 + (d.month - 1) + n, 12)
+        last = calendar.monthrange(y, m + 1)[1]
+        return dt.date(y, m + 1, min(d.day, last))
+
+    want = {}
+    for i, s, e in rows:
+        shifted = add_months(s, n_months)
+        want[i] = (
+            e.year - s.year,
+            (e - s).days,
+            (e.year - s.year) * 12 + (e.month - s.month),
+            dt.date(
+                shifted.year, shifted.month,
+                calendar.monthrange(shifted.year, shifted.month)[1],
+            ),
+            shifted,
+            s + dt.timedelta(days=n_days),
+            dt.date(s.year, s.month, 28),
+            hashlib.sha256(str(i).encode()).hexdigest().upper(),
+        )
+    assert got == want
+
+
+@given(
+    cells=st.lists(
+        st.one_of(
+            st.tuples(st.integers(1, 31), st.integers(1, 12), st.integers(1998, 2032)).map(
+                lambda t: f"{t[0]:02d}/{t[1]:02d}/{t[2]}"
+            ),
+            st.sampled_from(["31/04/2020", "29/02/2019", "00/01/2020", "garbage", "", "2020-01-05"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_convert_103_matches_python(spark, cells):
+    """CONVERT(..., 103) == Python strptime dd/MM/yyyy for ANY strings —
+    NULL on impossible dates and malformed input, never an error."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.functions import convert_103
+
+    rows = [(i, c) for i, c in enumerate(cells)]
+    df = spark.createDataFrame(rows, "i int, c string")
+    got = {
+        r.i: r.ts
+        for r in df.select("i", convert_103(F.col("c")).alias("ts")).collect()
+    }
+
+    want = {}
+    for i, c in rows:
+        try:
+            want[i] = dt.datetime.strptime(c, "%d/%m/%Y")
+        except ValueError:
+            want[i] = None
+    assert got == want

@@ -6287,3 +6287,85 @@ def test_convert_103_matches_python(spark, cells):
         except ValueError:
             want[i] = None
     assert got == want
+
+
+@given(texts=_dd_texts, thr=st.sampled_from([0.0, 0.5, 0.9]))
+@SET
+def test_minhash_lsh_pairs_matches_python(spark, texts, thr):
+    """MinHash LSH banding == the Python replication for ANY corpus and
+    threshold: candidates are exactly the pairs sharing ≥1 equal band
+    slice, scored by the agreeing-component fraction."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        _minhash_salts,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(df, "text", "id", threshold=thr).collect()
+    }
+
+    salts = _minhash_salts(MINHASH_K)
+    sigs = {}
+    for i, t in rows:
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in _py_shingles(_py_tokens(t))
+        ]
+        sigs[i] = [min(h ^ s for h in hs) for s in salts]
+    rows_per = MINHASH_K // LSH_BANDS
+    want = {}
+    ids = sorted(sigs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            sa, sb = sigs[a], sigs[b]
+            shares_band = any(
+                sa[bi * rows_per : (bi + 1) * rows_per]
+                == sb[bi * rows_per : (bi + 1) * rows_per]
+                for bi in range(LSH_BANDS)
+            )
+            if not shares_band:
+                continue
+            est = _round_half_up(
+                sum(1 for p, q in zip(sa, sb) if p == q) / MINHASH_K, 6
+            )
+            if est >= thr:
+                want[(a, b)] = est
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(["N/A", "Yes", "No", "x", ""])),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_values_to_null_and_presence_flag_match_python(spark, vals):
+    """values_to_null and presence_flag replay the reference's literal
+    placeholder and ternary rules for ANY strings, NULL preserved."""
+    from dwh_etl_ods_spark_jobs_spark.operators.clean import (
+        presence_flag,
+        values_to_null,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v string")
+    got_n = {r.i: r.v for r in values_to_null("v", ["N/A", ""])(df).collect()}
+    got_p = {r.i: r.v for r in presence_flag("v")(df).collect()}
+
+    want_n = {
+        i: (None if v in ("N/A", "") else v) for i, v in enumerate(vals)
+    }
+    want_p = {
+        i: (None if v is None else ("No" if v == "No" else "Yes"))
+        for i, v in enumerate(vals)
+    }
+    assert got_n == want_n
+    assert got_p == want_p

@@ -6369,3 +6369,98 @@ def test_values_to_null_and_presence_flag_match_python(spark, vals):
     }
     assert got_n == want_n
     assert got_p == want_p
+
+
+_pair_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(cand=_pair_lists, truth=_pair_lists, with_n=st.booleans())
+@SET
+def test_blocking_quality_eval_matches_python(spark, cand, truth, with_n):
+    """Blocking quality eval == the Python fold for ANY pair lists:
+    orientation-normalized distinct pairs, exact ppm completeness, and
+    the C(n,2) reduction ratio."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import blocking_quality_eval
+
+    cdf = spark.createDataFrame(cand, "id_a int, id_b int")
+    tdf = spark.createDataFrame(truth, "id_a int, id_b int")
+    n_rec = 10 if with_n else None
+    r = blocking_quality_eval(cdf, tdf, n_records=n_rec).collect()[0]
+
+    cset = {(min(a, b), max(a, b)) for a, b in cand}
+    tset = {(min(a, b), max(a, b)) for a, b in truth}
+    found = len(tset & cset)
+    assert (r.n_cand, r.n_true, r.n_found, r.pair_completeness_ppm) == (
+        len(cset), len(tset), found, found * 1_000_000 // len(tset)
+    )
+    if with_n:
+        total = 10 * 9 // 2
+        assert r.reduction_ratio_ppm == 1_000_000 - len(cset) * 1_000_000 // total
+
+
+_payloads = st.lists(
+    st.one_of(
+        st.none(),
+        st.binary(min_size=0, max_size=20),
+        st.sampled_from(
+            [
+                bytes.fromhex("89504E470D0A1A0A") + b"rest",
+                b"\xff\xd8\xff\xe0data",
+                b"GIF89a..",
+                b"BMxxxx",
+                b"%PDFxx",
+                b"PK\x03\x04zz",
+                b"\x1f\x8bgz",
+                b"RIFF\x00\x00\x00\x00WAVEfmt ",
+                b"RIFF\x00\x00\x00\x00AVI LIST",
+                b"RIFFshort",
+            ]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(payloads=_payloads)
+@SET
+def test_sniff_type_census_matches_python(spark, payloads):
+    """Magic-byte sniffing and the type census == the Python replication
+    for ANY payloads: signature priority order, RIFF disambiguation at
+    offset 8, unknown/NULL/short handling, and byte totals."""
+    from dwh_etl_ods_spark_jobs_spark.multimodal import (
+        MAGIC_SIGNATURES,
+        RIFF_TAGS,
+        type_census,
+    )
+
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {
+        r.media_type: (r.n, r.total_bytes)
+        for r in type_census(df).collect()
+    }
+
+    def sniff(p):
+        if p is None:
+            return "unknown"
+        head = p[:16].hex().upper()
+        for name, sig in MAGIC_SIGNATURES:
+            if head.startswith(sig):
+                return name
+        if head.startswith("52494646") and p[8:12].hex().upper() in dict(
+            (t, n) for n, t in RIFF_TAGS
+        ):
+            return {t: n for n, t in RIFF_TAGS}[p[8:12].hex().upper()]
+        return "unknown"
+
+    want: dict[str, tuple[int, int]] = {}
+    for _, p in rows:
+        t = sniff(p)
+        n, b = want.get(t, (0, 0))
+        want[t] = (n + 1, b + (len(p) if p is not None else 0))
+    assert got == want

@@ -6464,3 +6464,118 @@ def test_sniff_type_census_matches_python(spark, payloads):
         n, b = want.get(t, (0, 0))
         want[t] = (n + 1, b + (len(p) if p is not None else 0))
     assert got == want
+
+
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15),
+    extra_nodes=st.sets(st.integers(0, 9), min_size=1, max_size=6),
+)
+@SET
+def test_connected_components_matches_union_find(spark, edges, extra_nodes):
+    """Min-label propagation == a Python union-find for ANY pair graph:
+    every node labels with the minimum id reachable through the
+    symmetric closure, isolated nodes label themselves."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import connected_components
+
+    nodes = sorted(extra_nodes | {n for e in edges for n in e})
+    pdf = spark.createDataFrame(edges, "id_a int, id_b int") if edges else (
+        spark.range(0).select(
+            F.lit(None).cast("int").alias("id_a"),
+            F.lit(None).cast("int").alias("id_b"),
+        )
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id int")
+    got = {r.id: r.canonical_id for r in connected_components(pdf, ndf).collect()}
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert got == want
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    recs=st.lists(
+        st.tuples(st.integers(0, 40), st.one_of(st.none(), st.text("abcd", min_size=0, max_size=5))),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    window=st.integers(1, 4),
+    max_d=st.one_of(st.none(), st.integers(0, 3)),
+)
+@SET
+def test_sorted_neighborhood_pairs_matches_python(spark, recs, window, max_d):
+    """Sorted-neighborhood blocking == the Python replication for ANY
+    keys, window, and distance budget: NULL keys excluded, the
+    (key, id) total order, exactly the window successors, Levenshtein
+    scores."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(recs, "id int, k string")
+    got = sorted(
+        (r.a_id, r.b_id, r.lev)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=window, max_distance=max_d
+        ).collect()
+    )
+
+    ordered = sorted(((k, i) for i, k in recs if k is not None))
+    want = []
+    for pos, (ka, ia) in enumerate(ordered):
+        for off in range(1, window + 1):
+            if pos + off < len(ordered):
+                kb, ib = ordered[pos + off]
+                lev = _py_lev(ka, kb)
+                if max_d is None or lev <= max_d:
+                    want.append((ia, ib, lev))
+    assert got == sorted(want)
+
+
+@given(texts=_dd_texts, thr=st.sampled_from([0, 500_000, 900_000]))
+@SET
+def test_ngram_containment_pairs_matches_python(spark, texts, thr):
+    """Shingle containment == the Python set replication for ANY corpus
+    and threshold: distinct-shingle intersections, both ppm directions
+    exact, either-direction threshold keep."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import ngram_containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.na, r.nb, r.cont_a_ppm, r.cont_b_ppm)
+        for r in ngram_containment_pairs(df, "text", "id", threshold_ppm=thr).collect()
+    }
+
+    sh = {i: set(_py_shingles(_py_tokens(t))) for i, t in rows}
+    want = {}
+    ids = sorted(sh)
+    for xi, a in enumerate(ids):
+        for b in ids[xi + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            ca, cb = inter * 1_000_000 // na, inter * 1_000_000 // nb
+            if ca >= thr or cb >= thr:
+                want[(a, b)] = (inter, na, nb, ca, cb)
+    assert got == want

@@ -6579,3 +6579,79 @@ def test_ngram_containment_pairs_matches_python(spark, texts, thr):
             if ca >= thr or cb >= thr:
                 want[(a, b)] = (inter, na, nb, ca, cb)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.sampled_from(["A  b", "a b", "x", "X ", "", "c d e"])),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_exact_dedup_matches_python(spark, texts):
+    """Exact dedup == the Python normalize+md5 grouping for ANY texts:
+    NULL and empty share one fingerprint, min-id survivor."""
+    import hashlib
+    import re
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.fingerprint: (r.keep_id, r.n_dups)
+        for r in exact_dedup(df, "text", "id").collect()
+    }
+
+    groups: dict[str, list] = {}
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        groups.setdefault(hashlib.md5(norm.encode()).hexdigest(), []).append(i)
+    want = {fp: (min(ids), len(ids)) for fp, ids in groups.items()}
+    assert got == want
+
+
+@given(vecs=st.lists(_nz_vec3, min_size=2, max_size=10), k=st.integers(1, 3))
+@SET
+def test_mutual_knn_pairs_matches_python(spark, vecs, k):
+    """Mutual kNN == the Python replication for ANY vectors and k:
+    hyperplane bucket-mate candidate lists, (cos desc, id) directed
+    top-k, and the reciprocal filter with both ranks."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import hyperplanes, mutual_knn_pairs
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    n_planes = 3
+    got = {
+        (r.id_a, r.id_b): (r.cos, r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(df, "vec", "id", k=k, dim=3, n_planes=n_planes).collect()
+    }
+
+    planes = hyperplanes(3, n_planes)
+
+    def sig(v):
+        s = 0
+        for p, plane in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(v, plane):
+                acc = acc + x * w
+            if acc > 0:
+                s |= 1 << p
+        return s
+
+    sigs = {i: sig(v) for i, v in rows}
+    directed = {}
+    for a, av in rows:
+        cands = sorted(
+            (-_round_half_up(_py_cos(av, bv), 6), b)
+            for b, bv in rows
+            if b != a and sigs[b] == sigs[a]
+        )
+        for rank, (negc, b) in enumerate(cands[:k], start=1):
+            directed[(a, b)] = (-negc, rank)
+    want = {}
+    for (a, b), (c, r_ab) in directed.items():
+        if a < b and (b, a) in directed:
+            want[(a, b)] = (c, r_ab, directed[(b, a)][1])
+    assert got == want

@@ -6655,3 +6655,76 @@ def test_mutual_knn_pairs_matches_python(spark, vecs, k):
         if a < b and (b, a) in directed:
             want[(a, b)] = (c, r_ab, directed[(b, a)][1])
     assert got == want
+
+
+@given(texts=_dd_texts, thr=st.sampled_from([0.0, 0.4, 0.8]))
+@SET
+def test_ngram_jaccard_pairs_matches_python(spark, texts, thr):
+    """Shingle-blocked exact Jaccard == the Python set replication for
+    ANY corpus and threshold: distinct-shingle intersections, the
+    6-decimal rounded ratio, threshold keep."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import ngram_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "id", threshold=thr).collect()
+    }
+
+    sh = {i: set(_py_shingles(_py_tokens(t))) for i, t in rows}
+    want = {}
+    ids = sorted(sh)
+    for xi, a in enumerate(ids):
+        for b in ids[xi + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = _round_half_up(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= thr:
+                want[(a, b)] = j
+    assert got == want
+
+
+@given(vecs=st.lists(_nz_vec3, min_size=2, max_size=10), thr=st.sampled_from([-1.0, 0.5, 0.9]))
+@SET
+def test_embedding_neardup_pairs_matches_python(spark, vecs, thr):
+    """LSH-bucketed embedding near-dup == the Python replication for ANY
+    vectors and threshold: literal-plane signatures gate the candidate
+    pairs, exact cosine verifies."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        embedding_neardup_pairs,
+        hyperplanes,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    n_planes = 3
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(
+            df, "vec", "id", threshold=thr, dim=3, n_planes=n_planes
+        ).collect()
+    }
+
+    planes = hyperplanes(3, n_planes)
+
+    def sig(v):
+        s = 0
+        for p, plane in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(v, plane):
+                acc = acc + x * w
+            if acc > 0:
+                s |= 1 << p
+        return s
+
+    want = {}
+    for ai, (a, av) in enumerate(rows):
+        for b, bv in rows[ai + 1 :]:
+            if sig(av) != sig(bv):
+                continue
+            c = _round_half_up(_py_cos(av, bv), 6)
+            if c >= thr:
+                want[(a, b)] = c
+    assert got == want

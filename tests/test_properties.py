@@ -6728,3 +6728,70 @@ def test_embedding_neardup_pairs_matches_python(spark, vecs, thr):
             if c >= thr:
                 want[(a, b)] = c
     assert got == want
+
+
+@given(texts=_dd_texts, thr=st.sampled_from([200_000, 500_000, 900_000]))
+@SET
+def test_prefix_filter_jaccard_matches_bruteforce(spark, texts, thr):
+    """Prefix-filtered Jaccard join == the brute-force pair scan at ANY
+    threshold — the prefix-filtering lemma loses NO qualifying pair, and
+    inter/sizes/ppm are exact."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.na, r.nb, r.jaccard_ppm)
+        for r in prefix_filter_jaccard_pairs(df, "text", "id", threshold_ppm=thr).collect()
+    }
+
+    sh = {i: set(_py_shingles(_py_tokens(t))) for i, t in rows}
+    want = {}
+    ids = sorted(sh)
+    for xi, a in enumerate(ids):
+        for b in ids[xi + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            ppm = inter * 1_000_000 // (na + nb - inter)
+            if ppm >= thr:
+                want[(a, b)] = (inter, na, nb, ppm)
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10**6), st.integers(1, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_tumbling_rollup_matches_python(spark, events):
+    """Tumbling day windows == the Python date_trunc fold for ANY
+    events: per-(window, group) counts and sums."""
+    import datetime as dt
+
+    from dwh_etl_ods_spark_jobs_spark.operators.timeseries import tumbling_rollup
+
+    rows = [(g, s, v) for g, s, v in events]
+    df = spark.createDataFrame(rows, "g int, s long, v long").withColumn(
+        "ts", F.timestamp_seconds(F.col("s"))
+    )
+    got = {
+        (r.window_start, r.g): (r.n, r.sv)
+        for r in tumbling_rollup(
+            df, "ts", "day", ["g"],
+            [F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")],
+        ).collect()
+    }
+
+    want: dict[tuple, tuple] = {}
+    for g, s, v in rows:
+        d = dt.datetime.fromtimestamp(s).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        n, sv = want.get((d, g), (0, 0))
+        want[(d, g)] = (n + 1, sv + v)
+    assert got == want

@@ -6795,3 +6795,83 @@ def test_tumbling_rollup_matches_python(spark, events):
         n, sv = want.get((d, g), (0, 0))
         want[(d, g)] = (n + 1, sv + v)
     assert got == want
+
+
+@given(batch=_dd_texts, store=_dd_texts, thr=st.sampled_from([200_000, 500_000]))
+@SET
+def test_incremental_lsh_dedup_matches_python(spark, batch, store, thr):
+    """Incremental store dedup == the Python replication for ANY batch
+    and store: band-slice candidate gates on both sides, exact agree
+    estimates, (max est, min id) best picks, earlier-id batch rule,
+    -1/0 defaults, and the is_new flag."""
+    import hashlib
+
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        _minhash_salts,
+        incremental_lsh_dedup,
+        minhash_signatures,
+    )
+
+    brows = [(i, t) for i, t in enumerate(batch)]
+    srows = [(100 + i, t) for i, t in enumerate(store)]
+    bdf = spark.createDataFrame(brows, "id int, text string")
+    sdf = spark.createDataFrame(srows, "id int, text string")
+    store_sigs = minhash_signatures(sdf, "text", "id")
+    got = {
+        r.doc_id: (
+            r.store_dup_of, r.store_est_micro,
+            r.batch_dup_of, r.batch_est_micro, r.is_new,
+        )
+        for r in incremental_lsh_dedup(
+            bdf, store_sigs, "text", "id", threshold_micro=thr
+        ).collect()
+    }
+
+    salts = _minhash_salts(MINHASH_K)
+
+    def sig_of(t):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in _py_shingles(_py_tokens(t))
+        ]
+        return [min(h ^ s for h in hs) for s in salts]
+
+    bsigs = {i: sig_of(t) for i, t in brows}
+    ssigs = {i: sig_of(t) for i, t in srows}
+    rows_per = MINHASH_K // LSH_BANDS
+
+    def shares_band(sa, sb):
+        return any(
+            sa[bi * rows_per : (bi + 1) * rows_per]
+            == sb[bi * rows_per : (bi + 1) * rows_per]
+            for bi in range(LSH_BANDS)
+        )
+
+    def best(nid, others):
+        ms = []
+        sa = bsigs[nid]
+        for oid, sb in others:
+            if not shares_band(sa, sb):
+                continue
+            est = sum(1 for p, q in zip(sa, sb) if p == q) * 1_000_000 // MINHASH_K
+            if est >= thr:
+                ms.append((est, oid))
+        if not ms:
+            return None
+        top = max(e for e, _ in ms)
+        return (min(o for e, o in ms if e == top), top)
+
+    want = {}
+    for nid, _ in brows:
+        bs = best(nid, ssigs.items())
+        bb = best(nid, [(o, s) for o, s in bsigs.items() if o < nid])
+        want[nid] = (
+            bs[0] if bs else -1,
+            bs[1] if bs else 0,
+            bb[0] if bb else -1,
+            bb[1] if bb else 0,
+            int(bs is None and bb is None),
+        )
+    assert got == want

@@ -6875,3 +6875,57 @@ def test_incremental_lsh_dedup_matches_python(spark, batch, store, thr):
             int(bs is None and bb is None),
         )
     assert got == want
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    pat=st.dictionaries(st.integers(0, 5), st.sampled_from(["F", "M"]), min_size=0, max_size=6),
+    fac=st.dictionaries(st.integers(0, 3), st.integers(1000, 1010), min_size=0, max_size=4),
+    inner=st.booleans(),
+)
+@SET
+def test_star_enrich_matches_python(spark, facts, pat, fac, inner):
+    """Star enrichment == the Python dict-join replication for ANY fact
+    and dimension data, in both inner and left modes, with the
+    authoritative-dim column-collision drop."""
+    from dwh_etl_ods_spark_jobs_spark.operators.enrich import star_enrich
+
+    fdf = spark.createDataFrame(facts, "pk int, fk int, v int")
+    pdf = spark.createDataFrame(
+        list(pat.items()), "patient_id int, gender string"
+    ) if pat else spark.range(0).select(
+        F.lit(None).cast("int").alias("patient_id"),
+        F.lit(None).cast("string").alias("gender"),
+    )
+    fdf2 = spark.createDataFrame(
+        list(fac.items()), "fac_id int, code int"
+    ) if fac else spark.range(0).select(
+        F.lit(None).cast("int").alias("fac_id"),
+        F.lit(None).cast("int").alias("code"),
+    )
+    how = "inner" if inner else "left"
+    got = sorted(
+        ((r.pk, r.fk, r.v, r.gender, r.code)
+         for r in star_enrich(
+             fdf,
+             [
+                 (pdf, {"pk": "patient_id"}, ["gender"], True),
+                 (fdf2, {"fk": "fac_id"}, ["code"], True),
+             ],
+             how=how,
+         ).collect()),
+        key=repr,
+    )
+
+    want = []
+    for pk, fk, v in facts:
+        g = pat.get(pk)
+        c = fac.get(fk)
+        if inner and (pk not in pat or fk not in fac):
+            continue
+        want.append((pk, fk, v, g, c))
+    assert got == sorted(want, key=repr)

@@ -1,0 +1,213 @@
+"""Hypothesis-randomized CROSS-ENGINE parity: Spark operator vs its own
+DuckDB SQL renderer on the same randomized frame.
+
+The oracle gate and the sweep prove Spark == DuckDB on the FIXED
+testdata; the property pins prove Spark == Python on randomized inputs.
+This file closes the triangle's third side for the most intricate
+renderer pairs — randomized inputs through BOTH engines — so a
+renderer-side edge case the fixed parquet never exercises (an md5/conv
+corner, a window-frame NULL placement, a full-outer coalesce) cannot
+hide behind the fixed-data gate.
+
+Each test registers the same pandas frame as a DuckDB view and as a
+Spark DataFrame, runs the operator on one side and the rendered SQL on
+the other, and compares collected values exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _duck(frames: dict[str, pd.DataFrame]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, df in frames.items():
+        con.register(f"_reg_{name}", df)
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM _reg_{name}")
+    return con
+
+
+_srm_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 4)), min_size=1, max_size=30
+)
+
+
+@given(rows=_srm_rows, thr=st.integers(0, 10_000_000))
+@SET
+def test_srm_check_cross_engine(spark, rows, thr):
+    """srm_check == srm_check_sql on ANY assignment stream and
+    threshold (exact chi² numerator, truncated micro division)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.stats import (
+        srm_check,
+        srm_check_sql,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["e", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.experiment: (r.n, r.n_variants, r.chi2_micro, r.srm_flag)
+        for r in srm_check(sdf, "e", "v", thr).collect()
+    }
+    con = _duck({"srctab": pdf})
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(srm_check_sql("srctab", "e", "v", thr)).fetchall()
+    }
+    assert got == want
+
+
+_drift_vals = st.lists(st.integers(0, 2**20), min_size=1, max_size=30)
+
+
+@given(old=_drift_vals, new=_drift_vals)
+@SET
+def test_hdr_drift_cross_engine(spark, old, new):
+    """The TVD / W1 / KS drift renderers agree with the Spark operators
+    on ANY two randomized samples (shared bucketing, integer CDFs)."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        hdr_distribution_drift,
+        hdr_distribution_drift_sql,
+        hdr_ks_drift,
+        hdr_ks_drift_sql,
+        hdr_wasserstein_drift,
+        hdr_wasserstein_drift_sql,
+    )
+
+    po = pd.DataFrame({"v": pd.Series(old, dtype="int64")})
+    pn = pd.DataFrame({"v": pd.Series(new, dtype="int64")})
+    so = spark.createDataFrame(po)
+    sn = spark.createDataFrame(pn)
+    con = _duck({"oldtab": po, "newtab": pn})
+    octe, ncte = "SELECT * FROM oldtab", "SELECT * FROM newtab"
+
+    for op, render in (
+        (hdr_distribution_drift, hdr_distribution_drift_sql),
+        (hdr_wasserstein_drift, hdr_wasserstein_drift_sql),
+        (hdr_ks_drift, hdr_ks_drift_sql),
+    ):
+        got = [tuple(r) for r in op(so, sn, "v").collect()]
+        want = [tuple(r) for r in con.execute(render(octe, ncte, "v")).fetchall()]
+        assert got == want, op.__name__
+
+
+_ben_vals = st.lists(
+    st.one_of(st.none(), st.integers(-100, 10**6)), min_size=1, max_size=30
+).filter(lambda vs: any(v is not None and v > 0 for v in vs))
+
+
+@given(vals=_ben_vals)
+@SET
+def test_benford_audit_cross_engine(spark, vals):
+    """benford_first_digit_audit == its renderer on ANY values (NULL and
+    non-positive exclusion, integer ppm shares)."""
+    from dwh_etl_ods_spark_jobs_spark.operators.quality import (
+        benford_first_digit_audit,
+        benford_first_digit_audit_sql,
+    )
+
+    pdf = pd.DataFrame({"v": pd.Series(vals, dtype="Int64")})
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in benford_first_digit_audit(sdf, "v").collect())
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(benford_first_digit_audit_sql("srctab", "v")).fetchall()
+    )
+    assert got == want
+
+
+_ck_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(0, 5)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_ck_rows)
+@SET
+def test_table_checksum_cross_engine(spark, rows):
+    """table_checksum == its renderer on ANY rows — the double-md5
+    60-bit hash, XOR fold, and mod-2^63 sum all agree bit-for-bit."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        table_checksum,
+        table_checksum_sql,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["a", "b"]).astype("Int64")
+    sdf = spark.createDataFrame(pdf)
+    got = tuple(table_checksum(sdf).collect()[0])
+    con = _duck({"srctab": pdf})
+    want = tuple(con.execute(table_checksum_sql("srctab", ["a", "b"])).fetchall()[0])
+    assert got == want
+
+
+_snap_side = st.dictionaries(
+    st.one_of(st.none(), st.integers(0, 6)),
+    st.one_of(st.none(), st.integers(0, 3)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(old=_snap_side, new=_snap_side)
+@SET
+def test_snapshot_diff_cross_engine(spark, old, new):
+    """snapshot_diff == its renderer on ANY two versions — null-safe
+    full-outer key matching and the fingerprint compare agree."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        snapshot_diff,
+        snapshot_diff_sql,
+    )
+
+    po = pd.DataFrame(list(old.items()) or None, columns=["k", "v"]).astype("Int64")
+    pn = pd.DataFrame(list(new.items()) or None, columns=["k", "v"]).astype("Int64")
+    so = spark.createDataFrame(po, "k int, v int")
+    sn = spark.createDataFrame(pn, "k int, v int")
+    got = {
+        (None if r.k is None else int(r.k)): r.change
+        for r in snapshot_diff(so, sn, ["k"]).collect()
+    }
+    con = _duck({"oldtab": po, "newtab": pn})
+    sql = snapshot_diff_sql("SELECT * FROM oldtab", "SELECT * FROM newtab", ["k"], ["v"])
+    want = {
+        (None if k is None else int(k)): c for k, c in con.execute(sql).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    child=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=1, max_size=20),
+    parent=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=0, max_size=10),
+)
+@SET
+def test_fk_orphan_census_cross_engine(spark, child, parent):
+    """fk_orphan_census == its renderer on ANY keysets — NULL-as-orphan
+    and the truncated ppm agree."""
+    from dwh_etl_ods_spark_jobs_spark.operators.reconcile import (
+        fk_orphan_census,
+        fk_orphan_census_sql,
+    )
+
+    pc = pd.DataFrame({"fk": pd.Series(child, dtype="Int64")})
+    pp = pd.DataFrame({"pk": pd.Series(parent, dtype="Int64")})
+    sc = spark.createDataFrame(pc, "fk int")
+    sp = spark.createDataFrame(pp, "pk int")
+    got = tuple(fk_orphan_census(sc, sp, [("fk", "pk")]).collect()[0])
+    con = _duck({"childtab": pc, "parenttab": pp})
+    sql = fk_orphan_census_sql(
+        "SELECT * FROM childtab", "SELECT pk AS fk FROM parenttab", [("fk", "fk")]
+    )
+    want = tuple(con.execute(sql).fetchall()[0])
+    assert got == want

@@ -211,3 +211,87 @@ def test_fk_orphan_census_cross_engine(spark, child, parent):
     )
     want = tuple(con.execute(sql).fetchall()[0])
     assert got == want
+
+
+_ge_edges = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=25
+)
+
+
+@given(edges=_ge_edges, iters=st.integers(1, 4))
+@SET
+def test_pagerank_cross_engine(spark, edges, iters):
+    """pagerank == pagerank_sql on ANY directed multigraph at ANY
+    shallow iteration count — exact-integer ranks bit-for-bit."""
+    from dwh_etl_ods_spark_jobs_spark.graph import pagerank, pagerank_sql
+
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    got = {r.node: r.rank_micro for r in pagerank(sdf, iterations=iters).collect()}
+    con = _duck({"gedges": pdf})
+    want = dict(
+        con.execute(
+            pagerank_sql("SELECT src, dst FROM gedges", iterations=iters)
+        ).fetchall()
+    )
+    assert got == want
+
+
+_und_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_und_edges)
+@SET
+def test_triangle_census_cross_engine(spark, raw):
+    """triangle_census == triangle_census_sql on ANY undirected graph —
+    identical degree-ordered orientation and closing joins."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        triangle_census,
+        triangle_census_sql,
+    )
+
+    eset = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    pdf = pd.DataFrame(eset, columns=["u", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = {r.node: r.n_triangles for r in triangle_census(sdf).collect()}
+    con = _duck({"gedges": pdf})
+    want = dict(
+        con.execute(triangle_census_sql("SELECT u, v FROM gedges")).fetchall()
+    )
+    assert got == want
+
+
+@given(raw=_und_edges, k=st.integers(1, 4), rounds=st.integers(1, 3))
+@SET
+def test_kcore_and_lpa_cross_engine(spark, raw, k, rounds):
+    """k_core and label_propagation == their unrolled-CTE renderers on
+    ANY symmetrized graph — peel fixpoint and synchronous LPA rounds
+    agree row-for-row."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        k_core,
+        k_core_sql,
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    sym = sorted(
+        {(a, b) for a, b in raw} | {(b, a) for a, b in raw}
+    )
+    pdf = pd.DataFrame(sym, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    con = _duck({"gedges": pdf})
+    cte = "SELECT src, dst FROM gedges"
+
+    got_core = {r.node: r.degree for r in k_core(sdf, k=k).collect()}
+    want_core = dict(con.execute(k_core_sql(cte, k=k)).fetchall())
+    assert got_core == want_core
+
+    got_lpa = {r.node: r.label for r in label_propagation(sdf, rounds=rounds).collect()}
+    want_lpa = dict(
+        con.execute(label_propagation_sql(cte, rounds=rounds)).fetchall()
+    )
+    assert got_lpa == want_lpa

@@ -295,3 +295,179 @@ def test_kcore_and_lpa_cross_engine(spark, raw, k, rounds):
         con.execute(label_propagation_sql(cte, rounds=rounds)).fetchall()
     )
     assert got_lpa == want_lpa
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_hll_distinct_cross_engine(spark, rows):
+    """hll_distinct == hll_distinct_sql on ANY grouped values — the
+    register fold and the rounded estimate agree exactly."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import hll_distinct, hll_distinct_sql
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.g: (r.empty_registers, r.est_distinct)
+        for r in sdf.transform(hll_distinct(["g"], "v")).collect()
+    }
+    con = _duck({"srctab": pdf})
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(hll_distinct_sql("srctab", ["g"], "v")).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 2**20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_hdr_percentile_calibrate_cross_engine(spark, rows):
+    """hdr_percentile_calibrate == its renderer on ANY grouped scores —
+    bucket assignment and the strictly-below ppm agree per row."""
+    from dwh_etl_ods_spark_jobs_spark.sketches import (
+        hdr_percentile_calibrate,
+        hdr_percentile_calibrate_sql,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.g, r.v, r.pct_micro)
+        for r in hdr_percentile_calibrate(sdf, ["g"], "v").collect()
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            hdr_percentile_calibrate_sql("srctab", ["g"], "v")
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.one_of(st.none(), st.integers(0, 3))),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_changes_to_scd2_cross_engine(spark, stream):
+    """changes_to_scd2 == its renderer on ANY observation stream —
+    NULL-safe change points, NULLS FIRST ordering, and interval ends
+    agree."""
+    from dwh_etl_ods_spark_jobs_spark.operators.scd import (
+        changes_to_scd2,
+        changes_to_scd2_sql,
+    )
+
+    pdf = pd.DataFrame(stream, columns=["k", "ts", "a"]).astype(
+        {"k": "int64", "ts": "int64", "a": "Int64"}
+    )
+    sdf = spark.createDataFrame(pdf, "k int, ts long, a int")
+    got = sorted(
+        ((r.k, r.a, r.effective_from, r.effective_to, r.is_current)
+         for r in sdf.transform(changes_to_scd2("k", "ts", ["a"])).collect()),
+        key=repr,
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        ((k, a, f, t, bool(c)) for k, a, f, t, c in con.execute(
+            changes_to_scd2_sql("srctab", "k", "ts", ["a"])
+        ).fetchall()),
+        key=repr,
+    )
+    assert got == want
+
+
+@given(weights=st.dictionaries(st.integers(0, 8), st.integers(1, 100), min_size=1, max_size=8), budget=st.integers(0, 500))
+@SET
+def test_largest_remainder_cross_engine(spark, weights, budget):
+    """largest_remainder_allocation == its renderer on ANY weights and
+    budget — floors, remainder ranks, and tie-breaks agree."""
+    from dwh_etl_ods_spark_jobs_spark.curation import (
+        largest_remainder_allocation,
+        largest_remainder_allocation_sql,
+    )
+
+    pdf = pd.DataFrame(list(weights.items()), columns=["key", "w"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.key, r.weight, r.alloc)
+        for r in largest_remainder_allocation(sdf, "key", "w", budget).collect()
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            largest_remainder_allocation_sql("srctab", "key", "w", budget)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(edges=_ge_edges, k=st.integers(1, 5), seed=st.text("xy", min_size=1, max_size=3))
+@SET
+def test_negative_edge_samples_cross_engine(spark, edges, k, seed):
+    """negative_edge_samples == its renderer for ANY graph, draw count,
+    and seed — the dense index, md5 draws, and drops agree."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        negative_edge_samples,
+        negative_edge_samples_sql,
+    )
+
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.src, r.dst, r.draw)
+        for r in negative_edge_samples(sdf, "src", "dst", k=k, seed=seed).collect()
+    )
+    con = _duck({"gedges": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            negative_edge_samples_sql(
+                "SELECT src, dst FROM gedges", "src", "dst", k, seed
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(raw=_und_edges, srcs=st.sets(st.integers(0, 7), min_size=1, max_size=3), hops=st.integers(1, 4))
+@SET
+def test_bfs_hops_cross_engine(spark, raw, srcs, hops):
+    """bfs_hops == its unrolled-CTE renderer for ANY graph, sources,
+    and hop budget — frontier rounds and minimum distances agree."""
+    from dwh_etl_ods_spark_jobs_spark.graph import bfs_hops, bfs_hops_sql
+
+    sym = sorted({(a, b) for a, b in raw} | {(b, a) for a, b in raw})
+    pe = pd.DataFrame(sym, columns=["src", "dst"])
+    ps = pd.DataFrame({"node": sorted(srcs)})
+    se = spark.createDataFrame(pe, "src long, dst long")
+    ss = spark.createDataFrame(ps, "node long")
+    got = sorted(
+        (r.node, r.hops) for r in bfs_hops(se, ss, max_hops=hops).collect()
+    )
+    con = _duck({"gedges": pe, "gsrcs": ps})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            bfs_hops_sql(
+                "SELECT src, dst FROM gedges", "SELECT node FROM gsrcs", hops
+            )
+        ).fetchall()
+    )
+    assert got == want

@@ -85,11 +85,17 @@ def shingles_of(toks_col: Column, w: int = SHINGLE_W) -> Column:
 
 
 def shingles_sql(expr: str, w: int = SHINGLE_W) -> str:
+    # coalesce: DuckDB's array_to_string([]) is NULL (Spark's array_join
+    # is '') and list_distinct then DROPS the NULL — without it a
+    # token-less document loses its whole-text '' shingle and silently
+    # vanishes from every shingle posting the oracle builds, while the
+    # Spark side keeps it (caught by the randomized cross-engine pin;
+    # the fixed testdata has no token-less documents).
     toks = tokens_sql(expr)
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({toks}) - {w - 1}, 1) + 1),"
-        f" i -> array_to_string(({toks})[i:i+{w - 1}], ' ')))"
+        f" i -> coalesce(array_to_string(({toks})[i:i+{w - 1}], ' '), '')))"
     )
 
 

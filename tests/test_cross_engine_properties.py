@@ -471,3 +471,136 @@ def test_bfs_hops_cross_engine(spark, raw, srcs, hops):
         ).fetchall()
     )
     assert got == want
+
+
+_docs = st.lists(st.text("ab c.X2", min_size=0, max_size=20), min_size=1, max_size=8)
+
+
+@given(texts=_docs)
+@SET
+def test_simhash_cross_engine(spark, texts):
+    """simhash_signatures == simhash_sql on ANY corpus — per-token
+    hashes, bit votes, and the signature fold agree."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import simhash_signatures, simhash_sql
+
+    pdf = pd.DataFrame([(i, t) for i, t in enumerate(texts)], columns=["id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = {r.doc_id: r.simhash for r in simhash_signatures(sdf, "text", "id").collect()}
+    con = _duck({"srctab": pdf})
+    want = dict(con.execute(simhash_sql("srctab", "text", "id")).fetchall())
+    assert got == want
+
+
+@given(texts=_docs, max_df=st.one_of(st.none(), st.integers(1, 6)))
+@SET
+def test_token_pmi_cross_engine(spark, texts, max_df):
+    """token_pmi == token_pmi_sql on ANY corpus and DF window — counts
+    and the single-op float ln sequence agree."""
+    from dwh_etl_ods_spark_jobs_spark.curation import token_pmi, token_pmi_sql
+
+    pdf = pd.DataFrame([(i, t) for i, t in enumerate(texts)], columns=["id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        tuple(r)
+        for r in token_pmi(sdf, "text", "id", min_df=1, max_df=max_df).collect()
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            token_pmi_sql("srctab", "text", "id", min_df=1, max_df=max_df)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(raw=_und_edges)
+@SET
+def test_adamic_adar_cross_engine(spark, raw):
+    """adamic_adar_topk == its renderer on ANY undirected graph — the
+    capped wedge domain, micro weights, and top-k cut agree."""
+    from dwh_etl_ods_spark_jobs_spark.graph import (
+        adamic_adar_topk,
+        adamic_adar_topk_sql,
+    )
+
+    eset = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    pdf = pd.DataFrame(eset, columns=["u", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        tuple(r) for r in adamic_adar_topk(sdf, top_k=10).collect()
+    )
+    con = _duck({"gedges": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            adamic_adar_topk_sql("SELECT u, v FROM gedges", top_k=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(texts=_docs, thr=st.sampled_from([200_000, 500_000, 900_000]))
+@SET
+def test_prefix_filter_jaccard_cross_engine(spark, texts, thr):
+    """prefix_filter_jaccard_pairs == its renderer on ANY corpus and
+    threshold — the SAME prefix-filtered candidate generation on both
+    engines, not a shortcut oracle."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_sql,
+    )
+
+    pdf = pd.DataFrame([(i, t) for i, t in enumerate(texts)], columns=["id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(sdf, "text", "id", threshold_ppm=thr).collect()
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            prefix_filter_jaccard_pairs_sql("srctab", "text", "id", thr)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(
+    recs=st.lists(
+        st.tuples(st.integers(0, 40), st.one_of(st.none(), st.text("abcd", min_size=0, max_size=5))),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    window=st.integers(1, 4),
+    max_d=st.one_of(st.none(), st.integers(0, 3)),
+)
+@SET
+def test_sorted_neighborhood_cross_engine(spark, recs, window, max_d):
+    """sorted_neighborhood_pairs == its renderer on ANY keys — the
+    (key, id) total order, window joins, and Levenshtein scores agree."""
+    from dwh_etl_ods_spark_jobs_spark.dedup import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_sql,
+    )
+
+    pdf = pd.DataFrame(recs, columns=["id", "k"])
+    sdf = spark.createDataFrame(pdf, "id int, k string")
+    got = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            sdf, "id", "k", window=window, max_distance=max_d
+        ).collect()
+    )
+    con = _duck({"srctab": pdf})
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sorted_neighborhood_pairs_sql(
+                "srctab", "id", "k", window=window, max_distance=max_d
+            )
+        ).fetchall()
+    )
+    assert got == want

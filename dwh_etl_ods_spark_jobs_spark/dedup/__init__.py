@@ -469,22 +469,29 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # localCheckpoint (eager) per round: without lineage truncation each
-    # round's plan embeds two copies of the previous one -> exponential plan
-    # growth; 10 rounds OOMs the driver on plan strings alone.
-    labels = nodes.select(
-        F.col("id"), F.col("id").alias("canonical_id")
-    ).localCheckpoint()
+    # The label seed is NOT checkpointed: every battery caller passes a
+    # trivial id projection, and round 1 embedding it twice (join probe +
+    # rebuild side) is one extra pruned-column scan — cheaper than the
+    # checkpoint's own planning pass + materialization job (measured r14:
+    # dropping it + the lazy stepped checkpoint below is 0.65x on the
+    # semantic-dedup CC at sf0.1, byte-identical labels). A caller whose
+    # nodes frame is expensive to derive should checkpoint it upstream.
+    labels = nodes.select(F.col("id"), F.col("id").alias("canonical_id"))
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("canonical_id").alias("nmin"))
         )
-        # Carry the previous label through the checkpoint so the convergence
-        # count is a scan of already-materialized partitions, not a second
-        # join job per round (that extra join re-shuffled both label frames
-        # every round and dominated the loop's wall-clock).
+        # localCheckpoint per round: without lineage truncation each round's
+        # plan embeds two copies of the previous one -> exponential plan
+        # growth; 10 rounds OOMs the driver on plan strings alone. LAZY
+        # (eager=False) + the convergence count right after: the count's job
+        # both materializes the checkpoint AND reads the change flag — one
+        # job per round instead of the eager checkpoint's
+        # materialize-then-count two (measured r14, results identical).
+        # Carrying __prev through the checkpoint keeps convergence a scan of
+        # the just-materialized partitions, not a second join per round.
         stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -494,7 +501,7 @@ def connected_components(
                     F.col("canonical_id"), F.coalesce(F.col("nmin"), F.col("canonical_id"))
                 ).alias("canonical_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("canonical_id") != F.col("__prev")).count()
         labels = stepped.select("id", "canonical_id")

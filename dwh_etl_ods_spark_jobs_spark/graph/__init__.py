@@ -419,7 +419,9 @@ def k_core_sql(edges_cte: str, k: int, iters: int = 20) -> str:
     )
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, checkpoint_every: int = 5
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) community
     detection, made DETERMINISTIC: every node starts with its own id as
     label; each round every node adopts the most frequent label among
@@ -433,9 +435,17 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
 
     Scale: per round, ONE equi-join (neighbor labels), one map-side-
     combinable (node, label) count, and one argmax fold via
-    ``max(struct(count, -label))`` — no per-node window, no collect;
-    lineage truncates per round via localCheckpoint exactly like the
-    other iterative graph ops.
+    ``max(struct(count, -label))`` — no per-node window, no collect.
+    ``checkpoint_every`` bounds lineage at arbitrary depth (the
+    :func:`pagerank` discipline): every N rounds the label frame is
+    localCheckpointed. Shallow fixed unrolls (the battery's 2-3 rounds)
+    run checkpoint-free — each per-round checkpoint costs a full
+    planning/codegen pass plus, under AQE, eager materialization of the
+    subtree's shuffle stages, and the r14 A/B measured the per-round
+    checkpoints at 1.7x the checkpoint-free unroll at sf0.1 with
+    byte-identical labels (the label lineage is 3 shallow ops per round
+    on top of the checkpointed edge frame, so plan growth stays linear
+    over a handful of rounds).
     """
     # The edge frame is scanned once for the node set and once PER ROUND
     # for the neighbor join (rounds+2 references total): localCheckpoint
@@ -448,10 +458,8 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = nodes.withColumn("label", F.col("node").cast("long")).localCheckpoint(
-        eager=False
-    )
-    for _ in range(rounds):
+    labels = nodes.withColumn("label", F.col("node").cast("long"))
+    for i in range(rounds):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
             .select(edges["src"].alias("node"), "label")
@@ -471,8 +479,9 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 "node",
                 F.coalesce(F.col("_new"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -508,7 +517,8 @@ def label_propagation_sql(edges_cte: str, rounds: int = 3) -> str:
 
 
 def bfs_hops(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Multi-source BFS: exact minimum hop distance (≤ ``max_hops``)
     from ANY source node, the frontier-expansion formulation::
@@ -522,16 +532,25 @@ def bfs_hops(
 
     Scale: per hop, ONE equi-join of the CURRENT FRONTIER against the
     edge list (frontier-sized, not graph-sized), one anti-join to drop
-    already-settled nodes, one distinct; lineage truncates per round via
-    localCheckpoint. A fixed hop budget bounds the rounds exactly like
-    k_core's peel budget — BFS beyond a few hops on a power-law graph is
-    the whole graph anyway.
+    already-settled nodes, one distinct. The edge frame is
+    localCheckpointed ONCE (it is referenced every hop — an expensive
+    caller-side derivation must not replay per hop); the frontier/settled
+    frames checkpoint only every ``checkpoint_every`` hops (settled is
+    referenced twice per hop, so unchecked lineage doubles per hop —
+    the bound keeps plan growth ≤ 2^checkpoint_every per segment while a
+    shallow battery unroll runs checkpoint-free: the r14 A/B measured the
+    per-hop checkpoints at 1.45x the checkpoint-free 3-hop unroll at
+    sf0.1, byte-identical hop census — each checkpoint costs a full
+    planning/codegen pass plus eager materialization of the subtree's
+    shuffle stages under AQE). A fixed hop budget bounds the rounds
+    exactly like k_core's peel budget — BFS beyond a few hops on a
+    power-law graph is the whole graph anyway.
     """
+    edges = edges.localCheckpoint(eager=False)
     settled = (
         sources.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=False)
     )
     frontier = settled.select("node")
     for h in range(1, max_hops + 1):
@@ -541,9 +560,13 @@ def bfs_hops(
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
-            .localCheckpoint(eager=False)
         )
-        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        ckpt = checkpoint_every > 0 and h % checkpoint_every == 0 and h < max_hops
+        if ckpt:
+            nxt = nxt.localCheckpoint(eager=False)
+        settled = settled.unionByName(nxt)
+        if ckpt:
+            settled = settled.localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return settled
 

@@ -258,3 +258,37 @@ def test_k_core_sql_matches_spark(spark):
     sql = k_core_sql(f"SELECT * FROM (VALUES {vals}) v(src, dst)", k=2, iters=10)
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want and got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_label_propagation_checkpoint_cadence_identical(spark):
+    """r14 optimization: shallow LPA unrolls run checkpoint-free
+    (checkpoint_every=5 > rounds); the cadence knob must not perturb a
+    single label, and deep rounds with a tight cadence must equal the
+    checkpoint-free unroll bit-for-bit."""
+    und = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = _edges_df(spark, edges).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    base = sorted(map(tuple, G.label_propagation(df, rounds=6, checkpoint_every=0).collect()))
+    tight = sorted(map(tuple, G.label_propagation(df, rounds=6, checkpoint_every=2).collect()))
+    deflt = sorted(map(tuple, G.label_propagation(df, rounds=6).collect()))
+    assert tight == base
+    assert deflt == base
+
+
+def test_bfs_hops_checkpoint_cadence_identical(spark):
+    """r14 optimization: the per-hop frontier/settled checkpoints are now
+    cadence-gated; any cadence must produce the exact same hop census."""
+    chain = [(i, i + 1) for i in range(8)]
+    edges = [(a, b) for a, b in chain] + [(b, a) for a, b in chain]
+    df = _edges_df(spark, edges).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    src = df.sparkSession.createDataFrame([(0,)], "node long")
+    base = sorted(map(tuple, G.bfs_hops(df, src, max_hops=7, checkpoint_every=0).collect()))
+    tight = sorted(map(tuple, G.bfs_hops(df, src, max_hops=7, checkpoint_every=2).collect()))
+    deflt = sorted(map(tuple, G.bfs_hops(df, src, max_hops=7).collect()))
+    assert tight == base
+    assert deflt == base
+    assert {r[1] for r in base} == {0, 1, 2, 3, 4, 5, 6, 7}

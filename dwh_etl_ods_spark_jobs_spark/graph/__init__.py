@@ -71,36 +71,58 @@ def pagerank(
     # the checkpoint's value is asymptotic: without it each extra
     # iteration replays the full lineitem⋈orders build).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    # The node universe is the out-degree-bearing src set. Ranks must be
-    # rebuilt over ALL nodes every round via a LEFT join: a node with no
-    # inbound edges still holds rank `base` and keeps CONTRIBUTING its
-    # outgoing mass — an inner join on contrib would silently drop it
-    # (and, next round, its neighbors' inbound mass) from the computation.
-    # nodes joins back every iteration (the rank rebuild); its deg subtree
-    # shares the grouping exchange via ReuseExchange, so checkpointing it
-    # separately measured no better (A/B'd at sf0.1) — keep the plan lean.
+    # The node universe is the out-degree-bearing src set. A node with no
+    # inbound edges still holds rank `base` (after round 1) and keeps
+    # CONTRIBUTING its outgoing mass, so it must not drop out of the
+    # computation. r14 optimization: instead of rebuilding the full rank
+    # frame over ALL nodes EVERY round (a nodes-LEFT-join per iteration),
+    # the loop carries only the contribution-sum frame `sc` and folds the
+    # rebuild arithmetic into the NEXT round's edge join as
+    # ``coalesce(base + damp·sc div 100, base)`` — exactly the value the
+    # rebuilt rank frame held, so every bit is unchanged, but each
+    # iteration is one join + one exchange lighter (2 shuffles/round — the
+    # rank realignment src-ward and the dst-keyed mass fold — which is
+    # PageRank's floor). The full node frame joins back ONCE at the end.
+    # Round 1 is cheaper still: every rank is the constant PR_MICRO, so
+    # the first mass fold needs no rank join at all.
     nodes = deg.select(F.col("src").alias("node"))
-    ranks = nodes.withColumn("rank_micro", F.lit(PR_MICRO).cast("long"))
+    if iterations <= 0:
+        return nodes.withColumn("rank_micro", F.lit(PR_MICRO).cast("long"))
+    sc = None  # (node, _sc) after i rounds; None = uniform PR_MICRO start
     for i in range(iterations):
-        contrib = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
+        if sc is None:
+            joined = edges_deg.withColumn(
+                "rank_micro", F.lit(PR_MICRO).cast("long")
+            )
+        else:
+            joined = edges_deg.join(
+                sc.withColumnRenamed("node", "src"), "src", "left"
+            ).withColumn(
+                "rank_micro",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long"),
+            )
+        sc = (
+            joined.select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div _deg").alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_sc"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100")
-            ).cast("long").alias("rank_micro"),
-        )
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            sc = sc.localCheckpoint(eager=False)
+    return nodes.join(sc, "node", "left").select(
+        "node",
+        (
+            F.lit(base)
+            + F.expr(f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100")
+        ).cast("long").alias("rank_micro"),
+    )
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:
@@ -763,47 +785,71 @@ def personalized_pagerank(
     """
     base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    # The seed flag rides the degree-annotated edge frame (computed once,
+    # inside the same checkpoint): the r14 carried-contribution rewrite
+    # (see :func:`pagerank`) folds the per-round rank rebuild into the
+    # next round's edge join as ``is_seed·base + damp·coalesce(sc,0) div
+    # 100`` — bit-identical values, one join + one exchange fewer per
+    # iteration; the node frame joins back ONCE at the end.
+    seed_flag = seeds.select(F.col("node")).distinct().withColumn(
+        "_is_seed", F.lit(1)
+    )
+    edges_deg = (
+        edges.join(deg, "src")
+        .join(seed_flag.withColumnRenamed("node", "src"), "src", "left")
+        .withColumn("_is_seed", F.coalesce(F.col("_is_seed"), F.lit(0)))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         deg.select(F.col("src").alias("node"))
-        .join(
-            seeds.select(F.col("node")).distinct().withColumn(
-                "_is_seed", F.lit(1)
-            ),
-            "node",
-            "left",
-        )
+        .join(seed_flag, "node", "left")
         .select(
             "node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed")
         )
-        .localCheckpoint(eager=False)  # rejoined every iteration
     )
-    ranks = nodes.select(
-        "node",
-        (F.col("_is_seed") * F.lit(PR_MICRO)).cast("long").alias("rank_micro"),
-    )
+    if iterations <= 0:
+        return nodes.select(
+            "node",
+            (F.col("_is_seed") * F.lit(PR_MICRO)).cast("long").alias("rank_micro"),
+        )
+    sc = None  # (node, _sc) after i rounds; None = seed-mass start
     for i in range(iterations):
-        contrib = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
+        if sc is None:
+            joined = edges_deg.withColumn(
+                "rank_micro",
+                (F.col("_is_seed") * F.lit(PR_MICRO)).cast("long"),
+            )
+        else:
+            joined = edges_deg.join(
+                sc.withColumnRenamed("node", "src"), "src", "left"
+            ).withColumn(
+                "rank_micro",
+                (
+                    F.col("_is_seed") * F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long"),
+            )
+        sc = (
+            joined.select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div _deg").alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_sc"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.col("_is_seed") * F.lit(base)
-                + F.expr(
-                    f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
-                )
-            ).cast("long").alias("rank_micro"),
-        )
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            sc = sc.localCheckpoint(eager=False)
+    return nodes.join(sc, "node", "left").select(
+        "node",
+        (
+            F.col("_is_seed") * F.lit(base)
+            + F.expr(
+                f"({PR_DAMP_PCT} * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
+            )
+        ).cast("long").alias("rank_micro"),
+    )
 
 
 def personalized_pagerank_sql(

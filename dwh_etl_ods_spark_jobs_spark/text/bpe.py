@@ -109,25 +109,44 @@ def _train_merges_local(
     ``replace``: leftmost non-overlapping)."""
     merges: list[tuple[int, str, str, int]] = []
     syms = list(vocab)
+    # r14 optimization: incremental pair bookkeeping. The previous loop
+    # recounted EVERY adjacent pair of EVERY symbol string per merge
+    # (O(n_merges x total symbols)); the counts dict is instead built once
+    # and then updated only for the symbol strings a merge actually
+    # rewrites (subtract their old pair contributions, apply the replace,
+    # add the new ones). Exact bookkeeping: entries are dropped at zero,
+    # so at every argmax the dict equals a fresh recount bit-for-bit —
+    # same (count DESC, pair ASC) winner, same recorded pair_count
+    # (pinned by tests/test_bpe.py local==distributed).
+    counts: dict[str, int] = {}
+
+    def _account(sym: str, n: int) -> None:
+        parts = sym.strip().split(" ")
+        for a, b in zip(parts, parts[1:]):
+            p = a + " " + b
+            c = counts.get(p, 0) + n
+            if c:
+                counts[p] = c
+            else:
+                counts.pop(p, None)
+
+    for sym, n in syms:
+        _account(sym, n)
     for rank in range(1, n_merges + 1):
-        counts: dict[str, int] = {}
-        for sym, n in syms:
-            parts = sym.strip().split(" ")
-            for a, b in zip(parts, parts[1:]):
-                p = a + " " + b
-                counts[p] = counts.get(p, 0) + n
         if not counts:
             break
         pair = min(counts, key=lambda p: (-counts[p], p))
         merged = pair.replace(" ", "")
         merges.append((rank, pair, merged, counts[pair]))
         old, new = f" {pair} ", f" {merged} "
-        out = []
-        for sym, n in syms:
+        for i, (sym, n) in enumerate(syms):
+            if old not in sym:
+                continue
+            _account(sym, -n)
             for _ in range(BPE_FIX_PASSES):
                 sym = sym.replace(old, new)
-            out.append((sym, n))
-        syms = out
+            _account(sym, n)
+            syms[i] = (sym, n)
     return merges
 
 
@@ -163,7 +182,12 @@ def bpe_train(
     """
     frame = bpe_word_counts(df, text_col).localCheckpoint(eager=False)
     if local_vocab_max and frame.count() <= local_vocab_max:
-        vocab = [(r.sym, r.n) for r in frame.toLocalIterator()]
+        # collect(), not toLocalIterator(): the row count is already proven
+        # <= local_vocab_max (bounded driver state either way — the full
+        # list is materialized below regardless), and toLocalIterator pays
+        # one sequential job per partition where collect is a single job
+        # (r14: 32 partition round-trips -> 1).
+        vocab = [(r.sym, r.n) for r in frame.collect()]
         merges = _train_merges_local(vocab, n_merges)
         return spark.createDataFrame(
             merges, "rank int, pair string, merged string, pair_count long"

@@ -1411,8 +1411,20 @@ def blocking_quality_eval(
     (``n_records`` must keep ``n_cand·10⁶`` and C(n,2) inside signed
     64-bit — at larger n, report completeness only).
 
-    Scale: one equi-join between the two pair lists + two folds; never
+    Scale: one equi-join between the two pair lists + one fold; never
     touches the records themselves.
+
+    r14 optimization (guide §1.2 "don't compute things twice"): the
+    original shape evaluated BOTH pair generators twice — ``c`` fed a
+    global count AND the semi-join, ``t`` likewise, and the two count
+    branches exchange to SinglePartition while the semi-join exchanges
+    on (_a,_b), so no exchange reuse fired and each generator pipeline
+    (here: the full MinHash-banding / ngram-Jaccard doc scans) ran two
+    end-to-end passes. One FULL OUTER join on the normalized pair key +
+    one global fold computes all three counts from a single evaluation
+    of each side: n_cand / n_true / n_found are membership-flag sums,
+    identical values, and the plan drops from 5 Exchanges + 2 broadcast
+    attaches to 3 Exchanges (two pair-key, one single-row fold).
     """
     def norm(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1420,27 +1432,15 @@ def blocking_quality_eval(
             F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
         ).distinct()
 
-    c, t = norm(cand), norm(truth)
-    found = t.join(c, ["_a", "_b"], "left_semi")
-    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
-    counts = (
-        c.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-        .withColumn("_one", one)
-        .join(
-            F.broadcast(
-                t.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-                .withColumn("_one", one)
-            ),
-            "_one",
-        )
-        .join(
-            F.broadcast(
-                found.groupBy().agg(
-                    F.count(F.lit(1)).cast("long").alias("n_found")
-                ).withColumn("_one", one)
-            ),
-            "_one",
-        )
+    c = norm(cand).withColumn("_in_c", F.lit(1))
+    t = norm(truth).withColumn("_in_t", F.lit(1))
+    both = c.join(t, ["_a", "_b"], "full_outer")
+    counts = both.agg(
+        F.coalesce(F.sum("_in_c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum("_in_t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(
+            F.sum(F.col("_in_c") * F.col("_in_t")), F.lit(0)
+        ).cast("long").alias("n_found"),
     )
     out = counts.select(
         "n_cand", "n_true", "n_found",
@@ -1665,9 +1665,23 @@ def minhash_estimate_eval(
     candidate pairs through the posting intersection (semi-join down to
     candidate docs first), never all pairs.
     """
-    cand = minhash_lsh_pairs(df, text_col, id_col, threshold, k, bands).select(
-        "id_a", "id_b",
-        F.round(F.col("est_jaccard") * WJ_IDF_PPM).cast("long").alias("est_ppm"),
+    cand = (
+        minhash_lsh_pairs(df, text_col, id_col, threshold, k, bands)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("est_jaccard") * WJ_IDF_PPM).cast("long").alias(
+                "est_ppm"
+            ),
+        )
+        # r14: localCheckpoint — the candidate list is read by TWO
+        # separated consumers (docs_in_play under the posting
+        # checkpoint's job, and the final scored join), and the posting
+        # checkpoint boundary defeats exchange reuse between them, so
+        # without this pin the ENTIRE minhash pipeline (shingle md5 + k
+        # xor-min aggregates + banding self-join) executed twice per
+        # run. The frame is the banding's bounded candidate pair list
+        # (~pairs, 3 longs/row) — safe to pin at any corpus size.
+        .localCheckpoint(eager=False)
     )
     docs_in_play = (
         cand.select(F.col("id_a").alias("doc_id"))

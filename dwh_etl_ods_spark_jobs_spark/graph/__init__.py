@@ -469,38 +469,46 @@ def label_propagation(
     on top of the checkpointed edge frame, so plan growth stays linear
     over a handful of rounds).
     """
-    # The edge frame is scanned once for the node set and once PER ROUND
-    # for the neighbor join (rounds+2 references total): localCheckpoint
-    # it once (the triangle_census discipline) so an expensive
-    # caller-side edge derivation — the battery's is a join + distinct +
-    # symmetrizing union — runs once, not rounds+2 times.
+    # The edge frame is scanned once PER ROUND for the neighbor join:
+    # localCheckpoint it once (the triangle_census discipline) so an
+    # expensive caller-side edge derivation — the battery's is a join +
+    # distinct + symmetrizing union — runs once, not per round.
     edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("label", F.col("node").cast("long"))
-    for i in range(rounds):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(edges["src"].alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("_c"))
+    if rounds <= 0:
+        return (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .withColumn("label", F.col("node").cast("long"))
         )
+    # r14 optimization (guide §2.4 — remove joins/shuffles outright): the
+    # symmetrized-input contract means EVERY node in the graph has >= 1
+    # out-edge, so the per-round "labels LEFT JOIN new + coalesce" rebuild
+    # was dead weight — `new` already labels every node (the coalesce arm
+    # could only fire for a node with no neighbors, which cannot exist
+    # here; isolated nodes appear in no edge and are out of scope by the
+    # docstring). Carrying `new` directly drops one join per round and
+    # the nodes union+distinct entirely. Round 1 is cheaper still: the
+    # seed label of dst IS dst, so the first neighbor-label join
+    # collapses to a projection of the edge list. Bit-identical labels on
+    # every valid input (pinned by the LPA property test's symmetric
+    # graphs and the cadence-identity test).
+    labels = None
+    for i in range(rounds):
+        if labels is None:
+            nbr_labels = edges.select(
+                F.col("src").alias("node"), F.col("dst").cast("long").alias("label")
+            )
+        else:
+            nbr_labels = edges.join(labels, edges["dst"] == labels["node"]).select(
+                edges["src"].alias("node"), "label"
+            )
+        nbr = nbr_labels.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c"))
         # argmax by (count desc, label asc): max(struct(c, -label))
-        new = (
+        labels = (
             nbr.groupBy("node")
             .agg(F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias("_m"))
-            .select("node", (-F.col("_m._nl")).cast("long").alias("_new"))
-        )
-        labels = (
-            labels.alias("_o")
-            .join(new.alias("_n"), "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
-            )
+            .select("node", (-F.col("_m._nl")).cast("long").alias("label"))
         )
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)

@@ -1069,6 +1069,15 @@ def poisson_bootstrap_ci(
             *[lane_w(lane).alias(f"_w{lane}") for lane in range(_BOOT_LANES)],
         )
     )
+    # r14 optimization (guide §1.2 — don't scan twice): the grand mean
+    # used to be a SECOND full pass over ``df``; every block of the
+    # exploded frame contains every row exactly once, so folding the
+    # plain value sum/count into the same per-block aggregation makes
+    # block 0's row carry the grand totals for free (2 extra bigint
+    # cells on a <= n_blocks-row shuffle). per_block is localCheckpointed
+    # (bounded: n_blocks rows) because two consumers read it — the
+    # replicate explode and the grand-mean pick — and without the pin
+    # the whole md5 weight pass would run once per consumer.
     per_block = weighted.groupBy("_blk").agg(
         *[
             F.sum(F.col(f"_w{lane}") * F.col("_v")).cast("long").alias(f"_s{lane}")
@@ -1078,7 +1087,9 @@ def poisson_bootstrap_ci(
             F.sum(F.col(f"_w{lane}")).cast("long").alias(f"_n{lane}")
             for lane in range(_BOOT_LANES)
         ],
-    )
+        F.sum("_v").cast("long").alias("_sv"),
+        F.count(F.lit(1)).cast("long").alias("_cn"),
+    ).localCheckpoint(eager=False)
     lanes = F.array(
         *[
             F.struct(
@@ -1105,11 +1116,8 @@ def poisson_bootstrap_ci(
     )
     lo_idx = F.expr(f"CAST(_cnt * {BOOT_LO_IDX_PPM} div 1000000 AS BIGINT)")
     hi_idx = F.expr(f"CAST(_cnt * {BOOT_HI_IDX_PPM} div 1000000 AS BIGINT)")
-    grand = df.agg(
-        F.expr(
-            f"CAST(sum(CAST({value_col} AS BIGINT))"
-            f" div count(1) AS BIGINT)"
-        ).alias("mean_all")
+    grand = per_block.filter(F.col("_blk") == 0).select(
+        F.expr("CAST(_sv div _cn AS BIGINT)").alias("mean_all")
     )
     one = F.pmod(F.hash(F.lit(1)), F.lit(1))
     picks = ranked.agg(

@@ -1458,6 +1458,15 @@ def markov_attribution_from_counts(
         )
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
             x = x.localCheckpoint(eager=False)
+    # r14 note (measured, kept as-is): `start` is referenced by four
+    # downstream branches, each re-embedding the unrolled chain in the
+    # EXPLAIN text (378 Exchange refs at 20 iterations) — but pinning it
+    # with a lazy localCheckpoint measured 2.0x SLOWER in an alternating
+    # sf0.1 A/B (tools/ab_markov_ann_r14.json): under AQE the runtime
+    # deduplicates the duplicated chain via shuffle-stage reuse, while
+    # the checkpoint's toRdd pays a full planning/codegen pass over the
+    # whole chain at construction. The duplicated-looking plan is the
+    # faster one.
     start = x.filter(F.col("_st") == MARKOV_START).select(
         "_sc", F.col("_x").alias("_conv")
     )

@@ -701,21 +701,31 @@ def ann_recall_eval(
 
     Scale: one equi-join on (query, neighbor) between two ≤k·n_queries
     lists + two bounded folds. Never touches the corpus.
+
+    r14 optimization (guide §1.2 — don't compute things twice): the
+    original shape referenced the TRUTH pipeline twice (semi-join probe
+    + a distinct for the query universe) under incompatible
+    partitionings, so an expensive ground-truth generator (the battery
+    feeds the full brute-force ANN here) executed two end-to-end
+    passes. One LEFT join against the distinct candidate list with a
+    membership flag computes per-query hits from a single evaluation of
+    each side — identical values (the flag-sum ≡ the semi-join count;
+    zero-hit queries coalesce to 0 exactly as the old left join did).
     """
     t = truth.select(
         F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
     )
-    c = cand.select(
-        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
-    )
-    hits = (
-        t.join(c, ["_q", "_n"], "left_semi")
-        .groupBy("_q")
-        .agg(F.count(F.lit(1)).alias("_h"))
+    c = (
+        cand.select(
+            F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+        )
+        .distinct()  # preserves semi-join semantics under duplicate rows
+        .withColumn("_hit", F.lit(1))
     )
     per_q = (
-        t.select("_q").distinct()
-        .join(hits, "_q", "left")
+        t.join(c, ["_q", "_n"], "left")
+        .groupBy("_q")
+        .agg(F.sum("_hit").alias("_h"))
         .select(
             "_q",
             F.expr(

@@ -455,7 +455,12 @@ def q_bfs_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.graph import bfs_hops
     from dwh_etl_ods_spark_jobs_spark.plans.graph import _sc_edges
 
-    edges = _sc_edges(spark, sf_dir)
+    # r14: checkpoint the edge pipeline BEFORE deriving sources from it.
+    # bfs_hops checkpoints its own edge input, but `sources` previously
+    # entered with the raw lineitem⋈orders lineage and is folded into
+    # `settled`, which doubles per hop — the 3-hop plan embedded the
+    # full edge derivation 168 times (4,141 plan lines → ~300).
+    edges = _sc_edges(spark, sf_dir).localCheckpoint(eager=False)
     sources = (
         edges.select(F.col("src").alias("node"))
         .filter(F.col("node") % BFS_SRC_MOD == 0)

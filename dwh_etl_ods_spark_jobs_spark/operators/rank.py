@@ -60,9 +60,14 @@ def global_rank(
 
     def apply(df: DataFrame) -> DataFrame:
         ranged = (
-            df.repartitionByRange(n_ranges, *cols)
+            # r14: checkpoint BEFORE the range exchange — range
+            # partitioning samples its whole input first, so the raw
+            # input pipeline used to execute twice (sampling pass +
+            # shuffle); both now read one materialization, and the two
+            # downstream consumers share the exchange via reuse.
+            df.localCheckpoint(eager=False)
+            .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)  # referenced twice below
         )
         counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
         w = Window.orderBy("_pid")  # n_ranges rows — bounded
@@ -139,9 +144,14 @@ def weighted_quantile(
 
     def apply(df_in: DataFrame) -> DataFrame:
         ranged = (
-            df_in.repartitionByRange(n_ranges, *cols)
+            # r14: checkpoint BEFORE the range exchange — range
+            # partitioning samples its whole input first, so the raw
+            # input pipeline used to execute twice (sampling pass +
+            # shuffle); both now read one materialization, and the two
+            # downstream consumers share the exchange via reuse.
+            df_in.localCheckpoint(eager=False)
+            .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)  # referenced twice below
         )
         wsums = ranged.groupBy("_pid").agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")
@@ -272,9 +282,14 @@ def systematic_weighted_sample(
 
     def apply(df_in: DataFrame) -> DataFrame:
         ranged = (
-            df_in.repartitionByRange(n_ranges, *cols)
+            # r14: checkpoint BEFORE the range exchange — range
+            # partitioning samples its whole input first, so the raw
+            # input pipeline used to execute twice (sampling pass +
+            # shuffle); both now read one materialization, and the two
+            # downstream consumers share the exchange via reuse.
+            df_in.localCheckpoint(eager=False)
+            .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)  # referenced twice below
         )
         wsums = ranged.groupBy("_pid").agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")
@@ -376,9 +391,14 @@ def grouped_global_rank(
 
     def apply(df_in: DataFrame) -> DataFrame:
         ranged = (
-            df_in.repartitionByRange(n_ranges, *gcols, *ocols)
+            # r14: checkpoint BEFORE the range exchange — range
+            # partitioning samples its whole input first, so the raw
+            # input pipeline used to execute twice (sampling pass +
+            # shuffle); both now read one materialization, and the two
+            # downstream consumers share the exchange via reuse.
+            df_in.localCheckpoint(eager=False)
+            .repartitionByRange(n_ranges, *gcols, *ocols)
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)  # referenced twice below
         )
         counts = ranged.groupBy("_pid", *gcols).agg(
             F.count(F.lit(1)).alias("_n")
@@ -452,9 +472,14 @@ def grouped_weighted_quantile(
 
     def apply(df_in: DataFrame) -> DataFrame:
         ranged = (
-            df_in.repartitionByRange(n_ranges, *gcols, *vcols)
+            # r14: checkpoint BEFORE the range exchange — range
+            # partitioning samples its whole input first, so the raw
+            # input pipeline used to execute twice (sampling pass +
+            # shuffle); both now read one materialization, and the two
+            # downstream consumers share the exchange via reuse.
+            df_in.localCheckpoint(eager=False)
+            .repartitionByRange(n_ranges, *gcols, *vcols)
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)  # referenced twice below
         )
         wsums = ranged.groupBy("_pid", *gcols).agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")

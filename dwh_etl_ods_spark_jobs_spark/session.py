@@ -36,6 +36,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 config experiment, REJECTED: preferSortMergeJoin=false
+        # (guide §3.1's shuffled-hash option) measured uniformly SLOWER
+        # in an alternating sf0.1 A/B across 8 join-heavy battery
+        # queries (1.1-2.4x, worst on minhash_estimate_eval and
+        # rec_list_quality_eval) — hash-table builds on the many
+        # mid-size self-joins cost more than the sorts they avoid, and
+        # several joins lost AQE's runtime broadcast conversion. The
+        # default (sort-merge preferred, AQE converting where profitable)
+        # stays.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

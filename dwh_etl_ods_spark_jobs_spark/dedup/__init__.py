@@ -461,7 +461,14 @@ def connected_components(
     label frame per round to truncate lineage.
 
     ``pairs`` needs (id_a, id_b); ``nodes`` a single ``id`` column
-    (isolated nodes label themselves). Returns (id, canonical_id).
+    (isolated nodes label themselves) and must cover every pair
+    endpoint — the node-universe contract every caller already meets
+    (pairs are generated FROM the corpus the nodes project), and which
+    the round-1 edge-list shortcut below relies on: with identity seed
+    labels, the first neighbor-label join is exactly the edge list, so
+    an endpoint outside ``nodes`` would smuggle in an out-of-universe
+    label instead of being dropped by the label join. Returns
+    (id, canonical_id).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -477,11 +484,35 @@ def connected_components(
     # semantic-dedup CC at sf0.1, byte-identical labels). A caller whose
     # nodes frame is expensive to derive should checkpoint it upstream.
     labels = nodes.select(F.col("id"), F.col("id").alias("canonical_id"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("canonical_id").alias("nmin"))
+    id_type = nodes.schema["id"].dataType
+    for it in range(max_iters):
+        # r14 (guide §2.4 — remove joins outright): per round, fold the
+        # neighbor messages and the node's own label in ONE tagged union
+        # + hash aggregation instead of groupBy(src).min + a LEFT-join
+        # rebuild — min(_cid) is the new label and max(_own) (non-NULL
+        # only on the own-label arm) recovers the previous one for the
+        # convergence check, so the rebuild join disappears. Round 1 is
+        # cheaper still: the seed label of dst IS dst, so the first
+        # neighbor-label join collapses to a projection of the edge
+        # list (the label_propagation round-1 idiom). Alternating-A/B
+        # measured 0.87x on the minhash-CC battery shape at sf0.1 with
+        # byte-identical labels (tools/exp_cc_r14.py).
+        if it == 0:
+            messages = edges.select(
+                F.col("src").alias("id"),
+                F.col("dst").cast(id_type).alias("_cid"),
+                F.lit(None).cast(id_type).alias("_own"),
+            )
+        else:
+            messages = edges.join(labels, edges.dst == labels.id).select(
+                F.col("src").alias("id"),
+                F.col("canonical_id").alias("_cid"),
+                F.lit(None).cast(id_type).alias("_own"),
+            )
+        own = labels.select(
+            "id",
+            F.col("canonical_id").alias("_cid"),
+            F.col("canonical_id").alias("_own"),
         )
         # localCheckpoint per round: without lineage truncation each round's
         # plan embeds two copies of the previous one -> exponential plan
@@ -493,13 +524,11 @@ def connected_components(
         # Carrying __prev through the checkpoint keeps convergence a scan of
         # the just-materialized partitions, not a second join per round.
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.col("canonical_id").alias("__prev"),
-                F.least(
-                    F.col("canonical_id"), F.coalesce(F.col("nmin"), F.col("canonical_id"))
-                ).alias("canonical_id"),
+            messages.unionAll(own)
+            .groupBy("id")
+            .agg(
+                F.min("_cid").alias("canonical_id"),
+                F.max("_own").alias("__prev"),
             )
             .localCheckpoint(eager=False)
         )
@@ -583,6 +612,36 @@ def cosine(vec_a: Column, vec_b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def vec_norm(vec_col: Column) -> Column:
+    """``sqrt(Σ x²)`` with exactly :func:`cosine`'s per-side fold (same
+    casts, same accumulation order, then sqrt) — r14: hoist this onto
+    the per-VECTOR frame before a pair join so the two norm folds are
+    computed once per vector instead of once per candidate pair (the
+    HOF folds are interpreted, not codegen'd — at dim=64 they are the
+    pair stage's CPU bill). Feeding the hoisted norms to
+    :func:`cosine_with_norms` reproduces cosine's IEEE result bit for
+    bit because the arithmetic is identical, only evaluated earlier."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+    )
+
+
+def cosine_with_norms(
+    vec_a: Column, vec_b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """:func:`cosine` with the per-side norms precomputed by
+    :func:`vec_norm` — same expression tree (``dot / (sqrt(na) *
+    sqrt(nb))``), the sqrt folds just live on the pre-join projections."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return dot / (norm_a * norm_b)
+
+
 def cosine_sql(a: str, b: str, dim: int) -> str:
     def fold(body: str) -> str:
         return (
@@ -612,6 +671,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("_nrm"),  # r14: once per vector
     )
     pairs = (
         sigs.alias("x")
@@ -622,10 +682,20 @@ def embedding_neardup_pairs(
             F.col("y.vec_id").alias("id_b"),
             F.col("x.v").alias("va"),
             F.col("y.v").alias("vb"),
+            F.col("x._nrm").alias("_na"),
+            F.col("y._nrm").alias("_nb"),
         )
     )
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -1310,6 +1380,7 @@ def mutual_knn_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("_nrm"),  # r14: once per vector
     )
     if max_bucket is not None:
         hot = (
@@ -1326,7 +1397,13 @@ def mutual_knn_pairs(
         .select(
             F.col("x.vec_id").alias("src"),
             F.col("y.vec_id").alias("dst"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            F.round(
+                cosine_with_norms(
+                    F.col("x.v"), F.col("y.v"),
+                    F.col("x._nrm"), F.col("y._nrm"),
+                ),
+                6,
+            ).alias("cos"),
         )
         .withColumn(
             "rank",

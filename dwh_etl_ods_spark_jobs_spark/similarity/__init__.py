@@ -31,9 +31,11 @@ from dwh_etl_ods_spark_jobs_spark.dedup import (
     HYPERPLANES,
     cosine,
     cosine_sql,
+    cosine_with_norms,
     hyperplane_signature,
     hyperplane_signature_sql,
     hyperplanes,
+    vec_norm,
 )
 
 __all__ = [
@@ -106,14 +108,24 @@ def ann_bruteforce_topk(
     (query_id, neighbor_id, rank, cos).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("_qn"),  # r14: once per vector
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     return _topk_per_query(scored, k, n_salts=n_salts)
 
@@ -129,12 +141,17 @@ def ivf_assign(
     (id, vec, cell), one row per assigned cell (candidates build with
     n_cells=1; queries probe with n_cells=nprobe)."""
     c = centroids.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"),
+        vec_norm(F.col(vec_col)).alias("_cvn"),  # r14: once per centroid
     )
     scored = vectors.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"),
+        vec_norm(F.col(vec_col)).alias("_vvn"),
     ).join(F.broadcast(c)).withColumn(
-        "_cos", cosine(F.col("_vv"), F.col("_cv"))
+        "_cos",
+        cosine_with_norms(
+            F.col("_vv"), F.col("_cv"), F.col("_vvn"), F.col("_cvn")
+        ),
     )
     w = Window.partitionBy("_vid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     return (
@@ -234,15 +251,25 @@ def ann_ivf_topk(
     scored twice. Returns (query_id, neighbor_id, rank, cos).
     """
     q = ivf_assign(queries, centroids, id_col, vec_col, n_cells=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell",
+        vec_norm(F.col(vec_col)).alias("_qn"),  # r14: once per vector
     )
     c = ivf_assign(candidates, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell",
+        vec_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     # Single-phase rank: the input is already bucket-restricted (a cell's
     # candidates, not the corpus). If cells grow hot, pass the scored frame
@@ -281,16 +308,26 @@ def ann_lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         bucket,
+        vec_norm(F.col(vec_col)).alias("_qn"),  # r14: once per vector
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     # Bucket-restricted input — single-phase rank (see ann_ivf_topk note).
     return _topk_per_query(scored, k, n_salts=0)
@@ -514,14 +551,24 @@ def hard_negative_mining(
     Returns (query_id, neighbor_id, rank, cos).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("_qn"),  # r14: once per vector
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         .filter(
             (F.col("cos") >= F.lit(float(floor_cos)))
             & (F.col("cos") < F.lit(float(ceil_cos)))
@@ -1043,25 +1090,34 @@ def rec_list_eval(
     on the item key; exposure is one grouped count + the
     rank-decomposed Gini. No uncapped key anywhere.
     """
-    from dwh_etl_ods_spark_jobs_spark.dedup import cosine
+    from dwh_etl_ods_spark_jobs_spark.dedup import cosine_with_norms, vec_norm
     from dwh_etl_ods_spark_jobs_spark.operators.stats import gini_concentration
 
     r = runs.select(
         F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
     ).localCheckpoint(eager=False)  # pairs + exposure + counts
     cat = catalog.select(
-        F.col(cat_id_col).alias("_ci"), F.col(cat_vec_col).alias("_cv")
+        F.col(cat_id_col).alias("_ci"), F.col(cat_vec_col).alias("_cv"),
+        vec_norm(F.col(cat_vec_col)).alias("_cn"),  # r14: once per item
     ).localCheckpoint(eager=False)  # two vector joins + universe + count
     a, b = r.alias("_a"), r.alias("_b")
     pairs = (
         a.join(b, (F.col("_a._q") == F.col("_b._q")) & (F.col("_a._i") < F.col("_b._i")))
         .select(F.col("_a._q").alias("_q"), F.col("_a._i").alias("_ia"), F.col("_b._i").alias("_ib"))
-        .join(cat.select(F.col("_ci").alias("_ia"), F.col("_cv").alias("_va")), "_ia")
-        .join(cat.select(F.col("_ci").alias("_ib"), F.col("_cv").alias("_vb")), "_ib")
+        .join(cat.select(F.col("_ci").alias("_ia"), F.col("_cv").alias("_va"), F.col("_cn").alias("_na")), "_ia")
+        .join(cat.select(F.col("_ci").alias("_ib"), F.col("_cv").alias("_vb"), F.col("_cn").alias("_nb")), "_ib")
         .withColumn(
             "_dist_ppm",
             F.lit(1000000)
-            - F.round(F.round(cosine(F.col("_va"), F.col("_vb")), 6) * F.lit(1000000.0)).cast("long"),
+            - F.round(
+                F.round(
+                    cosine_with_norms(
+                        F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                    ),
+                    6,
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
         )
     )
     per_q = pairs.groupBy("_q").agg(

@@ -63,11 +63,18 @@ def global_rank(
             # r14: checkpoint BEFORE the range exchange — range
             # partitioning samples its whole input first, so the raw
             # input pipeline used to execute twice (sampling pass +
-            # shuffle); both now read one materialization, and the two
-            # downstream consumers share the exchange via reuse.
+            # shuffle); both passes now read one materialization.
             df.localCheckpoint(eager=False)
             .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
+            # ...and checkpoint AFTER it too: the offsets branch and the
+            # rank join below MUST see the SAME sampled range boundaries.
+            # Exchange reuse is not guaranteed (the offsets side executes
+            # inside a broadcast build under AQE), and a re-run range
+            # exchange re-samples boundaries with a fresh seed — ranks
+            # would then mix two boundary sets (caught as an intermittent
+            # pr_threshold_sweep oracle mismatch at sf0.01, r14).
+            .localCheckpoint(eager=False)
         )
         counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
         w = Window.orderBy("_pid")  # n_ranges rows — bounded
@@ -147,11 +154,18 @@ def weighted_quantile(
             # r14: checkpoint BEFORE the range exchange — range
             # partitioning samples its whole input first, so the raw
             # input pipeline used to execute twice (sampling pass +
-            # shuffle); both now read one materialization, and the two
-            # downstream consumers share the exchange via reuse.
+            # shuffle); both passes now read one materialization.
             df_in.localCheckpoint(eager=False)
             .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
+            # ...and checkpoint AFTER it too: the offsets branch and the
+            # rank join below MUST see the SAME sampled range boundaries.
+            # Exchange reuse is not guaranteed (the offsets side executes
+            # inside a broadcast build under AQE), and a re-run range
+            # exchange re-samples boundaries with a fresh seed — ranks
+            # would then mix two boundary sets (caught as an intermittent
+            # pr_threshold_sweep oracle mismatch at sf0.01, r14).
+            .localCheckpoint(eager=False)
         )
         wsums = ranged.groupBy("_pid").agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")
@@ -285,11 +299,18 @@ def systematic_weighted_sample(
             # r14: checkpoint BEFORE the range exchange — range
             # partitioning samples its whole input first, so the raw
             # input pipeline used to execute twice (sampling pass +
-            # shuffle); both now read one materialization, and the two
-            # downstream consumers share the exchange via reuse.
+            # shuffle); both passes now read one materialization.
             df_in.localCheckpoint(eager=False)
             .repartitionByRange(n_ranges, *cols)
             .withColumn("_pid", F.spark_partition_id())
+            # ...and checkpoint AFTER it too: the offsets branch and the
+            # rank join below MUST see the SAME sampled range boundaries.
+            # Exchange reuse is not guaranteed (the offsets side executes
+            # inside a broadcast build under AQE), and a re-run range
+            # exchange re-samples boundaries with a fresh seed — ranks
+            # would then mix two boundary sets (caught as an intermittent
+            # pr_threshold_sweep oracle mismatch at sf0.01, r14).
+            .localCheckpoint(eager=False)
         )
         wsums = ranged.groupBy("_pid").agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")
@@ -394,11 +415,18 @@ def grouped_global_rank(
             # r14: checkpoint BEFORE the range exchange — range
             # partitioning samples its whole input first, so the raw
             # input pipeline used to execute twice (sampling pass +
-            # shuffle); both now read one materialization, and the two
-            # downstream consumers share the exchange via reuse.
+            # shuffle); both passes now read one materialization.
             df_in.localCheckpoint(eager=False)
             .repartitionByRange(n_ranges, *gcols, *ocols)
             .withColumn("_pid", F.spark_partition_id())
+            # ...and checkpoint AFTER it too: the offsets branch and the
+            # rank join below MUST see the SAME sampled range boundaries.
+            # Exchange reuse is not guaranteed (the offsets side executes
+            # inside a broadcast build under AQE), and a re-run range
+            # exchange re-samples boundaries with a fresh seed — ranks
+            # would then mix two boundary sets (caught as an intermittent
+            # pr_threshold_sweep oracle mismatch at sf0.01, r14).
+            .localCheckpoint(eager=False)
         )
         counts = ranged.groupBy("_pid", *gcols).agg(
             F.count(F.lit(1)).alias("_n")
@@ -475,11 +503,18 @@ def grouped_weighted_quantile(
             # r14: checkpoint BEFORE the range exchange — range
             # partitioning samples its whole input first, so the raw
             # input pipeline used to execute twice (sampling pass +
-            # shuffle); both now read one materialization, and the two
-            # downstream consumers share the exchange via reuse.
+            # shuffle); both passes now read one materialization.
             df_in.localCheckpoint(eager=False)
             .repartitionByRange(n_ranges, *gcols, *vcols)
             .withColumn("_pid", F.spark_partition_id())
+            # ...and checkpoint AFTER it too: the offsets branch and the
+            # rank join below MUST see the SAME sampled range boundaries.
+            # Exchange reuse is not guaranteed (the offsets side executes
+            # inside a broadcast build under AQE), and a re-run range
+            # exchange re-samples boundaries with a fresh seed — ranks
+            # would then mix two boundary sets (caught as an intermittent
+            # pr_threshold_sweep oracle mismatch at sf0.01, r14).
+            .localCheckpoint(eager=False)
         )
         wsums = ranged.groupBy("_pid", *gcols).agg(
             F.sum(F.col(weight_col)).cast("long").alias("_w")

@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -1320,22 +1321,13 @@ def markov_removal_attribution(
     the raw transitions; everything after runs on (scenarios × states)
     rows with a broadcast transition matrix.
 
-    Lineage: each iteration references ``x`` exactly ONCE, so the plan
-    grows LINEARLY in ``iterations`` — unlike connected-components'
-    min-label fold (two references per round → exponential), which is
-    where the original every-5 checkpoint cadence came from. Measured
-    (r13 session, sf0.1 battery query, min-of-7 per cadence):
-    every-5 = 3.6-5.5 s, every-2 = 3.9 s, every-10 = 4.0 s, NO
-    checkpoints = 2.15 s — the truncation was pure materialization
-    overhead at the default 20 iterations. The default cadence is
-    therefore 25 (checkpoint-free at the standard horizon, still
-    bounding plan depth for long custom horizons); pass a smaller
-    ``checkpoint_every`` only for iteration counts in the hundreds.
-
-    BEHAVIOR CHANGE (r13): the default was ``checkpoint_every=5``
-    through r12. A caller with a long custom horizon (iterations >
-    25) who relied on the old default now truncates lineage later —
-    pass ``checkpoint_every=5`` explicitly to keep the old cadence.
+    r14: the value iteration itself runs DRIVER-SIDE on the bounded
+    (channels+3)² grid (see :func:`markov_attribution_from_counts`);
+    the ONLY distributed stage is the transition-count fold below.
+    ``checkpoint_every`` is kept for API compatibility and ignored —
+    there is no distributed lineage left to truncate (it was a
+    measured no-op at the default horizon even before: r13 cadence
+    A/B, every-5 = 3.6-5.5 s vs none = 2.15 s isolated).
     """
     counts = (
         transitions.groupBy(
@@ -1365,146 +1357,99 @@ def markov_attribution_from_counts(
     attribution dashboard, no journey-log re-read (pytest-pinned
     stream==batch). Everything here runs on the bounded
     (channels+3)² journey grid."""
-    # totals renames its key: it derives from counts, and a caller may
-    # hand in a table-backed projection (the streaming snapshot path)
-    # where identity self-joins defeat alias disambiguation — a fresh
-    # exprId from the rename never conflicts
-    totals = (
-        counts.groupBy("_s")
-        .agg(F.sum("_c").cast("long").alias("_t"))
-        .select(F.col("_s").alias("_ts"), "_t")
+    # r14 OPTIMIZATION (alternating A/B 0.34x, tools/exp_markov_r14.py,
+    # output asserted row-identical): the value iteration runs DRIVER-SIDE.
+    # After the caller's one data-sized count fold, EVERY frame here is
+    # bounded by the journey-state domain — (channels+3)^2 cells — yet the
+    # former distributed loop paid 20 rounds x (shuffle join + shuffle agg)
+    # of stage scheduling, plus four tail branches re-embedding the
+    # unrolled chain (378 Exchange refs in EXPLAIN text). This is the
+    # BPE-vocab discipline: BOUNDED state may cross the driver
+    # (documented), data-sized state never does — the collect below moves
+    # at most (channels+3)^2 rows regardless of session volume. The Python
+    # recurrence replays the former DataFrame semantics EXACTLY in exact
+    # ints: the inner probs-totals join dropped NULL `_s` cells (kept);
+    # duplicate (_s,_d) cells each truncated their OWN ppm (kept: per-row
+    # cells, not merged); one floor-truncation per (scenario, state) per
+    # step (kept — values are non-negative, so Spark `div` == Python `//`).
+    # ``checkpoint_every`` is retired to a no-op: nothing distributed
+    # remains to truncate.
+    del checkpoint_every
+    spark = counts.sparkSession
+    rows = counts.select("_s", "_d", "_c").collect()
+    tot: dict[str, int] = {}
+    for r in rows:
+        if r["_s"] is not None:
+            tot[r["_s"]] = tot.get(r["_s"], 0) + r["_c"]
+    # per-ROW probability cells (duplicates NOT merged, NULL _s dropped —
+    # both mirror the former counts-totals inner join exactly)
+    probs = [
+        (r["_s"], r["_d"], (r["_c"] * 1000000) // tot[r["_s"]])
+        for r in rows
+        if r["_s"] is not None
+    ]
+    states = sorted(
+        {s for s, _d, _p in probs} | {d for _s, d, _p in probs},
+        key=lambda v: (v is None, v),
     )
-    probs = (
-        counts.join(totals, F.col("_s") == F.col("_ts"))
-        .select(
-            "_s",
-            "_d",
-            F.expr("CAST(_c * 1000000 div _t AS BIGINT)").alias("_p"),
+    channels = [
+        s
+        for s in states
+        if s is not None and s not in (MARKOV_START, MARKOV_CONV, MARKOV_NULL)
+    ]
+    scenarios = channels + ["_BASE_"]
+    by_src: dict[str | None, list[tuple[str | None, int]]] = {}
+    for s, d, pr in probs:
+        by_src.setdefault(s, []).append((d, pr))
+    x = {
+        (sc, st): (1000000 if st == MARKOV_CONV else 0)
+        for sc in scenarios
+        for st in states
+    }
+    for _ in range(iterations):
+        nx = {}
+        for sc in scenarios:
+            for st in states:
+                if st == MARKOV_CONV:
+                    nx[(sc, st)] = 1000000
+                elif st == MARKOV_NULL or st == sc:
+                    nx[(sc, st)] = 0
+                else:
+                    acc = 0
+                    for d, pr in by_src.get(st, ()):
+                        if d != sc:
+                            acc += pr * x.get((sc, d), 0)
+                    nx[(sc, st)] = acc // 1000000
+        x = nx
+    # the former `start` frame only had rows when _START_ is a state
+    if MARKOV_START in states:
+        base_conv = x[("_BASE_", MARKOV_START)]
+        effects = [
+            (ch, base_conv, x[(ch, MARKOV_START)]) for ch in channels
+        ]
+    else:
+        effects = []
+    te = sum(max(b - r, 0) for _ch, b, r in effects)
+    data = [
+        (
+            ch,
+            b,
+            r,
+            max(b - r, 0),
+            ((max(b - r, 0) * 1000000) // te) if te != 0 else None,
         )
-        .localCheckpoint(eager=False)  # joined every iteration
+        for ch, b, r in effects
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("channel", T.StringType()),
+            T.StructField("base_conv_ppm", T.LongType()),
+            T.StructField("removed_conv_ppm", T.LongType()),
+            T.StructField("removal_effect_ppm", T.LongType()),
+            T.StructField("attribution_ppm", T.LongType()),
+        ]
     )
-    channels = (
-        probs.select(F.col("_s").alias("ch"))
-        .union(probs.select(F.col("_d")))
-        .distinct()
-        .filter(~F.col("ch").isin(MARKOV_START, MARKOV_CONV, MARKOV_NULL))
-    )
-    base_row = probs.agg(F.count(F.lit(1)).alias("_n")).select(
-        F.lit("_BASE_").alias("_sc")
-    )  # agg -> exactly one row even on an empty graph
-    scenarios = (
-        channels.select(F.col("ch").alias("_sc"))
-        .union(base_row)
-        .localCheckpoint(eager=False)
-    )
-    states = (
-        probs.select(F.col("_s").alias("_st"))
-        .union(probs.select(F.col("_d")))
-        .distinct()
-    )
-    # scenarios × states is the BOUNDED journey frame (channels+3)² —
-    # expanded via the constant-key broadcast equi-join idiom (the CM-rows
-    # discipline), never a data-side cartesian.
-    one = F.pmod(F.hash(F.lit(1)), F.lit(1))
-    sc1 = scenarios.withColumn("_one", one)
-    st1 = states.withColumn("_one", one).localCheckpoint(eager=False)
-    grid = (
-        sc1.join(F.broadcast(st1), "_one")
-        .select("_sc", "_st")
-        .localCheckpoint(eager=False)  # rebuilt every iteration otherwise
-    )
-    # x0: absorbers fixed, everything else 0 (value iteration from below
-    # — monotone nondecreasing, so truncation per step never oscillates)
-    x = grid.select(
-        "_sc",
-        "_st",
-        F.when(F.col("_st") == MARKOV_CONV, F.lit(1000000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("_x"),
-    )
-    for i in range(iterations):
-        contrib = (
-            probs.join(
-                x.select(
-                    "_sc", F.col("_st").alias("_d"), F.col("_x").alias("_xd")
-                ),
-                "_d",
-            )
-            .withColumn(
-                "_xd",
-                F.when(F.col("_d") == F.col("_sc"), F.lit(0)).otherwise(
-                    F.col("_xd")
-                ),
-            )
-            .groupBy("_sc", F.col("_s").alias("_st"))
-            .agg(
-                F.expr("CAST(sum(_p * _xd) div 1000000 AS BIGINT)").alias("_nx")
-            )
-        )
-        x = (
-            grid
-            .join(contrib, ["_sc", "_st"], "left")
-            .select(
-                "_sc",
-                "_st",
-                F.when(F.col("_st") == MARKOV_CONV, F.lit(1000000))
-                .when(F.col("_st") == MARKOV_NULL, F.lit(0))
-                .when(F.col("_st") == F.col("_sc"), F.lit(0))
-                .otherwise(F.coalesce(F.col("_nx"), F.lit(0)))
-                .cast("long")
-                .alias("_x"),
-            )
-        )
-        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
-            x = x.localCheckpoint(eager=False)
-    # r14 note (measured, kept as-is): `start` is referenced by four
-    # downstream branches, each re-embedding the unrolled chain in the
-    # EXPLAIN text (378 Exchange refs at 20 iterations) — but pinning it
-    # with a lazy localCheckpoint measured 2.0x SLOWER in an alternating
-    # sf0.1 A/B (tools/ab_markov_ann_r14.json): under AQE the runtime
-    # deduplicates the duplicated chain via shuffle-stage reuse, while
-    # the checkpoint's toRdd pays a full planning/codegen pass over the
-    # whole chain at construction. The duplicated-looking plan is the
-    # faster one.
-    start = x.filter(F.col("_st") == MARKOV_START).select(
-        "_sc", F.col("_x").alias("_conv")
-    )
-    base = start.filter(F.col("_sc") == "_BASE_").select(
-        F.col("_conv").alias("_base")
-    )
-    effects = (
-        start.filter(F.col("_sc") != "_BASE_")
-        .join(F.broadcast(base))
-        .select(
-            F.col("_sc").alias("channel"),
-            F.col("_base").alias("base_conv_ppm"),
-            F.col("_conv").alias("removed_conv_ppm"),
-            F.greatest(F.col("_base") - F.col("_conv"), F.lit(0))
-            .cast("long")
-            .alias("removal_effect_ppm"),
-        )
-    )
-    tot_eff = effects.agg(
-        F.sum("removal_effect_ppm").cast("long").alias("_te")
-    )
-    return (
-        effects.join(F.broadcast(tot_eff))
-        .withColumn(
-            "attribution_ppm",
-            F.expr(
-                "CAST(CASE WHEN _te = 0 THEN NULL"
-                " ELSE removal_effect_ppm * 1000000 div _te END AS BIGINT)"
-            ),
-        )
-        .select(
-            "channel",
-            "base_conv_ppm",
-            "removed_conv_ppm",
-            "removal_effect_ppm",
-            "attribution_ppm",
-        )
-    )
+    return spark.createDataFrame(data, schema)
 
 
 def markov_removal_attribution_sql(

@@ -1225,15 +1225,18 @@ def prefix_filter_jaccard_pairs(
        length filter ppm·max(na,nb) ≤ 10⁶·min(na,nb) (a pair failing it
        cannot reach t), deduplicated — CARRYING (na, nb), so scoring
        needs no size join-back.
-    5. verify: candidates ⋈ posting_a ⋈ posting_b count the EXACT
-       intersection; score and filter.
+    5. verify: per-doc shingle ARRAYS attach to each candidate via two
+       non-exploding equi-joins; ``size(array_intersect)`` is the EXACT
+       intersection (r14 — replaced the posting-explode verify, 0.65×);
+       score and filter.
 
     Scale: the only wide ops are the prefix self-join (rare-token keys by
     construction), the candidate dedup (already-filtered pair set), and
-    the verify joins (candidates × document length, equi-keyed). The
+    the verify joins (candidate rows carrying two document-length-bounded
+    arrays — the same per-doc bound the rank window already carries). The
     posting list (doc_id, 60-bit hash — 16 B/row, O(corpus shingles)) is
-    localCheckpoint'd ONCE: four plan branches read it (DF count, rank,
-    verify ×2), and re-deriving it per branch means four full corpus
+    localCheckpoint'd ONCE: three plan branches read it (DF count, rank,
+    array fold), and re-deriving it per branch means three full corpus
     scans + tokenizations — measured 1.4× slower steady-state and 2.7×
     slower first-run at sf0.1, identical output. MEMORY_AND_DISK spills,
     so the materialization stays linear at any corpus size; no separate
@@ -1243,7 +1246,7 @@ def prefix_filter_jaccard_pairs(
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
         .select("doc_id", F.explode(shingles_of(F.col("_toks"), w)).alias("shingle"))
         .select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
-        .localCheckpoint(eager=False)  # four branches below read it
+        .localCheckpoint(eager=False)  # three branches below read it
     )
     dfreq = posting.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     doc_w = Window.partitionBy("doc_id")
@@ -1279,16 +1282,28 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
+    # r14 verify rewrite (measured 0.65× full-query, output identical):
+    # the old verify exploded every candidate by |doc_a|'s postings
+    # (~50× row blowup) before the (id_b, sh_h) match + count. Instead
+    # fold each doc's postings into ONE array row (bounded by document
+    # length — the same per-doc bound the rank window above already
+    # carries) and attach the two arrays to each candidate with two
+    # NON-exploding equi-joins; the exact intersection is then
+    # size(array_intersect) per pair — shingle sets are distinct per
+    # doc, so it equals the old per-row match count.
+    arrs = posting.groupBy("doc_id").agg(F.collect_list("sh_h").alias("_arr"))
     return (
         cand.join(
-            posting.select(F.col("doc_id").alias("id_a"), "sh_h"), "id_a"
+            arrs.select(F.col("doc_id").alias("id_a"), F.col("_arr").alias("_aa")),
+            "id_a",
         )
         .join(
-            posting.select(F.col("doc_id").alias("id_b"), "sh_h"),
-            ["id_b", "sh_h"],
+            arrs.select(F.col("doc_id").alias("id_b"), F.col("_arr").alias("_ab")),
+            "id_b",
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .withColumn(
+            "inter", F.size(F.array_intersect("_aa", "_ab")).cast("long")
+        )
         .withColumn(
             "jaccard_ppm",
             F.expr("CAST((inter * 1000000L) div (na + nb - inter) AS BIGINT)"),

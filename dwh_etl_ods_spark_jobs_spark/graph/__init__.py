@@ -61,6 +61,11 @@ def pagerank(
     checkpoint (fixed shallow unrolls don't need it).
     """
     base = (PR_MICRO * (100 - PR_DAMP_PCT)) // 100
+    # NOTE (r14, measured): a raw-edge localCheckpoint here (the
+    # triangle_census discipline) A/B'd FLAT-to-1.05x at sf0.1 — AQE
+    # shuffle reuse already dedups the edge build across the deg /
+    # edges_deg / nodes branches, and the extra materialization pass
+    # costs what the replay saves (tools/ab_gredges_r14.json).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # Degree-annotated edges feed every iteration: pre-join ONCE and
     # localCheckpoint (the dedup.connected_components lineage discipline)
@@ -281,6 +286,11 @@ def negative_edge_samples(
     from dwh_etl_ods_spark_jobs_spark.operators.rank import global_rank
     from dwh_etl_ods_spark_jobs_spark.text import md5_long
 
+    # NOTE (r14, measured): checkpointing `edges` here to share the three
+    # branch reads (destination domain, source set, true-edge anti-join)
+    # A/B'd 1.22x SLOWER at sf0.1 — the battery's 2-column distinct is
+    # cheaper to replay under AQE shuffle reuse than the extra
+    # materialization pass costs (tools/ab_gredges_r14.json).
     dsts = (
         edges.select(F.col(dst_col).alias("_dst"))
         # NULL is excluded from the draw domain on BOTH engines: Spark's

@@ -457,7 +457,11 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.graph import personalized_pagerank
     from dwh_etl_ods_spark_jobs_spark.plans.graph import _sc_edges
 
-    edges = _sc_edges(spark, sf_dir)
+    # Checkpoint the edge build ONCE so the seed derivation and the
+    # operator's degree/edge branches share one materialization (the
+    # graph_bfs_reach r14 fix; the operator's own raw-edge checkpoint
+    # then copies the materialized rows instead of replaying the build).
+    edges = _sc_edges(spark, sf_dir).localCheckpoint(eager=False)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .filter(F.col("node") % PPR_SEED_MOD == 0)

@@ -267,11 +267,32 @@ def merkle_range_diff(
     ordered = sorted(val_cols)
     key = F.col(key_col).cast("string")
     bucket = F.pmod(md5_long(key), F.lit(n_buckets))
-    digest = md5_long(F.concat(F.md5(key), _row_hash(ordered)))
 
-    def summarize(df: DataFrame, tag: str) -> DataFrame:
+    # r14: each side used to be SCANNED TWICE — once folding to the
+    # digest summary, once projecting the row-level (bucket, key, hash)
+    # for the diff join. Both passes need exactly that projection, so
+    # materialize it once per side (lazy localCheckpoint, ~50 B/row) and
+    # derive the summary from it: the per-row digest is a pure function
+    # of (key, row-hash), so nothing else was lost. One base-table scan
+    # per side; digest frames stay independently computable per side
+    # (the anti-entropy contract).
+    def side_proj(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            bucket.alias("bucket"),
+            F.col(key_col).alias(f"_k_{tag}"),
+            _row_hash(ordered).alias(f"_h_{tag}"),
+        ).localCheckpoint(eager=False)
+
+    po, pn = side_proj(old, "old"), side_proj(new, "new")
+
+    def summarize(proj: DataFrame, tag: str) -> DataFrame:
+        digest = md5_long(
+            F.concat(
+                F.md5(F.col(f"_k_{tag}").cast("string")), F.col(f"_h_{tag}")
+            )
+        )
         return (
-            df.select(bucket.alias("bucket"), digest.alias("_d"))
+            proj.select("bucket", digest.alias("_d"))
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
@@ -279,7 +300,7 @@ def merkle_range_diff(
             )
         )
 
-    so, sn = summarize(old, "old"), summarize(new, "new")
+    so, sn = summarize(po, "old"), summarize(pn, "new")
     diff_buckets = (
         so.join(sn, "bucket", "full_outer")
         .filter(
@@ -290,19 +311,17 @@ def merkle_range_diff(
         )
         .select("bucket")
     )
-    o = old.select(
-        bucket.alias("bucket"),
-        F.col(key_col).alias("_k_old"),
-        _row_hash(ordered).alias("_h_old"),
-    ).join(F.broadcast(diff_buckets), "bucket")
-    n = new.select(
-        bucket.alias("bucket"),
-        F.col(key_col).alias("_k_new"),
-        _row_hash(ordered).alias("_h_new"),
-    ).join(F.broadcast(diff_buckets), "bucket")
+    # per-side bucket rename: both sides join the SAME diff_buckets frame,
+    # so a shared `bucket` name would be ambiguous in the outer join below
+    o = po.join(F.broadcast(diff_buckets), "bucket").select(
+        F.col("bucket").alias("_b_old"), "_k_old", "_h_old"
+    )
+    n = pn.join(F.broadcast(diff_buckets), "bucket").select(
+        F.col("bucket").alias("_b_new"), "_k_new", "_h_new"
+    )
     joined = o.join(
         n,
-        o["_k_old"].eqNullSafe(n["_k_new"]) & (o["bucket"] == n["bucket"]),
+        o["_k_old"].eqNullSafe(n["_k_new"]) & (o["_b_old"] == n["_b_new"]),
         "full_outer",
     )
     change = (
@@ -313,7 +332,7 @@ def merkle_range_diff(
     )
     return (
         joined.select(
-            F.coalesce(o["bucket"], n["bucket"]).alias("bucket"),
+            F.coalesce(o["_b_old"], n["_b_new"]).alias("bucket"),
             change.alias("_c"),
         )
         .groupBy("bucket")

@@ -1648,7 +1648,13 @@ def weighted_jaccard_pairs(
         )
         .select("sh_h", "_df", "idf")
     )
-    weighted = posting.join(vocab, "sh_h").localCheckpoint(eager=False)
+    # NO checkpoint on `weighted` (r14, measured 0.75x without): the join
+    # output keeps sh_h hash-partitioning, which the self-join below
+    # reuses directly, and AQE shuffle-stage reuse dedups the totals
+    # branch's recompute — a localCheckpoint here DESTROYS the join's
+    # outputPartitioning (LogicalRDD carries none), forcing both
+    # self-join arms to re-exchange on top of the materialization pass.
+    weighted = posting.join(vocab, "sh_h")
     totals = weighted.groupBy("doc_id").agg(
         F.sum("idf").cast("long").alias("w_tot")
     )

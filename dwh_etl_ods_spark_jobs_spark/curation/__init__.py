@@ -965,7 +965,10 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_topk(id_col: str, text_col: str, terms: list[str], k: int = 10):
+def bm25_topk(
+    id_col: str, text_col: str, terms: list[str], k: int = 10,
+    tokens_col: str | None = None,
+):
     """Rank documents against a fixed query-term set by Okapi BM25 and
     return the top ``k`` — the retrieval primitive a corpus pipeline uses
     for "find documents about X" sweeps (and the scoring half of a
@@ -991,11 +994,25 @@ def bm25_topk(id_col: str, text_col: str, terms: list[str], k: int = 10):
     """
 
     def apply(df: DataFrame) -> DataFrame:
-        base = df.select(F.col(id_col), _toks(text_col).alias("_ts")).select(
-            F.col(id_col),
-            F.col("_ts"),
-            F.size("_ts").cast("long").alias("_dl"),
-        )
+        # r14: lazy-checkpoint the tokenized frame — postings and the
+        # corpus scalars each re-ran the tokenizer over the whole corpus
+        # otherwise (measured 0.93x / 0.86x on the hybrid/rrf retrieval
+        # queries). ``tokens_col`` skips tokenization AND the checkpoint:
+        # the caller passes an already-materialized token-array frame
+        # (the ndcg eval shares ONE across its per-query arms — a
+        # per-arm checkpoint there measured 1.25x, tools/ab_bm25_r14.json).
+        if tokens_col is not None:
+            base = df.select(
+                F.col(id_col),
+                F.col(tokens_col).alias("_ts"),
+                F.size(tokens_col).cast("long").alias("_dl"),
+            )
+        else:
+            base = df.select(F.col(id_col), _toks(text_col).alias("_ts")).select(
+                F.col(id_col),
+                F.col("_ts"),
+                F.size("_ts").cast("long").alias("_dl"),
+            ).localCheckpoint(eager=False)
         # one row per (doc, query-term) with tf > 0; tf via a per-row
         # filtered count of the token array — no explode of non-query terms
         postings = (

@@ -172,9 +172,13 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_etl_ods_spark_jobs_spark.plans.curation import _docs
 
     docs = _docs(spark, sf_dir)
+    # ONE tokenize pass shared by all three query arms AND the rel join
+    # (r14: each arm re-tokenized the corpus ~4x — inside bm25's
+    # postings/stats branches plus this rel join; the shared lazy
+    # checkpoint replaces ~12 passes with one materialization)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("_ts")
-    )
+    ).localCheckpoint(eager=False)
     runs = None
     for qname, terms in sorted(NDCG_QUERIES.items()):
         tf_total = None
@@ -182,7 +186,9 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf = F.size(F.filter(F.col("_ts"), lambda x: x == F.lit(t)))
             tf_total = tf if tf_total is None else tf_total + tf
         r = (
-            docs.transform(bm25_topk("doc_id", "text", terms, k=NDCG_K))
+            toks.transform(
+                bm25_topk("doc_id", "text", terms, k=NDCG_K, tokens_col="_ts")
+            )
             .join(toks, "doc_id")
             .select(
                 F.lit(qname).alias("query"),

@@ -1183,6 +1183,11 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy(F.col("_lu").alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
     )
+    # NOTE (r14, measured): checkpointing `per` (bounded, read by the
+    # scalar fold AND the final select) A/B'd 1.11x SLOWER — the label
+    # joins replay over already-checkpointed inputs and AQE reuse covers
+    # the shared stages; the pin's materialization job costs more
+    # (tools/ab_permod_njp_r14.json).
     per = comm.join(intra, "label", "left").withColumn(
         "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
     )

@@ -1439,7 +1439,11 @@ def mutual_knn_pairs(
             ),
         )
         .filter(F.col("rank") <= k)
-        .localCheckpoint(eager=False)  # both sides of the mutual join
+        # both sides of the mutual join; dropping this (the
+        # weighted-jaccard #16 idea) A/B'd 1.17x SLOWER here — the
+        # ranked list is post-window, so exchange reuse cannot share
+        # the two sides' recompute (tools/ab_mknn_r14.json, r14)
+        .localCheckpoint(eager=False)
     )
     ab, ba = directed.alias("ab"), directed.alias("ba")
     return (

@@ -413,9 +413,12 @@ def simhash_near_pairs(
     verifies exactly. ``sigs`` is (doc_id, simhash).
     """
     mask = (1 << band_bits) - 1
-    # Not persisted: the banded self-join's two branches share one shuffle
-    # via ReuseExchange, so the signature pass is not recomputed per side —
-    # and no cached blocks outlive the query.
+    # Lazy localCheckpoint of the 16 B/row signature frame (r14 — the
+    # minhash_lsh_pairs #18 discipline): the banded self-join's branches
+    # share one shuffle via ReuseExchange, but the 60-getbit-sum
+    # aggregation feeding them still re-ran per consumer job; freed when
+    # the query ends.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -334,9 +334,12 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
+    # one materialization shared by the anchor argmin, the anchor-code
+    # join and the silhouette point scan (the PPR-wrapper r14 pattern —
+    # the quantize transform otherwise re-runs per branch)
     q = quantize_embeddings(emb, "vec_id", "embedding").join(
         emb.select("vec_id", "label"), "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     anchor = q.groupBy("label").agg(F.min("vec_id").alias("_aid"))
     cen = (
         anchor.join(

@@ -200,9 +200,11 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.col("vec_id") % 50 < MMR_CANDS)
     )
+    # one materialization shared by the anchor argmin and both sides of
+    # the anchor-code join (the silhouette-wrapper r14 pattern)
     q = quantize_embeddings(emb, "vec_id", "embedding").join(
         _t(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     anchor = q.groupBy("label").agg(F.min("vec_id").alias("_aid"))
     anchored = (
         q.join(anchor, "label")

@@ -140,8 +140,11 @@ def ngram_jaccard_pairs(
       aggregation and both self-join sides (the ngram_containment /
       prefix-filter discipline, measured 1.4× steady on this pipeline
       shape; before r14 this operator relied on ReuseExchange alone,
-      which leaves the sizes branch re-tokenizing). The blocks are freed
-      when the query ends — nothing persists across runs.
+      which leaves the sizes branch re-tokenizing). The blocks live until
+      the caller drops the returned frame (driver GC + ContextCleaner
+      reclaim them — bounded residue, pinned by
+      test_pair_generators_release_persistent_rdds_on_gc); nothing
+      persists across runs.
     - **Size joins are un-hinted.** The (doc_id, n) relation is one row
       per document — O(n_docs), i.e. billions of rows at corpus scale — so
       forcing a broadcast would OOM the driver (and exceed Spark's 8 GB
@@ -168,7 +171,8 @@ def ngram_jaccard_pairs(
         # 16 B/row lazy materialization (r14 — the ngram_containment /
         # prefix-filter discipline, measured 1.4x steady there on the
         # same pipeline shape): sizes + the self-join sides otherwise
-        # re-tokenize the corpus per branch. Freed when the query ends.
+        # re-tokenize the corpus per branch. Blocks are reclaimed when the
+        # caller drops the result (GC + ContextCleaner; bounded residue).
         .localCheckpoint(eager=False)
     )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -315,8 +319,8 @@ def minhash_lsh_pairs(
     # pairs): the banding branch and the verify a/b branches otherwise
     # run the md5-over-shingles signature pass twice (exchange reuse
     # already folds the three reads to two). ~130 B/doc, the same
-    # signature-store footprint incremental_lsh_dedup persists; freed
-    # when the query ends — no cached blocks outlive it.
+    # signature-store footprint incremental_lsh_dedup persists; blocks
+    # are reclaimed once the caller drops the result (GC + ContextCleaner).
     docs = minhash_signatures(df, text_col, id_col, k).localCheckpoint(
         eager=False
     )
@@ -416,8 +420,8 @@ def simhash_near_pairs(
     # Lazy localCheckpoint of the 16 B/row signature frame (r14 — the
     # minhash_lsh_pairs #18 discipline): the banded self-join's branches
     # share one shuffle via ReuseExchange, but the 60-getbit-sum
-    # aggregation feeding them still re-ran per consumer job; freed when
-    # the query ends.
+    # aggregation feeding them still re-ran per consumer job; blocks are
+    # reclaimed once the caller drops the result (GC + ContextCleaner).
     sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
@@ -682,7 +686,8 @@ def embedding_neardup_pairs(
     # re-ran per consumer job otherwise. The frame carries the raw
     # vectors (O(corpus x dim)) — heavier than the 16 B/row posting
     # checkpoints, but the same bytes the bucket self-join's own shuffle
-    # ships anyway, and the blocks are freed when the query ends.
+    # ships anyway; blocks are reclaimed once the caller drops the
+    # result (GC + ContextCleaner — bounded, not query-scoped).
     sigs = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

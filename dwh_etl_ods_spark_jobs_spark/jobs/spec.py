@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from dwh_etl_ods_spark_jobs_spark.operators import (
     anti_join_new,
+    apply_rules,
     dedupe_latest,
     hash_pii,
     lookup_fold,
@@ -260,8 +261,11 @@ def run_incremental_load(
                 f"{missing} required by its cleaning rules — the reference's "
                 f"source SQL selects them; include them in the extract"
             )
-    for rule in spec.rules:
-        src = rule(src)
+    # r15: apply_rules fuses runs of expression rules into single
+    # withColumns projections — one plan analysis instead of one per rule
+    # (identical expressions, identical output; the catalog's rule-heavy
+    # jobs spent more time re-analyzing plans than executing them).
+    src = apply_rules(spec.rules)(src)
 
     for lk in spec.lookups:
         lkp_df = (lookups or {}).get(lk.table)

@@ -32,13 +32,65 @@ from pyspark.sql import functions as F
 CleaningRule = Callable[[DataFrame], DataFrame]
 
 
-def apply_rules(rules: Sequence[CleaningRule]) -> CleaningRule:
-    """Compose cleaning rules left-to-right into one transform."""
+def _expr_rule(kind: str, col_exprs: Mapping[str, Callable[[Column], Column]]) -> CleaningRule:
+    """Package per-column expression builders as a CleaningRule.
+
+    ``col_exprs`` maps column name -> a builder taking the column's CURRENT
+    expression and returning the cleaned one. Builders are lazy (no Column
+    is constructed until a DataFrame arrives) so rule catalogs can still be
+    declared at module import time, before any SparkSession exists. The
+    ``col_exprs`` attribute is what lets :func:`apply_rules` fuse a chain of
+    rules into one projection; applying the rule directly is a single
+    ``withColumns`` — identical semantics to the former per-column
+    ``withColumn`` loop (every rule here reads only the column it writes).
+    """
 
     def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumns({c: fn(F.col(c)) for c, fn in col_exprs.items()})
+
+    _apply.columns = tuple(col_exprs)  # type: ignore[attr-defined]  # introspection for generic tests
+    _apply.kind = kind  # type: ignore[attr-defined]
+    _apply.col_exprs = dict(col_exprs)  # type: ignore[attr-defined]
+    return _apply
+
+
+def apply_rules(rules: Sequence[CleaningRule]) -> CleaningRule:
+    """Compose cleaning rules left-to-right into one transform.
+
+    r15 optimization: maximal runs of expression rules (anything exposing
+    ``col_exprs`` — every factory in this module) FUSE into one
+    ``withColumns`` projection. ``DataFrame.withColumn`` re-analyzes the
+    whole plan per call, so a catalog chain of N rules paid N analysis
+    passes (O(N²) planner work — the dominant cost of the rule-heavy jobs;
+    execution of the fused CASE expressions is unchanged). Same-column
+    rules compose by substitution: rule k+1's input expression IS rule k's
+    output expression, exactly the value the sequential form computed.
+    Rules without ``col_exprs`` (joins, custom callables) flush the pending
+    batch and apply in order, so relative ordering is preserved.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        pending: dict[str, Callable[[Column], Column]] = {}
+
+        def flush(d: DataFrame) -> DataFrame:
+            if pending:
+                d = d.withColumns({c: fn(F.col(c)) for c, fn in pending.items()})
+                pending.clear()
+            return d
+
         for rule in rules:
-            df = rule(df)
-        return df
+            exprs = getattr(rule, "col_exprs", None)
+            if exprs is None:
+                df = flush(df)
+                df = rule(df)
+            else:
+                for c, fn in exprs.items():
+                    prev = pending.get(c)
+                    if prev is None:
+                        pending[c] = fn
+                    else:
+                        pending[c] = lambda col, f=fn, p=prev: f(p(col))
+        return flush(df)
 
     return _apply
 
@@ -65,7 +117,7 @@ def date_clamp(
     upper bound; ``hi_offset_years=1`` reproduces the appointment-date
     variant (today + 1 year, ``LoadPatientVisits.java:103-105``).
     """
-    def _apply(df: DataFrame) -> DataFrame:
+    def _expr(col_in: Column) -> Column:
         # Columns are built lazily so rule catalogs can be declared at module
         # import time, before any SparkSession exists.
         lo_lit = _as_date_lit(lo)
@@ -84,17 +136,25 @@ def date_clamp(
         # try_cast: the reference ran non-ANSI Spark where a malformed string
         # date cast to NULL; under ANSI (Spark 4 default) a plain cast would
         # crash the job on exactly the dirty values this rule exists to clean.
-        c = F.col(col).try_cast("date")
+        c = col_in.try_cast("date")
         bad = F.lit(False)
         if lo_lit is not None:
             bad = bad | (c < lo_lit)
         if hi_lit is not None:
             bad = bad | (c > hi_lit)
-        return df.withColumn(col, F.when(c.isNotNull() & bad, sent).otherwise(c))
+        return F.when(c.isNotNull() & bad, sent).otherwise(c)
 
-    _apply.columns = (col,)  # type: ignore[attr-defined]  # introspection for generic tests
-    _apply.kind = "date"  # type: ignore[attr-defined]
-    return _apply
+    if isinstance(hi, Column):
+        # A Column upper bound may reference ANOTHER column, which must see
+        # the row as produced by earlier rules — opt out of fusion so the
+        # sequential projection order is preserved.
+        def _apply(df: DataFrame) -> DataFrame:
+            return df.withColumn(col, _expr(F.col(col)))
+
+        _apply.columns = (col,)  # type: ignore[attr-defined]
+        _apply.kind = "date"  # type: ignore[attr-defined]
+        return _apply
+    return _expr_rule("date", {col: _expr})
 
 
 def range_sentinel(
@@ -121,39 +181,31 @@ def range_sentinel(
     if bad_at_lo and lo is None:
         raise ValueError("range_sentinel: bad_at_lo needs a lower bound")
 
-    def _apply(df: DataFrame) -> DataFrame:
+    def _expr(col_in: Column) -> Column:
         sent = (
             F.lit(sentinel).cast(cast_to) if sentinel is not None else F.lit(None).cast(cast_to)
         )
         # try_cast delivers the docstring's promised try-cast semantics under
         # ANSI mode too (plain cast of 'abc' to float would kill the job).
-        c = F.col(col).try_cast(cast_to)
+        c = col_in.try_cast(cast_to)
         bad = F.lit(False)
         if lo is not None:
             bad = bad | ((c <= lo) if bad_at_lo else (c < lo))
         if hi is not None:
             bad = bad | (c > hi)
-        return df.withColumn(
-            col, F.when(c.isNotNull() & bad, sent).otherwise(c)
-        )
+        return F.when(c.isNotNull() & bad, sent).otherwise(c)
 
-    _apply.columns = (col,)  # type: ignore[attr-defined]
-    _apply.kind = "numeric"  # type: ignore[attr-defined]
-    return _apply
+    return _expr_rule("numeric", {col: _expr})
 
 
 def empty_to_null(cols: Sequence[str], trim: bool = False) -> CleaningRule:
     """'' (optionally after trim) -> NULL, per column."""
 
-    def _apply(df: DataFrame) -> DataFrame:
-        for col in cols:
-            c = F.trim(F.col(col)) if trim else F.col(col)
-            df = df.withColumn(col, F.when(c == "", F.lit(None)).otherwise(F.col(col)))
-        return df
+    def _expr(col_in: Column) -> Column:
+        c = F.trim(col_in) if trim else col_in
+        return F.when(c == "", F.lit(None)).otherwise(col_in)
 
-    _apply.columns = tuple(cols)  # type: ignore[attr-defined]
-    _apply.kind = "string"  # type: ignore[attr-defined]
-    return _apply
+    return _expr_rule("string", {col: _expr for col in cols})
 
 
 def values_to_null(col: str, values: Sequence[str]) -> CleaningRule:
@@ -164,15 +216,10 @@ def values_to_null(col: str, values: Sequence[str]) -> CleaningRule:
     generalized to arbitrary placeholder literals.
     """
 
-    def _apply(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            col,
-            F.when(F.col(col).isin(*list(values)), F.lit(None)).otherwise(F.col(col)),
-        )
+    def _expr(col_in: Column) -> Column:
+        return F.when(col_in.isin(*list(values)), F.lit(None)).otherwise(col_in)
 
-    _apply.columns = (col,)  # type: ignore[attr-defined]
-    _apply.kind = "string"  # type: ignore[attr-defined]
-    return _apply
+    return _expr_rule("string", {col: _expr})
 
 
 def presence_flag(col: str, negative: str = "No", positive: str = "Yes") -> CleaningRule:
@@ -184,18 +231,14 @@ def presence_flag(col: str, negative: str = "No", positive: str = "Yes") -> Clea
     .when(col.isNotNull() & col != 'No', 'Yes').otherwise(null)``.
     """
 
-    def _apply(df: DataFrame) -> DataFrame:
-        c = F.col(col)
-        return df.withColumn(
-            col,
+    def _expr(c: Column) -> Column:
+        return (
             F.when(c == negative, F.lit(negative))
             .when(c.isNotNull() & (c != negative), F.lit(positive))
-            .otherwise(F.lit(None)),
+            .otherwise(F.lit(None))
         )
 
-    _apply.columns = (col,)  # type: ignore[attr-defined]
-    _apply.kind = "string"  # type: ignore[attr-defined]
-    return _apply
+    return _expr_rule("string", {col: _expr})
 
 
 def value_map(
@@ -217,7 +260,10 @@ def value_map(
     (``LoadHtsClientTests.java:85-89``); it overrides ``otherwise_keep``.
     """
 
-    def _apply(df: DataFrame) -> DataFrame:
+    if not mapping:
+        raise ValueError("value_map requires at least one mapping entry")
+
+    def _expr(col_in: Column) -> Column:
         # r14: ONE map-literal lookup instead of a chained CASE WHEN ..
         # isin(..) per target. Semantics are identical — source→target
         # with FIRST-match-wins on a source claimed by two targets
@@ -230,8 +276,6 @@ def value_map(
         # construction 4.25 s vs 0.2 s execution at sf0.1), and evaluated
         # every branch's isin scan per row. The map literal is one
         # expression node and one lookup.
-        if not mapping:
-            raise ValueError("value_map requires at least one mapping entry")
         kv: dict[str, str] = {}
         for target, sources in mapping.items():
             for s in sources:
@@ -246,19 +290,15 @@ def value_map(
             pairs.append(F.lit(v))
         looked = F.element_at(
             F.create_map(*pairs),
-            F.upper(F.col(col)) if case_insensitive else F.col(col),
+            F.upper(col_in) if case_insensitive else col_in,
         )
         if default is not None:
-            expr = F.coalesce(looked, F.lit(default))
-        elif otherwise_keep:
-            expr = F.coalesce(looked, F.col(col))
-        else:
-            expr = looked
-        return df.withColumn(col, expr)
+            return F.coalesce(looked, F.lit(default))
+        if otherwise_keep:
+            return F.coalesce(looked, col_in)
+        return looked
 
-    _apply.columns = (col,)  # type: ignore[attr-defined]
-    _apply.kind = "string"  # type: ignore[attr-defined]
-    return _apply
+    return _expr_rule("string", {col: _expr})
 
 
 @dataclass(frozen=True)
@@ -270,3 +310,7 @@ class NullDefault:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.col, F.coalesce(F.col(self.col), F.lit(self.default)))
+
+    @property
+    def col_exprs(self) -> dict[str, Callable[[Column], Column]]:
+        return {self.col: lambda c: F.coalesce(c, F.lit(self.default))}

@@ -1284,6 +1284,14 @@ FROM stepped
 
 MARKOV_START, MARKOV_CONV, MARKOV_NULL = "_START_", "_CONV_", "_NULL_"
 
+# Hard cap on the journey-state domain for the driver-side value iteration
+# in markov_attribution_from_counts: the recurrence is
+# O(states^3 * iterations) Python work and collects up to states^2 grid
+# cells, so "bounded" must be enforced, not just documented. 128 states
+# (125 channels + the 3 sentinels) keeps the worst case ~40M int ops;
+# real channel taxonomies are tens of values.
+_MARKOV_MAX_STATES = 128
+
 
 def markov_removal_attribution(
     transitions: DataFrame,
@@ -1376,7 +1384,22 @@ def markov_attribution_from_counts(
     # remains to truncate.
     del checkpoint_every
     spark = counts.sparkSession
-    rows = counts.select("_s", "_d", "_c").collect()
+    # Scale guard (r15): "bounded" was only a docstring contract — a caller
+    # feeding a high-cardinality domain (user ids as "channels") would
+    # collect O(C^2) cells and run O(C^3 * iterations) Python. The limit()
+    # bounds what can ever reach the driver (the collect pulls at most
+    # MAX_STATES^2 + 1 rows, then fails fast); the state-count check below
+    # bounds the value-iteration work itself.
+    max_cells = _MARKOV_MAX_STATES * _MARKOV_MAX_STATES
+    rows = counts.select("_s", "_d", "_c").limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            "markov_attribution_from_counts: transition grid exceeds "
+            f"{max_cells} cells ({_MARKOV_MAX_STATES}^2) — the driver-side "
+            "value iteration requires a bounded channel domain; aggregate "
+            "raw journeys to real channels before calling (the BPE-vocab "
+            "bounded-state discipline)."
+        )
     tot: dict[str, int] = {}
     for r in rows:
         if r["_s"] is not None:
@@ -1392,6 +1415,14 @@ def markov_attribution_from_counts(
         {s for s, _d, _p in probs} | {d for _s, d, _p in probs},
         key=lambda v: (v is None, v),
     )
+    if len(states) > _MARKOV_MAX_STATES:
+        raise ValueError(
+            "markov_attribution_from_counts: "
+            f"{len(states)} distinct journey states exceed the documented "
+            f"driver-side bound of {_MARKOV_MAX_STATES} — the removal-effect "
+            "recurrence is O(states^3 * iterations); map the journey log to "
+            "a real channel taxonomy first."
+        )
     channels = [
         s
         for s in states

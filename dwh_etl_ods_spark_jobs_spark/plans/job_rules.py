@@ -35,7 +35,11 @@ from dwh_etl_ods_spark_jobs_spark.jobs.rules import (
     empty_to_null_sql,
     value_map_sql,
 )
-from dwh_etl_ods_spark_jobs_spark.operators import empty_to_null, value_map
+from dwh_etl_ods_spark_jobs_spark.operators import (
+    apply_rules,
+    empty_to_null,
+    value_map,
+)
 
 
 def _samples(mapping: dict[str, list[str]]) -> list[str | None]:
@@ -89,13 +93,15 @@ def q_job_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             for col, mapping, _keep, _default, _e2n, off in _COLUMNS
         ],
     )
+    # r15: one fused projection for all 18 chains (apply_rules batches the
+    # expression rules) — the per-withColumn analysis passes dominated this
+    # query's wall time, not execution.
+    rules = []
     for col, mapping, keep, default, e2n, _off in _COLUMNS:
         if e2n:
-            df = df.transform(empty_to_null([col]))
-        df = df.transform(
-            value_map(col, mapping, otherwise_keep=keep, default=default)
-        )
-    return df
+            rules.append(empty_to_null([col]))
+        rules.append(value_map(col, mapping, otherwise_keep=keep, default=default))
+    return apply_rules(rules)(df)
 
 
 def _sql_lit(v: str | None) -> str:

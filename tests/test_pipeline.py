@@ -141,14 +141,22 @@ def test_ngram_jaccard_hot_shingle_df_cap(spark):
         assert r.jaccard <= true_j[(r.id_a, r.id_b)] + 1e-9
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
-def test_pair_generators_leave_no_persistent_rdds(spark):
-    """Unpersist hygiene: materializing each pair generator's result leaves
-    ZERO cached RDDs behind (the self-join branches share a shuffle via
-    ReuseExchange instead of relying on .persist())."""
+def test_pair_generators_release_persistent_rdds_on_gc(spark):
+    """Residue policy for the in-operator lazy localCheckpoints (r14): each
+    pair-generator call may park checkpointed RDD blocks while its result is
+    still referenced, but the residue is BOUNDED — once the caller drops the
+    returned frame, Python GC detaches the py4j refs and the JVM's
+    ContextCleaner unpersists every block. Pinned by RDD *ids* (not counts,
+    which race the cleaner against unrelated leaked RDDs): no id introduced
+    by the generator calls may survive a GC cycle."""
+    import gc
+    import time as _time
+
     df = spark.createDataFrame(
         [(i, f"word{i} alpha beta gamma delta epsilon zeta{i % 3}") for i in range(20)],
         "doc_id long, text string",
@@ -157,13 +165,31 @@ def test_pair_generators_leave_no_persistent_rdds(spark):
         [(i, [float(i % 5), 1.0, float(i % 3), 0.5]) for i in range(20)],
         "vec_id long, v array<double>",
     )
-    base = _n_persistent_rdds(spark)
-    D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2).count()
-    D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2, max_shingle_df=10).count()
-    D.minhash_lsh_pairs(df, "text", "doc_id", 0.5).count()
-    D.simhash_near_pairs(D.simhash_signatures(df, "text", "doc_id")).count()
-    D.embedding_neardup_pairs(vecs, "v", "vec_id", 0.9, dim=4, n_planes=8).count()
-    assert _n_persistent_rdds(spark) == base
+    base_ids = _persistent_rdd_ids(spark)
+
+    def run_generators():
+        # Local scope: the returned frames (and their checkpointed RDDs)
+        # become unreachable as soon as this function returns.
+        D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2).count()
+        D.ngram_jaccard_pairs(df, "text", "doc_id", 0.2, max_shingle_df=10).count()
+        D.minhash_lsh_pairs(df, "text", "doc_id", 0.5).count()
+        D.simhash_near_pairs(D.simhash_signatures(df, "text", "doc_id")).count()
+        D.embedding_neardup_pairs(vecs, "v", "vec_id", 0.9, dim=4, n_planes=8).count()
+
+    run_generators()
+    # Force the reclamation chain: Python GC -> py4j detach -> JVM GC ->
+    # ContextCleaner weak-ref queue -> unpersist. The cleaner thread is
+    # asynchronous, so poll with a deadline rather than asserting instantly.
+    deadline = _time.monotonic() + 60.0
+    leaked = _persistent_rdd_ids(spark) - base_ids
+    while leaked and _time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)
+        leaked = _persistent_rdd_ids(spark) - base_ids
+    assert leaked == set(), (
+        f"pair-generator checkpoint residue not reclaimed after GC: RDD ids {leaked}"
+    )
 
 
 def test_minhash_exact_dup_sig_identical(spark):
